@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count() materializes the whole
+result without driver-side collect of payload columns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from sales_forecast_mlops_at_scale_spark.plans import all_queries
+from sales_forecast_mlops_at_scale_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: the full oracled surface — relational core + joins + LLM ops.
+BENCH_QUERIES: tuple[str, ...] = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q_lastdays",
+    "q_latest_per_key",
+    "q_last7_per_group",
+    "q_metrics",
+    "q_ingest",
+)
+
+
+def main() -> None:
+    spark = get_spark("engine-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = all_queries()
+    names = [n for n in BENCH_QUERIES if n in registry]
+    # extend with any bench-tagged queries added later
+    names += [n for n in registry if n.startswith("q_bench_") and n not in names]
+
+    # warm the JVM + file listing once so timings measure query execution
+    registry[names[0]].fn(spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        registry[name].fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

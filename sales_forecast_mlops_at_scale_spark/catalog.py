@@ -1,0 +1,74 @@
+"""Catalog — load the driver's parquet fixtures as DataFrames / temp views.
+
+Analog of the reference's dual schema system (SURVEY.md §1.3): declared
+StructTypes live in :mod:`schemas`; this module is the "reflection" side
+(``automap_base()`` in the reference, ``spark.table`` here).
+
+Scale notes
+-----------
+- Tables are plain parquet scans: Catalyst pushes filters + prunes columns
+  into the scan, so downstream operators never pay for unread columns.
+- ``events.ts`` is TIMESTAMP(NANOS) in the fixtures, which Spark's reader
+  rejects; we read nanos-as-long (session conf) and truncate to micros —
+  identical values to DuckDB reading the same file, so oracle hashes match.
+- Nothing is cached here by default: at 100 TB you re-scan (cheap, pruned)
+  rather than pin TBs in executor memory.  ``load_dim`` marks the small
+  dimension tables broadcast-friendly instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import STAR_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Dimension tables small enough to broadcast at any scale factor.
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table, normalizing fixture quirks.
+
+    - ``events``: nanos-as-long ``ts`` → TIMESTAMP_NTZ at micro precision
+      (floor division, matching DuckDB's nanos read of the same parquet).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register every star-schema fixture as a temp view; returns the frames."""
+    out: dict[str, DataFrame] = {}
+    for name in STAR_TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a canonical table date-partitioned parquet.
+
+    The reference kept unpartitioned Postgres heaps (SURVEY.md §4 —
+    "partition pruning: absent").  For the 100 TB design, fact tables are
+    partitioned by a low-cardinality date key so time-range predicates
+    (Q-lastdays et al.) prune partitions instead of scanning history.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,25 @@
+"""Relational operator library.
+
+Each module re-expresses one operator family from SURVEY.md §2 as a pure
+function ``DataFrame -> DataFrame`` built from Catalyst-optimizable
+primitives (no Python UDFs in this package — the UDF surface lives in
+``ml`` and ``operators.llm`` where Python execution is genuinely needed).
+"""
+
+from .dedup import latest_per_key, top_n_per_group
+from .ingest import clean_sales, parse_json_events
+from .metrics import forecast_error_metrics
+from .rebase import rebase_dates
+from .requests import build_request_matrix
+from .scaffold import date_scaffold
+
+__all__ = [
+    "latest_per_key",
+    "top_n_per_group",
+    "clean_sales",
+    "parse_json_events",
+    "forecast_error_metrics",
+    "rebase_dates",
+    "build_request_matrix",
+    "date_scaffold",
+]
