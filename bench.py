@@ -29,6 +29,11 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_last7_per_group",
     "q_metrics",
     "q_ingest",
+    "q_dedup_exact",
+    "q_minhash_dedup",
+    "q_simhash_pairs",
+    "q_text_quality",
+    "q_embed_topk",
 )
 
 

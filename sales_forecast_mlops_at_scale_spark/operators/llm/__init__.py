@@ -1,0 +1,45 @@
+"""LLM-training-data pipeline operators (beyond-reference, BASELINE.json
+north star): deduplication, similarity search, text analysis, multimodal
+columns — all designed for 100 TB inputs.
+
+Design rules for this package:
+
+- Everything deterministic (seeded hash families, no RNG at runtime) so
+  results are oracle-checkable.
+- JVM-side built-ins wherever possible; Python appears only in Arrow-batched
+  ``mapInPandas`` for the multimodal decode path.
+- No driver-side collection of data-sized state: candidate generation is
+  always a distributed join (inverted index / LSH band bucket), never a
+  broadcast of the corpus.
+"""
+
+from .embedsim import brute_force_topk, ivf_topk
+from .exact_dedup import exact_dedup, exact_dedup_keys
+from .jaccard import ngram_jaccard_pairs, shingles
+from .minhash import minhash_lsh_pairs, minhash_signatures
+from .simhash import simhash_pairs, simhash_signatures
+from .textstats import (
+    language_id,
+    normalized_text,
+    text_fingerprint,
+    text_quality,
+    token_count,
+)
+
+__all__ = [
+    "brute_force_topk",
+    "ivf_topk",
+    "exact_dedup",
+    "exact_dedup_keys",
+    "ngram_jaccard_pairs",
+    "shingles",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "simhash_pairs",
+    "simhash_signatures",
+    "language_id",
+    "normalized_text",
+    "text_fingerprint",
+    "text_quality",
+    "token_count",
+]

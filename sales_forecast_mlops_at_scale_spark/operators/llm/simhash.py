@@ -1,0 +1,117 @@
+"""SimHash near-duplicate detection: 64-bit locality-sensitive token
+fingerprints + pigeonhole candidate generation.
+
+Each document's 64-bit SimHash has bit ``i`` set when the weighted sum of
+``±1`` votes (from bit ``i`` of each token's xxhash64, weight = term
+frequency) is positive.  Documents with small Hamming distance share most
+token mass.
+
+Pairing uses the pigeonhole principle: split 64 bits into 4 chunks of 16;
+any pair within Hamming distance ≤ 3 must agree on ≥ 1 whole chunk, so a
+join on (chunk index, chunk value) finds all of them — #docs × 4 bucket
+rows instead of a quadratic scan — followed by an exact
+``bit_count(a XOR b)`` verification (JVM built-ins).
+
+The signature is stored as two 32-bit halves (``sim_hi``, ``sim_lo``):
+assembling bits into ints never exceeds 2^31, which keeps every arithmetic
+step legal under ANSI mode (Spark 4 default) with no overflow risk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import normalized_text, tokens
+
+CHUNKS = 4
+CHUNK_BITS = 16
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc SimHash as two int halves: ``doc, sim_hi, sim_lo``."""
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(normalized_text(F.col(text_col)))).alias("t"),
+    ).withColumn("x", F.xxhash64("t"))
+    # vote for bit i: +1 if bit set else -1, summed over tokens (with
+    # multiplicity = term frequency weighting)
+    votes = tok.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.shiftright("x", i).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+
+    def half(lo_bit: int) -> F.Column:
+        acc = F.lit(0)
+        for k in range(32):
+            acc = acc + F.when(
+                F.col(f"v{lo_bit + k}") > 0, F.shiftleft(F.lit(1), k)
+            ).otherwise(0)
+        return acc
+
+    return votes.select(
+        "doc", half(32).alias("sim_hi"), half(0).alias("sim_lo")
+    )
+
+
+def _chunk(col_hi: F.Column, col_lo: F.Column, j: int) -> F.Column:
+    """16-bit chunk j (0..3) of the 64-bit signature, low chunks first."""
+    src = col_lo if j < 2 else col_hi
+    return F.shiftright(src, (j % 2) * CHUNK_BITS).bitwiseAND(F.lit(0xFFFF))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """All pairs (``id_a < id_b``) within Hamming distance ``max_hamming``.
+
+    Columns: ``id_a, id_b, hamming``.  Exact for ``max_hamming ≤ 3`` with
+    the 4×16 chunking (pigeonhole guarantee); raise CHUNKS for looser
+    budgets.
+    """
+    sigs = simhash_signatures(df, text_col, id_col)
+    chunked = sigs.select(
+        "doc",
+        "sim_hi",
+        "sim_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _chunk(F.col("sim_hi"), F.col("sim_lo"), j).alias("cv"),
+                    )
+                    for j in range(CHUNKS)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc", "sim_hi", "sim_lo", F.col("c.j").alias("j"), F.col("c.cv").alias("cv"))
+    a, b = chunked.alias("a"), chunked.alias("b")
+    hamming = F.bit_count(
+        F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi"))
+    ) + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
+    return (
+        a.join(
+            b,
+            (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("id_a"),
+            F.col("b.doc").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

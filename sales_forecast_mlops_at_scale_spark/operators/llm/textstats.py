@@ -1,0 +1,147 @@
+"""Text-analysis operators: normalization, token counting, quality scoring,
+language ID, fingerprinting.  All pure ``pyspark.sql.functions`` — every
+expression stays inside whole-stage codegen; there is no Python in this
+path at any scale.
+
+Each operator has an exactly-equivalent SQL form (see plans/llm_queries.py)
+so results are DuckDB-oracle-checkable.  Regex note: Spark uses Java regex,
+DuckDB uses RE2 — the patterns here are restricted to the common subset
+(character classes, ``+``), and DuckDB's ``regexp_replace`` needs the
+explicit ``'g'`` flag to match Spark's replace-all semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language marker vocabularies for the n-gram/stopword heuristic
+#: language identifier.  Deliberately small and transparent: language ID at
+#: this tier is a cheap pre-filter; a real model can slot in as a Pandas UDF
+#: without changing the pipeline shape.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "und", "die", "nicht", "ist"),
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "los", "que", "y", "es"),
+    "fr": ("le", "les", "et", "est", "une"),
+}
+
+ENGLISH_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+)
+
+
+def normalized_text(col: Column) -> Column:
+    """lower → collapse runs of whitespace to single spaces → trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed text; empty text → empty array."""
+    return F.when(F.length(F.trim(col)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(col), r"\s+")
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text", *, out_col: str = "n_tokens") -> DataFrame:
+    """Whitespace token count per document."""
+    return df.withColumn(out_col, F.size(tokens(F.col(text_col))))
+
+
+def text_fingerprint(
+    df: DataFrame, text_col: str = "text", *, out_col: str = "fingerprint"
+) -> DataFrame:
+    """Deterministic content fingerprint: md5 of normalized text.
+
+    The normalization (lower + whitespace collapse) makes the fingerprint
+    stable under formatting-only edits — the cheap first tier of a dedup
+    cascade before MinHash/SimHash."""
+    return df.withColumn(out_col, F.md5(normalized_text(F.col(text_col))))
+
+
+def text_quality(df: DataFrame, text_col: str = "text", *, ndigits: int = 4) -> DataFrame:
+    """Heuristic quality features per document:
+
+    - ``n_tokens``       whitespace token count
+    - ``n_chars_norm``   length of normalized text
+    - ``mean_token_len`` characters per token
+    - ``alpha_ratio``    [a-z] fraction of normalized text
+    - ``punct_ratio``    punctuation fraction of normalized text
+    - ``stopword_ratio`` English-stopword fraction of tokens
+    - ``quality_score``  monotone combination in [0, 1]
+
+    These are the standard cheap filters (C4/Gopher-style length & symbol
+    rules) as columnar expressions; no shuffle.  The norm/token pipeline
+    is staged as its own projections so the regex+split subtrees are
+    evaluated once per row, not once per referencing expression (see
+    jaccard.py module docstring for the measurement behind this)."""
+    staged = df.select(
+        *df.columns, normalized_text(F.col(text_col)).alias("__norm")
+    ).select(*df.columns, "__norm", tokens(F.col("__norm")).alias("__toks"))
+    stopword_arr = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS])
+    counted = staged.select(
+        *df.columns,
+        F.size("__toks").alias("n_tokens"),
+        F.length("__norm").alias("n_chars_norm"),
+        F.length(F.regexp_replace("__norm", r"[^a-z]", "")).alias("__alpha"),
+        F.length(F.regexp_replace("__norm", r"[^!-/:-@\[-`{-~]", "")).alias("__punct"),
+        F.size(
+            F.filter(F.col("__toks"), lambda t: F.array_contains(stopword_arr, t))
+        ).alias("__stop_hits"),
+    )
+    n_tokens, n_chars = F.col("n_tokens"), F.col("n_chars_norm")
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    alpha_ratio = F.col("__alpha") / safe_chars
+    punct_ratio = F.col("__punct") / safe_chars
+    stop_ratio = F.col("__stop_hits") / safe_tokens
+    mean_tok = (n_chars - (n_tokens - 1)) / safe_tokens
+    quality = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.25
+        + alpha_ratio * 0.35
+        + (1 - punct_ratio) * 0.2
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.2
+    )
+    return counted.select(
+        *df.columns,
+        "n_tokens",
+        "n_chars_norm",
+        F.round(mean_tok, ndigits).alias("mean_token_len"),
+        F.round(alpha_ratio, ndigits).alias("alpha_ratio"),
+        F.round(punct_ratio, ndigits).alias("punct_ratio"),
+        F.round(stop_ratio, ndigits).alias("stopword_ratio"),
+        F.round(quality, ndigits).alias("quality_score"),
+    )
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    marker_arr = F.array(*[F.lit(x) for x in markers])
+    return F.filter(toks, lambda t: F.array_contains(marker_arr, t))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language scoring: per language, the fraction of tokens
+    in its marker set; prediction = argmax (ties → lexicographically first
+    language; no hits → 'und').  Adds ``pred_lang`` and ``lang_score``."""
+    staged = df.select(
+        *df.columns, tokens(normalized_text(F.col(text_col))).alias("__toks")
+    )
+    toks = F.col("__toks")
+    safe_tokens = F.greatest(F.size(toks), F.lit(1))
+    scored = staged.select(
+        *df.columns,
+        *[
+            F.round(
+                F.size(_marker_hits(toks, markers)) / safe_tokens, 6
+            ).alias(f"__score_{lang}")
+            for lang, markers in sorted(LANG_MARKERS.items())
+        ],
+    )
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"__score_{lang}") for lang in langs])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in langs:  # first language hitting the max wins ties
+        pred = pred.when(F.col(f"__score_{lang}") == best, F.lit(lang))
+    return scored.select(
+        *df.columns, pred.alias("pred_lang"), F.round(best, 6).alias("lang_score")
+    )

@@ -1,6 +1,211 @@
-"""LLM-data-pipeline queries (dedup / similarity / text analysis). Filled incrementally."""
+"""LLM-data-pipeline queries over the ``documents`` / ``embeddings``
+fixtures, with DuckDB oracles wherever the algorithm is SQL-expressible.
+
+The oracle SQL re-states the *identical* formula (same normalization, same
+rounding, same tie-breaks) — not a looser reference implementation — so
+hash equality is exact.  MinHash/SimHash use Spark's xxhash64 (no DuckDB
+twin) and are covered by (a) the exact-Jaccard oracle on the same corpus
+via the inverted-index query and (b) rows-only checks + pytest golden
+assertions.
+"""
+
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.llm import (
+    brute_force_topk,
+    exact_dedup_keys,
+    ivf_topk,
+    language_id,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    text_fingerprint,
+    text_quality,
+    token_count,
+)
 from . import QueryDef
 
-QUERIES: dict[str, QueryDef] = {}
+#: SQL fragment: identical normalization to textstats.normalized_text
+#: (DuckDB regexp_replace needs the 'g' flag for replace-all).
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split_regex({_NORM}, '\\s+')"
+_SHINGLES = (
+    "CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[]) "
+    "ELSE list_distinct([array_to_string(toks[i:i+2], ' ') "
+    "     for i in generate_series(1, len(toks) - 2)]) END"
+)
+_STOPWORDS_SQL = "('the','a','an','and','or','of','to','in','is','it')"
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_keys(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens"
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_fingerprint(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_quality(load_table(spark, sf_dir, "documents").select("doc_id", "text")).drop(
+        "text"
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ).drop("text")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+), feat AS (
+  SELECT doc_id,
+    CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+    length(norm) AS n_chars_norm,
+    length(regexp_replace(norm, '[^a-z]', '', 'g')) AS alpha,
+    length(regexp_replace(norm, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS punct,
+    len(list_filter(toks, t -> t IN {_STOPWORDS_SQL})) AS stop_hits
+  FROM base
+)
+SELECT doc_id, n_tokens, n_chars_norm,
+  round((n_chars_norm - (n_tokens - 1)) / greatest(n_tokens, 1), 4) AS mean_token_len,
+  round(alpha / greatest(n_chars_norm, 1), 4) AS alpha_ratio,
+  round(punct / greatest(n_chars_norm, 1), 4) AS punct_ratio,
+  round(stop_hits / greatest(n_tokens, 1), 4) AS stopword_ratio,
+  round(least(n_tokens / 100.0, 1.0) * 0.25
+        + (alpha / greatest(n_chars_norm, 1)) * 0.35
+        + (1 - punct / greatest(n_chars_norm, 1)) * 0.2
+        + least((stop_hits / greatest(n_tokens, 1)) * 5, 1.0) * 0.2, 4) AS quality_score
+FROM feat
+"""
+
+_LANGS_SQL_MARKERS = {
+    "de": "('der','und','die','nicht','ist')",
+    "en": "('the','and','of','to','is')",
+    "es": "('el','los','que','y','es')",
+    "fr": "('le','les','et','est','une')",
+}
+_LANG_SCORES = ", ".join(
+    f"round(len(list_filter(toks, t -> t IN {m})) / greatest(len(toks), 1), 6) AS s_{l}"
+    for l, m in sorted(_LANGS_SQL_MARKERS.items())
+)
+_LANG_BEST = "greatest(s_de, s_en, s_es, s_fr)"
+_LANG_SQL = f"""
+WITH base AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+scored AS (SELECT doc_id, lang, {_LANG_SCORES} FROM base)
+SELECT doc_id, lang,
+  CASE WHEN {_LANG_BEST} <= 0 THEN 'und'
+       WHEN s_de = {_LANG_BEST} THEN 'de'
+       WHEN s_en = {_LANG_BEST} THEN 'en'
+       WHEN s_es = {_LANG_BEST} THEN 'es'
+       ELSE 'fr' END AS pred_lang,
+  round({_LANG_BEST}, 6) AS lang_score
+FROM scored
+"""
+
+_JACCARD_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id AS doc, unnest({_SHINGLES}) AS s FROM t),
+sz AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2)
+SELECT id_a, id_b, n_common, sa.sz AS size_a, sb.sz AS size_b,
+       round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM inter JOIN sz sa ON id_a = sa.doc JOIN sz sb ON id_b = sb.doc
+WHERE round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) >= 0.5
+"""
+
+_EMBED_TOPK_SQL = """
+WITH n AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+         sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
+  FROM embeddings
+), s AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS nn_id,
+         round(list_sum([q.v[i] * c.v[i] for i in generate_series(1, len(q.v))])
+               / (q.nrm * c.nrm), 6) AS score
+  FROM n q JOIN n c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 8
+)
+SELECT q_id, nn_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, nn_id ASC) AS rank
+  FROM s) WHERE rank <= 5
+"""
+
+QUERIES: dict[str, QueryDef] = {
+    "q_dedup_exact": QueryDef(
+        q_dedup_exact,
+        f"SELECT md5({_NORM}) AS fingerprint, min(doc_id) AS keep_id,"
+        " count(*) AS n_dups FROM documents GROUP BY 1",
+    ),
+    "q_token_count": QueryDef(
+        q_token_count,
+        "SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0"
+        " ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens"
+        " FROM documents",
+    ),
+    "q_fingerprint": QueryDef(
+        q_fingerprint,
+        f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+    ),
+    "q_text_quality": QueryDef(q_text_quality, _QUALITY_SQL),
+    "q_lang_id": QueryDef(q_lang_id, _LANG_SQL),
+    "q_ngram_jaccard": QueryDef(q_ngram_jaccard, _JACCARD_SQL),
+    # LSH affects recall only; on these fixtures every true pair sits at
+    # J ≥ 0.8 where 16×4 banding recall is ≈ 1 (verified at sf0.01 and
+    # sf0.1), so the exact-Jaccard SQL is a valid oracle for the LSH path.
+    "q_minhash_dedup": QueryDef(
+        q_minhash_dedup,
+        f"WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),"
+        f"sh AS (SELECT doc_id AS doc, unnest({_SHINGLES}) AS s FROM t),"
+        "sz AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),"
+        "inter AS (SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common"
+        "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2)"
+        "SELECT id_a, id_b,"
+        "  round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) AS jaccard"
+        " FROM inter JOIN sz sa ON id_a = sa.doc JOIN sz sb ON id_b = sb.doc"
+        " WHERE round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) >= 0.5",
+    ),
+    "q_simhash_pairs": QueryDef(q_simhash_pairs, None),  # xxhash64 family: no SQL twin
+    "q_embed_topk": QueryDef(q_embed_topk, _EMBED_TOPK_SQL),
+    "q_embed_ivf_topk": QueryDef(q_embed_ivf_topk, None),  # approximate: no SQL twin
+}

@@ -77,6 +77,14 @@ def get_spark(
         # overhead for columnar scans at any scale factor.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # InferFiltersFromGenerate re-creates the generator's argument
+        # expression inside an inferred size()>0 filter; for expensive
+        # array-building expressions (shingling) that doubles-to-triples
+        # the row cost for no benefit (explode drops empties anyway).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

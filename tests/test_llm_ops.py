@@ -1,0 +1,71 @@
+"""Structural tests for the LLM-data operators beyond the oracle harness:
+LSH recall vs the exact algorithm, determinism, dedup invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sales_forecast_mlops_at_scale_spark.catalog import load_table
+from sales_forecast_mlops_at_scale_spark.operators.llm import (
+    brute_force_topk,
+    exact_dedup,
+    exact_dedup_keys,
+    ivf_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+from .conftest import SF_DIR
+
+
+def test_minhash_lsh_equals_exact_on_fixtures(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    # LSH candidates are verified exactly → always a subset; on these
+    # fixtures every true pair is J ≥ 0.8 → recall 1, so sets are equal.
+    assert set(lsh) <= set(exact)
+    assert lsh == exact
+    assert len(exact) > 0, "fixtures should contain near-duplicates"
+
+
+def test_simhash_pairs_deterministic_and_bounded(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    a = sorted(map(tuple, simhash_pairs(docs, max_hamming=3).collect()))
+    b = sorted(map(tuple, simhash_pairs(docs, max_hamming=3).collect()))
+    assert a == b
+    assert all(h <= 3 and id_a < id_b for id_a, id_b, h in a)
+    assert len(a) > 0
+
+
+def test_exact_dedup_invariants(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    total = docs.count()
+    keys = exact_dedup_keys(docs)
+    agg = keys.agg(F.sum("n_dups").alias("s"), F.count(F.lit(1)).alias("k")).collect()[0]
+    assert agg.s == total  # every row accounted for
+    deduped = exact_dedup(docs)
+    assert deduped.count() == agg.k  # one survivor per fingerprint
+    assert deduped.columns == docs.columns
+
+
+def test_ivf_subset_of_brute_force_with_decent_recall(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    bf = {
+        (r.q_id, r.nn_id) for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    ivf = {
+        (r.q_id, r.nn_id)
+        for r in ivf_topk(emb, queries, k=5, num_centroids=16, nprobe=8).collect()
+    }
+    assert len(ivf) > 0
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.4, f"IVF recall collapsed: {recall}"
