@@ -34,6 +34,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_simhash_pairs",
     "q_text_quality",
     "q_embed_topk",
+    "q_train_metrics",
+    "q_forecast_7d",
 )
 
 

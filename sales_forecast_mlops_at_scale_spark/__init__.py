@@ -23,3 +23,28 @@ idiomatic Spark DataFrame/SQL/Structured-Streaming engine designed for
 __version__ = "0.1.0"
 
 from . import session  # noqa: F401
+
+
+def _register_udf_modules_by_value() -> None:
+    """Ship UDF-bearing modules inside the pickled closures.
+
+    cloudpickle serializes module-level functions *by reference*; if the
+    engine is imported via a bare ``sys.path`` entry (as a test harness
+    may do) the executors' Python workers can't resolve that reference
+    and every ``applyInPandas``/``mapInPandas`` stage dies with
+    ModuleNotFoundError.  Registering the (small, dependency-light)
+    modules that define executor-side functions for pickle-by-value makes
+    the engine location-independent — no ``--py-files`` / PYTHONPATH
+    coupling.  Only these modules run Python on executors; everything
+    else in the engine is JVM-side Catalyst expressions.
+    """
+    from pyspark import cloudpickle
+
+    from .ml import models, predict, train
+    from .operators.llm import multimodal
+
+    for mod in (models, predict, train, multimodal):
+        cloudpickle.register_pickle_by_value(mod)
+
+
+_register_udf_modules_by_value()

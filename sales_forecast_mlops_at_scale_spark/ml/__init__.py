@@ -1,0 +1,14 @@
+"""Grouped-map ML pipeline — Spark-native replacement for the reference's
+Ray task fan-out + HTTP forecast service (SURVEY.md §2.9 U2-U6).
+
+One Prophet model per (store, product) in the reference becomes one
+``applyInPandas`` group here: the shuffle IS the fan-out, executors ARE the
+workers, and the 1,115-model weekly run is a single Spark job with
+group-level parallelism bounded only by cluster cores.
+"""
+
+from .models import SeasonalNaiveModel, get_model
+from .predict import forecast_groups
+from .train import train_groups
+
+__all__ = ["SeasonalNaiveModel", "get_model", "forecast_groups", "train_groups"]

@@ -1,0 +1,101 @@
+"""Grouped-map batch forecasting — UDTF-shaped: each key group expands to
+one row per horizon date.
+
+Replaces the reference's forecast service loop (SURVEY.md §2.9 U5): a
+sequential per-request HTTP handler that re-loads the model from MLflow
+per (store, product) and times out past ~1,000 requests
+(``forecast-service/app/main.py:67-116``).  Here the request set is a
+DataFrame and predict is one ``applyInPandas`` job — ≥1,000 groups is just
+≥1,000 Arrow batches across executors (the BASELINE.md scale target).
+
+Fit-at-predict: the group function receives the group's *history* and
+fits the (cheap, deterministic) model in-batch, which keeps the whole
+flow a single job with no registry round-trip.  For heavy models, train
+via ``train.train_groups`` and persist parameters to a table joined in as
+a broadcast — the dataflow shape is unchanged.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .models import MODEL_NAME_FMT, get_model
+
+
+def make_predict_fn(
+    keys: Sequence[str],
+    horizon_start: _dt.date,
+    horizon_days: int,
+    *,
+    model_spec: str = "seasonal_naive",
+    date_col: str = "ds",
+    y_col: str = "y",
+):
+    def predict_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        history = pd.DataFrame({"ds": pdf[date_col], "y": pdf[y_col]})
+        model = get_model(model_spec).fit(history)
+        dates = pd.Series(
+            pd.date_range(
+                pd.Timestamp(horizon_start), periods=horizon_days, freq="D"
+            )
+        )
+        out = model.predict(dates)
+        key_vals = {k: pdf[k].iloc[0] for k in keys}
+        store = key_vals.get(keys[0])
+        product = key_vals.get(keys[1]) if len(keys) > 1 else ""
+        res = pd.DataFrame(
+            {
+                **{k: [v] * len(out) for k, v in key_vals.items()},
+                "forecast_date": out["ds"].dt.date,
+                "forecast_sale": out["yhat"],
+                "lower_ci": out["yhat_lower"],
+                "upper_ci": out["yhat_upper"],
+            }
+        )
+        res["model_name"] = MODEL_NAME_FMT.format(store=store, product=product)
+        res["model_version"] = model.version
+        return res
+
+    return predict_fn
+
+
+def forecast_groups(
+    sales: DataFrame,
+    keys: Sequence[str] = ("store", "productname"),
+    *,
+    horizon_start: _dt.date,
+    horizon_days: int = 7,
+    model_spec: str = "seasonal_naive",
+    date_col: str = "date",
+    y_col: str = "sales",
+) -> DataFrame:
+    """7-day (by default) forecast rows per key group.
+
+    ``horizon_start`` is explicit — the reference derives it from
+    ``datetime.now()`` (``task_operators.py:68-74``), its reproducibility
+    hazard; callers bind a Clock instead."""
+    from pyspark.sql import types as T
+
+    key_fields = [sales.schema[k] for k in keys]
+    out_fields = [
+        T.StructField("forecast_date", T.DateType()),
+        T.StructField("forecast_sale", T.IntegerType()),
+        T.StructField("lower_ci", T.IntegerType()),
+        T.StructField("upper_ci", T.IntegerType()),
+        T.StructField("model_name", T.StringType()),
+        T.StructField("model_version", T.StringType()),
+    ]
+    schema = T.StructType(key_fields + out_fields)
+    fn = make_predict_fn(
+        keys,
+        horizon_start,
+        horizon_days,
+        model_spec=model_spec,
+        date_col=date_col,
+        y_col=y_col,
+    )
+    return sales.groupBy(*keys).applyInPandas(fn, schema)

@@ -1,0 +1,184 @@
+"""Grouped-map training with walk-forward cross-validation.
+
+Re-expresses the reference's weekly training job (SURVEY.md §3.2) — Ray
+task per (store, product), ``train_utils.py:72-151`` — as ONE Spark job:
+
+    sales.groupBy(keys).applyInPandas(train_fn, TRAIN_METRICS)
+
+The reference's ``ray.put(df)`` broadcast of the full frame to 1,115 tasks
+(``ray_train_all_job.py:37``) becomes the groupBy shuffle: each executor
+receives only its groups' rows (Arrow batches), which is what makes the
+same code hold at 100 TB — no node ever sees the whole table.
+
+Walk-forward CV mirrors ``TimeSeriesSplit(n_splits=5)``
+(``train_utils.py:94-123``): expanding train window, fixed-size eval
+window, metrics averaged over splits.
+
+Skew note: group sizes are bounded (≤ a few years of daily rows), so the
+shuffle is uniform; set ``spark.sql.shuffle.partitions`` ≈ #groups / 4
+for very large group counts.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from ..schemas import TRAIN_METRICS
+from .models import MODEL_NAME_FMT, get_model
+
+
+def _split_bounds(n: int, n_splits: int) -> list[tuple[int, int]]:
+    """sklearn TimeSeriesSplit bounds: expanding train, equal test folds.
+
+    Returns [(train_end, test_end)] index pairs over a time-ordered frame
+    (mirrors train_utils.py:96 semantics without the sklearn dependency).
+    """
+    n_folds = n_splits + 1
+    test_size = n // n_folds
+    if test_size == 0:
+        return []
+    return [
+        (n - (n_splits - i) * test_size, n - (n_splits - i) * test_size + test_size)
+        for i in range(n_splits)
+    ]
+
+
+def _round_half_away(x: float, ndigits: int = 4) -> float:
+    """Half-away-from-zero rounding — matching SQL ROUND (Spark HALF_UP,
+    DuckDB std::round).  Python's built-in ``round`` is banker's rounding
+    and diverges at exact .xxxx5 boundaries, which integral sales values
+    hit constantly (e.g. mean MAE 16.15625 → SQL 16.1563, Python
+    16.1562) — a real hash-mismatch caught by the oracle harness."""
+    import math
+
+    p = 10.0**ndigits
+    return math.copysign(math.floor(abs(x) * p + 0.5) / p, x)
+
+
+def _metrics(y: pd.Series, yhat: pd.Series) -> tuple[float, float, float, float]:
+    """RMSE / MAPE / MAE / MedAE — the reference's four metrics
+    (train_utils.py:38-53) in plain pandas."""
+    err = y.astype(float) - yhat.astype(float)
+    abs_err = err.abs()
+    rmse = float(math.sqrt((err * err).mean()))
+    nonzero = y.astype(float) != 0
+    mape = float((abs_err[nonzero] / y.astype(float)[nonzero]).mean()) if nonzero.any() else 0.0
+    return rmse, mape, float(abs_err.mean()), float(abs_err.median())
+
+
+def _seasonal_naive_fold_preds(
+    ys, dows, train_end: int, test_end: int
+):
+    """Vectorized fold prediction for the seasonal-naive model: for each
+    test row, the last same-weekday y within the train window, else the
+    train-window mean; truncated to int.  Pure numpy — no per-row Python,
+    no pandas groupby per fit (the naive per-fold ``model.fit`` costs a
+    pandas groupby + sort per fold per group, which dominated the job at
+    3,000 groups)."""
+    import numpy as np
+
+    mean = float(ys[:train_end].mean())
+    lut = np.full(7, mean)
+    train_dows = dows[:train_end]
+    for wd in range(7):
+        pos = np.nonzero(train_dows == wd)[0]
+        if len(pos):
+            lut[wd] = ys[pos[-1]]
+    return lut[dows[train_end:test_end]].astype(int)
+
+
+def make_train_fn(
+    keys: Sequence[str],
+    *,
+    model_spec: str = "seasonal_naive",
+    n_splits: int = 5,
+    date_col: str = "ds",
+    y_col: str = "y",
+):
+    """Build the executor-side group function: walk-forward CV + final fit,
+    one TRAIN_METRICS row out per group."""
+
+    def train_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(date_col).reset_index(drop=True)
+        history = pd.DataFrame({"ds": pdf[date_col], "y": pdf[y_col]})
+        n = len(history)
+        rmses, mapes, maes, medaes = [], [], [], []
+        done_splits = 0
+        fast = model_spec == "seasonal_naive"
+        if fast:
+            ys = history["y"].to_numpy(dtype=float)
+            dows = pd.to_datetime(history["ds"]).dt.dayofweek.to_numpy()
+        for train_end, test_end in _split_bounds(n, n_splits):
+            if train_end < 1:
+                continue
+            if fast:
+                yhat = pd.Series(
+                    _seasonal_naive_fold_preds(ys, dows, train_end, test_end)
+                )
+                fold_y = pd.Series(ys[train_end:test_end])
+            else:
+                model = get_model(model_spec).fit(history.iloc[:train_end])
+                fold = history.iloc[train_end:test_end]
+                yhat = model.predict(fold["ds"])["yhat"].reset_index(drop=True)
+                fold_y = fold["y"].reset_index(drop=True)
+            r, p, a, m = _metrics(fold_y, yhat)
+            rmses.append(r)
+            mapes.append(p)
+            maes.append(a)
+            medaes.append(m)
+            done_splits += 1
+        # The reference ends with a final full-history fit + MLflow registry
+        # push (train_utils.py:125-149).  Our predict path fits-at-predict
+        # (see predict.py), so the final fit here would be dead work; the
+        # registry metadata (name/version) is still emitted per group.
+        model = get_model(model_spec)
+        key_vals = {k: pdf[k].iloc[0] for k in keys}
+        store = key_vals.get(keys[0])
+        product = key_vals.get(keys[1]) if len(keys) > 1 else ""
+        mean = lambda xs: _round_half_away(sum(xs) / len(xs), 4) if xs else None  # noqa: E731
+        return pd.DataFrame(
+            [
+                {
+                    **key_vals,
+                    "n_rows": n,
+                    "n_splits": done_splits,
+                    "rmse": mean(rmses),
+                    "mape": mean(mapes),
+                    "mae": mean(maes),
+                    "medae": mean(medaes),
+                    "model_name": MODEL_NAME_FMT.format(store=store, product=product),
+                    "model_version": model.version,
+                }
+            ]
+        )
+
+    return train_fn
+
+
+def train_groups(
+    sales: DataFrame,
+    keys: Sequence[str] = ("store", "productname"),
+    *,
+    model_spec: str = "seasonal_naive",
+    n_splits: int = 5,
+    date_col: str = "date",
+    y_col: str = "sales",
+    schema=None,
+) -> DataFrame:
+    """One CV-metrics row per key group (the reference's per-model MLflow
+    metrics, as a DataFrame).  ``schema`` defaults to TRAIN_METRICS with
+    the key columns' actual types substituted."""
+    from pyspark.sql import types as T
+
+    if schema is None:
+        key_fields = [sales.schema[k] for k in keys]
+        metric_fields = [f for f in TRAIN_METRICS.fields if f.name not in ("store", "productname")]
+        schema = T.StructType(key_fields + metric_fields)
+    fn = make_train_fn(
+        keys, model_spec=model_spec, n_splits=n_splits, date_col=date_col, y_col=y_col
+    )
+    return sales.groupBy(*keys).applyInPandas(fn, schema)

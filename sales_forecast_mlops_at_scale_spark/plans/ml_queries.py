@@ -1,6 +1,169 @@
-"""ML pipeline queries (grouped train / predict). Filled incrementally."""
+"""ML pipeline queries: grouped-map train + predict over a demand series
+derived from ``lineitem`` (daily quantity per (l_suppkey, l_returnflag) —
+the fixtures' stand-in for the reference's per-(store, product) sales).
+
+Both queries run the REAL ``applyInPandas`` pipeline (ml/train.py,
+ml/predict.py) with the deterministic seasonal-naive model, and both have
+full DuckDB oracles: the oracle SQL re-derives the identical weekday-
+lookup model, expanding-window CV splits, truncation semantics and
+rounding.  This is the strongest check in the suite — a Python grouped-map
+pipeline hash-matched against pure SQL.
+"""
+
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..ml import forecast_groups, train_groups
 from . import QueryDef
 
-QUERIES: dict[str, QueryDef] = {}
+KEYS = ("l_suppkey", "l_returnflag")
+
+
+def demand_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily shipped quantity per (supplier, returnflag): the training
+    series.  One shuffle; reused by both train and predict."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        "l_suppkey", "l_returnflag", F.col("l_shipdate").cast("date").alias("ds")
+    ).agg(F.sum("l_quantity").alias("y"))
+
+
+def q_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward CV (5 expanding splits) per group via applyInPandas —
+    the reference's 1,115-Ray-task weekly training as one Spark job."""
+    series = demand_series(spark, sf_dir)
+    return train_groups(
+        series, KEYS, model_spec="seasonal_naive", date_col="ds", y_col="y"
+    )
+
+
+def q_forecast_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day-ahead forecast per group via applyInPandas (UDTF-shaped: one
+    group row set → 7 forecast rows), horizon anchored at max(ds)+1."""
+    series = demand_series(spark, sf_dir)
+    anchor = series.agg(F.max("ds")).collect()[0][0]
+    import datetime as _dt
+
+    return forecast_groups(
+        series,
+        KEYS,
+        horizon_start=anchor + _dt.timedelta(days=1),
+        horizon_days=7,
+        model_spec="seasonal_naive",
+        date_col="ds",
+        y_col="y",
+    )
+
+
+_SERIES = (
+    "SELECT l_suppkey, l_returnflag, CAST(l_shipdate AS DATE) AS ds,"
+    " sum(l_quantity) AS y FROM lineitem GROUP BY 1, 2, 3"
+)
+
+#: Oracle for the grouped-map CV training.  Mirrors ml/train.py +
+#: ml/models.SeasonalNaiveModel exactly:
+#: - rn/n: time order and size per group
+#: - splits: sklearn-style TimeSeriesSplit(5): test_size = n // 6,
+#:   train_end_i = n - (5 - i) * test_size
+#: - model per (split, test row): latest same-weekday y within the train
+#:   window, else train-window mean; truncated to int
+#: - per-fold RMSE/MAPE/MAE/MedAE, averaged over folds, rounded to 4
+_TRAIN_SQL = f"""
+WITH series AS ({_SERIES}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY l_suppkey, l_returnflag ORDER BY ds) AS rn,
+         count(*) OVER (PARTITION BY l_suppkey, l_returnflag) AS n
+  FROM series),
+grp AS (SELECT DISTINCT l_suppkey, l_returnflag, n FROM ranked),
+splits AS (
+  SELECT g.l_suppkey, g.l_returnflag, g.n, g.n // 6 AS ts, i.i,
+         g.n - (5 - i.i) * (g.n // 6) AS train_end
+  FROM grp g, (SELECT unnest([0, 1, 2, 3, 4]) AS i) i
+  WHERE g.n // 6 > 0),
+test_rows AS (
+  SELECT s.l_suppkey, s.l_returnflag, s.i, s.train_end, r.rn, r.ds, r.y
+  FROM splits s JOIN ranked r
+    ON r.l_suppkey = s.l_suppkey AND r.l_returnflag = s.l_returnflag
+   AND r.rn > s.train_end AND r.rn <= s.train_end + s.ts),
+train_means AS (
+  SELECT s.l_suppkey, s.l_returnflag, s.i, avg(r.y) AS mean_y
+  FROM splits s JOIN ranked r
+    ON r.l_suppkey = s.l_suppkey AND r.l_returnflag = s.l_returnflag
+   AND r.rn <= s.train_end
+  GROUP BY 1, 2, 3),
+lookup AS (
+  SELECT t.l_suppkey, t.l_returnflag, t.i, t.rn AS trn, h.y,
+         row_number() OVER (PARTITION BY t.l_suppkey, t.l_returnflag, t.i, t.rn
+                            ORDER BY h.rn DESC) AS lr
+  FROM test_rows t JOIN ranked h
+    ON h.l_suppkey = t.l_suppkey AND h.l_returnflag = t.l_returnflag
+   AND isodow(h.ds) = isodow(t.ds) AND h.rn <= t.train_end),
+preds AS (
+  SELECT t.l_suppkey, t.l_returnflag, t.i, t.y,
+         CAST(trunc(coalesce(l.y, m.mean_y)) AS INTEGER) AS yhat
+  FROM test_rows t
+  LEFT JOIN (SELECT * FROM lookup WHERE lr = 1) l
+    ON l.l_suppkey = t.l_suppkey AND l.l_returnflag = t.l_returnflag
+   AND l.i = t.i AND l.trn = t.rn
+  JOIN train_means m
+    ON m.l_suppkey = t.l_suppkey AND m.l_returnflag = t.l_returnflag AND m.i = t.i),
+fold_metrics AS (
+  SELECT l_suppkey, l_returnflag, i,
+         sqrt(avg((y - yhat) * (y - yhat))) AS rmse,
+         avg(CASE WHEN y <> 0 THEN abs(y - yhat) / y END) AS mape,
+         avg(abs(y - yhat)) AS mae,
+         median(abs(y - yhat)) AS medae
+  FROM preds GROUP BY 1, 2, 3)
+SELECT g.l_suppkey, g.l_returnflag,
+       CAST(g.n AS BIGINT) AS n_rows,
+       CAST(count(f.i) AS INTEGER) AS n_splits,
+       round(avg(f.rmse), 4) AS rmse,
+       round(avg(f.mape), 4) AS mape,
+       round(avg(f.mae), 4) AS mae,
+       round(avg(f.medae), 4) AS medae,
+       'forecaster-store-' || CAST(g.l_suppkey AS VARCHAR) || '-' || g.l_returnflag
+         AS model_name,
+       '1' AS model_version
+FROM grp g LEFT JOIN fold_metrics f
+  ON f.l_suppkey = g.l_suppkey AND f.l_returnflag = g.l_returnflag
+GROUP BY g.l_suppkey, g.l_returnflag, g.n
+"""
+
+_FORECAST_SQL = f"""
+WITH series AS ({_SERIES}),
+anchor AS (SELECT max(ds) + 1 AS start FROM series),
+grp AS (SELECT DISTINCT l_suppkey, l_returnflag FROM series),
+scaffold AS (
+  SELECT g.l_suppkey, g.l_returnflag,
+         CAST(unnest(generate_series((SELECT start FROM anchor),
+                                     (SELECT start FROM anchor) + INTERVAL 6 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS forecast_date
+  FROM grp g),
+by_wd AS (
+  SELECT l_suppkey, l_returnflag, isodow(ds) AS wd, y,
+         row_number() OVER (PARTITION BY l_suppkey, l_returnflag, isodow(ds)
+                            ORDER BY ds DESC) AS rn
+  FROM series),
+lookup AS (SELECT l_suppkey, l_returnflag, wd, y FROM by_wd WHERE rn = 1),
+means AS (SELECT l_suppkey, l_returnflag, avg(y) AS my FROM series GROUP BY 1, 2)
+SELECT s.l_suppkey, s.l_returnflag, s.forecast_date,
+       CAST(trunc(coalesce(l.y, m.my)) AS INTEGER) AS forecast_sale,
+       CAST(trunc(coalesce(l.y, m.my) * 0.9) AS INTEGER) AS lower_ci,
+       CAST(trunc(coalesce(l.y, m.my) * 1.1) AS INTEGER) AS upper_ci,
+       'forecaster-store-' || CAST(s.l_suppkey AS VARCHAR) || '-' || s.l_returnflag
+         AS model_name,
+       '1' AS model_version
+FROM scaffold s
+JOIN means m ON m.l_suppkey = s.l_suppkey AND m.l_returnflag = s.l_returnflag
+LEFT JOIN lookup l
+  ON l.l_suppkey = s.l_suppkey AND l.l_returnflag = s.l_returnflag
+ AND l.wd = isodow(s.forecast_date)
+"""
+
+QUERIES: dict[str, QueryDef] = {
+    "q_train_metrics": QueryDef(q_train_metrics, _TRAIN_SQL),
+    "q_forecast_7d": QueryDef(q_forecast_7d, _FORECAST_SQL),
+}

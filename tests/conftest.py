@@ -71,4 +71,8 @@ def assert_matches_oracle(spark_df, con, sql: str, *, float_tol: float = 0.0) ->
             ok = ((g - w).abs() <= float_tol) | (g.isna() & w.isna())
             assert ok.all(), f"column {c}: max diff {(g - w).abs().max()}"
         else:
-            pd.testing.assert_series_equal(g, w, check_names=False, check_dtype=False)
+            # exact, like the driver's value hash — assert_series_equal's
+            # default rtol would hide rounding-boundary divergence
+            pd.testing.assert_series_equal(
+                g, w, check_names=False, check_dtype=False, check_exact=True
+            )
