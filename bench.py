@@ -22,18 +22,32 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_QUERIES: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_priority_check",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_priority_classes",
+    "q14_promo_share",
+    "q18_big_orders",
+    "q19_brand_revenue",
+    "q22_dormant_customers",
     "q_lastdays",
     "q_latest_per_key",
     "q_last7_per_group",
     "q_metrics",
     "q_ingest",
+    "q_asof_join",
+    "q_range_join",
+    "q_sessionize",
+    "q_moving_avg",
+    "q_rollup_pricing",
+    "q_daily_rollup",
     "q_dedup_exact",
     "q_minhash_dedup",
     "q_simhash_pairs",
     "q_text_quality",
     "q_embed_topk",
+    "q_embed_neardup",
     "q_train_metrics",
     "q_forecast_7d",
 )

@@ -12,8 +12,18 @@ from .metrics import forecast_error_metrics
 from .rebase import rebase_dates
 from .requests import build_request_matrix
 from .scaffold import date_scaffold
+from .timeseries import (
+    asof_join,
+    interval_join_agg,
+    moving_aggregate,
+    sessionize,
+)
 
 __all__ = [
+    "asof_join",
+    "interval_join_agg",
+    "moving_aggregate",
+    "sessionize",
     "latest_per_key",
     "top_n_per_group",
     "clean_sales",

@@ -13,7 +13,7 @@ Design rules for this package:
   broadcast of the corpus.
 """
 
-from .embedsim import brute_force_topk, ivf_topk
+from .embedsim import brute_force_topk, ivf_topk, neardup_pairs
 from .exact_dedup import exact_dedup, exact_dedup_keys
 from .jaccard import ngram_jaccard_pairs, shingles
 from .minhash import minhash_lsh_pairs, minhash_signatures
@@ -29,6 +29,7 @@ from .textstats import (
 __all__ = [
     "brute_force_topk",
     "ivf_topk",
+    "neardup_pairs",
     "exact_dedup",
     "exact_dedup_keys",
     "ngram_jaccard_pairs",

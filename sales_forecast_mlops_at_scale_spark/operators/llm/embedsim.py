@@ -78,6 +78,43 @@ def brute_force_topk(
     )
 
 
+def neardup_pairs(
+    df: DataFrame,
+    *,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ``(id_a < id_b, cosine)``
+    for every pair with rounded cosine ≥ ``threshold``.
+
+    This is the **exact all-pairs baseline** — O(N²/2) comparisons via a
+    broadcast nested-loop join, correct at any threshold and the oracle
+    for the approximate paths.  At 100 TB you never run this shape raw:
+    block first (``ivf_topk``'s centroid assignment, or
+    ``simhash.simhash_pairs`` on a projected signature) and verify only
+    in-bucket candidates with this same cosine expression — the scored
+    fraction drops to ~1/num_buckets while this function stays the
+    ground-truth semantics.
+    """
+    a = _prepared(df, id_col, vec_col).select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = _prepared(df, id_col, vec_col).select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), ndigits
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

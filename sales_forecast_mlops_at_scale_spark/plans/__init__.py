@@ -28,10 +28,10 @@ class QueryDef:
 
 
 def all_queries() -> dict[str, QueryDef]:
-    from . import llm_queries, ml_queries, star_queries, tpch_queries
+    from . import analytics_queries, llm_queries, ml_queries, star_queries, tpch_queries
 
     out: dict[str, QueryDef] = {}
-    for mod in (star_queries, tpch_queries, llm_queries, ml_queries):
+    for mod in (star_queries, tpch_queries, llm_queries, ml_queries, analytics_queries):
         overlap = out.keys() & mod.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,226 @@
+"""Time-series / OLAP analytics queries over the ``events`` and
+``lineitem`` fixtures: as-of join, interval join, sessionization, moving
+aggregates, rollup, time-bucketed rollup, approximate distinct.
+
+All beyond-reference (SURVEY.md §2.5 — the reference has no window
+functions); every deterministic query carries a DuckDB oracle.  The two
+legitimately approximate ones (HLL distinct) are rows-only and asserted
+within tolerance by pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.timeseries import (
+    asof_join,
+    interval_join_agg,
+    moving_aggregate,
+    sessionize,
+)
+from ..streaming.ingest import windowed_daily_rollup
+from . import QueryDef
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# -- as-of join: each click ↦ user's most recent prior-or-equal purchase ------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        payload=["value"],
+        prefix="purchase_",
+    ).select(
+        "event_id", "user_id", "ts", "click_value", "purchase_ts", "purchase_value"
+    )
+
+
+_ASOF_SQL = """
+SELECT c.event_id, c.user_id, c.ts, c.value AS click_value,
+       p.ts AS purchase_ts, p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+# -- interval join: clicks within 24h after each signup -----------------------
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return interval_join_agg(
+        signups,
+        clicks,
+        on=["user_id"],
+        anchor_ts="ts",
+        event_ts="ts",
+        window="24 hours",
+    )
+
+
+_RANGE_SQL = """
+SELECT s.event_id, s.user_id, s.ts,
+       count(c.ts) AS n_follow,
+       round(coalesce(sum(c.value), 0.0), 4) AS sum_follow_value
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON s.user_id = c.user_id
+ AND c.ts > s.ts AND c.ts <= s.ts + INTERVAL 24 HOUR
+GROUP BY s.event_id, s.user_id, s.ts
+"""
+
+
+# -- sessionization (gaps-and-islands, 30-minute inactivity gap) --------------
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(_events(spark, sf_dir), gap="30 minutes")
+
+
+_SESSION_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM o)
+SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# -- moving aggregates (7-row trailing mean + running sum per user) -----------
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = moving_aggregate(
+        _events(spark, sf_dir),
+        keys=["user_id"],
+        order=["ts", "event_id"],
+        n=7,
+    )
+    return out.select("event_id", "user_id", "ts", "ma7", "running_sum")
+
+
+_MOVING_SQL = """
+SELECT event_id, user_id, ts,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 4) AS running_sum
+FROM events
+"""
+
+
+# -- ROLLUP: hierarchical subtotals over the fact table -----------------------
+
+
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(l_returnflag, l_linestatus): per-group, per-flag and grand
+    totals in one pass — Spark expands grouping sets map-side, so the
+    fact table is still read once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "sum_qty",
+            "sum_disc_price",
+            "n_rows",
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       grouping(l_returnflag, l_linestatus) AS gid,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# -- time-bucketed rollup (the batch twin of the streaming daily rollup) ------
+
+
+def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style daily rollup — same operator the streaming path
+    uses (streaming/ingest.py windowed_daily_rollup), applied to a batch
+    frame; ``window()`` is trigger-agnostic."""
+    return windowed_daily_rollup(_events(spark, sf_dir))
+
+
+_DAILY_SQL = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# -- approximate distinct (HLL sketch; rows-only, tolerance-tested) -----------
+
+
+def q_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event type.  Sketches merge
+    associatively, so at 100 TB this is one map-side sketch per partition
+    + a tiny reduce — no shuffle of user ids at all (vs the exact
+    count-distinct's full repartition)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+QUERIES: dict[str, QueryDef] = {
+    "q_asof_join": QueryDef(q_asof_join, _ASOF_SQL),
+    "q_range_join": QueryDef(q_range_join, _RANGE_SQL),
+    "q_sessionize": QueryDef(q_sessionize, _SESSION_SQL),
+    "q_moving_avg": QueryDef(q_moving_avg, _MOVING_SQL),
+    "q_rollup_pricing": QueryDef(q_rollup_pricing, _ROLLUP_SQL),
+    "q_daily_rollup": QueryDef(q_daily_rollup, _DAILY_SQL),
+    "q_approx_users": QueryDef(q_approx_users, None),  # sketch: no exact SQL twin
+}

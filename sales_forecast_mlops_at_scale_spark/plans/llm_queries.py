@@ -21,11 +21,17 @@ from ..operators.llm import (
     ivf_topk,
     language_id,
     minhash_lsh_pairs,
+    neardup_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
     text_fingerprint,
     text_quality,
     token_count,
+)
+from ..operators.llm.multimodal import (
+    extract_media_features,
+    media_dedup_keys,
+    synthetic_assets,
 )
 from . import QueryDef
 
@@ -91,6 +97,33 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs.  The fixtures' vectors are
+    near-orthogonal (max pairwise cosine ≈ 0.51), so the threshold sits
+    at 0.4 to exercise real matches; production near-dup thresholds
+    (≥0.9) use the LSH/IVF-blocked path (see neardup_pairs docstring)."""
+    return neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary assets → mapInPandas feature extract.
+    Fixture-independent (synthetic deterministic assets); rows-only check
+    — the stub decode's output is asserted in tests/test_multimodal.py."""
+    assets = synthetic_assets(spark, n=64)
+    return extract_media_features(assets).select(
+        "asset_id", "modality", "n_bytes", "content_digest"
+    )
+
+
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-content exact dedup over a corpus with injected duplicates
+    (every asset re-appears under a shifted id)."""
+    assets = synthetic_assets(spark, n=64)
+    dup = assets.withColumn("asset_id", F.col("asset_id") + 1000)
+    feats = extract_media_features(assets.unionByName(dup))
+    return media_dedup_keys(feats)
 
 
 _QUALITY_SQL = f"""
@@ -208,4 +241,23 @@ QUERIES: dict[str, QueryDef] = {
     "q_simhash_pairs": QueryDef(q_simhash_pairs, None),  # xxhash64 family: no SQL twin
     "q_embed_topk": QueryDef(q_embed_topk, _EMBED_TOPK_SQL),
     "q_embed_ivf_topk": QueryDef(q_embed_ivf_topk, None),  # approximate: no SQL twin
+    "q_embed_neardup": QueryDef(
+        q_embed_neardup,
+        """
+WITH n AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+         sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))])
+             / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))])
+            / (a.nrm * b.nrm), 6) >= 0.4
+""",
+    ),
+    # binary/mapInPandas surface: no SQL twin (stub decode is pytest-golden)
+    "q_media_features": QueryDef(q_media_features, None),
+    "q_media_dedup": QueryDef(q_media_dedup, None),
 }

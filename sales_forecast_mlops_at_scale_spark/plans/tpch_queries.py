@@ -120,6 +120,170 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (fixtures lack commitdate → "shipped after order
+    date" stands in for "committed late"): EXISTS becomes a left-semi
+    join, so lineitem is never duplicated into the aggregate."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > orders["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by returned-item revenue in one
+    quarter.  nation and customer broadcast; the orders⨝lineitem join is
+    the only shuffle; top-k via TakeOrderedAndProject."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (fixtures lack shipmode → grouped by linestatus):
+    conditional aggregation over a co-partitioned fact join."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one month; part is broadcast so
+    the month of lineitem never shuffles."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds 200.  The HAVING
+    subquery is a pre-aggregated semi side; joining the 874-key set back
+    to orders/lineitem broadcasts it (AQE keeps it broadcast at any SF
+    because the key set shrinks with the threshold, not the data)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+def q19_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of brand/size/quantity bands.  The
+    equi key (partkey) carries the broadcast-hash join; the OR predicate
+    is a post-join filter, not a nested-loop condition."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(20, 40))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(25, 50))
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .filter(bands)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (fixtures lack phone → segment stands in for the
+    country prefix): above-average-balance customers with no order since
+    2001.  The scalar average broadcasts; NOT EXISTS is a left-anti join
+    against the pre-filtered, pre-deduplicated buyer key set."""
+    cust = load_table(spark, sf_dir, "customer")
+    recent_buyers = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 4).alias("__avg")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(F.broadcast(recent_buyers), "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )
+
+
 QUERIES: dict[str, QueryDef] = {
     "q1_pricing_summary": QueryDef(
         q1_pricing_summary,
@@ -166,5 +330,83 @@ QUERIES: dict[str, QueryDef] = {
         " WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
         "   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'"
         "   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+    ),
+    "q4_priority_check": QueryDef(
+        q4_priority_check,
+        "SELECT o_orderpriority, count(*) AS order_count FROM orders"
+        " WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+        "   AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'"
+        "   AND EXISTS (SELECT 1 FROM lineitem"
+        "               WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)"
+        " GROUP BY o_orderpriority",
+    ),
+    "q10_returned_items": QueryDef(
+        q10_returned_items,
+        "SELECT c_custkey, c_name, c_acctbal, n_name,"
+        " round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue"
+        " FROM customer, orders, lineitem, nation"
+        " WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey"
+        "   AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"
+        "   AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'"
+        "   AND l_returnflag = 'R' AND c_nationkey = n_nationkey"
+        " GROUP BY c_custkey, c_name, c_acctbal, n_name"
+        " ORDER BY revenue DESC, c_custkey ASC LIMIT 20",
+    ),
+    "q12_priority_classes": QueryDef(
+        q12_priority_classes,
+        "SELECT l_linestatus,"
+        " CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        "               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,"
+        " CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+        "               THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count"
+        " FROM orders, lineitem WHERE o_orderkey = l_orderkey"
+        "   AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'"
+        "   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"
+        " GROUP BY l_linestatus",
+    ),
+    "q14_promo_share": QueryDef(
+        q14_promo_share,
+        "SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'"
+        "                              THEN l_extendedprice * (1 - l_discount)"
+        "                              ELSE 0.0 END)"
+        "             / sum(l_extendedprice * (1 - l_discount)), 4)"
+        "        AS promo_revenue_pct"
+        " FROM lineitem, part WHERE l_partkey = p_partkey"
+        "   AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'"
+        "   AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'",
+    ),
+    "q18_big_orders": QueryDef(
+        q18_big_orders,
+        "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,"
+        " round(sum(l_quantity), 4) AS total_qty"
+        " FROM customer, orders, lineitem"
+        " WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem"
+        "                      GROUP BY l_orderkey HAVING sum(l_quantity) > 200)"
+        "   AND c_custkey = o_custkey AND o_orderkey = l_orderkey"
+        " GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice"
+        " ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100",
+    ),
+    "q19_brand_revenue": QueryDef(
+        q19_brand_revenue,
+        "SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,"
+        " count(*) AS n_lines"
+        " FROM lineitem, part WHERE l_partkey = p_partkey AND ("
+        "   (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15"
+        "    AND l_quantity BETWEEN 10 AND 30)"
+        " OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30"
+        "     AND l_quantity BETWEEN 20 AND 40)"
+        " OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50"
+        "     AND l_quantity BETWEEN 25 AND 50))",
+    ),
+    "q22_dormant_customers": QueryDef(
+        q22_dormant_customers,
+        "SELECT c_mktsegment, count(*) AS numcust,"
+        " round(sum(c_acctbal), 4) AS totacctbal"
+        " FROM customer"
+        " WHERE c_acctbal > (SELECT round(avg(c_acctbal), 4) FROM customer"
+        "                    WHERE c_acctbal > 0)"
+        "   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey"
+        "                   AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')"
+        " GROUP BY c_mktsegment",
     ),
 }

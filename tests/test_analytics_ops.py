@@ -1,0 +1,96 @@
+"""Semantic unit tests for the time-series operator family (as-of join,
+sessionization, interval join, moving aggregates, approx distinct) —
+boundary behavior the oracle-differential tests don't isolate."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sales_forecast_mlops_at_scale_spark.catalog import load_table
+from sales_forecast_mlops_at_scale_spark.operators.timeseries import (
+    asof_join,
+    interval_join_agg,
+    sessionize,
+)
+
+from .conftest import SF_DIR
+
+T0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_asof_join_inclusive_and_unmatched(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(0)), (2, 10, _ts(5)), (3, 20, _ts(1))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        # user 10: one match exactly at left ts (inclusive), one later row
+        # that must NOT match the earlier left row; user 20: no rows.
+        [(10, _ts(0), 1.0), (10, _ts(4), 2.0), (10, _ts(9), 9.9)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r.event_id: (r.asof_ts, r.asof_value)
+        for r in asof_join(left, right, on=["user_id"]).collect()
+    }
+    assert out[1] == (_ts(0), 1.0)  # equal timestamps match (inclusive)
+    assert out[2] == (_ts(4), 2.0)  # newest ≤ ts, not the later 9.9 row
+    assert out[3] == (None, None)  # left join keeps unmatched rows
+
+
+def test_sessionize_gap_boundary(spark):
+    # gaps: exactly 30m (same session), 30m+1µs (new session)
+    rows = [
+        (1, 7, _ts(0), 1.0),
+        (2, 7, _ts(30), 1.0),  # == gap → same session
+        (3, 7, _ts(60) + dt.timedelta(microseconds=1), 1.0),  # > gap → new
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    sessions = sessionize(df, gap="30 minutes").collect()
+    by_id = {r.session_id: r.n_events for r in sessions}
+    assert by_id == {1: 2, 2: 1}
+
+
+def test_interval_join_keeps_zero_activity_anchors(spark):
+    anchors = spark.createDataFrame(
+        [(1, 5, _ts(0)), (2, 6, _ts(0))], "event_id long, user_id long, ts timestamp"
+    )
+    events = spark.createDataFrame(
+        # in-window for user 5; boundary: > anchor ts excludes equality
+        [(5, _ts(0), 4.0), (5, _ts(10), 2.0), (5, _ts(60 * 25), 8.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r.event_id: (r.n_follow, r.sum_follow_value)
+        for r in interval_join_agg(
+            anchors, events, on=["user_id"], anchor_ts="ts", event_ts="ts"
+        ).collect()
+    }
+    assert out[1] == (1, 2.0)  # equality and beyond-24h rows excluded
+    assert out[2] == (0, 0.0)  # zero-activity anchor kept with 0
+
+
+def test_approx_users_within_tolerance(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.event_type: r.approx_users
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
