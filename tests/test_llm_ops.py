@@ -69,3 +69,17 @@ def test_ivf_subset_of_brute_force_with_decent_recall(spark):
     assert len(ivf) > 0
     recall = len(bf & ivf) / len(bf)
     assert recall >= 0.4, f"IVF recall collapsed: {recall}"
+
+
+def test_neardup_blocked_gemm_count_matches_collect(spark):
+    # regression: the two cogroup sides must carry distinct attribute ids —
+    # with a shared projection, downstream column pruning (count()) strips
+    # the right side's vector column and the result silently empties
+    from sales_forecast_mlops_at_scale_spark.operators.llm import neardup_pairs
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    df = neardup_pairs(emb, threshold=0.4)
+    collected = df.collect()
+    assert len(collected) > 0
+    assert df.count() == len(collected)
+    assert all(r.id_a < r.id_b for r in collected)
