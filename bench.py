@@ -46,6 +46,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_minhash_dedup",
     "q_simhash_pairs",
     "q_text_quality",
+    "q_token_count_bpe",
+    "q_winnow_fingerprint",
     "q_embed_topk",
     "q_embed_neardup",
     "q_train_metrics",

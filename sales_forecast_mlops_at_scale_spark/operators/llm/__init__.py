@@ -18,9 +18,11 @@ from .exact_dedup import exact_dedup, exact_dedup_keys
 from .jaccard import ngram_jaccard_pairs, shingles
 from .minhash import minhash_lsh_pairs, minhash_signatures
 from .simhash import simhash_pairs, simhash_signatures
+from .winnow import winnow_fingerprints
 from .textstats import (
     language_id,
     normalized_text,
+    subtoken_count,
     text_fingerprint,
     text_quality,
     token_count,
@@ -38,8 +40,10 @@ __all__ = [
     "minhash_signatures",
     "simhash_pairs",
     "simhash_signatures",
+    "winnow_fingerprints",
     "language_id",
     "normalized_text",
+    "subtoken_count",
     "text_fingerprint",
     "text_quality",
     "token_count",

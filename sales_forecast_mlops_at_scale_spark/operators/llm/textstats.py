@@ -48,6 +48,29 @@ def token_count(df: DataFrame, text_col: str = "text", *, out_col: str = "n_toke
     return df.withColumn(out_col, F.size(tokens(F.col(text_col))))
 
 
+#: BPE-ish pre-tokenization over normalized text: letter runs, digit runs,
+#: and single non-alphanumeric marks — the GPT-2 pattern's shape restricted
+#: to the Java-regex ∩ RE2 subset (no lookahead; alternatives disjoint, so
+#: leftmost-first vs leftmost-longest engines agree).
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def subtoken_count(
+    df: DataFrame, text_col: str = "text", *, out_col: str = "n_subtokens"
+) -> DataFrame:
+    """BPE-ish subtoken count per document — the better LLM-cost proxy
+    (whitespace counting undercounts punctuation-heavy text).  Pure
+    built-ins: one regexp_extract_all per row, no shuffle."""
+    return df.withColumn(
+        out_col,
+        F.size(
+            F.regexp_extract_all(
+                normalized_text(F.col(text_col)), F.lit(BPE_ISH_PATTERN), 0
+            )
+        ),
+    )
+
+
 def text_fingerprint(
     df: DataFrame, text_col: str = "text", *, out_col: str = "fingerprint"
 ) -> DataFrame:

@@ -24,9 +24,11 @@ from ..operators.llm import (
     neardup_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
+    subtoken_count,
     text_fingerprint,
     text_quality,
     token_count,
+    winnow_fingerprints,
 )
 from ..operators.llm.multimodal import (
     extract_media_features,
@@ -57,9 +59,29 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return subtoken_count(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "n_subtokens"
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fingerprint(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "fingerprint"
+    )
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint count + signature digest per doc (the full
+    fingerprint set is |text|-sized; the per-doc rollup keeps the result
+    frame compact while still pinning every fingerprint via the md5 of
+    the sorted set)."""
+    fps = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.md5(F.concat_ws(",", F.array_sort(F.collect_set("fingerprint")))).alias(
+            "fp_digest"
+        ),
     )
 
 
@@ -216,9 +238,33 @@ QUERIES: dict[str, QueryDef] = {
         " ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens"
         " FROM documents",
     ),
+    "q_token_count_bpe": QueryDef(
+        q_token_count_bpe,
+        f"SELECT doc_id, len(regexp_extract_all({_NORM},"
+        " '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subtokens FROM documents",
+    ),
     "q_fingerprint": QueryDef(
         q_fingerprint,
         f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
+    ),
+    "q_winnow_fingerprint": QueryDef(
+        q_winnow_fingerprint,
+        f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+grams AS (
+  SELECT doc_id, p AS pos, substr(md5(substr(norm, p, 8)), 1, 16) AS gh,
+         greatest(length(norm) - 7, 0) AS n
+  FROM norm, LATERAL unnest(generate_series(1, greatest(length(norm) - 7, 0))) AS t(p)),
+wins AS (
+  SELECT doc_id, pos, n,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+  FROM grams),
+fps AS (SELECT DISTINCT doc_id, fingerprint FROM wins WHERE pos <= n - 3)
+SELECT doc_id, count(*) AS n_fingerprints,
+       md5(array_to_string(list_sort(list(fingerprint)), ',')) AS fp_digest
+FROM fps GROUP BY doc_id
+""",
     ),
     "q_text_quality": QueryDef(q_text_quality, _QUALITY_SQL),
     "q_lang_id": QueryDef(q_lang_id, _LANG_SQL),

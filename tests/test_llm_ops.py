@@ -83,3 +83,43 @@ def test_neardup_blocked_gemm_count_matches_collect(spark):
     assert len(collected) > 0
     assert df.count() == len(collected)
     assert all(r.id_a < r.id_b for r in collected)
+
+
+def test_subtoken_count_diverges_from_whitespace_on_punctuation(spark):
+    from sales_forecast_mlops_at_scale_spark.operators.llm import (
+        subtoken_count,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "don't panic!"), (2, "a1b2"), (3, "plain words only"), (4, "  ")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.n_subtokens)
+        for r in subtoken_count(token_count(df)).collect()
+    }
+    assert out[1] == (2, 5)  # don / ' / t / panic / !
+    assert out[2] == (1, 4)  # a / 1 / b / 2
+    assert out[3] == (3, 3)  # identical on clean text
+    assert out[4] == (0, 0)  # empty after trim
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    # winnowing guarantee: any shared run of >= w + k - 1 = 11 normalized
+    # chars yields at least one common fingerprint; disjoint docs share none
+    from sales_forecast_mlops_at_scale_spark.operators.llm import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro text one {shared} closing words"),
+            (2, f"completely different head {shared} tail"),
+            (3, "zzz qqq vvv kkk xxx www yyy uuu"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df).collect()
+    by_doc = {i: {r.fingerprint for r in fps if r.doc_id == i} for i in (1, 2, 3)}
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
