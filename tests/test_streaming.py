@@ -87,3 +87,53 @@ def test_windowed_daily_rollup_batch_twin(spark):
     assert out.agg(F.sum("n_events")).collect()[0][0] == ev.count()
     days = out.select("day").distinct().count()
     assert days >= 28  # fixture spans ~1 month
+
+
+def test_stateful_latest_per_key_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: state carries the newest row across
+    micro-batches — a later batch delivering only stale rows re-emits the
+    stored maximum, not the stale one."""
+    import os
+    import time
+
+    from sales_forecast_mlops_at_scale_spark.streaming.stateful import (
+        streaming_latest_per_key,
+    )
+
+    src = tmp_path / "stateful_in"
+    src.mkdir()
+    rows_a = [{"user_id": 1, "event_id": 5, "value": 50.0},
+              {"user_id": 2, "event_id": 7, "value": 70.0}]
+    rows_b = [{"user_id": 1, "event_id": 3, "value": 30.0},  # stale
+              {"user_id": 3, "event_id": 9, "value": 90.0}]
+    fa, fb = src / "a.json", src / "b.json"
+    fa.write_text("\n".join(json.dumps(r) for r in rows_a) + "\n")
+    fb.write_text("\n".join(json.dumps(r) for r in rows_b) + "\n")
+    now = time.time()
+    os.utime(fa, (now - 60, now - 60))  # a.json is the older file → batch 1
+    os.utime(fb, (now, now))
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    out = streaming_latest_per_key(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_latest")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("stateful_latest").collect()
+    by_user = {}
+    for r in emitted:
+        by_user.setdefault(r.user_id, []).append((r.event_id, r.value))
+    # user 1 emitted twice (touched in both batches), both times with the
+    # NEWER row — proof the state survived into the stale batch
+    assert by_user[1] == [(5, 50.0), (5, 50.0)]
+    assert by_user[2] == [(7, 70.0)]
+    assert by_user[3] == [(9, 90.0)]
