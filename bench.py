@@ -25,9 +25,13 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q4_priority_check",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q7_nation_trade",
     "q10_returned_items",
     "q12_priority_classes",
+    "q13_order_distribution",
     "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
     "q18_big_orders",
     "q19_brand_revenue",
     "q22_dormant_customers",

@@ -284,6 +284,105 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue between nation pairs by ship year.
+    Both nation maps broadcast; supplier/customer broadcast; the only
+    shuffle is orders⨝lineitem plus the small final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_nation = nation.select(
+        F.col("n_nationkey").alias("__cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("__sn_key"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("__cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of orders-per-customer, including
+    zero-order customers via a LEFT OUTER join (counts of a nullable
+    key).  Two aggregations, each a few thousand rows after the first."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with maximum quarterly revenue — the view +
+    scalar-max-subquery becomes an agg joined against its own broadcast
+    max (ties preserved, as the spec requires)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("__mx"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from lineitems below 20% of their part's average
+    quantity.  The correlated per-part AVG subquery decorrelates into one
+    aggregate joined back to lineitem (broadcast — one row per part)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    avg_qty = (
+        li.groupBy(F.col("l_partkey").alias("__pk"))
+        .agg((0.2 * F.avg("l_quantity")).alias("__limit"))
+    )
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(avg_qty), li["l_partkey"] == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__limit"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 QUERIES: dict[str, QueryDef] = {
     "q1_pricing_summary": QueryDef(
         q1_pricing_summary,
@@ -397,6 +496,50 @@ QUERIES: dict[str, QueryDef] = {
         "     AND l_quantity BETWEEN 20 AND 40)"
         " OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50"
         "     AND l_quantity BETWEEN 25 AND 50))",
+    ),
+    "q7_nation_trade": QueryDef(
+        q7_nation_trade,
+        "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,"
+        " CAST(year(l_shipdate) AS INTEGER) AS l_year,"
+        " round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue"
+        " FROM lineitem, orders, customer, supplier, nation sn, nation cn"
+        " WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey"
+        "   AND l_suppkey = s_suppkey AND s_nationkey = sn.n_nationkey"
+        "   AND c_nationkey = cn.n_nationkey AND sn.n_name <> cn.n_name"
+        "   AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
+        "   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'"
+        " GROUP BY sn.n_name, cn.n_name, year(l_shipdate)",
+    ),
+    "q13_order_distribution": QueryDef(
+        q13_order_distribution,
+        "SELECT c_count, count(*) AS custdist FROM ("
+        "  SELECT c_custkey, count(o_orderkey) AS c_count"
+        "  FROM customer LEFT OUTER JOIN orders"
+        "    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'"
+        "  GROUP BY c_custkey)"
+        " GROUP BY c_count",
+    ),
+    "q15_top_supplier": QueryDef(
+        q15_top_supplier,
+        "WITH revenue AS ("
+        "  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4)"
+        "         AS total_revenue"
+        "  FROM lineitem"
+        "  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'"
+        "    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'"
+        "  GROUP BY l_suppkey)"
+        " SELECT s_suppkey, s_name, total_revenue"
+        " FROM revenue, supplier WHERE l_suppkey = s_suppkey"
+        "   AND total_revenue = (SELECT max(total_revenue) FROM revenue)",
+    ),
+    "q17_small_quantity_revenue": QueryDef(
+        q17_small_quantity_revenue,
+        "SELECT round(sum(l1.l_extendedprice) / 7.0, 4) AS avg_yearly,"
+        " count(*) AS n_lines"
+        " FROM lineitem l1, part WHERE p_partkey = l1.l_partkey"
+        "   AND p_brand = 'Brand#1'"
+        "   AND l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2"
+        "                        WHERE l2.l_partkey = l1.l_partkey)",
     ),
     "q22_dormant_customers": QueryDef(
         q22_dormant_customers,
