@@ -46,6 +46,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_moving_avg",
     "q_rollup_pricing",
     "q_daily_rollup",
+    "q_json_props",
     "q_dedup_exact",
     "q_minhash_dedup",
     "q_simhash_pairs",

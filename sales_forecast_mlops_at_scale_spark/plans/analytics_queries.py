@@ -197,6 +197,36 @@ FROM events GROUP BY 1, 2
 """
 
 
+# -- semi-structured: JSON property extraction + aggregate --------------------
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the JSON ``props`` column: parse with a declared
+    schema (the reference's P2 ``from_json`` pattern), then aggregate the
+    extracted field.  The parse is a JVM expression — at scale prefer
+    promoting hot JSON fields to typed columns at ingest so filters on
+    them reach the parquet scan."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("k", F.from_json("props", "k long").getField("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_JSON_SQL = """
+SELECT event_type,
+       count(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+       round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 # -- approximate distinct (HLL sketch; rows-only, tolerance-tested) -----------
 
 
@@ -222,5 +252,6 @@ QUERIES: dict[str, QueryDef] = {
     "q_moving_avg": QueryDef(q_moving_avg, _MOVING_SQL),
     "q_rollup_pricing": QueryDef(q_rollup_pricing, _ROLLUP_SQL),
     "q_daily_rollup": QueryDef(q_daily_rollup, _DAILY_SQL),
+    "q_json_props": QueryDef(q_json_props, _JSON_SQL),
     "q_approx_users": QueryDef(q_approx_users, None),  # sketch: no exact SQL twin
 }
