@@ -47,6 +47,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_rollup_pricing",
     "q_daily_rollup",
     "q_json_props",
+    "q_set_ops",
+    "q_percentiles",
     "q_dedup_exact",
     "q_minhash_dedup",
     "q_simhash_pairs",

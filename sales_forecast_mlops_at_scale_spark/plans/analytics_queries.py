@@ -227,6 +227,81 @@ FROM events GROUP BY event_type
 """
 
 
+# -- set operations: INTERSECT / EXCEPT over dimension key sets ---------------
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations that have customers vs nations that have suppliers:
+    intersect (both) tagged against except (customers-only) — the set
+    operators the reference's append-only pipeline never needed
+    (SURVEY.md §2.6: 'set operations: not present').  Both operators
+    dedup then hash-shuffle the key sets; key sets are dimension-sized."""
+    cust_nations = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name")
+    )
+    supp_nations = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name")
+    )
+    both = cust_nations.intersect(supp_nations).withColumn(
+        "membership", F.lit("both")
+    )
+    cust_only = cust_nations.subtract(supp_nations).withColumn(
+        "membership", F.lit("customers_only")
+    )
+    return both.unionByName(cust_only)
+
+
+_SET_SQL = """
+WITH cn AS (SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey),
+sn AS (SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+SELECT n_name, 'both' AS membership FROM (SELECT n_name FROM cn INTERSECT SELECT n_name FROM sn)
+UNION ALL
+SELECT n_name, 'customers_only' AS membership FROM (SELECT n_name FROM cn EXCEPT SELECT n_name FROM sn)
+"""
+
+
+# -- exact grouped percentiles ------------------------------------------------
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75/p95 of order value per priority class — Spark's
+    ``percentile`` (exact, sort-based within the agg) rather than the
+    sketch; at 100 TB swap to ``percentile_approx`` and accept the
+    documented error bound, without changing the query shape."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+            F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+_PCT_SQL = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 # -- approximate distinct (HLL sketch; rows-only, tolerance-tested) -----------
 
 
@@ -253,5 +328,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_rollup_pricing": QueryDef(q_rollup_pricing, _ROLLUP_SQL),
     "q_daily_rollup": QueryDef(q_daily_rollup, _DAILY_SQL),
     "q_json_props": QueryDef(q_json_props, _JSON_SQL),
+    "q_set_ops": QueryDef(q_set_ops, _SET_SQL),
+    "q_percentiles": QueryDef(q_percentiles, _PCT_SQL),
     "q_approx_users": QueryDef(q_approx_users, None),  # sketch: no exact SQL twin
 }
