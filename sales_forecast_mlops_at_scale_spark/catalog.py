@@ -38,6 +38,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       (floor division, matching DuckDB's nanos read of the same parquet).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # The fixture's ts column is TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects unless nanos are surfaced as raw longs.  The conf is
+        # runtime-settable, and callers (including the external driver harness)
+        # may build their own SparkSession, so set it here rather than relying
+        # on the builder in session.get_spark().
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
