@@ -14,7 +14,7 @@ reads anywhere (SURVEY.md §7 hazard #1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .ml import forecast_groups, train_groups
@@ -50,23 +50,36 @@ def run_weekly(
         horizon_days=horizon_days,
         model_spec=model_spec,
     )
-    # generation-stamped surrogate ids: monotonically increasing within the
-    # run, unique across rows (analog of the Postgres sequence the
-    # reference relies on for latest-per-key dedup)
-    forecasts = forecasts.withColumn(
-        "id",
-        F.row_number().over(
-            Window.orderBy("store", "productname", "forecast_date")
-        ).cast("long"),
-    ).withColumn("created_on", F.lit(clock.as_of).cast("timestamp"))
+    # Surrogate row ids WITHOUT a global total order: the reference's
+    # Postgres sequence is replaced by the composite key
+    # (created_on, id) — ``created_on`` stamps the generation, ``id`` is
+    # ``monotonically_increasing_id()`` (partition-local counters, zero
+    # shuffle, unique within a run).  A single global
+    # ``row_number() OVER (ORDER BY ...)`` here would funnel the whole
+    # forecast output through one task at 100 TB; nothing downstream
+    # needs a total order — latest-per-key dedup only compares versions
+    # *within* a (store, product, forecast_date) partition.
+    forecasts = (
+        forecasts.withColumn("id", F.monotonically_increasing_id())
+        .withColumn("created_on", F.lit(clock.as_of).cast("timestamp"))
+    )
     return metrics, forecasts
 
 
 def latest_forecasts(forecasts: DataFrame) -> DataFrame:
     """Interactive-query building block #1 (§3.3): newest generation per
-    (store, productname, forecast_date) by surrogate id — the window
-    rewrite of the reference's GROUP-BY-MAX self-join (J1/W1)."""
-    return latest_per_key(forecasts, ["store", "productname", "forecast_date"], "id")
+    (store, productname, forecast_date) — the window rewrite of the
+    reference's GROUP-BY-MAX self-join (J1/W1).
+
+    Versions are ordered by the composite (created_on, id): generation
+    timestamp first, partition-local surrogate id as the tie-breaker —
+    matching the reference's ``MAX(id)`` semantics (its sequence ids grow
+    with time) without requiring globally ordered ids."""
+    return latest_per_key(
+        forecasts,
+        ["store", "productname", "forecast_date"],
+        F.struct("created_on", "id"),
+    )
 
 
 def last_n_forecast_days(

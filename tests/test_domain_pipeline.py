@@ -89,12 +89,14 @@ def test_store_product_history_slice(spark, sales):
 
 def test_weekly_rerun_dedups_via_latest(spark, sales):
     """Two weekly runs → union carries two generations; latest_forecasts
-    must keep exactly the newer one (the reference's re-forecast dedup)."""
+    must keep exactly the newer one (the reference's re-forecast dedup).
+    Generations are distinguished by created_on (the composite version key
+    is (created_on, id)); ids are only unique within a run."""
     _, f1 = run_weekly(sales, clock=FIXED_CLOCK)
     _, f2 = run_weekly(sales, clock=FIXED_CLOCK)
-    offset = f1.agg(F.max("id")).collect()[0][0]
-    f2b = f2.withColumn("id", F.col("id") + offset)
+    f2b = f2.withColumn("created_on", F.col("created_on") + F.expr("INTERVAL 7 DAYS"))
+    gen2_start = f2b.agg(F.min("created_on")).collect()[0][0]
     merged = f1.unionByName(f2b)
     latest = latest_forecasts(merged)
     assert latest.count() == f1.count()
-    assert latest.filter(F.col("id") <= offset).count() == 0  # all from gen 2
+    assert latest.filter(F.col("created_on") < gen2_start).count() == 0  # all gen 2
