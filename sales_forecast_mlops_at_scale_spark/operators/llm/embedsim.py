@@ -176,23 +176,29 @@ def ivf_topk(
     """Approximate cosine top-k: probe only the ``nprobe`` nearest of
     ``num_centroids`` IVF buckets per query.
 
-    Centroids are a deterministic stratified subset of the corpus (every
-    ``⌈N/num_centroids⌉``-th vector by id order) — no RNG, reproducible.
-    A k-means refinement can replace the centroid choice without touching
-    the probe/search dataflow.
+    Centroids are a deterministic pseudo-random subset of the corpus: the
+    ``num_centroids`` vectors minimizing a multiplicative hash of their id
+    (Knuth's 2654435761 mod 2^31) — a plain ``ORDER BY hash LIMIT k``
+    that Spark executes as ``TakeOrderedAndProject`` (per-partition top-k,
+    no global sort, no driver-side ``count()``), and that any SQL engine
+    can replicate exactly.  No RNG, reproducible; a k-means refinement can
+    replace the centroid choice without touching the probe/search dataflow.
+
+    Centroid similarities are rounded to ``ndigits`` before the argmax so
+    bucket assignment is stable across engines/float orderings.
     """
     c = _prepared(corpus, id_col, vec_col)
-    w_id = Window.orderBy("vid")
-    n_total = corpus.count()
-    stride = max(1, n_total // num_centroids)
+    cent_hash = F.pmod(F.col("vid").cast("long") * F.lit(2654435761), F.lit(2147483648))
     centroids = (
-        c.withColumn("__rn", F.row_number().over(w_id))
-        .filter(((F.col("__rn") - 1) % stride == 0) & (F.col("__rn") <= stride * num_centroids))
+        c.orderBy(cent_hash.asc(), F.col("vid").asc())
+        .limit(num_centroids)
         .select(
             F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
         )
     )
-    sim_to_centroid = _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    sim_to_centroid = F.round(
+        _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), ndigits
+    )
     # assign every corpus vector to its single nearest centroid
     w_assign = Window.partitionBy("vid").orderBy(
         F.col("csim").desc(), F.col("cid").asc()
@@ -208,7 +214,9 @@ def ivf_topk(
     q = _prepared(queries, id_col, vec_col).select(
         F.col("vid").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
     )
-    q_centroid_sim = _dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm"))
+    q_centroid_sim = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (F.col("qnrm") * F.col("cnrm")), ndigits
+    )
     w_probe = Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cid").asc())
     probes = (
         q.join(F.broadcast(centroids))

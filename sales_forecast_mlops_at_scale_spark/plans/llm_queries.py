@@ -226,6 +226,51 @@ SELECT q_id, nn_id, score, rank FROM (
   FROM s) WHERE rank <= 5
 """
 
+#: Oracle for the IVF approximate path — the algorithm is deterministic
+#: end-to-end (multiplicative-hash centroid pick, rounded sims, id
+#: tie-breaks), so the SQL twin restates it exactly: same 16 centroids,
+#: same bucket argmax, same nprobe=4 probes, same within-bucket ranking.
+_EMBED_IVF_SQL = """
+WITH n AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+         sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cnrm
+  FROM n
+  ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 2147483648, vec_id
+  LIMIT 16
+), assigned AS (
+  SELECT vec_id, v, nrm, cid AS bucket FROM (
+    SELECT c.vec_id, c.v, c.nrm, ct.cid,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY round(list_sum([c.v[i] * ct.cv[i] for i in generate_series(1, len(c.v))])
+                            / (c.nrm * ct.cnrm), 6) DESC, ct.cid ASC) AS rn
+    FROM n c CROSS JOIN cent ct)
+  WHERE rn = 1
+), probes AS (
+  SELECT qid, qv, qnrm, cid AS bucket FROM (
+    SELECT q.vec_id AS qid, q.v AS qv, q.nrm AS qnrm, ct.cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_sum([q.v[i] * ct.cv[i] for i in generate_series(1, len(q.v))])
+                            / (q.nrm * ct.cnrm), 6) DESC, ct.cid ASC) AS rn
+    FROM n q CROSS JOIN cent ct
+    WHERE q.vec_id < 8)
+  WHERE rn <= 4
+), s AS (
+  SELECT p.qid AS q_id, a.vec_id AS nn_id,
+         round(list_sum([p.qv[i] * a.v[i] for i in generate_series(1, len(p.qv))])
+               / (p.qnrm * a.nrm), 6) AS score
+  FROM assigned a JOIN probes p USING (bucket)
+  WHERE p.qid != a.vec_id
+)
+SELECT q_id, nn_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, nn_id ASC) AS rank
+  FROM s) WHERE rank <= 5
+"""
+
 QUERIES: dict[str, QueryDef] = {
     "q_dedup_exact": QueryDef(
         q_dedup_exact,
@@ -286,7 +331,7 @@ FROM fps GROUP BY doc_id
     ),
     "q_simhash_pairs": QueryDef(q_simhash_pairs, None),  # xxhash64 family: no SQL twin
     "q_embed_topk": QueryDef(q_embed_topk, _EMBED_TOPK_SQL),
-    "q_embed_ivf_topk": QueryDef(q_embed_ivf_topk, None),  # approximate: no SQL twin
+    "q_embed_ivf_topk": QueryDef(q_embed_ivf_topk, _EMBED_IVF_SQL),
     "q_embed_neardup": QueryDef(
         q_embed_neardup,
         """
