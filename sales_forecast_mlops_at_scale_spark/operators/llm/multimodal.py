@@ -24,6 +24,7 @@ decoder changes ONE function, not the dataflow.
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -70,6 +71,22 @@ def synthetic_assets(spark: SparkSession, n: int = 64) -> DataFrame:
     return spark.createDataFrame([make_row(i) for i in range(n)], MEDIA_ASSETS)
 
 
+#: Committed parquet snapshot of ``synthetic_assets(n=64)`` — gives the
+#: driver's DuckDB oracle a shared on-disk input (sha256 over the same
+#: BLOBs) instead of an un-oracle-able in-memory frame.
+MEDIA_FIXTURE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures_data",
+    "media_assets.parquet",
+)
+
+
+def media_assets_fixture(spark: SparkSession) -> DataFrame:
+    """Load the committed media-asset fixture (64 deterministic assets,
+    identical content to ``synthetic_assets(spark, n=64)``)."""
+    return spark.read.parquet(MEDIA_FIXTURE_PATH)
+
+
 def _stub_features(content: bytes) -> list[float]:
     """Deterministic pseudo-embedding from raw bytes (stands in for a real
     decode→model pass; same shape, stable values)."""
@@ -107,8 +124,13 @@ def extract_media_features(
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
                     "n_bytes": content.map(len).astype("int64"),
+                    # digest of the lowercase-hex encoding (not the raw
+                    # bytes): injective, so dedup identity is unchanged,
+                    # and every SQL engine can recompute it over a BLOB
+                    # column via sha256(lower(hex(content))) — DuckDB's
+                    # sha256 only accepts VARCHAR
                     "content_digest": content.map(
-                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                        lambda b: hashlib.sha256(bytes(b).hex().encode()).hexdigest()
                     ),
                     "features": content.map(lambda b: _stub_features(bytes(b))),
                 }

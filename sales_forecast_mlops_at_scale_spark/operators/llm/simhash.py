@@ -2,9 +2,16 @@
 fingerprints + pigeonhole candidate generation.
 
 Each document's 64-bit SimHash has bit ``i`` set when the weighted sum of
-``±1`` votes (from bit ``i`` of each token's xxhash64, weight = term
+``±1`` votes (from bit ``i`` of the token's 64-bit hash, weight = term
 frequency) is positive.  Documents with small Hamming distance share most
 token mass.
+
+The token hash is the first 64 bits of ``md5(token)`` (two 32-bit halves
+via ``conv(hex, 16, 10)``) rather than ``xxhash64``: identical LSH
+properties, but md5 exists in every engine, so the whole operator —
+signatures, bucketing, Hamming verify — has an exact cross-engine SQL
+twin (see ``plans/llm_queries._SIMHASH_SQL``) and the differential
+correctness gate covers it end to end.
 
 Pairing uses the pigeonhole principle: split 64 bits into 4 chunks of 16;
 any pair within Hamming distance ≤ 3 must agree on ≥ 1 whole chunk, so a
@@ -12,9 +19,10 @@ join on (chunk index, chunk value) finds all of them — #docs × 4 bucket
 rows instead of a quadratic scan — followed by an exact
 ``bit_count(a XOR b)`` verification (JVM built-ins).
 
-The signature is stored as two 32-bit halves (``sim_hi``, ``sim_lo``):
-assembling bits into ints never exceeds 2^31, which keeps every arithmetic
-step legal under ANSI mode (Spark 4 default) with no overflow risk.
+The signature is stored as two unsigned 32-bit halves (``sim_hi``,
+``sim_lo``, each a BIGINT in [0, 2^32)): assembling bits never overflows
+under ANSI mode (Spark 4 default), and the nonnegative halves compare
+identically across engines (no signed-wraparound mismatch).
 """
 
 from __future__ import annotations
@@ -32,26 +40,40 @@ def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-doc SimHash as two int halves: ``doc, sim_hi, sim_lo``."""
-    tok = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(tokens(normalized_text(F.col(text_col)))).alias("t"),
-    ).withColumn("x", F.xxhash64("t"))
+    tok = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(normalized_text(F.col(text_col)))).alias("t"),
+        )
+        .withColumn("m", F.md5("t"))
+        # first 64 md5 bits as two unsigned 32-bit halves (big-endian:
+        # hex char 1 is the most significant nibble → bits 63..60)
+        .select(
+            "doc",
+            F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("hhi"),
+            F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("hlo"),
+        )
+    )
     # vote for bit i: +1 if bit set else -1, summed over tokens (with
     # multiplicity = term frequency weighting)
     votes = tok.groupBy("doc").agg(
         *[
             F.sum(
-                F.shiftright("x", i).bitwiseAND(F.lit(1)) * 2 - 1
+                F.shiftright(F.col("hhi" if i >= 32 else "hlo"), i % 32)
+                .bitwiseAND(F.lit(1))
+                * 2
+                - 1
             ).alias(f"v{i}")
             for i in range(64)
         ]
     )
 
     def half(lo_bit: int) -> F.Column:
-        acc = F.lit(0)
+        acc = F.lit(0).cast("long")
         for k in range(32):
             acc = acc + F.when(
-                F.col(f"v{lo_bit + k}") > 0, F.shiftleft(F.lit(1), k)
+                F.col(f"v{lo_bit + k}") > 0,
+                F.shiftleft(F.lit(1).cast("long"), k),
             ).otherwise(0)
         return acc
 

@@ -330,5 +330,9 @@ QUERIES: dict[str, QueryDef] = {
     "q_json_props": QueryDef(q_json_props, _JSON_SQL),
     "q_set_ops": QueryDef(q_set_ops, _SET_SQL),
     "q_percentiles": QueryDef(q_percentiles, _PCT_SQL),
-    "q_approx_users": QueryDef(q_approx_users, None),  # sketch: no exact SQL twin
+    # q_approx_users is deliberately NOT registered: an HLL sketch has no
+    # exact SQL twin, so a driver-facing entry can only ever land as a
+    # weak/err row.  The operator is exercised (with a ±5% tolerance
+    # differential against exact count-distinct) in
+    # tests/test_analytics_ops.py::test_approx_users_within_tolerance.
 }

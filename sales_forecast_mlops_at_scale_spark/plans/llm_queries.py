@@ -31,9 +31,10 @@ from ..operators.llm import (
     winnow_fingerprints,
 )
 from ..operators.llm.multimodal import (
+    MEDIA_FIXTURE_PATH,
     extract_media_features,
+    media_assets_fixture,
     media_dedup_keys,
-    synthetic_assets,
 )
 from . import QueryDef
 
@@ -131,9 +132,10 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary assets → mapInPandas feature extract.
-    Fixture-independent (synthetic deterministic assets); rows-only check
-    — the stub decode's output is asserted in tests/test_multimodal.py."""
-    assets = synthetic_assets(spark, n=64)
+    Reads the committed asset fixture so DuckDB can recompute the sha256
+    digests over the identical BLOBs (full differential check); the stub
+    decode's feature vector is asserted in tests/test_multimodal.py."""
+    assets = media_assets_fixture(spark)
     return extract_media_features(assets).select(
         "asset_id", "modality", "n_bytes", "content_digest"
     )
@@ -142,7 +144,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-content exact dedup over a corpus with injected duplicates
     (every asset re-appears under a shifted id)."""
-    assets = synthetic_assets(spark, n=64)
+    assets = media_assets_fixture(spark)
     dup = assets.withColumn("asset_id", F.col("asset_id") + 1000)
     feats = extract_media_features(assets.unionByName(dup))
     return media_dedup_keys(feats)
@@ -224,6 +226,40 @@ WITH n AS (
 SELECT q_id, nn_id, score, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, nn_id ASC) AS rank
   FROM s) WHERE rank <= 5
+"""
+
+#: Oracle for SimHash pairs.  The Spark side uses md5-derived token hashes
+#: precisely so this twin exists (see operators/llm/simhash.py docstring).
+#: The oracle recomputes signatures bit-for-bit and compares ALL pairs —
+#: the pigeonhole bucketing on the Spark side is exact for hamming ≤ 3
+#: (any such pair agrees on ≥1 of the 4 16-bit chunks), so the all-pairs
+#: SQL and the bucketed Spark plan must produce identical rows.
+_SIMHASH_TOKS = f"CASE WHEN length({_NORM}) = 0 THEN CAST([] AS VARCHAR[]) ELSE {_TOKS} END"
+_SIMHASH_NIBS = ", ".join(
+    f"strpos('0123456789abcdef', substr(m, {k}, 1)) - 1 AS n{k}" for k in range(1, 17)
+)
+#: bit i (0 = LSB) lives in 1-based hex char 16 - i//4, bit i%4 of the nibble
+_SIMHASH_VOTES = ", ".join(
+    f"sum((((n{16 - i // 4} >> {i % 4}) & 1) * 2) - 1) AS v{i}" for i in range(64)
+)
+_SIMHASH_HI = " + ".join(
+    f"CASE WHEN v{32 + k} > 0 THEN CAST({1 << k} AS BIGINT) ELSE 0 END" for k in range(32)
+)
+_SIMHASH_LO = " + ".join(
+    f"CASE WHEN v{k} > 0 THEN CAST({1 << k} AS BIGINT) ELSE 0 END" for k in range(32)
+)
+_SIMHASH_SQL = f"""
+WITH t AS (SELECT doc_id AS doc, unnest({_SIMHASH_TOKS}) AS tkn FROM documents),
+m AS (SELECT doc, substr(md5(tkn), 1, 16) AS m FROM t),
+nib AS (SELECT doc, {_SIMHASH_NIBS} FROM m),
+votes AS (SELECT doc, {_SIMHASH_VOTES} FROM nib GROUP BY doc),
+sigs AS (SELECT doc, CAST({_SIMHASH_HI} AS BIGINT) AS sim_hi,
+                CAST({_SIMHASH_LO} AS BIGINT) AS sim_lo FROM votes),
+pairs AS (
+  SELECT a.doc AS id_a, b.doc AS id_b,
+         bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) AS hamming
+  FROM sigs a JOIN sigs b ON a.doc < b.doc)
+SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM pairs WHERE hamming <= 3
 """
 
 #: Oracle for the IVF approximate path — the algorithm is deterministic
@@ -329,7 +365,7 @@ FROM fps GROUP BY doc_id
         " FROM inter JOIN sz sa ON id_a = sa.doc JOIN sz sb ON id_b = sb.doc"
         " WHERE round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) >= 0.5",
     ),
-    "q_simhash_pairs": QueryDef(q_simhash_pairs, None),  # xxhash64 family: no SQL twin
+    "q_simhash_pairs": QueryDef(q_simhash_pairs, _SIMHASH_SQL),
     "q_embed_topk": QueryDef(q_embed_topk, _EMBED_TOPK_SQL),
     "q_embed_ivf_topk": QueryDef(q_embed_ivf_topk, _EMBED_IVF_SQL),
     "q_embed_neardup": QueryDef(
@@ -348,7 +384,24 @@ WHERE round(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))])
             / (a.nrm * b.nrm), 6) >= 0.4
 """,
     ),
-    # binary/mapInPandas surface: no SQL twin (stub decode is pytest-golden)
-    "q_media_features": QueryDef(q_media_features, None),
-    "q_media_dedup": QueryDef(q_media_dedup, None),
+    # the mapInPandas digest path, differentially checked against DuckDB
+    # sha256 over the committed BLOB fixture (decode features themselves
+    # are pytest-golden — no codecs in the container)
+    "q_media_features": QueryDef(
+        q_media_features,
+        f"SELECT asset_id, modality,"
+        f" CAST(octet_length(content) AS BIGINT) AS n_bytes,"
+        f" sha256(lower(hex(content))) AS content_digest"
+        f" FROM read_parquet('{MEDIA_FIXTURE_PATH}/*.parquet')",
+    ),
+    "q_media_dedup": QueryDef(
+        q_media_dedup,
+        f"WITH a AS (SELECT asset_id, content"
+        f"  FROM read_parquet('{MEDIA_FIXTURE_PATH}/*.parquet')),"
+        f" everything AS (SELECT * FROM a"
+        f"  UNION ALL SELECT asset_id + 1000, content FROM a)"
+        f" SELECT sha256(lower(hex(content))) AS content_digest,"
+        f" min(asset_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups"
+        f" FROM everything GROUP BY 1",
+    ),
 }
