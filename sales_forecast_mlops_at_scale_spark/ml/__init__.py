@@ -7,8 +7,18 @@ workers, and the 1,115-model weekly run is a single Spark job with
 group-level parallelism bounded only by cluster cores.
 """
 
+from .gate import DEFAULT_MAX_RMSE, gate_report, gate_series, passing_model_keys
 from .models import SeasonalNaiveModel, get_model
 from .predict import forecast_groups
 from .train import train_groups
 
-__all__ = ["SeasonalNaiveModel", "get_model", "forecast_groups", "train_groups"]
+__all__ = [
+    "DEFAULT_MAX_RMSE",
+    "SeasonalNaiveModel",
+    "forecast_groups",
+    "gate_report",
+    "gate_series",
+    "get_model",
+    "passing_model_keys",
+    "train_groups",
+]

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .ml import forecast_groups, train_groups
+from .ml import forecast_groups, gate_series, train_groups
 from .operators import latest_per_key, top_n_per_group
 from .session import Clock
 
@@ -29,12 +29,20 @@ def run_weekly(
     train_window_days: int = 120,
     horizon_days: int = 7,
     model_spec: str = "seasonal_naive",
+    max_rmse: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The weekly DAG (§3.2) as one job pair: (metrics, forecasts).
 
     - filter last ``train_window_days`` (reference pulls ``last_days=120``,
       ray_train_all_job.py:23-25) — prunes date partitions at the scan
     - grouped-map CV training → metrics table (replaces 1,115 Ray tasks)
+    - model-quality gate (U6), opt-in via ``max_rmse``: groups whose CV
+      rmse exceeds the bar are pruned before any predict work is
+      scheduled.  The reference checks rmse > 1000 at serve time but only
+      logs the failure (forecast-service/app/handlers/mlflow.py:32-40);
+      pass ``max_rmse=ml.DEFAULT_MAX_RMSE`` to make that check an actual
+      hard gate — ``None`` (default) reproduces the reference's
+      serve-anyway behavior
     - grouped-map forecast for the next ``horizon_days`` → forecast rows
       with generation-stamped ids (feeding the W1 dedup on re-runs)
     """
@@ -43,8 +51,15 @@ def run_weekly(
         & (F.col("open") == 1)
     )
     metrics = train_groups(recent, ("store", "productname"), model_spec=model_spec)
+    gated = recent
+    if max_rmse is not None:
+        # metrics feeds both the returned frame and the gate's semi-join;
+        # it is one small row per group, so pin it rather than re-running
+        # the grouped-map CV job for each consumer
+        metrics = metrics.cache()
+        gated = gate_series(recent, metrics, ("store", "productname"), max_rmse=max_rmse)
     forecasts = forecast_groups(
-        recent,
+        gated,
         ("store", "productname"),
         horizon_start=clock.as_of,
         horizon_days=horizon_days,

@@ -16,10 +16,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..ml import forecast_groups, train_groups
+from ..ml import forecast_groups, gate_series, train_groups
 from . import QueryDef
 
 KEYS = ("l_suppkey", "l_returnflag")
+
+#: Quality bar for q_gated_forecast — sits at the fixture series' median
+#: CV rmse so the gate genuinely rejects ~half the groups (the
+#: reference's production bar is 1000; see ml/gate.DEFAULT_MAX_RMSE).
+GATE_RMSE = 21.5
 
 
 def demand_series(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,6 +54,30 @@ def q_forecast_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return forecast_groups(
         series,
+        KEYS,
+        horizon_start=anchor + _dt.timedelta(days=1),
+        horizon_days=7,
+        model_spec="seasonal_naive",
+        date_col="ds",
+        y_col="y",
+    )
+
+
+def q_gated_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6 model-quality gate: train per group, reject groups whose CV rmse
+    exceeds the bar, forecast ONLY the survivors (reference refuses to
+    serve rmse > 1000 models, forecast-service/app/handlers/mlflow.py:32-40).
+    The gate prunes groups before predict work is scheduled."""
+    series = demand_series(spark, sf_dir)
+    metrics = train_groups(
+        series, KEYS, model_spec="seasonal_naive", date_col="ds", y_col="y"
+    )
+    gated = gate_series(series, metrics, KEYS, max_rmse=GATE_RMSE)
+    anchor = series.agg(F.max("ds")).collect()[0][0]
+    import datetime as _dt
+
+    return forecast_groups(
+        gated,
         KEYS,
         horizon_start=anchor + _dt.timedelta(days=1),
         horizon_days=7,
@@ -163,7 +192,20 @@ LEFT JOIN lookup l
  AND l.wd = isodow(s.forecast_date)
 """
 
+#: Gate oracle: the full forecast restricted to keys passing the rmse bar
+#: in the full training oracle (both reused verbatim as CTEs — the anchor
+#: is max(ds) over the UNGATED series in both engines).
+_GATED_SQL = f"""
+WITH tm AS ({_TRAIN_SQL}), fc AS ({_FORECAST_SQL})
+SELECT fc.* FROM fc
+WHERE EXISTS (SELECT 1 FROM tm
+              WHERE tm.l_suppkey = fc.l_suppkey
+                AND tm.l_returnflag = fc.l_returnflag
+                AND tm.rmse <= {GATE_RMSE})
+"""
+
 QUERIES: dict[str, QueryDef] = {
     "q_train_metrics": QueryDef(q_train_metrics, _TRAIN_SQL),
     "q_forecast_7d": QueryDef(q_forecast_7d, _FORECAST_SQL),
+    "q_gated_forecast": QueryDef(q_gated_forecast, _GATED_SQL),
 }

@@ -80,6 +80,25 @@ def test_run_weekly_end_to_end(spark, sales):
     assert f.select("id").distinct().count() == 12 * 7
 
 
+def test_quality_gate_prunes_bad_models(spark, sales):
+    """U6: a tight rmse bar must drop whole groups from the forecast
+    output while the default bar (1000, the reference's) passes all."""
+    from sales_forecast_mlops_at_scale_spark.ml import gate_report
+
+    metrics, forecasts = run_weekly(sales, clock=FIXED_CLOCK)
+    n_groups = metrics.count()
+    assert forecasts.select("store", "productname").distinct().count() == n_groups
+
+    median_rmse = metrics.approxQuantile("rmse", [0.5], 0.0)[0]
+    _, gated = run_weekly(sales, clock=FIXED_CLOCK, max_rmse=median_rmse)
+    n_gated_groups = gated.select("store", "productname").distinct().count()
+    assert 0 < n_gated_groups < n_groups
+
+    report = gate_report(metrics, max_rmse=median_rmse).collect()[0]
+    assert report.n_passed == n_gated_groups
+    assert report.n_passed + report.n_rejected == n_groups
+
+
 def test_store_product_history_slice(spark, sales):
     h = store_product_history(sales, store=3, product="product_A").collect()
     assert len(h) > 80
