@@ -23,8 +23,11 @@ sink path is shared — which is also why the parse chain lives in
 
 from __future__ import annotations
 
+import functools
+import operator
 from collections.abc import Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -67,13 +70,69 @@ def kafka_event_source(
     )
 
 
+def existing_keys(
+    spark: SparkSession,
+    target_path: str,
+    natural_key: Sequence[str],
+    *,
+    partition_by: Sequence[str] | None = None,
+    partition_values: Sequence[tuple] | None = None,
+) -> DataFrame | None:
+    """Natural-key projection of the target, pruned to the given partition
+    values; ``None`` when the target does not exist yet.
+
+    Only a genuine path-not-found is treated as "first batch" — any other
+    read failure (corrupt footer, FS error) PROPAGATES so the micro-batch
+    retries instead of silently re-appending without dedup (that would
+    break the exactly-once guarantee).
+    """
+    try:
+        existing = spark.read.parquet(target_path)
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
+    existing = existing.select(*natural_key)
+    if partition_by and partition_values is not None:
+        # disjunction over the batch's partition tuples → Catalyst turns it
+        # into PartitionFilters on the partitioned parquet layout, so the
+        # anti-join probes only the partitions this batch touches instead
+        # of scanning the full key history (O(batch partitions), not
+        # O(table)).
+        if not partition_values:
+            return existing.limit(0)
+        clause = functools.reduce(
+            operator.or_,
+            (
+                functools.reduce(
+                    operator.and_,
+                    (F.col(c) == F.lit(v) for c, v in zip(partition_by, tup)),
+                )
+                for tup in partition_values
+            ),
+        )
+        existing = existing.filter(clause)
+    return existing
+
+
 def idempotent_append_batch(
     batch_df: DataFrame,
     target_path: str,
     natural_key: Sequence[str],
+    *,
+    partition_by: Sequence[str] | None = None,
 ) -> None:
     """foreachBatch body: append only rows whose natural key is absent
     from the target (left-anti join) — MERGE-insert semantics on parquet.
+
+    With ``partition_by`` set (a prefix of the natural key, e.g. the date
+    column), the target is laid out as partitioned parquet and the
+    existing-keys scan is pruned to ONLY the partitions present in the
+    incoming batch — the collect of the batch's distinct partition tuples
+    is tiny (a drain touches a bounded set of dates).  Without it the
+    anti-join reads the full key history every batch, which is O(table)
+    per micro-batch at warehouse scale.
 
     At warehouse scale the same logic is one Delta/Iceberg ``MERGE``; the
     anti-join formulation keeps this container dependency-free while
@@ -81,12 +140,26 @@ def idempotent_append_batch(
     key columns only (column pruning reaches the scan)."""
     spark = batch_df.sparkSession
     batch_df = batch_df.dropDuplicates(list(natural_key))  # in-batch dups
-    try:
-        existing = spark.read.parquet(target_path).select(*natural_key)
-        fresh = batch_df.join(existing, on=list(natural_key), how="left_anti")
-    except Exception:  # first batch: target does not exist yet
+    partition_values: list[tuple] | None = None
+    if partition_by:
+        partition_values = [
+            tuple(r) for r in batch_df.select(*partition_by).distinct().collect()
+        ]
+    existing = existing_keys(
+        spark,
+        target_path,
+        natural_key,
+        partition_by=partition_by,
+        partition_values=partition_values,
+    )
+    if existing is None:
         fresh = batch_df
-    fresh.write.mode("append").parquet(target_path)
+    else:
+        fresh = batch_df.join(existing, on=list(natural_key), how="left_anti")
+    writer = fresh.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*list(partition_by))
+    writer.parquet(target_path)
 
 
 def run_stream_ingest(
@@ -97,13 +170,15 @@ def run_stream_ingest(
     checkpoint_path: str,
     schema: T.StructType = SALES_EVENT,
     natural_key: Sequence[str] = ("store", "productname", "date"),
+    partition_by: Sequence[str] | None = ("date",),
     available_now: bool = True,
 ) -> None:
     """Run one drain of the stream into ``target_path``.
 
-    Parse (declared schema, P1-P3) → typed columns → idempotent append.
-    Blocks until the ``availableNow`` drain completes (like the
-    reference's daily Airflow task)."""
+    Parse (declared schema, P1-P3) → typed columns → idempotent append
+    into a date-partitioned target (so every future drain's dedup scan
+    prunes to the dates it touches).  Blocks until the ``availableNow``
+    drain completes (like the reference's daily Airflow task)."""
     parsed = parse_json_events(source, schema)
     if "date" in [f.name for f in schema.fields]:
         parsed = parsed.withColumn("date", F.to_date("date"))
@@ -112,7 +187,7 @@ def run_stream_ingest(
         .option("checkpointLocation", checkpoint_path)
         .foreachBatch(
             lambda batch_df, _id: idempotent_append_batch(
-                batch_df, target_path, natural_key
+                batch_df, target_path, natural_key, partition_by=partition_by
             )
         )
     )

@@ -76,6 +76,40 @@ def test_stream_ingest_exactly_once(spark, tmp_path):
     assert final.filter(F.col("store") == 4).count() == 1
 
 
+def test_existing_keys_partition_pruned(spark, tmp_path):
+    """The dedup scan must prune to the batch's date partitions (and the
+    first-batch probe must distinguish missing path from real errors)."""
+    import datetime as dt
+
+    from sales_forecast_mlops_at_scale_spark.streaming.ingest import existing_keys
+
+    target = str(tmp_path / "pruned_target")
+    assert existing_keys(spark, target, ["store", "date"]) is None  # not yet written
+
+    df = spark.createDataFrame(
+        [(s, dt.date(2026, 1, d)) for s in (1, 2) for d in (1, 2, 3)],
+        "store int, date date",
+    )
+    df.write.partitionBy("date").parquet(target)
+
+    pruned = existing_keys(
+        spark,
+        target,
+        ["store", "date"],
+        partition_by=["date"],
+        partition_values=[(dt.date(2026, 1, 2),)],
+    )
+    assert pruned.count() == 2
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "PartitionFilters: []" not in plan  # the date filter reached the scan
+    # empty batch → no partitions probed at all
+    empty = existing_keys(
+        spark, target, ["store", "date"], partition_by=["date"], partition_values=[]
+    )
+    assert empty.count() == 0
+
+
 def test_windowed_daily_rollup_batch_twin(spark):
     from sales_forecast_mlops_at_scale_spark.catalog import load_table
 
