@@ -39,6 +39,7 @@ def asof_join(
     right_ts: str = "ts",
     payload: Sequence[str] = ("value",),
     prefix: str = "asof_",
+    right_tiebreak: Sequence[str] | None = None,
 ) -> DataFrame:
     """For each left row, attach the newest right row with
     ``right.ts <= left.ts`` within the same ``on`` key group (left join:
@@ -47,9 +48,25 @@ def asof_join(
     Matches DuckDB/kdb ``ASOF LEFT JOIN`` semantics (inclusive on equal
     timestamps).  Output = all left columns + ``{prefix}{c}`` for each
     payload column + ``{prefix}ts`` (the matched right timestamp).
+
+    Several right rows can share one (key, ts); engines' ASOF tie choice
+    is arbitrary, so to stay deterministic across runs AND partitionings
+    the right side is first collapsed to ONE row per (key, ts): the row
+    maximizing ``right_tiebreak`` (default: the payload columns).  The
+    extra ranking window shuffles only the (smaller) right side and is a
+    no-op pass when (key, ts) is already unique.
     """
     on = list(on)
     pay = list(payload)
+    tb_cols = list(right_tiebreak) if right_tiebreak is not None else pay
+    w_dedup = Window.partitionBy(*on, right_ts).orderBy(
+        *[F.col(c).desc_nulls_last() for c in tb_cols]
+    )
+    right = (
+        right.withColumn("__rn", F.row_number().over(w_dedup))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     l2 = (
         left.withColumn("__ts", F.col(left_ts))
         # right rows (side 0) sort before left rows (side 1) on ties,

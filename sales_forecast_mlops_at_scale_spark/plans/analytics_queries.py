@@ -50,11 +50,16 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The right side is collapsed to max(value) per (user_id, ts) before the
+#: ASOF join — mirroring asof_join's deterministic tie-break (engines'
+#: native ASOF tie choice among equal timestamps is arbitrary).
 _ASOF_SQL = """
 SELECT c.event_id, c.user_id, c.ts, c.value AS click_value,
        p.ts AS purchase_ts, p.value AS purchase_value
 FROM (SELECT * FROM events WHERE event_type = 'click') c
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts) p
   ON c.user_id = p.user_id AND c.ts >= p.ts
 """
 

@@ -24,6 +24,20 @@ def _ts(minutes: float) -> dt.datetime:
     return T0 + dt.timedelta(minutes=minutes)
 
 
+def test_asof_join_right_tie_deterministic(spark):
+    """Two right rows at the SAME (key, ts): the max-payload row must win,
+    regardless of partitioning/run (engines' native ASOF tie is arbitrary)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(0), 5.0), (10, _ts(0), 9.0), (10, _ts(0), 1.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = asof_join(left, right, on=["user_id"], payload=["value"]).collect()
+    assert len(out) == 1 and out[0].asof_value == 9.0
+
+
 def test_asof_join_inclusive_and_unmatched(spark):
     left = spark.createDataFrame(
         [(1, 10, _ts(0)), (2, 10, _ts(5)), (3, 20, _ts(1))],
