@@ -215,7 +215,51 @@ def q_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ = EVENTS  # declared-schema twin used by streaming ingest (schemas.py)
 
+# -- P13: existence validation (semi-join referential check) -----------------
+
+
+def q_exists_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 existence validation: per order priority, how many orders
+    reference an existing customer (LEFT SEMI probe of the dimension) and
+    how many are orphans.  Mirrors the reference's pre-insert "does the
+    store/product exist" checks (SURVEY.md §2.2 P13) as one set-based
+    pass — the dimension side is broadcast, so the probe adds no shuffle
+    of the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    total = orders.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+    valid = (
+        orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_valid"))
+    )
+    return (
+        total.join(valid, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.coalesce("n_valid", F.lit(0)).alias("n_valid"),
+            (F.col("n_orders") - F.coalesce("n_valid", F.lit(0))).alias("n_orphans"),
+        )
+    )
+
+
+_EXISTS_SQL = """
+WITH t AS (SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY 1),
+v AS (SELECT o_orderpriority, count(*) AS n_valid FROM orders
+      WHERE EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+      GROUP BY 1)
+SELECT t.o_orderpriority, t.n_orders,
+       coalesce(v.n_valid, 0) AS n_valid,
+       t.n_orders - coalesce(v.n_valid, 0) AS n_orphans
+FROM t LEFT JOIN v USING (o_orderpriority)
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "q_exists_check": QueryDef(q_exists_check, _EXISTS_SQL),
     "q_distinct_segments": QueryDef(
         q_distinct_segments,
         "SELECT DISTINCT c_mktsegment FROM customer",
