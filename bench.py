@@ -21,19 +21,26 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: Headline set: the full oracled surface — relational core + joins + LLM ops.
 BENCH_QUERIES: tuple[str, ...] = (
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q4_priority_check",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_nation_trade",
+    "q8_market_share",
+    "q9_product_type_profit",
     "q10_returned_items",
+    "q11_important_stock",
     "q12_priority_classes",
     "q13_order_distribution",
     "q14_promo_share",
     "q15_top_supplier",
+    "q16_parts_supplier_relationship",
     "q17_small_quantity_revenue",
     "q18_big_orders",
     "q19_brand_revenue",
+    "q20_promotion_candidates",
+    "q21_returns_blame",
     "q22_dormant_customers",
     "q_lastdays",
     "q_latest_per_key",
@@ -49,16 +56,20 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_json_props",
     "q_set_ops",
     "q_percentiles",
+    "q_exists_check",
     "q_dedup_exact",
+    "q_ngram_jaccard",
     "q_minhash_dedup",
     "q_simhash_pairs",
     "q_text_quality",
     "q_token_count_bpe",
     "q_winnow_fingerprint",
     "q_embed_topk",
+    "q_embed_ivf_topk",
     "q_embed_neardup",
     "q_train_metrics",
     "q_forecast_7d",
+    "q_gated_forecast",
 )
 
 

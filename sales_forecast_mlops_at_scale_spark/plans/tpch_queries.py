@@ -383,6 +383,290 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- derived part-supplier relation (fixtures ship no partsupp table) --------
+#
+# q2/q9/q11/q16/q20 need the part↔supplier relation; the fixtures derive it
+# from lineitem: supplycost per (part, supplier) = the best observed unit
+# price.  One groupBy — co-partitioned with the later (partkey, suppkey)
+# joins, so at 100 TB it reuses the same shuffle.
+
+
+def _part_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # supplycost stays a RAW double: min() over identical IEEE doubles is
+    # engine-independent, while round(x, 4) at a .00005 boundary is NOT
+    # (Spark's BigDecimal HALF_UP vs DuckDB's scaled std::round disagree
+    # on boundary representations — measured 1e-4 drifts that a ×quantity
+    # term amplifies).  Consumers round only final aggregates.
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+
+
+_PS_SQL = (
+    "SELECT l_partkey, l_suppkey,"
+    " min(l_extendedprice / l_quantity) AS supplycost"
+    " FROM lineitem GROUP BY 1, 2"
+)
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted to the derived part-supplier relation): for each
+    STANDARD size-15 part, the EUROPE supplier(s) offering the minimum
+    supply cost.
+
+    The correlated MIN subquery is decorrelated into a per-part aggregate
+    joined back on (part, cost) — the canonical Spark rewrite; all
+    dimension sides broadcast, the only fact shuffle is the _part_supp
+    groupBy."""
+    ps = _part_supp(spark, sf_dir)
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    eu_supp = (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eps = (
+        ps.join(F.broadcast(eu_supp), ps.l_suppkey == F.col("s_suppkey"))
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            ps.l_partkey == F.col("p_partkey"),
+        )
+        .select("p_partkey", "s_name", "s_acctbal", "n_name", "supplycost")
+    )
+    min_cost = eps.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    return (
+        eps.join(
+            min_cost,
+            (eps.p_partkey == F.col("mc_partkey"))
+            & (eps.supplycost == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "supplycost")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_7 suppliers' revenue share among AMERICA-region
+    customers, by order year.
+
+    Conditional aggregation over one joined pass — numerator and
+    denominator share the scan and shuffle; every dimension is broadcast,
+    the only co-partition shuffle is lineitem⨝orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nc = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    ns = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(reg), F.col("cn_region") == reg.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev.alias("rev"),
+            F.col("supp_nation"),
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("rev")).otherwise(0.0))
+            / F.sum("rev"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9: profit on widget parts by supplier nation and year,
+    profit = revenue − supplycost·quantity (supplycost from the derived
+    part-supplier relation).
+
+    The ps join keys on (partkey, suppkey) — the same keys as the
+    _part_supp groupBy, so the two stages share one hash partitioning
+    (no second fact shuffle); part/supplier/nation broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    ps = _part_supp(spark, sf_dir).select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        "supplycost",
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("supplycost") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(
+            ps,
+            (li.l_partkey == F.col("ps_partkey"))
+            & (li.l_suppkey == F.col("ps_suppkey")),
+        )
+        .join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 4).alias("sum_profit"))
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: parts whose NATION_3-supplied revenue exceeds 0.1% of
+    the national total — HAVING against a scalar subquery, realized as a
+    broadcast of the 1-row total (no driver collect)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nat_supp = supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey).select(
+        "s_suppkey"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum(rev), 4).alias("part_value"))
+    )
+    total = per_part.agg(F.round(F.sum("part_value"), 4).alias("total_value"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("total_value") * 0.001)
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+        .limit(100)
+    )
+
+
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: distinct supplier count per (brand, type, size) for
+    non-MEDIUM, non-Brand#45 parts of selected sizes, excluding
+    negative-balance suppliers via NOT IN → left-anti join (the fixtures
+    ship no supplier comments, so the exclusion predicate is acctbal)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "MEDIUM")
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 25))
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(bad_supp), pairs.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q20_promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted): NATION_5 suppliers who shipped more than half
+    of a red part's 1998 volume — the nested IN(IN(...)) subquery chain as
+    two aggregations + semi joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    red98 = (
+        li.filter(F.year("l_shipdate") == 1998)
+        .join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    by_pair = red98.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("pair_qty")
+    )
+    by_part = red98.groupBy(F.col("l_partkey").alias("pp_partkey")).agg(
+        F.sum("l_quantity").alias("part_qty")
+    )
+    dominant = (
+        by_pair.join(by_part, by_pair.l_partkey == F.col("pp_partkey"))
+        .filter(F.col("pair_qty") > F.col("part_qty") * 0.5)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+def q21_returns_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted: fixtures carry no commit/receipt dates, so
+    "late" becomes "returned"): NATION_1 suppliers whose line was the ONLY
+    returned line in a multi-supplier order.
+
+    The EXISTS → left-semi and NOT EXISTS → left-anti self-joins hash on
+    l_orderkey with the supplier-inequality as a residual — no cartesian
+    pair-up; top waiters via TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    nat_supp = supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    others_r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    return (
+        l1.join(
+            others,
+            (l1.l_orderkey == F.col("o2_orderkey"))
+            & (l1.l_suppkey != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            others_r,
+            (l1.l_orderkey == F.col("o3_orderkey"))
+            & (l1.l_suppkey != F.col("o3_suppkey")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
 QUERIES: dict[str, QueryDef] = {
     "q1_pricing_summary": QueryDef(
         q1_pricing_summary,
@@ -540,6 +824,109 @@ QUERIES: dict[str, QueryDef] = {
         "   AND p_brand = 'Brand#1'"
         "   AND l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2"
         "                        WHERE l2.l_partkey = l1.l_partkey)",
+    ),
+    "q2_min_cost_supplier": QueryDef(
+        q2_min_cost_supplier,
+        f"WITH ps AS ({_PS_SQL}),"
+        " eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier"
+        "        JOIN nation ON s_nationkey = n_nationkey"
+        "        JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),"
+        " tp AS (SELECT p_partkey FROM part WHERE p_size = 15 AND p_type = 'STANDARD'),"
+        " eps AS (SELECT tp.p_partkey, eu.s_name, eu.s_acctbal, eu.n_name, ps.supplycost"
+        "         FROM ps JOIN eu ON ps.l_suppkey = eu.s_suppkey"
+        "         JOIN tp ON ps.l_partkey = tp.p_partkey),"
+        " mc AS (SELECT p_partkey, min(supplycost) AS min_cost FROM eps GROUP BY 1)"
+        " SELECT e.s_acctbal, e.s_name, e.n_name, e.p_partkey, e.supplycost"
+        " FROM eps e JOIN mc ON e.p_partkey = mc.p_partkey"
+        "  AND e.supplycost = mc.min_cost"
+        " ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, e.p_partkey LIMIT 100",
+    ),
+    "q8_market_share": QueryDef(
+        q8_market_share,
+        "SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,"
+        " round(sum(CASE WHEN sn.n_name = 'NATION_7'"
+        "           THEN l_extendedprice * (1 - l_discount) ELSE 0 END)"
+        "       / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share"
+        " FROM lineitem"
+        " JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " JOIN nation nc ON c_nationkey = nc.n_nationkey"
+        " JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'AMERICA'"
+        " JOIN supplier ON l_suppkey = s_suppkey"
+        " JOIN nation sn ON s_nationkey = sn.n_nationkey"
+        " GROUP BY 1",
+    ),
+    "q9_product_type_profit": QueryDef(
+        q9_product_type_profit,
+        f"WITH ps AS ({_PS_SQL})"
+        " SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,"
+        " round(sum(l.l_extendedprice * (1 - l.l_discount)"
+        "           - ps.supplycost * l.l_quantity), 4) AS sum_profit"
+        " FROM lineitem l"
+        " JOIN part ON l.l_partkey = p_partkey AND p_name LIKE '%widget%'"
+        " JOIN ps ON l.l_partkey = ps.l_partkey AND l.l_suppkey = ps.l_suppkey"
+        " JOIN orders ON l.l_orderkey = o_orderkey"
+        " JOIN supplier ON l.l_suppkey = s_suppkey"
+        " JOIN nation ON s_nationkey = n_nationkey"
+        " GROUP BY 1, 2",
+    ),
+    "q11_important_stock": QueryDef(
+        q11_important_stock,
+        "WITH pp AS ("
+        "  SELECT l_partkey, round(sum(l_extendedprice * (1 - l_discount)), 4)"
+        "    AS part_value"
+        "  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"
+        "  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'"
+        "  GROUP BY 1)"
+        " SELECT l_partkey, part_value FROM pp"
+        " WHERE part_value > (SELECT round(sum(part_value), 4) FROM pp) * 0.001"
+        " ORDER BY part_value DESC, l_partkey LIMIT 100",
+    ),
+    "q16_parts_supplier_relationship": QueryDef(
+        q16_parts_supplier_relationship,
+        "SELECT p_brand, p_type, p_size,"
+        " CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt"
+        " FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs"
+        " JOIN part ON l_partkey = p_partkey"
+        " WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'"
+        "   AND p_size IN (1, 4, 7, 10, 13, 16, 19, 25)"
+        "   AND l_suppkey NOT IN"
+        "       (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)"
+        " GROUP BY 1, 2, 3",
+    ),
+    "q20_promotion_candidates": QueryDef(
+        q20_promotion_candidates,
+        "WITH red98 AS ("
+        "  SELECT l_partkey, l_suppkey, l_quantity FROM lineitem"
+        "  JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'"
+        "  WHERE year(l_shipdate) = 1998),"
+        " by_pair AS (SELECT l_partkey, l_suppkey,"
+        "   CAST(sum(l_quantity) AS BIGINT) AS pair_qty FROM red98 GROUP BY 1, 2),"
+        " by_part AS (SELECT l_partkey,"
+        "   CAST(sum(l_quantity) AS BIGINT) AS part_qty FROM red98 GROUP BY 1),"
+        " dominant AS (SELECT DISTINCT by_pair.l_suppkey"
+        "   FROM by_pair JOIN by_part ON by_pair.l_partkey = by_part.l_partkey"
+        "   WHERE pair_qty > part_qty * 0.5)"
+        " SELECT s_name, s_acctbal FROM supplier"
+        " JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_5'"
+        " WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)"
+        " ORDER BY s_name",
+    ),
+    "q21_returns_blame": QueryDef(
+        q21_returns_blame,
+        "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait"
+        " FROM lineitem l1"
+        " JOIN supplier ON l1.l_suppkey = s_suppkey"
+        " JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_1'"
+        " WHERE l1.l_returnflag = 'R'"
+        "   AND EXISTS (SELECT 1 FROM lineitem l2"
+        "               WHERE l2.l_orderkey = l1.l_orderkey"
+        "                 AND l2.l_suppkey <> l1.l_suppkey)"
+        "   AND NOT EXISTS (SELECT 1 FROM lineitem l3"
+        "                   WHERE l3.l_orderkey = l1.l_orderkey"
+        "                     AND l3.l_suppkey <> l1.l_suppkey"
+        "                     AND l3.l_returnflag = 'R')"
+        " GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100",
     ),
     "q22_dormant_customers": QueryDef(
         q22_dormant_customers,
