@@ -18,6 +18,13 @@ from .exact_dedup import exact_dedup, exact_dedup_keys
 from .jaccard import ngram_jaccard_pairs, shingles
 from .minhash import minhash_lsh_pairs, minhash_signatures
 from .simhash import simhash_pairs, simhash_signatures
+from .textclean import (
+    contamination_check,
+    paragraph_dedup_keys,
+    pii_redact,
+    url_domain_stats,
+    web_documents_fixture,
+)
 from .winnow import winnow_fingerprints
 from .textstats import (
     language_id,
@@ -41,6 +48,11 @@ __all__ = [
     "simhash_pairs",
     "simhash_signatures",
     "winnow_fingerprints",
+    "contamination_check",
+    "paragraph_dedup_keys",
+    "pii_redact",
+    "url_domain_stats",
+    "web_documents_fixture",
     "language_id",
     "normalized_text",
     "subtoken_count",

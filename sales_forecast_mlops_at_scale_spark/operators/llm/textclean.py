@@ -1,0 +1,156 @@
+"""Text-cleaning operators for a training-data pipeline: PII redaction,
+URL/domain statistics, paragraph-level dedup, and benchmark-contamination
+checks.
+
+All four are pure column-expression / relational plans (JVM regex +
+explode + groupBy — no Python in the hot path), so they inherit
+whole-stage codegen and scale with the scan.  Regexes are written in the
+RE2-compatible subset (no backreferences, no lookaround) so the DuckDB
+oracle twins (`plans/llm_queries`) run the IDENTICAL patterns.
+
+The reference has no text pipeline at all (its documents are sales rows);
+these are beyond-reference operators in the LLM-data family
+(exact_dedup / minhash / simhash siblings).
+
+The PII/URL/paragraph queries run over the committed ``web_documents``
+fixture (the star ``documents`` fixture is a synthetic word salad with no
+emails/URLs/newlines — checks over it would be vacuous).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: RE2- and java.util.regex-compatible patterns (keep in sync with the
+#: oracle SQL in plans/llm_queries.py).
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9 -]{6,}[0-9]"
+URL_RE = r"https?://[^\s]+"
+DOMAIN_RE = r"https?://([^/\s]+)"
+
+WEB_FIXTURE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures_data",
+    "web_documents.parquet",
+)
+
+
+def web_documents_fixture(spark: SparkSession) -> DataFrame:
+    """200 deterministic docs with paragraphs, emails, phones and URLs."""
+    return spark.read.parquet(WEB_FIXTURE_PATH)
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails then phone numbers; emit counts + a digest of the
+    redacted text (the digest pins the exact redaction output without
+    shipping full text downstream).
+
+    Output: ``doc_id, n_emails, n_phones, redacted_digest``.
+    Redaction order matters (an email's local part may contain digits);
+    emails are replaced first so the phone pass sees no mail addresses.
+    """
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(PHONE_RE), 0)).alias(
+            "n_phones"
+        ),
+        F.md5(redacted).alias("redacted_digest"),
+    )
+
+
+def url_domain_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-domain link statistics: how many URLs and distinct documents
+    reference each domain.  Output: ``domain, n_urls, n_docs``."""
+    urls = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0)).alias(
+            "url"
+        ),
+    )
+    return (
+        urls.select("doc", F.regexp_extract("url", DOMAIN_RE, 1).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct("doc").alias("n_docs"),
+        )
+    )
+
+
+def paragraph_dedup_keys(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Paragraph-level exact dedup: split on blank lines, fingerprint each
+    normalized paragraph, group by fingerprint.
+
+    Output: ``fingerprint, keep_id (min doc), n_occurrences, n_docs`` —
+    the paragraph twin of document exact-dedup (a near-universal training
+    -data step: boilerplate paragraphs repeat across pages)."""
+    paras = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), r"\n\n")).alias("para"),
+    ).select("doc", F.trim(F.col("para")).alias("para"))
+    paras = paras.filter(F.length("para") > 0)
+    return (
+        paras.select("doc", F.md5("para").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc").alias("n_docs"),
+        )
+    )
+
+
+def contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 8,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Benchmark-contamination scan: for every candidate doc, how many of
+    its distinct word ``n``-grams appear anywhere in the benchmark corpus
+    (the standard decontamination step before training on scraped data).
+
+    Output: ``doc_id, n_ngrams, n_contaminated, contamination`` (ratio,
+    rounded).  The benchmark side collapses to a DISTINCT n-gram set —
+    usually small enough to broadcast; the candidate side streams."""
+    from .jaccard import shingle_index
+
+    cand = shingle_index(df, text_col, id_col, n=n)
+    bench_grams = (
+        shingle_index(benchmark, text_col, id_col, n=n).select("s").distinct()
+    )
+    per_doc = cand.groupBy("doc").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        cand.join(bench_grams, "s")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        per_doc.join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_ngrams",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce("n_contaminated", F.lit(0)) / F.col("n_ngrams"), ndigits
+            ).alias("contamination"),
+        )
+    )

@@ -36,6 +36,17 @@ from ..operators.llm.multimodal import (
     media_assets_fixture,
     media_dedup_keys,
 )
+from ..operators.llm.textclean import (
+    EMAIL_RE,
+    PHONE_RE,
+    URL_RE,
+    WEB_FIXTURE_PATH,
+    contamination_check,
+    paragraph_dedup_keys,
+    pii_redact,
+    url_domain_stats,
+    web_documents_fixture,
+)
 from . import QueryDef
 
 #: SQL fragment: identical normalization to textstats.normalized_text
@@ -154,6 +165,79 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = assets.withColumn("asset_id", F.col("asset_id") + 1000)
     feats = extract_media_features(assets.unionByName(dup))
     return media_dedup_keys(feats)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the committed web-documents fixture; the digest
+    column pins the exact redacted output."""
+    return pii_redact(web_documents_fixture(spark))
+
+
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return url_domain_stats(web_documents_fixture(spark))
+
+
+def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return paragraph_dedup_keys(web_documents_fixture(spark))
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: docs vs the held-out tenth of the
+    corpus (doc_id % 10 == 0) on distinct word 8-grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    cand = docs.filter(F.col("doc_id") % 10 != 0)
+    return contamination_check(cand, bench, n=8)
+
+
+_WEB = f"read_parquet('{WEB_FIXTURE_PATH}/*.parquet')"
+
+_PII_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_digest
+FROM {_WEB}
+"""
+
+_URL_SQL = f"""
+WITH u AS (SELECT doc_id AS doc, unnest(regexp_extract_all(text, '{URL_RE}')) AS url
+           FROM {_WEB})
+SELECT regexp_extract(url, 'https?://([^/\\s]+)', 1) AS domain,
+       count(*) AS n_urls, count(DISTINCT doc) AS n_docs
+FROM u GROUP BY 1
+"""
+
+_PARA_SQL = f"""
+WITH p0 AS (SELECT doc_id AS doc,
+                   trim(unnest(string_split(text, chr(10) || chr(10)))) AS para
+            FROM {_WEB}),
+p AS (SELECT doc, para FROM p0 WHERE length(para) > 0)
+SELECT md5(para) AS fingerprint, min(doc) AS keep_id,
+       count(*) AS n_occurrences, count(DISTINCT doc) AS n_docs
+FROM p GROUP BY 1
+"""
+
+#: 8-gram shingles (the contamination unit) — same construction as
+#: _SHINGLES with n = 8.
+_SHINGLES8 = (
+    "CASE WHEN len(toks) < 8 THEN CAST([] AS VARCHAR[]) "
+    "ELSE list_distinct([array_to_string(toks[i:i+7], ' ') "
+    "     for i in generate_series(1, len(toks) - 7)]) END"
+)
+
+_CONTAM_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id AS doc, unnest({_SHINGLES8}) AS s FROM t WHERE doc_id % 10 <> 0),
+bg AS (SELECT DISTINCT unnest({_SHINGLES8}) AS s FROM t WHERE doc_id % 10 = 0),
+pd AS (SELECT doc, count(*) AS n_ngrams FROM sh GROUP BY doc),
+h AS (SELECT sh.doc, count(*) AS n_contaminated FROM sh JOIN bg USING (s) GROUP BY sh.doc)
+SELECT pd.doc AS doc_id, pd.n_ngrams,
+       coalesce(h.n_contaminated, 0) AS n_contaminated,
+       round(coalesce(h.n_contaminated, 0) * 1.0 / pd.n_ngrams, 6) AS contamination
+FROM pd LEFT JOIN h ON pd.doc = h.doc
+"""
 
 
 _QUALITY_SQL = f"""
@@ -358,6 +442,10 @@ FROM fps GROUP BY doc_id
     ),
     "q_text_quality": QueryDef(q_text_quality, _QUALITY_SQL),
     "q_lang_id": QueryDef(q_lang_id, _LANG_SQL),
+    "q_pii_redact": QueryDef(q_pii_redact, _PII_SQL),
+    "q_url_domains": QueryDef(q_url_domains, _URL_SQL),
+    "q_para_dedup": QueryDef(q_para_dedup, _PARA_SQL),
+    "q_contamination": QueryDef(q_contamination, _CONTAM_SQL),
     "q_ngram_jaccard": QueryDef(q_ngram_jaccard, _JACCARD_SQL),
     # LSH affects recall only; on these fixtures every true pair sits at
     # J ≥ 0.8 where 16×4 banding recall is ≈ 1 (verified at sf0.01 and

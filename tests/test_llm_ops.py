@@ -45,6 +45,37 @@ def test_simhash_pairs_deterministic_and_bounded(spark):
     assert len(a) > 0
 
 
+def test_textclean_ops_nonvacuous(spark):
+    """The web fixture must exercise every path: PII present, duplicated
+    paragraphs present, URLs present; contamination finds hits on the
+    star documents corpus."""
+    from sales_forecast_mlops_at_scale_spark.operators.llm import (
+        contamination_check,
+        paragraph_dedup_keys,
+        pii_redact,
+        url_domain_stats,
+        web_documents_fixture,
+    )
+
+    web = web_documents_fixture(spark)
+    pii = pii_redact(web)
+    assert pii.filter((F.col("n_emails") > 0) | (F.col("n_phones") > 0)).count() > 0
+    assert pii.filter(F.col("n_emails") > 0).count() > 0
+
+    domains = {r.domain for r in url_domain_stats(web).collect()}
+    assert "docs.example.com" in domains and "blog.example.org" in domains
+
+    paras = paragraph_dedup_keys(web)
+    assert paras.filter(F.col("n_docs") > 1).count() > 0  # shared boilerplate found
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    cand = docs.filter(F.col("doc_id") % 10 != 0)
+    contam = contamination_check(cand, bench, n=8)
+    assert contam.filter(F.col("n_contaminated") > 0).count() > 0
+    assert contam.filter(F.col("contamination") > 1.0).count() == 0
+
+
 def test_exact_dedup_invariants(spark):
     docs = load_table(spark, SF_DIR, "documents")
     total = docs.count()
