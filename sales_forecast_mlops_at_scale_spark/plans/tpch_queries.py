@@ -10,7 +10,7 @@ shuffles for a dimension join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -439,15 +439,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "s_name", "s_acctbal", "n_name", "supplycost")
     )
-    min_cost = eps.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
-        F.min("supplycost").alias("min_cost")
-    )
+    # decorrelated MIN as a window over the same partitioning — one
+    # shuffle on p_partkey instead of aggregate + sort-merge self-join
+    # (measured: drops 2 exchanges + an SMJ from the plan)
+    w_min = Window.partitionBy("p_partkey")
     return (
-        eps.join(
-            min_cost,
-            (eps.p_partkey == F.col("mc_partkey"))
-            & (eps.supplycost == F.col("min_cost")),
-        )
+        eps.withColumn("min_cost", F.min("supplycost").over(w_min))
+        .filter(F.col("supplycost") == F.col("min_cost"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "supplycost")
         .orderBy(
             F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
@@ -602,14 +600,15 @@ def q20_promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
         .select("l_partkey", "l_suppkey", "l_quantity")
     )
+    # pair and part totals share the l_partkey partitioning: compute the
+    # part total as a window over the pair aggregate — one shuffle, no
+    # aggregate-to-aggregate join
     by_pair = red98.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").alias("pair_qty")
     )
-    by_part = red98.groupBy(F.col("l_partkey").alias("pp_partkey")).agg(
-        F.sum("l_quantity").alias("part_qty")
-    )
+    w_part = Window.partitionBy("l_partkey")
     dominant = (
-        by_pair.join(by_part, by_pair.l_partkey == F.col("pp_partkey"))
+        by_pair.withColumn("part_qty", F.sum("pair_qty").over(w_part))
         .filter(F.col("pair_qty") > F.col("part_qty") * 0.5)
         .select("l_suppkey")
         .distinct()
