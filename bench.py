@@ -54,6 +54,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_rollup_pricing",
     "q_daily_rollup",
     "q_json_props",
+    "q_funnel",
+    "q_cohort_retention",
     "q_set_ops",
     "q_percentiles",
     "q_exists_check",

@@ -307,6 +307,138 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# -- funnel analysis: ordered signup → click → purchase conversion ------------
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who signed up, then clicked at or
+    after signup, then purchased at or after that click.
+
+    Three chained min-CASE windows over ONE hash partitioning on user_id
+    (no orderBy → unbounded frames, no sort) — the whole funnel costs a
+    single shuffle, vs the self-join-per-stage formulation (one shuffle
+    per stage) a BI tool would emit."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "s_ts", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "c_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("s_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("c_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.select("user_id", "s_ts", "c_ts", "p_ts").distinct()
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("s_ts").alias("n_signed_up"),
+        F.count(F.when(F.col("c_ts").isNotNull() & F.col("s_ts").isNotNull(), 1)).alias(
+            "n_clicked_after"
+        ),
+        F.count(
+            F.when(F.col("p_ts").isNotNull() & F.col("c_ts").isNotNull(), 1)
+        ).alias("n_purchased_after"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH staged AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'signup' THEN ts END)
+      OVER (PARTITION BY user_id) AS s_ts
+  FROM events),
+s1 AS (
+  SELECT e.user_id, st.s_ts,
+    min(CASE WHEN e.event_type = 'click' AND e.ts >= st.s_ts THEN e.ts END) AS c_ts
+  FROM events e JOIN (SELECT DISTINCT user_id, s_ts FROM staged) st USING (user_id)
+  GROUP BY 1, 2),
+s2 AS (
+  SELECT e.user_id, s1.s_ts, s1.c_ts,
+    min(CASE WHEN e.event_type = 'purchase' AND e.ts >= s1.c_ts THEN e.ts END) AS p_ts
+  FROM events e JOIN s1 USING (user_id)
+  GROUP BY 1, 2, 3)
+SELECT count(*) AS n_users,
+       count(s_ts) AS n_signed_up,
+       count(CASE WHEN c_ts IS NOT NULL AND s_ts IS NOT NULL THEN 1 END) AS n_clicked_after,
+       count(CASE WHEN p_ts IS NOT NULL AND c_ts IS NOT NULL THEN 1 END) AS n_purchased_after
+FROM s2
+"""
+
+
+# -- cohort retention: first-event week × activity week ----------------------
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by the week of
+    their first event, counted per week-offset of later activity.  One
+    window (first ts per user) + one aggregation — two shuffles total."""
+    ev = _events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    cohorts = (
+        ev.withColumn("first_ts", F.min("ts").over(w))
+        .select(
+            "user_id",
+            F.date_trunc("week", "first_ts").cast("date").alias("cohort_week"),
+            F.date_trunc("week", "ts").cast("date").alias("activity_week"),
+        )
+    )
+    return (
+        cohorts.groupBy("cohort_week")
+        .agg(
+            F.count_distinct("user_id").alias("cohort_size"),
+        )
+        .join(
+            cohorts.withColumn(
+                "weeks_since",
+                (F.datediff("activity_week", "cohort_week") / 7).cast("int"),
+            )
+            .groupBy("cohort_week", "weeks_since")
+            .agg(F.count_distinct("user_id").alias("n_active")),
+            "cohort_week",
+        )
+        .select("cohort_week", "cohort_size", "weeks_since", "n_active")
+    )
+
+
+_COHORT_SQL = """
+WITH c AS (
+  SELECT user_id,
+         CAST(date_trunc('week', min(ts) OVER (PARTITION BY user_id)) AS DATE)
+           AS cohort_week,
+         CAST(date_trunc('week', ts) AS DATE) AS activity_week
+  FROM events),
+sizes AS (SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+          FROM c GROUP BY 1),
+act AS (SELECT cohort_week,
+               CAST(datediff('day', cohort_week, activity_week) // 7 AS INTEGER)
+                 AS weeks_since,
+               count(DISTINCT user_id) AS n_active
+        FROM c GROUP BY 1, 2)
+SELECT act.cohort_week, sizes.cohort_size, act.weeks_since, act.n_active
+FROM act JOIN sizes USING (cohort_week)
+"""
+
+
 # -- approximate distinct (HLL sketch; rows-only, tolerance-tested) -----------
 
 
@@ -335,6 +467,8 @@ QUERIES: dict[str, QueryDef] = {
     "q_json_props": QueryDef(q_json_props, _JSON_SQL),
     "q_set_ops": QueryDef(q_set_ops, _SET_SQL),
     "q_percentiles": QueryDef(q_percentiles, _PCT_SQL),
+    "q_funnel": QueryDef(q_funnel, _FUNNEL_SQL),
+    "q_cohort_retention": QueryDef(q_cohort_retention, _COHORT_SQL),
     # q_approx_users is deliberately NOT registered: an HLL sketch has no
     # exact SQL twin, so a driver-facing entry can only ever land as a
     # weak/err row.  The operator is exercised (with a ±5% tolerance
