@@ -12,6 +12,7 @@ from .metrics import forecast_error_metrics
 from .rebase import rebase_dates
 from .requests import build_request_matrix
 from .scaffold import date_scaffold
+from .scale import salted_join, top_keys, write_bucketed
 from .timeseries import (
     asof_join,
     interval_join_agg,
@@ -32,4 +33,7 @@ __all__ = [
     "rebase_dates",
     "build_request_matrix",
     "date_scaffold",
+    "salted_join",
+    "top_keys",
+    "write_bucketed",
 ]
