@@ -53,6 +53,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_moving_avg",
     "q_rollup_pricing",
     "q_daily_rollup",
+    "q_sliding_rollup",
     "q_json_props",
     "q_funnel",
     "q_cohort_retention",

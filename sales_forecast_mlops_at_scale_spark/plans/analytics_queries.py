@@ -20,7 +20,7 @@ from ..operators.timeseries import (
     moving_aggregate,
     sessionize,
 )
-from ..streaming.ingest import windowed_daily_rollup
+from ..streaming.ingest import windowed_daily_rollup, windowed_sliding_rollup
 from . import QueryDef
 
 
@@ -307,6 +307,33 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# -- sliding-window rollup (streaming operator, batch twin for the oracle) ----
+
+
+def q_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day windows sliding every 6 hours per event type — each event
+    lands in 4 overlapping windows.  Same operator serves the stream
+    (watermarked) and this batch twin; windows align to the epoch slide
+    grid in both engines, which is what the oracle reproduces."""
+    return windowed_sliding_rollup(
+        _events(spark, sf_dir), window="1 day", slide="6 hours"
+    )
+
+
+#: Each event belongs to the 4 slide-grid windows covering it:
+#: start = floor(epoch/21600)*21600 − k·21600, k ∈ 0..3 (window = 4·slide).
+_SLIDING_SQL = """
+WITH w AS (
+  SELECT event_type, value,
+         make_timestamp(((CAST(floor(epoch(ts) / 21600) AS BIGINT) - k.k)
+                         * 21600) * 1000000) AS window_start
+  FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k)
+SELECT window_start, window_start + INTERVAL 1 DAY AS window_end, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM w GROUP BY 1, 2, 3
+"""
+
+
 # -- funnel analysis: ordered signup → click → purchase conversion ------------
 
 
@@ -467,6 +494,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_json_props": QueryDef(q_json_props, _JSON_SQL),
     "q_set_ops": QueryDef(q_set_ops, _SET_SQL),
     "q_percentiles": QueryDef(q_percentiles, _PCT_SQL),
+    "q_sliding_rollup": QueryDef(q_sliding_rollup, _SLIDING_SQL),
     "q_funnel": QueryDef(q_funnel, _FUNNEL_SQL),
     "q_cohort_retention": QueryDef(q_cohort_retention, _COHORT_SQL),
     # q_approx_users is deliberately NOT registered: an HLL sketch has no

@@ -197,6 +197,65 @@ def run_stream_ingest(
     query.awaitTermination()
 
 
+def windowed_sliding_rollup(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: Sequence[str] = ("event_type",),
+    window: str = "1 day",
+    slide: str = "6 hours",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Sliding-window aggregate: each event contributes to every
+    ``window``-long window on the ``slide`` grid containing it (e.g. a
+    1-day window sliding 6h → 4 overlapping windows per event).
+
+    Streaming: watermarked, emitted when windows close.  Batch: identical
+    semantics (``F.window`` is trigger-agnostic), which is what makes the
+    operator oracle-checkable — windows align to the epoch slide grid in
+    both engines."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window, slide).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    *,
+    keys: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Exactly-once event dedup INSIDE the stream (ST-family upgrade):
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes, so state is bounded by (keys/interval) instead of
+    growing with the full history — the streaming twin of the sink-side
+    anti-join MERGE in :func:`idempotent_append_batch`.
+
+    Batch frames fall back to plain ``dropDuplicates`` (same semantics
+    when the whole input is one "batch")."""
+    if not events.isStreaming:
+        return events.dropDuplicates(list(keys))
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def windowed_daily_rollup(
     events: DataFrame,
     *,

@@ -123,6 +123,89 @@ def test_windowed_daily_rollup_batch_twin(spark):
     assert days >= 28  # fixture spans ~1 month
 
 
+def test_sliding_rollup_stream_matches_batch_twin(spark, tmp_path):
+    """The SAME operator run as a stream (complete mode) and as a batch
+    frame must agree — F.window is trigger-agnostic."""
+    from sales_forecast_mlops_at_scale_spark.streaming.ingest import (
+        windowed_sliding_rollup,
+    )
+
+    src = tmp_path / "slide_in"
+    src.mkdir()
+    rows = [
+        {"event_type": "click", "ts": f"2026-01-01T{h:02d}:30:00", "value": float(h)}
+        for h in range(0, 24, 3)
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    # watermarks need TIMESTAMP (not NTZ); session tz is UTC so the
+    # window grid matches the batch twin exactly
+    schema = "event_type string, ts timestamp, value double"
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        windowed_sliding_rollup(stream, window="1 day", slide="6 hours")
+        .writeStream.format("memory")
+        .queryName("slide_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_slide"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.window_end, r.event_type, r.n_events, r.sum_value)
+        for r in spark.table("slide_out").collect()
+    }
+    batch = spark.read.schema(schema).json(str(src))
+    want = {
+        (r.window_start, r.window_end, r.event_type, r.n_events, r.sum_value)
+        for r in windowed_sliding_rollup(batch, window="1 day", slide="6 hours").collect()
+    }
+    assert got == want and len(want) > 0
+    # every event covered by exactly window/slide = 4 windows
+    assert sum(r[3] for r in want) == len(rows) * 4
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a re-delivered event id in a later
+    micro-batch must not be emitted twice."""
+    import os
+    import time
+
+    from sales_forecast_mlops_at_scale_spark.streaming.ingest import streaming_dedup
+
+    src = tmp_path / "dedup_in"
+    src.mkdir()
+    a = [{"event_id": 1, "ts": "2026-01-01T10:00:00", "value": 1.0},
+         {"event_id": 2, "ts": "2026-01-01T10:05:00", "value": 2.0}]
+    b = [{"event_id": 1, "ts": "2026-01-01T10:00:00", "value": 1.0},  # re-delivery
+         {"event_id": 3, "ts": "2026-01-01T10:10:00", "value": 3.0}]
+    fa, fb = src / "a.json", src / "b.json"
+    fa.write_text("\n".join(json.dumps(r) for r in a) + "\n")
+    fb.write_text("\n".join(json.dumps(r) for r in b) + "\n")
+    now = time.time()
+    os.utime(fa, (now - 60, now - 60))
+    os.utime(fb, (now, now))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        streaming_dedup(stream, keys=("event_id",), watermark="1 day")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("dedup_out").collect()
+    assert sorted(r.event_id for r in emitted) == [1, 2, 3]  # id 1 exactly once
+
+
 def test_stateful_latest_per_key_across_batches(spark, tmp_path):
     """applyInPandasWithState dedup: state carries the newest row across
     micro-batches — a later batch delivering only stale rows re-emits the
