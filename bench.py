@@ -59,6 +59,10 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_cohort_retention",
     "q_set_ops",
     "q_percentiles",
+    "q_pivot_daily",
+    "q_cube_pricing",
+    "q_snapshot_diff",
+    "q_profile_orders",
     "q_exists_check",
     "q_dedup_exact",
     "q_ngram_jaccard",

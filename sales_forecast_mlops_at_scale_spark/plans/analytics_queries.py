@@ -466,6 +466,181 @@ FROM act JOIN sizes USING (cohort_week)
 """
 
 
+# -- pivot: event types → columns (the BI crosstab shape) ---------------------
+
+
+def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts pivoted to one column per event type.  The pivot
+    values are DECLARED (not discovered) — at 100 TB an undeclared pivot
+    first runs a distinct scan to find the columns; declaring them keeps
+    it to one aggregation pass."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .select(
+            "day",
+            *[F.col(t).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+_PIVOT_SQL = """
+SELECT CAST(ts AS DATE) AS day,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+FROM events GROUP BY 1
+"""
+
+
+# -- CUBE: all grouping-set combinations in one pass --------------------------
+
+
+def q_cube_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping combinations
+    (detail, each single-dim rollup, grand total) in ONE shuffle — the
+    engine expands grouping sets map-side instead of four separate scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "sum_price",
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_rows,
+       round(sum(l_extendedprice), 4) AS sum_price
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# -- snapshot diff (CDC shape): what changed between two date windows ---------
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data capture between two day-windows of the event stream:
+    per user, classify as added (active only in window B), removed (only
+    in A), or changed/persisted — one full-outer join on the key, the
+    standard snapshot-diff shape for incremental pipelines."""
+    ev = _events(spark, sf_dir)
+    lo = F.col("ts").cast("date")
+    a = (
+        ev.filter((lo >= "2024-01-01") & (lo <= "2024-01-07"))
+        .groupBy(F.col("user_id").alias("ua"))
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    b = (
+        ev.filter((lo >= "2024-01-08") & (lo <= "2024-01-14"))
+        .groupBy(F.col("user_id").alias("ub"))
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    diff = a.join(b, a.ua == b.ub, "full_outer").select(
+        F.coalesce("ua", "ub").alias("user_id"),
+        F.coalesce("n_a", F.lit(0)).alias("n_week1"),
+        F.coalesce("n_b", F.lit(0)).alias("n_week2"),
+        F.when(F.col("ua").isNull(), "added")
+        .when(F.col("ub").isNull(), "removed")
+        .otherwise("persisted")
+        .alias("change"),
+    )
+    return diff
+
+
+_SNAPDIFF_SQL = """
+WITH a AS (SELECT user_id, count(*) AS n_a FROM events
+           WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-07'
+           GROUP BY 1),
+b AS (SELECT user_id, count(*) AS n_b FROM events
+      WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+      GROUP BY 1)
+SELECT coalesce(a.user_id, b.user_id) AS user_id,
+       coalesce(n_a, 0) AS n_week1,
+       coalesce(n_b, 0) AS n_week2,
+       CASE WHEN a.user_id IS NULL THEN 'added'
+            WHEN b.user_id IS NULL THEN 'removed'
+            ELSE 'persisted' END AS change
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+"""
+
+
+# -- column profiler: per-column null rate / cardinality / range --------------
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the orders table: one aggregation pass
+    computing null count, distinct count, and min/max per column, then
+    unpivoted to a (column, metric...) frame — the shape a catalog/DQ
+    service materializes nightly.  One scan for all columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            # min/max on the NATIVE type, cast after — casting first would
+            # make numeric ranges lexicographic ("999" > "1499")
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+_PROFILE_SQL = """
+WITH w AS (
+  SELECT
+    count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS k_n,
+    count(DISTINCT o_orderkey) AS k_d,
+    CAST(min(o_orderkey) AS VARCHAR) AS k_min, CAST(max(o_orderkey) AS VARCHAR) AS k_max,
+    count(CASE WHEN o_custkey IS NULL THEN 1 END) AS c_n,
+    count(DISTINCT o_custkey) AS c_d,
+    CAST(min(o_custkey) AS VARCHAR) AS c_min, CAST(max(o_custkey) AS VARCHAR) AS c_max,
+    count(CASE WHEN o_orderstatus IS NULL THEN 1 END) AS s_n,
+    count(DISTINCT o_orderstatus) AS s_d,
+    min(o_orderstatus) AS s_min, max(o_orderstatus) AS s_max,
+    count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS t_n,
+    count(DISTINCT o_totalprice) AS t_d,
+    CAST(min(o_totalprice) AS VARCHAR) AS t_min, CAST(max(o_totalprice) AS VARCHAR) AS t_max,
+    count(CASE WHEN o_orderpriority IS NULL THEN 1 END) AS p_n,
+    count(DISTINCT o_orderpriority) AS p_d,
+    min(o_orderpriority) AS p_min, max(o_orderpriority) AS p_max
+  FROM orders)
+SELECT 'o_orderkey' AS "column", k_n AS n_nulls, k_d AS n_distinct, k_min AS min_value, k_max AS max_value FROM w
+UNION ALL SELECT 'o_custkey', c_n, c_d, c_min, c_max FROM w
+UNION ALL SELECT 'o_orderstatus', s_n, s_d, s_min, s_max FROM w
+UNION ALL SELECT 'o_totalprice', t_n, t_d, t_min, t_max FROM w
+UNION ALL SELECT 'o_orderpriority', p_n, p_d, p_min, p_max FROM w
+"""
+
+
 # -- approximate distinct (HLL sketch; rows-only, tolerance-tested) -----------
 
 
@@ -495,6 +670,10 @@ QUERIES: dict[str, QueryDef] = {
     "q_set_ops": QueryDef(q_set_ops, _SET_SQL),
     "q_percentiles": QueryDef(q_percentiles, _PCT_SQL),
     "q_sliding_rollup": QueryDef(q_sliding_rollup, _SLIDING_SQL),
+    "q_pivot_daily": QueryDef(q_pivot_daily, _PIVOT_SQL),
+    "q_cube_pricing": QueryDef(q_cube_pricing, _CUBE_SQL),
+    "q_snapshot_diff": QueryDef(q_snapshot_diff, _SNAPDIFF_SQL),
+    "q_profile_orders": QueryDef(q_profile_orders, _PROFILE_SQL),
     "q_funnel": QueryDef(q_funnel, _FUNNEL_SQL),
     "q_cohort_retention": QueryDef(q_cohort_retention, _COHORT_SQL),
     # q_approx_users is deliberately NOT registered: an HLL sketch has no
