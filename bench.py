@@ -67,6 +67,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_dedup_exact",
     "q_ngram_jaccard",
     "q_minhash_dedup",
+    "q_dedup_clusters",
     "q_simhash_pairs",
     "q_text_quality",
     "q_token_count_bpe",

@@ -13,6 +13,7 @@ Design rules for this package:
   broadcast of the corpus.
 """
 
+from .cluster import connected_components
 from .embedsim import brute_force_topk, ivf_topk, neardup_pairs
 from .exact_dedup import exact_dedup, exact_dedup_keys
 from .jaccard import ngram_jaccard_pairs, shingles
@@ -36,6 +37,7 @@ from .textstats import (
 )
 
 __all__ = [
+    "connected_components",
     "brute_force_topk",
     "ivf_topk",
     "neardup_pairs",

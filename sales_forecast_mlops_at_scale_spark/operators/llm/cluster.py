@@ -1,0 +1,80 @@
+"""Connected components over near-duplicate pair graphs — the step that
+turns pairwise dedup output (MinHash/SimHash/Jaccard pairs) into
+KEEP/DROP decisions: every doc gets the id of its duplicate-cluster
+representative (the minimum doc id in its component).
+
+Algorithm: min-label propagation (the relational core of
+large-star/small-star):
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+iterated to fixpoint.  Each round is one join + one aggregation —
+entirely shuffle-based, no driver-side graph.  Rounds needed =
+graph diameter; near-dup clusters are small and dense (diameter ≤ 3-4
+in practice), so the loop converges in a handful of rounds.  The
+per-round ``count()`` is a 1-row convergence probe, and
+``localCheckpoint`` truncates the growing lineage so round N's plan does
+not replay rounds 1..N-1.
+
+Deterministic: the fixpoint (min id per component) is unique regardless
+of iteration order, so a SQL engine can reproduce it with a recursive
+closure — see ``plans/llm_queries._CLUSTER_SQL``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    *,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster labels for every node appearing in ``pairs``.
+
+    Output: ``doc_id, cluster_id`` where ``cluster_id`` is the minimum
+    doc id in the node's connected component.  Nodes not in any pair are
+    singletons by definition and are NOT emitted (join the full corpus
+    with a coalesce-to-self downstream when a total labeling is needed).
+    """
+    edges = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # truncate iterative lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.llm import (
     brute_force_topk,
+    connected_components,
     exact_dedup_keys,
     ivf_topk,
     language_id,
@@ -127,6 +128,15 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cascade capstone: MinHash-LSH near-dup pairs → connected
+    components → (doc, cluster representative).  This is the actual
+    KEEP/DROP decision a training-data pipeline executes (keep the
+    cluster minimum, drop the rest)."""
+    pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    return connected_components(pairs)
 
 
 def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,6 +473,29 @@ FROM fps GROUP BY doc_id
         " WHERE round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) >= 0.5",
     ),
     "q_simhash_pairs": QueryDef(q_simhash_pairs, _SIMHASH_SQL),
+    # the LSH pair set equals the exact-Jaccard pair set on these fixtures
+    # (see q_minhash_dedup note), so the closure over the exact pairs is a
+    # valid oracle for the clustering; the recursive CTE computes the
+    # same min-per-component fixpoint as the label propagation.
+    "q_dedup_clusters": QueryDef(
+        q_dedup_clusters,
+        f"WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),"
+        f"sh AS (SELECT doc_id AS doc, unnest({_SHINGLES}) AS s FROM t),"
+        "sz AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),"
+        "inter AS (SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common"
+        "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2),"
+        "pairs AS (SELECT id_a, id_b FROM inter"
+        "  JOIN sz sa ON id_a = sa.doc JOIN sz sb ON id_b = sb.doc"
+        "  WHERE round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) >= 0.5),"
+        "e AS (SELECT id_a AS a, id_b AS b FROM pairs"
+        "  UNION SELECT id_b, id_a FROM pairs"
+        "  UNION SELECT id_a, id_a FROM pairs UNION SELECT id_b, id_b FROM pairs),"
+        "reach AS (WITH RECURSIVE r(a, b) AS ("
+        "  SELECT a, b FROM e"
+        "  UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)"
+        "  SELECT a, b FROM r)"
+        " SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a",
+    ),
     "q_embed_topk": QueryDef(q_embed_topk, _EMBED_TOPK_SQL),
     "q_embed_ivf_topk": QueryDef(q_embed_ivf_topk, _EMBED_IVF_SQL),
     "q_embed_neardup": QueryDef(

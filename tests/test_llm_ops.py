@@ -76,6 +76,20 @@ def test_textclean_ops_nonvacuous(spark):
     assert contam.filter(F.col("contamination") > 1.0).count() == 0
 
 
+def test_connected_components_multihop(spark):
+    """A chain 1-2-3-4 (diameter 3) and a separate pair 10-11 must
+    converge to min-labels across hops, not just direct neighbors."""
+    from sales_forecast_mlops_at_scale_spark.operators.llm import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
 def test_exact_dedup_invariants(spark):
     docs = load_table(spark, SF_DIR, "documents")
     total = docs.count()
