@@ -71,6 +71,11 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_simhash_pairs",
     "q_text_quality",
     "q_token_count_bpe",
+    "q_curation",
+    "q_pack_shards",
+    "q_contamination",
+    "q_pii_redact",
+    "q_para_dedup",
     "q_winnow_fingerprint",
     "q_embed_topk",
     "q_embed_ivf_topk",

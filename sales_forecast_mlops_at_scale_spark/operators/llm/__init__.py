@@ -14,6 +14,13 @@ Design rules for this package:
 """
 
 from .cluster import connected_components
+from .curation import (
+    cap_per_group,
+    curation_decision,
+    deterministic_sample,
+    pack_shards,
+    sample_threshold_hex,
+)
 from .embedsim import brute_force_topk, ivf_topk, neardup_pairs
 from .exact_dedup import exact_dedup, exact_dedup_keys
 from .jaccard import ngram_jaccard_pairs, shingles
@@ -38,6 +45,11 @@ from .textstats import (
 
 __all__ = [
     "connected_components",
+    "cap_per_group",
+    "curation_decision",
+    "deterministic_sample",
+    "pack_shards",
+    "sample_threshold_hex",
     "brute_force_topk",
     "ivf_topk",
     "neardup_pairs",

@@ -1,0 +1,135 @@
+"""Training-data curation operators: deterministic sampling, per-source
+caps, token-budget shard packing, and the composed keep/drop decision.
+
+These are the steps between "a batch of scraped documents" and "a
+training mix": downsample deterministically, bound any single source's
+share, pack the survivors into fixed-token-budget shards, and record WHY
+each dropped doc was dropped.  All pure relational plans (windows +
+hashes + joins); determinism comes from md5-derived keys, never RNG, so
+every step is oracle-checkable and reproducible across runs and engines.
+
+Scale notes: sampling and capping are one window/filter over the scan;
+shard packing is a running sum per ``pack_by`` partition (shuffle on the
+partition key only — pack within language/source groups rather than a
+global order, which would serialize).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sample_threshold_hex(fraction: float) -> str:
+    """The 8-hex-char threshold for :func:`deterministic_sample`.
+    Lowercase-hex strings compare lexicographically exactly like their
+    numeric values, so the keep test is a plain string comparison in any
+    engine."""
+    return format(int(fraction * 0xFFFFFFFF), "08x")
+
+
+def deterministic_sample(
+    df: DataFrame,
+    fraction: float,
+    *,
+    id_col: str = "doc_id",
+    seed: str = "sample",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by a salted md5 of the id —
+    stable across runs, partitionings, and engines (no RNG, no
+    ``sample()`` nondeterminism).  The first 8 md5 hex chars are compared
+    against the fraction's hex threshold as strings."""
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8
+    )
+    return df.filter(bucket < F.lit(sample_threshold_hex(fraction)))
+
+
+def cap_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    *,
+    cap: int,
+    order_by: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """At most ``cap`` rows per key group (deterministic order) — bounds
+    any one source/domain's share of the training mix."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_by])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    *,
+    token_col: str,
+    budget: int,
+    pack_by: Sequence[str] = (),
+    order_by: Sequence[str] = ("doc_id",),
+) -> DataFrame:
+    """Assign each doc a shard id such that each shard holds ~``budget``
+    tokens: running token sum per ``pack_by`` partition, integer-divided
+    by the budget.  (A doc straddling a boundary goes to the shard its
+    cumulative END falls in — the standard greedy packing.)
+
+    With empty ``pack_by`` this is a single global order — correct but
+    serial; at scale always pack within a partition key (lang, source)."""
+    part = [F.col(c) for c in pack_by] if pack_by else [F.lit(1)]
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(*[F.col(c) for c in order_by])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # greatest(cum, 1): a zero-token head row would otherwise hit
+    # (0-1)/budget, where truncation (Spark cast) and floor division
+    # (SQL //) disagree on negatives
+    cum = F.greatest(F.sum(F.col(token_col)).over(w), F.lit(1))
+    return df.withColumn("shard", ((cum - 1) / F.lit(budget)).cast("long"))
+
+
+def curation_decision(
+    docs: DataFrame,
+    *,
+    quality: DataFrame,
+    langs: Sequence[str],
+    dup_drop: DataFrame,
+    min_quality: float,
+    source_cap: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The composed keep/drop decision with reasons — the audit artifact a
+    curation pipeline materializes next to the training mix.
+
+    Order of elimination: duplicate → language → quality → source cap
+    (each doc gets the FIRST reason that disqualifies it; the cap ranks
+    only among docs that survived the earlier filters).  Output:
+    ``doc_id, keep, reason``."""
+    q = quality.select(id_col, "quality_score")
+    dup = dup_drop.select(F.col(id_col).alias("__dup_id")).distinct()
+    flagged = (
+        docs.join(q, id_col, "left")
+        .join(dup, docs[id_col] == F.col("__dup_id"), "left")
+        .withColumn("__is_dup", F.col("__dup_id").isNotNull())
+        .withColumn("__lang_ok", F.col("lang").isin(*langs))
+        .withColumn("__qual_ok", F.col("quality_score") >= min_quality)
+        .withColumn(
+            "__surv",
+            (~F.col("__is_dup")) & F.col("__lang_ok") & F.col("__qual_ok"),
+        )
+    )
+    w_cap = Window.partitionBy("source", "__surv").orderBy(id_col)
+    flagged = flagged.withColumn("__rk", F.row_number().over(w_cap))
+    keep = F.col("__surv") & (F.col("__rk") <= source_cap)
+    reason = (
+        F.when(F.col("__is_dup"), "duplicate")
+        .when(~F.col("__lang_ok"), "language")
+        .when(~F.col("__qual_ok"), "quality")
+        .when(F.col("__rk") > source_cap, "source_cap")
+        .otherwise("kept")
+    )
+    return flagged.select(F.col(id_col), keep.alias("keep"), reason.alias("reason"))

@@ -17,7 +17,13 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..operators.llm import (
     brute_force_topk,
+    cap_per_group,
     connected_components,
+    curation_decision,
+    deterministic_sample,
+    normalized_text,
+    pack_shards,
+    sample_threshold_hex,
     exact_dedup_keys,
     ivf_topk,
     language_id,
@@ -137,6 +143,58 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster minimum, drop the rest)."""
     pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
     return connected_components(pairs)
+
+
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25% deterministic downsample by salted-md5 hex threshold."""
+    return deterministic_sample(
+        load_table(spark, sf_dir, "documents"), 0.25
+    ).select("doc_id", "source", "lang")
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At most 8 docs per source (deterministic doc_id order) — the
+    source-mixing cap of a training-data recipe."""
+    return cap_per_group(
+        load_table(spark, sf_dir, "documents"), ["source"], cap=8
+    ).select("doc_id", "source")
+
+
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing within each language: running token sum
+    // 2000 — the sequence-packing shape of training-data prep."""
+    docs = token_count(load_table(spark, sf_dir, "documents"))
+    return pack_shards(
+        docs.select("doc_id", "lang", "n_tokens"),
+        token_col="n_tokens",
+        budget=2000,
+        pack_by=("lang",),
+    ).select("doc_id", "lang", "n_tokens", "shard")
+
+
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation decision: exact-dup drop → language allow
+    list → quality bar → per-source cap, each doc labeled keep/reason."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = text_quality(docs.select("doc_id", "text")).select(
+        "doc_id", "quality_score"
+    )
+    fp = docs.select("doc_id", F.md5(normalized_text(F.col("text"))).alias("f"))
+    from pyspark.sql import Window as _W
+
+    dup_drop = (
+        fp.withColumn("kid", F.min("doc_id").over(_W.partitionBy("f")))
+        .filter(F.col("doc_id") != F.col("kid"))
+        .select("doc_id")
+    )
+    return curation_decision(
+        docs,
+        quality=quality,
+        langs=("en", "de", "fr"),
+        dup_drop=dup_drop,
+        min_quality=0.65,
+        source_cap=8,
+    )
 
 
 def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,6 +553,55 @@ FROM fps GROUP BY doc_id
         "  UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)"
         "  SELECT a, b FROM r)"
         " SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a",
+    ),
+    "q_sample_deterministic": QueryDef(
+        q_sample_deterministic,
+        "SELECT doc_id, source, lang FROM documents"
+        " WHERE substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 8)"
+        f" < '{sample_threshold_hex(0.25)}'",
+    ),
+    "q_source_cap": QueryDef(
+        q_source_cap,
+        "SELECT doc_id, source FROM ("
+        "  SELECT doc_id, source,"
+        "         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn"
+        "  FROM documents) WHERE rn <= 8",
+    ),
+    "q_pack_shards": QueryDef(
+        q_pack_shards,
+        "WITH tc AS (SELECT doc_id, lang,"
+        "  CASE WHEN length(trim(text)) = 0 THEN 0"
+        "       ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens"
+        "  FROM documents),"
+        " w AS (SELECT doc_id, lang, n_tokens,"
+        "  greatest(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id"
+        "    ROWS UNBOUNDED PRECEDING), 1) AS cum FROM tc)"
+        " SELECT doc_id, lang, n_tokens,"
+        " CAST((cum - 1) // 2000 AS BIGINT) AS shard FROM w",
+    ),
+    "q_curation": QueryDef(
+        q_curation,
+        f"""
+WITH q AS ({_QUALITY_SQL}),
+fp AS (SELECT doc_id, md5({_NORM}) AS f FROM documents),
+km AS (SELECT f, min(doc_id) AS kid FROM fp GROUP BY f),
+dup AS (SELECT fp.doc_id FROM fp JOIN km USING (f) WHERE fp.doc_id <> km.kid),
+base AS (SELECT d.doc_id, d.source, d.lang, q.quality_score,
+         EXISTS (SELECT 1 FROM dup WHERE dup.doc_id = d.doc_id) AS is_dup,
+         d.lang IN ('en', 'de', 'fr') AS lang_ok,
+         q.quality_score >= 0.65 AS qual_ok
+         FROM documents d JOIN q ON d.doc_id = q.doc_id),
+r AS (SELECT *, (NOT is_dup AND lang_ok AND qual_ok) AS surv FROM base),
+rk AS (SELECT *, row_number() OVER (PARTITION BY source, surv ORDER BY doc_id) AS rn
+       FROM r)
+SELECT doc_id, (surv AND rn <= 8) AS keep,
+       CASE WHEN is_dup THEN 'duplicate'
+            WHEN NOT lang_ok THEN 'language'
+            WHEN NOT qual_ok THEN 'quality'
+            WHEN rn > 8 THEN 'source_cap'
+            ELSE 'kept' END AS reason
+FROM rk
+""",
     ),
     "q_embed_topk": QueryDef(q_embed_topk, _EMBED_TOPK_SQL),
     "q_embed_ivf_topk": QueryDef(q_embed_ivf_topk, _EMBED_IVF_SQL),

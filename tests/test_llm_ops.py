@@ -76,6 +76,40 @@ def test_textclean_ops_nonvacuous(spark):
     assert contam.filter(F.col("contamination") > 1.0).count() == 0
 
 
+def test_curation_ops_invariants(spark):
+    """Sampling is repeatable and ≈fraction; caps bound group sizes;
+    shards respect the token budget except single oversized docs."""
+    from sales_forecast_mlops_at_scale_spark.operators.llm import (
+        cap_per_group,
+        deterministic_sample,
+        pack_shards,
+        token_count,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    s1 = deterministic_sample(docs, 0.25).select("doc_id")
+    s2 = deterministic_sample(docs, 0.25).select("doc_id")
+    assert sorted(r.doc_id for r in s1.collect()) == sorted(
+        r.doc_id for r in s2.collect()
+    )
+    assert abs(s1.count() / n - 0.25) < 0.1
+
+    capped = cap_per_group(docs, ["source"], cap=8)
+    sizes = capped.groupBy("source").count().collect()
+    assert all(r["count"] <= 8 for r in sizes)
+
+    tc = token_count(docs).select("doc_id", "lang", "n_tokens")
+    packed = pack_shards(tc, token_col="n_tokens", budget=2000, pack_by=("lang",))
+    per_shard = packed.groupBy("lang", "shard").agg(
+        F.sum("n_tokens").alias("toks"), F.count(F.lit(1)).alias("n")
+    )
+    # a shard only exceeds the budget by at most one doc's overhang
+    max_doc = tc.agg(F.max("n_tokens")).collect()[0][0]
+    assert per_shard.filter(F.col("toks") > 2000 + max_doc).count() == 0
+    assert packed.filter(F.col("shard") < 0).count() == 0
+
+
 def test_connected_components_multihop(spark):
     """A chain 1-2-3-4 (diameter 3) and a separate pair 10-11 must
     converge to min-labels across hops, not just direct neighbors."""
