@@ -51,6 +51,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_dim(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a dimension table with a broadcast hint attached.
+
+    Joins against the result build a broadcast hash join regardless of
+    AQE's size estimate — the right default for the star dims
+    (``DIM_TABLES``), which stay broadcastable at every scale factor.
+    Raises for fact tables so a 100 TB lineitem can't be hinted into
+    executor memory by accident."""
+    if name not in DIM_TABLES:
+        raise ValueError(f"{name} is not a dimension table: {sorted(DIM_TABLES)}")
+    return F.broadcast(load_table(spark, sf_dir, name))
+
+
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Register every star-schema fixture as a temp view; returns the frames."""
     out: dict[str, DataFrame] = {}

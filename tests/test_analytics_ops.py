@@ -24,6 +24,18 @@ def _ts(minutes: float) -> dt.datetime:
     return T0 + dt.timedelta(minutes=minutes)
 
 
+def test_approx_percentile_within_tolerance(spark):
+    """percentile_approx (the sketch twin of the exact q_percentiles
+    oracle path) must land within 2% of the exact median — sketches are
+    rows-only in the driver gate, tolerance-tested here."""
+    orders = load_table(spark, SF_DIR, "orders")
+    row = orders.agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("a"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("e"),
+    ).collect()[0]
+    assert abs(row.a - row.e) / row.e < 0.02
+
+
 def test_asof_join_right_tie_deterministic(spark):
     """Two right rows at the SAME (key, ts): the max-payload row must win,
     regardless of partitioning/run (engines' native ASOF tie is arbitrary)."""
