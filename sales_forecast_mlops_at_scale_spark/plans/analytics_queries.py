@@ -641,6 +641,108 @@ UNION ALL SELECT 'o_orderpriority', p_n, p_d, p_min, p_max FROM w
 """
 
 
+# -- SCD2 dimension merge -----------------------------------------------------
+
+
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD merge demo on the customer dimension: a deterministic
+    update batch (every 7th customer moves to MACHINERY on 2026-02-01)
+    applied to an all-open SCD2 snapshot — closed rows + new versions out.
+    The oracle recomputes the same merge in pure SQL."""
+    from ..operators.warehouse import scd2_merge
+
+    cust = load_table(spark, sf_dir, "customer")
+    current = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2026-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            F.lit("MACHINERY").alias("c_mktsegment"),
+            F.lit("2026-02-01").cast("date").alias("effective_date"),
+        )
+    )
+    merged = scd2_merge(
+        current,
+        updates,
+        key=["c_custkey"],
+        attrs=["c_mktsegment"],
+    )
+    # open rows surface with the standard SCD2 sentinel instead of NULL:
+    # null dates stringify engine-differently (None vs NaT) in the hash
+    # canon, and the sentinel is what BI tools BETWEEN against anyway
+    return merged.withColumn(
+        "valid_to", F.coalesce("valid_to", F.lit("9999-12-31").cast("date"))
+    )
+
+
+_SCD2_SQL = """
+WITH cur AS (
+  SELECT c_custkey, c_mktsegment,
+         DATE '2026-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM customer),
+upd AS (
+  SELECT c_custkey, 'MACHINERY' AS new_seg, DATE '2026-02-01' AS eff
+  FROM customer WHERE c_custkey % 7 = 0),
+j AS (SELECT cur.*, upd.new_seg, upd.eff FROM cur
+      LEFT JOIN upd USING (c_custkey)),
+changed AS (SELECT * FROM j WHERE eff IS NOT NULL AND new_seg <> c_mktsegment)
+SELECT c_custkey, c_mktsegment, valid_from, DATE '9999-12-31' AS valid_to FROM j
+WHERE eff IS NULL OR new_seg = c_mktsegment
+UNION ALL
+SELECT c_custkey, c_mktsegment, valid_from, eff AS valid_to FROM changed
+UNION ALL
+SELECT c_custkey, new_seg AS c_mktsegment, eff AS valid_from,
+       DATE '9999-12-31' AS valid_to
+FROM changed
+"""
+
+
+# -- incremental aggregate maintenance ---------------------------------------
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-(event_type) rollup of weeks
+    1-2 is merged with week 3+'s partial aggregate — only new rows are
+    scanned.  The ORACLE aggregates the FULL table from scratch, so a
+    green row proves merged == recomputed (the monoid-merge guarantee)."""
+    from ..operators.warehouse import merge_rollup
+
+    ev = _events(spark, sf_dir).withColumn(
+        # decimal sums are associative, so merged == recomputed holds
+        # EXACTLY (double sums would differ in the last bits depending on
+        # reduction order and could flip a rounding boundary)
+        "value",
+        F.col("value").cast("decimal(18,6)"),
+    )
+    cutoff = "2024-01-15"
+    old = ev.filter(F.col("ts") < cutoff)
+    new = ev.filter(F.col("ts") >= cutoff)
+    existing = old.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("value").alias("value"),
+    )
+    merged = merge_rollup(
+        existing, new, keys=["event_type"], sum_cols=["value"]
+    )
+    return merged.select(
+        "event_type",
+        "n_rows",
+        F.round(F.col("value").cast("double"), 4).alias("sum_value"),
+    )
+
+
+_INCR_SQL = """
+SELECT event_type, count(*) AS n_rows,
+       round(CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE), 4) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
 # -- approximate distinct (HLL sketch; rows-only, tolerance-tested) -----------
 
 
@@ -674,6 +776,8 @@ QUERIES: dict[str, QueryDef] = {
     "q_cube_pricing": QueryDef(q_cube_pricing, _CUBE_SQL),
     "q_snapshot_diff": QueryDef(q_snapshot_diff, _SNAPDIFF_SQL),
     "q_profile_orders": QueryDef(q_profile_orders, _PROFILE_SQL),
+    "q_scd2_merge": QueryDef(q_scd2_merge, _SCD2_SQL),
+    "q_incremental_rollup": QueryDef(q_incremental_rollup, _INCR_SQL),
     "q_funnel": QueryDef(q_funnel, _FUNNEL_SQL),
     "q_cohort_retention": QueryDef(q_cohort_retention, _COHORT_SQL),
     # q_approx_users is deliberately NOT registered: an HLL sketch has no
