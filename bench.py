@@ -63,6 +63,11 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_cube_pricing",
     "q_snapshot_diff",
     "q_profile_orders",
+    "q_scd2_merge",
+    "q_incremental_rollup",
+    "q_fuzzy_match",
+    "q_outliers",
+    "q_histogram",
     "q_exists_check",
     "q_dedup_exact",
     "q_ngram_jaccard",

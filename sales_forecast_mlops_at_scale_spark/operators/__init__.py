@@ -8,6 +8,7 @@ primitives (no Python UDFs in this package — the UDF surface lives in
 
 from .dedup import latest_per_key, top_n_per_group
 from .ingest import clean_sales, parse_json_events
+from .matching import fuzzy_name_pairs
 from .metrics import forecast_error_metrics
 from .rebase import rebase_dates
 from .requests import build_request_matrix
@@ -30,6 +31,7 @@ __all__ = [
     "clean_sales",
     "parse_json_events",
     "forecast_error_metrics",
+    "fuzzy_name_pairs",
     "rebase_dates",
     "build_request_matrix",
     "date_scaffold",

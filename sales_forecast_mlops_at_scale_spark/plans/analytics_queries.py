@@ -641,6 +641,93 @@ UNION ALL SELECT 'o_orderpriority', p_n, p_d, p_min, p_max FROM w
 """
 
 
+# -- fuzzy entity matching ----------------------------------------------------
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance entity matching over supplier names (shared
+    9-char prefix + length band → levenshtein ≤ 1 verify)."""
+    from ..operators.matching import fuzzy_name_pairs
+
+    return fuzzy_name_pairs(
+        load_table(spark, sf_dir, "supplier"),
+        id_col="s_suppkey",
+        name_col="s_name",
+        max_distance=1,
+        prefix_len=9,
+    )
+
+
+_FUZZY_SQL = """
+WITH s AS (SELECT s_suppkey AS id, s_name AS name,
+                  substr(s_name, 1, 9) AS pfx, length(s_name) AS len
+           FROM supplier)
+SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
+FROM s a JOIN s b
+  ON a.pfx = b.pfx AND a.id < b.id AND abs(a.len - b.len) <= 1
+WHERE levenshtein(a.name, b.name) <= 1
+"""
+
+
+# -- per-group outlier detection ----------------------------------------------
+
+
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outliers per event type: z-score against the group's
+    mean/stddev via one window pass (no self-join with an aggregate)."""
+    from pyspark.sql import Window as _W
+
+    ev = _events(spark, sf_dir)
+    w = _W.partitionBy("event_type")
+    z = (F.col("value") - F.mean("value").over(w)) / F.stddev("value").over(w)
+    return (
+        ev.withColumn("z", F.round(z, 4))
+        .filter(F.abs(F.col("z")) > 3)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+_OUTLIER_SQL = """
+SELECT event_id, event_type, value, z FROM (
+  SELECT event_id, event_type, value,
+         round((value - avg(value) OVER (PARTITION BY event_type))
+               / stddev(value) OVER (PARTITION BY event_type), 4) AS z
+  FROM events)
+WHERE abs(z) > 3
+"""
+
+
+# -- fixed-width histogram ----------------------------------------------------
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-price histogram: fixed-width bins (50k) with count and
+    bounds — one aggregation, arithmetic binning (no UDF, no
+    width_bucket dependency)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn(
+            "bin", F.floor(F.col("o_totalprice") / 50000).cast("long")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+_HISTOGRAM_SQL = """
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders GROUP BY 1
+"""
+
+
 # -- SCD2 dimension merge -----------------------------------------------------
 
 
@@ -778,6 +865,9 @@ QUERIES: dict[str, QueryDef] = {
     "q_profile_orders": QueryDef(q_profile_orders, _PROFILE_SQL),
     "q_scd2_merge": QueryDef(q_scd2_merge, _SCD2_SQL),
     "q_incremental_rollup": QueryDef(q_incremental_rollup, _INCR_SQL),
+    "q_fuzzy_match": QueryDef(q_fuzzy_match, _FUZZY_SQL),
+    "q_outliers": QueryDef(q_outliers, _OUTLIER_SQL),
+    "q_histogram": QueryDef(q_histogram, _HISTOGRAM_SQL),
     "q_funnel": QueryDef(q_funnel, _FUNNEL_SQL),
     "q_cohort_retention": QueryDef(q_cohort_retention, _COHORT_SQL),
     # q_approx_users is deliberately NOT registered: an HLL sketch has no
