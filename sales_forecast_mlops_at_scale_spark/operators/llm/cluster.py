@@ -42,9 +42,17 @@ def connected_components(
     with a coalesce-to-self downstream when a total labeling is needed).
     """
     edges = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        # edges join into EVERY round; without pinning, each round's two
+        # actions (checkpoint + convergence count) replay the full
+        # upstream pair-generation pipeline (measured: MinHash-LSH pairs
+        # recomputed ~8× → 4s of the 8s runtime)
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
