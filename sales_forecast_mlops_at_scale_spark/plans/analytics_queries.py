@@ -641,6 +641,82 @@ UNION ALL SELECT 'o_orderpriority', p_n, p_d, p_min, p_max FROM w
 """
 
 
+# -- window-function family showcase ------------------------------------------
+
+
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking/navigation window family over one (custkey, orderdate)
+    sort: lag/lead, rank, dense_rank, ntile, percent_rank, cume_dist,
+    first_value — ONE Sort+Exchange serves all eight functions (Catalyst
+    collapses same-spec windows into a single physical Window)."""
+    from pyspark.sql import Window as _W
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = _W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_totalprice").over(wf).alias("first_price"),
+    )
+
+
+_WINDOW_SQL = """
+SELECT o_custkey, o_orderkey,
+       lag(o_totalprice) OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       CAST(rank() OVER w AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       first_value(o_totalprice) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price
+FROM orders WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+# -- nested array ops over the embedding column -------------------------------
+
+
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column surface: size, element access, min/max, prefix-slice
+    sum — all JVM higher-order/collection functions (zero Python)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    head_sum = F.aggregate(
+        F.slice(F.transform("embedding", lambda x: x.cast("double")), 1, 4),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e1"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("vmin"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("vmax"),
+        F.round(head_sum, 6).alias("head4_sum"),
+    )
+
+
+_ARRAY_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS e1,
+       round(CAST(list_min(embedding) AS DOUBLE), 6) AS vmin,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
+       round(list_sum([CAST(x AS DOUBLE) for x in embedding[1:4]]), 6) AS head4_sum
+FROM embeddings
+"""
+
+
 # -- fuzzy entity matching ----------------------------------------------------
 
 
@@ -866,6 +942,8 @@ QUERIES: dict[str, QueryDef] = {
     "q_scd2_merge": QueryDef(q_scd2_merge, _SCD2_SQL),
     "q_incremental_rollup": QueryDef(q_incremental_rollup, _INCR_SQL),
     "q_fuzzy_match": QueryDef(q_fuzzy_match, _FUZZY_SQL),
+    "q_window_funcs": QueryDef(q_window_funcs, _WINDOW_SQL),
+    "q_array_ops": QueryDef(q_array_ops, _ARRAY_SQL),
     "q_outliers": QueryDef(q_outliers, _OUTLIER_SQL),
     "q_histogram": QueryDef(q_histogram, _HISTOGRAM_SQL),
     "q_funnel": QueryDef(q_funnel, _FUNNEL_SQL),
