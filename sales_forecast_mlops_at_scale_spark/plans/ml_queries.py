@@ -48,7 +48,9 @@ def q_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_forecast_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day-ahead forecast per group via applyInPandas (UDTF-shaped: one
     group row set → 7 forecast rows), horizon anchored at max(ds)+1."""
-    series = demand_series(spark, sf_dir)
+    # cache: the series feeds the anchor scalar AND the forecast job —
+    # without pinning, the lineitem scan+groupBy runs twice
+    series = demand_series(spark, sf_dir).cache()
     anchor = series.agg(F.max("ds")).collect()[0][0]
     import datetime as _dt
 
@@ -68,7 +70,10 @@ def q_gated_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds the bar, forecast ONLY the survivors (reference refuses to
     serve rmse > 1000 models, forecast-service/app/handlers/mlflow.py:32-40).
     The gate prunes groups before predict work is scheduled."""
-    series = demand_series(spark, sf_dir)
+    # cache: the series feeds four consumers (train, the gate's semi-join
+    # probe, the anchor scalar, and the forecast input) — pin one small
+    # grouped frame instead of four lineitem scans
+    series = demand_series(spark, sf_dir).cache()
     metrics = train_groups(
         series, KEYS, model_spec="seasonal_naive", date_col="ds", y_col="y"
     )
