@@ -837,9 +837,17 @@ def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # open rows surface with the standard SCD2 sentinel instead of NULL:
     # null dates stringify engine-differently (None vs NaT) in the hash
-    # canon, and the sentinel is what BI tools BETWEEN against anyway
-    return merged.withColumn(
-        "valid_to", F.coalesce("valid_to", F.lit("9999-12-31").cast("date"))
+    # canon, and the sentinel is what BI tools BETWEEN against anyway.
+    # Validity bounds go out as ISO strings — 9999-12-31 overflows
+    # pandas datetime64[ns], which both comparison harnesses convert
+    # date columns through.
+    return merged.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        F.coalesce(F.col("valid_to").cast("string"), F.lit("9999-12-31")).alias(
+            "valid_to"
+        ),
     )
 
 
@@ -854,13 +862,15 @@ upd AS (
 j AS (SELECT cur.*, upd.new_seg, upd.eff FROM cur
       LEFT JOIN upd USING (c_custkey)),
 changed AS (SELECT * FROM j WHERE eff IS NOT NULL AND new_seg <> c_mktsegment)
-SELECT c_custkey, c_mktsegment, valid_from, DATE '9999-12-31' AS valid_to FROM j
+SELECT c_custkey, c_mktsegment, CAST(valid_from AS VARCHAR) AS valid_from,
+       '9999-12-31' AS valid_to FROM j
 WHERE eff IS NULL OR new_seg = c_mktsegment
 UNION ALL
-SELECT c_custkey, c_mktsegment, valid_from, eff AS valid_to FROM changed
+SELECT c_custkey, c_mktsegment, CAST(valid_from AS VARCHAR) AS valid_from,
+       CAST(eff AS VARCHAR) AS valid_to FROM changed
 UNION ALL
-SELECT c_custkey, new_seg AS c_mktsegment, eff AS valid_from,
-       DATE '9999-12-31' AS valid_to
+SELECT c_custkey, new_seg AS c_mktsegment, CAST(eff AS VARCHAR) AS valid_from,
+       '9999-12-31' AS valid_to
 FROM changed
 """
 
