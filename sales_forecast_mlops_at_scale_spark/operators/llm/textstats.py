@@ -137,6 +137,100 @@ def text_quality(df: DataFrame, text_col: str = "text", *, ndigits: int = 4) -> 
     )
 
 
+def line_repetition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, ndigits: int = 4
+) -> DataFrame:
+    """Gopher-style line-repetition signals per document (Rae et al. 2021,
+    "Scaling Language Models", Table A1 repetition filters):
+
+    - ``n_lines``            non-empty trimmed lines
+    - ``dup_line_frac``      fraction of lines that are duplicates of
+                             another line in the same document
+    - ``dup_line_char_frac`` fraction of line characters inside those
+                             duplicated occurrences
+
+    Pure array higher-order functions — per-row, no shuffle, no Python;
+    the classic cheap filter for boilerplate/navigation-bar pages.
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    chars = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    staged = df.select(
+        F.col(id_col).alias("doc_id"), lines.alias("__lines")
+    ).select(
+        "doc_id",
+        F.size("__lines").alias("n_lines"),
+        F.size(F.array_distinct("__lines")).alias("__n_distinct"),
+        chars(F.col("__lines")).alias("__chars_all"),
+        chars(F.array_distinct(F.col("__lines"))).alias("__chars_distinct"),
+    )
+    n_lines = F.col("n_lines")
+    chars_all = F.col("__chars_all")
+    return staged.select(
+        "doc_id",
+        "n_lines",
+        F.round(
+            (n_lines - F.col("__n_distinct")) / F.greatest(n_lines, F.lit(1)),
+            ndigits,
+        ).alias("dup_line_frac"),
+        F.round(
+            (chars_all - F.col("__chars_distinct"))
+            / F.greatest(chars_all, F.lit(1)),
+            ndigits,
+        ).alias("dup_line_char_frac"),
+    )
+
+
+def top_bigram_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, ndigits: int = 4
+) -> DataFrame:
+    """Most-frequent-bigram coverage per document (the Gopher "top n-gram
+    fraction" repetition signal): ``top_bigram_frac`` = occurrences of the
+    modal token bigram / total bigrams.
+
+    Shape: per-doc bigram explode → (doc, bigram) count → per-doc max/sum.
+    Both aggregations partition by doc_id, so at 100 TB this is ONE
+    shuffle of (doc, bigram) pairs with map-side partial aggregation —
+    never a global structure; skew is bounded by document length.
+    """
+    toks = tokens(normalized_text(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    bigrams = F.when(
+        F.size("__toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - 2),
+            lambda i: F.concat_ws(
+                " ", F.get(F.col("__toks"), i), F.get(F.col("__toks"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        base.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_bigrams")
+    )
+    # docs with < 2 tokens have no bigrams: surface them with zeros
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round(
+                F.coalesce(F.col("top_c") / F.col("n_bigrams"), F.lit(0.0)),
+                ndigits,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
     marker_arr = F.array(*[F.lit(x) for x in markers])
     return F.filter(toks, lambda t: F.array_contains(marker_arr, t))

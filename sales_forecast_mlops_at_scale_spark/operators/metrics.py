@@ -7,7 +7,7 @@ Here they are distributed SQL aggregates — partial (map-side) aggregation,
 whole-stage codegen, no Python:
 
 - rmse  = sqrt(avg((y - yhat)^2))
-- mape  = avg(abs((y - yhat) / y))
+- mape  = avg(abs((y - yhat) / y)) over rows with y != 0
 - mae   = avg(abs(y - yhat))
 - medae = median(abs(y - yhat))  (exact ``percentile``; swap in
   ``percentile_approx`` at extreme scale where an exact median's
@@ -27,7 +27,10 @@ def error_metric_columns(y: Column, yhat: Column, *, ndigits: int = 4) -> list[C
     abs_err = F.abs(err)
     return [
         F.round(F.sqrt(F.avg(err * err)), ndigits).alias("rmse"),
-        F.round(F.avg(F.abs(err / y)), ndigits).alias("mape"),
+        # zero actuals contribute NULL (try_divide) and drop out of the
+        # mean — the standard MAPE zero-handling, matching the numpy
+        # fold path (train.py) and avoiding ANSI DIVIDE_BY_ZERO
+        F.round(F.avg(F.abs(F.try_divide(err, y))), ndigits).alias("mape"),
         F.round(F.avg(abs_err), ndigits).alias("mae"),
         F.round(F.expr("percentile(abs(__y - __yhat), 0.5)"), ndigits).alias("medae"),
     ]

@@ -249,6 +249,22 @@ def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup_keys(web_documents_fixture(spark))
 
 
+def q_line_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-line signals over the web fixture (the star
+    ``documents`` are single-line, so line stats there are vacuous)."""
+    from ..operators.llm.textstats import line_repetition
+
+    return line_repetition(web_documents_fixture(spark))
+
+
+def q_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal-bigram coverage per document — the Gopher top-n-gram
+    repetition filter over the star documents corpus."""
+    from ..operators.llm.textstats import top_bigram_stats
+
+    return top_bigram_stats(load_table(spark, sf_dir, "documents"))
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination scan: docs vs the held-out tenth of the
     corpus (doc_id % 10 == 0) on distinct word 8-grams."""
@@ -285,6 +301,47 @@ p AS (SELECT doc, para FROM p0 WHERE length(para) > 0)
 SELECT md5(para) AS fingerprint, min(doc) AS keep_id,
        count(*) AS n_occurrences, count(DISTINCT doc) AS n_docs
 FROM p GROUP BY 1
+"""
+
+_LINE_REP_SQL = f"""
+WITH l AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> length(x) > 0) AS lines
+  FROM {_WEB}
+), c AS (
+  SELECT doc_id, len(lines) AS n_lines,
+         len(list_distinct(lines)) AS n_distinct,
+         coalesce(list_sum(list_transform(lines, x -> length(x))), 0) AS chars_all,
+         coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0)
+           AS chars_distinct
+  FROM l
+)
+SELECT doc_id, n_lines,
+       round((n_lines - n_distinct) * 1.0 / greatest(n_lines, 1), 4)
+         AS dup_line_frac,
+       round((chars_all - chars_distinct) * 1.0 / greatest(chars_all, 1), 4)
+         AS dup_line_char_frac
+FROM c
+"""
+
+_TOP_BIGRAM_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+b AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                ELSE [toks[i] || ' ' || toks[i+1]
+                      for i in generate_series(1, len(toks) - 1)] END) AS bigram
+  FROM t
+), cnt AS (
+  SELECT doc_id, bigram, count(*) AS c FROM b GROUP BY 1, 2
+), pd AS (
+  SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_bigrams
+  FROM cnt GROUP BY 1
+)
+SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+       round(coalesce(pd.top_c * 1.0 / pd.n_bigrams, 0.0), 4) AS top_bigram_frac
+FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
 #: 8-gram shingles (the contamination unit) — same construction as
@@ -513,6 +570,8 @@ FROM fps GROUP BY doc_id
     "q_pii_redact": QueryDef(q_pii_redact, _PII_SQL),
     "q_url_domains": QueryDef(q_url_domains, _URL_SQL),
     "q_para_dedup": QueryDef(q_para_dedup, _PARA_SQL),
+    "q_line_repetition": QueryDef(q_line_repetition, _LINE_REP_SQL),
+    "q_top_bigram": QueryDef(q_top_bigram, _TOP_BIGRAM_SQL),
     "q_contamination": QueryDef(q_contamination, _CONTAM_SQL),
     "q_ngram_jaccard": QueryDef(q_ngram_jaccard, _JACCARD_SQL),
     # LSH affects recall only; on these fixtures every true pair sits at

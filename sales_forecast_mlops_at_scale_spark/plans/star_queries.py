@@ -320,7 +320,7 @@ QUERIES: dict[str, QueryDef] = {
         "  FROM events)"
         " SELECT event_type,"
         "   round(sqrt(avg((y-yhat)*(y-yhat))), 4) AS rmse,"
-        "   round(avg(abs((y-yhat)/y)), 4) AS mape,"
+        "   round(avg(abs((y-yhat)/nullif(y, 0))), 4) AS mape,"
         "   round(avg(abs(y-yhat)), 4) AS mae,"
         "   round(median(abs(y-yhat)), 4) AS medae,"
         "   count(*) AS n_pairs"
