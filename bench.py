@@ -84,7 +84,11 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_winnow_fingerprint",
     "q_embed_topk",
     "q_embed_ivf_topk",
+    "q_embed_srp_topk",
     "q_embed_neardup",
+    "q_semantic_dedup",
+    "q_line_repetition",
+    "q_top_bigram",
     "q_train_metrics",
     "q_forecast_7d",
     "q_gated_forecast",

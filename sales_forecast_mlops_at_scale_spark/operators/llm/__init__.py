@@ -21,7 +21,13 @@ from .curation import (
     pack_shards,
     sample_threshold_hex,
 )
-from .embedsim import brute_force_topk, ivf_topk, neardup_pairs
+from .embedsim import (
+    brute_force_topk,
+    ivf_topk,
+    neardup_pairs,
+    semantic_dedup,
+    srp_topk,
+)
 from .exact_dedup import exact_dedup, exact_dedup_keys
 from .jaccard import ngram_jaccard_pairs, shingles
 from .minhash import minhash_lsh_pairs, minhash_signatures
@@ -53,6 +59,8 @@ __all__ = [
     "brute_force_topk",
     "ivf_topk",
     "neardup_pairs",
+    "semantic_dedup",
+    "srp_topk",
     "exact_dedup",
     "exact_dedup_keys",
     "ngram_jaccard_pairs",

@@ -1,6 +1,6 @@
 """Similarity search over an embedding column (``array<float>``).
 
-Two tiers with one output contract (``q_id, nn_id, score, rank``):
+Tiers sharing one output contract (``q_id, nn_id, score, rank``):
 
 - :func:`brute_force_topk` — exact cosine top-k.  The dot product is a
   JVM higher-order ``zip_with``/``aggregate`` fold in double precision —
@@ -11,6 +11,15 @@ Two tiers with one output contract (``q_id, nn_id, score, rank``):
   queries probe only the ``nprobe`` nearest centroid buckets.  Cuts the
   scanned fraction to ~``nprobe / num_centroids`` — the 100 TB path —
   at some recall cost (results stay exact *within* probed buckets).
+- :func:`srp_topk` — sign-random-projection (hyperplane) LSH: banded
+  bit signatures bucket the corpus, candidates come from an equi-join
+  on (band, value), and only candidates are exactly rescored.  The
+  hyperplanes are md5-derived ±1 vectors, so any engine with md5 can
+  reproduce the buckets bit-for-bit.
+- :func:`semantic_dedup` — SemDeDup-shaped near-duplicate pruning
+  (Abbas et al. 2023, arXiv:2303.09540): cluster by nearest centroid,
+  then within each cluster drop every vector that has a smaller-id
+  cluster-mate with cosine ≥ τ.
 
 Norms are precomputed once per side.  Scores are rounded to 6 digits and
 ties broken by neighbor id, making ranking deterministic across engines.
@@ -159,6 +168,194 @@ def neardup_pairs(
         a.groupBy("bi", "bj")
         .cogroup(b.groupBy("bi", "bj"))
         .applyInPandas(gemm, "id_a long, id_b long, cosine double")
+    )
+
+
+def srp_signs(nbits: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix for sign-random-projection LSH.
+
+    Component (p, d) is +1 when the first hex digit of ``md5("{p}_{d}")``
+    is < 8, else -1 — a fair coin any engine with md5 can flip
+    identically (the DuckDB oracle recomputes the same signs in SQL).
+    """
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0], 16) < 8
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(nbits)
+    ]
+
+
+def _srp_band_cols(vec: Column, signs: list[list[float]], band_bits: int, ndigits: int) -> list[Column]:
+    """One column per band: the band's bits packed into a long.
+
+    Bit p = [rounded projection of v onto hyperplane p ≥ 0].  The
+    projection is a left-fold in index order — the same order DuckDB's
+    ``list_sum`` uses — and is rounded before the sign test so a
+    last-ulp difference between engines cannot flip a bit.
+    """
+    bands = []
+    for b0 in range(0, len(signs), band_bits):
+        val = F.lit(0).cast("long")
+        for j, p in enumerate(range(b0, min(b0 + band_bits, len(signs)))):
+            plane = F.array(*[F.lit(s) for s in signs[p]])
+            proj = F.aggregate(
+                F.zip_with(vec, plane, lambda x, s: x * s),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            val = val + F.when(F.round(proj, ndigits) >= 0, F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
+        bands.append(val)
+    return bands
+
+
+def srp_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    nbits: int = 16,
+    band_bits: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Approximate cosine top-k via banded hyperplane-LSH signatures.
+
+    A vector's ``nbits``-bit signature is split into ``nbits/band_bits``
+    bands; query and corpus rows that agree on ANY full band become
+    candidate pairs (OR-amplification), and only candidates are exactly
+    rescored.  Band width tunes selectivity: a band collides with
+    probability (1 - θ/π)^band_bits, so 4-bit bands keep recall on
+    moderately-similar pairs (cos 0.5 → ~20%/band) while 8-bit bands
+    suit high-threshold near-dup mining (cos 0.95 → ~77%/band, near
+    zero for unrelated pairs).  Unlike :func:`ivf_topk` (coarse geometric buckets), SRP
+    buckets by angle, so recall concentrates on the high-cosine pairs a
+    dedup/retrieval pipeline cares about.
+
+    100 TB shape: signatures are a per-row map (the ±1 plane matrix is a
+    plan literal, ~nbits×dim doubles); candidates come from an equi-join
+    on (band, value) — shuffle ∝ matching pairs, never all-pairs; the
+    rescore touches candidates only.  Queries with no collision in any
+    band return no rows (the approximate contract).
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])  # 1-row scalar read
+    signs = srp_signs(nbits, dim)
+
+    def with_bands(df: DataFrame, id_alias: str, keep_vec: bool) -> DataFrame:
+        p = _prepared(df, id_col, vec_col)
+        bands = _srp_band_cols(F.col("v"), signs, band_bits, ndigits)
+        packed = p.select(
+            F.col("vid").alias(id_alias),
+            *( ["v", "nrm"] if keep_vec else [] ),
+            F.posexplode(F.array(*bands)).alias("band", "val"),
+        )
+        return packed
+
+    c_sig = with_bands(corpus, "vid", False)
+    q_sig = with_bands(queries, "qid", False)
+    cand = (
+        q_sig.join(c_sig, ["band", "val"])
+        .filter(F.col("qid") != F.col("vid"))
+        .select("qid", "vid")
+        .distinct()
+    )
+    c = _prepared(corpus, id_col, vec_col)
+    q = _prepared(queries, id_col, vec_col).select(
+        F.col("vid").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    score = F.round(
+        _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), ndigits
+    )
+    scored = (
+        cand.join(c, "vid")
+        .join(F.broadcast(q), "qid")
+        .select(F.col("qid").alias("q_id"), F.col("vid").alias("nn_id"), score.alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("nn_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.7,
+    num_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """SemDeDup-shaped semantic dedup: cluster every vector to its
+    nearest deterministic centroid, then within each cluster drop any
+    vector with a smaller-id cluster-mate at cosine ≥ ``threshold``.
+
+    Output: ``vec_id, cluster, kept, dropped_by`` (-1 when kept).  The
+    min-id dominator rule replaces SemDeDup's keep-closest-to-centroid
+    so the result is totally deterministic and SQL-expressible.
+
+    100 TB shape: the pair search is confined to clusters (candidate
+    pairs ∝ Σ|cluster|², bounded by growing ``num_centroids`` ∝ N — the
+    SemDeDup recipe), and each side of the in-cluster join carries only
+    (id, vector, norm).  For very large clusters, swap the pair join for
+    the cogrouped GEMM of :func:`neardup_pairs` keyed by cluster —
+    identical semantics, BLAS throughput.
+    """
+    c = _prepared(corpus, id_col, vec_col)
+    cent_hash = F.pmod(F.col("vid").cast("long") * F.lit(2654435761), F.lit(2147483648))
+    centroids = (
+        c.orderBy(cent_hash.asc(), F.col("vid").asc())
+        .limit(num_centroids)
+        .select(F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm"))
+    )
+    sim_to_centroid = F.round(
+        _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), ndigits
+    )
+    w_assign = Window.partitionBy("vid").orderBy(F.col("csim").desc(), F.col("cid").asc())
+    assigned = (
+        c.join(F.broadcast(centroids))
+        .withColumn("csim", sim_to_centroid)
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select("vid", "v", "nrm", F.col("cid").alias("cluster"))
+    )
+    a = assigned.select(
+        F.col("cluster").alias("cl"),
+        F.col("vid").alias("vid_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cluster").alias("cl"),
+        F.col("vid").alias("vid_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pair_cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), ndigits)
+    dominators = (
+        a.join(b, "cl")
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .withColumn("cos", pair_cos)
+        .filter(F.col("cos") >= threshold)
+        .groupBy(F.col("vid_b").alias("vid"))
+        .agg(F.min("vid_a").alias("dropped_by"))
+    )
+    return (
+        assigned.join(dominators, "vid", "left")
+        .select(
+            F.col("vid").alias("vec_id"),
+            "cluster",
+            F.col("dropped_by").isNull().alias("kept"),
+            F.coalesce("dropped_by", F.lit(-1)).alias("dropped_by"),
+        )
     )
 
 

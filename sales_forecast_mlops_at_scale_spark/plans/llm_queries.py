@@ -26,6 +26,8 @@ from ..operators.llm import (
     sample_threshold_hex,
     exact_dedup_keys,
     ivf_topk,
+    semantic_dedup,
+    srp_topk,
     language_id,
     minhash_lsh_pairs,
     neardup_pairs,
@@ -205,6 +207,24 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def q_embed_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH (sign-random-projection) approximate top-k: 16-bit
+    md5-derived signatures in four 4-bit bands; candidates share a band,
+    then exact rescore.  dim pinned to the fixture's 64 so the plan needs
+    no scalar pre-read."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return srp_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, dim=64)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped pruning at τ=0.4 (the fixtures are
+    near-orthogonal — see q_embed_neardup): cluster to 16 deterministic
+    centroids, drop vectors dominated by a smaller-id cluster-mate."""
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, num_centroids=16
+    )
 
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,6 +504,73 @@ SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM pairs WHERE hamming 
 #: end-to-end (multiplicative-hash centroid pick, rounded sims, id
 #: tie-breaks), so the SQL twin restates it exactly: same 16 centroids,
 #: same bucket argmax, same nprobe=4 probes, same within-bucket ranking.
+_EMBED_SRP_SQL = """
+WITH n AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+         sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
+  FROM embeddings
+), planes AS (
+  SELECT unnest(generate_series(0, 15)) AS p
+), bits AS (
+  SELECT n.vec_id, planes.p,
+         CASE WHEN round(list_sum(list_transform(range(len(n.v)),
+              d -> n.v[d + 1] * (CASE WHEN substr(md5(CAST(planes.p AS VARCHAR)
+                   || '_' || CAST(d AS VARCHAR)), 1, 1) <= '7'
+                   THEN 1.0 ELSE -1.0 END))), 6) >= 0
+         THEN 1 ELSE 0 END AS bit
+  FROM n CROSS JOIN planes
+), sig AS (
+  SELECT vec_id, p // 4 AS band,
+         CAST(sum(bit * (1 << (p % 4))) AS BIGINT) AS val
+  FROM bits GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid
+  FROM sig q JOIN sig c ON q.band = c.band AND q.val = c.val
+  WHERE q.vec_id < 8 AND q.vec_id != c.vec_id
+), s AS (
+  SELECT cand.qid AS q_id, cand.vid AS nn_id,
+         round(list_sum([q.v[i] * c.v[i] for i in generate_series(1, len(q.v))])
+               / (q.nrm * c.nrm), 6) AS score
+  FROM cand JOIN n q ON cand.qid = q.vec_id JOIN n c ON cand.vid = c.vec_id
+)
+SELECT q_id, nn_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, nn_id ASC) AS rank
+  FROM s) WHERE rank <= 5
+"""
+
+_SEMANTIC_DEDUP_SQL = """
+WITH n AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+         sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cnrm
+  FROM n
+  ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 2147483648, vec_id
+  LIMIT 16
+), assigned AS (
+  SELECT vec_id, v, nrm, cid AS cluster FROM (
+    SELECT c.vec_id, c.v, c.nrm, ct.cid,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY round(list_sum([c.v[i] * ct.cv[i] for i in generate_series(1, len(c.v))])
+                            / (c.nrm * ct.cnrm), 6) DESC, ct.cid ASC) AS rn
+    FROM n c CROSS JOIN cent ct)
+  WHERE rn = 1
+), dom AS (
+  SELECT b.vec_id AS vid, min(a.vec_id) AS dropped_by
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))])
+              / (a.nrm * b.nrm), 6) >= 0.4
+  GROUP BY 1
+)
+SELECT assigned.vec_id, assigned.cluster,
+       dom.dropped_by IS NULL AS kept,
+       coalesce(dom.dropped_by, -1) AS dropped_by
+FROM assigned LEFT JOIN dom ON assigned.vec_id = dom.vid
+"""
+
 _EMBED_IVF_SQL = """
 WITH n AS (
   SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
@@ -664,6 +751,8 @@ FROM rk
     ),
     "q_embed_topk": QueryDef(q_embed_topk, _EMBED_TOPK_SQL),
     "q_embed_ivf_topk": QueryDef(q_embed_ivf_topk, _EMBED_IVF_SQL),
+    "q_embed_srp_topk": QueryDef(q_embed_srp_topk, _EMBED_SRP_SQL),
+    "q_semantic_dedup": QueryDef(q_semantic_dedup, _SEMANTIC_DEDUP_SQL),
     "q_embed_neardup": QueryDef(
         q_embed_neardup,
         """

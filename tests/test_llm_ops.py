@@ -202,3 +202,44 @@ def test_winnow_shared_substring_guarantee(spark):
     by_doc = {i: {r.fingerprint for r in fps if r.doc_id == i} for i in (1, 2, 3)}
     assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
     assert not (by_doc[1] & by_doc[3])
+
+
+def test_srp_topk_scores_exact_for_surfaced_pairs(spark):
+    # every (q, nn) srp surfaces must carry the brute-force exact score,
+    # and recall over the fixture should be non-degenerate
+    from sales_forecast_mlops_at_scale_spark.operators.llm import srp_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    bf = {
+        (r.q_id, r.nn_id): r.score
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    srp = {
+        (r.q_id, r.nn_id): r.score
+        for r in srp_topk(emb, queries, k=5, dim=64).collect()
+    }
+    assert len(srp) > 0
+    for pair, score in srp.items():
+        if pair in bf:
+            assert bf[pair] == score  # identical rounded cosine
+    recall = len(set(bf) & set(srp)) / len(bf)
+    assert recall >= 0.2, f"SRP recall collapsed: {recall}"
+
+
+def test_semantic_dedup_invariants(spark):
+    from sales_forecast_mlops_at_scale_spark.operators.llm import semantic_dedup
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = semantic_dedup(emb, threshold=0.4, num_centroids=16).collect()
+    assert len(out) == emb.count()  # total function: one verdict per vector
+    by_id = {r.vec_id: r for r in out}
+    dropped = [r for r in out if not r.kept]
+    assert dropped, "threshold 0.4 should drop some fixture vectors"
+    for r in dropped:
+        dom = by_id[r.dropped_by]
+        assert r.dropped_by < r.vec_id  # dominated by a smaller id
+        assert dom.cluster == r.cluster  # from the same cluster
+    for r in out:
+        if r.kept:
+            assert r.dropped_by == -1
