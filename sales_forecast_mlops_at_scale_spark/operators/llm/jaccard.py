@@ -5,9 +5,12 @@ distributes it:
 
 1. shingle: word n-grams per doc (higher-order functions, no Python)
 2. invert: explode to (shingle, doc) — the inverted index
-3. candidate pairs: self-join the index on shingle (docs sharing ≥1
-   shingle), counting shared shingles per pair in the same aggregation
-4. score: ``|A∩B| / (|A| + |B| - |A∩B|)``, filter by threshold
+3. candidate pairs: PREFIX-FILTERED self-join — each doc's shingles are
+   sorted by ascending document frequency and only the first
+   ``|x| - ceil(τ·|x|) + 1`` participate in the join (the AllPairs /
+   PPJoin prefix lemma guarantees no τ-similar pair is missed)
+4. score: exact rescore of candidates via ``array_intersect``;
+   ``|A∩B| / (|A| + |B| - |A∩B|)``, filter by threshold
 
 Performance notes (measured, see git history):
 
@@ -121,21 +124,58 @@ def ngram_jaccard_pairs(
     if max_df is not None:
         keep = sh.groupBy("s").count().filter(F.col("count") <= max_df).select("s")
         sh = sh.join(keep, "s")  # broadcast by Catalyst when small
-    if persist_index:
-        sh = sh.persist()
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # PREFIX FILTER (Bayardo et al. "Scaling Up All Pairs", Xiao et al.
+    # PPJoin): under any shared global ordering of shingles, two sets
+    # with Jaccard ≥ τ must collide within their first
+    # |x| - ceil(τ·|x|) + 1 elements.  Ordering by ascending document
+    # frequency puts the RAREST shingles in the prefix, so the candidate
+    # join runs over the small end of the df distribution — the index
+    # self-join shrinks from Σ df² over all shingles to Σ df² over
+    # prefix shingles, and every candidate is exactly rescored, so the
+    # output is identical to the naive full-index join.
+    counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    sets = (
+        sh.join(counts, "s")
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list(F.struct("df_s", "s"))).alias("__arr"))
+        .select(
+            "doc",
+            F.transform("__arr", lambda x: x["s"]).alias("sh_arr"),
+            F.size("__arr").alias("sz"),
+        )
     )
-    sa = sizes.select(F.col("doc").alias("id_a"), F.col("sz").alias("size_a"))
-    sb = sizes.select(F.col("doc").alias("id_b"), F.col("sz").alias("size_b"))
+    if persist_index:
+        # the set frame feeds three consumers: the prefix index and both
+        # rescore sides
+        sets = sets.persist()
+    # the epsilon guards against ceil(τ·sz) landing one unit high from
+    # float noise (e.g. 0.3*10 → 3.0000000000000004) and shortening the
+    # prefix below the lemma's bound; erring long only adds candidates
+    p = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9)).cast(
+        "int"
+    ) + F.lit(1)
+    prefix = sets.select("doc", F.explode(F.slice("sh_arr", F.lit(1), p)).alias("s"))
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("doc").alias("id_a"), F.col("sh_arr").alias("arr_a"), F.col("sz").alias("size_a")
+    )
+    sb = sets.select(
+        F.col("doc").alias("id_b"), F.col("sh_arr").alias("arr_b"), F.col("sz").alias("size_b")
+    )
+    n_common = F.size(F.array_intersect("arr_a", "arr_b"))
     jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
     return (
-        inter.join(sa, "id_a")
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
+        .withColumn("n_common", n_common)
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "size_a", "size_b", "jaccard")

@@ -48,10 +48,13 @@ def q_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_forecast_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day-ahead forecast per group via applyInPandas (UDTF-shaped: one
     group row set → 7 forecast rows), horizon anchored at max(ds)+1."""
-    # cache: the series feeds the anchor scalar AND the forecast job —
-    # without pinning, the lineitem scan+groupBy runs twice
-    series = demand_series(spark, sf_dir).cache()
-    anchor = series.agg(F.max("ds")).collect()[0][0]
+    # the anchor comes off the raw fact column (max commutes with the
+    # date cast), so the aggregated series has exactly ONE consumer and
+    # needs no cache — measured faster than cache-materializing it at
+    # every local SF, and scan+max is column-pruned at any scale
+    series = demand_series(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    anchor = li.agg(F.max(F.col("l_shipdate").cast("date"))).collect()[0][0]
     import datetime as _dt
 
     return forecast_groups(
