@@ -50,6 +50,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_asof_join",
     "q_range_join",
     "q_sessionize",
+    "q_session_window",
     "q_moving_avg",
     "q_rollup_pricing",
     "q_daily_rollup",

@@ -104,6 +104,17 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(_events(spark, sf_dir), gap="30 minutes")
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` rollup (streamable with bounded state;
+    see streaming/ingest.session_rollup).  Boundary semantics match
+    q_sessionize's islands (sessions merge while diff <= gap — verified
+    against a probe with an exact-gap pair in tests); the reported end
+    is ``last event + gap`` rather than the last event itself."""
+    from ..streaming.ingest import session_rollup
+
+    return session_rollup(_events(spark, sf_dir), gap="30 minutes")
+
+
 _SESSION_SQL = """
 WITH o AS (
   SELECT user_id, ts, event_id, value,
@@ -117,6 +128,25 @@ WITH o AS (
                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM o)
 SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+_SESSION_WINDOW_SQL = """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
        count(*) AS n_events, round(sum(value), 4) AS sum_value
 FROM s GROUP BY user_id, session_id
 """
@@ -938,6 +968,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_asof_join": QueryDef(q_asof_join, _ASOF_SQL),
     "q_range_join": QueryDef(q_range_join, _RANGE_SQL),
     "q_sessionize": QueryDef(q_sessionize, _SESSION_SQL),
+    "q_session_window": QueryDef(q_session_window, _SESSION_WINDOW_SQL),
     "q_moving_avg": QueryDef(q_moving_avg, _MOVING_SQL),
     "q_rollup_pricing": QueryDef(q_rollup_pricing, _ROLLUP_SQL),
     "q_daily_rollup": QueryDef(q_daily_rollup, _DAILY_SQL),

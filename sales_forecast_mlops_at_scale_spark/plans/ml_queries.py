@@ -73,10 +73,13 @@ def q_gated_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds the bar, forecast ONLY the survivors (reference refuses to
     serve rmse > 1000 models, forecast-service/app/handlers/mlflow.py:32-40).
     The gate prunes groups before predict work is scheduled."""
-    # cache: the series feeds four consumers (train, the gate's semi-join
-    # probe, the anchor scalar, and the forecast input) — pin one small
-    # grouped frame instead of four lineitem scans
-    series = demand_series(spark, sf_dir).cache()
+    # the series has four consumers (train, the gate's semi-join probe,
+    # the anchor scalar, and the forecast input); at local SFs
+    # recomputing the cheap scan+groupBy measures faster than cache
+    # materialization, so no cache here — on a real warehouse where the
+    # fact scan dominates, persist() this frame (or materialize it as a
+    # table) before fanning out
+    series = demand_series(spark, sf_dir)
     metrics = train_groups(
         series, KEYS, model_spec="seasonal_naive", date_col="ds", y_col="y"
     )

@@ -282,3 +282,80 @@ def windowed_daily_rollup(
         "n_events",
         "sum_value",
     )
+
+
+def session_rollup(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: Sequence[str] = ("user_id",),
+    gap: str = "30 minutes",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Per-key session aggregate via the native ``session_window``:
+    events within ``gap`` (inclusive — an event exactly ``gap`` after
+    the previous one still merges) join one session; the reported end is
+    ``last event + gap``.
+
+    The streaming form keeps per-(key, open-session) state only until
+    the watermark closes the session — the built-in replacement for the
+    hand-rolled gaps-and-islands of ``operators/timeseries.sessionize``
+    when the input is a stream.  Batch frames run the identical
+    expression, which is what the DuckDB islands oracle checks.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("sw"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 4).alias("sum_value"),
+        )
+        .select(
+            *keys,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def interval_attribution_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "ad_id",
+    left_ts: str = "imp_ts",
+    right_ts: str = "click_ts",
+    max_delay: str = "1 hour",
+    left_watermark: str = "2 hours",
+    right_watermark: str = "3 hours",
+) -> DataFrame:
+    """Stream-stream interval join (ad-attribution shape): every right
+    event joins left events with the same key where
+    ``left_ts <= right_ts <= left_ts + max_delay``.
+
+    For streaming inputs both sides carry watermarks and the time-range
+    predicate bounds the buffered state: Spark derives from it how long
+    each side's rows must be retained, so state is
+    O(key-rate × max_delay), never the full history.  Batch frames run
+    the identical join predicate — the oracle-able twin.
+    """
+    l, r = left, right
+    if l.isStreaming:
+        l = l.withWatermark(left_ts, left_watermark)
+    if r.isStreaming:
+        r = r.withWatermark(right_ts, right_watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner").select(
+        l[key].alias(key),
+        l[left_ts].alias(left_ts),
+        r[right_ts].alias(right_ts),
+    )

@@ -254,3 +254,92 @@ def test_stateful_latest_per_key_across_batches(spark, tmp_path):
     assert by_user[1] == [(5, 50.0), (5, 50.0)]
     assert by_user[2] == [(7, 70.0)]
     assert by_user[3] == [(9, 90.0)]
+
+
+def test_session_rollup_stream_matches_batch_twin(spark, tmp_path):
+    """session_window as a stream (complete mode) equals the batch run.
+    Boundary probes pin Spark's merge rule: exactly-gap-apart events
+    MERGE (diff <= gap), one second beyond breaks."""
+    from sales_forecast_mlops_at_scale_spark.streaming.ingest import session_rollup
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    rows = [
+        {"user_id": 1, "ts": "2026-01-01T10:00:00", "value": 1.0},
+        {"user_id": 1, "ts": "2026-01-01T10:20:00", "value": 2.0},  # merges
+        {"user_id": 1, "ts": "2026-01-01T10:50:00", "value": 3.0},  # == gap: merges
+        {"user_id": 1, "ts": "2026-01-01T11:20:01", "value": 5.0},  # gap+1s: NEW
+        {"user_id": 2, "ts": "2026-01-01T09:00:00", "value": 4.0},
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    schema = "user_id bigint, ts timestamp, value double"
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        session_rollup(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table("sess_out").collect()}
+    batch = spark.read.schema(schema).json(str(src))
+    want = {tuple(r) for r in session_rollup(batch, gap="30 minutes").collect()}
+    assert got == want
+    # user 1: 10:00/10:20/10:50 merge (== gap included); 11:20:01 breaks
+    assert sum(1 for r in want if r[0] == 1) == 2
+    first = next(r for r in want if r[0] == 1 and r[3] == 3)
+    assert str(first[2]) == "2026-01-01 11:20:00"  # end = last + gap
+
+
+def test_interval_attribution_join_stream_matches_batch(spark, tmp_path):
+    from sales_forecast_mlops_at_scale_spark.streaming.ingest import (
+        interval_attribution_join,
+    )
+
+    imps = [
+        {"ad_id": 1, "imp_ts": "2026-01-01T10:00:00"},
+        {"ad_id": 1, "imp_ts": "2026-01-01T12:00:00"},
+        {"ad_id": 2, "imp_ts": "2026-01-01T10:30:00"},
+    ]
+    clicks = [
+        {"ad_id": 1, "click_ts": "2026-01-01T10:40:00"},  # joins imp 10:00
+        {"ad_id": 1, "click_ts": "2026-01-01T11:30:00"},  # > 1h after 10:00: no
+        {"ad_id": 2, "click_ts": "2026-01-01T10:30:00"},  # boundary: joins
+        {"ad_id": 3, "click_ts": "2026-01-01T10:00:00"},  # no impression
+    ]
+    for name, rows in [("imp", imps), ("clk", clicks)]:
+        d = tmp_path / name
+        d.mkdir()
+        (d / "a.json").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    imp_schema = "ad_id bigint, imp_ts timestamp"
+    clk_schema = "ad_id bigint, click_ts timestamp"
+    out = interval_attribution_join(
+        spark.readStream.schema(imp_schema).json(str(tmp_path / "imp")),
+        spark.readStream.schema(clk_schema).json(str(tmp_path / "clk")),
+        max_delay="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.ad_id, str(r.imp_ts), str(r.click_ts)) for r in spark.table("attr_out").collect()}
+    batch = interval_attribution_join(
+        spark.read.schema(imp_schema).json(str(tmp_path / "imp")),
+        spark.read.schema(clk_schema).json(str(tmp_path / "clk")),
+        max_delay="1 hour",
+    )
+    want = {(r.ad_id, str(r.imp_ts), str(r.click_ts)) for r in batch.collect()}
+    assert got == want
+    assert (1, "2026-01-01 10:00:00", "2026-01-01 10:40:00") in want
+    assert (2, "2026-01-01 10:30:00", "2026-01-01 10:30:00") in want
+    assert len(want) == 2
