@@ -1,23 +1,35 @@
-"""Fuzzy entity matching: blocked edit-distance pairs.
+"""Fuzzy entity matching: edit-distance pairs without going all-pairs.
 
 The entity-resolution primitive — find records whose names are within a
-small edit distance — expressed as blocking + verify so it never goes
-all-pairs:
+small edit distance — expressed as candidate generation + verify:
 
-1. **block**: records join only within a blocking key (here: name length
-   band + shared prefix).  Blocking bounds candidate pairs to
-   O(Σ block²) instead of O(N²) — the same shape MinHash banding gives
-   text dedup.
+1. **candidates**: for ``max_distance == 1`` the FastSS / SymSpell
+   deletion neighborhood (Bocek et al. 2007): two strings are within one
+   edit **iff** their {self} ∪ {one-char-deletions} key sets intersect,
+   so an equi-join on exploded deletion keys has EXACT recall with
+   ~``len+1`` keys per record — no O(N²) step anywhere.  For larger
+   budgets the fallback is classic (prefix, length-band) blocking, which
+   trades recall for selectivity like any LSH band.
 2. **verify**: ``levenshtein`` (a JVM built-in) on the candidates only.
 
-At 100 TB the blocking key is the shuffle key; pick it so blocks stay
-small (prefix length ↑, length band ↓) exactly like LSH band tuning.
+At 100 TB the key space is the shuffle key; deletion keys are near-unique
+(group sizes track true duplicate density), so the join never hot-spots
+the way a shared-prefix block does on templated names (a prefix-9 block
+over ``Supplier#...`` names is ONE block — measured all-pairs).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _deletion_keys(name_expr: str) -> F.Column:
+    """{name} ∪ {name minus one character} as an array column."""
+    return F.expr(
+        f"array_union(array({name_expr}), transform(sequence(1, length({name_expr})),"
+        f" i -> concat(left({name_expr}, i - 1), substring({name_expr}, i + 1))))"
+    )
 
 
 def fuzzy_name_pairs(
@@ -29,31 +41,49 @@ def fuzzy_name_pairs(
     prefix_len: int = 9,
 ) -> DataFrame:
     """Pairs (``id_a < id_b``) whose names are within ``max_distance``
-    edits, candidates blocked on (prefix, length).  An edit can change
-    the length by at most ``max_distance``, and a same-prefix block keeps
-    the join selective; a production matcher unions several blocking
-    passes (prefix, suffix, phonetic key) to cover prefix-divergent
-    typos — one pass is the demonstrable core.
+    edits.  ``max_distance == 1`` uses the exact deletion-neighborhood
+    join (every qualifying pair is found); larger distances block on
+    (``prefix_len``-prefix, length band), which can miss prefix-divergent
+    typos — union multiple blocking passes for production recall.
 
     Output: ``id_a, id_b, name_a, name_b, distance``.
     """
-    sides = []
-    for tag in ("a", "b"):
-        sides.append(
-            df.select(
+    if max_distance == 1:
+        def keyed(tag: str) -> DataFrame:
+            return df.select(
                 F.col(id_col).alias(f"id_{tag}"),
                 F.col(name_col).alias(f"name_{tag}"),
-                F.substring(F.col(name_col), 1, prefix_len).alias(f"pfx_{tag}"),
-                F.length(F.col(name_col)).alias(f"len_{tag}"),
+            ).select(
+                f"id_{tag}",
+                f"name_{tag}",
+                F.explode(_deletion_keys(f"name_{tag}")).alias("k"),
             )
+
+        cand = (
+            keyed("a")
+            .join(keyed("b"), "k")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "name_a", "name_b")
+            .distinct()
         )
-    a, b = sides
-    cand = a.join(
-        b,
-        (F.col("pfx_a") == F.col("pfx_b"))
-        & (F.col("id_a") < F.col("id_b"))
-        & (F.abs(F.col("len_a") - F.col("len_b")) <= max_distance),
-    )
+    else:
+        sides = []
+        for tag in ("a", "b"):
+            sides.append(
+                df.select(
+                    F.col(id_col).alias(f"id_{tag}"),
+                    F.col(name_col).alias(f"name_{tag}"),
+                    F.substring(F.col(name_col), 1, prefix_len).alias(f"pfx_{tag}"),
+                    F.length(F.col(name_col)).alias(f"len_{tag}"),
+                )
+            )
+        a, b = sides
+        cand = a.join(
+            b,
+            (F.col("pfx_a") == F.col("pfx_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= max_distance),
+        ).select("id_a", "id_b", "name_a", "name_b")
     return (
         cand.withColumn("distance", F.levenshtein("name_a", "name_b"))
         .filter(F.col("distance") <= max_distance)

@@ -751,8 +751,9 @@ FROM embeddings
 
 
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked edit-distance entity matching over supplier names (shared
-    9-char prefix + length band → levenshtein ≤ 1 verify)."""
+    """Edit-distance entity matching over supplier names via the FastSS
+    deletion-neighborhood join (exact recall at distance ≤ 1, no all-pairs
+    step); the oracle is the brute-force all-pairs definition."""
     from ..operators.matching import fuzzy_name_pairs
 
     return fuzzy_name_pairs(
@@ -765,13 +766,10 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FUZZY_SQL = """
-WITH s AS (SELECT s_suppkey AS id, s_name AS name,
-                  substr(s_name, 1, 9) AS pfx, length(s_name) AS len
-           FROM supplier)
+WITH s AS (SELECT s_suppkey AS id, s_name AS name FROM supplier)
 SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
        CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
-FROM s a JOIN s b
-  ON a.pfx = b.pfx AND a.id < b.id AND abs(a.len - b.len) <= 1
+FROM s a JOIN s b ON a.id < b.id
 WHERE levenshtein(a.name, b.name) <= 1
 """
 
