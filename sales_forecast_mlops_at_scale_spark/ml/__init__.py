@@ -7,6 +7,7 @@ workers, and the 1,115-model weekly run is a single Spark job with
 group-level parallelism bounded only by cluster cores.
 """
 
+from .fused import gated_forecast_groups
 from .gate import DEFAULT_MAX_RMSE, gate_report, gate_series, passing_model_keys
 from .models import SeasonalNaiveModel, get_model
 from .predict import forecast_groups
@@ -18,6 +19,7 @@ __all__ = [
     "forecast_groups",
     "gate_report",
     "gate_series",
+    "gated_forecast_groups",
     "get_model",
     "passing_model_keys",
     "train_groups",

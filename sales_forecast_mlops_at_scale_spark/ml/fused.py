@@ -1,0 +1,186 @@
+"""Fused train → gate → predict in ONE grouped pass.
+
+The composed pipeline (``train_groups`` → ``gate_series`` →
+``forecast_groups``) is the right shape when metrics must be *persisted*
+(the reference registers them in MLflow,
+``services/training-service/app/train_utils.py:125-149``) — but when the
+only consumer of the metrics is the quality gate itself
+(``services/forecast-service/app/handlers/mlflow.py:32-40``), composing
+them costs TWO grouped-map shuffles of the same series plus a semi-join.
+
+This operator runs walk-forward CV, the rmse gate, and the horizon
+forecast inside a single ``applyInPandas`` group function: one shuffle on
+the group keys, one Arrow round-trip, and rejected groups emit zero rows
+without any predict work being scheduled.  At 100 TB this halves the
+dominant cost of the weekly job (the series shuffle) while producing
+byte-identical output to the composed pipeline — which is exactly what
+the oracle checks (``plans/ml_queries.py::_GATED_SQL`` derives the gate
+from the *composed* definition).
+
+Gate semantics are replicated exactly from the composed path:
+the mean CV rmse is rounded half-away-from-zero to 4 decimals *before*
+the ``<= max_rmse`` comparison (``train.train_fn`` rounds its emitted
+metrics), and a group with too little history for any CV split (NULL
+rmse) fails the gate — an unevaluated model is not a trusted model.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+import math
+
+import numpy as np
+
+from .models import MODEL_NAME_FMT, SeasonalNaiveModel, get_model
+from .train import (
+    _metrics,
+    _round_half_away,
+    _seasonal_naive_fold_preds,
+    _seasonal_naive_lut,
+    _split_bounds,
+)
+
+_OUT_COLS = (
+    "forecast_date",
+    "forecast_sale",
+    "lower_ci",
+    "upper_ci",
+    "model_name",
+    "model_version",
+)
+
+
+def make_gated_forecast_fn(
+    keys: Sequence[str],
+    horizon_start: _dt.date,
+    horizon_days: int,
+    *,
+    model_spec: str = "seasonal_naive",
+    n_splits: int = 5,
+    date_col: str = "ds",
+    y_col: str = "y",
+    max_rmse: float = 1000.0,
+):
+    """Executor-side group function: CV-evaluate, gate on rmse, and emit
+    the horizon forecast rows for survivors (empty frame for rejects)."""
+
+    fast = model_spec == "seasonal_naive"
+    empty = pd.DataFrame(columns=[*keys, *_OUT_COLS])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rmses: list[float] = []
+        if fast:
+            # numpy end to end: argsort instead of a pandas sort, rmse on
+            # raw arrays — the per-group pandas constant is the whole
+            # wall-clock story at thousands of groups
+            ds = pd.to_datetime(pdf[date_col])
+            order = np.argsort(ds.to_numpy(), kind="stable")
+            ys = pdf[y_col].to_numpy(dtype=float)[order]
+            dows = ds.dt.dayofweek.to_numpy()[order]
+            n = len(ys)
+        else:
+            pdf = pdf.sort_values(date_col).reset_index(drop=True)
+            history = pd.DataFrame({"ds": pdf[date_col], "y": pdf[y_col]})
+            n = len(history)
+        for train_end, test_end in _split_bounds(n, n_splits):
+            if train_end < 1:
+                continue
+            if fast:
+                yhat = _seasonal_naive_fold_preds(ys, dows, train_end, test_end)
+                err = ys[train_end:test_end] - yhat
+                rmses.append(float(math.sqrt((err * err).mean())))
+            else:
+                model = get_model(model_spec).fit(history.iloc[:train_end])
+                fold = history.iloc[train_end:test_end]
+                yhat = model.predict(fold["ds"])["yhat"].reset_index(drop=True)
+                fold_y = fold["y"].reset_index(drop=True)
+                rmses.append(_metrics(fold_y, yhat)[0])
+        if not rmses:  # no evaluable split → NULL rmse → gate fails
+            return empty
+        rmse = _round_half_away(sum(rmses) / len(rmses), 4)
+        if not (rmse <= max_rmse):
+            return empty
+
+        dates = pd.date_range(
+            pd.Timestamp(horizon_start), periods=horizon_days, freq="D"
+        )
+        if fast:
+            # numpy LUT predict — identical arithmetic to
+            # SeasonalNaiveModel.predict (float yhat, ±10%, int-truncate)
+            yhat = _seasonal_naive_lut(ys, dows)[dates.dayofweek.to_numpy()]
+            out = pd.DataFrame(
+                {
+                    "ds": pd.Series(dates),
+                    "yhat": yhat.astype(int),
+                    "yhat_lower": (yhat * 0.9).astype(int),
+                    "yhat_upper": (yhat * 1.1).astype(int),
+                }
+            )
+            version = SeasonalNaiveModel.version
+        else:
+            model = get_model(model_spec).fit(history)
+            out = model.predict(pd.Series(dates))
+            version = model.version
+        key_vals = {k: pdf[k].iloc[0] for k in keys}
+        store = key_vals.get(keys[0])
+        product = key_vals.get(keys[1]) if len(keys) > 1 else ""
+        res = pd.DataFrame(
+            {
+                **{k: [v] * len(out) for k, v in key_vals.items()},
+                "forecast_date": out["ds"].dt.date,
+                "forecast_sale": out["yhat"],
+                "lower_ci": out["yhat_lower"],
+                "upper_ci": out["yhat_upper"],
+            }
+        )
+        res["model_name"] = MODEL_NAME_FMT.format(store=store, product=product)
+        res["model_version"] = version
+        return res
+
+    return fn
+
+
+def gated_forecast_groups(
+    sales: DataFrame,
+    keys: Sequence[str] = ("store", "productname"),
+    *,
+    horizon_start: _dt.date,
+    horizon_days: int = 7,
+    model_spec: str = "seasonal_naive",
+    n_splits: int = 5,
+    date_col: str = "date",
+    y_col: str = "sales",
+    max_rmse: float = 1000.0,
+) -> DataFrame:
+    """Forecast rows for the groups whose walk-forward CV rmse meets the
+    bar — identical output to ``forecast_groups(gate_series(series,
+    train_groups(series)))`` in one grouped-map job instead of two plus a
+    join."""
+    from pyspark.sql import types as T
+
+    key_fields = [sales.schema[k] for k in keys]
+    out_fields = [
+        T.StructField("forecast_date", T.DateType()),
+        T.StructField("forecast_sale", T.IntegerType()),
+        T.StructField("lower_ci", T.IntegerType()),
+        T.StructField("upper_ci", T.IntegerType()),
+        T.StructField("model_name", T.StringType()),
+        T.StructField("model_version", T.StringType()),
+    ]
+    schema = T.StructType(key_fields + out_fields)
+    fn = make_gated_forecast_fn(
+        keys,
+        horizon_start,
+        horizon_days,
+        model_spec=model_spec,
+        n_splits=n_splits,
+        date_col=date_col,
+        y_col=y_col,
+        max_rmse=max_rmse,
+    )
+    return sales.groupBy(*keys).applyInPandas(fn, schema)

@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from .models import MODEL_NAME_FMT, get_model
+from .train import _seasonal_naive_lut
 
 
 def make_predict_fn(
@@ -35,15 +36,35 @@ def make_predict_fn(
     date_col: str = "ds",
     y_col: str = "y",
 ):
+    fast = model_spec == "seasonal_naive"
+
     def predict_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        history = pd.DataFrame({"ds": pdf[date_col], "y": pdf[y_col]})
-        model = get_model(model_spec).fit(history)
-        dates = pd.Series(
-            pd.date_range(
-                pd.Timestamp(horizon_start), periods=horizon_days, freq="D"
-            )
+        dates = pd.date_range(
+            pd.Timestamp(horizon_start), periods=horizon_days, freq="D"
         )
-        out = model.predict(dates)
+        if fast:
+            # vectorized twin of SeasonalNaiveModel.fit/predict (see
+            # train._seasonal_naive_lut): numpy argsort + LUT instead of a
+            # pandas sort + to_datetime + groupby PER GROUP — the per-group
+            # constant is what bounds throughput at thousands of groups
+            ds_sorted = pd.to_datetime(pdf[date_col]).sort_values()
+            ys = pdf[y_col].to_numpy(dtype=float)[ds_sorted.index.to_numpy()]
+            dows = ds_sorted.dt.dayofweek.to_numpy()
+            yhat = _seasonal_naive_lut(ys, dows)[dates.dayofweek.to_numpy()]
+            out = pd.DataFrame(
+                {
+                    "ds": pd.Series(dates),
+                    "yhat": yhat.astype(int),
+                    "yhat_lower": (yhat * 0.9).astype(int),
+                    "yhat_upper": (yhat * 1.1).astype(int),
+                }
+            )
+            version = "1"
+        else:
+            history = pd.DataFrame({"ds": pdf[date_col], "y": pdf[y_col]})
+            model = get_model(model_spec).fit(history)
+            out = model.predict(pd.Series(dates))
+            version = model.version
         key_vals = {k: pdf[k].iloc[0] for k in keys}
         store = key_vals.get(keys[0])
         product = key_vals.get(keys[1]) if len(keys) > 1 else ""
@@ -57,7 +78,7 @@ def make_predict_fn(
             }
         )
         res["model_name"] = MODEL_NAME_FMT.format(store=store, product=product)
-        res["model_version"] = model.version
+        res["model_version"] = version
         return res
 
     return predict_fn

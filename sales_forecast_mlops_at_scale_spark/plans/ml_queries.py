@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..ml import forecast_groups, gate_series, train_groups
+from ..ml import forecast_groups, gate_series, gated_forecast_groups, train_groups
 from . import QueryDef
 
 KEYS = ("l_suppkey", "l_returnflag")
@@ -72,29 +72,26 @@ def q_gated_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U6 model-quality gate: train per group, reject groups whose CV rmse
     exceeds the bar, forecast ONLY the survivors (reference refuses to
     serve rmse > 1000 models, forecast-service/app/handlers/mlflow.py:32-40).
-    The gate prunes groups before predict work is scheduled."""
-    # the series has four consumers (train, the gate's semi-join probe,
-    # the anchor scalar, and the forecast input); at local SFs
-    # recomputing the cheap scan+groupBy measures faster than cache
-    # materialization, so no cache here — on a real warehouse where the
-    # fact scan dominates, persist() this frame (or materialize it as a
-    # table) before fanning out
+
+    Runs as ONE fused grouped-map job (``ml.fused.gated_forecast_groups``):
+    CV, gate, and predict share a single series shuffle, versus the
+    composed train → semi-join → predict pipeline that shuffles the series
+    twice.  The oracle (_GATED_SQL) is still the *composed* definition —
+    the fusion is checked byte-identical against it."""
     series = demand_series(spark, sf_dir)
-    metrics = train_groups(
-        series, KEYS, model_spec="seasonal_naive", date_col="ds", y_col="y"
-    )
-    gated = gate_series(series, metrics, KEYS, max_rmse=GATE_RMSE)
-    anchor = series.agg(F.max("ds")).collect()[0][0]
+    li = load_table(spark, sf_dir, "lineitem")
+    anchor = li.agg(F.max(F.col("l_shipdate").cast("date"))).collect()[0][0]
     import datetime as _dt
 
-    return forecast_groups(
-        gated,
+    return gated_forecast_groups(
+        series,
         KEYS,
         horizon_start=anchor + _dt.timedelta(days=1),
         horizon_days=7,
         model_spec="seasonal_naive",
         date_col="ds",
         y_col="y",
+        max_rmse=GATE_RMSE,
     )
 
 
