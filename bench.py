@@ -93,6 +93,25 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_train_metrics",
     "q_forecast_7d",
     "q_gated_forecast",
+    # full-surface tail: star/date scaffolding, curation, media, window HOFs
+    "q_distinct_segments",
+    "q_distinct_priorities",
+    "q_topn_recent",
+    "q_group_slice",
+    "q_cross",
+    "q_rebase",
+    "q_dateindex",
+    "q_token_count",
+    "q_fingerprint",
+    "q_lang_id",
+    "q_url_domains",
+    "q_sample_deterministic",
+    "q_source_cap",
+    "q_media_features",
+    "q_media_dedup",
+    "q_window_funcs",
+    "q_array_ops",
+    "q_zorder_key",
 )
 
 

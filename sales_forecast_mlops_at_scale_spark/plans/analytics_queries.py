@@ -944,6 +944,38 @@ FROM events GROUP BY 1
 """
 
 
+# -- Z-order layout key -------------------------------------------------------
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton / Z-order clustering key over (customer, order-date-rank):
+    the bit-interleaved value a compaction job range-partitions and sorts
+    on so parquet min/max stats stay tight on BOTH dimensions (see
+    operators/layout.py; tests/test_layout.py measures the per-file span
+    shrinkage vs a linear sort).  Pure JVM bit math — oracled against the
+    identical arithmetic in SQL."""
+    from ..operators.layout import zvalue
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).alias(
+            "date_rank"
+        ),
+    )
+    return o.select(
+        "o_orderkey",
+        zvalue([F.col("o_custkey"), F.col("date_rank")], bits=16).alias("zval"),
+    )
+
+
+def _zorder_sql() -> str:
+    from ..operators.layout import zvalue_sql
+
+    expr = zvalue_sql(["o_custkey", "date_diff('day', DATE '1992-01-01', o_orderdate)"], bits=16)
+    return f"SELECT o_orderkey, CAST({expr} AS BIGINT) AS zval FROM orders"
+
+
 # -- approximate distinct (HLL sketch; rows-only, tolerance-tested) -----------
 
 
@@ -987,6 +1019,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_histogram": QueryDef(q_histogram, _HISTOGRAM_SQL),
     "q_funnel": QueryDef(q_funnel, _FUNNEL_SQL),
     "q_cohort_retention": QueryDef(q_cohort_retention, _COHORT_SQL),
+    "q_zorder_key": QueryDef(q_zorder_key, _zorder_sql()),
     # q_approx_users is deliberately NOT registered: an HLL sketch has no
     # exact SQL twin, so a driver-facing entry can only ever land as a
     # weak/err row.  The operator is exercised (with a ±5% tolerance
