@@ -343,3 +343,67 @@ def test_interval_attribution_join_stream_matches_batch(spark, tmp_path):
     assert (1, "2026-01-01 10:00:00", "2026-01-01 10:40:00") in want
     assert (2, "2026-01-01 10:30:00", "2026-01-01 10:30:00") in want
     assert len(want) == 2
+
+
+def test_tws_running_totals(spark, tmp_path):
+    """transformWithStateInPandas running totals: stream-vs-batch
+    differential over two micro-batches.  Requires the protobuf package
+    (the TWS python worker's state protocol) — skipped where absent; the
+    executable stateful coverage without it is applyInPandasWithState
+    (test_stateful_latest_per_key_across_batches)."""
+    import json
+    import os
+    import time
+
+    import pytest
+
+    from sales_forecast_mlops_at_scale_spark.streaming.tws import (
+        ROCKSDB_PROVIDER,
+        streaming_running_totals,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("protobuf not installed; TWS python protocol unavailable")
+
+    src = tmp_path / "tws_src"
+    src.mkdir()
+    a = [{"user_id": 1, "value": 10.0}, {"user_id": 1, "value": 5.0},
+         {"user_id": 2, "value": 1.0}]
+    b = [{"user_id": 1, "value": 2.0}, {"user_id": 3, "value": 7.0}]
+    fa, fb = src / "a.json", src / "b.json"
+    fa.write_text("\n".join(json.dumps(r) for r in a) + "\n")
+    fb.write_text("\n".join(json.dumps(r) for r in b) + "\n")
+    now = time.time()
+    os.utime(fa, (now - 60, now - 60))
+    os.utime(fb, (now, now))
+
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+    try:
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        q = (
+            streaming_running_totals(stream, key_col="user_id")
+            .writeStream.format("memory")
+            .queryName("tws_totals")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # last emitted row per key == the batch groupBy of everything
+        rows = spark.sql(
+            "SELECT user_id, n, total FROM ("
+            " SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY n DESC) rk"
+            " FROM tws_totals) WHERE rk = 1"
+        ).collect()
+        got = {(r.user_id, r.n, r.total) for r in rows}
+        assert got == {(1, 3, 17.0), (2, 1, 1.0), (3, 1, 7.0)}
+    finally:
+        if prior is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
