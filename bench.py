@@ -112,6 +112,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_window_funcs",
     "q_array_ops",
     "q_zorder_key",
+    "q_pagerank",
 )
 
 

@@ -976,6 +976,59 @@ def _zorder_sql() -> str:
     return f"SELECT o_orderkey, CAST({expr} AS BIGINT) AS zval FROM orders"
 
 
+# -- iterative graph: PageRank over the nation trade network ------------------
+
+_PR_EDGES_SQL = """
+SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (10 exact integer fixed-point iterations, see
+    operators/graph.py) over the nation trade graph: supplier-nation →
+    customer-nation edges weighted by lineitem count.  The iterative
+    DataFrame loop — join + aggregate per step over persisted edges —
+    hash-matched against a 10-step unrolled-CTE oracle."""
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    edges = (
+        li.join(F.broadcast(su), li["l_suppkey"] == su["s_suppkey"])
+        .join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank(edges, iterations=10)
+    na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return ranks.join(
+        F.broadcast(na), ranks["node"] == na["n_nationkey"]
+    ).select(F.col("n_name").alias("nation"), F.col("rank").alias("rank_e12"))
+
+
+def _pagerank_oracle() -> str:
+    from ..operators.graph import pagerank_sql
+
+    return pagerank_sql(
+        _PR_EDGES_SQL,
+        iterations=10,
+        tail=(
+            "SELECT n_name AS nation, rank AS rank_e12"
+            " FROM {r} JOIN nation ON n_nationkey = {r}.node"
+        ),
+    )
+
+
 # -- approximate distinct (HLL sketch; rows-only, tolerance-tested) -----------
 
 
@@ -1020,6 +1073,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_funnel": QueryDef(q_funnel, _FUNNEL_SQL),
     "q_cohort_retention": QueryDef(q_cohort_retention, _COHORT_SQL),
     "q_zorder_key": QueryDef(q_zorder_key, _zorder_sql()),
+    "q_pagerank": QueryDef(q_pagerank, _pagerank_oracle()),
     # q_approx_users is deliberately NOT registered: an HLL sketch has no
     # exact SQL twin, so a driver-facing entry can only ever land as a
     # weak/err row.  The operator is exercised (with a ±5% tolerance
