@@ -121,6 +121,13 @@ def ngram_jaccard_pairs(
     score a true Jaccard over the filtered shingle space).
     """
     sh = shingle_index(df, text_col, id_col, n=n)
+    if persist_index:
+        # the exploded index fans out to the stop-shingle filter, the
+        # document-frequency counts, AND the set build — without the
+        # persist the regex+HOF shingling pipeline (the single most
+        # expensive stage) re-executes per consumer (measured 2× cost
+        # at sf0.1)
+        sh = sh.persist()
     if max_df is not None:
         keep = sh.groupBy("s").count().filter(F.col("count") <= max_df).select("s")
         sh = sh.join(keep, "s")  # broadcast by Catalyst when small
