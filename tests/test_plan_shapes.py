@@ -57,3 +57,77 @@ def test_run_weekly_has_no_global_window_exchange(spark):
     _metrics, forecasts = run_weekly(sales, clock=FIXED_CLOCK)
     exec_plan = _executed_plan(forecasts)
     assert "Exchange SinglePartition" not in exec_plan, exec_plan
+
+
+def test_top_n_per_group_uses_window_group_limit(spark):
+    # Spark 3.5+/4 rewrites rank<=k window filters into WindowGroupLimit:
+    # per-partition top-k heaps BEFORE the shuffle, so only k rows per
+    # group per mapper move — the difference between shuffling the whole
+    # fact table and shuffling k*groups rows at 100 TB
+    q = all_queries()["q_last7_per_group"]
+    plan = _executed_plan(q.fn(spark, SMOKE_SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_partitioned_write_enables_dynamic_partition_pruning(spark, tmp_path):
+    # DPP: joining a date-partitioned fact against a filtered dim must
+    # prune fact partitions at RUNTIME from the dim's build side —
+    # the mechanism that saves the scan when the filter is on the
+    # dimension, not the partition column itself
+    import pyspark.sql.functions as F
+
+    from sales_forecast_mlops_at_scale_spark.catalog import load_table
+
+    fact = str(tmp_path / "fact_part")
+    orders = load_table(spark, SMOKE_SF_DIR, "orders")
+    (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .write.partitionBy("o_year")
+        .mode("overwrite")
+        .parquet(fact)
+    )
+    dim = spark.createDataFrame(
+        [(y, "mid" if y == 1995 else "other") for y in range(1992, 1999)],
+        "o_year int, label string",
+    ).filter(F.col("label") == "mid")  # DPP derives the pruning subquery
+    # from a *filtered* build side
+    f = spark.read.parquet(fact)
+    joined = f.join(dim, "o_year").groupBy("label").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    joined.count()
+
+
+def test_selective_dim_join_injects_runtime_bloom_filter(spark):
+    # runtime (bloom) filter injection: a selective dimension filter is
+    # pushed into the fact side as a bloom probe before the shuffle.
+    # Needs the feature flag + thresholds scaled down to fixture sizes.
+    import pyspark.sql.functions as F
+
+    from sales_forecast_mlops_at_scale_spark.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    prior = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SMOKE_SF_DIR, "lineitem")
+        orders = load_table(spark, SMOKE_SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower() or "BloomFilter" in plan, plan
+    finally:
+        for k, v in prior.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
