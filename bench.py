@@ -113,6 +113,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_array_ops",
     "q_zorder_key",
     "q_pagerank",
+    "q_ann_recall",
 )
 
 

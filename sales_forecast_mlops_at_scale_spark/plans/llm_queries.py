@@ -218,6 +218,29 @@ def q_embed_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, dim=64)
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@5 of the SRP-LSH approximate top-k
+    against the exact brute-force top-k, per query vector.  The eval
+    harness every production ANN deployment runs before trusting an
+    index — here it is itself a deterministic, oracled query (both tiers
+    are deterministic, so the recall numbers are too)."""
+    exact = q_embed_topk(spark, sf_dir).select("q_id", "nn_id")
+    approx = q_embed_srp_topk(spark, sf_dir).select(
+        "q_id", "nn_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["q_id", "nn_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_hits"),
+        )
+        .withColumn(
+            "recall", F.round(F.col("n_hits") / F.col("k"), 6)
+        )
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped pruning at τ=0.4 (the fixtures are
     near-orthogonal — see q_embed_neardup): cluster to 16 deterministic
@@ -752,6 +775,23 @@ FROM rk
     "q_embed_topk": QueryDef(q_embed_topk, _EMBED_TOPK_SQL),
     "q_embed_ivf_topk": QueryDef(q_embed_ivf_topk, _EMBED_IVF_SQL),
     "q_embed_srp_topk": QueryDef(q_embed_srp_topk, _EMBED_SRP_SQL),
+    "q_ann_recall": QueryDef(
+        q_ann_recall,
+        # composed verbatim from the two tiers' oracles: exact top-k as
+        # ground truth, SRP candidates as retrieved set
+        f"""
+WITH exact AS ({_EMBED_TOPK_SQL}),
+approx AS ({_EMBED_SRP_SQL})
+SELECT e.q_id,
+       CAST(count(*) AS INTEGER) AS k,
+       CAST(sum(CASE WHEN a.nn_id IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_hits,
+       round(sum(CASE WHEN a.nn_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 6) AS recall
+FROM exact e LEFT JOIN approx a ON a.q_id = e.q_id AND a.nn_id = e.nn_id
+GROUP BY e.q_id
+""",
+    ),
     "q_semantic_dedup": QueryDef(q_semantic_dedup, _SEMANTIC_DEDUP_SQL),
     "q_embed_neardup": QueryDef(
         q_embed_neardup,
