@@ -114,6 +114,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_zorder_key",
     "q_pagerank",
     "q_ann_recall",
+    "q_tfidf_terms",
 )
 
 

@@ -262,3 +262,53 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.select(
         *df.columns, pred.alias("pred_lang"), F.round(best, 6).alias("lang_score")
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf·idf with the
+    RATIONAL idf variant ``(N + 1) / (df + 1)`` (no logarithm).
+
+    The log is dropped deliberately: ``ln`` is libm-dependent (±1 ulp
+    across engines/platforms), which breaks bit-exact cross-engine
+    checks, while integer-ratio division and one multiply are IEEE
+    correctly-rounded everywhere — the score is bit-identical on any
+    engine.  Ranking is unchanged for any monotone idf transform at
+    fixed df, and ties break on the term itself.
+
+    Scale shape: explode → two groupBys (term-per-doc, then df) → join →
+    per-doc top-k.  The rank filter compiles to WindowGroupLimit, so
+    each mapper keeps a k-heap per doc and only k·docs rows shuffle.
+    ``N`` (corpus size) is a parquet-footer-grade driver scalar.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(normalized_text(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * (F.lit(n_docs + 1) / (F.col("df") + F.lit(1))), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("doc").alias(id_col), "term", "tf", "df", "score", "rank"
+        )
+    )

@@ -86,6 +86,33 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per doc by tf·idf (rational idf — see
+    operators/llm/textstats.tfidf_top_terms for why no log)."""
+    from ..operators.llm.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
+
+
+_TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id AS doc, unnest({_TOKS}) AS term
+  FROM documents WHERE length({_NORM}) > 0),
+tf AS (SELECT doc, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+         CAST(dfreq.df AS BIGINT) AS df,
+         round(tf.tf * (((SELECT count(*) + 1 FROM documents)) / (dfreq.df + 1)), 6)
+           AS score
+  FROM tf JOIN dfreq USING (term))
+SELECT doc AS doc_id, term, tf, df, score, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc ORDER BY score DESC, term ASC)
+         AS rank
+  FROM scored) WHERE rank <= 5
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fingerprint(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "fingerprint"
@@ -675,6 +702,7 @@ SELECT doc_id, count(*) AS n_fingerprints,
 FROM fps GROUP BY doc_id
 """,
     ),
+    "q_tfidf_terms": QueryDef(q_tfidf_terms, _TFIDF_SQL),
     "q_text_quality": QueryDef(q_text_quality, _QUALITY_SQL),
     "q_lang_id": QueryDef(q_lang_id, _LANG_SQL),
     "q_pii_redact": QueryDef(q_pii_redact, _PII_SQL),
