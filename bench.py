@@ -115,6 +115,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_pagerank",
     "q_ann_recall",
     "q_tfidf_terms",
+    "q_chunk_documents",
 )
 
 

@@ -133,3 +133,48 @@ def curation_decision(
         .otherwise("kept")
     )
     return flagged.select(F.col(id_col), keep.alias("keep"), reason.alias("reason"))
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_tokens: int = 64,
+) -> DataFrame:
+    """Split each document into consecutive ``max_tokens``-token chunks —
+    the context-window packing step between curation and tokenization in
+    a training pipeline (every document becomes ⌈n/max⌉ sequences; the
+    final partial chunk is kept, empty documents yield none).
+
+    Pure higher-order functions: tokenize once, then one ``transform``
+    over ``sequence(0, n_chunks-1)`` slices the token array — a per-row
+    map with NO shuffle and no Python.  ``posexplode`` numbers chunks
+    1-based.  At 100 TB this is embarrassingly parallel; the only
+    downstream consideration is re-bucketing chunks if later stages
+    group by chunk rather than document.
+
+    Output: ``id_col, chunk_id, n_tokens, chunk``.
+    """
+    from .textstats import normalized_text, tokens
+
+    toks = df.select(
+        F.col(id_col), tokens(normalized_text(F.col(text_col))).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    # (the filter also guards sequence(): Spark's sequence(0, -1) steps
+    # DOWNWARD for empty docs instead of yielding an empty array)
+    m = max_tokens
+    chunks = toks.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(0), F.ceil(F.size("__toks") / F.lit(m)).cast("int") - 1),
+            lambda i: F.slice(F.col("__toks"), i * m + 1, m),
+        ).alias("__chunks"),
+    )
+    ex = chunks.select(id_col, F.posexplode("__chunks").alias("pos", "chunk_toks"))
+    return ex.select(
+        id_col,
+        (F.col("pos") + 1).cast("int").alias("chunk_id"),
+        F.size("chunk_toks").alias("n_tokens"),
+        F.array_join("chunk_toks", " ").alias("chunk"),
+    )

@@ -113,6 +113,31 @@ SELECT doc AS doc_id, term, tf, df, score, CAST(rank AS INTEGER) AS rank FROM (
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: every doc split into consecutive 64-token
+    sequences (final partial kept) — the packing step between curation
+    and tokenization.  Zero-shuffle per-row HOF map."""
+    from ..operators.llm.curation import chunk_documents
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"), max_tokens=64)
+
+
+_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE length({_NORM}) > 0),
+ch AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, CAST(ceil(len(t) / 64.0) AS INTEGER))) AS i
+  FROM toks)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+       CAST(len(list_slice(t, (i - 1) * 64 + 1, least(i * 64, len(t)))) AS INTEGER)
+         AS n_tokens,
+       array_to_string(list_slice(t, (i - 1) * 64 + 1, least(i * 64, len(t))), ' ')
+         AS chunk
+FROM ch
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_fingerprint(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "fingerprint"
@@ -703,6 +728,7 @@ FROM fps GROUP BY doc_id
 """,
     ),
     "q_tfidf_terms": QueryDef(q_tfidf_terms, _TFIDF_SQL),
+    "q_chunk_documents": QueryDef(q_chunk_documents, _CHUNK_SQL),
     "q_text_quality": QueryDef(q_text_quality, _QUALITY_SQL),
     "q_lang_id": QueryDef(q_lang_id, _LANG_SQL),
     "q_pii_redact": QueryDef(q_pii_redact, _PII_SQL),
