@@ -407,3 +407,33 @@ def test_tws_running_totals(spark, tmp_path):
     finally:
         if prior is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: each micro-batch broadcast-joins the static
+    dimension (no state, no watermark needed) — the standard enrichment
+    pattern for reference data at any stream volume."""
+    import json
+
+    src = tmp_path / "enrich_src"
+    src.mkdir()
+    rows = [{"user_id": 1, "value": 2.0}, {"user_id": 2, "value": 3.0},
+            {"user_id": 9, "value": 5.0}]  # 9 has no dim row
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    stream = spark.readStream.schema("user_id long, value double").json(str(src))
+    q = (
+        stream.join(dim.hint("broadcast"), "user_id", "left")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.user_id, r.tier) for r in spark.table("enriched").collect()}
+    assert got == {(1, "gold"), (2, "silver"), (9, None)}
