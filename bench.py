@@ -116,6 +116,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_ann_recall",
     "q_tfidf_terms",
     "q_chunk_documents",
+    "q_mix_weights",
 )
 
 

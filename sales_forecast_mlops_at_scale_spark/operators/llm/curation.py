@@ -178,3 +178,47 @@ def chunk_documents(
         F.size("chunk_toks").alias("n_tokens"),
         F.array_join("chunk_toks", " ").alias("chunk"),
     )
+
+
+def mix_to_weights(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Down-sample sources to hit a target dataset mixture — the
+    "data recipe" step of a training pipeline (e.g. web 50% / books 30% /
+    code 20%).  Sources not named in ``weights`` are dropped.
+
+    The binding source (smallest ``count/weight`` ratio) is kept whole;
+    every other source is deterministically md5-threshold-sampled (see
+    :func:`deterministic_sample`) down to ``T * w_s`` expected rows,
+    where ``T = min_s(n_s / w_s)`` is the largest total the recipe
+    supports.  All math is count-ratio double division (IEEE exact, same
+    in any engine); the per-source counts are a tiny driver-side agg of
+    one row per source — catalog-grade, not data-grade.
+    """
+    rows = (
+        df.filter(F.col(source_col).isin(list(weights)))
+        .groupBy(source_col)
+        .count()
+        .collect()
+    )
+    counts = {r[0]: r[1] for r in rows}
+    missing = sorted(set(weights) - set(counts))
+    if missing:
+        raise ValueError(f"sources absent from data: {missing}")
+    total = min(counts[s] / w for s, w in weights.items())
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8
+    )
+    keep = None
+    for s, w in weights.items():
+        frac = min(1.0, (total * w) / counts[s])
+        cond = (F.col(source_col) == s) & (
+            bucket < F.lit(sample_threshold_hex(frac))
+        )
+        keep = cond if keep is None else keep | cond
+    return df.filter(keep)

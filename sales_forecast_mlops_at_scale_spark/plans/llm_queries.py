@@ -113,6 +113,43 @@ SELECT doc AS doc_id, term, tf, df, score, CAST(rank AS INTEGER) AS rank FROM (
 """
 
 
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture sampling: sources src0/src1/src2 down-sampled to a
+    50/30/20 recipe (binding source kept whole), md5-deterministic.  The
+    oracle recomputes the per-source fractions engine-side with the
+    identical count-ratio double math."""
+    from ..operators.llm.curation import mix_to_weights
+
+    return mix_to_weights(
+        load_table(spark, sf_dir, "documents"),
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+    ).select("doc_id", "source", "lang")
+
+
+_MIX_SQL = """
+WITH w AS (
+  SELECT * FROM (VALUES ('src0', CAST(0.5 AS DOUBLE)),
+                        ('src1', CAST(0.3 AS DOUBLE)),
+                        ('src2', CAST(0.2 AS DOUBLE))) AS t(source, wt)),
+cnt AS (
+  SELECT d.source, count(*) AS n FROM documents d JOIN w USING (source)
+  GROUP BY 1),
+tot AS (SELECT min(n / wt) AS t FROM cnt JOIN w USING (source)),
+thr AS (
+  SELECT source,
+         -- floor, not CAST: DuckDB's double->int cast rounds, python's
+         -- int() truncates; lower(): to_hex is uppercase but md5 output
+         -- (and python format(x, '08x')) is lowercase
+         lpad(lower(to_hex(CAST(floor(least(CAST(1.0 AS DOUBLE),
+                                            ((SELECT t FROM tot) * wt) / n)
+                                      * 4294967295) AS BIGINT))), 8, '0') AS th
+  FROM cnt JOIN w USING (source))
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN thr USING (source)
+WHERE substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8) < th
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: every doc split into consecutive 64-token
     sequences (final partial kept) — the packing step between curation
@@ -729,6 +766,7 @@ FROM fps GROUP BY doc_id
     ),
     "q_tfidf_terms": QueryDef(q_tfidf_terms, _TFIDF_SQL),
     "q_chunk_documents": QueryDef(q_chunk_documents, _CHUNK_SQL),
+    "q_mix_weights": QueryDef(q_mix_weights, _MIX_SQL),
     "q_text_quality": QueryDef(q_text_quality, _QUALITY_SQL),
     "q_lang_id": QueryDef(q_lang_id, _LANG_SQL),
     "q_pii_redact": QueryDef(q_pii_redact, _PII_SQL),
