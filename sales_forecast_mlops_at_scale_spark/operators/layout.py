@@ -138,3 +138,36 @@ def file_span_stats(spark, path: str, cols: Sequence[str]) -> DataFrame:
         for c in cols
     ]
     return per_file.select("__file", *spans)
+
+
+def compact(
+    spark,
+    src_path: str,
+    dst_path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite ``src_path`` into ``dst_path`` with
+    file sizes near ``target_file_bytes``.  Returns the file count written.
+
+    The streaming ingest path appends a file per micro-batch per
+    partition; a day of 5-minute triggers leaves thousands of KB-scale
+    files whose open/seek overhead dominates scans long before data
+    volume does.  Compaction is the maintenance job every parquet
+    warehouse runs; here: size the output from the ACTUAL input bytes
+    (Hadoop FS metadata — works on HDFS/S3A/local alike), then
+    ``coalesce`` — a shuffle-free narrow repacking; use
+    :func:`write_zordered` instead when the rewrite should also fix
+    clustering, trading a range shuffle for min/max prunability.
+    """
+    import math
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = path.getFileSystem(conf)
+    total = fs.getContentSummary(path).getLength()
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    df.coalesce(n).write.mode("overwrite").parquet(dst_path)
+    return n

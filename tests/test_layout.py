@@ -82,3 +82,17 @@ def test_zorder_spans_tight_on_both_dims(spark, tmp_path):
     assert lin_worst > 0.9
     assert z_worst < 0.75
     assert z_worst < lin_worst
+
+
+def test_compact_small_files(spark, tmp_path):
+    from sales_forecast_mlops_at_scale_spark.operators.layout import compact
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    o = _orders(spark)
+    o.repartition(64).write.parquet(src)  # simulate micro-batch fragmentation
+    n_src = len([f for f in spark.read.parquet(src).inputFiles()])
+    assert n_src >= 32
+    compact(spark, src, dst, target_file_bytes=64 * 1024 * 1024)
+    out = spark.read.parquet(dst)
+    assert len(out.inputFiles()) < n_src / 8
+    assert out.count() == o.count()

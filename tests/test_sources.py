@@ -74,3 +74,21 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(k), GreaterThan(k,90)]" in plan
     assert filtered.count() == 9
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """mergeSchema read across generations: an appended column appears
+    for new files and nulls out for old ones — the additive-evolution
+    contract a long-lived warehouse table depends on."""
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        base + "/gen=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(base + "/gen=2")
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(df.columns) == {"id", "v", "score", "gen"}
+    rows = {r.id: (r.score, r.gen) for r in df.collect()}
+    assert rows[1] == (None, 1)
+    assert rows[2] == (9.5, 2)
