@@ -29,7 +29,7 @@ from .embedsim import (
     srp_topk,
 )
 from .exact_dedup import exact_dedup, exact_dedup_keys
-from .jaccard import ngram_jaccard_pairs, shingles
+from .jaccard import ngram_jaccard_pairs, ngram_jaccard_pairs_prefix, shingles
 from .minhash import minhash_lsh_pairs, minhash_signatures
 from .simhash import simhash_pairs, simhash_signatures
 from .textclean import (
@@ -64,6 +64,7 @@ __all__ = [
     "exact_dedup",
     "exact_dedup_keys",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_prefix",
     "shingles",
     "minhash_lsh_pairs",
     "minhash_signatures",

@@ -13,6 +13,7 @@ from sales_forecast_mlops_at_scale_spark.operators.llm import (
     ivf_topk,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
     simhash_pairs,
 )
 
@@ -34,6 +35,28 @@ def test_minhash_lsh_equals_exact_on_fixtures(spark):
     assert set(lsh) <= set(exact)
     assert lsh == exact
     assert len(exact) > 0, "fixtures should contain near-duplicates"
+
+
+def test_jaccard_prefix_strategy_equals_pair_counting(spark):
+    """The PPJoin prefix-filter variant and the pair-counting default are
+    alternative physical strategies for the same operator — their outputs
+    must be row-identical (including sizes and scores), with and without
+    the max_df stop-shingle guard."""
+    docs = load_table(spark, SF_DIR, "documents")
+    for max_df in (None, 3):
+        a = sorted(
+            map(tuple, ngram_jaccard_pairs(docs, threshold=0.5, max_df=max_df).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                ngram_jaccard_pairs_prefix(
+                    docs, threshold=0.5, max_df=max_df
+                ).collect(),
+            )
+        )
+        assert a == b
+        assert len(a) > 0
 
 
 def test_simhash_pairs_deterministic_and_bounded(spark):
