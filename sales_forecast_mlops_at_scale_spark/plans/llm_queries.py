@@ -624,11 +624,17 @@ WITH n AS (
 ), planes AS (
   SELECT unnest(generate_series(0, 15)) AS p
 ), bits AS (
+  -- quantized integer projection: Σ ±round(x·10^6) in BIGINT — exact and
+  -- associative, so it matches the Spark side's int64 GEMM bit-for-bit
+  -- regardless of summation order (see operators/llm/embedsim.py,
+  -- SRP_QUANT_SCALE: binary-float inputs can never hit an exact .5
+  -- boundary at scale 10^6, so every engine's round() agrees too)
   SELECT n.vec_id, planes.p,
-         CASE WHEN round(list_sum(list_transform(range(len(n.v)),
-              d -> n.v[d + 1] * (CASE WHEN substr(md5(CAST(planes.p AS VARCHAR)
+         CASE WHEN list_sum(list_transform(range(len(n.v)),
+              d -> CAST(round(n.v[d + 1] * 1000000) AS BIGINT)
+                   * (CASE WHEN substr(md5(CAST(planes.p AS VARCHAR)
                    || '_' || CAST(d AS VARCHAR)), 1, 1) <= '7'
-                   THEN 1.0 ELSE -1.0 END))), 6) >= 0
+                   THEN 1 ELSE -1 END))) >= 0
          THEN 1 ELSE 0 END AS bit
   FROM n CROSS JOIN planes
 ), sig AS (
