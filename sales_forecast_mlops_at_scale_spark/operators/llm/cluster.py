@@ -64,23 +64,22 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # carry the previous label through the checkpoint so the
+        # convergence probe is a scan of the materialized partitions —
+        # not a second labels-vs-labels shuffle join per round
+        stepped = (
             labels.join(neigh, labels.node == neigh.src, "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
-                ).alias("label"),
+                ).alias("new_label"),
+                F.col("label").alias("prev"),
             )
             .localCheckpoint(eager=True)  # truncate iterative lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("new_label") != F.col("prev")).count()
+        labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
     return labels.select(
