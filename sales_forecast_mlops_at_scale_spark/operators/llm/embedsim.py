@@ -192,12 +192,14 @@ def srp_signs(nbits: int, dim: int) -> list[list[float]]:
     ]
 
 
-#: Component quantization scale for SRP projections.  Embedding
-#: components are binary floats, so ``x * 10^6`` can never land exactly
-#: on ``k + 0.5`` (that would need a factor 5^6 in the denominator of a
-#: dyadic rational) — every rounding convention (numpy half-even, Spark
-#: HALF_UP, DuckDB half-away) therefore agrees on every input, and the
-#: quantized projection is engine-independent by construction.
+#: Component quantization scale for SRP projections.  Quantization is
+#: ``floor(x * 10^6 + 0.5)`` — ONE explicit rounding convention spelled
+#: out identically on both engines (numpy here, ``floor(.. + 0.5)`` in
+#: the DuckDB oracle), because engine-default rounding genuinely
+#: diverges on exact .5 boundaries: a dyadic rational CAN land on one
+#: (x = 2^-7 gives 7812.5), where numpy ``rint`` rounds half-even
+#: (7812) and DuckDB ``round`` half-away (7813) — a one-bit signature
+#: flip between engines.  ``floor+0.5`` has no tie case at all.
 SRP_QUANT_SCALE = 1_000_000
 
 
@@ -219,6 +221,10 @@ def _srp_band_udf(signs: list[list[float]], band_bits: int):
 
     P = np.array(signs, dtype=np.int64).T  # (dim, nbits), entries ±1
     nbits = P.shape[1]
+    if nbits % band_bits:
+        # a silent floor-division here would drop the trailing partial
+        # band — losing candidates/recall with no error
+        raise ValueError(f"band_bits={band_bits} must divide nbits={nbits}")
     nbands = nbits // band_bits
     weights = 1 << np.arange(band_bits, dtype=np.int64)
 
@@ -230,7 +236,9 @@ def _srp_band_udf(signs: list[list[float]], band_bits: int):
         if len(vec) == 0:
             return pd.Series([], dtype=object)
         V = np.stack(vec.to_numpy()).astype(np.float64)
-        Q = np.rint(V * SRP_QUANT_SCALE).astype(np.int64)
+        # floor(x*scale + 0.5): the tie-free convention shared with the
+        # SQL oracle — see SRP_QUANT_SCALE
+        Q = np.floor(V * SRP_QUANT_SCALE + 0.5).astype(np.int64)
         bits = (Q @ P) >= 0  # (n, nbits)
         vals = np.stack(
             [
@@ -332,13 +340,20 @@ def semantic_dedup(
     min-id dominator rule replaces SemDeDup's keep-closest-to-centroid
     so the result is totally deterministic and SQL-expressible.
 
-    100 TB shape: the pair search is confined to clusters (candidate
-    pairs ∝ Σ|cluster|², bounded by growing ``num_centroids`` ∝ N — the
-    SemDeDup recipe), and each side of the in-cluster join carries only
-    (id, vector, norm).  For very large clusters, swap the pair join for
-    the cogrouped GEMM of :func:`neardup_pairs` keyed by cluster —
-    identical semantics, BLAS throughput.
+    100 TB shape: one shuffle keys every vector by its cluster, and each
+    cluster's pair search is a single Arrow-batched numpy GEMM inside a
+    grouped ``applyInPandas`` — **no embedding arrays ride any join**
+    (the previous formulation self-joined ``assigned`` on cluster with
+    full vectors on both sides: Σ|cluster|·dim shuffle and interpreted
+    HOF dot products over Σ|cluster|² pairs).  Per-task memory is
+    |cluster|² doubles; the SemDeDup recipe holds cluster size constant
+    by growing ``num_centroids`` ∝ N (for outlier mega-clusters, the
+    residue-blocked kernel of :func:`neardup_pairs` keyed by
+    (cluster, block pair) bounds it independently of cluster size).
     """
+    import numpy as np
+    import pandas as pd
+
     c = _prepared(corpus, id_col, vec_col)
     cent_hash = F.pmod(F.col("vid").cast("long") * F.lit(2654435761), F.lit(2147483648))
     centroids = (
@@ -355,37 +370,31 @@ def semantic_dedup(
         .withColumn("csim", sim_to_centroid)
         .withColumn("__rn", F.row_number().over(w_assign))
         .filter(F.col("__rn") == 1)
-        .select("vid", "v", "nrm", F.col("cid").alias("cluster"))
+        .select("vid", "v", F.col("cid").alias("cluster"))
     )
-    a = assigned.select(
-        F.col("cluster").alias("cl"),
-        F.col("vid").alias("vid_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = assigned.select(
-        F.col("cluster").alias("cl"),
-        F.col("vid").alias("vid_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    pair_cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), ndigits)
-    dominators = (
-        a.join(b, "cl")
-        .filter(F.col("vid_a") < F.col("vid_b"))
-        .withColumn("cos", pair_cos)
-        .filter(F.col("cos") >= threshold)
-        .groupBy(F.col("vid_b").alias("vid"))
-        .agg(F.min("vid_a").alias("dropped_by"))
-    )
-    return (
-        assigned.join(dominators, "vid", "left")
-        .select(
-            F.col("vid").alias("vec_id"),
-            "cluster",
-            F.col("dropped_by").isNull().alias("kept"),
-            F.coalesce("dropped_by", F.lit(-1)).alias("dropped_by"),
+
+    def dominate(pdf: pd.DataFrame) -> pd.DataFrame:
+        # sort by id so "min dominating id" = first True down each column
+        pdf = pdf.sort_values("vid")
+        ids = pdf["vid"].to_numpy()
+        V = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        S = np.round(V @ V.T, ndigits)
+        mask = np.triu(S >= threshold, k=1)  # rows i < cols j, id_i < id_j
+        has = mask.any(axis=0)
+        first = mask.argmax(axis=0)  # first dominating row per column
+        dropped_by = np.where(has, ids[first], -1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["cluster"].to_numpy(),
+                "kept": ~has,
+                "dropped_by": dropped_by,
+            }
         )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        dominate, "vec_id long, cluster long, kept boolean, dropped_by long"
     )
 
 

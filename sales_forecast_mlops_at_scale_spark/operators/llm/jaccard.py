@@ -142,6 +142,13 @@ def ngram_jaccard_pairs(
     to 6 digits).  ``max_df``: ignore shingles appearing in more than
     this many docs (both in the index **and** in set sizes, keeping the
     score a true Jaccard over the filtered shingle space).
+
+    Cache lifetime is **caller-owned**: ``persist_index`` caches the
+    hashed index for the duration of the query's actions and stays
+    cached afterwards (blocks are MEMORY_AND_DISK, evicted LRU under
+    pressure).  A long-lived session that is done with the operator
+    should ``spark.catalog.clearCache()`` or materialize the index as a
+    table instead — the durable form of the same reuse.
     """
     from pyspark.sql import Window
 

@@ -624,14 +624,15 @@ WITH n AS (
 ), planes AS (
   SELECT unnest(generate_series(0, 15)) AS p
 ), bits AS (
-  -- quantized integer projection: Σ ±round(x·10^6) in BIGINT — exact and
-  -- associative, so it matches the Spark side's int64 GEMM bit-for-bit
-  -- regardless of summation order (see operators/llm/embedsim.py,
-  -- SRP_QUANT_SCALE: binary-float inputs can never hit an exact .5
-  -- boundary at scale 10^6, so every engine's round() agrees too)
+  -- quantized integer projection: Σ ±floor(x·10^6 + 0.5) in BIGINT —
+  -- exact and associative, so it matches the Spark side's int64 GEMM
+  -- bit-for-bit regardless of summation order; floor(..+0.5) is the
+  -- tie-free rounding convention shared verbatim with numpy (see
+  -- operators/llm/embedsim.py SRP_QUANT_SCALE — engine-default round()
+  -- genuinely diverges on dyadic .5 boundaries like x = 2^-7)
   SELECT n.vec_id, planes.p,
          CASE WHEN list_sum(list_transform(range(len(n.v)),
-              d -> CAST(round(n.v[d + 1] * 1000000) AS BIGINT)
+              d -> CAST(floor(n.v[d + 1] * 1000000 + 0.5) AS BIGINT)
                    * (CASE WHEN substr(md5(CAST(planes.p AS VARCHAR)
                    || '_' || CAST(d AS VARCHAR)), 1, 1) <= '7'
                    THEN 1 ELSE -1 END))) >= 0
