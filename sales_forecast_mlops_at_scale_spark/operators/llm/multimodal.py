@@ -14,17 +14,30 @@ Design (the 100 TB shape):
 - Repartition by size before decode when assets are skewed — one 4 GB
   video next to thumbnails makes a straggler task.
 
-The actual codecs (PIL/ffmpeg/librosa) are not in this container, so
-``decode_fn='stub'`` computes deterministic pseudo-features from the raw
-bytes (real plumbing, fake math — clearly marked); ``decode_fn='real'``
-raises ``NotImplementedError`` at the decode site.  Swapping in a real
-decoder changes ONE function, not the dataflow.
+Decode is REAL for container formats a pure-stdlib parser can handle —
+BMP (uncompressed 24-bpp), binary PPM (P6), and PCM WAV — and honestly
+stubbed for formats that need an external codec (mp4 etc.):
+
+- ``decode_fn='auto'`` (default): dispatch on magic bytes; decodable
+  assets get real header fields (width/height/channels/sample-rate/
+  sample-count) plus an exact payload byte-sum computed from the decoded
+  payload region; non-decodable assets fall back to the stub features
+  with ``decoded = false`` and ``-1`` sentinels (not NULL — so the
+  differential hash compare is engine-exact).
+- ``decode_fn='stub'``: no decode at all — deterministic pseudo-features
+  from the raw bytes (real plumbing, fake math — clearly marked).
+- ``decode_fn='real'``: strict — raises ``NotImplementedError`` for any
+  asset whose format has no in-container codec (mp4/mkv/jpeg/...).
+
+Swapping in a full decoder (PIL/ffmpeg) changes ONE function
+(:func:`_decode_asset`), not the dataflow.
 """
 
 from __future__ import annotations
 
 import hashlib
 import os
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -43,28 +56,214 @@ MEDIA_FEATURES = T.StructType(
         T.StructField("n_bytes", T.LongType()),
         T.StructField("content_digest", T.StringType()),
         T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("decoded", T.BooleanType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("payload_sum", T.LongType()),
     ]
 )
 
+#: Decode fields with their -1 "not decoded" sentinels.
+_NO_DECODE = {
+    "decoded": False,
+    "width": -1,
+    "height": -1,
+    "channels": -1,
+    "sample_rate": -1,
+    "n_samples": -1,
+    "payload_sum": -1,
+}
+
+
+# --- pure-stdlib decoders ------------------------------------------------
+#
+# Each returns the _NO_DECODE field dict with real values filled in, or
+# raises ValueError on a malformed container.  payload_sum is the exact
+# integer sum of the decoded payload bytes (pixel array / PCM data) — an
+# integer a SQL oracle can recompute byte-for-byte, unlike a float mean
+# whose rounding could tie-break differently across engines.
+
+
+def make_bmp(width: int, height: int, tag: str) -> bytes:
+    """Minimal uncompressed 24-bpp bottom-up BMP with deterministic
+    pseudo-random pixels (sha256 stream seeded by ``tag``)."""
+    row = (3 * width + 3) // 4 * 4  # rows pad to 4-byte boundaries
+    pix = _stream_bytes(f"bmp-{tag}", row * height)
+    file_header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + pix
+
+
+def make_ppm(width: int, height: int, tag: str) -> bytes:
+    """Binary PPM (P6, maxval 255) with deterministic pixels."""
+    return (
+        f"P6\n{width} {height}\n255\n".encode()
+        + _stream_bytes(f"ppm-{tag}", 3 * width * height)
+    )
+
+
+def make_wav(sample_rate: int, n_samples: int, tag: str) -> bytes:
+    """Canonical 44-byte-header PCM WAV, 8-bit unsigned mono."""
+    data = _stream_bytes(f"wav-{tag}", n_samples)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate, 1, 8)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _stream_bytes(tag: str, n: int) -> bytes:
+    out = bytearray()
+    k = 0
+    while len(out) < n:
+        out += hashlib.sha256(f"{tag}-{k}".encode()).digest()
+        k += 1
+    return bytes(out[:n])
+
+
+def _decode_bmp(b: bytes) -> dict:
+    if len(b) < 54:
+        raise ValueError("truncated BMP header")
+    pix_off = struct.unpack_from("<I", b, 10)[0]
+    width, height = struct.unpack_from("<ii", b, 18)
+    planes, bpp = struct.unpack_from("<HH", b, 26)
+    compression = struct.unpack_from("<I", b, 30)[0]
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    payload = b[pix_off:]
+    return {
+        "decoded": True,
+        "width": width,
+        "height": abs(height),  # negative height = top-down row order
+        "channels": bpp // 8,
+        "sample_rate": -1,
+        "n_samples": -1,
+        "payload_sum": sum(payload),
+    }
+
+
+def _decode_ppm(b: bytes) -> dict:
+    # header: P6, then width/height/maxval as whitespace-separated ASCII
+    # tokens ('#' comment lines allowed), then ONE whitespace byte, then
+    # binary RGB triples
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    width, height, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    payload = b[pos + 1 : pos + 1 + 3 * width * height]
+    return {
+        "decoded": True,
+        "width": width,
+        "height": height,
+        "channels": 3,
+        "sample_rate": -1,
+        "n_samples": -1,
+        "payload_sum": sum(payload),
+    }
+
+
+def _decode_wav(b: bytes) -> dict:
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):  # chunk walk: [id u32][size u32][payload]
+        cid = b[pos : pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, block_align, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"non-PCM WAV format {audio_format}")
+    return {
+        "decoded": True,
+        "width": -1,
+        "height": -1,
+        "channels": n_channels,
+        "sample_rate": sample_rate,
+        "n_samples": len(data) // max(1, n_channels * (bits // 8)),
+        "payload_sum": sum(data),
+    }
+
+
+def _decode_asset(b: bytes, strict: bool) -> dict:
+    """Magic-byte dispatch to the stdlib decoders.  ``strict`` raises for
+    formats with no in-container codec; otherwise they fall back to the
+    -1 sentinels with ``decoded = false``."""
+    if b[:2] == b"BM":
+        return _decode_bmp(b)
+    if b[:2] == b"P6":
+        return _decode_ppm(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return _decode_wav(b)
+    if strict:
+        # mp4/mkv/jpeg/... genuinely need PIL/ffmpeg, absent here — see
+        # module docstring
+        raise NotImplementedError(
+            f"no in-container codec for media magic {b[:8]!r} "
+            "(real decode of compressed formats requires PIL/ffmpeg)"
+        )
+    return dict(_NO_DECODE)
+
 
 def synthetic_assets(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic fake asset table matching MEDIA_ASSETS — bytes are a
-    seeded digest expansion so tests have stable content without shipping
-    media files."""
+    """Deterministic asset table matching MEDIA_ASSETS.  Image and audio
+    rows carry REAL decodable containers (24-bpp BMP, 8-bit PCM WAV —
+    generated in pure stdlib, so no media files ship with the repo);
+    video rows are an opaque digest expansion standing in for a format
+    (mp4) that has no in-container codec."""
     modalities = ("image", "audio", "video")
 
     def make_row(i: int):
         m = modalities[i % 3]
-        content = hashlib.sha256(f"asset-{i}".encode()).digest() * (4 + i % 5)
+        if m == "image":
+            w, h = 8 + (i % 8) * 4, 6 + (i % 5) * 4
+            content, mime = make_bmp(w, h, str(i)), "image/bmp"
+            duration = None
+        elif m == "audio":
+            sr = (8000, 11025, 16000, 22050, 24000)[i % 5]
+            ns = 400 + (i % 7) * 100
+            content, mime = make_wav(sr, ns, str(i)), "audio/wav"
+            w = h = None
+            duration = ns * 1000 // sr
+        else:
+            content = hashlib.sha256(f"asset-{i}".encode()).digest() * (4 + i % 5)
+            mime, w, h = "video/mp4", None, None
+            duration = 1000 * (1 + i % 30)
         return (
             i,
             m,
             f"mem://assets/{m}/{i}",
             bytearray(content),
-            {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[m],
-            64 + (i % 8) * 32 if m == "image" else None,
-            64 + (i % 5) * 32 if m == "image" else None,
-            None if m == "image" else 1000 * (1 + i % 30),
+            mime,
+            w,
+            h,
+            duration,
             {"seed": str(i)},
         )
 
@@ -97,28 +296,33 @@ def _stub_features(content: bytes) -> list[float]:
 def extract_media_features(
     assets: DataFrame,
     *,
-    decode_fn: str = "stub",
+    decode_fn: str = "auto",
     batch_hint: int | None = None,
 ) -> DataFrame:
-    """Per-asset feature extraction via ``mapInPandas``.
+    """Per-asset decode + feature extraction via ``mapInPandas``.
 
-    Output: MEDIA_FEATURES (id, modality, byte count, content digest,
-    FEATURE_DIM-float feature vector).  The feature column feeds directly
-    into ``embedsim.brute_force_topk`` / ``ivf_topk`` — multimodal dedup
-    is "extract features, then embedding-dedup".
+    Output: MEDIA_FEATURES — identity/digest columns, the FEATURE_DIM
+    pseudo-embedding (a deterministic stand-in for a model forward pass),
+    and the REAL decoded header fields for BMP/PPM/WAV assets
+    (``decoded, width, height, channels, sample_rate, n_samples,
+    payload_sum``; -1 sentinels when not decodable).  The feature column
+    feeds directly into ``embedsim.brute_force_topk`` / ``ivf_topk`` —
+    multimodal dedup is "extract features, then embedding-dedup".
     """
-    if decode_fn not in ("stub", "real"):
+    if decode_fn not in ("stub", "auto", "real"):
         raise ValueError(f"unknown decode_fn: {decode_fn}")
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode_fn == "real":
-                # Real decoders (PIL / ffmpeg / librosa) are not available
-                # in this environment — see module docstring.
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg/librosa in executors"
-                )
             content = pdf["content"]
+            if decode_fn == "stub":
+                decoded = [dict(_NO_DECODE) for _ in range(len(pdf))]
+            else:
+                decoded = [
+                    _decode_asset(bytes(b), strict=decode_fn == "real")
+                    for b in content
+                ]
+            dec = pd.DataFrame(decoded, index=pdf.index)
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -133,6 +337,7 @@ def extract_media_features(
                         lambda b: hashlib.sha256(bytes(b).hex().encode()).hexdigest()
                     ),
                     "features": content.map(lambda b: _stub_features(bytes(b))),
+                    **{c: dec[c] for c in _NO_DECODE},
                 }
             )
 

@@ -348,13 +348,28 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary assets → mapInPandas feature extract.
-    Reads the committed asset fixture so DuckDB can recompute the sha256
-    digests over the identical BLOBs (full differential check); the stub
-    decode's feature vector is asserted in tests/test_multimodal.py."""
+    """Multimodal decode + feature extract over the committed BLOB
+    fixture.  BMP and WAV assets are REALLY decoded (pure-stdlib header
+    parse + exact payload byte-sum inside the Arrow-batched mapInPandas);
+    the DuckDB oracle re-parses the same headers from the identical
+    BLOBs via hex() arithmetic, so width/height/channels/sample-rate/
+    sample-count/payload-sum are all differentially checked.  Video
+    assets (mp4 — no in-container codec) carry decoded=false and -1
+    sentinels; the pseudo-embedding vector is asserted in
+    tests/test_multimodal.py."""
     assets = media_assets_fixture(spark)
     return extract_media_features(assets).select(
-        "asset_id", "modality", "n_bytes", "content_digest"
+        "asset_id",
+        "modality",
+        "n_bytes",
+        "content_digest",
+        "decoded",
+        "width",
+        "height",
+        "channels",
+        "sample_rate",
+        "n_samples",
+        "payload_sum",
     )
 
 
@@ -690,6 +705,60 @@ SELECT assigned.vec_id, assigned.cluster,
 FROM assigned LEFT JOIN dom ON assigned.vec_id = dom.vid
 """
 
+def _hx(i: str | int) -> str:
+    """SQL: byte ``i`` (0-based) of hex column ``h`` as a hex pair."""
+    return f"substr(h, 2*({i})+1, 2)"
+
+
+def _u16le(i: int) -> str:
+    return f"CAST('0x' || {_hx(i + 1)} || {_hx(i)} AS BIGINT)"
+
+
+def _u32le(i: int) -> str:
+    return (
+        f"CAST('0x' || {_hx(i + 3)} || {_hx(i + 2)} || "
+        f"{_hx(i + 1)} || {_hx(i)} AS BIGINT)"
+    )
+
+
+#: Differential twin of the REAL multimodal decode: DuckDB re-parses the
+#: BMP (pixel offset/width/height/bpp at fixed little-endian offsets) and
+#: canonical WAV (channels/sample-rate/bits/data-size) headers from the
+#: same BLOBs, and recomputes the exact payload byte-sum with a list fold
+#: over the hex encoding.  -1 sentinels (not NULL) for undecodable rows
+#: keep the hash compare engine-exact.
+_MEDIA_FEATURES_SQL = f"""
+WITH raw AS (
+  SELECT asset_id, modality, lower(hex(content)) AS h,
+         CAST(octet_length(content) AS BIGINT) AS len
+  FROM read_parquet('{MEDIA_FIXTURE_PATH}/*.parquet')
+), typed AS (
+  SELECT *, substr(h, 1, 4) = '424d' AS is_bmp,
+         substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645' AS is_wav
+  FROM raw
+), hdr AS (
+  SELECT asset_id, modality, h, len, is_bmp, is_wav,
+         CASE WHEN is_bmp THEN {_u32le(10)} WHEN is_wav THEN 44 ELSE -1 END AS poff,
+         CASE WHEN is_bmp THEN {_u32le(18)} ELSE -1 END AS width,
+         CASE WHEN is_bmp THEN {_u32le(22)} ELSE -1 END AS height,
+         CASE WHEN is_bmp THEN {_u16le(28)} // 8
+              WHEN is_wav THEN {_u16le(22)} ELSE -1 END AS channels,
+         CASE WHEN is_wav THEN {_u32le(24)} ELSE -1 END AS sample_rate,
+         CASE WHEN is_wav THEN {_u32le(40)} // ({_u16le(22)} * ({_u16le(34)} // 8))
+              ELSE -1 END AS n_samples
+  FROM typed
+)
+SELECT asset_id, modality, len AS n_bytes, sha256(h) AS content_digest,
+       (is_bmp OR is_wav) AS decoded, width, height, channels, sample_rate,
+       n_samples,
+       CASE WHEN is_bmp OR is_wav THEN CAST(list_sum(list_transform(
+              range(CAST(len - poff AS INTEGER)),
+              i -> CAST('0x' || substr(h, 2*(poff + i) + 1, 2) AS BIGINT)))
+            AS BIGINT)
+            ELSE -1 END AS payload_sum
+FROM hdr
+"""
+
 _EMBED_IVF_SQL = """
 WITH n AS (
   SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
@@ -908,16 +977,11 @@ WHERE round(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))])
             / (a.nrm * b.nrm), 6) >= 0.4
 """,
     ),
-    # the mapInPandas digest path, differentially checked against DuckDB
-    # sha256 over the committed BLOB fixture (decode features themselves
-    # are pytest-golden — no codecs in the container)
-    "q_media_features": QueryDef(
-        q_media_features,
-        f"SELECT asset_id, modality,"
-        f" CAST(octet_length(content) AS BIGINT) AS n_bytes,"
-        f" sha256(lower(hex(content))) AS content_digest"
-        f" FROM read_parquet('{MEDIA_FIXTURE_PATH}/*.parquet')",
-    ),
+    # the mapInPandas decode path, differentially checked end to end:
+    # DuckDB re-parses the BMP/WAV headers from the identical BLOBs
+    # (little-endian fields via hex() arithmetic, payload byte-sum via a
+    # list fold over the hex string) — see _MEDIA_FEATURES_SQL
+    "q_media_features": QueryDef(q_media_features, _MEDIA_FEATURES_SQL),
     "q_media_dedup": QueryDef(
         q_media_dedup,
         f"WITH a AS (SELECT asset_id, content"

@@ -26,10 +26,49 @@ def test_extract_features_shape_and_determinism(spark):
     assert [r.content_digest for r in rows] == [r.content_digest for r in rows2]
 
 
-def test_real_decode_is_explicitly_stubbed(spark):
-    assets = synthetic_assets(spark, n=4)
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
-        extract_media_features(assets, decode_fn="real").collect()
+def test_bmp_wav_really_decoded(spark):
+    """BMP/WAV header fields decoded in-executor match the generator's
+    parameters exactly; video rows keep -1 sentinels."""
+    assets = synthetic_assets(spark, n=12)
+    feats = {r.asset_id: r for r in extract_media_features(assets).collect()}
+    for i, r in feats.items():
+        if r.modality == "image":
+            assert r.decoded
+            assert (r.width, r.height) == (8 + (i % 8) * 4, 6 + (i % 5) * 4)
+            assert r.channels == 3 and r.sample_rate == -1
+            assert r.payload_sum > 0
+        elif r.modality == "audio":
+            assert r.decoded
+            assert r.sample_rate == (8000, 11025, 16000, 22050, 24000)[i % 5]
+            assert r.n_samples == 400 + (i % 7) * 100
+            assert r.channels == 1 and r.width == -1
+        else:
+            assert not r.decoded
+            assert r.width == r.payload_sum == -1
+
+
+def test_ppm_decoder_roundtrip():
+    from sales_forecast_mlops_at_scale_spark.operators.llm.multimodal import (
+        _decode_asset,
+        make_ppm,
+    )
+
+    d = _decode_asset(make_ppm(9, 5, "x"), strict=True)
+    assert (d["width"], d["height"], d["channels"]) == (9, 5, 3)
+    # comment lines in the header are skipped
+    d2 = _decode_asset(b"P6\n# a comment\n3 2\n255\n" + bytes(18), strict=True)
+    assert (d2["width"], d2["height"], d2["payload_sum"]) == (3, 2, 0)
+
+
+def test_strict_real_decode_raises_only_for_codec_less_formats(spark):
+    assets = synthetic_assets(spark, n=6)
+    decodable = assets.filter(F.col("modality") != "video")
+    rows = extract_media_features(decodable, decode_fn="real").collect()
+    assert all(r.decoded for r in rows)
+    with pytest.raises(Exception, match="NotImplementedError|no in-container codec"):
+        extract_media_features(
+            assets.filter(F.col("modality") == "video"), decode_fn="real"
+        ).collect()
 
 
 def test_digest_dedup_and_similarity_handoff(spark):
