@@ -1,10 +1,14 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "spread": {name: sec}, "sf": ...}.
 
 Each query is executed to completion (count() materializes the whole
-result without driver-side collect of payload columns).
+result without driver-side collect of payload columns), repeated
+$SPARK_GRAFT_BENCH_REPS times (default 3); per-query time is the MIN of
+the repeats (JVM JIT / GC noise lands in the max, not the min) and
+"spread" records max - min so round-over-round comparisons can tell a
+real regression from a noisy run.
 """
 
 from __future__ import annotations
@@ -131,11 +135,17 @@ def main() -> None:
     # warm the JVM + file listing once so timings measure query execution
     registry[names[0]].fn(spark, SF_DIR).count()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        registry[name].fn(spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            registry[name].fn(spark, SF_DIR).count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        spreads[name] = round(max(runs) - min(runs), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -145,6 +155,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spreads,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

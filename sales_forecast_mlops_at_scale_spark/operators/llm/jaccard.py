@@ -133,6 +133,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    max_df_frac: float | None = None,
     persist_index: bool = True,
 ) -> DataFrame:
     """All doc pairs (``id_a < id_b``) with n-gram Jaccard ≥ threshold,
@@ -142,6 +143,9 @@ def ngram_jaccard_pairs(
     to 6 digits).  ``max_df``: ignore shingles appearing in more than
     this many docs (both in the index **and** in set sizes, keeping the
     score a true Jaccard over the filtered shingle space).
+    ``max_df_frac``: same bar as ``max(1, floor(N · frac))`` with the
+    corpus size N folded into the plan as a broadcast 1-row aggregate —
+    no separate driver-side ``count()`` job before the query runs.
 
     Cache lifetime is **caller-owned**: ``persist_index`` caches the
     hashed index for the duration of the query's actions and stays
@@ -152,14 +156,29 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
+    if max_df is not None and max_df_frac is not None:
+        raise ValueError("pass max_df or max_df_frac, not both")
     sh = shingle_index(df, text_col, id_col, n=n).select(
         "doc", F.xxhash64("s").alias("h")
     )
-    if max_df is not None:
+    if max_df is not None or max_df_frac is not None:
         # df counts over the hashed key; the keep-list is shingle-count
         # sized (small next to the index) — Catalyst broadcasts it when
         # it fits, otherwise the shuffle join on h is index-sized.
-        keep = sh.groupBy("h").count().filter(F.col("count") <= max_df).select("h")
+        counts = sh.groupBy("h").count()
+        if max_df is not None:
+            bar = F.lit(max_df).cast("long")
+        else:
+            # corpus size rides into the filter as a broadcast 1-row
+            # cross join — a scalar subquery in DataFrame form, executed
+            # inside THIS query's job rather than as its own action
+            total = df.agg(F.count(F.lit(1)).alias("__corpus_n"))
+            counts = counts.join(F.broadcast(total))
+            bar = F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(F.col("__corpus_n") * F.lit(max_df_frac)),
+            )
+        keep = counts.filter(F.col("count") <= bar).select("h")
         sh = sh.join(keep, "h")
     # attach each doc's (post-filter) set size to its index rows: one
     # unbounded window over doc — same shuffle a groupBy would cost, but

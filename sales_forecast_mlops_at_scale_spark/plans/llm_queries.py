@@ -213,10 +213,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index self-join, so the guard caps the blow-up at
     (N/10)² per shingle instead of unbounded.  On these fixtures the bar
     never bites (max df ≈ N/200) — identical results, bounded worst case.
-    The count() feeding the bar is parquet-footer metadata, not a scan."""
+    The corpus size feeding the bar is a broadcast 1-row aggregate inside
+    the plan (``max_df_frac``) — no separate count() job per invocation."""
     docs = load_table(spark, sf_dir, "documents")
-    max_df = max(1, docs.count() // 10)
-    return ngram_jaccard_pairs(docs, threshold=0.5, max_df=max_df)
+    return ngram_jaccard_pairs(docs, threshold=0.5, max_df_frac=0.1)
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -24,6 +24,7 @@ sink path is shared — which is also why the parse chain lives in
 from __future__ import annotations
 
 import functools
+import hashlib
 import operator
 from collections.abc import Sequence
 
@@ -116,12 +117,24 @@ def existing_keys(
     return existing
 
 
+def _commit_marker_path(spark: SparkSession, target_path: str, name: str):
+    """(fs, Path) for the per-batch commit marker under the target's
+    ``_commits/`` dir — underscore-prefixed, so every parquet reader
+    treats it as hidden metadata, exactly like ``_SUCCESS``."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    marker = jvm.org.apache.hadoop.fs.Path(f"{target_path}/_commits/{name}")
+    return marker.getFileSystem(conf), marker
+
+
 def idempotent_append_batch(
     batch_df: DataFrame,
     target_path: str,
     natural_key: Sequence[str],
     *,
     partition_by: Sequence[str] | None = None,
+    batch_id: int | None = None,
+    app_id: str = "default",
 ) -> None:
     """foreachBatch body: append only rows whose natural key is absent
     from the target (left-anti join) — MERGE-insert semantics on parquet.
@@ -134,11 +147,30 @@ def idempotent_append_batch(
     anti-join reads the full key history every batch, which is O(table)
     per micro-batch at warehouse scale.
 
+    **Commit manifest** (``batch_id`` set): after a successful append a
+    marker file ``_commits/{app_id}-{batch_id}`` is written under the
+    target; a redelivered batch whose marker already exists is skipped
+    WITHOUT reading the table.  This closes the last at-least-once
+    window of the bare anti-join: on an object store without atomic
+    visibility, a completed write whose files surface *after* a retry's
+    existing-keys read would otherwise double-append.  The marker is the
+    poor-man's form of Delta's per-(appId, version) transaction log —
+    same protocol, one file per batch.  A checkpoint reset restarts
+    batch ids at 0, so clear ``_commits/`` together with the checkpoint
+    (exactly as Delta's ``txnAppId`` tracking requires a new appId).
+
     At warehouse scale the same logic is one Delta/Iceberg ``MERGE``; the
     anti-join formulation keeps this container dependency-free while
     preserving the semantics.  The existing-keys read is pruned to the
     key columns only (column pruning reaches the scan)."""
     spark = batch_df.sparkSession
+    fs = marker = None
+    if batch_id is not None:
+        fs, marker = _commit_marker_path(
+            spark, target_path, f"{app_id}-{batch_id}"
+        )
+        if fs.exists(marker):
+            return  # batch already fully committed — redelivery is a no-op
     batch_df = batch_df.dropDuplicates(list(natural_key))  # in-batch dups
     partition_values: list[tuple] | None = None
     if partition_by:
@@ -160,6 +192,10 @@ def idempotent_append_batch(
     if partition_by:
         writer = writer.partitionBy(*list(partition_by))
     writer.parquet(target_path)
+    if marker is not None:
+        # marker LAST: a crash before this line leaves no marker, so the
+        # retry re-runs the (idempotent) anti-join append
+        fs.createNewFile(marker)
 
 
 def run_stream_ingest(
@@ -182,12 +218,20 @@ def run_stream_ingest(
     parsed = parse_json_events(source, schema)
     if "date" in [f.name for f in schema.fields]:
         parsed = parsed.withColumn("date", F.to_date("date"))
+    # app id ties commit markers to THIS checkpoint's batch-id sequence:
+    # a new checkpoint (fresh ids from 0) gets a new marker namespace
+    app_id = hashlib.md5(checkpoint_path.encode()).hexdigest()[:12]
     writer = (
         parsed.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_path)
         .foreachBatch(
-            lambda batch_df, _id: idempotent_append_batch(
-                batch_df, target_path, natural_key, partition_by=partition_by
+            lambda batch_df, bid: idempotent_append_batch(
+                batch_df,
+                target_path,
+                natural_key,
+                partition_by=partition_by,
+                batch_id=bid,
+                app_id=app_id,
             )
         )
     )

@@ -76,6 +76,47 @@ def test_stream_ingest_exactly_once(spark, tmp_path):
     assert final.filter(F.col("store") == 4).count() == 1
 
 
+def test_commit_manifest_skips_redelivered_batch(spark, tmp_path):
+    """Torn-retry simulation: a batch whose commit marker exists must be
+    skipped entirely — even if the redelivery carries rows the anti-join
+    would consider fresh (models the object-store window where a
+    completed write's files surface after the retry's existing-keys
+    read)."""
+    import datetime as dt
+
+    from sales_forecast_mlops_at_scale_spark.streaming.ingest import (
+        idempotent_append_batch,
+    )
+
+    target = str(tmp_path / "manifest_target")
+    rows = [(1, "a", dt.date(2026, 1, 1)), (2, "b", dt.date(2026, 1, 1))]
+    batch = spark.createDataFrame(rows, "store int, productname string, date date")
+    key = ["store", "productname", "date"]
+
+    idempotent_append_batch(batch, target, key, batch_id=7, app_id="t")
+    assert spark.read.parquet(target).count() == 2
+    # marker landed under the hidden _commits dir
+    import os
+
+    assert os.path.exists(os.path.join(target, "_commits", "t-7"))
+
+    # redelivery of batch 7 with an EXTRA row: must be a full no-op
+    extra = spark.createDataFrame(
+        rows + [(3, "c", dt.date(2026, 1, 2))],
+        "store int, productname string, date date",
+    )
+    idempotent_append_batch(extra, target, key, batch_id=7, app_id="t")
+    assert spark.read.parquet(target).count() == 2
+
+    # same data under a NEW batch id: anti-join appends only the new key
+    idempotent_append_batch(extra, target, key, batch_id=8, app_id="t")
+    assert spark.read.parquet(target).count() == 3
+    # a different app (fresh checkpoint namespace) is not blocked by
+    # app "t"'s markers
+    idempotent_append_batch(extra, target, key, batch_id=7, app_id="u")
+    assert spark.read.parquet(target).count() == 3  # keys all present already
+
+
 def test_existing_keys_partition_pruned(spark, tmp_path):
     """The dedup scan must prune to the batch's date partitions (and the
     first-batch probe must distinguish missing path from real errors)."""

@@ -6,11 +6,16 @@ value hash computed the same way the driver does: sort columns by name,
 sort rows, hash stringified values.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Set ORACLE_JSON_OUT=<path> to also write the per-query results as a JSON
+artifact (committed per round as ORACLE_LOCAL_r{N}.json so the driver-
+unsampled queries have a recorded correctness trail).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 import sys
 
 import duckdb
@@ -50,6 +55,7 @@ def main() -> int:
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
     failures = 0
+    results: dict[str, dict] = {}
     for name, qdef in sorted(all_queries().items()):
         if only and name not in only:
             continue
@@ -57,25 +63,47 @@ def main() -> int:
             sdf = qdef.fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            results[name] = {"status": "spark_error", "err": str(e)[:300]}
             failures += 1
             continue
         if qdef.oracle is None:
             print(f"rows {name}: {len(sdf)} rows (no oracle)")
+            results[name] = {"status": "rows_only", "spark_rows": len(sdf)}
             continue
         try:
             odf = con.execute(qdef.oracle).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
+            results[name] = {"status": "oracle_error", "err": str(e)[:300]}
             failures += 1
             continue
         sn, sc, sh = _canon(sdf)
         on, oc, oh = _canon(odf)
-        if (sn, sc, sh) == (on, oc, oh):
+        ok = (sn, sc, sh) == (on, oc, oh)
+        results[name] = {
+            "status": "ok" if ok else "mismatch",
+            "spark_rows": sn,
+            "oracle_rows": on,
+            "schema_match": sc == oc,
+            "hash_match": sh == oh,
+            "hash": sh,
+        }
+        if ok:
             print(f"OK   {name}: {sn} rows hash={sh}")
         else:
             failures += 1
             print(f"FAIL {name}: spark=({sn},{sc},{sh}) oracle=({on},{oc},{oh})")
     spark.stop()
+    out = os.environ.get("ORACLE_JSON_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "failures": failures, "queries": results},
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {out}")
     print(f"{'ALL OK' if not failures else f'{failures} FAILURES'}")
     return 1 if failures else 0
 
