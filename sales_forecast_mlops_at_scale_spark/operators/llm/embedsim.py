@@ -398,6 +398,79 @@ def semantic_dedup(
     )
 
 
+def _assign_nearest(
+    c: DataFrame, centroids: DataFrame, out_col: str, ndigits: int
+) -> DataFrame:
+    """Each (vid, v, nrm) row joined to its single nearest centroid
+    (rounded cosine, cid tie-break) — the shared assignment step of IVF
+    bucketing, SemDeDup clustering, and Lloyd refinement."""
+    sim = F.round(
+        _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), ndigits
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("csim").desc(), F.col("cid").asc())
+    return (
+        c.join(F.broadcast(centroids))
+        .withColumn("csim", sim)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vid", "v", "nrm", F.col("cid").alias(out_col))
+    )
+
+
+def kmeans_refine(
+    c: DataFrame,
+    centroids: DataFrame,
+    *,
+    iters: int = 2,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Lloyd refinement of a centroid frame, deterministic across engines
+    and partitionings.
+
+    The update step is the subtle part: a naive float mean over cluster
+    members depends on summation order, which differs between Spark's
+    shuffle aggregation and any SQL oracle.  Instead each component is
+    quantized to int64 with the SRP convention (``floor(x·10^6 + 0.5)``,
+    tie-free), summed EXACTLY (integer addition is associative — any
+    engine, any partitioning, same result), and divided once:
+    ``centroid[d] = Σ q(x_d) / (n · 10^6)`` — one IEEE division of
+    identical operands on every engine.  Empty clusters keep their
+    previous centroid.  The loop is pure plan construction (no driver
+    actions): ``iters`` is small and fixed, so the DAG stays shallow and
+    a SQL twin can unroll the same iterations as CTEs.
+    """
+    for _ in range(iters):
+        assigned = _assign_nearest(c, centroids, "cid", ndigits)
+        q = assigned.select(
+            "cid",
+            F.posexplode(
+                F.transform(
+                    F.col("v"),
+                    lambda x: F.floor(x * SRP_QUANT_SCALE + F.lit(0.5)).cast("long"),
+                )
+            ).alias("pos", "qx"),
+        )
+        sums = q.groupBy("cid", "pos").agg(
+            F.sum("qx").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        upd = sums.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+                lambda st: st["s"] / (st["n"] * F.lit(float(SRP_QUANT_SCALE))),
+            ).alias("new_cv")
+        )
+        upd = upd.withColumn("new_cnrm", _norm(F.col("new_cv")))
+        centroids = (
+            centroids.join(upd, "cid", "left")
+            .select(
+                "cid",
+                F.coalesce("new_cv", "cv").alias("cv"),
+                F.coalesce("new_cnrm", "cnrm").alias("cnrm"),
+            )
+        )
+    return centroids
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -405,6 +478,7 @@ def ivf_topk(
     k: int = 5,
     num_centroids: int = 16,
     nprobe: int = 4,
+    refine_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     ndigits: int = 6,
@@ -422,6 +496,11 @@ def ivf_topk(
 
     Centroid similarities are rounded to ``ndigits`` before the argmax so
     bucket assignment is stable across engines/float orderings.
+    ``refine_iters`` > 0 runs that many deterministic Lloyd iterations
+    (:func:`kmeans_refine`) seeded from the hash-selected subset —
+    centroids move to actual cluster means, tightening buckets and
+    raising recall at equal ``nprobe`` without touching the probe/search
+    dataflow.
     """
     c = _prepared(corpus, id_col, vec_col)
     cent_hash = F.pmod(F.col("vid").cast("long") * F.lit(2654435761), F.lit(2147483648))
@@ -432,6 +511,8 @@ def ivf_topk(
             F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
         )
     )
+    if refine_iters:
+        centroids = kmeans_refine(c, centroids, iters=refine_iters, ndigits=ndigits)
     sim_to_centroid = F.round(
         _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), ndigits
     )

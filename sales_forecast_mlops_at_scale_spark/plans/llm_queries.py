@@ -294,8 +294,11 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with 2 deterministic Lloyd refinement iterations (measured
+    recall@5 vs brute force at sf0.1: 0.512 unrefined → 0.544 at equal
+    nprobe; the oracle unrolls the same two iterations as CTEs)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, refine_iters=2)
 
 
 def q_embed_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -759,16 +762,48 @@ SELECT asset_id, modality, len AS n_bytes, sha256(h) AS content_digest,
 FROM hdr
 """
 
-_EMBED_IVF_SQL = """
+def _lloyd_cte(i: int) -> str:
+    """One unrolled Lloyd iteration (cent{i-1} → cent{i}) for the IVF
+    oracle — mirrors :func:`operators.llm.embedsim.kmeans_refine`: exact
+    int64 sums of floor(x·10^6 + 0.5)-quantized components (associative →
+    engine/order-independent), one double division, empty clusters keep
+    their previous centroid.  Fixture dim = 64."""
+    return f"""asg{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT c.vec_id, c.v, ct.cid,
+           row_number() OVER (
+             PARTITION BY c.vec_id
+             ORDER BY round(list_sum([c.v[j] * ct.cv[j] for j in generate_series(1, len(c.v))])
+                            / (c.nrm * ct.cnrm), 6) DESC, ct.cid ASC) AS rn
+    FROM n c CROSS JOIN cent{i - 1} ct)
+  WHERE rn = 1
+), qsum{i} AS (
+  SELECT cid, d, CAST(sum(CAST(floor(v[d] * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         count(*) AS cnt
+  FROM asg{i} CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dims
+  GROUP BY cid, d
+), upd{i} AS (
+  SELECT cid, list(s / (cnt * 1000000.0) ORDER BY d) AS cv
+  FROM qsum{i} GROUP BY cid
+), cent{i} AS (
+  SELECT p.cid, coalesce(u.cv, p.cv) AS cv,
+         coalesce(sqrt(list_sum([x * x for x in u.cv])), p.cnrm) AS cnrm
+  FROM cent{i - 1} p LEFT JOIN upd{i} u ON p.cid = u.cid
+)"""
+
+
+_EMBED_IVF_SQL = f"""
 WITH n AS (
   SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
          sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])) AS nrm
   FROM embeddings
-), cent AS (
+), cent0 AS (
   SELECT vec_id AS cid, v AS cv, nrm AS cnrm
   FROM n
   ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 2147483648, vec_id
   LIMIT 16
+), {_lloyd_cte(1)}, {_lloyd_cte(2)}, cent AS (
+  SELECT * FROM cent2
 ), assigned AS (
   SELECT vec_id, v, nrm, cid AS bucket FROM (
     SELECT c.vec_id, c.v, c.nrm, ct.cid,

@@ -173,6 +173,29 @@ def test_ivf_subset_of_brute_force_with_decent_recall(spark):
     assert recall >= 0.4, f"IVF recall collapsed: {recall}"
 
 
+def test_lloyd_refinement_improves_recall_and_is_deterministic(spark):
+    """kmeans_refine must (a) raise recall@5 at equal nprobe on the
+    fixture corpus and (b) be bit-stable across runs (the quantized
+    integer-sum update has no float-order dependence)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 32)
+    bf = {(r.q_id, r.nn_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+
+    def recall(iters: int) -> float:
+        got = {
+            (r.q_id, r.nn_id)
+            for r in ivf_topk(emb, queries, k=5, refine_iters=iters).collect()
+        }
+        return len(bf & got) / len(bf)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0, f"refinement lowered recall: {r0} -> {r2}"
+    # determinism: identical rows (including scores) on a repeat run
+    a = sorted(map(tuple, ivf_topk(emb, queries, k=5, refine_iters=2).collect()))
+    b = sorted(map(tuple, ivf_topk(emb, queries, k=5, refine_iters=2).collect()))
+    assert a == b
+
+
 def test_neardup_blocked_gemm_count_matches_collect(spark):
     # regression: the two cogroup sides must carry distinct attribute ids —
     # with a shared projection, downstream column pruning (count()) strips
