@@ -361,17 +361,7 @@ def semantic_dedup(
         .limit(num_centroids)
         .select(F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm"))
     )
-    sim_to_centroid = F.round(
-        _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), ndigits
-    )
-    w_assign = Window.partitionBy("vid").orderBy(F.col("csim").desc(), F.col("cid").asc())
-    assigned = (
-        c.join(F.broadcast(centroids))
-        .withColumn("csim", sim_to_centroid)
-        .withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") == 1)
-        .select("vid", "v", F.col("cid").alias("cluster"))
-    )
+    assigned = _assign_nearest(c, centroids, "cluster", ndigits).drop("nrm")
 
     def dominate(pdf: pd.DataFrame) -> pd.DataFrame:
         # sort by id so "min dominating id" = first True down each column
@@ -403,18 +393,44 @@ def _assign_nearest(
 ) -> DataFrame:
     """Each (vid, v, nrm) row joined to its single nearest centroid
     (rounded cosine, cid tie-break) — the shared assignment step of IVF
-    bucketing, SemDeDup clustering, and Lloyd refinement."""
+    bucketing, SemDeDup clustering, and Lloyd refinement.
+
+    The argmax is a ``groupBy(vid).max(key)`` over ONE order-preserving
+    long — NOT a row_number window (which shuffles every candidate row,
+    vectors included: ×num_centroids the bytes, plus a sort) and NOT
+    ``max_by(cid, struct(...))`` (a TypedImperativeAggregate that drops
+    ObjectHashAggregate to its sort-based fallback beyond 128 groups —
+    measured slower than the window).  The key packs the 6-digit-rounded
+    similarity (already exact at 1e-6 granularity, so the integer form
+    ``floor(csim·10^6 + 0.5)`` is faithful) with the negated centroid id:
+    ``(s6 + 10^6)·2^32 + (2^31 - 1 - cid)`` — plain long ``max`` is
+    whole-stage-codegen with map-side partial aggregation, and decoding
+    the winner back out of the max is exact.  Ordering equals the
+    window's (csim DESC, cid ASC); cid is unique so no ties.  Vectors
+    never enter the aggregation — they rejoin on vid afterwards (a
+    1×-sized shuffle instead of num_centroids×)."""
     sim = F.round(
         _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), ndigits
     )
-    w = Window.partitionBy("vid").orderBy(F.col("csim").desc(), F.col("cid").asc())
-    return (
-        c.join(F.broadcast(centroids))
-        .withColumn("csim", sim)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("vid", "v", "nrm", F.col("cid").alias(out_col))
+    s6 = F.floor(F.col("csim") * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    key = (s6 + F.lit(1_000_000)) * F.lit(1 << 32) + (
+        F.lit((1 << 31) - 1) - F.col("cid")
     )
+    best = (
+        c.select("vid", "v", "nrm")
+        .join(F.broadcast(centroids))
+        .withColumn("csim", sim)
+        .select("vid", key.alias("__key"))
+        .groupBy("vid")
+        .agg(F.max("__key").alias("__best"))
+        .select(
+            "vid",
+            (F.lit((1 << 31) - 1) - F.pmod(F.col("__best"), F.lit(1 << 32))).alias(
+                out_col
+            ),
+        )
+    )
+    return c.join(best, "vid").select("vid", "v", "nrm", out_col)
 
 
 def kmeans_refine(
@@ -513,20 +529,8 @@ def ivf_topk(
     )
     if refine_iters:
         centroids = kmeans_refine(c, centroids, iters=refine_iters, ndigits=ndigits)
-    sim_to_centroid = F.round(
-        _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), ndigits
-    )
     # assign every corpus vector to its single nearest centroid
-    w_assign = Window.partitionBy("vid").orderBy(
-        F.col("csim").desc(), F.col("cid").asc()
-    )
-    assigned = (
-        c.join(F.broadcast(centroids))
-        .withColumn("csim", sim_to_centroid)
-        .withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") == 1)
-        .select("vid", "v", "nrm", F.col("cid").alias("bucket"))
-    )
+    assigned = _assign_nearest(c, centroids, "bucket", ndigits)
     # each query probes its nprobe nearest centroids
     q = _prepared(queries, id_col, vec_col).select(
         F.col("vid").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")

@@ -11,8 +11,12 @@ append — with two upgrades flagged in SURVEY.md §2.8:
   run-to-completion semantics Airflow schedules daily).
 - **Exactly-once sink**: the reference's foreachBatch JDBC append is
   at-least-once (a batch retried after a sink failure re-appends, ST2).
-  Here the sink is an anti-join MERGE: each micro-batch drops rows whose
-  natural key already exists in the target before appending.  Combined
+  Here the sink is an anti-join MERGE — each micro-batch drops rows
+  whose natural key already exists in the target before appending —
+  plus a per-batch commit manifest (``_commits/{app}-{batch}`` marker,
+  the one-file form of Delta's (txnAppId, version) dedup) so a
+  redelivered batch is skipped without reading the table even when a
+  non-atomic store surfaces the prior write's files late.  Combined
   with the checkpoint's offset tracking this makes re-delivery a no-op.
 
 The source is pluggable: a file source (tests, backfills) and Kafka
