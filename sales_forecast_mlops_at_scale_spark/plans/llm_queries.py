@@ -189,9 +189,15 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fingerprints"),
-        F.md5(F.concat_ws(",", F.array_sort(F.collect_set("fingerprint")))).alias(
-            "fp_digest"
-        ),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_set("fingerprint")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("fp_digest"),
     )
 
 
@@ -724,6 +730,16 @@ def _u32le(i: int) -> str:
     )
 
 
+def _winnow_poly(p: str, k: int = 8, base: int = 257, mod: int = 2147483647) -> str:
+    """SQL: Karp-Rabin hash of the ``k``-gram at position ``p`` of column
+    ``norm`` — the same exact int64 fold as the numpy winnowing kernel
+    (operators/llm/winnow.py)."""
+    e = f"CAST(ascii(substr(norm, {p}, 1)) AS BIGINT)"
+    for j in range(1, k):
+        e = f"(({e}) * {base} + ascii(substr(norm, {p} + {j}, 1))) % {mod}"
+    return e
+
+
 #: Differential twin of the REAL multimodal decode: DuckDB re-parses the
 #: BMP (pixel offset/width/height/bpp at fixed little-endian offsets) and
 #: canonical WAV (channels/sample-rate/bits/data-size) headers from the
@@ -856,12 +872,14 @@ QUERIES: dict[str, QueryDef] = {
         q_fingerprint,
         f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents",
     ),
+    # the oracle restates the Karp-Rabin polynomial over ascii() code
+    # points — exact int64 arithmetic, bit-identical to the numpy kernel
     "q_winnow_fingerprint": QueryDef(
         q_winnow_fingerprint,
         f"""
 WITH norm AS (SELECT doc_id, {_NORM} AS norm FROM documents),
 grams AS (
-  SELECT doc_id, p AS pos, substr(md5(substr(norm, p, 8)), 1, 16) AS gh,
+  SELECT doc_id, p AS pos, {_winnow_poly('p')} AS gh,
          greatest(length(norm) - 7, 0) AS n
   FROM norm, LATERAL unnest(generate_series(1, greatest(length(norm) - 7, 0))) AS t(p)),
 wins AS (
