@@ -39,6 +39,7 @@ from .textclean import (
     url_domain_stats,
     web_documents_fixture,
 )
+from .sketches import kmv_distinct
 from .winnow import winnow_fingerprints
 from .textstats import (
     language_id,
@@ -70,6 +71,7 @@ __all__ = [
     "minhash_signatures",
     "simhash_pairs",
     "simhash_signatures",
+    "kmv_distinct",
     "winnow_fingerprints",
     "contamination_check",
     "paragraph_dedup_keys",

@@ -100,8 +100,16 @@ def simhash_pairs(
     Columns: ``id_a, id_b, hamming``.  Exact for ``max_hamming ≤ 3`` with
     the 4×16 chunking (pigeonhole guarantee); raise CHUNKS for looser
     budgets.
+
+    The signature frame feeds both sides of the bucket self-join, so it
+    is persisted — without the cache the tokenize+md5+64-vote pipeline
+    (the expensive stage) executes once per side (measured 2× query
+    cost at sf0.1).  Cache lifetime is caller-owned, as in
+    ``minhash_lsh_pairs``: long-lived sessions should
+    ``spark.catalog.clearCache()`` when done or materialize signatures
+    as a table.
     """
-    sigs = simhash_signatures(df, text_col, id_col)
+    sigs = simhash_signatures(df, text_col, id_col).persist()
     chunked = sigs.select(
         "doc",
         "sim_hi",

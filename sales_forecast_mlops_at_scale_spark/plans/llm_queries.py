@@ -45,6 +45,7 @@ from ..operators.llm.multimodal import (
     media_assets_fixture,
     media_dedup_keys,
 )
+from ..operators.llm.sketches import kmv_distinct
 from ..operators.llm.textclean import (
     EMAIL_RE,
     PHONE_RE,
@@ -240,6 +241,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster minimum, drop the rest)."""
     pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
     return connected_components(pairs)
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language distinct-token cardinality via the KMV bottom-k
+    sketch — the deterministic, oracle-checkable stand-in for
+    approx_count_distinct (see operators/llm/sketches.py)."""
+    from ..operators.llm.textstats import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(_tokens(normalized_text(F.col("text")))).alias("tok")
+    )
+    return kmv_distinct(toks, "tok", ["lang"], k=64)
 
 
 def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -730,6 +744,23 @@ def _u32le(i: int) -> str:
     )
 
 
+#: KMV twin: identical hash (first 15 md5 hex digits = 60 bits), identical
+#: rank/estimate arithmetic — the estimate divides the same exact double
+#: operands on both engines.
+_KMV_SQL = f"""
+WITH t AS (SELECT lang, unnest({_TOKS}) AS v FROM documents),
+dh AS (SELECT DISTINCT lang, CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) AS h FROM t),
+r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM dh),
+a AS (SELECT lang, max(rn) AS n_seen_distinct,
+             max(CASE WHEN rn = 64 THEN h END) AS hk
+      FROM r GROUP BY lang)
+SELECT lang, CAST(n_seen_distinct AS INTEGER) AS n_seen_distinct,
+       round(CASE WHEN n_seen_distinct < 64 THEN CAST(n_seen_distinct AS DOUBLE)
+             ELSE 63 * 1152921504606846976.0 / hk END, 4) AS estimate
+FROM a
+"""
+
+
 def _winnow_poly(p: str, k: int = 8, base: int = 257, mod: int = 2147483647) -> str:
     """SQL: Karp-Rabin hash of the ``k``-gram at position ``p`` of column
     ``norm`` — the same exact int64 fold as the numpy winnowing kernel
@@ -944,6 +975,7 @@ FROM fps GROUP BY doc_id
         "  SELECT a, b FROM r)"
         " SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a",
     ),
+    "q_kmv_distinct": QueryDef(q_kmv_distinct, _KMV_SQL),
     "q_sample_deterministic": QueryDef(
         q_sample_deterministic,
         "SELECT doc_id, source, lang FROM documents"

@@ -230,6 +230,24 @@ def test_subtoken_count_diverges_from_whitespace_on_punctuation(spark):
     assert out[4] == (0, 0)  # empty after trim
 
 
+def test_kmv_sketch_accuracy_and_exact_small_groups(spark):
+    """KMV: exact below k, within the ~1/sqrt(k) error envelope above it,
+    deterministic across runs."""
+    from sales_forecast_mlops_at_scale_spark.operators.llm import kmv_distinct
+
+    rows = [("big", f"val-{i}") for i in range(5000)] + [
+        ("small", f"v-{i}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    out = {r.grp: r for r in kmv_distinct(df, "v", ["grp"], k=64).collect()}
+    assert out["small"].n_seen_distinct == 10 and out["small"].estimate == 10.0
+    assert out["big"].n_seen_distinct == 5000
+    rel_err = abs(out["big"].estimate - 5000) / 5000
+    assert rel_err < 0.5, f"KMV estimate off by {rel_err:.2%}"  # 1/sqrt(64)=12.5% expected
+    again = {r.grp: r.estimate for r in kmv_distinct(df, "v", ["grp"], k=64).collect()}
+    assert again["big"] == out["big"].estimate
+
+
 def test_winnow_shared_substring_guarantee(spark):
     # winnowing guarantee: any shared run of >= w + k - 1 = 11 normalized
     # chars yields at least one common fingerprint; disjoint docs share none
