@@ -71,17 +71,26 @@ def make_gated_forecast_fn(
 
     fast = model_spec == "seasonal_naive"
     empty = pd.DataFrame(columns=[*keys, *_OUT_COLS])
+    # group-invariant horizon artifacts, hoisted out of the kernel
+    dates = pd.date_range(pd.Timestamp(horizon_start), periods=horizon_days, freq="D")
+    h_dows = dates.dayofweek.to_numpy()
+    f_dates = dates.date
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         rmses: list[float] = []
         if fast:
-            # numpy end to end: argsort instead of a pandas sort, rmse on
-            # raw arrays — the per-group pandas constant is the whole
-            # wall-clock story at thousands of groups
-            ds = pd.to_datetime(pdf[date_col])
-            order = np.argsort(ds.to_numpy(), kind="stable")
+            # numpy end to end: JVM-precomputed __ord/__dow (fallback to
+            # to_datetime when absent), argsort instead of a pandas sort,
+            # rmse on raw arrays — the per-group pandas constant is the
+            # whole wall-clock story at thousands of groups
+            if "__ord" in pdf:
+                order = np.argsort(pdf["__ord"].to_numpy(), kind="stable")
+                dows = pdf["__dow"].to_numpy()[order]
+            else:
+                ds = pd.to_datetime(pdf[date_col])
+                order = np.argsort(ds.to_numpy(), kind="stable")
+                dows = ds.dt.dayofweek.to_numpy()[order]
             ys = pdf[y_col].to_numpy(dtype=float)[order]
-            dows = ds.dt.dayofweek.to_numpy()[order]
             n = len(ys)
         else:
             pdf = pdf.sort_values(date_col).reset_index(drop=True)
@@ -106,37 +115,32 @@ def make_gated_forecast_fn(
         if not (rmse <= max_rmse):
             return empty
 
-        dates = pd.date_range(
-            pd.Timestamp(horizon_start), periods=horizon_days, freq="D"
-        )
         if fast:
             # numpy LUT predict — identical arithmetic to
             # SeasonalNaiveModel.predict (float yhat, ±10%, int-truncate)
-            yhat = _seasonal_naive_lut(ys, dows)[dates.dayofweek.to_numpy()]
-            out = pd.DataFrame(
-                {
-                    "ds": pd.Series(dates),
-                    "yhat": yhat.astype(int),
-                    "yhat_lower": (yhat * 0.9).astype(int),
-                    "yhat_upper": (yhat * 1.1).astype(int),
-                }
-            )
+            yhat = _seasonal_naive_lut(ys, dows)[h_dows]
+            out = {
+                "forecast_date": f_dates,
+                "forecast_sale": yhat.astype(int),
+                "lower_ci": (yhat * 0.9).astype(int),
+                "upper_ci": (yhat * 1.1).astype(int),
+            }
             version = SeasonalNaiveModel.version
         else:
             model = get_model(model_spec).fit(history)
-            out = model.predict(pd.Series(dates))
+            pred = model.predict(pd.Series(dates))
+            out = {
+                "forecast_date": pred["ds"].dt.date,
+                "forecast_sale": pred["yhat"],
+                "lower_ci": pred["yhat_lower"],
+                "upper_ci": pred["yhat_upper"],
+            }
             version = model.version
         key_vals = {k: pdf[k].iloc[0] for k in keys}
         store = key_vals.get(keys[0])
         product = key_vals.get(keys[1]) if len(keys) > 1 else ""
         res = pd.DataFrame(
-            {
-                **{k: [v] * len(out) for k, v in key_vals.items()},
-                "forecast_date": out["ds"].dt.date,
-                "forecast_sale": out["yhat"],
-                "lower_ci": out["yhat_lower"],
-                "upper_ci": out["yhat_upper"],
-            }
+            {**{k: [v] * horizon_days for k, v in key_vals.items()}, **out}
         )
         res["model_name"] = MODEL_NAME_FMT.format(store=store, product=product)
         res["model_version"] = version
@@ -183,4 +187,6 @@ def gated_forecast_groups(
         y_col=y_col,
         max_rmse=max_rmse,
     )
-    return sales.groupBy(*keys).applyInPandas(fn, schema)
+    from .train import _with_time_cols
+
+    return _with_time_cols(sales, date_col).groupBy(*keys).applyInPandas(fn, schema)

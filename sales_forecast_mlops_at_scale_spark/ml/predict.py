@@ -37,45 +37,53 @@ def make_predict_fn(
     y_col: str = "y",
 ):
     fast = model_spec == "seasonal_naive"
+    # the horizon is group-invariant: one date_range / weekday vector /
+    # date array for the whole job, not one per group
+    dates = pd.date_range(pd.Timestamp(horizon_start), periods=horizon_days, freq="D")
+    h_dows = dates.dayofweek.to_numpy()
+    f_dates = dates.date
 
     def predict_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        dates = pd.date_range(
-            pd.Timestamp(horizon_start), periods=horizon_days, freq="D"
-        )
         if fast:
             # vectorized twin of SeasonalNaiveModel.fit/predict (see
-            # train._seasonal_naive_lut): numpy argsort + LUT instead of a
-            # pandas sort + to_datetime + groupby PER GROUP — the per-group
-            # constant is what bounds throughput at thousands of groups
-            ds_sorted = pd.to_datetime(pdf[date_col]).sort_values()
-            ys = pdf[y_col].to_numpy(dtype=float)[ds_sorted.index.to_numpy()]
-            dows = ds_sorted.dt.dayofweek.to_numpy()
-            yhat = _seasonal_naive_lut(ys, dows)[dates.dayofweek.to_numpy()]
-            out = pd.DataFrame(
-                {
-                    "ds": pd.Series(dates),
-                    "yhat": yhat.astype(int),
-                    "yhat_lower": (yhat * 0.9).astype(int),
-                    "yhat_upper": (yhat * 1.1).astype(int),
-                }
-            )
+            # train._seasonal_naive_lut): JVM-precomputed __ord/__dow +
+            # numpy argsort + LUT instead of a pandas sort + to_datetime
+            # + groupby PER GROUP — the per-group constant is what bounds
+            # throughput at thousands of groups
+            import numpy as np
+
+            if "__ord" in pdf:
+                order = np.argsort(pdf["__ord"].to_numpy(), kind="stable")
+                ys = pdf[y_col].to_numpy(dtype=float)[order]
+                dows = pdf["__dow"].to_numpy()[order]
+            else:
+                ds_sorted = pd.to_datetime(pdf[date_col]).sort_values()
+                ys = pdf[y_col].to_numpy(dtype=float)[ds_sorted.index.to_numpy()]
+                dows = ds_sorted.dt.dayofweek.to_numpy()
+            yhat = _seasonal_naive_lut(ys, dows)[h_dows]
+            out = {
+                "forecast_date": f_dates,
+                "forecast_sale": yhat.astype(int),
+                "lower_ci": (yhat * 0.9).astype(int),
+                "upper_ci": (yhat * 1.1).astype(int),
+            }
             version = "1"
         else:
             history = pd.DataFrame({"ds": pdf[date_col], "y": pdf[y_col]})
             model = get_model(model_spec).fit(history)
-            out = model.predict(pd.Series(dates))
+            pred = model.predict(pd.Series(dates))
+            out = {
+                "forecast_date": pred["ds"].dt.date,
+                "forecast_sale": pred["yhat"],
+                "lower_ci": pred["yhat_lower"],
+                "upper_ci": pred["yhat_upper"],
+            }
             version = model.version
         key_vals = {k: pdf[k].iloc[0] for k in keys}
         store = key_vals.get(keys[0])
         product = key_vals.get(keys[1]) if len(keys) > 1 else ""
         res = pd.DataFrame(
-            {
-                **{k: [v] * len(out) for k, v in key_vals.items()},
-                "forecast_date": out["ds"].dt.date,
-                "forecast_sale": out["yhat"],
-                "lower_ci": out["yhat_lower"],
-                "upper_ci": out["yhat_upper"],
-            }
+            {**{k: [v] * horizon_days for k, v in key_vals.items()}, **out}
         )
         res["model_name"] = MODEL_NAME_FMT.format(store=store, product=product)
         res["model_version"] = version
@@ -119,4 +127,6 @@ def forecast_groups(
         date_col=date_col,
         y_col=y_col,
     )
-    return sales.groupBy(*keys).applyInPandas(fn, schema)
+    from .train import _with_time_cols
+
+    return _with_time_cols(sales, date_col).groupBy(*keys).applyInPandas(fn, schema)
