@@ -88,6 +88,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_para_dedup",
     "q_winnow_fingerprint",
     "q_kmv_distinct",
+    "q_kmv_overlap",
     "q_embed_topk",
     "q_embed_ivf_topk",
     "q_embed_srp_topk",

@@ -39,7 +39,7 @@ from .textclean import (
     url_domain_stats,
     web_documents_fixture,
 )
-from .sketches import kmv_distinct
+from .sketches import kmv_distinct, kmv_overlap
 from .winnow import winnow_fingerprints
 from .textstats import (
     language_id,
@@ -72,6 +72,7 @@ __all__ = [
     "simhash_pairs",
     "simhash_signatures",
     "kmv_distinct",
+    "kmv_overlap",
     "winnow_fingerprints",
     "contamination_check",
     "paragraph_dedup_keys",

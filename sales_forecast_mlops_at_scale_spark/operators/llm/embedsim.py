@@ -519,6 +519,12 @@ def ivf_topk(
     dataflow.
     """
     c = _prepared(corpus, id_col, vec_col)
+    if refine_iters:
+        # the prepared corpus feeds one assignment pass per Lloyd
+        # iteration plus the final bucket assignment — cache it rather
+        # than re-scanning + re-norming per pass (caller-owned lifetime,
+        # as elsewhere)
+        c = c.persist()
     cent_hash = F.pmod(F.col("vid").cast("long") * F.lit(2654435761), F.lit(2147483648))
     centroids = (
         c.orderBy(cent_hash.asc(), F.col("vid").asc())

@@ -74,3 +74,61 @@ def kmv_distinct(
         "n_seen_distinct",
         F.round(est, ndigits).alias("estimate"),
     )
+
+
+def kmv_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    *,
+    k: int = 64,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Theta-sketch-style set-operation estimates from two KMV sketches:
+    distinct-union size, Jaccard similarity, and distinct-intersection
+    size of the two value sets.
+
+    Standard bottom-k set algebra (Beyer et al., "On Synopses for
+    Distinct-Value Estimation Under Multiset Operations"): take the k
+    smallest hashes of A ∪ B; the union estimate is KMV on that sample,
+    the Jaccard estimate is the fraction of the sample present in both
+    sides, and intersection ≈ jaccard × union.  Everything below the
+    bottom-k extraction is exact integer work, so the oracle twin
+    reproduces every digit.
+
+    Scale shape: per-side distinct-hash reduction (map-side combinable),
+    a full-outer merge on the 8-byte hash, and a global ``ORDER BY h
+    LIMIT k`` — Spark executes that as TakeOrderedAndProject
+    (per-partition top-k, no global sort).  Output (one row):
+    ``k, union_est, jaccard_est, intersect_est``.
+    """
+
+    def hashes(df: DataFrame) -> DataFrame:
+        h = F.conv(
+            F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        return df.select(h.alias("h")).distinct()
+
+    a = hashes(df_a).withColumn("ia", F.lit(True))
+    b = hashes(df_b).withColumn("ib", F.lit(True))
+    u = a.join(b, "h", "full_outer").select(
+        "h",
+        F.coalesce("ia", F.lit(False)).alias("ia"),
+        F.coalesce("ib", F.lit(False)).alias("ib"),
+    )
+    bk = u.orderBy(F.col("h").asc()).limit(k)
+    agg = bk.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("h").alias("hk"),
+        F.sum(F.when(F.col("ia") & F.col("ib"), 1).otherwise(0)).alias("nb"),
+    )
+    union_est = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+        (F.lit(float(k - 1)) * F.lit(float(KMV_RANGE))) / F.col("hk")
+    )
+    jac = F.col("nb") / F.col("n").cast("double")
+    return agg.select(
+        F.lit(k).alias("k"),
+        F.round(union_est, ndigits).alias("union_est"),
+        F.round(jac, 6).alias("jaccard_est"),
+        F.round(jac * union_est, ndigits).alias("intersect_est"),
+    )

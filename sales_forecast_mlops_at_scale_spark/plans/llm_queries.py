@@ -256,6 +256,24 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(toks, "tok", ["lang"], k=64)
 
 
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token union / Jaccard / intersection estimates between
+    the English and German sub-corpora via bottom-k sketch algebra — the
+    contamination-screening shape at catalog scale (sketch once per
+    corpus, compare sketches instead of corpora)."""
+    from ..operators.llm.sketches import kmv_overlap
+    from ..operators.llm.textstats import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def toks(lang: str):
+        return docs.filter(F.col("lang") == lang).select(
+            F.explode(_tokens(normalized_text(F.col("text")))).alias("tok")
+        )
+
+    return kmv_overlap(toks("en"), toks("de"), "tok", k=64)
+
+
 def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """25% deterministic downsample by salted-md5 hex threshold."""
     return deterministic_sample(
@@ -761,6 +779,32 @@ FROM a
 """
 
 
+_KMV_OVERLAP_SQL = f"""
+WITH ta AS (
+  SELECT DISTINCT CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) AS h
+  FROM (SELECT unnest({_TOKS}) AS v FROM documents WHERE lang = 'en')),
+tb AS (
+  SELECT DISTINCT CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) AS h
+  FROM (SELECT unnest({_TOKS}) AS v FROM documents WHERE lang = 'de')),
+u AS (
+  SELECT coalesce(a.h, b.h) AS h, a.h IS NOT NULL AS ia, b.h IS NOT NULL AS ib
+  FROM ta a FULL OUTER JOIN tb b ON a.h = b.h),
+bk AS (SELECT * FROM u ORDER BY h LIMIT 64),
+agg AS (
+  SELECT count(*) AS n, max(h) AS hk,
+         sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS nb
+  FROM bk)
+SELECT CAST(64 AS INTEGER) AS k,
+       round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+             ELSE 63.0 * 1152921504606846976.0 / hk END, 4) AS union_est,
+       round(nb / CAST(n AS DOUBLE), 6) AS jaccard_est,
+       round((nb / CAST(n AS DOUBLE)) *
+             (CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+              ELSE 63.0 * 1152921504606846976.0 / hk END), 4) AS intersect_est
+FROM agg
+"""
+
+
 def _winnow_poly(p: str, k: int = 8, base: int = 257, mod: int = 2147483647) -> str:
     """SQL: Karp-Rabin hash of the ``k``-gram at position ``p`` of column
     ``norm`` — the same exact int64 fold as the numpy winnowing kernel
@@ -976,6 +1020,7 @@ FROM fps GROUP BY doc_id
         " SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a",
     ),
     "q_kmv_distinct": QueryDef(q_kmv_distinct, _KMV_SQL),
+    "q_kmv_overlap": QueryDef(q_kmv_overlap, _KMV_OVERLAP_SQL),
     "q_sample_deterministic": QueryDef(
         q_sample_deterministic,
         "SELECT doc_id, source, lang FROM documents"

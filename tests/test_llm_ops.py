@@ -248,6 +248,25 @@ def test_kmv_sketch_accuracy_and_exact_small_groups(spark):
     assert again["big"] == out["big"].estimate
 
 
+def test_kmv_overlap_identical_and_disjoint_sets(spark):
+    from sales_forecast_mlops_at_scale_spark.operators.llm import kmv_overlap
+
+    a = spark.createDataFrame([(f"x-{i}",) for i in range(3000)], "v string")
+    b = spark.createDataFrame([(f"y-{i}",) for i in range(3000)], "v string")
+    same = kmv_overlap(a, a, "v", k=64).collect()[0]
+    assert same.jaccard_est == 1.0
+    assert abs(same.intersect_est - same.union_est) < 1e-9
+    disj = kmv_overlap(a, b, "v", k=64).collect()[0]
+    assert disj.jaccard_est < 0.1  # expected 0 ± sampling noise
+    assert disj.union_est > 3000  # ~6000 distinct
+    # half-overlapping sets: jaccard ≈ 1/3
+    c = spark.createDataFrame(
+        [(f"x-{i}",) for i in range(1500, 4500)], "v string"
+    )
+    half = kmv_overlap(a, c, "v", k=64).collect()[0]
+    assert 0.1 < half.jaccard_est < 0.6
+
+
 def test_winnow_shared_substring_guarantee(spark):
     # winnowing guarantee: any shared run of >= w + k - 1 = 11 normalized
     # chars yields at least one common fingerprint; disjoint docs share none
