@@ -98,6 +98,42 @@ def test_partitioned_write_enables_dynamic_partition_pruning(spark, tmp_path):
     joined.count()
 
 
+def test_kmv_overlap_bottom_k_is_take_ordered(spark):
+    # the bottom-k extraction must be per-partition top-k, not a global
+    # sort — the property that keeps sketch merging viable at corpus scale
+    q = all_queries()["q_kmv_overlap"]
+    plan = _executed_plan(q.fn(spark, SMOKE_SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_centroid_assignment_is_partial_agg_not_window(spark):
+    # round-4 shape: nearest-centroid argmax runs as a hash aggregate
+    # with map-side partial aggregation (codegen long max), never as a
+    # row_number window over the candidate blow-up
+    q = all_queries()["q_embed_ivf_topk"]
+    plan = _executed_plan(q.fn(spark, SMOKE_SF_DIR))
+    # the encoded-key argmax must aggregate with a map-side partial max
+    assert "partial_max" in plan, plan
+    # windows remain ONLY for per-query ranking (final top-k, nprobe) —
+    # never over the corpus-sized assignment (partitioned by vid)
+    for line in plan.splitlines():
+        if "windowspecdefinition(vid" in line:
+            raise AssertionError(f"corpus-sized assignment window: {line}")
+
+
+def test_semantic_dedup_ships_no_vectors_through_joins(spark):
+    # the pair search is a grouped GEMM after ONE shuffle on the cluster
+    # key; no embedding arrays may appear in a join
+    q = all_queries()["q_semantic_dedup"]
+    plan = _executed_plan(q.fn(spark, SMOKE_SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    # the only joins in the plan are the broadcast centroid join and the
+    # assignment rejoin — no SortMergeJoin carrying the vector column
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            raise AssertionError(f"unexpected sort-merge join: {line}")
+
+
 def test_selective_dim_join_injects_runtime_bloom_filter(spark):
     # runtime (bloom) filter injection: a selective dimension filter is
     # pushed into the fact side as a bloom probe before the shuffle.
