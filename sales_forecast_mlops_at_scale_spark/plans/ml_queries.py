@@ -29,11 +29,26 @@ GATE_RMSE = 21.5
 
 def demand_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily shipped quantity per (supplier, returnflag): the training
-    series.  One shuffle; reused by both train and predict."""
+    series.
+
+    The explicit ``repartition`` on the GROUP keys (not the full agg
+    key) makes ONE exchange serve the whole ML pipeline:
+    ``HashPartitioning(s, f)`` satisfies the clustered distribution of
+    both the daily aggregation (grouping key (s, f, ds) ⊇ partition
+    key) and the downstream ``applyInPandas`` groupBy (s, f) — the
+    executed plan carries exactly one ``Exchange hashpartitioning``
+    where the naive formulation shuffles the series twice (agg key,
+    then group key).  Trade-off: raw rows forgo map-side combine on the
+    daily agg; when the per-(key, day) duplication factor is high,
+    drop the repartition and pay the second exchange instead."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy(
-        "l_suppkey", "l_returnflag", F.col("l_shipdate").cast("date").alias("ds")
-    ).agg(F.sum("l_quantity").alias("y"))
+    return (
+        li.repartition("l_suppkey", "l_returnflag")
+        .groupBy(
+            "l_suppkey", "l_returnflag", F.col("l_shipdate").cast("date").alias("ds")
+        )
+        .agg(F.sum("l_quantity").alias("y"))
+    )
 
 
 def q_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -134,6 +134,15 @@ def test_semantic_dedup_ships_no_vectors_through_joins(spark):
             raise AssertionError(f"unexpected sort-merge join: {line}")
 
 
+def test_ml_series_single_exchange(spark):
+    # the repartition-on-group-keys trick: daily agg + grouped-map train
+    # share ONE hash exchange (HashPartitioning(s,f) satisfies both
+    # clustered distributions)
+    q = all_queries()["q_train_metrics"]
+    plan = _executed_plan(q.fn(spark, SMOKE_SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_selective_dim_join_injects_runtime_bloom_filter(spark):
     # runtime (bloom) filter injection: a selective dimension filter is
     # pushed into the fact side as a bloom probe before the shuffle.
