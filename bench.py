@@ -77,6 +77,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_dedup_exact",
     "q_ngram_jaccard",
     "q_minhash_dedup",
+    "q_minhash_incremental",
     "q_dedup_clusters",
     "q_simhash_pairs",
     "q_text_quality",

@@ -30,7 +30,11 @@ from .embedsim import (
 )
 from .exact_dedup import exact_dedup, exact_dedup_keys
 from .jaccard import ngram_jaccard_pairs, ngram_jaccard_pairs_prefix, shingles
-from .minhash import minhash_lsh_pairs, minhash_signatures
+from .minhash import (
+    minhash_incremental_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+)
 from .simhash import simhash_pairs, simhash_signatures
 from .textclean import (
     contamination_check,
@@ -67,6 +71,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_prefix",
     "shingles",
+    "minhash_incremental_pairs",
     "minhash_lsh_pairs",
     "minhash_signatures",
     "simhash_pairs",

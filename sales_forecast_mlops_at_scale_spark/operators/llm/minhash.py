@@ -66,6 +66,80 @@ def minhash_signatures(
     )
 
 
+def _band_buckets(
+    sigs: DataFrame, *, bands: int, rows_per_band: int
+) -> DataFrame:
+    """``doc, band, bkey`` bucket rows from a signature frame."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b),
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("doc", F.explode(band_structs).alias("bs")).select(
+        "doc", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey")
+    )
+
+
+def minhash_incremental_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Incremental near-dup detection: pairs between an incoming BATCH
+    and an existing CORPUS (``new_id, corpus_id, jaccard``), candidates
+    via the same banded LSH as :func:`minhash_lsh_pairs` but joined
+    asymmetrically — batch buckets probe corpus buckets.
+
+    This is the production ingest shape at 100 TB: the corpus side's
+    signatures/buckets/shingle-sets are computed once per ingest here,
+    but in a persistent pipeline they are MATERIALIZED TABLES maintained
+    incrementally (append each accepted batch's rows), so per-ingest
+    cost is O(batch) signatures + a bucket join whose corpus side is a
+    pre-bucketed scan — never a corpus×corpus pair search.  Pairs
+    *within* the new batch are the job of :func:`minhash_lsh_pairs` over
+    the batch alone (cheap: O(batch²) bounded by banding).
+    """
+    new_sets = shingle_sets(new_df, text_col, id_col, n=n).persist()
+    corpus_sets = shingle_sets(corpus_df, text_col, id_col, n=n).persist()
+    k = bands * rows_per_band
+    new_sigs = minhash_signatures(new_df, text_col, id_col, n=n, num_hashes=k, sets=new_sets)
+    corpus_sigs = minhash_signatures(
+        corpus_df, text_col, id_col, n=n, num_hashes=k, sets=corpus_sets
+    )
+    nb = _band_buckets(new_sigs, bands=bands, rows_per_band=rows_per_band)
+    cb = _band_buckets(corpus_sigs, bands=bands, rows_per_band=rows_per_band)
+    candidates = (
+        nb.alias("a")
+        .join(cb.alias("b"), ["band", "bkey"])
+        .select(F.col("a.doc").alias("new_id"), F.col("b.doc").alias("corpus_id"))
+        .distinct()
+    )
+    sa = new_sets.select(F.col("doc").alias("new_id"), F.col("sh").alias("sh_a"))
+    sb = corpus_sets.select(F.col("doc").alias("corpus_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -97,21 +171,7 @@ def minhash_lsh_pairs(
         num_hashes=bands * rows_per_band,
         sets=sets,
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.lit(b),
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
-                ).alias("bkey"),
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = sigs.select(
-        "doc", F.explode(band_structs).alias("bs")
-    ).select("doc", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+    buckets = _band_buckets(sigs, bands=bands, rows_per_band=rows_per_band)
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(

@@ -230,6 +230,19 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: every 10th doc plays the incoming batch,
+    the rest the existing corpus — batch LSH buckets probe corpus
+    buckets, never corpus × corpus (the per-ingest shape at 100 TB; see
+    minhash.minhash_incremental_pairs)."""
+    from ..operators.llm.minhash import minhash_incremental_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return minhash_incremental_pairs(new, corpus, threshold=0.5)
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
 
@@ -993,6 +1006,21 @@ FROM fps GROUP BY doc_id
         "SELECT id_a, id_b,"
         "  round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) AS jaccard"
         " FROM inter JOIN sz sa ON id_a = sa.doc JOIN sz sb ON id_b = sb.doc"
+        " WHERE round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) >= 0.5",
+    ),
+    # same LSH-recall argument as q_minhash_dedup: the exact cross-side
+    # Jaccard pairs are the valid oracle for the banded-LSH candidates
+    "q_minhash_incremental": QueryDef(
+        q_minhash_incremental,
+        f"WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),"
+        f"sh AS (SELECT doc_id AS doc, unnest({_SHINGLES}) AS s FROM t),"
+        "sz AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),"
+        "inter AS (SELECT a.doc AS new_id, b.doc AS corpus_id, count(*) AS n_common"
+        "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc % 10 = 0 AND b.doc % 10 != 0"
+        "  GROUP BY 1, 2)"
+        "SELECT new_id, corpus_id,"
+        "  round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) AS jaccard"
+        " FROM inter JOIN sz sa ON new_id = sa.doc JOIN sz sb ON corpus_id = sb.doc"
         " WHERE round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) >= 0.5",
     ),
     "q_simhash_pairs": QueryDef(q_simhash_pairs, _SIMHASH_SQL),

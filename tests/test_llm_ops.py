@@ -248,6 +248,31 @@ def test_kmv_sketch_accuracy_and_exact_small_groups(spark):
     assert again["big"] == out["big"].estimate
 
 
+def test_minhash_incremental_finds_cross_side_dups_only(spark):
+    from sales_forecast_mlops_at_scale_spark.operators.llm import (
+        minhash_incremental_pairs,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated corpus text about databases and sharding"),
+            (3, "another unrelated document mentioning winnowing and sketches"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog tonight"),  # dup of 1
+            (101, "fresh novel content with no corpus overlap whatsoever today"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = minhash_incremental_pairs(batch, corpus, threshold=0.5).collect()
+    assert {(r.new_id, r.corpus_id) for r in rows} == {(100, 1)}
+    assert all(r.jaccard == 1.0 for r in rows)
+
+
 def test_kmv_overlap_identical_and_disjoint_sets(spark):
     from sales_forecast_mlops_at_scale_spark.operators.llm import kmv_overlap
 
