@@ -439,6 +439,7 @@ def kmeans_refine(
     *,
     iters: int = 2,
     ndigits: int = 6,
+    sample_frac: float | None = None,
 ) -> DataFrame:
     """Lloyd refinement of a centroid frame, deterministic across engines
     and partitionings.
@@ -454,7 +455,22 @@ def kmeans_refine(
     previous centroid.  The loop is pure plan construction (no driver
     actions): ``iters`` is small and fixed, so the DAG stays shallow and
     a SQL twin can unroll the same iterations as CTEs.
+
+    ``sample_frac``: refine on a deterministic md5-threshold sample of
+    the corpus (the faiss convention — centroid TRAINING needs only a
+    statistical sample, final ASSIGNMENT still sees every vector).  At
+    N vectors and i iterations this cuts the refinement scans from i·N
+    to i·frac·N rows; the sample predicate is the engine-portable
+    ``substr(md5('kmeans' || id), 1, 8) < threshold_hex`` string
+    compare, so the SQL twin trains on the identical subset.
     """
+    if sample_frac is not None:
+        from .curation import sample_threshold_hex
+
+        pred = F.substring(
+            F.md5(F.concat(F.lit("kmeans"), F.col("vid").cast("string"))), 1, 8
+        ) < F.lit(sample_threshold_hex(sample_frac))
+        c = c.filter(pred)
     for _ in range(iters):
         assigned = _assign_nearest(c, centroids, "cid", ndigits)
         q = assigned.select(
@@ -495,6 +511,7 @@ def ivf_topk(
     num_centroids: int = 16,
     nprobe: int = 4,
     refine_iters: int = 0,
+    refine_sample_frac: float | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     ndigits: int = 6,
@@ -534,7 +551,13 @@ def ivf_topk(
         )
     )
     if refine_iters:
-        centroids = kmeans_refine(c, centroids, iters=refine_iters, ndigits=ndigits)
+        centroids = kmeans_refine(
+            c,
+            centroids,
+            iters=refine_iters,
+            ndigits=ndigits,
+            sample_frac=refine_sample_frac,
+        )
     # assign every corpus vector to its single nearest centroid
     assigned = _assign_nearest(c, centroids, "bucket", ndigits)
     # each query probes its nprobe nearest centroids
