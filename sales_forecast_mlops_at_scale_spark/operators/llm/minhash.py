@@ -89,10 +89,11 @@ def _band_buckets(
 
 def minhash_incremental_pairs(
     new_df: DataFrame,
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
+    corpus_sets: DataFrame | None = None,
     n: int = 3,
     threshold: float = 0.5,
     bands: int = BANDS,
@@ -103,17 +104,22 @@ def minhash_incremental_pairs(
     via the same banded LSH as :func:`minhash_lsh_pairs` but joined
     asymmetrically — batch buckets probe corpus buckets.
 
-    This is the production ingest shape at 100 TB: the corpus side's
-    signatures/buckets/shingle-sets are computed once per ingest here,
-    but in a persistent pipeline they are MATERIALIZED TABLES maintained
-    incrementally (append each accepted batch's rows), so per-ingest
-    cost is O(batch) signatures + a bucket join whose corpus side is a
-    pre-bucketed scan — never a corpus×corpus pair search.  Pairs
-    *within* the new batch are the job of :func:`minhash_lsh_pairs` over
-    the batch alone (cheap: O(batch²) bounded by banding).
+    This is the production ingest shape at 100 TB: per-ingest cost is
+    O(batch) signatures + a bucket join against the corpus index —
+    never a corpus×corpus pair search.  Pass ``corpus_sets`` (a
+    ``doc, sh`` frame, e.g. the materialized shingle-set table
+    :func:`streaming.dedup_ingest` maintains) to skip re-shingling the
+    corpus text entirely; otherwise ``corpus_df`` text is shingled here.
+    Pairs *within* the new batch are the job of
+    :func:`minhash_lsh_pairs` over the batch alone (cheap: O(batch²)
+    bounded by banding).
     """
+    if (corpus_df is None) == (corpus_sets is None):
+        raise ValueError("pass exactly one of corpus_df / corpus_sets")
     new_sets = shingle_sets(new_df, text_col, id_col, n=n).persist()
-    corpus_sets = shingle_sets(corpus_df, text_col, id_col, n=n).persist()
+    if corpus_sets is None:
+        corpus_sets = shingle_sets(corpus_df, text_col, id_col, n=n)
+    corpus_sets = corpus_sets.persist()
     k = bands * rows_per_band
     new_sigs = minhash_signatures(new_df, text_col, id_col, n=n, num_hashes=k, sets=new_sets)
     corpus_sigs = minhash_signatures(

@@ -1,0 +1,117 @@
+"""Streaming training-data ingest with near-duplicate filtering — the
+composed production pipeline every LLM-data platform runs at the door:
+
+    document stream → exact in-batch dedup → MinHash near-dup filter
+    against the EXISTING corpus → append survivors + their index rows
+
+Two tables are maintained side by side:
+
+- ``{root}/docs`` — the accepted documents (the corpus)
+- ``{root}/sets`` — their shingle-set index (``doc, sh``), the
+  materialized form of :func:`operators.llm.jaccard.shingle_sets`
+
+Each micro-batch's near-dup check joins the BATCH's LSH buckets against
+buckets derived from the stored index — the corpus text is never
+re-shingled, so per-batch cost is O(batch) shingling + one asymmetric
+bucket join + exact verification of candidates (see
+:func:`operators.llm.minhash.minhash_incremental_pairs`).  Within-batch
+near-dups are resolved by :func:`minhash_lsh_pairs` with a keep-min-id
+policy.  At warehouse scale the two appends become one transactional
+commit (Delta multi-table txn or a manifest, as in
+:mod:`streaming.ingest`); here they share the micro-batch boundary and
+the checkpoint makes redelivery idempotent at the batch level.
+"""
+
+from __future__ import annotations
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.llm.jaccard import shingle_sets
+from ..operators.llm.minhash import minhash_incremental_pairs, minhash_lsh_pairs
+
+
+def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+
+
+def dedup_ingest_batch(
+    batch_df: DataFrame,
+    root_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+) -> None:
+    """foreachBatch body: filter the batch against the corpus index and
+    itself, then append accepted docs and their index rows."""
+    spark = batch_df.sparkSession
+    batch_df = batch_df.dropDuplicates([id_col])
+
+    # within-batch near-dups: keep the smallest id of each pair chain
+    intra = minhash_lsh_pairs(batch_df, text_col, id_col, n=n, threshold=threshold)
+    drop_intra = intra.select(F.col("id_b").alias(id_col)).distinct()
+    batch_df = batch_df.join(drop_intra, id_col, "left_anti")
+
+    # cross-corpus near-dups: batch buckets probe the stored index
+    stored_sets = _read_or_none(spark, f"{root_path}/sets")
+    if stored_sets is not None:
+        cross = minhash_incremental_pairs(
+            batch_df,
+            corpus_sets=stored_sets.select(F.col(id_col).alias("doc"), "sh"),
+            text_col=text_col,
+            id_col=id_col,
+            n=n,
+            threshold=threshold,
+        )
+        drop_cross = cross.select(F.col("new_id").alias(id_col)).distinct()
+        batch_df = batch_df.join(drop_cross, id_col, "left_anti")
+
+    accepted = batch_df.persist()  # feeds both appends; tiny (one batch)
+    accepted.write.mode("append").parquet(f"{root_path}/docs")
+    shingle_sets(accepted, text_col, id_col, n=n).withColumnRenamed(
+        "doc", id_col
+    ).write.mode("append").parquet(f"{root_path}/sets")
+    accepted.unpersist()
+
+
+def run_dedup_ingest(
+    spark: SparkSession,
+    *,
+    source: DataFrame,
+    root_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    available_now: bool = True,
+) -> None:
+    """Drain a document stream through the dedup filter into the corpus.
+
+    ``source`` must be a streaming DataFrame with ``id_col`` and
+    ``text_col`` columns (parse upstream — e.g. ``parse_json_events``
+    for JSON lines)."""
+    writer = (
+        source.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(
+            lambda batch_df, _id: dedup_ingest_batch(
+                batch_df,
+                root_path,
+                id_col=id_col,
+                text_col=text_col,
+                threshold=threshold,
+            )
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    query.awaitTermination()

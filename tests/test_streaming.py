@@ -117,6 +117,63 @@ def test_commit_manifest_skips_redelivered_batch(spark, tmp_path):
     assert spark.read.parquet(target).count() == 3  # keys all present already
 
 
+def test_dedup_ingest_filters_near_dups_against_corpus(spark, tmp_path):
+    """Streaming dedup ingest: within-batch near-dups collapse to the
+    min id, later batches are filtered against the MATERIALIZED corpus
+    index (no re-shingling of stored text), and the docs/sets tables
+    stay in lockstep."""
+    import json
+
+    from sales_forecast_mlops_at_scale_spark.streaming.dedup_ingest import (
+        run_dedup_ingest,
+    )
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    root = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    alpha = "the quick brown fox jumps over the lazy dog again and again tonight"
+    beta = "completely different text about distributed shuffle hash joins"
+
+    def write_file(name, rows):
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    def drain():
+        source = (
+            spark.readStream.schema("doc_id long, text string")
+            .json(str(src))
+        )
+        run_dedup_ingest(
+            spark, source=source, root_path=root, checkpoint_path=ckpt
+        )
+
+    write_file(
+        "b1.json",
+        [
+            {"doc_id": 1, "text": alpha},
+            {"doc_id": 2, "text": alpha},  # within-batch near-dup → dropped
+            {"doc_id": 3, "text": beta},
+        ],
+    )
+    drain()
+    docs = spark.read.parquet(f"{root}/docs")
+    assert {r.doc_id for r in docs.collect()} == {1, 3}
+
+    write_file(
+        "b2.json",
+        [
+            {"doc_id": 10, "text": alpha},  # near-dup of stored 1 → dropped
+            {"doc_id": 11, "text": "fresh novel content with zero overlap whatsoever"},
+        ],
+    )
+    drain()
+    docs = spark.read.parquet(f"{root}/docs")
+    assert {r.doc_id for r in docs.collect()} == {1, 3, 11}
+    sets = spark.read.parquet(f"{root}/sets")
+    assert {r.doc_id for r in sets.collect()} == {1, 3, 11}  # index in lockstep
+
+
 def test_existing_keys_partition_pruned(spark, tmp_path):
     """The dedup scan must prune to the batch's date partitions (and the
     first-batch probe must distinguish missing path from real errors)."""
