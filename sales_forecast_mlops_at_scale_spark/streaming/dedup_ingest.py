@@ -49,10 +49,24 @@ def dedup_ingest_batch(
     text_col: str = "text",
     threshold: float = 0.5,
     n: int = 3,
+    batch_id: int | None = None,
+    app_id: str = "default",
 ) -> None:
     """foreachBatch body: filter the batch against the corpus index and
-    itself, then append accepted docs and their index rows."""
+    itself, then append accepted docs and their index rows.
+
+    With ``batch_id`` set, a commit marker under ``{root}/_commits``
+    makes a redelivered batch a no-op (same protocol as
+    :func:`streaming.ingest.idempotent_append_batch`) — important here
+    because the batch performs TWO appends that must not repeat."""
+    from .ingest import _commit_marker_path
+
     spark = batch_df.sparkSession
+    fs = marker = None
+    if batch_id is not None:
+        fs, marker = _commit_marker_path(spark, root_path, f"{app_id}-{batch_id}")
+        if fs.exists(marker):
+            return
     batch_df = batch_df.dropDuplicates([id_col])
 
     # within-batch near-dups: keep the smallest id of each pair chain
@@ -80,6 +94,8 @@ def dedup_ingest_batch(
         "doc", id_col
     ).write.mode("append").parquet(f"{root_path}/sets")
     accepted.unpersist()
+    if marker is not None:
+        fs.createNewFile(marker)  # marker LAST — see ingest.py
 
 
 def run_dedup_ingest(
@@ -98,16 +114,21 @@ def run_dedup_ingest(
     ``source`` must be a streaming DataFrame with ``id_col`` and
     ``text_col`` columns (parse upstream — e.g. ``parse_json_events``
     for JSON lines)."""
+    import hashlib
+
+    app_id = hashlib.md5(checkpoint_path.encode()).hexdigest()[:12]
     writer = (
         source.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_path)
         .foreachBatch(
-            lambda batch_df, _id: dedup_ingest_batch(
+            lambda batch_df, bid: dedup_ingest_batch(
                 batch_df,
                 root_path,
                 id_col=id_col,
                 text_col=text_col,
                 threshold=threshold,
+                batch_id=bid,
+                app_id=app_id,
             )
         )
     )
