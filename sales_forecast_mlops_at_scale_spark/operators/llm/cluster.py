@@ -76,10 +76,13 @@ def connected_components(
     # is a driver sync, and near-dup diameters are small, so halving the
     # sync count (≤2 syncs for diameter ≤4) beats checking after every
     # step; a step past the fixpoint is a no-op join over an already-
-    # stable tiny label frame.  The pre-double-step label rides along as
-    # ``prev`` so the convergence probe is a scan of the materialized
-    # partitions, not another labels-vs-labels shuffle join.
-    for _ in range(max(1, max_iter // 2)):
+    # stable tiny label frame.  ``max_iter`` bounds propagation STEPS
+    # (rounded UP to the next even number — the loop below runs
+    # ceil(max_iter / 2) double-steps, so at least max_iter steps always
+    # execute).  The pre-double-step label rides along as ``prev`` so
+    # the convergence probe is a scan of the materialized partitions,
+    # not another labels-vs-labels shuffle join.
+    for _ in range(max(1, (max_iter + 1) // 2)):
         seeded = labels.select("node", "label", F.col("label").alias("prev"))
         stepped = step(step(seeded, keep=("prev",)), keep=("prev",)).localCheckpoint(
             eager=True

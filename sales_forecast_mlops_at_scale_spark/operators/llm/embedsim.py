@@ -46,6 +46,20 @@ def _norm(v: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
 
 
+def _np_round_half_up(S, ndigits: int):
+    """``floor(x·10^d + 0.5) / 10^d`` — numpy rounding that matches
+    Spark/DuckDB ``round()`` (HALF_UP) for POSITIVE values, where
+    ``np.round``'s half-even diverges on exact .5 ties (dyadic ratios
+    can hit them — see SRP_QUANT_SCALE).  Only positive values are ever
+    threshold-compared or emitted by the cosine kernels (thresholds are
+    > 0), so the positive-only agreement suffices; negative ties round
+    toward +inf here vs away-from-zero in SQL, documented not hidden."""
+    import numpy as np
+
+    p = 10.0**ndigits
+    return np.floor(S * p + 0.5) / p
+
+
 def _prepared(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias("vid"),
@@ -151,7 +165,7 @@ def neardup_pairs(
         B = np.asarray(right["v"].tolist(), dtype=np.float64)
         A /= np.linalg.norm(A, axis=1, keepdims=True)
         B /= np.linalg.norm(B, axis=1, keepdims=True)
-        S = np.round(A @ B.T, ndigits)
+        S = _np_round_half_up(A @ B.T, ndigits)
         ii, jj = np.nonzero(S >= threshold)
         if not len(ii):
             return empty
@@ -369,7 +383,7 @@ def semantic_dedup(
         ids = pdf["vid"].to_numpy()
         V = np.asarray(pdf["v"].tolist(), dtype=np.float64)
         V /= np.linalg.norm(V, axis=1, keepdims=True)
-        S = np.round(V @ V.T, ndigits)
+        S = _np_round_half_up(V @ V.T, ndigits)
         mask = np.triu(S >= threshold, k=1)  # rows i < cols j, id_i < id_j
         has = mask.any(axis=0)
         first = mask.argmax(axis=0)  # first dominating row per column
@@ -413,8 +427,18 @@ def _assign_nearest(
         _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), ndigits
     )
     s6 = F.floor(F.col("csim") * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    # the packed key is faithful ONLY for cid in [0, 2^31) — a wider or
+    # negative id would bleed into the similarity field and silently
+    # corrupt the argmax, so out-of-range ids fail the job instead
+    # (map 64-bit/negative ids to a dense surrogate before calling)
+    cid_ok = F.when(
+        (F.col("cid") < 0) | (F.col("cid") >= F.lit(1 << 31)),
+        F.raise_error(
+            F.lit("packed-argmax assignment requires centroid ids in [0, 2^31)")
+        ).cast("long"),
+    ).otherwise(F.col("cid"))
     key = (s6 + F.lit(1_000_000)) * F.lit(1 << 32) + (
-        F.lit((1 << 31) - 1) - F.col("cid")
+        F.lit((1 << 31) - 1) - cid_ok
     )
     best = (
         c.select("vid", "v", "nrm")

@@ -131,6 +131,10 @@ def minhash_incremental_pairs(
         nb.alias("a")
         .join(cb.alias("b"), ["band", "bkey"])
         .select(F.col("a.doc").alias("new_id"), F.col("b.doc").alias("corpus_id"))
+        # a redelivered doc can sit on both sides under the SAME id (e.g.
+        # a torn ingest retry whose index row landed); it is the same
+        # document, not a duplicate of itself
+        .filter(F.col("new_id") != F.col("corpus_id"))
         .distinct()
     )
     sa = new_sets.select(F.col("doc").alias("new_id"), F.col("sh").alias("sh_a"))

@@ -213,14 +213,23 @@ def _decode_wav(b: bytes) -> dict:
 
 def _decode_asset(b: bytes, strict: bool) -> dict:
     """Magic-byte dispatch to the stdlib decoders.  ``strict`` raises for
-    formats with no in-container codec; otherwise they fall back to the
-    -1 sentinels with ``decoded = false``."""
-    if b[:2] == b"BM":
-        return _decode_bmp(b)
-    if b[:2] == b"P6":
-        return _decode_ppm(b)
-    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-        return _decode_wav(b)
+    formats with no in-container codec AND for malformed containers;
+    otherwise both fall back to the -1 sentinels with
+    ``decoded = false`` — a corrupt (or accidentally magic-prefixed)
+    asset must degrade to "not decoded", never fail the whole job (at
+    corpus scale a random 2-byte 'BM' prefix occurs at ~2^-16 per
+    opaque asset)."""
+    try:
+        if b[:2] == b"BM":
+            return _decode_bmp(b)
+        if b[:2] == b"P6":
+            return _decode_ppm(b)
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            return _decode_wav(b)
+    except (ValueError, IndexError, struct.error):
+        if strict:
+            raise
+        return dict(_NO_DECODE)
     if strict:
         # mp4/mkv/jpeg/... genuinely need PIL/ffmpeg, absent here — see
         # module docstring

@@ -72,6 +72,9 @@ def winnow_fingerprints(
         for pdf in batches:
             ids, outs = [], []
             for doc_id, s in zip(pdf[id_col], pdf["norm"]):
+                if s is None:
+                    continue  # NULL text → no fingerprints (the HOF
+                    # formulation null-propagated to the same outcome)
                 # one decode → the code-point array (matches ascii()
                 # semantics on both engines; no per-char Python loop)
                 cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(

@@ -62,6 +62,11 @@ def dedup_ingest_batch(
     from .ingest import _commit_marker_path
 
     spark = batch_df.sparkSession
+    # release the PREVIOUS batch's operator-internal caches (shingle
+    # sets/signatures persist inside the minhash operators with
+    # caller-owned lifetime); without this a long-running stream
+    # accumulates one cached corpus-index copy per micro-batch
+    spark.catalog.clearCache()
     fs = marker = None
     if batch_id is not None:
         fs, marker = _commit_marker_path(spark, root_path, f"{app_id}-{batch_id}")
@@ -89,10 +94,25 @@ def dedup_ingest_batch(
         batch_df = batch_df.join(drop_cross, id_col, "left_anti")
 
     accepted = batch_df.persist()  # feeds both appends; tiny (one batch)
-    accepted.write.mode("append").parquet(f"{root_path}/docs")
-    shingle_sets(accepted, text_col, id_col, n=n).withColumnRenamed(
+    # per-table anti-join on id: a torn retry (docs append landed, sets
+    # append did not — or vice versa) self-heals by appending ONLY each
+    # table's missing rows, so the two tables re-enter lockstep without
+    # duplicates; the marker then short-circuits clean redeliveries
+    docs_existing = _read_or_none(spark, f"{root_path}/docs")
+    docs_delta = accepted
+    if docs_existing is not None:
+        docs_delta = accepted.join(
+            docs_existing.select(id_col), id_col, "left_anti"
+        )
+    docs_delta.write.mode("append").parquet(f"{root_path}/docs")
+    sets_delta = shingle_sets(accepted, text_col, id_col, n=n).withColumnRenamed(
         "doc", id_col
-    ).write.mode("append").parquet(f"{root_path}/sets")
+    )
+    if stored_sets is not None:
+        sets_delta = sets_delta.join(
+            stored_sets.select(id_col), id_col, "left_anti"
+        )
+    sets_delta.write.mode("append").parquet(f"{root_path}/sets")
     accepted.unpersist()
     if marker is not None:
         fs.createNewFile(marker)  # marker LAST — see ingest.py

@@ -292,6 +292,30 @@ def test_kmv_overlap_identical_and_disjoint_sets(spark):
     assert 0.1 < half.jaccard_est < 0.6
 
 
+def test_winnow_null_and_short_text_produce_no_rows(spark):
+    from sales_forecast_mlops_at_scale_spark.operators.llm import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "tiny"), (3, "long enough text to produce fingerprints ok")],
+        "doc_id long, text string",
+    )
+    rows = winnow_fingerprints(df).collect()
+    assert {r.doc_id for r in rows} == {3}
+
+
+def test_assign_nearest_rejects_out_of_range_centroid_ids(spark):
+    import pytest as _pytest
+
+    from sales_forecast_mlops_at_scale_spark.operators.llm.embedsim import ivf_topk
+
+    emb = spark.createDataFrame(
+        [(int(i) - 5, [float(i), 1.0]) for i in range(10)],  # negative ids
+        "vec_id long, embedding array<float>",
+    )
+    with _pytest.raises(Exception, match="packed-argmax|raise_error|2\\^31"):
+        ivf_topk(emb, emb.limit(2), k=2, num_centroids=4).collect()
+
+
 def test_winnow_shared_substring_guarantee(spark):
     # winnowing guarantee: any shared run of >= w + k - 1 = 11 normalized
     # chars yields at least one common fingerprint; disjoint docs share none

@@ -60,6 +60,28 @@ def test_ppm_decoder_roundtrip():
     assert (d2["width"], d2["height"], d2["payload_sum"]) == (3, 2, 0)
 
 
+def test_auto_decode_degrades_on_malformed_containers(spark):
+    """A corrupt or accidentally magic-prefixed asset must degrade to
+    decoded=false in auto mode (never fail the job) and raise only under
+    strict mode."""
+    from sales_forecast_mlops_at_scale_spark.operators.llm.multimodal import (
+        _decode_asset,
+    )
+
+    malformed = [
+        b"BM" + b"\x01" * 10,  # truncated BMP header
+        b"P6\n9 9\n70000\n" + bytes(10),  # 16-bit PPM
+        b"RIFF" + bytes(4) + b"WAVE" + bytes(4),  # missing fmt/data
+    ]
+    for b in malformed:
+        d = _decode_asset(b, strict=False)
+        assert d["decoded"] is False and d["width"] == -1
+        import pytest as _pytest
+
+        with _pytest.raises((ValueError, NotImplementedError)):
+            _decode_asset(b, strict=True)
+
+
 def test_strict_real_decode_raises_only_for_codec_less_formats(spark):
     assets = synthetic_assets(spark, n=6)
     decodable = assets.filter(F.col("modality") != "video")
