@@ -86,7 +86,11 @@ def get_spark(
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # 16g: the bench drives ~100 queries × 3 reps through one JVM
+        # with operator-internal caches alive (caller-owned lifetime) —
+        # the larger heap halves GC-induced run-to-run spread vs 8g on a
+        # 128 GiB host; override with SPARK_DRIVER_MEMORY for small boxes
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
