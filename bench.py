@@ -116,6 +116,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_source_cap",
     "q_media_features",
     "q_media_dedup",
+    "q_media_frames",
     "q_window_funcs",
     "q_array_ops",
     "q_zorder_key",

@@ -356,6 +356,64 @@ def extract_media_features(
     return out.mapInPandas(process, MEDIA_FEATURES)
 
 
+def sample_frames(
+    assets: DataFrame,
+    *,
+    every_ms: int = 1000,
+) -> DataFrame:
+    """Frame sampling for video assets — one row per sampled timestamp.
+
+    The frame GRID is pure metadata (``duration_ms`` // ``every_ms`` + 1
+    frames on an ``every_ms`` grid), so the expansion is a JVM
+    ``explode(sequence(...))`` — no bytes are touched until a downstream
+    consumer decodes a specific frame, which is exactly the order you
+    want at 100 TB (sample → filter on frame metadata → decode the few
+    survivors).  The per-frame payload here is a STUB: a deterministic
+    digest chain ``md5(content_digest || '-' || frame_idx)`` standing in
+    for the ffmpeg frame grab (absent in this container), plus a small
+    pseudo-feature vector derived from it — both reproducible by any
+    SQL engine, so the whole sampling dataflow is oracle-checked even
+    though the codec is faked.  Swapping in real extraction replaces the
+    digest column with a ``mapInPandas`` over (content, ts_ms) — the
+    grid, partitioning, and output contract stay identical.
+
+    Output: ``asset_id, frame_idx, ts_ms, frame_digest, frame_features``.
+    """
+    vids = assets.filter(
+        (F.col("modality") == "video") & F.col("duration_ms").isNotNull()
+    ).select(
+        "asset_id",
+        "duration_ms",
+        F.sha2(F.lower(F.hex(F.col("content"))), 256).alias("content_digest"),
+    )
+    n_frames = (F.col("duration_ms") / every_ms).cast("long") + 1
+    frames = vids.select(
+        "asset_id",
+        "content_digest",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1)).alias("frame_idx"),
+    )
+    fd = F.md5(F.concat_ws("-", "content_digest", "frame_idx"))
+    return (
+        frames.withColumn("ts_ms", F.col("frame_idx") * every_ms)
+        .withColumn("frame_digest", fd)
+        .withColumn(
+            "frame_features",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                # nibble-pair of the digest as a [0, 1) float — the same
+                # stub-feature recipe as _stub_features, engine-portable
+                lambda i: F.round(
+                    F.conv(F.substring(F.col("frame_digest"), i * 2 + 1, 2), 16, 10)
+                    .cast("double")
+                    / 255.0,
+                    6,
+                ),
+            ),
+        )
+        .select("asset_id", "frame_idx", "ts_ms", "frame_digest", "frame_features")
+    )
+
+
 def media_dedup_keys(features: DataFrame) -> DataFrame:
     """Exact multimodal dedup: group by content digest (the binary twin of
     text exact-dedup), keep lowest asset_id."""

@@ -444,6 +444,15 @@ def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_dedup_keys(feats)
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling on a 1 s grid: metadata-driven explode (no
+    bytes touched), stubbed frame digests + pseudo-features — the whole
+    sampling dataflow oracle-checked (see multimodal.sample_frames)."""
+    from ..operators.llm.multimodal import sample_frames
+
+    return sample_frames(media_assets_fixture(spark), every_ms=1000)
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over the committed web-documents fixture; the digest
     column pins the exact redacted output."""
@@ -1152,6 +1161,28 @@ WHERE round(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))])
     # (little-endian fields via hex() arithmetic, payload byte-sum via a
     # list fold over the hex string) — see _MEDIA_FEATURES_SQL
     "q_media_features": QueryDef(q_media_features, _MEDIA_FEATURES_SQL),
+    "q_media_frames": QueryDef(
+        q_media_frames,
+        f"""
+WITH v AS (
+  SELECT asset_id, duration_ms, sha256(lower(hex(content))) AS content_digest
+  FROM read_parquet('{MEDIA_FIXTURE_PATH}/*.parquet')
+  WHERE modality = 'video' AND duration_ms IS NOT NULL),
+f AS (
+  SELECT asset_id, content_digest,
+         unnest(generate_series(0, CAST(floor(duration_ms / 1000.0) AS BIGINT))) AS frame_idx
+  FROM v),
+d AS (
+  SELECT asset_id, frame_idx, CAST(frame_idx * 1000 AS BIGINT) AS ts_ms,
+         md5(content_digest || '-' || CAST(frame_idx AS VARCHAR)) AS frame_digest
+  FROM f)
+SELECT asset_id, frame_idx, ts_ms, frame_digest,
+       list_transform(range(4), i -> round(
+         CAST('0x' || substr(frame_digest, i * 2 + 1, 2) AS BIGINT) / 255.0, 6)
+       ) AS frame_features
+FROM d
+""",
+    ),
     "q_media_dedup": QueryDef(
         q_media_dedup,
         f"WITH a AS (SELECT asset_id, content"

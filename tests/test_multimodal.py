@@ -93,6 +93,28 @@ def test_strict_real_decode_raises_only_for_codec_less_formats(spark):
         ).collect()
 
 
+def test_frame_sampling_grid_and_determinism(spark):
+    from sales_forecast_mlops_at_scale_spark.operators.llm.multimodal import (
+        sample_frames,
+    )
+
+    assets = synthetic_assets(spark, n=12)
+    frames = sample_frames(assets, every_ms=1000)
+    rows = frames.collect()
+    vids = {r.asset_id: r for r in assets.filter("modality = 'video'").collect()}
+    assert {r.asset_id for r in rows} == set(vids)
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    for aid, rs in by_asset.items():
+        assert len(rs) == vids[aid].duration_ms // 1000 + 1  # grid size
+        assert sorted(r.ts_ms for r in rs) == [i * 1000 for i in range(len(rs))]
+        assert all(len(r.frame_features) == 4 for r in rs)
+        assert all(0.0 <= x <= 1.0 for r in rs for x in r.frame_features)
+    again = sample_frames(assets, every_ms=1000).collect()
+    assert {r.frame_digest for r in again} == {r.frame_digest for r in rows}
+
+
 def test_digest_dedup_and_similarity_handoff(spark):
     assets = synthetic_assets(spark, n=24)
     # duplicate content under new ids → digest dedup must collapse them
