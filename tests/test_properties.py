@@ -100,6 +100,91 @@ def _sessions_ref(rows: list[tuple[int, int]], gap_hours: int) -> set[tuple]:
     }
 
 
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1.0,
+                max_value=1.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=3,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_packed_argmax_assignment_matches_window_reference(spark, vecs):
+    """The encoded-long argmax of _assign_nearest must equal the
+    row_number-window reference argmax ((csim DESC, cid ASC) pick) on
+    arbitrary float vectors — ties, negatives, near-boundary values."""
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sales_forecast_mlops_at_scale_spark.operators.llm.embedsim import (
+        _assign_nearest,
+        _dot,
+        _prepared,
+    )
+
+    # skip degenerate zero vectors (norm 0 → NaN cosine on both paths)
+    vecs = [v for v in vecs if np.linalg.norm(v) > 1e-6]
+    if len(vecs) < 2:
+        return
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    c = _prepared(df, "vec_id", "embedding")
+    centroids = (
+        _prepared(df.limit(2), "vec_id", "embedding")
+        .select(
+            F.col("vid").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    got = {
+        (r.vid, r.cid)
+        for r in _assign_nearest(c, centroids, "cid", 6).collect()
+    }
+    sim = F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6)
+    w = Window.partitionBy("vid").orderBy(F.col("csim").desc(), F.col("cid").asc())
+    ref = {
+        (r.vid, r.cid)
+        for r in c.join(F.broadcast(centroids))
+        .withColumn("csim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vid", "cid")
+        .collect()
+    }
+    assert got == ref
+
+
+@given(
+    values=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=40)
+)
+@settings(**_SETTINGS)
+def test_kmv_exact_below_k_and_bounded_above(spark, values):
+    """KMV must be exact below k and never report n_seen_distinct larger
+    than the true distinct count (hash collisions can only shrink it)."""
+    from sales_forecast_mlops_at_scale_spark.operators.llm import kmv_distinct
+
+    df = spark.createDataFrame([(f"v-{v}",) for v in values], "v string")
+    row = kmv_distinct(df, "v", k=8).collect()[0]
+    true_distinct = len(set(values))
+    assert row.n_seen_distinct <= true_distinct
+    if true_distinct < 8:
+        assert row.n_seen_distinct == true_distinct
+        assert row.estimate == float(true_distinct)
+
+
 @given(rows=st.lists(st.tuples(_KEY, _TS), min_size=1, max_size=10))
 @settings(**_SETTINGS)
 def test_sessionize_matches_reference(spark, rows):
