@@ -380,7 +380,10 @@ def sample_frames(
     Output: ``asset_id, frame_idx, ts_ms, frame_digest, frame_features``.
     """
     vids = assets.filter(
-        (F.col("modality") == "video") & F.col("duration_ms").isNotNull()
+        (F.col("modality") == "video")
+        & F.col("duration_ms").isNotNull()
+        # negative-sentinel durations (unknown length) sample no frames
+        & (F.col("duration_ms") >= 0)
     ).select(
         "asset_id",
         "duration_ms",

@@ -45,7 +45,12 @@ from ..operators.llm.multimodal import (
     media_assets_fixture,
     media_dedup_keys,
 )
-from ..operators.llm.sketches import kmv_distinct
+from ..operators.llm.embedsim import SRP_QUANT_SCALE
+from ..operators.llm.sketches import KMV_RANGE, kmv_distinct
+from ..operators.llm.winnow import K_GRAM as _WINNOW_K
+from ..operators.llm.winnow import POLY_BASE as _WINNOW_BASE
+from ..operators.llm.winnow import POLY_MOD as _WINNOW_MOD
+from ..operators.llm.winnow import WINDOW as _WINNOW_W
 from ..operators.llm.textclean import (
     EMAIL_RE,
     PHONE_RE,
@@ -437,10 +442,14 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-content exact dedup over a corpus with injected duplicates
-    (every asset re-appears under a shifted id)."""
+    (every asset re-appears under a shifted id).  decode_fn='stub':
+    digest dedup needs only the content digest — running the full header
+    parse + payload byte-sum per row would be pure waste on the
+    dedup-dominant path (at corpus scale, decode-for-digest is the
+    dominant avoidable cost)."""
     assets = media_assets_fixture(spark)
     dup = assets.withColumn("asset_id", F.col("asset_id") + 1000)
-    feats = extract_media_features(assets.unionByName(dup))
+    feats = extract_media_features(assets.unionByName(dup), decode_fn="stub")
     return media_dedup_keys(feats)
 
 
@@ -795,16 +804,25 @@ def _u32le(i: int) -> str:
 #: KMV twin: identical hash (first 15 md5 hex digits = 60 bits), identical
 #: rank/estimate arithmetic — the estimate divides the same exact double
 #: operands on both engines.
+#: KMV constants interpolated from the operator module (a changed k or
+#: hash range re-syncs the twin automatically instead of silently
+#: desynchronizing until the gate fails).
+_KMV_K = 64
+_KMV_R = f"{float(KMV_RANGE):.1f}"
+
+# _SIMHASH_TOKS (not raw _TOKS): DuckDB string_split_regex('', ..) yields
+# [''] where Spark tokens() yields [] — a whitespace-only doc would give
+# the oracle a phantom md5('') hash
 _KMV_SQL = f"""
-WITH t AS (SELECT lang, unnest({_TOKS}) AS v FROM documents),
+WITH t AS (SELECT lang, unnest({_SIMHASH_TOKS}) AS v FROM documents),
 dh AS (SELECT DISTINCT lang, CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) AS h FROM t),
 r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM dh),
 a AS (SELECT lang, max(rn) AS n_seen_distinct,
-             max(CASE WHEN rn = 64 THEN h END) AS hk
+             max(CASE WHEN rn = {_KMV_K} THEN h END) AS hk
       FROM r GROUP BY lang)
 SELECT lang, CAST(n_seen_distinct AS INTEGER) AS n_seen_distinct,
-       round(CASE WHEN n_seen_distinct < 64 THEN CAST(n_seen_distinct AS DOUBLE)
-             ELSE 63 * 1152921504606846976.0 / hk END, 4) AS estimate
+       round(CASE WHEN n_seen_distinct < {_KMV_K} THEN CAST(n_seen_distinct AS DOUBLE)
+             ELSE {_KMV_K - 1} * {_KMV_R} / hk END, 4) AS estimate
 FROM a
 """
 
@@ -812,33 +830,39 @@ FROM a
 _KMV_OVERLAP_SQL = f"""
 WITH ta AS (
   SELECT DISTINCT CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) AS h
-  FROM (SELECT unnest({_TOKS}) AS v FROM documents WHERE lang = 'en')),
+  FROM (SELECT unnest({_SIMHASH_TOKS}) AS v FROM documents WHERE lang = 'en')),
 tb AS (
   SELECT DISTINCT CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) AS h
-  FROM (SELECT unnest({_TOKS}) AS v FROM documents WHERE lang = 'de')),
+  FROM (SELECT unnest({_SIMHASH_TOKS}) AS v FROM documents WHERE lang = 'de')),
 u AS (
   SELECT coalesce(a.h, b.h) AS h, a.h IS NOT NULL AS ia, b.h IS NOT NULL AS ib
   FROM ta a FULL OUTER JOIN tb b ON a.h = b.h),
-bk AS (SELECT * FROM u ORDER BY h LIMIT 64),
+bk AS (SELECT * FROM u ORDER BY h LIMIT {_KMV_K}),
 agg AS (
   SELECT count(*) AS n, max(h) AS hk,
          sum(CASE WHEN ia AND ib THEN 1 ELSE 0 END) AS nb
   FROM bk)
-SELECT CAST(64 AS INTEGER) AS k,
-       round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
-             ELSE 63.0 * 1152921504606846976.0 / hk END, 4) AS union_est,
+SELECT CAST({_KMV_K} AS INTEGER) AS k,
+       round(CASE WHEN n < {_KMV_K} THEN CAST(n AS DOUBLE)
+             ELSE {float(_KMV_K - 1)} * {_KMV_R} / hk END, 4) AS union_est,
        round(nb / CAST(n AS DOUBLE), 6) AS jaccard_est,
        round((nb / CAST(n AS DOUBLE)) *
-             (CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
-              ELSE 63.0 * 1152921504606846976.0 / hk END), 4) AS intersect_est
+             (CASE WHEN n < {_KMV_K} THEN CAST(n AS DOUBLE)
+              ELSE {float(_KMV_K - 1)} * {_KMV_R} / hk END), 4) AS intersect_est
 FROM agg
 """
 
 
-def _winnow_poly(p: str, k: int = 8, base: int = 257, mod: int = 2147483647) -> str:
+def _winnow_poly(
+    p: str,
+    k: int = _WINNOW_K,
+    base: int = _WINNOW_BASE,
+    mod: int = _WINNOW_MOD,
+) -> str:
     """SQL: Karp-Rabin hash of the ``k``-gram at position ``p`` of column
     ``norm`` — the same exact int64 fold as the numpy winnowing kernel
-    (operators/llm/winnow.py)."""
+    (constants interpolated FROM operators/llm/winnow.py, so a changed
+    base/mod/k re-syncs the twin automatically)."""
     e = f"CAST(ascii(substr(norm, {p}, 1)) AS BIGINT)"
     for j in range(1, k):
         e = f"(({e}) * {base} + ascii(substr(norm, {p} + {j}, 1))) % {mod}"
@@ -851,6 +875,15 @@ def _winnow_poly(p: str, k: int = 8, base: int = 257, mod: int = 2147483647) -> 
 #: same BLOBs, and recomputes the exact payload byte-sum with a list fold
 #: over the hex encoding.  -1 sentinels (not NULL) for undecodable rows
 #: keep the hash compare engine-exact.
+#:
+#: Twin SCOPE is the canonical fixture (synthetic_assets): the Spark
+#: decoder is strictly more general — P6 PPM, malformed-container
+#: degradation, WAV chunk-walks past LIST/extra chunks — while this SQL
+#: assumes the fixture generator's canonical layouts (no PPM assets,
+#: BI_RGB BMPs, 44-byte-header WAVs).  Signed height and the
+#: divide-by-zero guard below ARE mirrored so the twin stays honest on
+#: the decoder's edge conventions; extending the fixture beyond
+#: canonical containers requires extending this SQL in lockstep.
 _MEDIA_FEATURES_SQL = f"""
 WITH raw AS (
   SELECT asset_id, modality, lower(hex(content)) AS h,
@@ -864,11 +897,17 @@ WITH raw AS (
   SELECT asset_id, modality, h, len, is_bmp, is_wav,
          CASE WHEN is_bmp THEN {_u32le(10)} WHEN is_wav THEN 44 ELSE -1 END AS poff,
          CASE WHEN is_bmp THEN {_u32le(18)} ELSE -1 END AS width,
-         CASE WHEN is_bmp THEN {_u32le(22)} ELSE -1 END AS height,
+         -- abs of the SIGNED i32 height: negative = top-down row order,
+         -- mirroring the decoder's abs(height)
+         CASE WHEN is_bmp THEN abs({_u32le(22)}
+              - CASE WHEN {_u32le(22)} >= 2147483648 THEN 4294967296 ELSE 0 END)
+              ELSE -1 END AS height,
          CASE WHEN is_bmp THEN {_u16le(28)} // 8
               WHEN is_wav THEN {_u16le(22)} ELSE -1 END AS channels,
          CASE WHEN is_wav THEN {_u32le(24)} ELSE -1 END AS sample_rate,
-         CASE WHEN is_wav THEN {_u32le(40)} // ({_u16le(22)} * ({_u16le(34)} // 8))
+         -- greatest(1, ..) mirrors the decoder's max(1, ..) zero guard
+         CASE WHEN is_wav THEN {_u32le(40)}
+              // greatest(1, {_u16le(22)} * ({_u16le(34)} // 8))
               ELSE -1 END AS n_samples
   FROM typed
 )
@@ -900,12 +939,13 @@ def _lloyd_cte(i: int) -> str:
     FROM train c CROSS JOIN cent{i - 1} ct)
   WHERE rn = 1
 ), qsum{i} AS (
-  SELECT cid, d, CAST(sum(CAST(floor(v[d] * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+  SELECT cid, d,
+         CAST(sum(CAST(floor(v[d] * {SRP_QUANT_SCALE} + 0.5) AS BIGINT)) AS BIGINT) AS s,
          count(*) AS cnt
   FROM asg{i} CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dims
   GROUP BY cid, d
 ), upd{i} AS (
-  SELECT cid, list(s / (cnt * 1000000.0) ORDER BY d) AS cv
+  SELECT cid, list(s / (cnt * {float(SRP_QUANT_SCALE)}) ORDER BY d) AS cv
   FROM qsum{i} GROUP BY cid
 ), cent{i} AS (
   SELECT p.cid, coalesce(u.cv, p.cv) AS cv,
@@ -926,7 +966,8 @@ WITH n AS (
   LIMIT 16
 ), train AS (
   SELECT * FROM n
-  WHERE substr(md5('kmeans' || CAST(vec_id AS VARCHAR)), 1, 8) < '7fffffff'
+  WHERE substr(md5('kmeans' || CAST(vec_id AS VARCHAR)), 1, 8)
+        < '{sample_threshold_hex(0.5)}'
 ), {_lloyd_cte(1)}, {_lloyd_cte(2)}, cent AS (
   SELECT * FROM cent2
 ), assigned AS (
@@ -989,14 +1030,17 @@ QUERIES: dict[str, QueryDef] = {
 WITH norm AS (SELECT doc_id, {_NORM} AS norm FROM documents),
 grams AS (
   SELECT doc_id, p AS pos, {_winnow_poly('p')} AS gh,
-         greatest(length(norm) - 7, 0) AS n
-  FROM norm, LATERAL unnest(generate_series(1, greatest(length(norm) - 7, 0))) AS t(p)),
+         greatest(length(norm) - {_WINNOW_K - 1}, 0) AS n
+  FROM norm, LATERAL unnest(generate_series(1,
+       greatest(length(norm) - {_WINNOW_K - 1}, 0))) AS t(p)),
 wins AS (
   SELECT doc_id, pos, n,
          min(gh) OVER (PARTITION BY doc_id ORDER BY pos
-                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+                       ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING
+                       ) AS fingerprint
   FROM grams),
-fps AS (SELECT DISTINCT doc_id, fingerprint FROM wins WHERE pos <= n - 3)
+fps AS (SELECT DISTINCT doc_id, fingerprint FROM wins
+        WHERE pos <= n - {_WINNOW_W - 1})
 SELECT doc_id, count(*) AS n_fingerprints,
        md5(array_to_string(list_sort(list(fingerprint)), ',')) AS fp_digest
 FROM fps GROUP BY doc_id
@@ -1167,7 +1211,7 @@ WHERE round(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))])
 WITH v AS (
   SELECT asset_id, duration_ms, sha256(lower(hex(content))) AS content_digest
   FROM read_parquet('{MEDIA_FIXTURE_PATH}/*.parquet')
-  WHERE modality = 'video' AND duration_ms IS NOT NULL),
+  WHERE modality = 'video' AND duration_ms IS NOT NULL AND duration_ms >= 0),
 f AS (
   SELECT asset_id, content_digest,
          unnest(generate_series(0, CAST(floor(duration_ms / 1000.0) AS BIGINT))) AS frame_idx
