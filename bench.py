@@ -90,6 +90,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_winnow_fingerprint",
     "q_kmv_distinct",
     "q_kmv_overlap",
+    "q_bm25_topk",
+    "q_hybrid_rrf",
     "q_embed_topk",
     "q_embed_ivf_topk",
     "q_embed_srp_topk",

@@ -43,6 +43,7 @@ from .textclean import (
     url_domain_stats,
     web_documents_fixture,
 )
+from .retrieval import bm25_topk, exemplar_query_terms, hybrid_rrf
 from .sketches import kmv_distinct, kmv_overlap
 from .winnow import winnow_fingerprints
 from .textstats import (
@@ -76,6 +77,9 @@ __all__ = [
     "minhash_signatures",
     "simhash_pairs",
     "simhash_signatures",
+    "bm25_topk",
+    "exemplar_query_terms",
+    "hybrid_rrf",
     "kmv_distinct",
     "kmv_overlap",
     "winnow_fingerprints",

@@ -344,6 +344,35 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BM25 query terms (fixture vocabulary; a term absent at some SF simply
+#: contributes no rows on either side).
+BM25_TERMS: tuple[str, ...] = ("spark", "merge", "vector", "stream", "window")
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (rational-idf variant, integer fixed-point term sum —
+    see operators/llm/retrieval.py) top-10 for a fixed keyword query."""
+    from ..operators.llm.retrieval import bm25_topk
+
+    return bm25_topk(load_table(spark, sf_dir, "documents"), BM25_TERMS, k=10)
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-by-example hybrid retrieval: reciprocal-rank fusion of the
+    exemplar's lexical BM25 list and its dense cosine list (doc and
+    vector ids are aligned in the fixtures); integer RRF contributions
+    ``10^9 div (60 + rank)`` make the fusion exact on any engine."""
+    from ..operators.llm.retrieval import hybrid_rrf
+
+    return hybrid_rrf(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        exemplar_id=0,
+        k=10,
+        k_each=20,
+    )
+
+
 def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
@@ -1001,6 +1030,94 @@ SELECT q_id, nn_id, score, rank FROM (
   FROM s) WHERE rank <= 5
 """
 
+#: Shared BM25 fixed-point per-term contribution (rational idf; k1=1.2,
+#: b=0.75; 10^-6 fixed point).  Float association mirrors the Spark
+#: expression tree in operators/llm/retrieval._bm25_scored token for
+#: token, so intermediate doubles are bit-identical across engines.
+#: Expects CTEs ``stats(sdl, n)``, and columns ``tf, df, dl`` in scope.
+_BM25_FP = (
+    "CAST(floor("
+    "(((SELECT n FROM stats) - df + 0.5) / (df + 0.5) + 1.0)"
+    " * ((tf * (CAST(1.2 AS DOUBLE) + 1.0)) /"
+    " (tf + CAST(1.2 AS DOUBLE) * (1.0 - CAST(0.75 AS DOUBLE)"
+    " + CAST(0.75 AS DOUBLE)"
+    " * ((dl * (SELECT n FROM stats)) / (SELECT sdl FROM stats)))))"
+    " * 1000000.0 + 0.5) AS BIGINT)"
+)
+
+_BM25_TERMS_SQL = "('spark', 'merge', 'vector', 'stream', 'window')"
+
+_BM25_SQL = f"""
+WITH base AS (SELECT doc_id AS doc, {_SIMHASH_TOKS} AS toks FROM documents),
+dl AS (SELECT doc, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(sum(dl) AS BIGINT) AS sdl, count(*) AS n FROM dl),
+tok AS (SELECT doc, unnest(toks) AS term FROM base),
+tf AS (SELECT doc, term, count(*) AS tf FROM tok
+       WHERE term IN {_BM25_TERMS_SQL} GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+perdoc AS (
+  SELECT tf.doc, CAST(sum({_BM25_FP}) AS BIGINT) AS s_fp,
+         CAST(count(*) AS BIGINT) AS n_terms
+  FROM tf JOIN dfreq USING (term) JOIN dl ON dl.doc = tf.doc
+  GROUP BY 1)
+SELECT doc AS doc_id, round(s_fp / 1000000.0, 6) AS score, n_terms,
+       CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY s_fp DESC, doc ASC) AS rank
+      FROM perdoc)
+WHERE rank <= 10
+"""
+
+#: Hybrid RRF oracle: the lexical tier re-uses the BM25 skeleton with the
+#: query terms derived from exemplar doc 0 (sorted-distinct top-5 slice),
+#: the dense tier re-states _EMBED_TOPK_SQL's cosine for q = vec 0; the
+#: fusion sums integer 10^9 // (60 + rank) contributions.
+_HYBRID_RRF_SQL = f"""
+WITH base AS (SELECT doc_id AS doc, {_SIMHASH_TOKS} AS toks FROM documents),
+qt AS (SELECT unnest(list_sort(list_distinct(toks))[1:5]) AS term
+       FROM base WHERE doc = 0),
+dl AS (SELECT doc, len(toks) AS dl FROM base),
+stats AS (SELECT CAST(sum(dl) AS BIGINT) AS sdl, count(*) AS n FROM dl),
+tok AS (SELECT doc, unnest(toks) AS term FROM base),
+tf AS (SELECT doc, term, count(*) AS tf FROM tok JOIN qt USING (term)
+       GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+perdoc AS (
+  SELECT tf.doc, CAST(sum({_BM25_FP}) AS BIGINT) AS s_fp
+  FROM tf JOIN dfreq USING (term) JOIN dl ON dl.doc = tf.doc
+  WHERE tf.doc <> 0
+  GROUP BY 1),
+lex AS (SELECT doc AS doc_id, rank FROM (
+    SELECT doc, row_number() OVER (ORDER BY s_fp DESC, doc ASC) AS rank
+    FROM perdoc)
+  WHERE rank <= 20),
+nv AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+         sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                        for x in embedding])) AS nrm
+  FROM embeddings),
+ds AS (
+  SELECT c.vec_id AS doc_id,
+         round(list_sum([q.v[i] * c.v[i] for i in generate_series(1, len(q.v))])
+               / (q.nrm * c.nrm), 6) AS score
+  FROM nv q JOIN nv c ON q.vec_id != c.vec_id
+  WHERE q.vec_id = 0),
+vecl AS (SELECT doc_id, rank FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM ds)
+  WHERE rank <= 20),
+un AS (SELECT doc_id, 'lex' AS src, rank FROM lex
+       UNION ALL SELECT doc_id, 'vec' AS src, rank FROM vecl),
+agg AS (SELECT doc_id,
+        CAST(sum(1000000000 // (60 + rank)) AS BIGINT) AS rrf_fp,
+        CAST(max(CASE WHEN src = 'lex' THEN rank END) AS INTEGER) AS lex_rank,
+        CAST(max(CASE WHEN src = 'vec' THEN rank END) AS INTEGER) AS vec_rank
+        FROM un GROUP BY 1)
+SELECT doc_id, rrf_fp, lex_rank, vec_rank, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY rrf_fp DESC, doc_id ASC) AS rank
+      FROM agg)
+WHERE rank <= 10
+"""
+
 QUERIES: dict[str, QueryDef] = {
     "q_dedup_exact": QueryDef(
         q_dedup_exact,
@@ -1163,6 +1280,8 @@ SELECT doc_id, (surv AND rn <= 8) AS keep,
 FROM rk
 """,
     ),
+    "q_bm25_topk": QueryDef(q_bm25_topk, _BM25_SQL),
+    "q_hybrid_rrf": QueryDef(q_hybrid_rrf, _HYBRID_RRF_SQL),
     "q_embed_topk": QueryDef(q_embed_topk, _EMBED_TOPK_SQL),
     "q_embed_ivf_topk": QueryDef(q_embed_ivf_topk, _EMBED_IVF_SQL),
     "q_embed_srp_topk": QueryDef(q_embed_srp_topk, _EMBED_SRP_SQL),

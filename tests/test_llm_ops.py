@@ -375,3 +375,65 @@ def test_semantic_dedup_invariants(spark):
     for r in out:
         if r.kept:
             assert r.dropped_by == -1
+
+
+def test_bm25_ranks_term_richer_docs_higher(spark):
+    from sales_forecast_mlops_at_scale_spark.operators.llm import bm25_topk
+
+    # same length docs: d0 has two distinct query terms, d1 one, d2 none
+    df = spark.createDataFrame(
+        [
+            (0, "spark stream alpha beta gamma"),
+            (1, "spark alpha beta gamma delta"),
+            (2, "alpha beta gamma delta epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(df, ("spark", "stream"), k=10).collect()
+    assert [r.doc_id for r in rows] == [0, 1]  # d2 never surfaces
+    assert rows[0].n_terms == 2 and rows[1].n_terms == 1
+    assert rows[0].score > rows[1].score > 0
+    assert [r.rank for r in rows] == [1, 2]
+
+
+def test_bm25_length_normalization_prefers_shorter_doc(spark):
+    from sales_forecast_mlops_at_scale_spark.operators.llm import bm25_topk
+
+    # equal tf of the query term; the shorter document must score higher
+    df = spark.createDataFrame(
+        [
+            (0, "spark alpha"),
+            (1, "spark alpha beta gamma delta epsilon zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(df, ("spark",), k=2).collect()
+    assert [r.doc_id for r in rows] == [0, 1]
+    assert rows[0].score > rows[1].score
+
+
+def test_hybrid_rrf_fusion_math_and_exclusions(spark):
+    from sales_forecast_mlops_at_scale_spark.operators.llm import hybrid_rrf
+
+    out = hybrid_rrf(
+        load_table(spark, SF_DIR, "documents"),
+        load_table(spark, SF_DIR, "embeddings"),
+        exemplar_id=0,
+        k=10,
+        k_each=20,
+    ).collect()
+    assert len(out) == 10
+    assert all(r.doc_id != 0 for r in out)  # exemplar excluded
+    for r in out:
+        expected = 0
+        if r.lex_rank is not None:
+            assert 1 <= r.lex_rank <= 20
+            expected += 1_000_000_000 // (60 + r.lex_rank)
+        if r.vec_rank is not None:
+            assert 1 <= r.vec_rank <= 20
+            expected += 1_000_000_000 // (60 + r.vec_rank)
+        assert r.rrf_fp == expected
+        assert r.lex_rank is not None or r.vec_rank is not None
+    # fused order is by rrf_fp desc with doc_id tiebreak
+    fps = [(r.rrf_fp, -r.doc_id) for r in out]
+    assert fps == sorted(fps, reverse=True)
