@@ -88,6 +88,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_pii_redact",
     "q_para_dedup",
     "q_winnow_fingerprint",
+    "q_cms_heavy",
     "q_kmv_distinct",
     "q_kmv_overlap",
     "q_bm25_topk",

@@ -43,6 +43,7 @@ from .textclean import (
     url_domain_stats,
     web_documents_fixture,
 )
+from .cms import cms_heavy_hitters, cms_sketch
 from .retrieval import bm25_topk, exemplar_query_terms, hybrid_rrf
 from .sketches import kmv_distinct, kmv_overlap
 from .winnow import winnow_fingerprints
@@ -78,6 +79,8 @@ __all__ = [
     "simhash_pairs",
     "simhash_signatures",
     "bm25_topk",
+    "cms_heavy_hitters",
+    "cms_sketch",
     "exemplar_query_terms",
     "hybrid_rrf",
     "kmv_distinct",

@@ -1,0 +1,96 @@
+"""Count-min sketch frequency estimation (Cormode & Muthukrishnan 2005).
+
+The sketch is a ``depth × width`` grid of counters; each item increments
+one counter per row (bucket = salted hash of the item), and a point query
+reads the MIN across rows — an overestimate whose error is bounded by the
+collision mass of the emptiest row.  Hashes are md5-derived (salt
+``cms{row}:``), so any engine with md5 rebuilds the identical grid and
+the DuckDB oracle reproduces every counter digit for digit — the same
+determinism-over-HLL trade documented in ``sketches.kmv_distinct``.
+
+Scale shape:
+
+- **Build** is one map-side-combinable groupBy over ``depth×`` the token
+  stream into ``depth·width`` cells — bounded state regardless of input
+  size, and *mergeable*: sketches of two corpora (or two micro-batches)
+  combine by summing cells, which is how this operator would ride a
+  streaming aggregation at 100 TB.
+- **Point queries** broadcast the tiny cell grid and join candidates on
+  (row, bucket) — no corpus-sized shuffle on the query path.
+- The heavy-hitters query here probes every distinct token (fine for a
+  bounded vocabulary); at open-vocabulary scale the candidate set comes
+  from a sample or dictionary, with the sketch unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bucket(col: Column, row: int, width: int) -> Column:
+    """Row-salted md5 bucket in [0, width) — mirrors the oracle's
+    ``CAST('0x' || substr(md5('cms{row}:' || v), 1, 15) AS BIGINT) % width``."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cms{row}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Build the counter grid: one ``(row, bucket, c)`` tuple per non-empty
+    cell.  Mergeable: union two sketches and ``groupBy(row, bucket).sum(c)``."""
+    v = F.col(value_col)
+    return (
+        df.select(
+            F.posexplode(
+                F.array(*[_bucket(v, i, width) for i in range(depth)])
+            ).alias("row", "bucket")
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    *,
+    depth: int = 4,
+    width: int = 64,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` items by count-min estimate, with the exact count
+    alongside (estimate ≥ exact always; equality when the item collides
+    with nothing in at least one row).
+
+    Output: ``token, estimate, exact, rank`` — ranked by estimate
+    descending, token ascending on ties.
+    """
+    sketch = cms_sketch(df, value_col, depth=depth, width=width)
+    cand = df.groupBy(F.col(value_col).alias("token")).agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    probes = cand.select(
+        "token",
+        "exact",
+        F.posexplode(
+            F.array(*[_bucket(F.col("token"), i, width) for i in range(depth)])
+        ).alias("row", "bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("token", "exact")
+        .agg(F.min("c").alias("estimate"))
+    )
+    top = est.orderBy(F.col("estimate").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("estimate").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "token", "estimate", "exact", "rank"
+    )

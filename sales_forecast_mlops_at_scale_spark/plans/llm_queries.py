@@ -344,6 +344,21 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 tokens by count-min-sketch estimate (4×64 md5-salted grid)
+    with the exact count alongside — the mergeable bounded-state
+    frequency sketch, deterministically rebuilt by the oracle cell for
+    cell (see operators/llm/cms.py)."""
+    from ..operators.llm.cms import cms_heavy_hitters
+    from ..operators.llm.textstats import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(_tokens(normalized_text(F.col("text")))).alias("tok")
+    )
+    return cms_heavy_hitters(toks, "tok", depth=4, width=64, k=20)
+
+
 #: BM25 query terms (fixture vocabulary; a term absent at some SF simply
 #: contributes no rows on either side).
 BM25_TERMS: tuple[str, ...] = ("spark", "merge", "vector", "stream", "window")
@@ -1118,6 +1133,29 @@ FROM (SELECT *, row_number() OVER (ORDER BY rrf_fp DESC, doc_id ASC) AS rank
 WHERE rank <= 10
 """
 
+_CMS_GRID = "CROSS JOIN (VALUES (0), (1), (2), (3)) AS g(i)"
+_CMS_BUCKET = (
+    "CAST('0x' || substr(md5('cms' || CAST(g.i AS VARCHAR) || ':' || {v}),"
+    " 1, 15) AS BIGINT) % 64"
+)
+_CMS_SQL = f"""
+WITH tok AS (SELECT unnest({_SIMHASH_TOKS}) AS v FROM documents),
+cells AS (
+  SELECT g.i AS row, {_CMS_BUCKET.format(v='v')} AS bucket, count(*) AS c
+  FROM tok {_CMS_GRID}
+  GROUP BY 1, 2),
+cand AS (SELECT v AS token, count(*) AS exact FROM tok GROUP BY 1),
+probe AS (
+  SELECT token, exact, g.i AS row, {_CMS_BUCKET.format(v='token')} AS bucket
+  FROM cand {_CMS_GRID}),
+est AS (SELECT token, exact, min(c) AS estimate
+        FROM probe JOIN cells USING (row, bucket) GROUP BY 1, 2)
+SELECT token, estimate, exact, CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY estimate DESC, token ASC) AS rank
+      FROM est)
+WHERE rank <= 20
+"""
+
 QUERIES: dict[str, QueryDef] = {
     "q_dedup_exact": QueryDef(
         q_dedup_exact,
@@ -1280,6 +1318,7 @@ SELECT doc_id, (surv AND rn <= 8) AS keep,
 FROM rk
 """,
     ),
+    "q_cms_heavy": QueryDef(q_cms_heavy, _CMS_SQL),
     "q_bm25_topk": QueryDef(q_bm25_topk, _BM25_SQL),
     "q_hybrid_rrf": QueryDef(q_hybrid_rrf, _HYBRID_RRF_SQL),
     "q_embed_topk": QueryDef(q_embed_topk, _EMBED_TOPK_SQL),

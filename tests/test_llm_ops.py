@@ -437,3 +437,45 @@ def test_hybrid_rrf_fusion_math_and_exclusions(spark):
     # fused order is by rrf_fp desc with doc_id tiebreak
     fps = [(r.rrf_fp, -r.doc_id) for r in out]
     assert fps == sorted(fps, reverse=True)
+
+
+def test_cms_estimate_dominates_exact_and_finds_heavy_hitter(spark):
+    from sales_forecast_mlops_at_scale_spark.operators.llm import (
+        cms_heavy_hitters,
+        cms_sketch,
+    )
+
+    # skewed stream: 'heavy' 100x, 60 singletons crammed into width=16 so
+    # collisions are guaranteed and the min-over-rows actually matters
+    rows = [("heavy",)] * 100 + [(f"t{i}",) for i in range(60)]
+    df = spark.createDataFrame(rows, "tok string")
+    out = cms_heavy_hitters(df, "tok", depth=4, width=16, k=10).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.estimate >= r.exact  # CMS never underestimates
+    top = out[0]
+    assert top.token == "heavy" and top.exact == 100 and top.rank == 1
+    assert any(r.estimate > r.exact for r in out), "width=16 must collide"
+
+    # the sketch grid is bounded state: depth x width cells at most
+    assert cms_sketch(df, "tok", depth=4, width=16).count() <= 4 * 16
+
+
+def test_cms_sketches_merge_by_cell_sum(spark):
+    from pyspark.sql import functions as F
+
+    from sales_forecast_mlops_at_scale_spark.operators.llm import cms_sketch
+
+    a = spark.createDataFrame([("x",), ("y",)] * 5, "tok string")
+    b = spark.createDataFrame([("y",), ("z",)] * 3, "tok string")
+    merged = (
+        cms_sketch(a, "tok", depth=4, width=16)
+        .unionByName(cms_sketch(b, "tok", depth=4, width=16))
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    whole = cms_sketch(a.unionByName(b), "tok", depth=4, width=16)
+    diff = merged.join(whole, ["row", "bucket"], "full_outer").filter(
+        ~(F.coalesce(merged["c"], F.lit(0)) == F.coalesce(whole["c"], F.lit(0)))
+    )
+    assert diff.count() == 0  # sketch(a) + sketch(b) == sketch(a ++ b)
