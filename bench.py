@@ -85,6 +85,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_curation",
     "q_pack_shards",
     "q_contamination",
+    "q_dup_span",
     "q_pii_redact",
     "q_para_dedup",
     "q_winnow_fingerprint",

@@ -44,6 +44,7 @@ from .textclean import (
     web_documents_fixture,
 )
 from .cms import cms_heavy_hitters, cms_sketch
+from .dupspan import dup_span_coverage, positional_grams
 from .retrieval import bm25_topk, exemplar_query_terms, hybrid_rrf
 from .sketches import kmv_distinct, kmv_overlap
 from .winnow import winnow_fingerprints
@@ -85,6 +86,8 @@ __all__ = [
     "hybrid_rrf",
     "kmv_distinct",
     "kmv_overlap",
+    "dup_span_coverage",
+    "positional_grams",
     "winnow_fingerprints",
     "contamination_check",
     "paragraph_dedup_keys",

@@ -545,6 +545,14 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(cand, bench, n=8)
 
 
+def q_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal (Lee et al. 2022): per-doc fraction of
+    tokens covered by cross-doc duplicated 8-gram windows."""
+    from ..operators.llm.dupspan import dup_span_coverage
+
+    return dup_span_coverage(load_table(spark, sf_dir, "documents"), n=8)
+
+
 _WEB = f"read_parquet('{WEB_FIXTURE_PATH}/*.parquet')"
 
 _PII_SQL = f"""
@@ -633,6 +641,43 @@ SELECT pd.doc AS doc_id, pd.n_ngrams,
        coalesce(h.n_contaminated, 0) AS n_contaminated,
        round(coalesce(h.n_contaminated, 0) * 1.0 / pd.n_ngrams, 6) AS contamination
 FROM pd LEFT JOIN h ON pd.doc = h.doc
+"""
+
+
+#: Oracle twin of operators/llm/dupspan.dup_span_coverage — identical
+#: positional 8-gram windows, cross-doc min<>max dup test, and the same
+#: integer gaps-and-islands coverage union (engine-exact arithmetic).
+_DUPSPAN_SQL = f"""
+WITH t AS (SELECT doc_id AS doc,
+    CASE WHEN length({_NORM}) = 0 THEN CAST([] AS VARCHAR[]) ELSE {_TOKS} END AS toks
+  FROM documents),
+gl AS (
+  SELECT doc, CASE WHEN len(toks) < 8 THEN CAST([] AS VARCHAR[])
+         ELSE [array_to_string(toks[i:i+7], ' ')
+               for i in generate_series(1, len(toks) - 7)] END AS l
+  FROM t),
+grams AS (
+  SELECT doc, generate_subscripts(l, 1) AS pos, unnest(l) AS g FROM gl),
+dup AS (SELECT g FROM grams GROUP BY g HAVING min(doc) <> max(doc)),
+ds AS (SELECT doc, pos FROM grams JOIN dup USING (g)),
+cov AS (
+  SELECT doc,
+         greatest(0, (pos + 7) - greatest(coalesce(
+             max(pos + 7) OVER (PARTITION BY doc ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+             pos - 1)) AS contrib
+  FROM ds),
+agg AS (SELECT doc, count(*) AS n_dup_grams,
+               CAST(sum(contrib) AS BIGINT) AS covered_tokens
+        FROM cov GROUP BY doc)
+SELECT t.doc AS doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(greatest(len(t.toks) - 7, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(a.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+       CAST(coalesce(a.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       round(coalesce(a.covered_tokens, 0) * 1.0 / greatest(len(t.toks), 1), 6)
+         AS dup_coverage
+FROM t LEFT JOIN agg a ON t.doc = a.doc
 """
 
 
@@ -1212,6 +1257,7 @@ FROM fps GROUP BY doc_id
     "q_line_repetition": QueryDef(q_line_repetition, _LINE_REP_SQL),
     "q_top_bigram": QueryDef(q_top_bigram, _TOP_BIGRAM_SQL),
     "q_contamination": QueryDef(q_contamination, _CONTAM_SQL),
+    "q_dup_span": QueryDef(q_dup_span, _DUPSPAN_SQL),
     "q_ngram_jaccard": QueryDef(q_ngram_jaccard, _JACCARD_SQL),
     # LSH affects recall only; on these fixtures every true pair sits at
     # J ≥ 0.8 where 16×4 banding recall is ≈ 1 (verified at sf0.01 and

@@ -479,3 +479,46 @@ def test_cms_sketches_merge_by_cell_sum(spark):
         ~(F.coalesce(merged["c"], F.lit(0)) == F.coalesce(whole["c"], F.lit(0)))
     )
     assert diff.count() == 0  # sketch(a) + sketch(b) == sketch(a ++ b)
+
+
+def test_dup_span_coverage_known_overlap(spark):
+    """Hand-built corpus: docs 1/2 share an 8-token run embedded in
+    otherwise-unique text; doc 3 is fully unique; doc 4 is too short to
+    form any 8-gram.  Coverage counts union of overlapping windows."""
+    from sales_forecast_mlops_at_scale_spark.operators.llm.dupspan import (
+        dup_span_coverage,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, f"unique one lead {shared} unique one tail words here"),
+        (2, f"other two start {shared} other two ending tokens now"),
+        (3, "completely distinct text with no overlap at all in this document body"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dup_span_coverage(df, n=8).collect()}
+
+    assert set(out) == {1, 2, 3, 4}
+    # shared run = 10 tokens -> 3 positional 8-grams inside it per doc;
+    # their union covers exactly the 10 shared tokens.
+    assert out[1].n_dup_grams == 3
+    assert out[1].covered_tokens == 10
+    assert out[2].covered_tokens == 10
+    assert out[3].n_dup_grams == 0 and out[3].covered_tokens == 0
+    assert out[4].n_grams == 0 and out[4].dup_coverage == 0.0
+    assert abs(out[1].dup_coverage - round(10 / out[1].n_tokens, 6)) < 1e-9
+
+
+def test_dup_span_every_doc_present_and_bounded(spark):
+    from sales_forecast_mlops_at_scale_spark.operators.llm.dupspan import (
+        dup_span_coverage,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = dup_span_coverage(docs).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert 0 <= r.n_dup_grams <= r.n_grams
+        assert 0 <= r.covered_tokens <= r.n_tokens
+        assert 0.0 <= r.dup_coverage <= 1.0
