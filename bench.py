@@ -68,6 +68,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_cube_pricing",
     "q_snapshot_diff",
     "q_profile_orders",
+    "q_quality_checks",
     "q_scd2_merge",
     "q_incremental_rollup",
     "q_fuzzy_match",

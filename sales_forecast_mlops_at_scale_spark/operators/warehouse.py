@@ -18,8 +18,9 @@ deployment lives by:
 from __future__ import annotations
 
 from collections.abc import Sequence
+from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -115,4 +116,100 @@ def merge_rollup(
             F.sum(count_col).cast("long").alias(count_col),
             *[F.sum(c).alias(c) for c in sums],
         )
+    )
+
+
+# -- declarative data-quality expectations (Deequ-style) ----------------------
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One data-quality constraint: an aggregate ``metric`` expression
+    (a ``Column`` evaluating to a double, conventionally a [0,1] ratio)
+    and the ``minimum`` value it must reach to pass."""
+
+    name: str
+    metric: Column
+    minimum: float
+
+
+def fraction_where(cond: Column) -> Column:
+    """Exact fraction of rows satisfying ``cond``: integer 0/1 sum over
+    long, ONE double division at the end — engine-exact (float summation
+    order never enters), unlike ``avg(bool)`` whose accumulation is
+    engine-defined."""
+    return F.sum(F.when(cond, 1).otherwise(0)).cast("double") / F.count(F.lit(1))
+
+
+def uniqueness(col: str) -> Column:
+    """distinct/total ratio — 1.0 means the column is a candidate key."""
+    return F.count_distinct(F.col(col)).cast("double") / F.count(F.lit(1))
+
+
+def expectation_report(df: DataFrame, expectations: Sequence[Expectation]) -> DataFrame:
+    """Evaluate all expectations against ``df`` in ONE aggregation pass
+    (Deequ's VerificationSuite shape: however many constraints, one scan).
+
+    Returns ``check, metric, threshold, passed`` — one row per
+    expectation.  Every metric is a conditional aggregate, so the single
+    job partial-aggregates map-side and shuffles one row per partition;
+    ``count_distinct`` metrics add their keyed partial-agg but still ride
+    the same pass.  At 100 TB this runs at scan speed; the alternative —
+    one job per constraint — rescans the table N times.
+
+    Metrics are rounded to 6 dp BEFORE the threshold comparison so the
+    pass/fail verdict is engine-exact and the DuckDB oracle twin agrees
+    bit-for-bit.
+    """
+    exps = list(expectations)
+    wide = df.agg(
+        *[e.metric.cast("double").alias(f"__m{i}") for i, e in enumerate(exps)]
+    )
+    rows = [
+        F.struct(
+            F.lit(e.name).alias("check"),
+            F.round(F.col(f"__m{i}"), 6).alias("metric"),
+            F.lit(float(e.minimum)).cast("double").alias("threshold"),
+            (F.round(F.col(f"__m{i}"), 6) >= F.lit(float(e.minimum))).alias("passed"),
+        )
+        for i, e in enumerate(exps)
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def fk_coverage_report(
+    child: DataFrame,
+    parent: DataFrame,
+    fk: str,
+    pk: str,
+    *,
+    name: str,
+    minimum: float = 1.0,
+) -> DataFrame:
+    """Referential-integrity expectation: fraction of child rows whose
+    ``fk`` exists in parent's ``pk``, in the same report row shape as
+    :func:`expectation_report`.
+
+    Shape: distinct parent keys (partial-aggregated) left-join the child
+    fk column — one shuffle keyed on the fk, the unavoidable semi-join
+    shape for RI at scale (neither side is broadcastable at 100 TB; AQE
+    still converts it when the parent IS small).  NULL fks count as
+    violations — use a separate completeness expectation to tell the two
+    failure modes apart.
+    """
+    hits = (
+        parent.select(F.col(pk).alias(fk))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = child.select(fk).join(hits, fk, "left")
+    metric = F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double") / F.count(
+        F.lit(1)
+    )
+    wide = joined.agg(metric.alias("__m"))
+    return wide.select(
+        F.lit(name).alias("check"),
+        F.round(F.col("__m"), 6).alias("metric"),
+        F.lit(float(minimum)).cast("double").alias("threshold"),
+        (F.round(F.col("__m"), 6) >= F.lit(float(minimum))).alias("passed"),
     )

@@ -671,6 +671,110 @@ UNION ALL SELECT 'o_orderpriority', p_n, p_d, p_min, p_max FROM w
 """
 
 
+# -- declarative data-quality expectation suite -------------------------------
+
+
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style verification suite: completeness / uniqueness / domain
+    / range constraints over orders and lineitem, each family in ONE
+    aggregation pass, plus a referential-integrity check
+    orders→customer.  Output: (check, metric, threshold, passed)."""
+    from ..operators.warehouse import (
+        Expectation,
+        expectation_report,
+        fk_coverage_report,
+        fraction_where,
+        uniqueness,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    orders_suite = expectation_report(
+        orders,
+        [
+            Expectation(
+                "orders.completeness.o_custkey",
+                fraction_where(F.col("o_custkey").isNotNull()),
+                1.0,
+            ),
+            Expectation("orders.uniqueness.o_orderkey", uniqueness("o_orderkey"), 1.0),
+            Expectation(
+                "orders.domain.o_orderstatus",
+                fraction_where(F.col("o_orderstatus").isin("O", "F", "P")),
+                1.0,
+            ),
+            Expectation(
+                "orders.positive.o_totalprice",
+                fraction_where(F.col("o_totalprice") > 0),
+                1.0,
+            ),
+        ],
+    )
+    lineitem_suite = expectation_report(
+        lineitem,
+        [
+            Expectation(
+                "lineitem.positive.l_extendedprice",
+                fraction_where(F.col("l_extendedprice") > 0),
+                1.0,
+            ),
+            Expectation(
+                "lineitem.range.l_quantity",
+                fraction_where(F.col("l_quantity").between(1, 50)),
+                1.0,
+            ),
+            Expectation(
+                "lineitem.range.l_discount",
+                fraction_where(F.col("l_discount").between(0.0, 0.1)),
+                1.0,
+            ),
+        ],
+    )
+    ri = fk_coverage_report(
+        orders, customer, "o_custkey", "c_custkey", name="orders.fk.customer"
+    )
+    return orders_suite.unionByName(lineitem_suite).unionByName(ri)
+
+
+_QUALITY_CHECKS_SQL = """
+WITH o AS (
+  SELECT
+    sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*) AS m_comp,
+    count(DISTINCT o_orderkey) * 1.0 / count(*) AS m_uniq,
+    sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) * 1.0 / count(*) AS m_dom,
+    sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) * 1.0 / count(*) AS m_pos
+  FROM orders),
+l AS (
+  SELECT
+    sum(CASE WHEN l_extendedprice > 0 THEN 1 ELSE 0 END) * 1.0 / count(*) AS m_ship,
+    sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END) * 1.0 / count(*) AS m_qty,
+    sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) * 1.0 / count(*) AS m_disc
+  FROM lineitem),
+fk AS (
+  SELECT sum(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*) AS m_fk
+  FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON orders.o_custkey = c.c_custkey)
+SELECT 'orders.completeness.o_custkey' AS check, round(m_comp, 6) AS metric,
+       1.0 AS threshold, round(m_comp, 6) >= 1.0 AS passed FROM o
+UNION ALL SELECT 'orders.uniqueness.o_orderkey', round(m_uniq, 6), 1.0,
+       round(m_uniq, 6) >= 1.0 FROM o
+UNION ALL SELECT 'orders.domain.o_orderstatus', round(m_dom, 6), 1.0,
+       round(m_dom, 6) >= 1.0 FROM o
+UNION ALL SELECT 'orders.positive.o_totalprice', round(m_pos, 6), 1.0,
+       round(m_pos, 6) >= 1.0 FROM o
+UNION ALL SELECT 'lineitem.positive.l_extendedprice', round(m_ship, 6), 1.0,
+       round(m_ship, 6) >= 1.0 FROM l
+UNION ALL SELECT 'lineitem.range.l_quantity', round(m_qty, 6), 1.0,
+       round(m_qty, 6) >= 1.0 FROM l
+UNION ALL SELECT 'lineitem.range.l_discount', round(m_disc, 6), 1.0,
+       round(m_disc, 6) >= 1.0 FROM l
+UNION ALL SELECT 'orders.fk.customer', round(m_fk, 6), 1.0,
+       round(m_fk, 6) >= 1.0 FROM fk
+"""
+
+
 # -- window-function family showcase ------------------------------------------
 
 
@@ -1063,6 +1167,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_cube_pricing": QueryDef(q_cube_pricing, _CUBE_SQL),
     "q_snapshot_diff": QueryDef(q_snapshot_diff, _SNAPDIFF_SQL),
     "q_profile_orders": QueryDef(q_profile_orders, _PROFILE_SQL),
+    "q_quality_checks": QueryDef(q_quality_checks, _QUALITY_CHECKS_SQL),
     "q_scd2_merge": QueryDef(q_scd2_merge, _SCD2_SQL),
     "q_incremental_rollup": QueryDef(q_incremental_rollup, _INCR_SQL),
     "q_fuzzy_match": QueryDef(q_fuzzy_match, _FUZZY_SQL),

@@ -120,3 +120,40 @@ def test_approx_users_within_tolerance(spark):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, approx[k], n)
+
+
+def test_expectation_report_one_pass_and_verdicts(spark):
+    """Synthetic frame with a known violation: the metric/threshold/passed
+    triple must reflect it, and the whole suite must compile to ONE
+    aggregate over the input (no per-check jobs)."""
+    from sales_forecast_mlops_at_scale_spark.operators.warehouse import (
+        Expectation,
+        expectation_report,
+        fk_coverage_report,
+        fraction_where,
+        uniqueness,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", -1.0), (3, "a", 5.0), (3, "c", 2.0)],
+        ["id", "cat", "amount"],
+    )
+    rep = {
+        r.check: r
+        for r in expectation_report(
+            df,
+            [
+                Expectation("completeness.id", fraction_where(F.col("id").isNotNull()), 1.0),
+                Expectation("uniqueness.id", uniqueness("id"), 1.0),
+                Expectation("positive.amount", fraction_where(F.col("amount") > 0), 1.0),
+            ],
+        ).collect()
+    }
+    assert rep["completeness.id"].passed
+    assert not rep["uniqueness.id"].passed and rep["uniqueness.id"].metric == 0.75
+    assert not rep["positive.amount"].passed and rep["positive.amount"].metric == 0.75
+
+    parent = spark.createDataFrame([(1,), (2,)], ["pk"])
+    fk = fk_coverage_report(df, parent, "id", "pk", name="fk.parent").collect()[0]
+    assert fk.metric == 0.5 and not fk.passed
