@@ -208,3 +208,48 @@ def test_sessionize_matches_reference(spark, rows):
         for r in got.itertuples()
     }
     assert got_set == _sessions_ref(rows, gap_hours=2)
+
+
+# -- dup_span_coverage vs a brute-force python reference ----------------------
+
+# tiny vocab + short docs so cross-doc n-gram collisions are common
+_WORD = st.sampled_from(["aa", "bb", "cc"])
+_DOC = st.lists(_WORD, min_size=0, max_size=12)
+
+
+@given(docs=st.lists(_DOC, min_size=1, max_size=5))
+@settings(**_SETTINGS)
+def test_dup_span_matches_bruteforce(spark, docs):
+    from sales_forecast_mlops_at_scale_spark.operators.llm.dupspan import (
+        dup_span_coverage,
+    )
+
+    n = 3
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    # brute-force reference: positional n-grams, cross-doc dup test,
+    # covered = union of [pos, pos+n-1] token spans
+    grams = {}  # gram -> set of doc ids
+    per_doc = []
+    for i, words in enumerate(docs):
+        gs = [tuple(words[j : j + n]) for j in range(len(words) - n + 1)]
+        per_doc.append(gs)
+        for g in gs:
+            grams.setdefault(g, set()).add(i)
+    expected = {}
+    for i, words in enumerate(docs):
+        covered = set()
+        n_dup = 0
+        for j, g in enumerate(per_doc[i]):
+            if len(grams[g]) >= 2:
+                n_dup += 1
+                covered.update(range(j, j + n))
+        expected[i] = (len(words), max(len(words) - n + 1, 0), n_dup, len(covered))
+
+    out = dup_span_coverage(
+        spark.createDataFrame(rows, ["doc_id", "text"]), n=n
+    ).collect()
+    assert len(out) == len(docs)
+    for r in out:
+        exp = expected[r.doc_id]
+        got = (r.n_tokens, r.n_grams, r.n_dup_grams, r.covered_tokens)
+        assert got == exp, f"doc {r.doc_id}: {got} != {exp}"
