@@ -87,6 +87,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_pack_shards",
     "q_contamination",
     "q_dup_span",
+    "q_domain_quality",
     "q_pii_redact",
     "q_para_dedup",
     "q_winnow_fingerprint",

@@ -154,3 +154,54 @@ def contamination_check(
             ).alias("contamination"),
         )
     )
+
+
+def domain_quality_rollup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    keep_threshold: float = 0.65,
+) -> DataFrame:
+    """Per-domain curation statistics (the FineWeb/C4 pattern: quality is
+    filtered per document but MONITORED per source domain — a domain
+    whose keep-rate collapses signals a crawler or boilerplate problem,
+    not 10^5 individually bad documents).
+
+    Joins each document's heuristic quality score to every domain its
+    text references (distinct doc×domain pairs) and aggregates:
+    ``domain, n_docs, mean_quality, keep_rate``.
+
+    ``mean_quality`` sums the 4-dp quality scores in 10^-4 fixed point
+    (integer sum, ONE terminal double division) so the aggregate is
+    shuffle-order-independent and the DuckDB twin matches bit-for-bit —
+    a float sum's accumulation order is engine-defined.
+    """
+    from .textstats import text_quality
+
+    pairs = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0)
+            ).alias("url"),
+        )
+        .select("doc", F.regexp_extract("url", DOMAIN_RE, 1).alias("domain"))
+        .distinct()
+    )
+    quality = text_quality(df, text_col).select(
+        F.col(id_col).alias("doc"), "quality_score"
+    )
+    joined = pairs.join(quality, "doc")
+    fixed = F.round(F.col("quality_score") * 10000).cast("long")
+    n = F.count(F.lit(1))
+    return joined.groupBy("domain").agg(
+        n.alias("n_docs"),
+        F.round(F.sum(fixed) / (10000.0 * n), 6).alias("mean_quality"),
+        F.round(
+            F.sum(F.when(F.col("quality_score") >= keep_threshold, 1).otherwise(0))
+            .cast("double")
+            / n,
+            6,
+        ).alias("keep_rate"),
+    )

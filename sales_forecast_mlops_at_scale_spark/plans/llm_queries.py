@@ -545,6 +545,15 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(cand, bench, n=8)
 
 
+def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style per-domain curation monitor over the web fixture:
+    distinct doc×domain references joined to doc quality, rolled up to
+    (domain, n_docs, mean_quality, keep_rate)."""
+    from ..operators.llm.textclean import domain_quality_rollup
+
+    return domain_quality_rollup(web_documents_fixture(spark))
+
+
 def q_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup signal (Lee et al. 2022): per-doc fraction of
     tokens covered by cross-doc duplicated 8-gram windows."""
@@ -644,6 +653,25 @@ FROM pd LEFT JOIN h ON pd.doc = h.doc
 """
 
 
+#: Oracle twin of textclean.domain_quality_rollup: the parameterized
+#: quality body over the web fixture, 10^-4 fixed-point mean (integer
+#: sum, one terminal division — shuffle-order-independent on both sides).
+_DOMAIN_QUALITY_SQL = f"""
+WITH q AS ({{qbody}}),
+u AS (SELECT DISTINCT doc_id AS doc,
+             regexp_extract(url, 'https?://([^/\\s]+)', 1) AS domain
+      FROM (SELECT doc_id, unnest(regexp_extract_all(text, '{URL_RE}')) AS url
+            FROM {_WEB})),
+j AS (SELECT u.domain, q.quality_score FROM u JOIN q ON u.doc = q.doc_id)
+SELECT domain, count(*) AS n_docs,
+       round(sum(CAST(round(quality_score * 10000) AS BIGINT))
+             / (10000.0 * count(*)), 6) AS mean_quality,
+       round(sum(CASE WHEN quality_score >= 0.65 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS keep_rate
+FROM j GROUP BY domain
+"""
+
+
 #: Oracle twin of operators/llm/dupspan.dup_span_coverage — identical
 #: positional 8-gram windows, cross-doc min<>max dup test, and the same
 #: integer gaps-and-islands coverage union (engine-exact arithmetic).
@@ -681,9 +709,12 @@ FROM t LEFT JOIN agg a ON t.doc = a.doc
 """
 
 
-_QUALITY_SQL = f"""
+def _quality_sql(src: str) -> str:
+    """Quality-score oracle body over any source relation (the star
+    ``documents`` table or the web fixture) — same formula either way."""
+    return f"""
 WITH base AS (
-  SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+  SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM {src}
 ), feat AS (
   SELECT doc_id,
     CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
@@ -704,6 +735,10 @@ SELECT doc_id, n_tokens, n_chars_norm,
         + least((stop_hits / greatest(n_tokens, 1)) * 5, 1.0) * 0.2, 4) AS quality_score
 FROM feat
 """
+
+
+_QUALITY_SQL = _quality_sql("documents")
+_DOMAIN_QUALITY_SQL = _DOMAIN_QUALITY_SQL.format(qbody=_quality_sql(_WEB))
 
 _LANGS_SQL_MARKERS = {
     "de": "('der','und','die','nicht','ist')",
@@ -1258,6 +1293,7 @@ FROM fps GROUP BY doc_id
     "q_top_bigram": QueryDef(q_top_bigram, _TOP_BIGRAM_SQL),
     "q_contamination": QueryDef(q_contamination, _CONTAM_SQL),
     "q_dup_span": QueryDef(q_dup_span, _DUPSPAN_SQL),
+    "q_domain_quality": QueryDef(q_domain_quality, _DOMAIN_QUALITY_SQL),
     "q_ngram_jaccard": QueryDef(q_ngram_jaccard, _JACCARD_SQL),
     # LSH affects recall only; on these fixtures every true pair sits at
     # J ≥ 0.8 where 16×4 banding recall is ≈ 1 (verified at sf0.01 and

@@ -522,3 +522,17 @@ def test_dup_span_every_doc_present_and_bounded(spark):
         assert 0 <= r.n_dup_grams <= r.n_grams
         assert 0 <= r.covered_tokens <= r.n_tokens
         assert 0.0 <= r.dup_coverage <= 1.0
+
+
+def test_domain_quality_rollup_invariants(spark):
+    from sales_forecast_mlops_at_scale_spark.operators.llm.textclean import (
+        domain_quality_rollup,
+        web_documents_fixture,
+    )
+
+    out = domain_quality_rollup(web_documents_fixture(spark)).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.domain and r.n_docs > 0
+        assert 0.0 <= r.keep_rate <= 1.0
+        assert 0.0 <= r.mean_quality <= 1.0
