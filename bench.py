@@ -88,6 +88,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_contamination",
     "q_dup_span",
     "q_domain_quality",
+    "q_bpe_pairs",
     "q_pii_redact",
     "q_para_dedup",
     "q_winnow_fingerprint",

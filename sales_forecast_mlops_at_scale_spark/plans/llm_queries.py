@@ -545,6 +545,32 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(cand, bench, n=8)
 
 
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE round over the star documents corpus: top-20 adjacent
+    character pairs by frequency-weighted count (tokenizer-training's
+    corpus-scale stage)."""
+    from ..operators.llm.bpe import bpe_pair_counts
+
+    return bpe_pair_counts(load_table(spark, sf_dir, "documents"), top_k=20)
+
+
+_BPE_PAIRS_SQL = f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+tf AS (SELECT token, count(*) AS weight FROM tok GROUP BY token),
+syms AS (SELECT weight,
+         list_append([substr(token, i, 1)
+                      for i in generate_series(1, length(token))], '</w>') AS s
+         FROM tf),
+p0 AS (SELECT weight,
+              unnest([s[i] || ' ' || s[i+1]
+                      for i in generate_series(1, len(s) - 1)]) AS pair
+       FROM syms),
+pc AS (SELECT pair, CAST(sum(weight) AS BIGINT) AS merge_count
+       FROM p0 GROUP BY pair)
+SELECT pair, merge_count FROM pc ORDER BY merge_count DESC, pair LIMIT 20
+"""
+
+
 def q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FineWeb-style per-domain curation monitor over the web fixture:
     distinct doc×domain references joined to doc quality, rolled up to
@@ -1294,6 +1320,7 @@ FROM fps GROUP BY doc_id
     "q_contamination": QueryDef(q_contamination, _CONTAM_SQL),
     "q_dup_span": QueryDef(q_dup_span, _DUPSPAN_SQL),
     "q_domain_quality": QueryDef(q_domain_quality, _DOMAIN_QUALITY_SQL),
+    "q_bpe_pairs": QueryDef(q_bpe_pairs, _BPE_PAIRS_SQL),
     "q_ngram_jaccard": QueryDef(q_ngram_jaccard, _JACCARD_SQL),
     # LSH affects recall only; on these fixtures every true pair sits at
     # J ≥ 0.8 where 16×4 banding recall is ≈ 1 (verified at sf0.01 and

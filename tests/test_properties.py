@@ -253,3 +253,60 @@ def test_dup_span_matches_bruteforce(spark, docs):
         exp = expected[r.doc_id]
         got = (r.n_tokens, r.n_grams, r.n_dup_grams, r.covered_tokens)
         assert got == exp, f"doc {r.doc_id}: {got} != {exp}"
+
+
+# -- bpe_train vs a pure-python BPE reference ---------------------------------
+
+
+def _bpe_reference(texts, n_merges):
+    """Sennrich-style BPE on whitespace tokens of normalized text:
+    greedy argmax pair (ties by pair string), left-to-right merge."""
+    import re
+    from collections import Counter
+
+    tf = Counter()
+    for t in texts:
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        if norm:
+            tf.update(norm.split(" "))
+    vocab = {tok: list(tok) + ["</w>"] for tok in tf}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for tok, syms in vocab.items():
+            w = tf[tok]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += w
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))[0]
+        merges.append(best)
+        a, b = best
+        for tok, syms in vocab.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            vocab[tok] = out
+    return merges, vocab
+
+
+_BPE_WORD = st.sampled_from(["aba", "bab", "aa", "abab", "b", "cab"])
+
+
+@given(docs=st.lists(st.lists(_BPE_WORD, min_size=1, max_size=6), min_size=1, max_size=4))
+@settings(**_SETTINGS)
+def test_bpe_train_matches_reference(spark, docs):
+    from sales_forecast_mlops_at_scale_spark.operators.llm.bpe import bpe_train
+
+    texts = [" ".join(ws) for ws in docs]
+    ref_merges, ref_vocab = _bpe_reference(texts, 4)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges, seg = bpe_train(df, n_merges=4)
+    assert merges == ref_merges
+    got = {r.token: list(r.symbols) for r in seg.collect()}
+    assert got == ref_vocab
