@@ -176,3 +176,39 @@ def test_selective_dim_join_injects_runtime_bloom_filter(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_bpe_topk_is_take_ordered(spark):
+    # vocab-induction top-k must compile to TakeOrderedAndProject, not a
+    # global sort or a window over the pair table
+    q = all_queries()["q_bpe_pairs"]
+    plan = _executed_plan(q.fn(spark, SMOKE_SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_expectation_suite_single_scan_per_table(spark):
+    # N constraints per table = ONE aggregate pass per table: the plan
+    # must contain exactly 3 parquet scans (orders x2: suite + FK probe,
+    # lineitem x1, customer x1 -> 4 total) and no more
+    q = all_queries()["q_quality_checks"]
+    plan = _executed_plan(q.fn(spark, SMOKE_SF_DIR))
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 4, f"expected 4 scans (orders suite, lineitem, orders fk, customer), got {n_scans}:\n{plan}"
+
+
+def test_dup_span_shuffles_hashes_not_grams(spark):
+    # the dup-gram detection shuffle must carry only the 8-byte xxhash64
+    # key, never the gram strings; the window is partitioned by doc
+    from sales_forecast_mlops_at_scale_spark.operators.llm.dupspan import (
+        dup_span_coverage,
+    )
+    from sales_forecast_mlops_at_scale_spark.catalog import load_table
+
+    df = dup_span_coverage(load_table(spark, SMOKE_SF_DIR, "documents"))
+    plan = _executed_plan(df)
+    # gram strings stay inside the projection that computes xxhash64; no
+    # exchange partitions on a string gram column
+    assert "hashpartitioning(gh" in plan or "hashpartitioning(gh#" in plan.replace(
+        "L", ""
+    ), plan
