@@ -89,6 +89,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_dup_span",
     "q_domain_quality",
     "q_bpe_pairs",
+    "q_dedup_summary",
+    "q_split_leakage",
     "q_pii_redact",
     "q_para_dedup",
     "q_winnow_fingerprint",

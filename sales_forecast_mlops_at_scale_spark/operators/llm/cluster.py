@@ -94,3 +94,37 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def dedup_summary(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level dedup report from a near-dup pair frame: the numbers
+    a pipeline run publishes after the KEEP/DROP pass.
+
+    One row: ``n_docs, n_clusters, n_clustered_docs, n_dropped,
+    max_cluster_size, dup_rate``.  ``n_dropped`` = clustered docs minus
+    one kept representative per cluster.
+
+    Shape: components → per-cluster counts (partial-aggregated) → two
+    scalar aggregates cross-joined (both 1-row, the join is free);
+    nothing corpus-sized leaves an aggregate.
+    """
+    cc = connected_components(pairs)
+    per = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.coalesce(F.sum("sz"), F.lit(0)).cast("long").alias("n_clustered_docs"),
+        F.coalesce(F.max("sz"), F.lit(0)).cast("long").alias("max_cluster_size"),
+    )
+    return tot.crossJoin(agg).select(
+        "n_docs",
+        "n_clusters",
+        "n_clustered_docs",
+        (F.col("n_clustered_docs") - F.col("n_clusters")).alias("n_dropped"),
+        "max_cluster_size",
+        F.round(
+            (F.col("n_clustered_docs") - F.col("n_clusters"))
+            / F.greatest(F.col("n_docs"), F.lit(1)),
+            6,
+        ).alias("dup_rate"),
+    )

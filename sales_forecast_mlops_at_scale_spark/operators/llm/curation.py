@@ -222,3 +222,29 @@ def mix_to_weights(
         )
         keep = cond if keep is None else keep | cond
     return df.filter(keep)
+
+
+def split_expr(id_col: Column, *, seed: str = "split") -> Column:
+    """Deterministic train/val/test assignment (80/10/10) from a salted
+    md5 of the id — the same engine-portable hex-threshold trick as
+    :func:`deterministic_sample`, so any engine reproduces the split
+    bit-for-bit.  A pure expression (no join against an assignment
+    table): downstream queries evaluate it inline on either side of a
+    pair without shuffling an id→split map."""
+    bucket = F.substring(F.md5(F.concat(F.lit(seed), id_col.cast("string"))), 1, 8)
+    return (
+        F.when(bucket < F.lit(sample_threshold_hex(0.8)), F.lit("train"))
+        .when(bucket < F.lit(sample_threshold_hex(0.9)), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def split_sql_expr(id_sql: str, *, seed: str = "split") -> str:
+    """DuckDB twin of :func:`split_expr` — identical salt, thresholds,
+    and hex comparison."""
+    b = f"substr(md5('{seed}' || CAST({id_sql} AS VARCHAR)), 1, 8)"
+    return (
+        f"CASE WHEN {b} < '{sample_threshold_hex(0.8)}' THEN 'train' "
+        f"WHEN {b} < '{sample_threshold_hex(0.9)}' THEN 'val' "
+        f"ELSE 'test' END"
+    )

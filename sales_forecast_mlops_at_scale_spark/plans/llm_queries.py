@@ -545,6 +545,38 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(cand, bench, n=8)
 
 
+def q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup report (the run-summary a pipeline publishes):
+    near-dup pairs → components → cluster-size rollup, one row."""
+    from ..operators.llm.cluster import dedup_summary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_summary(docs, minhash_lsh_pairs(docs, threshold=0.5))
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split-leakage audit: deterministic 80/10/10 split
+    crossed with exact-Jaccard near-dup pairs.  Pairs whose endpoints
+    land in different splits are contamination the split inherited from
+    near-duplicates — the check every eval-safe pipeline runs.  The
+    split is a pure expression of the doc id, so no assignment table is
+    joined (zero extra shuffles beyond the pair search)."""
+    from ..operators.llm.curation import split_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    sa, sb = split_expr(F.col("id_a")), split_expr(F.col("id_b"))
+    return (
+        pairs.select(
+            F.least(sa, sb).alias("split_a"),
+            F.greatest(sa, sb).alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn("leaky", F.col("split_a") != F.col("split_b"))
+    )
+
+
 def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One BPE round over the star documents corpus: top-20 adjacent
     character pairs by frequency-weighted count (tokenizer-training's
@@ -568,6 +600,41 @@ p0 AS (SELECT weight,
 pc AS (SELECT pair, CAST(sum(weight) AS BIGINT) AS merge_count
        FROM p0 GROUP BY pair)
 SELECT pair, merge_count FROM pc ORDER BY merge_count DESC, pair LIMIT 20
+"""
+
+
+#: q_dedup_summary oracle: the cluster closure (_CLUSTER_SQL) rolled up
+#: to the one-row run report.  Defined lazily in the registry because
+#: _CLUSTER_SQL is declared later in the module.
+def _dedup_summary_sql() -> str:
+    return f"""
+WITH cc AS ({_CLUSTER_SQL}),
+per AS (SELECT cluster_id, count(*) AS sz FROM cc GROUP BY cluster_id),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_clustered_docs,
+               CAST(coalesce(max(sz), 0) AS BIGINT) AS max_cluster_size
+        FROM per)
+SELECT n_docs, n_clusters, n_clustered_docs,
+       n_clustered_docs - n_clusters AS n_dropped,
+       max_cluster_size,
+       round((n_clustered_docs - n_clusters) * 1.0 / greatest(n_docs, 1), 6)
+         AS dup_rate
+FROM tot, agg
+"""
+
+
+def _split_leakage_sql() -> str:
+    from ..operators.llm.curation import split_sql_expr
+
+    sa, sb = split_sql_expr("id_a"), split_sql_expr("id_b")
+    return f"""
+WITH j AS ({_JACCARD_SQL}),
+s AS (SELECT least({sa}, {sb}) AS split_a, greatest({sa}, {sb}) AS split_b
+      FROM j)
+SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       split_a <> split_b AS leaky
+FROM s GROUP BY split_a, split_b
 """
 
 
@@ -764,6 +831,27 @@ FROM feat
 
 
 _QUALITY_SQL = _quality_sql("documents")
+
+#: Connected-components oracle (exact-Jaccard pairs -> recursive closure
+#: -> min label per component); also composed into q_dedup_summary.
+_CLUSTER_SQL = (
+    f"WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),"
+    f"sh AS (SELECT doc_id AS doc, unnest({_SHINGLES}) AS s FROM t),"
+    "sz AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),"
+    "inter AS (SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common"
+    "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2),"
+    "pairs AS (SELECT id_a, id_b FROM inter"
+    "  JOIN sz sa ON id_a = sa.doc JOIN sz sb ON id_b = sb.doc"
+    "  WHERE round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) >= 0.5),"
+    "e AS (SELECT id_a AS a, id_b AS b FROM pairs"
+    "  UNION SELECT id_b, id_a FROM pairs"
+    "  UNION SELECT id_a, id_a FROM pairs UNION SELECT id_b, id_b FROM pairs),"
+    "reach AS (WITH RECURSIVE r(a, b) AS ("
+    "  SELECT a, b FROM e"
+    "  UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)"
+    "  SELECT a, b FROM r)"
+    " SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a"
+)
 _DOMAIN_QUALITY_SQL = _DOMAIN_QUALITY_SQL.format(qbody=_quality_sql(_WEB))
 
 _LANGS_SQL_MARKERS = {
@@ -1321,6 +1409,8 @@ FROM fps GROUP BY doc_id
     "q_dup_span": QueryDef(q_dup_span, _DUPSPAN_SQL),
     "q_domain_quality": QueryDef(q_domain_quality, _DOMAIN_QUALITY_SQL),
     "q_bpe_pairs": QueryDef(q_bpe_pairs, _BPE_PAIRS_SQL),
+    "q_dedup_summary": QueryDef(q_dedup_summary, _dedup_summary_sql()),
+    "q_split_leakage": QueryDef(q_split_leakage, _split_leakage_sql()),
     "q_ngram_jaccard": QueryDef(q_ngram_jaccard, _JACCARD_SQL),
     # LSH affects recall only; on these fixtures every true pair sits at
     # J ≥ 0.8 where 16×4 banding recall is ≈ 1 (verified at sf0.01 and
@@ -1357,25 +1447,7 @@ FROM fps GROUP BY doc_id
     # (see q_minhash_dedup note), so the closure over the exact pairs is a
     # valid oracle for the clustering; the recursive CTE computes the
     # same min-per-component fixpoint as the label propagation.
-    "q_dedup_clusters": QueryDef(
-        q_dedup_clusters,
-        f"WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),"
-        f"sh AS (SELECT doc_id AS doc, unnest({_SHINGLES}) AS s FROM t),"
-        "sz AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),"
-        "inter AS (SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common"
-        "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2),"
-        "pairs AS (SELECT id_a, id_b FROM inter"
-        "  JOIN sz sa ON id_a = sa.doc JOIN sz sb ON id_b = sb.doc"
-        "  WHERE round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) >= 0.5),"
-        "e AS (SELECT id_a AS a, id_b AS b FROM pairs"
-        "  UNION SELECT id_b, id_a FROM pairs"
-        "  UNION SELECT id_a, id_a FROM pairs UNION SELECT id_b, id_b FROM pairs),"
-        "reach AS (WITH RECURSIVE r(a, b) AS ("
-        "  SELECT a, b FROM e"
-        "  UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a)"
-        "  SELECT a, b FROM r)"
-        " SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a",
-    ),
+    "q_dedup_clusters": QueryDef(q_dedup_clusters, _CLUSTER_SQL),
     "q_kmv_distinct": QueryDef(q_kmv_distinct, _KMV_SQL),
     "q_kmv_overlap": QueryDef(q_kmv_overlap, _KMV_OVERLAP_SQL),
     "q_sample_deterministic": QueryDef(

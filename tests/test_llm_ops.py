@@ -536,3 +536,40 @@ def test_domain_quality_rollup_invariants(spark):
         assert r.domain and r.n_docs > 0
         assert 0.0 <= r.keep_rate <= 1.0
         assert 0.0 <= r.mean_quality <= 1.0
+
+
+def test_dedup_summary_consistent_with_clusters(spark):
+    from sales_forecast_mlops_at_scale_spark.operators.llm.cluster import (
+        connected_components,
+        dedup_summary,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    row = dedup_summary(docs, pairs).collect()[0]
+    cc = connected_components(pairs).collect()
+    clusters = {}
+    for r in cc:
+        clusters.setdefault(r.cluster_id, []).append(r.doc_id)
+    assert row.n_clusters == len(clusters)
+    assert row.n_clustered_docs == len(cc)
+    assert row.n_dropped == len(cc) - len(clusters)
+    assert row.max_cluster_size == max(map(len, clusters.values()))
+    assert row.n_docs == docs.count()
+
+
+def test_split_expr_deterministic_and_partition_invariant(spark):
+    from sales_forecast_mlops_at_scale_spark.operators.llm.curation import split_expr
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    a = {r.doc_id: r.s for r in docs.select("doc_id", split_expr(F.col("doc_id")).alias("s")).collect()}
+    b = {
+        r.doc_id: r.s
+        for r in docs.repartition(7)
+        .select("doc_id", split_expr(F.col("doc_id")).alias("s"))
+        .collect()
+    }
+    assert a == b
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.7 < frac < 0.9  # ~80% train

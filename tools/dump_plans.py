@@ -7,7 +7,7 @@ TOP = [
     "q_dedup_clusters", "q_embed_ivf_topk", "q_forecast_7d", "q_train_metrics",
     "q_gated_forecast", "q_minhash_incremental", "q_simhash_pairs",
     "q_minhash_dedup", "q_ngram_jaccard", "q_winnow_fingerprint",
-    "q_semantic_dedup", "q_kmv_overlap",
+    "q_semantic_dedup", "q_kmv_overlap", "q_cms_heavy",
 ]
 NOTES = {
     "q_dedup_clusters": "MinHash-LSH pairs (persisted shingle sets, banded bucket join) feed min-label propagation; two propagation steps per localCheckpoint+probe; edges pinned once.",
@@ -22,6 +22,7 @@ NOTES = {
     "q_winnow_fingerprint": "Arrow-batched Karp-Rabin kernel: pure map, zero shuffle; only the per-doc digest rollup aggregates.",
     "q_semantic_dedup": "One shuffle on the cluster key into a grouped GEMM; no vector arrays in any join.",
     "q_kmv_overlap": "Per-side distinct-hash reduction, full-outer merge on 8-byte hashes, bottom-k via TakeOrderedAndProject.",
+    "q_cms_heavy": "Depth x width sketch as one grouped sum per (row,col) cell - map-side combinable grid, heavy-hitter probe reads the broadcast sketch; bounded state regardless of key cardinality.",
 }
 
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")
