@@ -42,11 +42,16 @@ def connected_components(
     with a coalesce-to-self downstream when a total labeling is needed).
     """
     edges = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
+    # Contract: ``pairs`` rows are unique with left < right (every in-repo
+    # producer — minhash/simhash/jaccard/neardup — emits exactly that), so
+    # the forward and reversed edge sets are disjoint and already unique:
+    # no ``distinct()`` needed.  Duplicate edges would only pad the
+    # per-round min-aggregation anyway (min is idempotent), but skipping
+    # the dedup saves a full shuffle of the edge set per invocation.
     edges = (
         edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .distinct()
         # edges join into EVERY round; without pinning, each round's two
         # actions (checkpoint + convergence count) replay the full
         # upstream pair-generation pipeline (measured: MinHash-LSH pairs

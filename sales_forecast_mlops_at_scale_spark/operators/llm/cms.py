@@ -43,19 +43,27 @@ def cms_sketch(
     *,
     depth: int = 4,
     width: int = 64,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the counter grid: one ``(row, bucket, c)`` tuple per non-empty
-    cell.  Mergeable: union two sketches and ``groupBy(row, bucket).sum(c)``."""
+    cell.  Mergeable: union two sketches and ``groupBy(row, bucket).sum(c)``.
+
+    With ``weight_col``, each input row contributes that many occurrences
+    — the grid is IDENTICAL to hashing the raw stream (a cell's count is
+    the sum of its items' counts either way), but building from an
+    already-aggregated ``(value, count)`` table makes the hashing stage
+    vocab-scale instead of corpus-scale."""
     v = F.col(value_col)
-    return (
-        df.select(
-            F.posexplode(
-                F.array(*[_bucket(v, i, width) for i in range(depth)])
-            ).alias("row", "bucket")
-        )
-        .groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+    exploded = df.select(
+        *( [F.col(weight_col)] if weight_col else [] ),
+        F.posexplode(
+            F.array(*[_bucket(v, i, width) for i in range(depth)])
+        ).alias("row", "bucket"),
     )
+    agg = (
+        F.sum(weight_col) if weight_col else F.count(F.lit(1))
+    ).alias("c")
+    return exploded.groupBy("row", "bucket").agg(agg)
 
 
 def cms_heavy_hitters(
@@ -73,10 +81,19 @@ def cms_heavy_hitters(
     Output: ``token, estimate, exact, rank`` — ranked by estimate
     descending, token ascending on ties.
     """
-    sketch = cms_sketch(df, value_col, depth=depth, width=width)
-    cand = df.groupBy(F.col(value_col).alias("token")).agg(
-        F.count(F.lit(1)).alias("exact")
+    # ONE corpus-scale pass (the token groupBy); the sketch grid is then
+    # built vocab-scale from the weighted counts — cell-for-cell identical
+    # to hashing the raw stream, at a fraction of the hashing work.  The
+    # vocab-sized count table feeds both the grid and the probe side, so
+    # it is persisted (ReuseExchange does not fire across the broadcast
+    # boundary); cache lifetime is caller-owned, same contract as
+    # jaccard.persist_index.
+    cand = (
+        df.groupBy(F.col(value_col).alias("token"))
+        .agg(F.count(F.lit(1)).alias("exact"))
+        .persist()
     )
+    sketch = cms_sketch(cand, "token", depth=depth, width=width, weight_col="exact")
     probes = cand.select(
         "token",
         "exact",
