@@ -99,6 +99,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_kmv_overlap",
     "q_bm25_topk",
     "q_hybrid_rrf",
+    "q_dsir_select",
     "q_embed_topk",
     "q_embed_ivf_topk",
     "q_embed_srp_topk",

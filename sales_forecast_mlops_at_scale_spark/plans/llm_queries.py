@@ -1350,7 +1350,61 @@ FROM (SELECT *, row_number() OVER (ORDER BY estimate DESC, token ASC) AS rank
 WHERE rank <= 20
 """
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: top-50 raw-pool docs (source ≠ src0) by
+    hashed-unigram importance weight against the src0 target corpus
+    (operators/llm/importance.dsir_weights)."""
+    from ..operators.llm.importance import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n_buckets=1024,
+        k=50,
+    )
+
+
+#: DSIR twin: identical salted-md5 bucketing, identical smoothing ratio
+#: association, half-up 10^-6 fixed-point quantize of ln, exact integer
+#: per-doc sum — see importance.py's determinism contract.
+_DSIR_B = "CAST('0x' || substr(md5('dsir:' || t), 1, 15) AS BIGINT) % 1024"
+_DSIR_SQL = f"""
+WITH t_tok AS (
+  SELECT unnest({_TOKS}) AS t FROM documents
+  WHERE source = 'src0' AND length({_NORM}) > 0),
+r_tok AS (
+  SELECT doc_id AS doc, unnest({_TOKS}) AS t FROM documents
+  WHERE source <> 'src0' AND length({_NORM}) > 0),
+t_hist AS (SELECT {_DSIR_B} AS b, count(*) AS ct FROM t_tok GROUP BY 1),
+r_hist AS (SELECT {_DSIR_B} AS b, count(*) AS cr FROM r_tok GROUP BY 1),
+tot AS (SELECT (SELECT sum(ct) FROM t_hist) AS st,
+               (SELECT sum(cr) FROM r_hist) AS sr),
+lut AS (
+  SELECT r_hist.b,
+         CAST(floor(ln(((COALESCE(t_hist.ct, 0) + 1.0) / (tot.st + 1024.0))
+                       / ((r_hist.cr + 1.0) / (tot.sr + 1024.0)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS lr_fp
+  FROM r_hist LEFT JOIN t_hist USING (b), tot),
+probes AS (SELECT doc, {_DSIR_B} AS b FROM r_tok),
+scored AS (
+  SELECT d.doc_id AS doc, CAST(count(p.b) AS BIGINT) AS n_toks,
+         CAST(COALESCE(sum(lut.lr_fp), 0) AS BIGINT) AS s_fp
+  FROM documents d
+  LEFT JOIN probes p ON p.doc = d.doc_id
+  LEFT JOIN lut ON lut.b = p.b
+  WHERE d.source <> 'src0'
+  GROUP BY 1)
+SELECT doc AS doc_id, n_toks, round(s_fp / 1000000.0, 6) AS logw,
+       CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY s_fp DESC, doc ASC) AS rank
+      FROM scored)
+WHERE rank <= 50
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "q_dsir_select": QueryDef(q_dsir_select, _DSIR_SQL),
     "q_dedup_exact": QueryDef(
         q_dedup_exact,
         f"SELECT md5({_NORM}) AS fingerprint, min(doc_id) AS keep_id,"

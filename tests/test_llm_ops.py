@@ -573,3 +573,33 @@ def test_split_expr_deterministic_and_partition_invariant(spark):
     assert a == b
     frac = sum(1 for v in a.values() if v == "train") / len(a)
     assert 0.7 < frac < 0.9  # ~80% train
+
+
+def test_dsir_prefers_target_vocabulary(spark):
+    from sales_forecast_mlops_at_scale_spark.operators.llm.importance import (
+        dsir_weights,
+    )
+
+    target = spark.createDataFrame(
+        [(i, "quantum flux capacitor drives the warp core") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (100, "quantum flux capacitor in the warp core"),  # target-like
+            (101, "quantum drives and capacitor flux again"),  # target-ish
+            (102, "banana smoothie recipes for breakfast club"),  # off-target
+            (103, ""),  # empty: 0 tokens, logw 0
+        ],
+        "doc_id long, text string",
+    )
+    out = dsir_weights(raw, target, n_buckets=256, k=10).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert len(out) == 4
+    # ranks are dense 1..4 with the target-like doc first, off-target last
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)][0] == 100
+    assert by_id[102].logw < by_id[100].logw
+    assert by_id[103].n_toks == 0 and by_id[103].logw == 0.0
+    # weights reflect LM ratio: target-vocab docs score above zero,
+    # disjoint-vocab doc below (its buckets have no target mass)
+    assert by_id[100].logw > 0 > by_id[102].logw
