@@ -131,6 +131,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_array_ops",
     "q_zorder_key",
     "q_pagerank",
+    "q_triangle_stats",
     "q_ann_recall",
     "q_tfidf_terms",
     "q_chunk_documents",

@@ -126,3 +126,85 @@ def pagerank_sql(
         )
     final = tail or "SELECT node, rank FROM {r}"
     return ",\n".join(parts) + "\n" + final.format(r=f"r{iterations}")
+
+
+def triangle_stats(
+    pairs: DataFrame,
+    *,
+    left: str = "id_a",
+    right: str = "id_b",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-vertex triangle count and local clustering coefficient over an
+    undirected simple graph given as unique ``left < right`` pairs (the
+    contract every in-repo dup-pair producer satisfies — see
+    ``cluster.connected_components``).
+
+    Output: ``vertex, degree, triangles, clustering`` where clustering is
+    ``2·T / (d·(d−1))`` rounded (0.0 for degree-1 vertices).  On a dedup
+    graph this separates tight duplicate cliques (clustering ≈ 1) from
+    hub-and-spoke template families (high degree, low clustering) — the
+    triage signal for *which* near-dup clusters are safe to auto-collapse.
+
+    Scale shape — degree-ordered orientation (Cohen 2009; the standard
+    MapReduce/Spark triangle recipe): every edge is directed from its
+    lower-``(degree, id)`` endpoint to the higher one, so each triangle
+    is enumerated exactly once from its lowest-degree corner and the
+    wedge join fans out by *oriented out-degree*, which is O(√m) even
+    when raw degree is power-law — the skew-killer that makes the wedge
+    self-join survive web-scale graphs.  Plan: two shuffles to attach
+    endpoint degrees, one self-join on the wedge apex, one semi-ish join
+    against canonical edges to close wedges, then an explode + groupBy.
+    The oriented edge frame feeds three operators, so it is persisted
+    (caller-owned lifetime, house convention).
+    """
+    e = pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("v")).agg(F.count(F.lit(1)).alias("degree"))
+    # orient: src = endpoint with smaller (degree, id); join degrees on
+    # both endpoints (da/db), then pick direction
+    da = deg.select(F.col("v").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("degree").alias("db"))
+    ed = e.join(da, "a").join(db, "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    ).persist()
+    # wedges from a common apex: unordered out-neighbor pairs (v, w)
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedge = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src")) & (F.col("o1.dst") < F.col("o2.dst")),
+    ).select(
+        F.col("o1.src").alias("u"),
+        F.col("o1.dst").alias("v"),
+        F.col("o2.dst").alias("w"),
+    )
+    # close the wedge against the canonical (a<b) edge set
+    tri = wedge.join(
+        e,
+        (F.least("v", "w") == F.col("a")) & (F.greatest("v", "w") == F.col("b")),
+    ).select("u", "v", "w")
+    per_v = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    clustering = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            (2.0 * F.coalesce(F.col("triangles"), F.lit(0)))
+            / (F.col("degree") * (F.col("degree") - F.lit(1))),
+            ndigits,
+        ),
+    ).otherwise(F.lit(0.0))
+    return deg.join(per_v, "v", "left").select(
+        F.col("v").alias("vertex"),
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
+        clustering.alias("clustering"),
+    )

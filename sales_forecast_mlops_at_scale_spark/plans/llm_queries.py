@@ -1403,8 +1403,57 @@ WHERE rank <= 50
 """
 
 
+def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle count / clustering coefficient over the MinHash
+    near-dup pair graph (operators/graph.triangle_stats) — separates tight
+    duplicate cliques from hub-and-spoke template families.  Oracle-valid
+    for the LSH pair set per the q_minhash_dedup recall note."""
+    from ..operators.graph import triangle_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return triangle_stats(minhash_lsh_pairs(docs, threshold=0.5))
+
+
+#: Triangle twin: same exact-Jaccard pairs CTE as _CLUSTER_SQL, then the
+#: identical degree-ordered orientation, wedge join, and closure.
+_TRIANGLE_SQL = (
+    f"WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),"
+    f"sh AS (SELECT doc_id AS doc, unnest({_SHINGLES}) AS s FROM t),"
+    "sz AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),"
+    "inter AS (SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common"
+    "  FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2),"
+    "pairs AS (SELECT id_a, id_b FROM inter"
+    "  JOIN sz sa ON id_a = sa.doc JOIN sz sb ON id_b = sb.doc"
+    "  WHERE round(n_common * 1.0 / (sa.sz + sb.sz - n_common), 6) >= 0.5),"
+    "sym AS (SELECT id_a AS a, id_b AS b FROM pairs"
+    "  UNION ALL SELECT id_b, id_a FROM pairs),"
+    "deg AS (SELECT a AS v, count(*) AS degree FROM sym GROUP BY 1),"
+    "ed AS (SELECT p.id_a AS a, p.id_b AS b, da.degree AS da, db.degree AS db"
+    "  FROM pairs p JOIN deg da ON p.id_a = da.v JOIN deg db ON p.id_b = db.v),"
+    "oriented AS (SELECT"
+    "  CASE WHEN da < db OR (da = db AND a < b) THEN a ELSE b END AS src,"
+    "  CASE WHEN da < db OR (da = db AND a < b) THEN b ELSE a END AS dst"
+    "  FROM ed),"
+    "wedge AS (SELECT o1.src AS u, o1.dst AS v, o2.dst AS w"
+    "  FROM oriented o1 JOIN oriented o2"
+    "  ON o1.src = o2.src AND o1.dst < o2.dst),"
+    "tri AS (SELECT g.u, g.v, g.w FROM wedge g JOIN pairs e"
+    "  ON least(g.v, g.w) = e.id_a AND greatest(g.v, g.w) = e.id_b),"
+    "perv AS (SELECT x AS v, count(*) AS triangles FROM"
+    "  (SELECT unnest([tr.u, tr.v, tr.w]) AS x FROM tri tr) GROUP BY 1)"
+    " SELECT deg.v AS vertex, CAST(deg.degree AS BIGINT) AS degree,"
+    "  CAST(COALESCE(perv.triangles, 0) AS BIGINT) AS triangles,"
+    "  CASE WHEN deg.degree >= 2 THEN"
+    "   round((2.0 * COALESCE(perv.triangles, 0))"
+    "         / (deg.degree * (deg.degree - 1)), 6)"
+    "  ELSE 0.0 END AS clustering"
+    " FROM deg LEFT JOIN perv ON deg.v = perv.v"
+)
+
+
 QUERIES: dict[str, QueryDef] = {
     "q_dsir_select": QueryDef(q_dsir_select, _DSIR_SQL),
+    "q_triangle_stats": QueryDef(q_triangle_stats, _TRIANGLE_SQL),
     "q_dedup_exact": QueryDef(
         q_dedup_exact,
         f"SELECT md5({_NORM}) AS fingerprint, min(doc_id) AS keep_id,"

@@ -38,3 +38,51 @@ def test_weights_steer_rank(spark):
     # node 0 splits 9:1 between 1 and 2 — node 1 must outrank node 2
     r = _ranks(spark, [(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)])
     assert r[1] > r[2]
+
+
+def test_triangle_stats_k4_plus_pendant(spark):
+    from sales_forecast_mlops_at_scale_spark.operators.graph import triangle_stats
+
+    # K4 on {1,2,3,4} (4 triangles, each vertex in 3) + pendant 5 on 1
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(1, 5)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = {r.vertex: r for r in triangle_stats(pairs).collect()}
+    assert rows[2].degree == 3 and rows[2].triangles == 3
+    assert rows[2].clustering == 1.0
+    # vertex 1: degree 4, still only the 3 K4-triangles -> 3/(4*3/2) = 0.5
+    assert rows[1].degree == 4 and rows[1].triangles == 3
+    assert rows[1].clustering == 0.5
+    assert rows[5].degree == 1 and rows[5].triangles == 0
+    assert rows[5].clustering == 0.0
+
+
+def test_triangle_stats_orientation_invariance(spark):
+    """Degree-ordered orientation must not change counts: compare against
+    the naive a<b<c enumeration on a random-ish graph."""
+    from itertools import combinations
+
+    from sales_forecast_mlops_at_scale_spark.operators.graph import triangle_stats
+
+    # deterministic pseudo-random graph on 12 vertices
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a in range(12)
+            for b in range(12)
+            if a != b and (a * 7 + b * 13) % 5 == 0
+        }
+    )
+    eset = set(edges)
+    tri_naive = [
+        t
+        for t in combinations(range(12), 3)
+        if (t[0], t[1]) in eset and (t[1], t[2]) in eset and (t[0], t[2]) in eset
+    ]
+    expect = {}
+    for t in tri_naive:
+        for v in t:
+            expect[v] = expect.get(v, 0) + 1
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.vertex: r.triangles for r in triangle_stats(pairs).collect()}
+    got_nonzero = {v: n for v, n in got.items() if n}
+    assert got_nonzero == expect
