@@ -91,3 +91,118 @@ def write_bucketed(
     if path:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join prefilter
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry defaults: m bits, k salted-md5 hash functions.  With
+#: n build keys the FP rate is (1 - e^{-kn/m})^k; 4096/3 keeps it ≈ 1%%
+#: for n ≈ 500.  Production sizing scales m with n (m ≈ 10n → ~1%%).
+BLOOM_M = 4096
+BLOOM_K = 3
+
+
+def _bloom_bits(col: Column, *, m: int, k: int) -> Column:
+    """Array of the value's ``k`` salted-md5 bit positions in [0, m) —
+    oracle twin per position ``i``:
+    ``CAST('0x' || substr(md5('bloom{i}:' || v), 1, 15) AS BIGINT) % m``."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"bloom{i}:"), col)), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(m),
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    build: DataFrame,
+    *,
+    probe_col: str,
+    build_col: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Annotate every probe row with a Bloom-filter membership verdict for
+    its ``probe_col`` value against the ``build_col`` value set — the
+    cheap first pass in front of an expensive exact join (decontamination
+    against a benchmark set, dedup against a published corpus, CDC key
+    pruning).
+
+    Output: probe rows + ``bloom_pass`` (boolean).  ``bloom_pass`` is
+    guaranteed true for every true member (no false negatives); false
+    positives occur at the geometry's FP rate and are eliminated by the
+    exact join that follows — which now runs over ~FP·|probe| rows
+    instead of |probe|.
+
+    Determinism/oracle: bit positions are salted-md5 (house idiom), the
+    filter is a RELATION of ≤ ``m`` distinct set bits — engine-neutral,
+    no opaque bitmap state, so a DuckDB twin rebuilds it exactly.
+
+    Scale shape: the build-side reduction is a distinct over ≤ m values
+    (map-side combinable, bounded state — the sketch property); the ≤ m
+    row bit relation is **broadcast**; the probe pass is a per-row HOF
+    over the broadcast set — no shuffle of the probe side at all.  The
+    bit-set fits any executor at any build cardinality (m is fixed);
+    compare ``write_bucketed`` for the co-location alternative when the
+    exact join itself is the target.
+    """
+    bits = (
+        build.select(
+            F.explode(_bloom_bits(F.col(build_col), m=m, k=k)).alias("bit")
+        )
+        .distinct()
+        .agg(F.array_sort(F.collect_list("bit")).alias("__bits"))
+    )
+    probed = probe.crossJoin(F.broadcast(bits))
+    has_all = F.forall(
+        _bloom_bits(F.col(probe_col), m=m, k=k),
+        lambda b: F.array_contains(F.col("__bits"), b),
+    )
+    return probed.withColumn("bloom_pass", has_all).drop("__bits")
+
+
+def bloom_prefilter_audit(
+    probe: DataFrame,
+    build: DataFrame,
+    *,
+    probe_col: str,
+    build_col: str,
+    group_cols: Sequence[str] = (),
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Per-group audit of the prefilter: probe count, bloom-pass count,
+    exact-member count, and false positives — the numbers that justify
+    (or veto) fronting the exact join with the filter.  The exact side is
+    a left-semi-style broadcast membership on DISTINCT build keys.
+
+    Output: ``*group_cols, n_probe, n_bloom_pass, n_exact, n_false_pos``.
+    """
+    gcols = list(group_cols)
+    flagged = bloom_prefilter(
+        probe, build, probe_col=probe_col, build_col=build_col, m=m, k=k
+    )
+    keys = build.select(F.col(build_col).alias("__bk")).distinct()
+    flagged = flagged.join(
+        F.broadcast(keys), flagged[probe_col] == F.col("__bk"), "left"
+    ).withColumn("__exact", F.col("__bk").isNotNull())
+    return flagged.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.col("bloom_pass").cast("long")).alias("n_bloom_pass"),
+        F.sum(F.col("__exact").cast("long")).alias("n_exact"),
+        F.sum((F.col("bloom_pass") & ~F.col("__exact")).cast("long")).alias(
+            "n_false_pos"
+        ),
+    )

@@ -1451,9 +1451,59 @@ _TRIANGLE_SQL = (
 )
 
 
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter audit for decontamination: benchmark set = src1's
+    normalized texts, probe = whole corpus, per-source verdict counts
+    (operators/scale.bloom_prefilter_audit).  m=256/k=2 geometry is
+    deliberately small so the false-positive column is non-degenerate at
+    fixture scale — production sizes m ≈ 10·n."""
+    from ..operators.scale import bloom_prefilter_audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.select(
+        "doc_id", "source", normalized_text(F.col("text")).alias("norm")
+    )
+    build = docs.filter(F.col("source") == "src1").select(
+        normalized_text(F.col("text")).alias("norm")
+    )
+    return bloom_prefilter_audit(
+        probe,
+        build,
+        probe_col="norm",
+        build_col="norm",
+        group_cols=["source"],
+        m=256,
+        k=2,
+    )
+
+
+def _bloom_pos_sql(i: int, m: int) -> str:
+    return f"CAST('0x' || substr(md5('bloom{i}:' || v), 1, 15) AS BIGINT) % {m}"
+
+
+_BLOOM_SQL = f"""
+WITH build AS (SELECT DISTINCT {_NORM} AS v FROM documents WHERE source = 'src1'),
+bits AS (SELECT DISTINCT unnest([{_bloom_pos_sql(0, 256)},
+                                 {_bloom_pos_sql(1, 256)}]) AS bit FROM build),
+probe AS (SELECT source, {_NORM} AS v FROM documents),
+flag AS (SELECT source,
+    ({_bloom_pos_sql(0, 256)} IN (SELECT bit FROM bits))
+    AND ({_bloom_pos_sql(1, 256)} IN (SELECT bit FROM bits)) AS bloom_pass,
+    v IN (SELECT v FROM build) AS exact
+  FROM probe)
+SELECT source, CAST(count(*) AS BIGINT) AS n_probe,
+  CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+  CAST(sum(CASE WHEN exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+  CAST(sum(CASE WHEN bloom_pass AND NOT exact THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_false_pos
+FROM flag GROUP BY source
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "q_dsir_select": QueryDef(q_dsir_select, _DSIR_SQL),
     "q_triangle_stats": QueryDef(q_triangle_stats, _TRIANGLE_SQL),
+    "q_bloom_prefilter": QueryDef(q_bloom_prefilter, _BLOOM_SQL),
     "q_dedup_exact": QueryDef(
         q_dedup_exact,
         f"SELECT md5({_NORM}) AS fingerprint, min(doc_id) AS keep_id,"

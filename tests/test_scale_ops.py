@@ -96,3 +96,35 @@ def test_bucketed_join_plans_without_exchange(spark, tmp_path):
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_bloom_prefilter_no_false_negatives_and_fp_rate(spark):
+    from pyspark.sql import functions as F
+
+    from sales_forecast_mlops_at_scale_spark.operators.scale import (
+        bloom_prefilter,
+        bloom_prefilter_audit,
+    )
+
+    build = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(50)], "v string"
+    )
+    probe = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(50)]
+        + [(f"other-{i}",) for i in range(500)],
+        "v string",
+    )
+    out = bloom_prefilter(probe, build, probe_col="v", build_col="v", m=512, k=3)
+    rows = {r.v: r.bloom_pass for r in out.collect()}
+    # zero false negatives: every true member passes
+    assert all(rows[f"member-{i}"] for i in range(50))
+    # FP rate near theory: (1 - e^{-kn/m})^k ~ 0.017 for 512/3/50
+    fps = sum(1 for i in range(500) if rows[f"other-{i}"])
+    assert fps < 25  # << 500: the filter actually filters
+    audit = bloom_prefilter_audit(
+        probe, build, probe_col="v", build_col="v", m=512, k=3
+    ).collect()[0]
+    assert audit.n_probe == 550
+    assert audit.n_exact == 50
+    assert audit.n_false_pos == fps
+    assert audit.n_bloom_pass == 50 + fps
