@@ -17,6 +17,7 @@ import json
 import os
 import time
 
+from sales_forecast_mlops_at_scale_spark.cache import clear_slots
 from sales_forecast_mlops_at_scale_spark.plans import all_queries
 from sales_forecast_mlops_at_scale_spark.session import get_spark
 
@@ -124,6 +125,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_lang_id",
     "q_url_domains",
     "q_sample_deterministic",
+    "q_stratified_sample",
     "q_source_cap",
     "q_media_features",
     "q_media_dedup",
@@ -163,6 +165,13 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
         spreads[name] = round(max(runs) - min(runs), 3)
+        # isolate queries from each other: reps of THIS query share its
+        # persist-slot caches (so "min" is the intra-query warm path),
+        # but the next query starts from a clean cache state — otherwise
+        # accumulated cached partitions from 100+ queries × reps turn GC
+        # pressure into multi-second run-to-run spread
+        clear_slots()
+        spark.catalog.clearCache()
         # first-run wall is reported alongside the min: operators that
         # persist() internally (minhash/simhash/jaccard/ivf) serve reps
         # 2..N partly from cache, so "first" is the cold-path cost and

@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import persist_slot
+
 SCALE = 10**12
 
 
@@ -58,18 +60,18 @@ def pagerank(
         F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(w).cast("long").alias("w")
     )
     if persist:
-        e = e.persist()
+        e = persist_slot("pagerank.edges", e)
     outw = e.groupBy("src").agg(F.sum("w").alias("wout"))
     ew = e.join(outw, "src").select("src", "dst", "w", "wout")
     if persist:
-        ew = ew.persist()
+        ew = persist_slot("pagerank.weighted_edges", ew)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
     if persist:
-        nodes = nodes.persist()
+        nodes = persist_slot("pagerank.nodes", nodes)
     # node count: a catalog-grade scalar (the init constant needs it on
     # the driver); one tiny job over the persisted node frame
     n = nodes.count()
@@ -172,7 +174,8 @@ def triangle_stats(
     oriented = ed.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    ).persist()
+)
+    oriented = persist_slot("graph.triangle.oriented", oriented)
     # wedges from a common apex: unordered out-neighbor pairs (v, w)
     o1 = oriented.alias("o1")
     o2 = oriented.alias("o2")

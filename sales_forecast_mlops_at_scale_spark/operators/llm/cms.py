@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ...cache import persist_slot
+
 
 def _bucket(col: Column, row: int, width: int) -> Column:
     """Row-salted md5 bucket in [0, width) — mirrors the oracle's
@@ -88,10 +90,11 @@ def cms_heavy_hitters(
     # it is persisted (ReuseExchange does not fire across the broadcast
     # boundary); cache lifetime is caller-owned, same contract as
     # jaccard.persist_index.
-    cand = (
-        df.groupBy(F.col(value_col).alias("token"))
-        .agg(F.count(F.lit(1)).alias("exact"))
-        .persist()
+    cand = persist_slot(
+        "cms.cand",
+        df.groupBy(F.col(value_col).alias("token")).agg(
+            F.count(F.lit(1)).alias("exact")
+        ),
     )
     sketch = cms_sketch(cand, "token", depth=depth, width=width, weight_col="exact")
     probes = cand.select(

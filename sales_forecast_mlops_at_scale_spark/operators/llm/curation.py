@@ -248,3 +248,54 @@ def split_sql_expr(id_sql: str, *, seed: str = "split") -> str:
         f"WHEN {b} < '{sample_threshold_hex(0.9)}' THEN 'val' "
         f"ELSE 'test' END"
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    *,
+    budget: int,
+    id_col: str = "doc_id",
+    seed: str = "strat",
+) -> DataFrame:
+    """Deterministic stratified sample with **square-root allocation**: a
+    total ``budget`` of rows is split across strata proportionally to
+    ``sqrt(stratum size)`` — the standard compromise between proportional
+    sampling (huge web strata drown everything) and equal allocation
+    (tiny strata get oversampled past their usable size); cf. the
+    per-source balancing used in mixture-built corpora (The Pile,
+    Gopher/MassiveText).  Within each stratum rows are chosen by salted
+    md5 rank — stable across runs, partitionings, and engines.
+
+    Exact-integer allocation (oracle contract): ``sqrt`` IS IEEE-
+    correctly-rounded (unlike ln/exp), so ``q_s = floor(sqrt(n_s)·10^6 +
+    0.5)`` is bit-identical everywhere; allocations are then integer
+    arithmetic: ``alloc_s = (budget · q_s) div Σ q_s``.  Small strata
+    whose allocation exceeds their size are naturally capped by the rank
+    filter (the leftover budget is deliberately NOT redistributed — a
+    second pass would need another aggregate; callers who need the full
+    budget re-run with the rounding slack added).
+
+    Scale shape: one map-side-combinable count per stratum (≤ #strata
+    rows, broadcast back), one window rank per stratum over the salted
+    hash — a single shuffle keyed by the strata columns.
+
+    Output: sampled rows as ``*strata, id_col, alloc``.
+    """
+    gcols = list(strata)
+    counts = df.groupBy(*gcols).agg(F.count(F.lit(1)).alias("__n"))
+    q = F.floor(F.sqrt(F.col("__n")) * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    counts = counts.withColumn("__q", q)
+    tot = counts.agg(F.sum("__q").alias("__tq"))
+    alloc = counts.crossJoin(F.broadcast(tot)).select(
+        *gcols,
+        F.expr(f"{budget} * __q DIV __tq").alias("alloc"),
+    )
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*gcols).orderBy(h.asc(), F.col(id_col).asc())
+    ranked = df.select(*gcols, id_col).withColumn("__rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(alloc), gcols)
+        .filter(F.col("__rk") <= F.col("alloc"))
+        .select(*gcols, id_col, "alloc")
+    )

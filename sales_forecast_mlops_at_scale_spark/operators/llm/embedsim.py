@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ...cache import persist_slot
+
 
 def _as_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
@@ -565,7 +567,7 @@ def ivf_topk(
         # iteration plus the final bucket assignment — cache it rather
         # than re-scanning + re-norming per pass (caller-owned lifetime,
         # as elsewhere)
-        c = c.persist()
+        c = persist_slot("embedsim.ivf.prepared", c)
     cent_hash = F.pmod(F.col("vid").cast("long") * F.lit(2654435761), F.lit(2147483648))
     centroids = (
         c.orderBy(cent_hash.asc(), F.col("vid").asc())
@@ -582,6 +584,11 @@ def ivf_topk(
             ndigits=ndigits,
             sample_frac=refine_sample_frac,
         )
+        # the refined centroid frame is tiny (num_centroids rows) but its
+        # plan embeds refine_iters full passes over the sampled corpus,
+        # and it feeds TWO broadcast consumers (bucket assignment + query
+        # probing) — pin it so Lloyd executes once, not once per consumer
+        centroids = persist_slot("embedsim.ivf.centroids", centroids)
     # assign every corpus vector to its single nearest centroid
     assigned = _assign_nearest(c, centroids, "bucket", ndigits)
     # each query probes its nprobe nearest centroids

@@ -61,6 +61,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ...cache import persist_slot
+
 from .textstats import normalized_text, tokens
 
 
@@ -188,8 +190,10 @@ def ngram_jaccard_pairs(
     if persist_index:
         # the index feeds both sides of the self-join; without the
         # persist the regex+HOF shingling pipeline (the single most
-        # expensive stage) re-executes per side (measured 2× cost)
-        sh = sh.persist()
+        # expensive stage) re-executes per side (measured 2× cost).
+        # persist_slot: one live index per session, reused by repeat
+        # invocations over the same corpus, evicted on corpus change
+        sh = persist_slot("jaccard.index", sh)
     pairs = (
         sh.alias("a")
         .join(
@@ -233,7 +237,7 @@ def ngram_jaccard_pairs_prefix(
         # persist the regex+HOF shingling pipeline (the single most
         # expensive stage) re-executes per consumer (measured 2× cost
         # at sf0.1)
-        sh = sh.persist()
+        sh = persist_slot("jaccard.prefix.index", sh)
     if max_df is not None:
         keep = sh.groupBy("s").count().filter(F.col("count") <= max_df).select("s")
         sh = sh.join(keep, "s")  # broadcast by Catalyst when small
@@ -260,7 +264,7 @@ def ngram_jaccard_pairs_prefix(
     if persist_index:
         # the set frame feeds three consumers: the prefix index and both
         # rescore sides
-        sets = sets.persist()
+        sets = persist_slot("jaccard.prefix.sets", sets)
     # the epsilon guards against ceil(τ·sz) landing one unit high from
     # float noise (e.g. 0.3*10 → 3.0000000000000004) and shortening the
     # prefix below the lemma's bound; erring long only adds candidates

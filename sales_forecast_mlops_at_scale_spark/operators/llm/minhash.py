@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ...cache import persist_slot
+
 from .jaccard import shingle_index, shingle_sets
 
 NUM_HASHES = 64
@@ -116,10 +118,12 @@ def minhash_incremental_pairs(
     """
     if (corpus_df is None) == (corpus_sets is None):
         raise ValueError("pass exactly one of corpus_df / corpus_sets")
-    new_sets = shingle_sets(new_df, text_col, id_col, n=n).persist()
+    new_sets = persist_slot(
+        "minhash.new_sets", shingle_sets(new_df, text_col, id_col, n=n)
+    )
     if corpus_sets is None:
         corpus_sets = shingle_sets(corpus_df, text_col, id_col, n=n)
-    corpus_sets = corpus_sets.persist()
+    corpus_sets = persist_slot("minhash.corpus_sets", corpus_sets)
     k = bands * rows_per_band
     new_sigs = minhash_signatures(new_df, text_col, id_col, n=n, num_hashes=k, sets=new_sets)
     corpus_sigs = minhash_signatures(
@@ -172,7 +176,7 @@ def minhash_lsh_pairs(
     session either call ``spark.catalog.clearCache()`` when done or
     materialize the sets as a table (the durable equivalent).
     """
-    sets = shingle_sets(df, text_col, id_col, n=n).persist()
+    sets = persist_slot("minhash.sets", shingle_sets(df, text_col, id_col, n=n))
     sigs = minhash_signatures(
         df,
         text_col,

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ...cache import persist_slot
+
 from .textstats import normalized_text, tokens
 
 CHUNKS = 4
@@ -109,7 +111,7 @@ def simhash_pairs(
     ``spark.catalog.clearCache()`` when done or materialize signatures
     as a table.
     """
-    sigs = simhash_signatures(df, text_col, id_col).persist()
+    sigs = persist_slot("simhash.sigs", simhash_signatures(df, text_col, id_col))
     chunked = sigs.select(
         "doc",
         "sim_hi",

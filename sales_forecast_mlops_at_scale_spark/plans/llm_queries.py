@@ -1500,10 +1500,41 @@ FROM flag GROUP BY source
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-root-allocation stratified sample: 200-doc budget split
+    across (source, lang) strata ∝ sqrt(stratum size), rows chosen by
+    salted-md5 rank (operators/llm/curation.stratified_sample)."""
+    from ..operators.llm.curation import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, ["source", "lang"], budget=200)
+
+
+_STRAT_SQL = """
+WITH counts AS (
+  SELECT source, lang, count(*) AS n,
+         CAST(floor(sqrt(count(*)) * 1000000.0 + 0.5) AS BIGINT) AS q
+  FROM documents GROUP BY 1, 2),
+tot AS (SELECT sum(q) AS tq FROM counts),
+alloc AS (SELECT source, lang, CAST(200 * q // tot.tq AS BIGINT) AS alloc
+          FROM counts, tot),
+ranked AS (
+  SELECT source, lang, doc_id,
+         row_number() OVER (PARTITION BY source, lang
+             ORDER BY md5('strat' || CAST(doc_id AS VARCHAR)) ASC,
+                      doc_id ASC) AS rk
+  FROM documents)
+SELECT r.source, r.lang, r.doc_id, a.alloc
+FROM ranked r JOIN alloc a ON r.source = a.source AND r.lang = a.lang
+WHERE r.rk <= a.alloc
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "q_dsir_select": QueryDef(q_dsir_select, _DSIR_SQL),
     "q_triangle_stats": QueryDef(q_triangle_stats, _TRIANGLE_SQL),
     "q_bloom_prefilter": QueryDef(q_bloom_prefilter, _BLOOM_SQL),
+    "q_stratified_sample": QueryDef(q_stratified_sample, _STRAT_SQL),
     "q_dedup_exact": QueryDef(
         q_dedup_exact,
         f"SELECT md5({_NORM}) AS fingerprint, min(doc_id) AS keep_id,"

@@ -603,3 +603,29 @@ def test_dsir_prefers_target_vocabulary(spark):
     # weights reflect LM ratio: target-vocab docs score above zero,
     # disjoint-vocab doc below (its buckets have no target mass)
     assert by_id[100].logw > 0 > by_id[102].logw
+
+
+def test_stratified_sample_sqrt_allocation_and_determinism(spark):
+    from sales_forecast_mlops_at_scale_spark.operators.llm.curation import (
+        stratified_sample,
+    )
+
+    # strata: 400 'web' rows, 100 'wiki' rows, 4 'tiny' rows
+    rows = (
+        [(i, "web") for i in range(400)]
+        + [(1000 + i, "wiki") for i in range(100)]
+        + [(2000 + i, "tiny") for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(df, ["source"], budget=90).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    # sqrt weights 20/10/2 -> allocations 90*q/sum = 56/28/5 (integer div)
+    assert len(by_src["web"]) == 56
+    assert len(by_src["wiki"]) == 28
+    # tiny stratum: alloc 5 > size 4 -> capped at the stratum size
+    assert len(by_src["tiny"]) == 4
+    # deterministic: same selection under a different partitioning
+    out2 = stratified_sample(df.repartition(13), ["source"], budget=90).collect()
+    assert {r.doc_id for r in out2} == {r.doc_id for r in out}

@@ -128,3 +128,22 @@ def test_bloom_prefilter_no_false_negatives_and_fp_rate(spark):
     assert audit.n_exact == 50
     assert audit.n_false_pos == fps
     assert audit.n_bloom_pass == 50 + fps
+
+
+def test_persist_slot_reuses_identical_plan_and_evicts_stale(spark):
+    from sales_forecast_mlops_at_scale_spark import cache as pc
+
+    pc.clear_slots()
+    a1 = spark.range(100).selectExpr("id", "id * 2 AS y")
+    a2 = spark.range(100).selectExpr("id", "id * 2 AS y")  # same plan
+    b = spark.range(100).selectExpr("id", "id * 3 AS y")  # different plan
+    c1 = pc.persist_slot("t.slot", a1)
+    c2 = pc.persist_slot("t.slot", a2)
+    assert c2 is c1, "semantically identical plan must reuse the live cache"
+    c3 = pc.persist_slot("t.slot", b)
+    assert c3 is not c1, "a different plan must take over the slot"
+    assert c3.count() == 100 and c3.filter("y = 9").count() == 1
+    # only ONE live cache for the slot (bounded memory)
+    assert pc._LIVE["t.slot"][2] is c3
+    pc.clear_slots()
+    assert not pc._LIVE
