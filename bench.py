@@ -101,6 +101,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_bm25_topk",
     "q_hybrid_rrf",
     "q_dsir_select",
+    "q_lm_quality",
     "q_bloom_prefilter",
     "q_embed_topk",
     "q_embed_ivf_topk",

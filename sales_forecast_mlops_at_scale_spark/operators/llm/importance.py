@@ -137,3 +137,92 @@ def dsir_weights(
         F.round(F.col("s_fp") / F.lit(DSIR_FP), 6).alias("logw"),
         "rank",
     )
+
+
+def _bigram_stream(docs: DataFrame, text_col: str, n_buckets: int) -> DataFrame:
+    """(doc, pb, cb) hashed-bucket bigram stream: consecutive token pairs
+    per document (docs with < 2 tokens contribute nothing).  Pairing is a
+    per-row HOF zip of the token array with its tail — no shuffle."""
+    toks = tokens(normalized_text(F.col(text_col)))
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("p"), b.alias("c")),
+    )
+    return docs.select(
+        F.col("doc_id").alias("doc"), F.explode(pairs).alias("bg")
+    ).select(
+        "doc",
+        _bucket(F.col("bg.p"), n_buckets).alias("pb"),
+        _bucket(F.col("bg.c"), n_buckets).alias("cb"),
+    )
+
+
+def lm_quality_score(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """CCNet-style LM quality scoring: per-document average negative
+    log-likelihood under a bucketed-bigram language model trained on the
+    *target* corpus (Wenzek et al. 2020 filter documents by the
+    perplexity of a clean-corpus LM; low NLL ≈ target-like prose, high
+    NLL ≈ boilerplate/garble).  Perplexity is ``exp(avg_nll)`` — a
+    monotone transform, so ranking/thresholding on ``avg_nll`` is
+    equivalent and avoids a second transcendental step.
+
+    Model: ``p(cur|prev) = (c(prev,cur) + 1) / (c(prev) + B)`` over
+    salted-md5 hashed token buckets (add-one smoothing; hashing bounds
+    the model at B² cells regardless of corpus size, the same trick DSIR
+    uses for its feature space).  Per-bigram NLL is quantized to 10^-6
+    fixed point (``floor(-ln p · 10^6 + 0.5)``; ln's 1-ulp caveat as in
+    :func:`dsir_weights`), summed exactly per doc, divided once.
+
+    Scale shape: one corpus pass builds the bigram histogram (map-side
+    combinable into ≤ B² non-empty cells) + one for the context counts
+    (≤ B); the NLL LUT is **broadcast**; scoring is explode →
+    broadcast-join → groupBy(doc).  Docs with < 2 tokens score NULL
+    (no evidence ≠ good prose).
+
+    Output: ``doc_id, n_bigrams, avg_nll`` for every raw doc.
+    """
+    t_bg = _bigram_stream(target, text_col, n_buckets)
+    bg_hist = t_bg.groupBy("pb", "cb").agg(F.count(F.lit(1)).alias("cbg"))
+    ctx_hist = t_bg.groupBy("pb").agg(F.count(F.lit(1)).alias("cctx"))
+
+    probes = _bigram_stream(raw, text_col, n_buckets).groupBy("pb", "cb").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # LUT restricted to bigram cells the raw pool actually uses: ≤ its
+    # distinct bigram count, independent of corpus size
+    lut = (
+        probes.select("pb", "cb")
+        .join(bg_hist, ["pb", "cb"], "left")
+        .join(ctx_hist, "pb", "left")
+    )
+    p = (F.coalesce(F.col("cbg"), F.lit(0)) + F.lit(1.0)) / (
+        F.coalesce(F.col("cctx"), F.lit(0)) + F.lit(float(n_buckets))
+    )
+    nll_fp = F.floor(-F.log(p) * F.lit(DSIR_FP) + F.lit(0.5)).cast("long")
+    lut = lut.select("pb", "cb", nll_fp.alias("nll_fp"))
+
+    doc_bg = _bigram_stream(raw, text_col, n_buckets)
+    scored = (
+        doc_bg.join(F.broadcast(lut), ["pb", "cb"])
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("nll_fp").alias("s_fp"),
+        )
+    )
+    ids = raw.select(F.col("doc_id").alias("doc"))
+    return ids.join(scored, "doc", "left").select(
+        F.col("doc").alias("doc_id"),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.round(
+            F.col("s_fp") / (F.col("n_bigrams") * F.lit(DSIR_FP)), ndigits
+        ).alias("avg_nll"),
+    )

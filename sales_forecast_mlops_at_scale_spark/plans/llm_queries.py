@@ -1530,8 +1530,53 @@ WHERE r.rk <= a.alloc
 """
 
 
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scores: per-doc average NLL under a
+    bucketed-bigram model trained on the src0 target corpus
+    (operators/llm/importance.lm_quality_score)."""
+    from ..operators.llm.importance import lm_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_quality_score(docs, docs.filter(F.col("source") == "src0"))
+
+
+#: LM-quality twin: LATERAL-unnest bigram pairs, identical hashed buckets
+#: and smoothing association, half-up 10^-6 fixed-point quantize of -ln.
+_LMQ_B = "CAST('0x' || substr(md5('dsir:' || {v}), 1, 15) AS BIGINT) % 1024"
+_LMQ_SQL = f"""
+WITH tt AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+            WHERE source = 'src0' AND length({_NORM}) > 0),
+t_bg AS (SELECT {_LMQ_B.format(v='toks[i]')} AS pb,
+                {_LMQ_B.format(v='toks[i+1]')} AS cb
+         FROM tt, LATERAL unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+bg_hist AS (SELECT pb, cb, count(*) AS cbg FROM t_bg GROUP BY 1, 2),
+ctx_hist AS (SELECT pb, count(*) AS cctx FROM t_bg GROUP BY 1),
+rt AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+       WHERE length({_NORM}) > 0),
+r_bg AS (SELECT doc_id AS doc, {_LMQ_B.format(v='toks[i]')} AS pb,
+                {_LMQ_B.format(v='toks[i+1]')} AS cb
+         FROM rt, LATERAL unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+probes AS (SELECT pb, cb, count(*) AS n FROM r_bg GROUP BY 1, 2),
+lut AS (SELECT p.pb, p.cb,
+    CAST(floor(-ln((COALESCE(b.cbg, 0) + 1.0) / (COALESCE(c.cctx, 0) + 1024.0))
+               * 1000000.0 + 0.5) AS BIGINT) AS nll_fp
+  FROM probes p
+  LEFT JOIN bg_hist b ON p.pb = b.pb AND p.cb = b.cb
+  LEFT JOIN ctx_hist c ON p.pb = c.pb),
+scored AS (
+  SELECT r.doc, CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(l.nll_fp) AS BIGINT) AS s_fp
+  FROM r_bg r JOIN lut l ON r.pb = l.pb AND r.cb = l.cb
+  GROUP BY 1)
+SELECT d.doc_id, CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(s.s_fp / (s.n_bigrams * 1000000.0), 6) AS avg_nll
+FROM documents d LEFT JOIN scored s ON s.doc = d.doc_id
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "q_dsir_select": QueryDef(q_dsir_select, _DSIR_SQL),
+    "q_lm_quality": QueryDef(q_lm_quality, _LMQ_SQL),
     "q_triangle_stats": QueryDef(q_triangle_stats, _TRIANGLE_SQL),
     "q_bloom_prefilter": QueryDef(q_bloom_prefilter, _BLOOM_SQL),
     "q_stratified_sample": QueryDef(q_stratified_sample, _STRAT_SQL),

@@ -629,3 +629,26 @@ def test_stratified_sample_sqrt_allocation_and_determinism(spark):
     # deterministic: same selection under a different partitioning
     out2 = stratified_sample(df.repartition(13), ["source"], budget=90).collect()
     assert {r.doc_id for r in out2} == {r.doc_id for r in out}
+
+
+def test_lm_quality_scores_target_like_text_lower(spark):
+    from sales_forecast_mlops_at_scale_spark.operators.llm.importance import (
+        lm_quality_score,
+    )
+
+    target = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),  # in-distribution bigrams
+            (2, "zebra xylophone quantum kumquat violin"),  # unseen bigrams
+            (3, "single"),  # one token: no bigrams -> NULL score
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in lm_quality_score(raw, target, n_buckets=256).collect()}
+    assert rows[1].avg_nll < rows[2].avg_nll, "target-like prose must score lower NLL"
+    assert rows[3].n_bigrams == 0 and rows[3].avg_nll is None
+    assert rows[1].n_bigrams == 4 and rows[2].n_bigrams == 4
