@@ -8,6 +8,8 @@ TOP = [
     "q_gated_forecast", "q_minhash_incremental", "q_simhash_pairs",
     "q_minhash_dedup", "q_ngram_jaccard", "q_winnow_fingerprint",
     "q_semantic_dedup", "q_kmv_overlap", "q_cms_heavy",
+    "q_triangle_stats", "q_dsir_select", "q_lm_quality", "q_bloom_prefilter",
+    "q_stratified_sample",
 ]
 NOTES = {
     "q_dedup_clusters": "MinHash-LSH pairs (persisted shingle sets, banded bucket join) feed min-label propagation; two propagation steps per localCheckpoint+probe; edges pinned once.",
@@ -22,6 +24,11 @@ NOTES = {
     "q_winnow_fingerprint": "Arrow-batched Karp-Rabin kernel: pure map, zero shuffle; only the per-doc digest rollup aggregates.",
     "q_semantic_dedup": "One shuffle on the cluster key into a grouped GEMM; no vector arrays in any join.",
     "q_kmv_overlap": "Per-side distinct-hash reduction, full-outer merge on 8-byte hashes, bottom-k via TakeOrderedAndProject.",
+    "q_triangle_stats": "Degree-ordered orientation bounds the wedge join by oriented out-degree (O(sqrt m) even on power-law graphs); wedge closure is an equi-join on the canonical edge; per-vertex rollup is one explode+groupBy.",
+    "q_dsir_select": "Two bounded bucket histograms (map-side combinable, <=1024 cells), broadcast log-ratio LUT, one doc-keyed shuffle, TakeOrderedAndProject for the selection.",
+    "q_lm_quality": "Bigram pairing is a per-row HOF zip (no shuffle); model histograms bounded at B^2 cells; NLL LUT restricted to probed cells and broadcast; one doc-keyed shuffle.",
+    "q_bloom_prefilter": "Build side reduces to <=m distinct bits (one row after collect_list), broadcast; probe pass is per-row HOF membership - zero probe-side shuffle.",
+    "q_stratified_sample": "Per-stratum counts broadcast back as integer allocations; one window rank per stratum over the salted hash - a single shuffle keyed by the strata columns.",
     "q_cms_heavy": "Depth x width sketch as one grouped sum per (row,col) cell - map-side combinable grid, heavy-hitter probe reads the broadcast sketch; bounded state regardless of key cardinality.",
 }
 
