@@ -1,0 +1,181 @@
+"""Product quantization (PQ) for embedding compression + ADC search
+(Jégou et al. 2011, "Product Quantization for Nearest Neighbor Search")
+— the memory tier under IVF in every production 100 TB vector stack
+(faiss IVFPQ): a D-dim float vector becomes M codebook indices (one byte
+each at K ≤ 256), a 32× compression at the fixture geometry, and query
+scan cost drops from D multiplies per vector to M table lookups.
+
+Determinism/oracle contract (house conventions):
+
+- Codewords are a hash-selected corpus subset — the same Knuth
+  multiplicative-hash ``ORDER BY LIMIT`` used for IVF centroids
+  (TakeOrderedAndProject, no RNG); :func:`embedsim.kmeans_refine` can
+  slot in per subspace exactly as it does for IVF.
+- Sub-distances are left-to-right float folds (``F.aggregate`` here,
+  ``list_sum`` comprehensions in the oracle — identical association, so
+  bit-identical doubles), quantized to 10^-6 integer fixed point with
+  the tie-free ``floor(x·10^6 + 0.5)`` convention.
+- Encoding argmin and ADC ranking order by the QUANTIZED integer with
+  codeword/id tie-breaks — no float comparisons cross the engine
+  boundary anywhere.
+
+Scale shape:
+
+- **Codebook**: K corpus rows → M·K sub-codewords; broadcast everywhere.
+- **Encode**: explode each vector into M subvectors (M× row fan-out of
+  D/M-wide rows — same bytes as the input), broadcast-join the
+  codebook, and take the per-(vector, subspace) argmin as a ``min(
+  struct(d_fp, cid))`` hash aggregate — map-side combinable, no window,
+  no corpus-sized shuffle of full vectors.
+- **ADC search**: the query×codebook distance table (Q·M·K rows) is
+  broadcast; candidate scoring is codes ⋈ table on (subspace, code) —
+  M small integer rows per (query, vector) — then an exact integer sum
+  and ``TakeOrderedAndProject``-style top-k.  The corpus side ships
+  only its codes: the whole search runs without touching a float
+  vector, which is the entire point of PQ at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .embedsim import SRP_QUANT_SCALE, _prepared
+
+#: Fixture geometry: 64-dim vectors → 8 subspaces × 8 dims, 16 codewords
+#: per subspace (K=16 keeps the oracle CTE tractable; production uses 256).
+PQ_M = 8
+PQ_K = 16
+
+
+def _subspaces(df: DataFrame, *, m: int, vec_col: str = "v") -> DataFrame:
+    """Explode ``(…, v)`` into ``(…, m, sv)`` sub-vector rows; dims must
+    divide evenly (checked lazily by slice semantics — the fixture is
+    64/8)."""
+    d_sub = F.size(F.col(vec_col)) / m
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("m"),
+                F.slice(
+                    F.col(vec_col), (F.lit(i) * d_sub + 1).cast("int"), d_sub.cast("int")
+                ).alias("sv"),
+            )
+            for i in range(m)
+        ]
+    )
+    return df.withColumn("__s", F.explode(subs)).select(
+        *[c for c in df.columns if c != vec_col],
+        F.col("__s.m").alias("m"),
+        F.col("__s.sv").alias("sv"),
+    )
+
+
+def _sqdist_fp(a, b):
+    """floor(‖a−b‖²·10^6 + 0.5) as int64 — a left-to-right fold matching
+    the oracle's ``list_sum`` comprehension association exactly."""
+    sq = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.floor(sq * F.lit(SRP_QUANT_SCALE) + F.lit(0.5)).cast("long")
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    *,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(m, cid, cv)`` sub-codewords: the K hash-selected corpus vectors
+    (IVF's deterministic pick), split into M subspaces."""
+    c = _prepared(corpus, id_col, vec_col)
+    cent_hash = F.pmod(
+        F.col("vid").cast("long") * F.lit(2654435761), F.lit(2147483648)
+    )
+    cw = c.orderBy(cent_hash.asc(), F.col("vid").asc()).limit(k).select("vid", "v")
+    return _subspaces(cw, m=m).select(
+        "m", F.col("vid").alias("cid"), F.col("sv").alias("cv")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    *,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vid, m, code)`` PQ codes: per (vector, subspace), the codeword
+    minimizing the quantized squared distance (codeword-id tie-break) —
+    a ``min(struct(d_fp, cid))`` hash aggregate, map-side combinable."""
+    sub = _subspaces(
+        _prepared(corpus, id_col, vec_col).select("vid", "v"), m=m
+    )
+    scored = sub.join(F.broadcast(codebook), "m").select(
+        "vid",
+        "m",
+        F.struct(
+            _sqdist_fp(F.col("sv"), F.col("cv")).alias("d_fp"),
+            F.col("cid").alias("cid"),
+        ).alias("__dc"),
+    )
+    return scored.groupBy("vid", "m").agg(F.min("__dc").alias("__best")).select(
+        "vid", "m", F.col("__best.cid").alias("code")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    m: int = PQ_M,
+    n_codewords: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-``k``: exact query-to-codeword distance
+    tables, corpus side represented ONLY by its codes.
+
+    Output: ``q_id, nn_id, adist, rank`` — ``adist`` is the fixed-point
+    ADC squared distance / 10^6 (ascending = nearer), ranked with nn-id
+    tie-break; the query itself is excluded.
+    """
+    codebook = pq_codebook(
+        corpus, m=m, k=n_codewords, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(corpus, codebook, m=m, id_col=id_col, vec_col=vec_col)
+    q_sub = _subspaces(
+        _prepared(queries, id_col, vec_col).select(
+            F.col("vid").alias("qid"), "v"
+        ),
+        m=m,
+    )
+    dtable = q_sub.join(F.broadcast(codebook), "m").select(
+        "qid",
+        "m",
+        F.col("cid").alias("code"),
+        _sqdist_fp(F.col("sv"), F.col("cv")).alias("d_fp"),
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), ["m", "code"])
+        .filter(F.col("qid") != F.col("vid"))
+        .groupBy("qid", "vid")
+        .agg(F.sum("d_fp").alias("s_fp"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("s_fp").asc(), F.col("vid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("q_id"),
+            F.col("vid").alias("nn_id"),
+            F.round(F.col("s_fp") / F.lit(SRP_QUANT_SCALE), 6).alias("adist"),
+            "rank",
+        )
+    )

@@ -1574,9 +1574,62 @@ FROM documents d LEFT JOIN scored s ON s.doc = d.doc_id
 """
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 for the first 8 query vectors:
+    corpus represented only by its 8×4-bit codes (operators/llm/pq.py)."""
+    from ..operators.llm.pq import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+#: PQ twin: same hash-selected codewords, same left-to-right sub-distance
+#: folds quantized to 10^-6 fixed point, same integer ADC sums and
+#: tie-breaks — no float comparison crosses the engine boundary.
+_PQ_D = (
+    "CAST(floor(list_sum([({v}[{o} + j] - ct.v[{o} + j])"
+    " * ({v}[{o} + j] - ct.v[{o} + j])"
+    " for j in generate_series(1, 8)]) * 1000000.0 + 0.5) AS BIGINT)"
+)
+_PQ_SQL = f"""
+WITH n AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings
+), cw AS (
+  SELECT vec_id AS cid, v FROM n
+  ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 2147483648, vec_id
+  LIMIT 16
+), ms AS (SELECT unnest(range(0, 8)) AS m),
+codes AS (
+  SELECT vec_id AS vid, m, cid AS code FROM (
+    SELECT c.vec_id, ms.m, ct.cid,
+           row_number() OVER (PARTITION BY c.vec_id, ms.m
+             ORDER BY {_PQ_D.format(v="c.v", o="ms.m * 8")} ASC,
+                      ct.cid ASC) AS rn
+    FROM n c CROSS JOIN ms CROSS JOIN cw ct)
+  WHERE rn = 1
+), dt AS (
+  SELECT q.vec_id AS qid, ms.m, ct.cid AS code,
+         {_PQ_D.format(v="q.v", o="ms.m * 8")} AS d_fp
+  FROM n q CROSS JOIN ms CROSS JOIN cw ct
+  WHERE q.vec_id < 8
+), s AS (
+  SELECT dt.qid AS q_id, codes.vid AS nn_id,
+         CAST(sum(dt.d_fp) AS BIGINT) AS s_fp
+  FROM codes JOIN dt ON codes.m = dt.m AND codes.code = dt.code
+  WHERE dt.qid != codes.vid
+  GROUP BY 1, 2)
+SELECT q_id, nn_id, round(s_fp / 1000000.0, 6) AS adist,
+       CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY s_fp ASC, nn_id ASC) AS rank FROM s)
+WHERE rank <= 5
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "q_dsir_select": QueryDef(q_dsir_select, _DSIR_SQL),
     "q_lm_quality": QueryDef(q_lm_quality, _LMQ_SQL),
+    "q_pq_topk": QueryDef(q_pq_topk, _PQ_SQL),
     "q_triangle_stats": QueryDef(q_triangle_stats, _TRIANGLE_SQL),
     "q_bloom_prefilter": QueryDef(q_bloom_prefilter, _BLOOM_SQL),
     "q_stratified_sample": QueryDef(q_stratified_sample, _STRAT_SQL),

@@ -652,3 +652,45 @@ def test_lm_quality_scores_target_like_text_lower(spark):
     assert rows[1].avg_nll < rows[2].avg_nll, "target-like prose must score lower NLL"
     assert rows[3].n_bigrams == 0 and rows[3].avg_nll is None
     assert rows[1].n_bigrams == 4 and rows[2].n_bigrams == 4
+
+
+def test_pq_encode_complete_and_adc_finds_exact_duplicate(spark):
+    from sales_forecast_mlops_at_scale_spark.operators.llm.pq import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    # deterministic 64-dim corpus: 30 spread vectors + exact duplicates
+    # of the two query vectors under fresh ids
+    def vec(seed):
+        # 1009 prime: distinct seeds < 1009/31 apart give distinct vectors
+        return [float(((seed * 31 + d * 7) % 1009) - 504) for d in range(64)]
+
+    rows = [(i, vec(i)) for i in range(30)]
+    rows += [(100, vec(3)), (101, vec(11))]  # duplicates of ids 3 and 11
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_codebook(emb)
+    codes = pq_encode(emb, cb)
+    cids = {r.cid for r in cb.select("cid").distinct().collect()}
+    got = codes.collect()
+    # completeness: every (vector, subspace) has exactly one valid code
+    assert len(got) == 32 * 8
+    assert all(r.code in cids for r in got)
+    # ADC invariants: an exact duplicate shares the query's codes, so it
+    # attains the MINIMUM possible ADC distance (rank-1 value); any
+    # vector ranked above it must be a same-code tie, never nearer
+    by_vid = {}
+    for r in got:
+        by_vid.setdefault(r.vid, {})[r.m] = r.code
+    assert by_vid[100] == by_vid[3] and by_vid[101] == by_vid[11]
+    queries = emb.filter("vec_id IN (3, 11)")
+    top = pq_adc_topk(emb, queries, k=32).collect()
+    for q, dup in ((3, 100), (11, 101)):
+        rows_q = [r for r in top if r.q_id == q]
+        best = min(r.adist for r in rows_q)
+        dup_row = next(r for r in rows_q if r.nn_id == dup)
+        assert dup_row.adist == best
+        for r in rows_q:
+            if r.rank < dup_row.rank:
+                assert r.adist == best and by_vid[r.nn_id] == by_vid[q]
