@@ -1576,43 +1576,90 @@ FROM documents d LEFT JOIN scored s ON s.doc = d.doc_id
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-5 for the first 8 query vectors:
-    corpus represented only by its 8×4-bit codes (operators/llm/pq.py)."""
+    32 subspaces x 16 Lloyd-refined codewords (4 bits each, 16 B/vector);
+    the corpus side of the search ships only codes (operators/llm/pq.py)."""
     from ..operators.llm.pq import pq_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
-#: PQ twin: same hash-selected codewords, same left-to-right sub-distance
-#: folds quantized to 10^-6 fixed point, same integer ADC sums and
-#: tie-breaks — no float comparison crosses the engine boundary.
+#: PQ twin: same hash-selected seed codewords, two unrolled per-subspace
+#: L2 Lloyd iterations (exact quantized-int update sums), same
+#: left-to-right sub-distance folds quantized to 10^-6 fixed point, same
+#: integer ADC sums and tie-breaks — no float comparison crosses the
+#: engine boundary.  Geometry: M=32 subspaces × 2 dims, K=16.
 _PQ_D = (
-    "CAST(floor(list_sum([({v}[{o} + j] - ct.v[{o} + j])"
-    " * ({v}[{o} + j] - ct.v[{o} + j])"
-    " for j in generate_series(1, 8)]) * 1000000.0 + 0.5) AS BIGINT)"
+    "CAST(floor(list_sum([({a}[j] - {b}[j]) * ({a}[j] - {b}[j])"
+    " for j in generate_series(1, 2)]) * 1000000.0 + 0.5) AS BIGINT)"
 )
+
+
+def _pq_lloyd_cte(i: int) -> str:
+    """One unrolled per-subspace Lloyd iteration (cb{i-1} → cb{i}) —
+    mirrors operators/llm/pq.pq_refine: quantized-int argmin assignment
+    with cid tie-break, exact int64 component sums, one double division,
+    empty cells keep their codeword."""
+    return f"""pasg{i} AS (
+  SELECT m, cid, sv FROM (
+    SELECT s.vid, s.m, s.sv, ct.cid,
+           row_number() OVER (PARTITION BY s.vid, s.m
+             ORDER BY {_PQ_D.format(a="s.sv", b="ct.cv")} ASC,
+                      ct.cid ASC) AS rn
+    FROM sub s JOIN cb{i - 1} ct ON s.m = ct.m)
+  WHERE rn = 1
+), pqs{i} AS (
+  SELECT m, cid, d,
+         CAST(sum(CAST(floor(sv[d] * {SRP_QUANT_SCALE} + 0.5) AS BIGINT))
+              AS BIGINT) AS s,
+         count(*) AS cnt
+  FROM pasg{i} CROSS JOIN (SELECT unnest(range(1, 3)) AS d) dims
+  GROUP BY 1, 2, 3
+), pup{i} AS (
+  SELECT m, cid, list(s / (cnt * {float(SRP_QUANT_SCALE)}) ORDER BY d) AS ncv
+  FROM pqs{i} GROUP BY 1, 2
+), cb{i} AS (
+  SELECT p.m, p.cid, coalesce(u.ncv, p.cv) AS cv
+  FROM cb{i - 1} p LEFT JOIN pup{i} u ON p.m = u.m AND p.cid = u.cid
+)"""
+
+
 _PQ_SQL = f"""
 WITH n AS (
-  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings
+  -- unit-normalized (PQ quantizes directions; see operators/llm/pq._unit)
+  SELECT vec_id,
+         [CAST(x AS DOUBLE)
+          / sqrt(list_sum([CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+                           for y in embedding]))
+          for x in embedding] AS v
+  FROM embeddings
+), ms AS (SELECT unnest(range(0, 32)) AS m),
+sub AS (
+  SELECT vec_id AS vid, ms.m, v[ms.m * 2 + 1 : ms.m * 2 + 2] AS sv
+  FROM n CROSS JOIN ms
 ), cw AS (
   SELECT vec_id AS cid, v FROM n
   ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 2147483648, vec_id
   LIMIT 16
-), ms AS (SELECT unnest(range(0, 8)) AS m),
-codes AS (
-  SELECT vec_id AS vid, m, cid AS code FROM (
-    SELECT c.vec_id, ms.m, ct.cid,
-           row_number() OVER (PARTITION BY c.vec_id, ms.m
-             ORDER BY {_PQ_D.format(v="c.v", o="ms.m * 8")} ASC,
+), cb0 AS (
+  SELECT ms.m, cw.cid, cw.v[ms.m * 2 + 1 : ms.m * 2 + 2] AS cv
+  FROM cw CROSS JOIN ms
+), {_pq_lloyd_cte(1)}, {_pq_lloyd_cte(2)}, cb AS (
+  SELECT * FROM cb2
+), codes AS (
+  SELECT vid, m, cid AS code FROM (
+    SELECT s.vid, s.m, ct.cid,
+           row_number() OVER (PARTITION BY s.vid, s.m
+             ORDER BY {_PQ_D.format(a="s.sv", b="ct.cv")} ASC,
                       ct.cid ASC) AS rn
-    FROM n c CROSS JOIN ms CROSS JOIN cw ct)
+    FROM sub s JOIN cb ct ON s.m = ct.m)
   WHERE rn = 1
 ), dt AS (
-  SELECT q.vec_id AS qid, ms.m, ct.cid AS code,
-         {_PQ_D.format(v="q.v", o="ms.m * 8")} AS d_fp
-  FROM n q CROSS JOIN ms CROSS JOIN cw ct
-  WHERE q.vec_id < 8
-), s AS (
+  SELECT s.vid AS qid, s.m, ct.cid AS code,
+         {_PQ_D.format(a="s.sv", b="ct.cv")} AS d_fp
+  FROM sub s JOIN cb ct ON s.m = ct.m
+  WHERE s.vid < 8
+), sc AS (
   SELECT dt.qid AS q_id, codes.vid AS nn_id,
          CAST(sum(dt.d_fp) AS BIGINT) AS s_fp
   FROM codes JOIN dt ON codes.m = dt.m AND codes.code = dt.code
@@ -1621,7 +1668,7 @@ codes AS (
 SELECT q_id, nn_id, round(s_fp / 1000000.0, 6) AS adist,
        CAST(rank AS INTEGER) AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY q_id
-          ORDER BY s_fp ASC, nn_id ASC) AS rank FROM s)
+          ORDER BY s_fp ASC, nn_id ASC) AS rank FROM sc)
 WHERE rank <= 5
 """
 

@@ -675,7 +675,9 @@ def test_pq_encode_complete_and_adc_finds_exact_duplicate(spark):
     cids = {r.cid for r in cb.select("cid").distinct().collect()}
     got = codes.collect()
     # completeness: every (vector, subspace) has exactly one valid code
-    assert len(got) == 32 * 8
+    from sales_forecast_mlops_at_scale_spark.operators.llm.pq import PQ_M
+
+    assert len(got) == 32 * PQ_M
     assert all(r.code in cids for r in got)
     # ADC invariants: an exact duplicate shares the query's codes, so it
     # attains the MINIMUM possible ADC distance (rank-1 value); any
