@@ -30,6 +30,8 @@ materialized table with the same keying.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 
 _LIVE: dict[str, tuple[int, str, DataFrame]] = {}
@@ -38,7 +40,16 @@ _LIVE: dict[str, tuple[int, str, DataFrame]] = {}
 def _plan_key(df: DataFrame) -> tuple[int, str] | None:
     try:
         plan = df._jdf.queryExecution().analyzed()
-        return plan.semanticHash(), plan.canonicalized().toString()
+        # The canonicalized STRING omits source identity (a parquet
+        # Relation prints without its path), so same-shaped plans over
+        # different directories stringify identically; semanticHash does
+        # include relation identity but is only 32 bits.  The sorted
+        # input-file digest pins the data: reuse requires hash AND shape
+        # AND the exact same source files.  (inputFiles() is a listing,
+        # not a scan — once per operator call; at truly huge file counts
+        # swap for the FileIndex root paths.)
+        files = hashlib.sha256("\n".join(sorted(df.inputFiles())).encode()).hexdigest()
+        return plan.semanticHash(), plan.canonicalized().toString() + "#" + files
     except Exception:  # noqa: BLE001 — connect-only clients etc.
         return None
 
