@@ -152,8 +152,11 @@ def main() -> None:
     # extend with any bench-tagged queries added later
     names += [n for n in registry if n.startswith("q_bench_") and n not in names]
 
-    # warm the JVM + file listing once so timings measure query execution
+    # warm the JVM + file listing once so timings measure query execution;
+    # clear caches after so names[0]'s rep 1 is a genuine cold first-run
     registry[names[0]].fn(spark, SF_DIR).count()
+    clear_slots()
+    spark.catalog.clearCache()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}

@@ -71,7 +71,12 @@ def persist_slot(slot: str, df: DataFrame) -> DataFrame:
         ph, pcanon, pdf = prev
         same_session = pdf.sparkSession is df.sparkSession
         if same_session and ph == h and pcanon == canon:
-            return pdf
+            # a spark.catalog.clearCache() elsewhere unpersists the frame
+            # behind the registry's back; returning it as-is would
+            # silently lose the cache — re-pin before handing it out
+            if pdf.storageLevel.useMemory or pdf.storageLevel.useDisk:
+                return pdf
+            return pdf.persist()
         try:
             pdf.unpersist(False)
         except Exception:  # noqa: BLE001 — stopped session

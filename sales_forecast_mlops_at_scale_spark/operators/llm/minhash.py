@@ -96,6 +96,7 @@ def minhash_incremental_pairs(
     id_col: str = "doc_id",
     *,
     corpus_sets: DataFrame | None = None,
+    corpus_bands: DataFrame | None = None,
     n: int = 3,
     threshold: float = 0.5,
     bands: int = BANDS,
@@ -111,13 +112,20 @@ def minhash_incremental_pairs(
     never a corpus×corpus pair search.  Pass ``corpus_sets`` (a
     ``doc, sh`` frame, e.g. the materialized shingle-set table
     :func:`streaming.dedup_ingest` maintains) to skip re-shingling the
-    corpus text entirely; otherwise ``corpus_df`` text is shingled here.
-    Pairs *within* the new batch are the job of
-    :func:`minhash_lsh_pairs` over the batch alone (cheap: O(batch²)
-    bounded by banding).
+    corpus text; pass ``corpus_bands`` (a ``doc, band, bkey`` frame, the
+    materialized :func:`_band_buckets` output) as well to skip
+    re-SKETCHING it — without it every call still explodes the corpus
+    index and recomputes all signatures, O(corpus) hashing per ingest.
+    With both tables the corpus contributes only a bucket-join scan
+    (pruned, not rehashed; partition the stored bands by ``bkey`` range
+    to prune the scan too), which is what makes the per-batch cost
+    genuinely O(batch).  Pairs *within* the new batch are the job of
+    :func:`minhash_lsh_pairs` over the batch alone.
     """
     if (corpus_df is None) == (corpus_sets is None):
         raise ValueError("pass exactly one of corpus_df / corpus_sets")
+    if corpus_bands is not None and corpus_sets is None:
+        raise ValueError("corpus_bands requires corpus_sets (exact verify)")
     new_sets = persist_slot(
         "minhash.new_sets", shingle_sets(new_df, text_col, id_col, n=n)
     )
@@ -126,11 +134,14 @@ def minhash_incremental_pairs(
     corpus_sets = persist_slot("minhash.corpus_sets", corpus_sets)
     k = bands * rows_per_band
     new_sigs = minhash_signatures(new_df, text_col, id_col, n=n, num_hashes=k, sets=new_sets)
-    corpus_sigs = minhash_signatures(
-        corpus_df, text_col, id_col, n=n, num_hashes=k, sets=corpus_sets
-    )
     nb = _band_buckets(new_sigs, bands=bands, rows_per_band=rows_per_band)
-    cb = _band_buckets(corpus_sigs, bands=bands, rows_per_band=rows_per_band)
+    if corpus_bands is not None:
+        cb = corpus_bands.select("doc", "band", "bkey")
+    else:
+        corpus_sigs = minhash_signatures(
+            corpus_df, text_col, id_col, n=n, num_hashes=k, sets=corpus_sets
+        )
+        cb = _band_buckets(corpus_sigs, bands=bands, rows_per_band=rows_per_band)
     candidates = (
         nb.alias("a")
         .join(cb.alias("b"), ["band", "bkey"])
@@ -208,3 +219,22 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def band_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    sets: DataFrame | None = None,
+    n: int = 3,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Materializable LSH index rows ``(doc, band, bkey)`` for ``df`` —
+    the table :func:`streaming.dedup_ingest` maintains so later batches
+    probe stored buckets instead of re-sketching the corpus."""
+    sigs = minhash_signatures(
+        df, text_col, id_col, n=n, num_hashes=bands * rows_per_band, sets=sets
+    )
+    return _band_buckets(sigs, bands=bands, rows_per_band=rows_per_band)

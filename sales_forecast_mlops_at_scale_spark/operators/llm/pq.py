@@ -56,16 +56,28 @@ PQ_K = 16
 
 
 def _subspaces(df: DataFrame, *, m: int, vec_col: str = "v") -> DataFrame:
-    """Explode ``(…, v)`` into ``(…, m, sv)`` sub-vector rows; dims must
-    divide evenly (checked lazily by slice semantics — the fixture is
-    64 dims / M=32)."""
-    d_sub = F.size(F.col(vec_col)) / m
+    """Explode ``(…, v)`` into ``(…, m, sv)`` sub-vector rows.  Dims must
+    divide evenly by ``m`` — enforced per row with ``raise_error`` (the
+    same guard class as ``embedsim._srp_band_udf``'s nbits/band_bits
+    check); a silent non-divisible slice would drift subspace boundaries
+    and drop trailing dims with no symptom but degraded recall."""
+    sz = F.size(F.col(vec_col))
+    d_sub = F.when(
+        sz % m == 0, (sz / m).cast("int")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"PQ subspaces: dim must divide by m={m}, got "),
+                sz.cast("string"),
+            )
+        ).cast("int")
+    )
     subs = F.array(
         *[
             F.struct(
                 F.lit(i).alias("m"),
                 F.slice(
-                    F.col(vec_col), (F.lit(i) * d_sub + 1).cast("int"), d_sub.cast("int")
+                    F.col(vec_col), F.lit(i) * d_sub + 1, d_sub
                 ).alias("sv"),
             )
             for i in range(m)

@@ -33,6 +33,9 @@ from pyspark.sql import functions as F
 
 #: Hash range: first 15 hex digits of md5 → uniform in [0, 2^60).
 KMV_RANGE = 1 << 60
+#: Default sketch size — shared with the oracle twins in plans/llm_queries
+#: so a changed k re-syncs both sides.
+KMV_K = 64
 
 
 def kmv_distinct(
@@ -40,7 +43,7 @@ def kmv_distinct(
     value_col: str,
     group_cols: Sequence[str] = (),
     *,
-    k: int = 64,
+    k: int = KMV_K,
     ndigits: int = 4,
 ) -> DataFrame:
     """Per-group KMV distinct-count estimate.
@@ -81,7 +84,7 @@ def kmv_overlap(
     df_b: DataFrame,
     value_col: str,
     *,
-    k: int = 64,
+    k: int = KMV_K,
     ndigits: int = 4,
 ) -> DataFrame:
     """Theta-sketch-style set-operation estimates from two KMV sketches:

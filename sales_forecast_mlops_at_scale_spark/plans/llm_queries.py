@@ -46,7 +46,7 @@ from ..operators.llm.multimodal import (
     media_dedup_keys,
 )
 from ..operators.llm.embedsim import SRP_QUANT_SCALE
-from ..operators.llm.sketches import KMV_RANGE, kmv_distinct
+from ..operators.llm.sketches import KMV_K, KMV_RANGE, kmv_distinct
 from ..operators.llm.winnow import K_GRAM as _WINNOW_K
 from ..operators.llm.winnow import POLY_BASE as _WINNOW_BASE
 from ..operators.llm.winnow import POLY_MOD as _WINNOW_MOD
@@ -271,7 +271,7 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "lang", F.explode(_tokens(normalized_text(F.col("text")))).alias("tok")
     )
-    return kmv_distinct(toks, "tok", ["lang"], k=64)
+    return kmv_distinct(toks, "tok", ["lang"], k=KMV_K)
 
 
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,7 +289,7 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(_tokens(normalized_text(F.col("text")))).alias("tok")
         )
 
-    return kmv_overlap(toks("en"), toks("de"), "tok", k=64)
+    return kmv_overlap(toks("en"), toks("de"), "tok", k=KMV_K)
 
 
 def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,7 +564,11 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.llm.curation import split_expr
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    # max_df_frac matches q_ngram_jaccard AND the composed _JACCARD_SQL
+    # oracle (which filters df > N//10 shingles) — omitting it here left
+    # the twins semantically divergent on boilerplate-heavy corpora even
+    # though the fixture bar never bites
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5, max_df_frac=0.1)
     sa, sb = split_expr(F.col("id_a")), split_expr(F.col("id_b"))
     return (
         pairs.select(
@@ -1045,7 +1049,7 @@ def _u32le(i: int) -> str:
 #: KMV constants interpolated from the operator module (a changed k or
 #: hash range re-syncs the twin automatically instead of silently
 #: desynchronizing until the gate fails).
-_KMV_K = 64
+_KMV_K = KMV_K
 _KMV_R = f"{float(KMV_RANGE):.1f}"
 
 # _SIMHASH_TOKS (not raw _TOKS): DuckDB string_split_regex('', ..) yields

@@ -9,14 +9,19 @@ Two tables are maintained side by side:
 - ``{root}/docs`` — the accepted documents (the corpus)
 - ``{root}/sets`` — their shingle-set index (``doc, sh``), the
   materialized form of :func:`operators.llm.jaccard.shingle_sets`
+- ``{root}/bands`` — their LSH band-bucket index (``doc, band, bkey``),
+  the materialized form of :func:`operators.llm.minhash.band_rows`
 
 Each micro-batch's near-dup check joins the BATCH's LSH buckets against
-buckets derived from the stored index — the corpus text is never
-re-shingled, so per-batch cost is O(batch) shingling + one asymmetric
-bucket join + exact verification of candidates (see
-:func:`operators.llm.minhash.minhash_incremental_pairs`).  Within-batch
+the STORED bucket index — the corpus text is never re-shingled (sets
+table) and never re-sketched (bands table), so per-batch cost is
+O(batch) shingling/hashing + one asymmetric bucket join + exact
+verification of candidates (see
+:func:`operators.llm.minhash.minhash_incremental_pairs`; at warehouse
+scale, partition/bucket the bands table by ``bkey`` so the probe join
+prunes its scan as well).  Within-batch
 near-dups are resolved by :func:`minhash_lsh_pairs` with a keep-min-id
-policy.  At warehouse scale the two appends become one transactional
+policy.  At warehouse scale the three appends become one transactional
 commit (Delta multi-table txn or a manifest, as in
 :mod:`streaming.ingest`); here they share the micro-batch boundary and
 the checkpoint makes redelivery idempotent at the batch level.
@@ -29,7 +34,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.llm.jaccard import shingle_sets
-from ..operators.llm.minhash import minhash_incremental_pairs, minhash_lsh_pairs
+from ..operators.llm.minhash import (
+    band_rows,
+    minhash_incremental_pairs,
+    minhash_lsh_pairs,
+)
 
 
 def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
@@ -58,15 +67,15 @@ def dedup_ingest_batch(
     With ``batch_id`` set, a commit marker under ``{root}/_commits``
     makes a redelivered batch a no-op (same protocol as
     :func:`streaming.ingest.idempotent_append_batch`) — important here
-    because the batch performs TWO appends that must not repeat."""
+    because the batch performs THREE appends (docs, sets, bands) that
+    must not repeat; a torn retry self-heals via each table's anti-join."""
     from .ingest import _commit_marker_path
 
     spark = batch_df.sparkSession
-    # release the PREVIOUS batch's operator-internal caches (shingle
-    # sets/signatures persist inside the minhash operators with
-    # caller-owned lifetime); without this a long-running stream
-    # accumulates one cached corpus-index copy per micro-batch
-    spark.catalog.clearCache()
+    # operator-internal caches live in plan-keyed persist slots (one per
+    # site, stale plans evicted on the next invocation), so a long
+    # stream holds a BOUNDED number of cached frames — no session-global
+    # clearCache, which would also wipe caches this module doesn't own
     fs = marker = None
     if batch_id is not None:
         fs, marker = _commit_marker_path(spark, root_path, f"{app_id}-{batch_id}")
@@ -79,12 +88,26 @@ def dedup_ingest_batch(
     drop_intra = intra.select(F.col("id_b").alias(id_col)).distinct()
     batch_df = batch_df.join(drop_intra, id_col, "left_anti")
 
-    # cross-corpus near-dups: batch buckets probe the stored index
+    # cross-corpus near-dups: batch buckets probe the STORED band index
+    # ({root}/bands) — the corpus is neither re-shingled (sets table)
+    # nor re-sketched (bands table) per batch, so corpus-side work is a
+    # bucket-join scan, not O(corpus) hashing
     stored_sets = _read_or_none(spark, f"{root_path}/sets")
+    stored_bands = _read_or_none(spark, f"{root_path}/bands")
     if stored_sets is not None:
+        corpus_sets = stored_sets.select(F.col(id_col).alias("doc"), "sh")
+        if stored_bands is None:
+            # backfill for corpora created before the bands table existed
+            band_rows(None, text_col, id_col, sets=corpus_sets, n=n).withColumnRenamed(
+                "doc", id_col
+            ).write.mode("append").parquet(f"{root_path}/bands")
+            stored_bands = spark.read.parquet(f"{root_path}/bands")
         cross = minhash_incremental_pairs(
             batch_df,
-            corpus_sets=stored_sets.select(F.col(id_col).alias("doc"), "sh"),
+            corpus_sets=corpus_sets,
+            corpus_bands=stored_bands.select(
+                F.col(id_col).alias("doc"), "band", "bkey"
+            ),
             text_col=text_col,
             id_col=id_col,
             n=n,
@@ -93,7 +116,7 @@ def dedup_ingest_batch(
         drop_cross = cross.select(F.col("new_id").alias(id_col)).distinct()
         batch_df = batch_df.join(drop_cross, id_col, "left_anti")
 
-    accepted = batch_df.persist()  # feeds both appends; tiny (one batch)
+    accepted = batch_df.persist()  # feeds all three appends; tiny (one batch)
     # per-table anti-join on id: a torn retry (docs append landed, sets
     # append did not — or vice versa) self-heals by appending ONLY each
     # table's missing rows, so the two tables re-enter lockstep without
@@ -105,14 +128,21 @@ def dedup_ingest_batch(
             docs_existing.select(id_col), id_col, "left_anti"
         )
     docs_delta.write.mode("append").parquet(f"{root_path}/docs")
-    sets_delta = shingle_sets(accepted, text_col, id_col, n=n).withColumnRenamed(
-        "doc", id_col
-    )
+    accepted_sets = shingle_sets(accepted, text_col, id_col, n=n)
+    sets_delta = accepted_sets.withColumnRenamed("doc", id_col)
     if stored_sets is not None:
         sets_delta = sets_delta.join(
             stored_sets.select(id_col), id_col, "left_anti"
         )
     sets_delta.write.mode("append").parquet(f"{root_path}/sets")
+    bands_delta = band_rows(
+        None, text_col, id_col, sets=accepted_sets, n=n
+    ).withColumnRenamed("doc", id_col)
+    if stored_bands is not None:
+        bands_delta = bands_delta.join(
+            stored_bands.select(id_col).distinct(), id_col, "left_anti"
+        )
+    bands_delta.write.mode("append").parquet(f"{root_path}/bands")
     accepted.unpersist()
     if marker is not None:
         fs.createNewFile(marker)  # marker LAST — see ingest.py

@@ -147,3 +147,17 @@ def test_persist_slot_reuses_identical_plan_and_evicts_stale(spark):
     assert pc._LIVE["t.slot"][2] is c3
     pc.clear_slots()
     assert not pc._LIVE
+
+
+def test_persist_slot_repins_after_external_clear_cache(spark):
+    from sales_forecast_mlops_at_scale_spark import cache as pc
+
+    pc.clear_slots()
+    df = spark.range(50).selectExpr("id", "id * 5 AS y")
+    c1 = pc.persist_slot("t.repin", df)
+    c1.count()
+    spark.catalog.clearCache()  # external wipe behind the registry's back
+    c2 = pc.persist_slot("t.repin", spark.range(50).selectExpr("id", "id * 5 AS y"))
+    assert c2.storageLevel.useMemory or c2.storageLevel.useDisk
+    assert c2.count() == 50
+    pc.clear_slots()

@@ -172,6 +172,11 @@ def test_dedup_ingest_filters_near_dups_against_corpus(spark, tmp_path):
     assert {r.doc_id for r in docs.collect()} == {1, 3, 11}
     sets = spark.read.parquet(f"{root}/sets")
     assert {r.doc_id for r in sets.collect()} == {1, 3, 11}  # index in lockstep
+    # the band-bucket index is maintained in lockstep too (16 bands/doc),
+    # so later batches probe stored buckets instead of re-sketching
+    bands = spark.read.parquet(f"{root}/bands").collect()
+    assert {r.doc_id for r in bands} == {1, 3, 11}
+    assert len(bands) == 3 * 16
 
 
 def test_existing_keys_partition_pruned(spark, tmp_path):
