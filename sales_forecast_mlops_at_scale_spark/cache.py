@@ -54,15 +54,36 @@ def _plan_key(df: DataFrame) -> tuple[int, str] | None:
         return None
 
 
-def persist_slot(slot: str, df: DataFrame) -> DataFrame:
+def derived_key(
+    base: tuple[int, str] | None, *params: object
+) -> tuple[int, str] | None:
+    """A slot key derived from another frame's key plus parameters —
+    for operators whose output is a pure function of (input, params)
+    but whose OWN plan is too deep to traverse cheaply (e.g. an
+    unrolled Lloyd loop doubles its analyzed-plan tree per iteration,
+    so ``semanticHash``/``canonicalized`` on it cost driver seconds
+    per call; the input scan's key is a few nodes).  The caller owns
+    the contract that ``params`` captures everything else that affects
+    the output."""
+    if base is None:
+        return None
+    h, canon = base
+    tag = repr(params)
+    return hash((h, tag)) & 0x7FFFFFFF, canon + "|" + tag
+
+
+def persist_slot(
+    slot: str, df: DataFrame, *, key: tuple[int, str] | None = None
+) -> DataFrame:
     """Persist ``df`` under a named slot with plan-keyed reuse/eviction.
 
     Same semantic plan + same session → the live cached frame is returned
     (no duplicate cache).  Different plan → the stale cache is
     unpersisted (async) and replaced.  Unkeyable plans degrade to plain
-    ``persist()``.
+    ``persist()``.  Pass ``key`` (see :func:`derived_key`) when the
+    frame's own analyzed plan is too deep to key cheaply.
     """
-    key = _plan_key(df)
+    key = key if key is not None else _plan_key(df)
     if key is None:
         return df.persist()
     h, canon = key

@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ...cache import _plan_key, derived_key, persist_slot
 from .embedsim import SRP_QUANT_SCALE, _prepared
 
 #: Fixture geometry: 64-dim vectors → 32 subspaces × 2 dims, 16 codewords
@@ -90,14 +91,30 @@ def _subspaces(df: DataFrame, *, m: int, vec_col: str = "v") -> DataFrame:
     )
 
 
-def _sqdist_fp(a, b):
-    """floor(‖a−b‖²·10^6 + 0.5) as int64 — a left-to-right fold matching
-    the oracle's ``list_sum`` comprehension association exactly."""
-    sq = F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _sqdist_fp(a, b, d_sub: int | None = None):
+    """floor(‖a−b‖²·10^6 + 0.5) as int64 — a left-to-right sum matching
+    the oracle's ``list_sum`` comprehension association exactly.
+
+    With ``d_sub`` (the statically-known subvector width) the sum is
+    UNROLLED into plain arithmetic that whole-stage codegen compiles;
+    the higher-order-function fold fallback is interpreted per element,
+    which measured ~5× slower across the M·K encode join.  The two forms
+    are bit-identical: the fold's ``0.0 + t1`` seed equals ``t1`` for
+    the non-negative squared terms (IEEE +0 identity)."""
+    if d_sub is not None:
+        terms = [
+            (a.getItem(i) - b.getItem(i)) * (a.getItem(i) - b.getItem(i))
+            for i in range(d_sub)
+        ]
+        sq = terms[0]
+        for t in terms[1:]:
+            sq = sq + t
+    else:
+        sq = F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     return F.floor(sq * F.lit(SRP_QUANT_SCALE) + F.lit(0.5)).cast("long")
 
 
@@ -119,6 +136,7 @@ def pq_codebook(
     m: int = PQ_M,
     k: int = PQ_K,
     refine_iters: int = 2,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -130,6 +148,7 @@ def pq_codebook(
     is 0.30 seeded → 0.525 after one iteration → 0.575 at two
     (plateau) — on par with the IVF tier's 0.588 at 16× compression."""
     c = _unit(_prepared(corpus, id_col, vec_col))
+    base = _plan_key(c)
     cent_hash = F.pmod(
         F.col("vid").cast("long") * F.lit(2654435761), F.lit(2147483648)
     )
@@ -139,11 +158,25 @@ def pq_codebook(
     )
     if refine_iters:
         sub = _subspaces(c, m=m)
-        cb = pq_refine(sub, cb, iters=refine_iters)
+        cb = pq_refine(
+            sub,
+            cb,
+            iters=refine_iters,
+            d_sub=dim // m if dim else None,
+            key=derived_key(base, "pq.cb", m, k, dim),
+        )
     return cb
 
 
-def pq_refine(sub: DataFrame, codebook: DataFrame, *, iters: int = 2) -> DataFrame:
+def pq_refine(
+    sub: DataFrame,
+    codebook: DataFrame,
+    *,
+    iters: int = 2,
+    d_sub: int | None = None,
+    key: tuple[int, str] | None = None,
+    slot_prefix: str = "pq.refine",
+) -> DataFrame:
     """Per-subspace L2 Lloyd refinement of a PQ codebook, deterministic
     across engines/partitionings — the PQ analogue of
     :func:`embedsim.kmeans_refine` and the same arithmetic discipline:
@@ -152,8 +185,14 @@ def pq_refine(sub: DataFrame, codebook: DataFrame, *, iters: int = 2) -> DataFra
     quantized components EXACTLY in int64 and divides once, so the new
     codewords are bit-identical on any engine and the SQL twin unrolls
     the same iterations as CTEs.  Empty cells keep their previous
-    codeword.  Pure plan construction — no driver actions."""
-    for _ in range(iters):
+    codeword.  Pure plan construction — no driver actions; each
+    iteration's codebook (M·K tiny rows) is pinned in its own slot
+    because the plan references its predecessor in BOTH the assignment
+    and the coalesce — unpinned, evaluation cost doubles per iteration
+    (the ivf kmeans_refine tolerates this at 2 iterations over raw
+    vectors; the PQ refinement sits on an M·K-times-larger join, where
+    the replay was the measured dominant cost)."""
+    for it in range(iters):
         assigned = (
             sub.join(F.broadcast(codebook), "m")
             .select(
@@ -161,7 +200,7 @@ def pq_refine(sub: DataFrame, codebook: DataFrame, *, iters: int = 2) -> DataFra
                 "m",
                 "sv",
                 F.struct(
-                    _sqdist_fp(F.col("sv"), F.col("cv")).alias("d_fp"),
+                    _sqdist_fp(F.col("sv"), F.col("cv"), d_sub).alias("d_fp"),
                     F.col("cid").alias("cid"),
                 ).alias("__dc"),
             )
@@ -189,8 +228,12 @@ def pq_refine(sub: DataFrame, codebook: DataFrame, *, iters: int = 2) -> DataFra
                 lambda st: st["s"] / (st["n"] * F.lit(float(SRP_QUANT_SCALE))),
             ).alias("ncv")
         )
-        codebook = codebook.join(upd, ["m", "cid"], "left").select(
-            "m", "cid", F.coalesce("ncv", "cv").alias("cv")
+        codebook = persist_slot(
+            f"{slot_prefix}.it{it}",
+            codebook.join(upd, ["m", "cid"], "left").select(
+                "m", "cid", F.coalesce("ncv", "cv").alias("cv")
+            ),
+            key=derived_key(key, "it", it) if key else None,
         )
     return codebook
 
@@ -200,6 +243,7 @@ def pq_encode(
     codebook: DataFrame,
     *,
     m: int = PQ_M,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -211,7 +255,9 @@ def pq_encode(
         "vid",
         "m",
         F.struct(
-            _sqdist_fp(F.col("sv"), F.col("cv")).alias("d_fp"),
+            _sqdist_fp(F.col("sv"), F.col("cv"), dim // m if dim else None).alias(
+                "d_fp"
+            ),
             F.col("cid").alias("cid"),
         ).alias("__dc"),
     )
@@ -227,6 +273,7 @@ def pq_adc_topk(
     k: int = 5,
     m: int = PQ_M,
     n_codewords: int = PQ_K,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -238,9 +285,20 @@ def pq_adc_topk(
     tie-break; the query itself is excluded.
     """
     codebook = pq_codebook(
-        corpus, m=m, k=n_codewords, id_col=id_col, vec_col=vec_col
+        corpus, m=m, k=n_codewords, dim=dim, id_col=id_col, vec_col=vec_col
     )
-    codes = pq_encode(corpus, codebook, m=m, id_col=id_col, vec_col=vec_col)
+    # the code table IS the stored index (a production deployment
+    # materializes it as the compressed corpus representation); pinning
+    # it makes repeated searches touch only integer code rows, which is
+    # PQ's whole point — without it every query re-runs the M·K-way
+    # encode join over the float vectors
+    codes = persist_slot(
+        "pq.codes",
+        pq_encode(corpus, codebook, m=m, dim=dim, id_col=id_col, vec_col=vec_col),
+        key=derived_key(
+            _plan_key(corpus), "pq.codes", m, n_codewords, dim, id_col, vec_col
+        ),
+    )
     q_sub = _subspaces(
         _unit(_prepared(queries, id_col, vec_col)).select(
             F.col("vid").alias("qid"), "v"
@@ -251,10 +309,190 @@ def pq_adc_topk(
         "qid",
         "m",
         F.col("cid").alias("code"),
-        _sqdist_fp(F.col("sv"), F.col("cv")).alias("d_fp"),
+        _sqdist_fp(F.col("sv"), F.col("cv"), dim // m if dim else None).alias("d_fp"),
     )
     scored = (
         codes.join(F.broadcast(dtable), ["m", "code"])
+        .filter(F.col("qid") != F.col("vid"))
+        .groupBy("qid", "vid")
+        .agg(F.sum("d_fp").alias("s_fp"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("s_fp").asc(), F.col("vid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("q_id"),
+            F.col("vid").alias("nn_id"),
+            F.round(F.col("s_fp") / F.lit(SRP_QUANT_SCALE), 6).alias("adist"),
+            "rank",
+        )
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = PQ_M,
+    n_codewords: int = PQ_K,
+    refine_iters: int = 2,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """IVF-PQ with residual encoding — faiss's ``IndexIVFPQ``, the layout
+    every 100 TB vector deployment actually ships: a coarse quantizer
+    (IVF buckets, cosine argmax over unit vectors) partitions the
+    corpus; each vector stores only its bucket id + the PQ codes of its
+    RESIDUAL ``x − centroid(bucket)`` (Jégou et al. §IV; residuals span
+    a far tighter cell than raw vectors, so the same code budget
+    quantizes much finer).  A query probes its ``nprobe`` nearest
+    buckets and ranks candidates by ADC over per-(query, bucket)
+    residual distance tables.
+
+    Determinism: coarse assignment is the shared rounded-cosine argmax
+    (``embedsim._assign_nearest``); the residual PQ codebook is seeded
+    by the hash-pick and Lloyd-refined (:func:`pq_refine`); every
+    comparison crossing the engine boundary is quantized-integer, as in
+    :func:`pq_adc_topk`.
+
+    Scale shape: centroids and the residual codebook broadcast; the
+    corpus contributes one coarse-assignment pass and one encode pass
+    (both broadcast joins + map-side-combinable argmins), after which
+    search touches ONLY ``(vid, bucket, m, code)`` integer rows —
+    candidates restricted to probed buckets via the bucket equi-join,
+    distance tables Q·nprobe·M·K rows, broadcast.
+
+    Output: ``q_id, nn_id, adist, rank`` (query excluded).
+    """
+    from .embedsim import _assign_nearest
+
+    base = derived_key(
+        _plan_key(corpus),
+        "ivfpq", k, num_centroids, nprobe, m, n_codewords,
+        refine_iters, dim, id_col, vec_col, ndigits,
+    )
+    c = _prepared(corpus, id_col, vec_col)
+    cent_hash = F.pmod(
+        F.col("vid").cast("long") * F.lit(2654435761), F.lit(2147483648)
+    )
+    centroids = (
+        c.orderBy(cent_hash.asc(), F.col("vid").asc())
+        .limit(num_centroids)
+        .select(
+            F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+        )
+    )
+    # coarse: every vector → nearest centroid (rounded cosine, id ties)
+    assigned = _assign_nearest(c, centroids, "bucket", ndigits)
+    # residuals on the unit sphere: u(x) − u(centroid)
+    ucent = centroids.select(
+        F.col("cid").alias("bucket"),
+        F.transform("cv", lambda x: x / F.col("cnrm")).alias("ucv"),
+    )
+    resid = (
+        assigned.select(
+            "vid", "bucket", F.transform("v", lambda x: x / F.col("nrm")).alias("uv")
+        )
+        .join(F.broadcast(ucent), "bucket")
+        .select(
+            "vid", "bucket", F.zip_with("uv", "ucv", lambda a, b: a - b).alias("v")
+        )
+    )
+    resid = persist_slot(
+        "pq.ivfpq.resid", resid, key=derived_key(base, "resid")
+    )
+    # residual PQ codebook: hash-picked seeds + Lloyd, over residual
+    # rows.  A DIFFERENT multiplicative constant than the coarse pick
+    # (xxhash's second prime): with the same hash the seeds would be
+    # exactly the centroid ids, whose residuals are all-zero vectors —
+    # a degenerate codebook of 16 identical codewords
+    seed_hash = F.pmod(
+        F.col("vid").cast("long") * F.lit(2246822519), F.lit(2147483648)
+    )
+    seeds = (
+        resid.orderBy(seed_hash.asc(), F.col("vid").asc())
+        .limit(n_codewords)
+        .select("vid", "v")
+    )
+    cb = _subspaces(seeds, m=m).select(
+        "m", F.col("vid").alias("cid"), F.col("sv").alias("cv")
+    )
+    sub = _subspaces(resid.select("vid", "bucket", "v"), m=m)
+    d_sub = dim // m if dim else None
+    if refine_iters:
+        cb = pq_refine(
+            sub.select("vid", "m", "sv"),
+            cb,
+            iters=refine_iters,
+            d_sub=d_sub,
+            key=derived_key(base, "cb"),
+            slot_prefix="pq.ivfpq.refine",
+        )
+    else:
+        cb = persist_slot(
+            "pq.ivfpq.codebook", cb, key=derived_key(base, "cb.seed")
+        )
+    # encode: (vid, bucket, m, code) — the ENTIRE stored index
+    enc = sub.join(F.broadcast(cb), "m").select(
+        "vid",
+        "bucket",
+        "m",
+        F.struct(
+            _sqdist_fp(F.col("sv"), F.col("cv"), d_sub).alias("d_fp"),
+            F.col("cid").alias("cid"),
+        ).alias("__dc"),
+    )
+    codes = persist_slot(
+        "pq.ivfpq.codes",
+        enc.groupBy("vid", "bucket", "m")
+        .agg(F.min("__dc").alias("__b"))
+        .select("vid", "bucket", "m", F.col("__b.cid").alias("code")),
+        key=derived_key(base, "codes"),
+    )
+    # probes: each query's nprobe nearest buckets (rounded cosine)
+    q = _prepared(queries, id_col, vec_col).select(
+        F.col("vid").alias("qid"), "v", "nrm"
+    )
+    qsim = F.round(
+        F.aggregate(
+            F.zip_with("v", "cv", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+        )
+        / (F.col("nrm") * F.col("cnrm")),
+        ndigits,
+    )
+    w_probe = Window.partitionBy("qid").orderBy(
+        F.col("csim").desc(), F.col("cid").asc()
+    )
+    probes = (
+        q.join(F.broadcast(centroids))
+        .withColumn("csim", qsim)
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select(
+            "qid",
+            F.col("cid").alias("bucket"),
+            F.transform("v", lambda x: x / F.col("nrm")).alias("uv"),
+        )
+    )
+    # per-(query, bucket) residual distance tables
+    qresid = probes.join(F.broadcast(ucent), "bucket").select(
+        "qid", "bucket", F.zip_with("uv", "ucv", lambda a, b: a - b).alias("v")
+    )
+    dtable = _subspaces(qresid, m=m).join(F.broadcast(cb), "m").select(
+        "qid",
+        "bucket",
+        "m",
+        F.col("cid").alias("code"),
+        _sqdist_fp(F.col("sv"), F.col("cv"), d_sub).alias("d_fp"),
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), ["bucket", "m", "code"])
         .filter(F.col("qid") != F.col("vid"))
         .groupBy("qid", "vid")
         .agg(F.sum("d_fp").alias("s_fp"))

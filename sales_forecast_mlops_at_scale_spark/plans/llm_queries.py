@@ -1585,7 +1585,7 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.llm.pq import pq_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    return pq_adc_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, dim=64)
 
 
 #: PQ twin: same hash-selected seed codewords, two unrolled per-subspace
@@ -1677,10 +1677,116 @@ WHERE rank <= 5
 """
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ residual-encoded ANN top-5 for the first 8 queries —
+    faiss's IndexIVFPQ layout: coarse cosine buckets + Lloyd-refined
+    residual PQ codes; search touches only integer code rows in probed
+    buckets (operators/llm/pq.ivfpq_topk)."""
+    from ..operators.llm.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, dim=64)
+
+
+#: IVF-PQ twin: coarse assignment = the shared rounded-cosine argmax;
+#: residuals, seeds (second xxhash prime so seeds ≠ centroid ids, whose
+#: residuals are all-zero), two unrolled residual-PQ Lloyd iterations,
+#: quantized-integer ADC over probed buckets — composed from the same
+#: CTE generators as _EMBED_IVF_SQL and _PQ_SQL.
+_IVFPQ_SQL = f"""
+WITH n AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+         sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                        for x in embedding])) AS nrm
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+  ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 2147483648, vec_id
+  LIMIT 16
+), assigned AS (
+  SELECT vec_id, v, nrm, cid AS bucket FROM (
+    SELECT c.vec_id, c.v, c.nrm, ct.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_sum([c.v[i] * ct.cv[i]
+                        for i in generate_series(1, len(c.v))])
+                        / (c.nrm * ct.cnrm), 6) DESC, ct.cid ASC) AS rn
+    FROM n c CROSS JOIN cent ct)
+  WHERE rn = 1
+), ucent AS (
+  SELECT cid AS bucket,
+         [cv[i] / cnrm for i in generate_series(1, len(cv))] AS ucv
+  FROM cent
+), resid AS (
+  SELECT a.vec_id AS vid, a.bucket,
+         [a.v[i] / a.nrm - u.ucv[i]
+          for i in generate_series(1, len(a.v))] AS v
+  FROM assigned a JOIN ucent u USING (bucket)
+), ms AS (SELECT unnest(range(0, 32)) AS m),
+sub AS (
+  SELECT vid, bucket, ms.m, v[ms.m * 2 + 1 : ms.m * 2 + 2] AS sv
+  FROM resid CROSS JOIN ms
+), seeds AS (
+  SELECT vid, v FROM resid
+  ORDER BY (CAST(vid AS BIGINT) * 2246822519) % 2147483648, vid
+  LIMIT 16
+), cb0 AS (
+  SELECT ms.m, seeds.vid AS cid, seeds.v[ms.m * 2 + 1 : ms.m * 2 + 2] AS cv
+  FROM seeds CROSS JOIN ms
+), {_pq_lloyd_cte(1)}, {_pq_lloyd_cte(2)}, cb AS (
+  SELECT * FROM cb2
+), codes AS (
+  SELECT vid, bucket, m, cid AS code FROM (
+    SELECT s.vid, s.bucket, s.m, ct.cid,
+           row_number() OVER (PARTITION BY s.vid, s.m
+             ORDER BY {_PQ_D.format(a="s.sv", b="ct.cv")} ASC,
+                      ct.cid ASC) AS rn
+    FROM sub s JOIN cb ct ON s.m = ct.m)
+  WHERE rn = 1
+), probes AS (
+  SELECT qid, bucket FROM (
+    SELECT q.vec_id AS qid, ct.cid AS bucket,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_sum([q.v[i] * ct.cv[i]
+                        for i in generate_series(1, len(q.v))])
+                        / (q.nrm * ct.cnrm), 6) DESC, ct.cid ASC) AS rn
+    FROM n q CROSS JOIN cent ct
+    WHERE q.vec_id < 8)
+  WHERE rn <= 4
+), quv AS (
+  SELECT vec_id AS qid,
+         [v[i] / nrm for i in generate_series(1, len(v))] AS uv
+  FROM n WHERE vec_id < 8
+), qresid AS (
+  SELECT p.qid, p.bucket,
+         [w.uv[i] - u.ucv[i] for i in generate_series(1, len(w.uv))] AS v
+  FROM probes p JOIN quv w USING (qid) JOIN ucent u USING (bucket)
+), qsub AS (
+  SELECT qid, bucket, ms.m, v[ms.m * 2 + 1 : ms.m * 2 + 2] AS sv
+  FROM qresid CROSS JOIN ms
+), dt AS (
+  SELECT q.qid, q.bucket, q.m, ct.cid AS code,
+         {_PQ_D.format(a="q.sv", b="ct.cv")} AS d_fp
+  FROM qsub q JOIN cb ct ON q.m = ct.m
+), sc AS (
+  SELECT dt.qid AS q_id, codes.vid AS nn_id,
+         CAST(sum(dt.d_fp) AS BIGINT) AS s_fp
+  FROM codes JOIN dt ON codes.bucket = dt.bucket
+                    AND codes.m = dt.m AND codes.code = dt.code
+  WHERE dt.qid != codes.vid
+  GROUP BY 1, 2)
+SELECT q_id, nn_id, round(s_fp / 1000000.0, 6) AS adist,
+       CAST(rank AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY s_fp ASC, nn_id ASC) AS rank FROM sc)
+WHERE rank <= 5
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "q_dsir_select": QueryDef(q_dsir_select, _DSIR_SQL),
     "q_lm_quality": QueryDef(q_lm_quality, _LMQ_SQL),
     "q_pq_topk": QueryDef(q_pq_topk, _PQ_SQL),
+    "q_ivfpq_topk": QueryDef(q_ivfpq_topk, _IVFPQ_SQL),
     "q_triangle_stats": QueryDef(q_triangle_stats, _TRIANGLE_SQL),
     "q_bloom_prefilter": QueryDef(q_bloom_prefilter, _BLOOM_SQL),
     "q_stratified_sample": QueryDef(q_stratified_sample, _STRAT_SQL),
