@@ -540,3 +540,66 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     q.awaitTermination()
     got = {(r.user_id, r.tier) for r in spark.table("enriched").collect()}
     assert got == {(1, "gold"), (2, "silver"), (9, None)}
+
+
+def test_vector_ingest_incremental_index_and_search(spark, tmp_path):
+    """Streaming IVF-PQ ingest: quantizers train once on the seed batch
+    and freeze, later batches assign+encode O(batch), all tiers stay in
+    lockstep, redelivered batches are no-ops, and ADC search over the
+    materialized index finds a later-ingested near-duplicate."""
+    import json
+
+    from sales_forecast_mlops_at_scale_spark.streaming.vector_ingest import (
+        run_vector_ingest,
+        search_materialized,
+    )
+
+    src = tmp_path / "vecs_in"
+    src.mkdir()
+    root = str(tmp_path / "index")
+    ckpt = str(tmp_path / "vckpt")
+
+    def vec(seed):
+        return [float(((seed * 31 + d * 7) % 1009) - 504) for d in range(64)]
+
+    def write_file(name, rows):
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+    def drain():
+        source = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).json(str(src))
+        run_vector_ingest(
+            spark, source=source, root_path=root, checkpoint_path=ckpt, dim=64
+        )
+
+    write_file("b1.json", [{"vec_id": i, "embedding": vec(i)} for i in range(40)])
+    drain()
+    cents = spark.read.parquet(f"{root}/centroids")
+    assert cents.count() == 16
+    cent_digest = sorted(r.cid for r in cents.collect())
+
+    # batch 2: an exact duplicate of vector 7 under a new id + fresh rows
+    write_file(
+        "b2.json",
+        [{"vec_id": 100, "embedding": vec(7)}]
+        + [{"vec_id": 200 + i, "embedding": vec(77 + i)} for i in range(5)],
+    )
+    drain()
+    # quantizers FROZEN: same centroid ids after the second batch
+    assert sorted(r.cid for r in spark.read.parquet(f"{root}/centroids").collect()) == cent_digest
+    vecs = spark.read.parquet(f"{root}/vectors")
+    assigns = spark.read.parquet(f"{root}/assignments")
+    codes = spark.read.parquet(f"{root}/codes")
+    ids = {r.vec_id for r in vecs.collect()}
+    assert ids == set(range(40)) | {100} | {200 + i for i in range(5)}
+    assert {r.vec_id for r in assigns.collect()} == ids
+    assert codes.count() == len(ids) * 32  # M codes per vector, no dups
+
+    # ADC search: vector 7's query finds its batch-2 duplicate at the
+    # minimum distance (identical codes -> identical ADC value)
+    q = spark.createDataFrame([(7, vec(7))], "vec_id long, embedding array<double>")
+    hits = search_materialized(spark, root, q, k=41, dim=64).collect()
+    best = min(r.adist for r in hits)
+    dup = next(r for r in hits if r.nn_id == 100)
+    assert dup.adist == best
