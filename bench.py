@@ -132,6 +132,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_source_cap",
     "q_media_features",
     "q_media_dedup",
+    "q_cdc_chunks",
+    "q_cdc_dedup",
     "q_media_frames",
     "q_window_funcs",
     "q_array_ops",

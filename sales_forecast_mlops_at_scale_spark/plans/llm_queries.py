@@ -1782,10 +1782,96 @@ WHERE rank <= 5
 """
 
 
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking of the media BLOBs: per-chunk rows with
+    content-derived boundaries + hex-md5 digests (operators/llm/cdc.py).
+    ``sf_dir`` unused — the committed BLOB fixture is the input, as for
+    the other media queries."""
+    from ..operators.llm.cdc import cdc_chunks
+
+    return cdc_chunks(media_assets_fixture(spark))
+
+
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality CDC dedup rollup: total vs distinct chunks/bytes."""
+    from ..operators.llm.cdc import cdc_dedup_stats
+
+    return cdc_dedup_stats(media_assets_fixture(spark))
+
+
+def _cdc_poly(p: str) -> str:
+    """Unrolled byte-valued Karp-Rabin over the 8-byte window starting at
+    0-based position ``p`` of hex column ``h`` — step-for-step the numpy
+    kernel: ``h = (h*257 + b) % (2^31-1)`` per byte."""
+    expr = "CAST(0 AS BIGINT)"
+    for j in range(8):
+        byte = f"CAST('0x' || substr(a.h, 2*(({p}) + {j}) + 1, 2) AS BIGINT)"
+        expr = f"(({expr}) * 257 + {byte}) % 2147483647"
+    return expr
+
+
+_CDC_CHUNKS_SQL = f"""
+WITH a AS (
+  SELECT asset_id, modality, lower(hex(content)) AS h,
+         octet_length(content) AS n
+  FROM read_parquet('{MEDIA_FIXTURE_PATH}/*.parquet')),
+pos AS (
+  SELECT asset_id, p FROM a,
+  LATERAL unnest(generate_series(0, n - 8)) AS t(p) WHERE n >= 8),
+gram AS (
+  SELECT pos.asset_id, pos.p, {{poly}} AS rh
+  FROM pos JOIN a USING (asset_id)),
+ends AS (SELECT asset_id, p + 7 AS e FROM gram WHERE rh % 16 = 0),
+starts AS (
+  SELECT DISTINCT asset_id, s FROM (
+    SELECT asset_id, 0 AS s FROM a
+    UNION ALL
+    SELECT ends.asset_id, e + 1 AS s
+    FROM ends JOIN a USING (asset_id) WHERE e + 1 < n)),
+chunks AS (
+  SELECT st.asset_id, st.s,
+         coalesce(lead(st.s) OVER (PARTITION BY st.asset_id ORDER BY st.s),
+                  a.n) AS e,
+         row_number() OVER (PARTITION BY st.asset_id ORDER BY st.s) - 1
+           AS chunk_idx
+  FROM starts st JOIN a USING (asset_id))
+SELECT c.asset_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(e - s AS INTEGER) AS chunk_len,
+       md5(substr(a.h, 2*s + 1, 2*(e - s))) AS chunk_digest
+FROM chunks c JOIN a USING (asset_id)
+""".replace("{poly}", _cdc_poly("pos.p"))
+
+_CDC_DEDUP_SQL = f"""
+WITH chunked AS ({_CDC_CHUNKS_SQL}),
+j AS (SELECT c.*, a.modality FROM chunked c JOIN
+      (SELECT asset_id, modality
+       FROM read_parquet('{MEDIA_FIXTURE_PATH}/*.parquet')) a
+      USING (asset_id)),
+per_digest AS (
+  SELECT modality AS grp, chunk_digest, count(*) AS refs,
+         min(chunk_len) AS clen
+  FROM j GROUP BY 1, 2),
+apg AS (SELECT modality AS grp, count(DISTINCT asset_id) AS n_assets
+        FROM read_parquet('{MEDIA_FIXTURE_PATH}/*.parquet') GROUP BY 1),
+agg AS (
+  SELECT grp, CAST(sum(refs) AS BIGINT) AS n_chunks,
+         CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+         CAST(sum(refs * clen) AS BIGINT) AS total_bytes,
+         CAST(sum(clen) AS BIGINT) AS distinct_bytes
+  FROM per_digest GROUP BY 1)
+SELECT agg.grp AS modality, CAST(apg.n_assets AS BIGINT) AS n_assets,
+       n_chunks, n_distinct_chunks, total_bytes, distinct_bytes,
+       round(distinct_bytes / (total_bytes * 1.0), 6) AS dedup_ratio
+FROM agg JOIN apg USING (grp)
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "q_dsir_select": QueryDef(q_dsir_select, _DSIR_SQL),
     "q_lm_quality": QueryDef(q_lm_quality, _LMQ_SQL),
     "q_pq_topk": QueryDef(q_pq_topk, _PQ_SQL),
+    "q_cdc_chunks": QueryDef(q_cdc_chunks, _CDC_CHUNKS_SQL),
+    "q_cdc_dedup": QueryDef(q_cdc_dedup, _CDC_DEDUP_SQL),
     "q_ivfpq_topk": QueryDef(q_ivfpq_topk, _IVFPQ_SQL),
     "q_triangle_stats": QueryDef(q_triangle_stats, _TRIANGLE_SQL),
     "q_bloom_prefilter": QueryDef(q_bloom_prefilter, _BLOOM_SQL),

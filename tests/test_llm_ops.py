@@ -713,3 +713,32 @@ def test_pq_recall_at_fixture_beats_chance_floor(spark):
     exact = {(r.q_id, r.nn_id) for r in brute_force_topk(emb, q, k=5).collect()}
     approx = {(r.q_id, r.nn_id) for r in pq_adc_topk(emb, q, k=5).collect()}
     assert len(exact & approx) / len(exact) >= 0.5
+
+
+def test_cdc_chunks_boundary_stability_under_insertion(spark):
+    """The CDC property fixed-size chunking lacks: inserting bytes at the
+    front shifts boundaries only LOCALLY, so most chunk digests survive;
+    and exact duplicates share every digest."""
+    from sales_forecast_mlops_at_scale_spark.operators.llm.cdc import cdc_chunks
+
+    base = bytes((i * 37 + 11) % 251 for i in range(400))
+    shifted = b"\x01\x02\x03\x04\x05" + base  # 5-byte front insertion
+    assets = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(shifted)), (3, bytearray(base))],
+        "asset_id long, content binary",
+    )
+    rows = cdc_chunks(assets).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    d1 = {r.chunk_digest for r in by_asset[1]}
+    d2 = {r.chunk_digest for r in by_asset[2]}
+    d3 = {r.chunk_digest for r in by_asset[3]}
+    assert d1 == d3, "identical blobs must chunk identically"
+    # insertion: the tail re-synchronizes -> large digest overlap
+    assert len(d1 & d2) / len(d1) > 0.6
+    # chunk lengths tile the blob exactly, in order
+    for aid, blob in ((1, base), (2, shifted)):
+        chs = sorted(by_asset[aid], key=lambda r: r.chunk_idx)
+        assert sum(r.chunk_len for r in chs) == len(blob)
+        assert [r.chunk_idx for r in chs] == list(range(len(chs)))
