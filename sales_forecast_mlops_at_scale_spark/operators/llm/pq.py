@@ -228,13 +228,19 @@ def pq_refine(
                 lambda st: st["s"] / (st["n"] * F.lit(float(SRP_QUANT_SCALE))),
             ).alias("ncv")
         )
-        codebook = persist_slot(
-            f"{slot_prefix}.it{it}",
-            codebook.join(upd, ["m", "cid"], "left").select(
-                "m", "cid", F.coalesce("ncv", "cv").alias("cv")
-            ),
-            key=derived_key(key, "it", it) if key else None,
+        stepped = codebook.join(upd, ["m", "cid"], "left").select(
+            "m", "cid", F.coalesce("ncv", "cv").alias("cv")
         )
+        if key is not None:
+            codebook = persist_slot(
+                f"{slot_prefix}.it{it}", stepped, key=derived_key(key, "it", it)
+            )
+        else:
+            # keyless: plain persist — slot keying would fall back to
+            # _plan_key over the Lloyd-unrolled tree, the exact
+            # driver-side traversal derived_key exists to avoid;
+            # lifetime is caller-owned (house convention)
+            codebook = stepped.persist()
     return codebook
 
 
@@ -330,6 +336,191 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_centroids(
+    c: DataFrame, *, num_centroids: int = 16
+) -> DataFrame:
+    """Coarse quantizer from a prepared ``(vid, v, nrm)`` frame: the
+    hash-picked ``num_centroids`` corpus vectors (IVF's deterministic
+    pick) as ``(cid, cv, cnrm)``."""
+    cent_hash = F.pmod(
+        F.col("vid").cast("long") * F.lit(2654435761), F.lit(2147483648)
+    )
+    return (
+        c.orderBy(cent_hash.asc(), F.col("vid").asc())
+        .limit(num_centroids)
+        .select(
+            F.col("vid").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+
+
+def _unit_centroids(centroids: DataFrame) -> DataFrame:
+    return centroids.select(
+        F.col("cid").alias("bucket"),
+        F.transform("cv", lambda x: x / F.col("cnrm")).alias("ucv"),
+    )
+
+
+def ivfpq_residuals(
+    c: DataFrame, centroids: DataFrame, *, ndigits: int = 6
+) -> DataFrame:
+    """``(vid, bucket, v)`` unit-sphere residuals ``u(x) − u(centroid)``
+    after coarse assignment (rounded-cosine argmax, id tie-break) — the
+    single definition both the batch operator and the streaming ingest
+    compose, so their indexes can never drift."""
+    from .embedsim import _assign_nearest
+
+    assigned = _assign_nearest(c, centroids, "bucket", ndigits)
+    ucent = _unit_centroids(centroids)
+    return (
+        assigned.select(
+            "vid", "bucket", F.transform("v", lambda x: x / F.col("nrm")).alias("uv")
+        )
+        .join(F.broadcast(ucent), "bucket")
+        .select(
+            "vid", "bucket", F.zip_with("uv", "ucv", lambda a, b: a - b).alias("v")
+        )
+    )
+
+
+def ivfpq_train_codebook(
+    resid: DataFrame,
+    *,
+    m: int = PQ_M,
+    n_codewords: int = PQ_K,
+    refine_iters: int = 2,
+    d_sub: int | None = None,
+    key: tuple[int, str] | None = None,
+    slot_prefix: str = "pq.ivfpq.refine",
+) -> DataFrame:
+    """Residual PQ codebook: hash-picked seeds + per-subspace Lloyd.
+
+    The seed pick uses a DIFFERENT multiplicative constant than the
+    coarse pick (xxhash's second prime): with the same hash the seeds
+    would be exactly the centroid ids, whose residuals are all-zero
+    vectors — a degenerate codebook of identical codewords."""
+    seed_hash = F.pmod(
+        F.col("vid").cast("long") * F.lit(2246822519), F.lit(2147483648)
+    )
+    seeds = (
+        resid.orderBy(seed_hash.asc(), F.col("vid").asc())
+        .limit(n_codewords)
+        .select("vid", "v")
+    )
+    cb = _subspaces(seeds, m=m).select(
+        "m", F.col("vid").alias("cid"), F.col("sv").alias("cv")
+    )
+    if refine_iters:
+        cb = pq_refine(
+            _subspaces(resid.select("vid", "v"), m=m).select("vid", "m", "sv"),
+            cb,
+            iters=refine_iters,
+            d_sub=d_sub,
+            key=derived_key(key, "cb") if key else None,
+            slot_prefix=slot_prefix,
+        )
+    return cb
+
+
+def ivfpq_encode(
+    resid: DataFrame,
+    codebook: DataFrame,
+    *,
+    m: int = PQ_M,
+    d_sub: int | None = None,
+) -> DataFrame:
+    """``(vid, bucket, m, code)`` residual PQ codes — the ENTIRE stored
+    index (the caller pins it as a slot or writes it as a table)."""
+    enc = _subspaces(resid.select("vid", "bucket", "v"), m=m).join(
+        F.broadcast(codebook), "m"
+    ).select(
+        "vid",
+        "bucket",
+        "m",
+        F.struct(
+            _sqdist_fp(F.col("sv"), F.col("cv"), d_sub).alias("d_fp"),
+            F.col("cid").alias("cid"),
+        ).alias("__dc"),
+    )
+    return (
+        enc.groupBy("vid", "bucket", "m")
+        .agg(F.min("__dc").alias("__b"))
+        .select("vid", "bucket", "m", F.col("__b.cid").alias("code"))
+    )
+
+
+def ivfpq_search(
+    q: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    *,
+    k: int = 5,
+    nprobe: int = 4,
+    m: int = PQ_M,
+    d_sub: int | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """ADC search against an IVF-PQ index given as frames (slot-pinned
+    by :func:`ivfpq_topk`, or parquet tables read back by
+    :func:`streaming.vector_ingest.search_materialized` — one dataflow,
+    two storage backings).  ``q`` is a prepared ``(qid, v, nrm)`` frame.
+
+    Each query probes its ``nprobe`` nearest buckets; candidates are the
+    probed buckets' code rows; ranking is the exact integer ADC sum.
+    Output: ``q_id, nn_id, adist, rank`` (query id excluded)."""
+    qsim = F.round(
+        F.aggregate(
+            F.zip_with("v", "cv", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+        )
+        / (F.col("nrm") * F.col("cnrm")),
+        ndigits,
+    )
+    w_probe = Window.partitionBy("qid").orderBy(
+        F.col("csim").desc(), F.col("cid").asc()
+    )
+    probes = (
+        q.join(F.broadcast(centroids))
+        .withColumn("csim", qsim)
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select(
+            "qid",
+            F.col("cid").alias("bucket"),
+            F.transform("v", lambda x: x / F.col("nrm")).alias("uv"),
+        )
+    )
+    qresid = probes.join(F.broadcast(_unit_centroids(centroids)), "bucket").select(
+        "qid", "bucket", F.zip_with("uv", "ucv", lambda a, b: a - b).alias("v")
+    )
+    dtable = _subspaces(qresid, m=m).join(F.broadcast(codebook), "m").select(
+        "qid",
+        "bucket",
+        "m",
+        F.col("cid").alias("code"),
+        _sqdist_fp(F.col("sv"), F.col("cv"), d_sub).alias("d_fp"),
+    )
+    scored = (
+        codes.join(F.broadcast(dtable), ["bucket", "m", "code"])
+        .filter(F.col("qid") != F.col("vid"))
+        .groupBy("qid", "vid")
+        .agg(F.sum("d_fp").alias("s_fp"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("s_fp").asc(), F.col("vid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("q_id"),
+            F.col("vid").alias("nn_id"),
+            F.round(F.col("s_fp") / F.lit(SRP_QUANT_SCALE), 6).alias("adist"),
+            "rank",
+        )
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -355,156 +546,52 @@ def ivfpq_topk(
     buckets and ranks candidates by ADC over per-(query, bucket)
     residual distance tables.
 
-    Determinism: coarse assignment is the shared rounded-cosine argmax
-    (``embedsim._assign_nearest``); the residual PQ codebook is seeded
-    by the hash-pick and Lloyd-refined (:func:`pq_refine`); every
-    comparison crossing the engine boundary is quantized-integer, as in
-    :func:`pq_adc_topk`.
-
-    Scale shape: centroids and the residual codebook broadcast; the
-    corpus contributes one coarse-assignment pass and one encode pass
-    (both broadcast joins + map-side-combinable argmins), after which
-    search touches ONLY ``(vid, bucket, m, code)`` integer rows —
-    candidates restricted to probed buckets via the bucket equi-join,
-    distance tables Q·nprobe·M·K rows, broadcast.
+    Composed entirely from the shared :func:`ivfpq_residuals` /
+    :func:`ivfpq_train_codebook` / :func:`ivfpq_encode` /
+    :func:`ivfpq_search` dataflows (the streaming ingest composes the
+    same four against parquet-backed tables).  The index-side slots are
+    keyed WITHOUT ``k``/``nprobe`` — those shape only the search, so
+    re-querying with different search parameters must reuse, not
+    rebuild, the pinned index.
 
     Output: ``q_id, nn_id, adist, rank`` (query excluded).
     """
-    from .embedsim import _assign_nearest
-
-    base = derived_key(
+    idx_key = derived_key(
         _plan_key(corpus),
-        "ivfpq", k, num_centroids, nprobe, m, n_codewords,
+        "ivfpq.idx", num_centroids, m, n_codewords,
         refine_iters, dim, id_col, vec_col, ndigits,
     )
     c = _prepared(corpus, id_col, vec_col)
-    cent_hash = F.pmod(
-        F.col("vid").cast("long") * F.lit(2654435761), F.lit(2147483648)
-    )
-    centroids = (
-        c.orderBy(cent_hash.asc(), F.col("vid").asc())
-        .limit(num_centroids)
-        .select(
-            F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
-        )
-    )
-    # coarse: every vector → nearest centroid (rounded cosine, id ties)
-    assigned = _assign_nearest(c, centroids, "bucket", ndigits)
-    # residuals on the unit sphere: u(x) − u(centroid)
-    ucent = centroids.select(
-        F.col("cid").alias("bucket"),
-        F.transform("cv", lambda x: x / F.col("cnrm")).alias("ucv"),
-    )
-    resid = (
-        assigned.select(
-            "vid", "bucket", F.transform("v", lambda x: x / F.col("nrm")).alias("uv")
-        )
-        .join(F.broadcast(ucent), "bucket")
-        .select(
-            "vid", "bucket", F.zip_with("uv", "ucv", lambda a, b: a - b).alias("v")
-        )
-    )
+    centroids = ivfpq_centroids(c, num_centroids=num_centroids)
     resid = persist_slot(
-        "pq.ivfpq.resid", resid, key=derived_key(base, "resid")
+        "pq.ivfpq.resid",
+        ivfpq_residuals(c, centroids, ndigits=ndigits),
+        key=derived_key(idx_key, "resid") if idx_key else None,
     )
-    # residual PQ codebook: hash-picked seeds + Lloyd, over residual
-    # rows.  A DIFFERENT multiplicative constant than the coarse pick
-    # (xxhash's second prime): with the same hash the seeds would be
-    # exactly the centroid ids, whose residuals are all-zero vectors —
-    # a degenerate codebook of 16 identical codewords
-    seed_hash = F.pmod(
-        F.col("vid").cast("long") * F.lit(2246822519), F.lit(2147483648)
-    )
-    seeds = (
-        resid.orderBy(seed_hash.asc(), F.col("vid").asc())
-        .limit(n_codewords)
-        .select("vid", "v")
-    )
-    cb = _subspaces(seeds, m=m).select(
-        "m", F.col("vid").alias("cid"), F.col("sv").alias("cv")
-    )
-    sub = _subspaces(resid.select("vid", "bucket", "v"), m=m)
     d_sub = dim // m if dim else None
-    if refine_iters:
-        cb = pq_refine(
-            sub.select("vid", "m", "sv"),
-            cb,
-            iters=refine_iters,
-            d_sub=d_sub,
-            key=derived_key(base, "cb"),
-            slot_prefix="pq.ivfpq.refine",
-        )
-    else:
-        cb = persist_slot(
-            "pq.ivfpq.codebook", cb, key=derived_key(base, "cb.seed")
-        )
-    # encode: (vid, bucket, m, code) — the ENTIRE stored index
-    enc = sub.join(F.broadcast(cb), "m").select(
-        "vid",
-        "bucket",
-        "m",
-        F.struct(
-            _sqdist_fp(F.col("sv"), F.col("cv"), d_sub).alias("d_fp"),
-            F.col("cid").alias("cid"),
-        ).alias("__dc"),
+    cb = ivfpq_train_codebook(
+        resid,
+        m=m,
+        n_codewords=n_codewords,
+        refine_iters=refine_iters,
+        d_sub=d_sub,
+        key=idx_key,
     )
+    if not refine_iters:
+        cb = persist_slot(
+            "pq.ivfpq.codebook",
+            cb,
+            key=derived_key(idx_key, "cb.seed") if idx_key else None,
+        )
     codes = persist_slot(
         "pq.ivfpq.codes",
-        enc.groupBy("vid", "bucket", "m")
-        .agg(F.min("__dc").alias("__b"))
-        .select("vid", "bucket", "m", F.col("__b.cid").alias("code")),
-        key=derived_key(base, "codes"),
+        ivfpq_encode(resid, cb, m=m, d_sub=d_sub),
+        key=derived_key(idx_key, "codes") if idx_key else None,
     )
-    # probes: each query's nprobe nearest buckets (rounded cosine)
     q = _prepared(queries, id_col, vec_col).select(
         F.col("vid").alias("qid"), "v", "nrm"
     )
-    qsim = F.round(
-        F.aggregate(
-            F.zip_with("v", "cv", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
-        )
-        / (F.col("nrm") * F.col("cnrm")),
-        ndigits,
-    )
-    w_probe = Window.partitionBy("qid").orderBy(
-        F.col("csim").desc(), F.col("cid").asc()
-    )
-    probes = (
-        q.join(F.broadcast(centroids))
-        .withColumn("csim", qsim)
-        .withColumn("__rn", F.row_number().over(w_probe))
-        .filter(F.col("__rn") <= nprobe)
-        .select(
-            "qid",
-            F.col("cid").alias("bucket"),
-            F.transform("v", lambda x: x / F.col("nrm")).alias("uv"),
-        )
-    )
-    # per-(query, bucket) residual distance tables
-    qresid = probes.join(F.broadcast(ucent), "bucket").select(
-        "qid", "bucket", F.zip_with("uv", "ucv", lambda a, b: a - b).alias("v")
-    )
-    dtable = _subspaces(qresid, m=m).join(F.broadcast(cb), "m").select(
-        "qid",
-        "bucket",
-        "m",
-        F.col("cid").alias("code"),
-        _sqdist_fp(F.col("sv"), F.col("cv"), d_sub).alias("d_fp"),
-    )
-    scored = (
-        codes.join(F.broadcast(dtable), ["bucket", "m", "code"])
-        .filter(F.col("qid") != F.col("vid"))
-        .groupBy("qid", "vid")
-        .agg(F.sum("d_fp").alias("s_fp"))
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("s_fp").asc(), F.col("vid").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("q_id"),
-            F.col("vid").alias("nn_id"),
-            F.round(F.col("s_fp") / F.lit(SRP_QUANT_SCALE), 6).alias("adist"),
-            "rank",
-        )
+    return ivfpq_search(
+        q, centroids, cb, codes,
+        k=k, nprobe=nprobe, m=m, d_sub=d_sub, ndigits=ndigits,
     )

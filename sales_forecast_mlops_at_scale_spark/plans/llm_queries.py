@@ -1812,9 +1812,12 @@ def _cdc_poly(p: str) -> str:
 
 _CDC_CHUNKS_SQL = f"""
 WITH a AS (
+  -- NULL / zero-length blobs produce no chunks (the kernel contract:
+  -- cdc.py skips both), so exclude them from every downstream CTE
   SELECT asset_id, modality, lower(hex(content)) AS h,
          octet_length(content) AS n
-  FROM read_parquet('{MEDIA_FIXTURE_PATH}/*.parquet')),
+  FROM read_parquet('{MEDIA_FIXTURE_PATH}/*.parquet')
+  WHERE content IS NOT NULL AND octet_length(content) > 0),
 pos AS (
   SELECT asset_id, p FROM a,
   LATERAL unnest(generate_series(0, n - 8)) AS t(p) WHERE n >= 8),

@@ -603,3 +603,29 @@ def test_vector_ingest_incremental_index_and_search(spark, tmp_path):
     best = min(r.adist for r in hits)
     dup = next(r for r in hits if r.nn_id == 100)
     assert dup.adist == best
+
+
+def test_vector_ingest_empty_first_batch_does_not_freeze_quantizer(spark, tmp_path):
+    """An empty first micro-batch must not train-and-freeze a 0-row
+    quantizer (empty parquet reads back non-None, so training would
+    never re-run and the index would be silently broken forever)."""
+    from sales_forecast_mlops_at_scale_spark.streaming.vector_ingest import (
+        vector_ingest_batch,
+    )
+
+    root = str(tmp_path / "emptyidx")
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    vector_ingest_batch(empty, root, dim=64, batch_id=0)
+    import os
+
+    assert not os.path.exists(f"{root}/centroids")
+
+    def vec(seed):
+        return [float(((seed * 31 + d * 7) % 1009) - 504) for d in range(64)]
+
+    real = spark.createDataFrame(
+        [(i, vec(i)) for i in range(30)], "vec_id long, embedding array<double>"
+    )
+    vector_ingest_batch(real, root, dim=64, batch_id=1)
+    assert spark.read.parquet(f"{root}/centroids").count() == 16
+    assert spark.read.parquet(f"{root}/assignments").count() == 30
