@@ -96,11 +96,14 @@ def _sqdist_fp(a, b, d_sub: int | None = None):
     the oracle's ``list_sum`` comprehension association exactly.
 
     With ``d_sub`` (the statically-known subvector width) the sum is
-    UNROLLED into plain arithmetic that whole-stage codegen compiles;
-    the higher-order-function fold fallback is interpreted per element,
-    which measured ~5× slower across the M·K encode join.  The two forms
-    are bit-identical: the fold's ``0.0 + t1`` seed equals ``t1`` for
-    the non-negative squared terms (IEEE +0 identity)."""
+    UNROLLED into plain arithmetic; the higher-order-function fold is
+    the dynamic-width fallback.  Measured head-to-head at the fixture
+    geometry (d_sub=2, 2.56M-row encode join) the two are EQUIVALENT
+    (~0.18 s either way — the join/aggregate dominates at this width;
+    wider subvectors or HOF-interpreting engines are where the unroll
+    pays).  The two forms are bit-identical: the fold's ``0.0 + t1``
+    seed equals ``t1`` for the non-negative squared terms (IEEE +0
+    identity), so either can serve either call site."""
     if d_sub is not None:
         terms = [
             (a.getItem(i) - b.getItem(i)) * (a.getItem(i) - b.getItem(i))
