@@ -121,6 +121,26 @@ def _sqdist_fp(a, b, d_sub: int | None = None):
     return F.floor(sq * F.lit(SRP_QUANT_SCALE) + F.lit(0.5)).cast("long")
 
 
+#: Packed-argmin radix: key = d_fp · 2³¹ + cid orders exactly like
+#: (d_fp ASC, cid ASC), and min(long) stays inside whole-stage codegen
+#: with map-side partial aggregation — min(struct(...)) falls back to a
+#: SortAggregate that sorts the full M·K-way join output (measured 6–9 s
+#: per Lloyd iteration at sf0.1 vs ~1 s packed).  Valid while
+#: d_fp < 2³², guaranteed here: all inputs are unit-sphere (sub)vectors,
+#: so per-subspace ‖a−b‖² ≤ 4 → d_fp ≤ 4·10⁶ + 1.
+_PACK = 1 << 31
+
+
+def _argmin_code(scored: DataFrame, group_cols: list[str]) -> DataFrame:
+    """``group_cols + [cid]`` rows: per group, the cid minimizing the
+    packed ``__k = d_fp·2³¹ + cid`` key."""
+    return (
+        scored.groupBy(*group_cols)
+        .agg(F.min("__k").alias("__k"))
+        .select(*group_cols, (F.col("__k") % _PACK).cast("long").alias("cid"))
+    )
+
+
 def _unit(df: DataFrame) -> DataFrame:
     """(vid, v) with v unit-normalized: PQ quantizes DIRECTIONS so the
     L2-based ADC ranking matches the exact tier's cosine ranking
@@ -196,41 +216,71 @@ def pq_refine(
     vectors; the PQ refinement sits on an M·K-times-larger join, where
     the replay was the measured dominant cost)."""
     for it in range(iters):
-        assigned = (
-            sub.join(F.broadcast(codebook), "m")
-            .select(
-                "vid",
-                "m",
-                "sv",
-                F.struct(
-                    _sqdist_fp(F.col("sv"), F.col("cv"), d_sub).alias("d_fp"),
-                    F.col("cid").alias("cid"),
-                ).alias("__dc"),
-            )
-            .groupBy("vid", "m")
-            # one sub row per (vid, m) pre-join, so first(sv) is unique
-            .agg(F.min("__dc").alias("__b"), F.first("sv").alias("sv"))
-            .select("m", F.col("__b.cid").alias("cid"), "sv")
-        )
-        q = assigned.select(
+        scored = sub.join(F.broadcast(codebook), "m").select(
+            "vid",
             "m",
-            "cid",
-            F.posexplode(
+            (
+                _sqdist_fp(F.col("sv"), F.col("cv"), d_sub) * F.lit(_PACK)
+                + F.col("cid")
+            ).alias("__k"),
+        )
+        # packed argmin (see _PACK): no arrays ride the shuffle; the
+        # subvectors rejoin on (vid, m) — one row each side
+        assigned = _argmin_code(scored, ["vid", "m"]).join(
+            sub.select("vid", "m", "sv"), ["vid", "m"]
+        ).select("m", "cid", "sv")
+        if d_sub is not None:
+            # static width: per-component quantized sums in ONE codegen
+            # hash aggregate — the dynamic path below needs a
+            # posexplode + two chained groupBys (explode, per-(cell,pos)
+            # sum, collect_list reassembly), three shuffles of the same
+            # information; identical arithmetic either way (same exact
+            # int64 component sums, same single division, array order
+            # fixed by component index = the sorted-pos order)
+            sums = assigned.groupBy("m", "cid").agg(
+                *[
+                    F.sum(
+                        F.floor(
+                            F.col("sv").getItem(i) * SRP_QUANT_SCALE + F.lit(0.5)
+                        ).cast("long")
+                    ).alias(f"__s{i}")
+                    for i in range(d_sub)
+                ],
+                F.count(F.lit(1)).alias("__n"),
+            )
+            upd = sums.select(
+                "m",
+                "cid",
+                F.array(
+                    *[
+                        F.col(f"__s{i}")
+                        / (F.col("__n") * F.lit(float(SRP_QUANT_SCALE)))
+                        for i in range(d_sub)
+                    ]
+                ).alias("ncv"),
+            )
+        else:
+            q = assigned.select(
+                "m",
+                "cid",
+                F.posexplode(
+                    F.transform(
+                        F.col("sv"),
+                        lambda x: F.floor(x * SRP_QUANT_SCALE + F.lit(0.5)).cast(
+                            "long"
+                        ),
+                    )
+                ).alias("pos", "qx"),
+            )
+            sums = q.groupBy("m", "cid", "pos").agg(
+                F.sum("qx").alias("s"), F.count(F.lit(1)).alias("n")
+            )
+            upd = sums.groupBy("m", "cid").agg(
                 F.transform(
-                    F.col("sv"),
-                    lambda x: F.floor(x * SRP_QUANT_SCALE + F.lit(0.5)).cast("long"),
-                )
-            ).alias("pos", "qx"),
-        )
-        sums = q.groupBy("m", "cid", "pos").agg(
-            F.sum("qx").alias("s"), F.count(F.lit(1)).alias("n")
-        )
-        upd = sums.groupBy("m", "cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
-                lambda st: st["s"] / (st["n"] * F.lit(float(SRP_QUANT_SCALE))),
-            ).alias("ncv")
-        )
+                    F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+                    lambda st: st["s"] / (st["n"] * F.lit(float(SRP_QUANT_SCALE))),
+                ).alias("ncv")
+            )
         stepped = codebook.join(upd, ["m", "cid"], "left").select(
             "m", "cid", F.coalesce("ncv", "cv").alias("cv")
         )
@@ -263,15 +313,15 @@ def pq_encode(
     scored = sub.join(F.broadcast(codebook), "m").select(
         "vid",
         "m",
-        F.struct(
-            _sqdist_fp(F.col("sv"), F.col("cv"), dim // m if dim else None).alias(
-                "d_fp"
-            ),
-            F.col("cid").alias("cid"),
-        ).alias("__dc"),
+        (
+            _sqdist_fp(F.col("sv"), F.col("cv"), dim // m if dim else None)
+            * F.lit(_PACK)
+            + F.col("cid")
+        ).alias("__k"),
     )
-    return scored.groupBy("vid", "m").agg(F.min("__dc").alias("__best")).select(
-        "vid", "m", F.col("__best.cid").alias("code")
+    # packed argmin — codegen hash aggregate, not a struct SortAggregate
+    return _argmin_code(scored, ["vid", "m"]).select(
+        "vid", "m", F.col("cid").alias("code")
     )
 
 
@@ -442,15 +492,14 @@ def ivfpq_encode(
         "vid",
         "bucket",
         "m",
-        F.struct(
-            _sqdist_fp(F.col("sv"), F.col("cv"), d_sub).alias("d_fp"),
-            F.col("cid").alias("cid"),
-        ).alias("__dc"),
+        (
+            _sqdist_fp(F.col("sv"), F.col("cv"), d_sub) * F.lit(_PACK)
+            + F.col("cid")
+        ).alias("__k"),
     )
-    return (
-        enc.groupBy("vid", "bucket", "m")
-        .agg(F.min("__dc").alias("__b"))
-        .select("vid", "bucket", "m", F.col("__b.cid").alias("code"))
+    # packed argmin — codegen hash aggregate, not a struct SortAggregate
+    return _argmin_code(enc, ["vid", "bucket", "m"]).select(
+        "vid", "bucket", "m", F.col("cid").alias("code")
     )
 
 
