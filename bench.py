@@ -128,6 +128,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_lang_id",
     "q_url_domains",
     "q_sample_deterministic",
+    "q_cluster_balance",
     "q_stratified_sample",
     "q_source_cap",
     "q_media_features",

@@ -618,3 +618,49 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w_rank)).filter(
         F.col("rank") <= k
     )
+
+
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    *,
+    cap: int,
+    num_centroids: int = 16,
+    seed: str = "balance",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Topic-balanced subset selection: cluster every vector to its
+    nearest deterministic centroid (the shared rounded-cosine argmax)
+    and keep at most ``cap`` per cluster, chosen by salted-md5 rank —
+    the embedding-space complement of ``curation.stratified_sample``
+    (which balances on EXPLICIT metadata; this balances on latent
+    topics, the SemDeDup/SSL-curation recipe for keeping one web-scale
+    topic from dominating a training mix).
+
+    Scale shape: one broadcast assignment pass + one window rank keyed
+    by cluster — a single shuffle; caps bound each cluster's
+    contribution regardless of its raw size.
+
+    Output: ``vec_id, cluster, rank`` (rank ≤ cap within cluster).
+    """
+    c = _prepared(corpus, id_col, vec_col)
+    cent_hash = F.pmod(
+        F.col("vid").cast("long") * F.lit(2654435761), F.lit(2147483648)
+    )
+    centroids = (
+        c.orderBy(cent_hash.asc(), F.col("vid").asc())
+        .limit(num_centroids)
+        .select(
+            F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+        )
+    )
+    assigned = _assign_nearest(c, centroids, "cluster", ndigits)
+    h = F.md5(F.concat(F.lit(seed), F.col("vid").cast("string")))
+    w = Window.partitionBy("cluster").orderBy(h.asc(), F.col("vid").asc())
+    return (
+        assigned.select("vid", "cluster")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= cap)
+        .select(F.col("vid").alias(id_col), "cluster", "rank")
+    )

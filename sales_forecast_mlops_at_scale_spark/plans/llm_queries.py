@@ -1869,12 +1869,55 @@ FROM agg JOIN apg USING (grp)
 """
 
 
+def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced subset: nearest-centroid cluster assignment + cap
+    of 20 per cluster by salted-md5 rank
+    (operators/llm/embedsim.cluster_balanced_sample)."""
+    from ..operators.llm.embedsim import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        load_table(spark, sf_dir, "embeddings"), cap=20, num_centroids=16
+    )
+
+
+#: Balance twin: the shared assignment CTE (rounded-cosine argmax, cid
+#: tie-break) + salted-md5 window rank per cluster.
+_CLUSTER_BALANCE_SQL = """
+WITH n AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+         sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                        for x in embedding])) AS nrm
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+  ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 2147483648, vec_id
+  LIMIT 16
+), assigned AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT c.vec_id, ct.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_sum([c.v[i] * ct.cv[i]
+                        for i in generate_series(1, len(c.v))])
+                        / (c.nrm * ct.cnrm), 6) DESC, ct.cid ASC) AS rn
+    FROM n c CROSS JOIN cent ct)
+  WHERE rn = 1)
+SELECT vec_id, cluster, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY cluster
+           ORDER BY md5('balance' || CAST(vec_id AS VARCHAR)) ASC,
+                    vec_id ASC) AS rank
+  FROM assigned)
+WHERE rank <= 20
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "q_dsir_select": QueryDef(q_dsir_select, _DSIR_SQL),
     "q_lm_quality": QueryDef(q_lm_quality, _LMQ_SQL),
     "q_pq_topk": QueryDef(q_pq_topk, _PQ_SQL),
     "q_cdc_chunks": QueryDef(q_cdc_chunks, _CDC_CHUNKS_SQL),
     "q_cdc_dedup": QueryDef(q_cdc_dedup, _CDC_DEDUP_SQL),
+    "q_cluster_balance": QueryDef(q_cluster_balance, _CLUSTER_BALANCE_SQL),
     "q_ivfpq_topk": QueryDef(q_ivfpq_topk, _IVFPQ_SQL),
     "q_triangle_stats": QueryDef(q_triangle_stats, _TRIANGLE_SQL),
     "q_bloom_prefilter": QueryDef(q_bloom_prefilter, _BLOOM_SQL),

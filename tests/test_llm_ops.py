@@ -742,3 +742,24 @@ def test_cdc_chunks_boundary_stability_under_insertion(spark):
         chs = sorted(by_asset[aid], key=lambda r: r.chunk_idx)
         assert sum(r.chunk_len for r in chs) == len(blob)
         assert [r.chunk_idx for r in chs] == list(range(len(chs)))
+
+
+def test_cluster_balanced_sample_caps_and_determinism(spark):
+    from sales_forecast_mlops_at_scale_spark.operators.llm.embedsim import (
+        cluster_balanced_sample,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = cluster_balanced_sample(emb, cap=20, num_centroids=16).collect()
+    per_cluster = {}
+    for r in out:
+        per_cluster.setdefault(r.cluster, []).append(r.rank)
+    # cap respected, ranks dense from 1 within every cluster
+    for ranks in per_cluster.values():
+        assert len(ranks) <= 20
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # deterministic under repartitioning
+    out2 = cluster_balanced_sample(emb.repartition(7), cap=20, num_centroids=16).collect()
+    assert {(r.vec_id, r.cluster, r.rank) for r in out2} == {
+        (r.vec_id, r.cluster, r.rank) for r in out
+    }
