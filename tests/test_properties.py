@@ -310,3 +310,96 @@ def test_bpe_train_matches_reference(spark, docs):
     assert merges == ref_merges
     got = {r.token: list(r.symbols) for r in seg.collect()}
     assert got == ref_vocab
+
+
+@given(
+    blobs=st.lists(
+        st.binary(min_size=0, max_size=120), min_size=1, max_size=6
+    )
+)
+@settings(**_SETTINGS)
+def test_cdc_chunks_match_bruteforce_reference(spark, blobs):
+    """CDC chunking equals a direct python restatement of the scheme on
+    arbitrary binary payloads: same boundaries, same tiling, same
+    digests; NULL-safety via the empty-blob skip."""
+    import hashlib as hl
+
+    from sales_forecast_mlops_at_scale_spark.operators.llm.cdc import (
+        CDC_DIV,
+        CDC_WINDOW,
+        cdc_chunks,
+    )
+    from sales_forecast_mlops_at_scale_spark.operators.llm.winnow import (
+        POLY_BASE,
+        POLY_MOD,
+    )
+
+    def ref_chunks(content: bytes):
+        n = len(content)
+        if n == 0:
+            return []
+        w = CDC_WINDOW
+        starts = {0}
+        for p in range(0, n - w + 1):
+            h = 0
+            for j in range(w):
+                h = (h * POLY_BASE + content[p + j]) % POLY_MOD
+            if h % CDC_DIV == 0 and p + w < n:
+                starts.add(p + w)
+        bounds = sorted(starts) + [n]
+        out = []
+        for i, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
+            out.append(
+                (i, e - s, hl.md5(content.hex()[2 * s : 2 * e].encode()).hexdigest())
+            )
+        return out
+
+    assets = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(blobs)],
+        "asset_id long, content binary",
+    )
+    got = {}
+    for r in cdc_chunks(assets).collect():
+        got.setdefault(r.asset_id, []).append(
+            (r.chunk_idx, r.chunk_len, r.chunk_digest)
+        )
+    for i, b in enumerate(blobs):
+        expect = ref_chunks(b)
+        assert sorted(got.get(i, [])) == sorted(expect), (i, b.hex())
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=5),
+    budget=st.integers(min_value=1, max_value=60),
+)
+@settings(**_SETTINGS)
+def test_stratified_sample_allocation_invariants(spark, sizes, budget):
+    """sqrt-allocation invariants on arbitrary strata shapes: per-stratum
+    take = min(stratum size, integer sqrt allocation); total allocation
+    never exceeds the budget."""
+    import math
+
+    from sales_forecast_mlops_at_scale_spark.operators.llm.curation import (
+        stratified_sample,
+    )
+
+    rows = [
+        (s * 1000 + i, f"s{s}")
+        for s, n in enumerate(sizes)
+        for i in range(n)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_sample(df, ["source"], budget=budget).collect()
+    taken = {}
+    for r in out:
+        taken[r.source] = taken.get(r.source, 0) + 1
+    qs = {f"s{s}": math.floor(math.sqrt(n) * 1e6 + 0.5) for s, n in enumerate(sizes) if n}
+    tq = sum(qs.values())
+    for s, n in enumerate(sizes):
+        if n == 0:
+            continue
+        alloc = (budget * qs[f"s{s}"]) // tq
+        assert taken.get(f"s{s}", 0) == min(n, alloc)
+    assert sum(taken.values()) <= budget
