@@ -212,3 +212,45 @@ def test_dup_span_shuffles_hashes_not_grams(spark):
     assert "hashpartitioning(gh" in plan or "hashpartitioning(gh#" in plan.replace(
         "L", ""
     ), plan
+
+
+def test_bloom_prefilter_probe_side_has_no_shuffle(spark):
+    """The probe pass must be a per-row broadcast membership test — the
+    only Exchanges in the plan belong to the BUILD side's tiny bit-set
+    reduction, never to a probe-side repartition."""
+    q = all_queries()["q_bloom_prefilter"]
+    plan = _executed_plan(q.fn(spark, SMOKE_SF_DIR))
+    # the probe side joins via broadcast (bit set + exact key set)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_dsir_selection_is_take_ordered_with_broadcast_lut(spark):
+    q = all_queries()["q_dsir_select"]
+    plan = _executed_plan(q.fn(spark, SMOKE_SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # the bucket LUT join
+
+
+def test_pq_encode_argmin_is_hash_aggregate_not_sort(spark):
+    """Regression for the packed-argmin rewrite: the per-(vector,
+    subspace) argmin must compile to a (partial) hash aggregate over the
+    packed long — min(struct) regressed to a SortAggregate that sorted
+    the full M·K-way join output."""
+    from sales_forecast_mlops_at_scale_spark.catalog import load_table
+    from sales_forecast_mlops_at_scale_spark.operators.llm.pq import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    cb = pq_codebook(emb, refine_iters=0, dim=64)
+    codes = pq_encode(emb, cb, dim=64)
+    plan = _executed_plan(codes)
+    assert "SortAggregate" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_triangle_stats_has_no_cartesian_product(spark):
+    q = all_queries()["q_triangle_stats"]
+    plan = _executed_plan(q.fn(spark, SMOKE_SF_DIR))
+    assert "CartesianProduct" not in plan, plan
