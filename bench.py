@@ -142,6 +142,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_pagerank",
     "q_triangle_stats",
     "q_ann_recall",
+    "q_ann_recall_all",
     "q_tfidf_terms",
     "q_chunk_documents",
     "q_mix_weights",

@@ -1911,6 +1911,72 @@ WHERE rank <= 20
 """
 
 
+def q_ann_recall_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-method ANN recall@5 vs the exact cosine top-k for EVERY
+    approximate tier (srp / ivf / pq / ivfpq) — the eval table that
+    justifies picking a tier at a given recall budget.  Output:
+    ``method, q_id, k, n_hits, recall``."""
+    exact = q_embed_topk(spark, sf_dir).select("q_id", "nn_id")
+    methods = {
+        "srp": q_embed_srp_topk,
+        "ivf": q_embed_ivf_topk,
+        "pq": q_pq_topk,
+        "ivfpq": q_ivfpq_topk,
+    }
+    out = None
+    for name, fn in sorted(methods.items()):
+        approx = fn(spark, sf_dir).select(
+            "q_id", "nn_id", F.lit(1).alias("hit")
+        )
+        scored = (
+            exact.join(approx, ["q_id", "nn_id"], "left")
+            .groupBy("q_id")
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("k"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_hits"),
+            )
+            .select(
+                F.lit(name).alias("method"),
+                "q_id",
+                "k",
+                "n_hits",
+                F.round(F.col("n_hits") / F.col("k"), 6).alias("recall"),
+            )
+        )
+        out = scored if out is None else out.unionByName(scored)
+    return out
+
+
+def _ann_recall_all_sql() -> str:
+    """Composed oracle: each tier's full oracle embedded as a derived
+    table (DuckDB scopes a subquery's WITH locally, so the tiers' CTE
+    names cannot collide), unioned and joined against the exact tier."""
+    methods = {
+        "srp": _EMBED_SRP_SQL,
+        "ivf": _EMBED_IVF_SQL,
+        "pq": _PQ_SQL,
+        "ivfpq": _IVFPQ_SQL,
+    }
+    unions = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS method, q_id, nn_id FROM (\n{sql}\n)"
+        for name, sql in sorted(methods.items())
+    )
+    return f"""
+WITH exact AS (SELECT q_id, nn_id FROM (\n{_EMBED_TOPK_SQL}\n)),
+apx AS ({unions}),
+meths AS (SELECT DISTINCT method FROM apx),
+pairs AS (SELECT m.method, e.q_id, e.nn_id FROM exact e CROSS JOIN meths m)
+SELECT p.method, p.q_id, CAST(count(*) AS INTEGER) AS k,
+       CAST(sum(CASE WHEN a.nn_id IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_hits,
+       round(sum(CASE WHEN a.nn_id IS NOT NULL THEN 1 ELSE 0 END)
+             / (count(*) * 1.0), 6) AS recall
+FROM pairs p LEFT JOIN apx a
+  ON a.method = p.method AND a.q_id = p.q_id AND a.nn_id = p.nn_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "q_dsir_select": QueryDef(q_dsir_select, _DSIR_SQL),
     "q_lm_quality": QueryDef(q_lm_quality, _LMQ_SQL),
@@ -1918,6 +1984,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_cdc_chunks": QueryDef(q_cdc_chunks, _CDC_CHUNKS_SQL),
     "q_cdc_dedup": QueryDef(q_cdc_dedup, _CDC_DEDUP_SQL),
     "q_cluster_balance": QueryDef(q_cluster_balance, _CLUSTER_BALANCE_SQL),
+    "q_ann_recall_all": QueryDef(q_ann_recall_all, _ann_recall_all_sql()),
     "q_ivfpq_topk": QueryDef(q_ivfpq_topk, _IVFPQ_SQL),
     "q_triangle_stats": QueryDef(q_triangle_stats, _TRIANGLE_SQL),
     "q_bloom_prefilter": QueryDef(q_bloom_prefilter, _BLOOM_SQL),

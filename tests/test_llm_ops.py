@@ -763,3 +763,17 @@ def test_cluster_balanced_sample_caps_and_determinism(spark):
     assert {(r.vec_id, r.cluster, r.rank) for r in out2} == {
         (r.vec_id, r.cluster, r.rank) for r in out
     }
+
+
+def test_ann_recall_all_internal_consistency(spark):
+    """The four-tier recall table: every method reports all queries,
+    recall = n_hits/k, and the compound IVF-PQ tier can never beat its
+    own coarse stage (bucket recall upper-bounds it)."""
+    from sales_forecast_mlops_at_scale_spark.plans import all_queries
+
+    df = all_queries()["q_ann_recall_all"].fn(spark, SF_DIR).toPandas()
+    assert sorted(df["method"].unique()) == ["ivf", "ivfpq", "pq", "srp"]
+    assert (df.groupby("method").size() == df["q_id"].nunique()).all()
+    assert ((df["n_hits"] / df["k"]).round(6) == df["recall"]).all()
+    macro = df.groupby("method")["recall"].mean()
+    assert macro["ivfpq"] <= macro["ivf"] + 1e-9
