@@ -129,6 +129,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_url_domains",
     "q_sample_deterministic",
     "q_cluster_balance",
+    "q_contrastive_negatives",
     "q_stratified_sample",
     "q_source_cap",
     "q_media_features",

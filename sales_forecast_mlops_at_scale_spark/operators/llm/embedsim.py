@@ -664,3 +664,72 @@ def cluster_balanced_sample(
         .filter(F.col("rank") <= cap)
         .select(F.col("vid").alias(id_col), "cluster", "rank")
     )
+
+
+def contrastive_negatives(
+    corpus: DataFrame,
+    *,
+    k_neg: int = 4,
+    pool_per_cluster: int = 4,
+    num_centroids: int = 16,
+    seed: str = "negatives",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Deterministic cluster-aware negative mining for contrastive
+    training pairs: every vector gets ``k_neg`` negatives drawn from
+    OTHER clusters — the standard recipe for building (anchor, negative)
+    pairs that are semantically distinct but not trivially so (negatives
+    from the anchor's own cluster would be false negatives; uniform
+    random negatives are mostly too easy — cluster-stratified pools sit
+    between).
+
+    Determinism without per-pair corpus hashing: each cluster publishes
+    a ``pool_per_cluster``-row candidate pool (salted-md5 rank within
+    cluster — bounded, broadcastable); an anchor's candidate set is the
+    union of all OTHER clusters' pools (≤ (C−1)·P rows), ranked by a
+    second salted hash of the (anchor, candidate) pair.  Per-anchor work
+    is O(C·P) regardless of corpus size — the property that makes this
+    runnable where ranking all N² pairs is not.
+
+    Output: ``vec_id, neg_id, neg_cluster, rank`` (rank ≤ k_neg).
+    """
+    c = _prepared(corpus, id_col, vec_col)
+    cent_hash = F.pmod(
+        F.col("vid").cast("long") * F.lit(2654435761), F.lit(2147483648)
+    )
+    centroids = (
+        c.orderBy(cent_hash.asc(), F.col("vid").asc())
+        .limit(num_centroids)
+        .select(
+            F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+        )
+    )
+    assigned = _assign_nearest(c, centroids, "cluster", ndigits).select(
+        "vid", "cluster"
+    )
+    pool_h = F.md5(F.concat(F.lit(seed + ":pool"), F.col("vid").cast("string")))
+    w_pool = Window.partitionBy("cluster").orderBy(pool_h.asc(), F.col("vid").asc())
+    pool = (
+        assigned.withColumn("__rk", F.row_number().over(w_pool))
+        .filter(F.col("__rk") <= pool_per_cluster)
+        .select(F.col("vid").alias("neg_id"), F.col("cluster").alias("neg_cluster"))
+    )
+    pair_h = F.md5(
+        F.concat(
+            F.lit(seed + ":pair"),
+            F.col("vid").cast("string"),
+            F.lit(":"),
+            F.col("neg_id").cast("string"),
+        )
+    )
+    w_pick = Window.partitionBy("vid").orderBy(pair_h.asc(), F.col("neg_id").asc())
+    return (
+        assigned.join(
+            F.broadcast(pool), F.col("cluster") != F.col("neg_cluster")
+        )
+        .withColumn("rank", F.row_number().over(w_pick))
+        .filter(F.col("rank") <= k_neg)
+        .select(F.col("vid").alias(id_col), "neg_id", "neg_cluster", "rank")
+    )

@@ -1977,6 +1977,61 @@ GROUP BY 1, 2
 """
 
 
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware negative mining: 4 deterministic negatives per
+    vector from other clusters' md5-ranked pools
+    (operators/llm/embedsim.contrastive_negatives)."""
+    from ..operators.llm.embedsim import contrastive_negatives
+
+    return contrastive_negatives(
+        load_table(spark, sf_dir, "embeddings"),
+        k_neg=4,
+        pool_per_cluster=4,
+        num_centroids=16,
+    )
+
+
+#: Negatives twin: shared assignment CTE + the two salted-md5 ranking
+#: windows, pools restricted per cluster, candidates cross-cluster only.
+_NEGATIVES_SQL = """
+WITH n AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+         sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                        for x in embedding])) AS nrm
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+  ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 2147483648, vec_id
+  LIMIT 16
+), assigned AS (
+  SELECT vec_id AS vid, cid AS cluster FROM (
+    SELECT c.vec_id, ct.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_sum([c.v[i] * ct.cv[i]
+                        for i in generate_series(1, len(c.v))])
+                        / (c.nrm * ct.cnrm), 6) DESC, ct.cid ASC) AS rn
+    FROM n c CROSS JOIN cent ct)
+  WHERE rn = 1
+), pool AS (
+  SELECT vid AS neg_id, cluster AS neg_cluster FROM (
+    SELECT vid, cluster,
+           row_number() OVER (PARTITION BY cluster
+             ORDER BY md5('negatives:pool' || CAST(vid AS VARCHAR)) ASC,
+                      vid ASC) AS rk
+    FROM assigned)
+  WHERE rk <= 4)
+SELECT vid AS vec_id, neg_id, neg_cluster, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT a.vid, p.neg_id, p.neg_cluster,
+         row_number() OVER (PARTITION BY a.vid
+           ORDER BY md5('negatives:pair' || CAST(a.vid AS VARCHAR) || ':'
+                        || CAST(p.neg_id AS VARCHAR)) ASC,
+                    p.neg_id ASC) AS rank
+  FROM assigned a JOIN pool p ON a.cluster <> p.neg_cluster)
+WHERE rank <= 4
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "q_dsir_select": QueryDef(q_dsir_select, _DSIR_SQL),
     "q_lm_quality": QueryDef(q_lm_quality, _LMQ_SQL),
@@ -1985,6 +2040,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_cdc_dedup": QueryDef(q_cdc_dedup, _CDC_DEDUP_SQL),
     "q_cluster_balance": QueryDef(q_cluster_balance, _CLUSTER_BALANCE_SQL),
     "q_ann_recall_all": QueryDef(q_ann_recall_all, _ann_recall_all_sql()),
+    "q_contrastive_negatives": QueryDef(q_contrastive_negatives, _NEGATIVES_SQL),
     "q_ivfpq_topk": QueryDef(q_ivfpq_topk, _IVFPQ_SQL),
     "q_triangle_stats": QueryDef(q_triangle_stats, _TRIANGLE_SQL),
     "q_bloom_prefilter": QueryDef(q_bloom_prefilter, _BLOOM_SQL),

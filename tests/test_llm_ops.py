@@ -777,3 +777,37 @@ def test_ann_recall_all_internal_consistency(spark):
     assert ((df["n_hits"] / df["k"]).round(6) == df["recall"]).all()
     macro = df.groupby("method")["recall"].mean()
     assert macro["ivfpq"] <= macro["ivf"] + 1e-9
+
+
+def test_contrastive_negatives_invariants(spark):
+    from sales_forecast_mlops_at_scale_spark.operators.llm.embedsim import (
+        contrastive_negatives,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = contrastive_negatives(emb, k_neg=4, pool_per_cluster=4).collect()
+    n_vecs = emb.count()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r.vec_id, []).append(r)
+    # every vector gets exactly k_neg negatives, dense ranks, no self
+    assert len(by_anchor) == n_vecs
+    for vid, rows in by_anchor.items():
+        assert sorted(r.rank for r in rows) == [1, 2, 3, 4]
+        assert all(r.neg_id != vid for r in rows)
+    # negatives never come from the anchor's own cluster
+    # reuse the balance query's assignment (same centroids/argmax)
+    from sales_forecast_mlops_at_scale_spark.plans.llm_queries import q_cluster_balance
+
+    assign = {
+        r.vec_id: r.cluster
+        for r in q_cluster_balance(spark, SF_DIR).collect()
+    }
+    for r in out:
+        if r.vec_id in assign:  # balance query caps rows; check covered ones
+            assert r.neg_cluster != assign[r.vec_id]
+    # deterministic under repartitioning
+    out2 = contrastive_negatives(emb.repartition(5), k_neg=4, pool_per_cluster=4).collect()
+    assert {(r.vec_id, r.neg_id, r.rank) for r in out2} == {
+        (r.vec_id, r.neg_id, r.rank) for r in out
+    }
