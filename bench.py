@@ -86,6 +86,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_token_count_bpe",
     "q_curation",
     "q_pack_shards",
+    "q_span_masks",
     "q_contamination",
     "q_dup_span",
     "q_domain_quality",

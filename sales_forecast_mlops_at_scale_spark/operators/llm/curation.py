@@ -21,6 +21,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .textstats import normalized_text, tokens
+
 
 def sample_threshold_hex(fraction: float) -> str:
     """The 8-hex-char threshold for :func:`deterministic_sample`.
@@ -298,4 +300,106 @@ def stratified_sample(
         ranked.join(F.broadcast(alloc), gcols)
         .filter(F.col("__rk") <= F.col("alloc"))
         .select(*gcols, id_col, "alloc")
+    )
+
+
+def span_corruption_masks(
+    df: DataFrame,
+    *,
+    block: int = 5,
+    span: int = 3,
+    mask_every: int = 4,
+    seed: str = "spans",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic span-corruption masks (T5/UL2 denoising prep): for
+    each document, non-overlapping token spans to mask, chosen by salted
+    hashes — reproducible across runs/engines, no RNG state.
+
+    Blocked scheme (stateless ⇒ oracle-expressible, unlike greedy
+    sequential span sampling whose each choice depends on the previous):
+    token positions are tiled into ``block``-sized blocks; a block is
+    selected when ``md5(seed|doc|block) % mask_every == 0`` (≈1/
+    ``mask_every`` corruption density); within a selected block the span
+    starts at the position minimizing a second salted hash and runs
+    ``span`` tokens, clipped to the block — block-locality makes spans
+    non-overlapping BY CONSTRUCTION.  Per-row HOF work only: zero
+    shuffle at any scale.
+
+    Output: one row per masked span — ``doc_id, span_start, span_len``
+    (0-based token offsets; docs with no selected blocks emit nothing).
+    """
+    toks = tokens(normalized_text(F.col(text_col)))
+    n = F.size(toks)
+    # nblocks is built over the PROJECTED count column (__n), not the
+    # raw text column — the text is pruned before the block explode
+    nblocks = F.ceil(F.col("__n") / F.lit(block)).cast("int")
+    bsel = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed + ":b:"),
+                        F.col(id_col).cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % mask_every
+        == 0
+    )
+    pos_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(seed + ":p:"),
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.col("p").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    blocks = (
+        df.select(F.col(id_col), n.alias("__n"))
+        .filter(F.col("__n") > 0)
+        .select(
+            id_col,
+            "__n",
+            F.explode(F.sequence(F.lit(0), nblocks - 1)).alias("b"),
+        )
+        .filter(bsel)
+    )
+    # candidate positions of the selected block, clipped to the doc tail
+    cand = blocks.select(
+        id_col,
+        "__n",
+        "b",
+        F.explode(
+            F.sequence(
+                F.col("b") * block,
+                F.least(F.col("b") * block + block - 1, F.col("__n") - 1),
+            )
+        ).alias("p"),
+    ).withColumn("__h", pos_h)
+    w = Window.partitionBy(id_col, "b").orderBy(F.col("__h").asc(), F.col("p").asc())
+    starts = cand.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") == 1)
+    span_len = F.least(
+        F.lit(span), (F.col("b") + 1) * block - F.col("p"), F.col("__n") - F.col("p")
+    )
+    return starts.select(
+        id_col,
+        F.col("p").alias("span_start"),
+        span_len.cast("int").alias("span_len"),
     )

@@ -2032,6 +2032,47 @@ WHERE rank <= 4
 """
 
 
+def q_span_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption masks over the documents corpus:
+    deterministic blocked span selection
+    (operators/llm/curation.span_corruption_masks)."""
+    from ..operators.llm.curation import span_corruption_masks
+
+    return span_corruption_masks(load_table(spark, sf_dir, "documents"))
+
+
+#: Span-mask twin: identical blocked selection — block pick and within-
+#: block argmin both via the salted-md5 60-bit integers.
+_SPAN_H = (
+    "CAST('0x' || substr(md5('spans:{tag}:' || CAST(doc_id AS VARCHAR)"
+    " || ':' || CAST({v} AS VARCHAR)), 1, 15) AS BIGINT)"
+)
+_SPAN_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CASE WHEN length({_NORM}) = 0 THEN 0
+                      ELSE len({_TOKS}) END AS n
+  FROM documents),
+base AS (SELECT doc_id, n FROM t WHERE n > 0),
+blocks AS (
+  SELECT doc_id, n, b FROM base,
+  LATERAL unnest(generate_series(0, CAST(ceil(n / 5.0) AS BIGINT) - 1)) AS g(b)
+  WHERE {_SPAN_H.format(tag="b", v="b")} % 4 = 0),
+cand AS (
+  SELECT doc_id, n, b, p,
+         {_SPAN_H.format(tag="p", v="p")} AS h
+  FROM blocks,
+  LATERAL unnest(generate_series(b * 5, least(b * 5 + 4, n - 1))) AS g(p)),
+starts AS (
+  SELECT doc_id, n, b, p FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id, b
+              ORDER BY h ASC, p ASC) AS rk FROM cand)
+  WHERE rk = 1)
+SELECT doc_id, CAST(p AS BIGINT) AS span_start,
+       CAST(least(3, (b + 1) * 5 - p, n - p) AS INTEGER) AS span_len
+FROM starts
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "q_dsir_select": QueryDef(q_dsir_select, _DSIR_SQL),
     "q_lm_quality": QueryDef(q_lm_quality, _LMQ_SQL),
@@ -2041,6 +2082,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_cluster_balance": QueryDef(q_cluster_balance, _CLUSTER_BALANCE_SQL),
     "q_ann_recall_all": QueryDef(q_ann_recall_all, _ann_recall_all_sql()),
     "q_contrastive_negatives": QueryDef(q_contrastive_negatives, _NEGATIVES_SQL),
+    "q_span_masks": QueryDef(q_span_masks, _SPAN_SQL),
     "q_ivfpq_topk": QueryDef(q_ivfpq_topk, _IVFPQ_SQL),
     "q_triangle_stats": QueryDef(q_triangle_stats, _TRIANGLE_SQL),
     "q_bloom_prefilter": QueryDef(q_bloom_prefilter, _BLOOM_SQL),

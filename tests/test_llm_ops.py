@@ -811,3 +811,33 @@ def test_contrastive_negatives_invariants(spark):
     assert {(r.vec_id, r.neg_id, r.rank) for r in out2} == {
         (r.vec_id, r.neg_id, r.rank) for r in out
     }
+
+
+def test_span_corruption_masks_invariants(spark):
+    """Spans never overlap (block-locality), stay inside the document,
+    and are deterministic under repartitioning."""
+    from sales_forecast_mlops_at_scale_spark.operators.llm.curation import (
+        span_corruption_masks,
+    )
+    from sales_forecast_mlops_at_scale_spark.operators.llm.textstats import (
+        token_count,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = span_corruption_masks(docs).collect()
+    assert out, "fixtures must produce some masked spans"
+    n_toks = {r.doc_id: r.n_tokens for r in token_count(docs).collect()}
+    by_doc = {}
+    for r in out:
+        assert 1 <= r.span_len <= 3
+        assert 0 <= r.span_start
+        assert r.span_start + r.span_len <= n_toks[r.doc_id]
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_len))
+    for spans in by_doc.values():
+        spans.sort()
+        for (s1, l1), (s2, _l2) in zip(spans, spans[1:]):
+            assert s1 + l1 <= s2, "spans must not overlap"
+    out2 = span_corruption_masks(docs.repartition(9)).collect()
+    assert {(r.doc_id, r.span_start, r.span_len) for r in out2} == {
+        (r.doc_id, r.span_start, r.span_len) for r in out
+    }
