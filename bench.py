@@ -84,6 +84,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_simhash_pairs",
     "q_text_quality",
     "q_token_count_bpe",
+    "q_fertility",
     "q_curation",
     "q_pack_shards",
     "q_span_masks",

@@ -2073,6 +2073,47 @@ FROM starts
 """
 
 
+def q_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: subtokens-per-word ratio per
+    lang — the number tokenizer teams watch per language when a shared
+    vocabulary under-serves some scripts (fertility ≫ 1 ⇒ that
+    language pays more sequence length per word).  Exact integer sums,
+    one division, 6 digits."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = token_count(docs)
+    subs = subtoken_count(docs)
+    j = toks.select("doc_id", "lang", "n_tokens").join(
+        subs.select("doc_id", "n_subtokens"), "doc_id"
+    )
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.sum("n_tokens").cast("long").alias("n_words"),
+            F.sum("n_subtokens").cast("long").alias("n_subtokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_subtokens",
+            F.round(F.col("n_subtokens") / F.col("n_words"), 6).alias("fertility"),
+        )
+    )
+
+
+_FERTILITY_SQL = f"""
+WITH per_doc AS (
+  SELECT lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
+         len(regexp_extract_all({_NORM}, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS s
+  FROM documents)
+SELECT lang, CAST(sum(w) AS BIGINT) AS n_words,
+       CAST(sum(s) AS BIGINT) AS n_subtokens,
+       round(sum(s) / (sum(w) * 1.0), 6) AS fertility
+FROM per_doc GROUP BY lang
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "q_dsir_select": QueryDef(q_dsir_select, _DSIR_SQL),
     "q_lm_quality": QueryDef(q_lm_quality, _LMQ_SQL),
@@ -2083,6 +2124,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_ann_recall_all": QueryDef(q_ann_recall_all, _ann_recall_all_sql()),
     "q_contrastive_negatives": QueryDef(q_contrastive_negatives, _NEGATIVES_SQL),
     "q_span_masks": QueryDef(q_span_masks, _SPAN_SQL),
+    "q_fertility": QueryDef(q_fertility, _FERTILITY_SQL),
     "q_ivfpq_topk": QueryDef(q_ivfpq_topk, _IVFPQ_SQL),
     "q_triangle_stats": QueryDef(q_triangle_stats, _TRIANGLE_SQL),
     "q_bloom_prefilter": QueryDef(q_bloom_prefilter, _BLOOM_SQL),
