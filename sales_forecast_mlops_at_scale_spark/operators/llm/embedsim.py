@@ -69,6 +69,29 @@ def _prepared(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     ).withColumn("nrm", _norm(F.col("v")))
 
 
+#: Knuth's multiplicative hash — the ONE deterministic corpus-subset pick
+#: every quantizer seed (IVF, SemDeDup, PQ, balance/negative pools) uses;
+#: a single definition so the tiers can never drift on the pick.
+CENT_HASH_MULT = 2654435761
+
+
+def hash_pick(c: DataFrame, n: int) -> DataFrame:
+    """``n`` prepared rows minimizing ``(vid·2654435761) mod 2³¹`` with
+    vid tie-break — TakeOrderedAndProject, no global sort, no RNG."""
+    h = F.pmod(F.col("vid").cast("long") * F.lit(CENT_HASH_MULT), F.lit(2147483648))
+    return c.orderBy(h.asc(), F.col("vid").asc()).limit(n)
+
+
+def hash_pick_centroids(c: DataFrame, n: int) -> DataFrame:
+    """:func:`hash_pick` projected to the centroid contract
+    ``(cid, cv, cnrm)``."""
+    return hash_pick(c, n).select(
+        F.col("vid").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -371,12 +394,7 @@ def semantic_dedup(
     import pandas as pd
 
     c = _prepared(corpus, id_col, vec_col)
-    cent_hash = F.pmod(F.col("vid").cast("long") * F.lit(2654435761), F.lit(2147483648))
-    centroids = (
-        c.orderBy(cent_hash.asc(), F.col("vid").asc())
-        .limit(num_centroids)
-        .select(F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm"))
-    )
+    centroids = hash_pick_centroids(c, num_centroids)
     assigned = _assign_nearest(c, centroids, "cluster", ndigits).drop("nrm")
 
     def dominate(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -568,14 +586,7 @@ def ivf_topk(
         # than re-scanning + re-norming per pass (caller-owned lifetime,
         # as elsewhere)
         c = persist_slot("embedsim.ivf.prepared", c)
-    cent_hash = F.pmod(F.col("vid").cast("long") * F.lit(2654435761), F.lit(2147483648))
-    centroids = (
-        c.orderBy(cent_hash.asc(), F.col("vid").asc())
-        .limit(num_centroids)
-        .select(
-            F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
-        )
-    )
+    centroids = hash_pick_centroids(c, num_centroids)
     if refine_iters:
         centroids = kmeans_refine(
             c,
@@ -645,16 +656,7 @@ def cluster_balanced_sample(
     Output: ``vec_id, cluster, rank`` (rank ≤ cap within cluster).
     """
     c = _prepared(corpus, id_col, vec_col)
-    cent_hash = F.pmod(
-        F.col("vid").cast("long") * F.lit(2654435761), F.lit(2147483648)
-    )
-    centroids = (
-        c.orderBy(cent_hash.asc(), F.col("vid").asc())
-        .limit(num_centroids)
-        .select(
-            F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
-        )
-    )
+    centroids = hash_pick_centroids(c, num_centroids)
     assigned = _assign_nearest(c, centroids, "cluster", ndigits)
     h = F.md5(F.concat(F.lit(seed), F.col("vid").cast("string")))
     w = Window.partitionBy("cluster").orderBy(h.asc(), F.col("vid").asc())
@@ -695,19 +697,19 @@ def contrastive_negatives(
 
     Output: ``vec_id, neg_id, neg_cluster, rank`` (rank ≤ k_neg).
     """
+    from ...cache import _plan_key, derived_key
+
     c = _prepared(corpus, id_col, vec_col)
-    cent_hash = F.pmod(
-        F.col("vid").cast("long") * F.lit(2654435761), F.lit(2147483648)
-    )
-    centroids = (
-        c.orderBy(cent_hash.asc(), F.col("vid").asc())
-        .limit(num_centroids)
-        .select(
-            F.col("vid").alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
-        )
-    )
-    assigned = _assign_nearest(c, centroids, "cluster", ndigits).select(
-        "vid", "cluster"
+    centroids = hash_pick_centroids(c, num_centroids)
+    # the (vid, cluster) frame feeds BOTH the pool build and the anchor
+    # side of the candidate join — pin it or the corpus-sized assignment
+    # pipeline executes twice per action
+    assigned = persist_slot(
+        "embedsim.negatives.assigned",
+        _assign_nearest(c, centroids, "cluster", ndigits).select("vid", "cluster"),
+        key=derived_key(
+            _plan_key(c), "negatives.assigned", num_centroids, ndigits
+        ),
     )
     pool_h = F.md5(F.concat(F.lit(seed + ":pool"), F.col("vid").cast("string")))
     w_pool = Window.partitionBy("cluster").orderBy(pool_h.asc(), F.col("vid").asc())

@@ -126,9 +126,24 @@ def _sqdist_fp(a, b, d_sub: int | None = None):
 #: with map-side partial aggregation — min(struct(...)) falls back to a
 #: SortAggregate that sorts the full M·K-way join output (measured 6–9 s
 #: per Lloyd iteration at sf0.1 vs ~1 s packed).  Valid while
-#: d_fp < 2³², guaranteed here: all inputs are unit-sphere (sub)vectors,
-#: so per-subspace ‖a−b‖² ≤ 4 → d_fp ≤ 4·10⁶ + 1.
+#: d_fp < 2³², guaranteed at every call site: unit-sphere subvectors
+#: give per-subspace ‖a−b‖² ≤ 4 (d_fp ≤ 4·10⁶), and the IVF-PQ
+#: residual sites have both sides of norm ≤ 2, so ‖a−b‖² ≤ 16
+#: (d_fp ≤ 1.6·10⁷) — both orders of magnitude under the 2³² ceiling.
+#: cid must sit in [0, 2³¹) — guarded with raise_error below, the same
+#: contract (and remedy: map 64-bit/negative ids to a dense surrogate)
+#: as ``embedsim._assign_nearest``'s packed argmax.
 _PACK = 1 << 31
+
+
+def _pack_key(d_fp, cid):
+    cid_ok = F.when(
+        (cid < 0) | (cid >= F.lit(_PACK)),
+        F.raise_error(
+            F.lit("packed argmin requires codeword ids in [0, 2^31)")
+        ).cast("long"),
+    ).otherwise(cid)
+    return d_fp * F.lit(_PACK) + cid_ok
 
 
 def _argmin_code(scored: DataFrame, group_cols: list[str]) -> DataFrame:
@@ -170,17 +185,23 @@ def pq_codebook(
     what makes the quantizer: measured recall@5 at sf0.1 (M=32, K=16)
     is 0.30 seeded → 0.525 after one iteration → 0.575 at two
     (plateau) — on par with the IVF tier's 0.588 at 16× compression."""
+    from .embedsim import hash_pick
+
     c = _unit(_prepared(corpus, id_col, vec_col))
     base = _plan_key(c)
-    cent_hash = F.pmod(
-        F.col("vid").cast("long") * F.lit(2654435761), F.lit(2147483648)
-    )
-    cw = c.orderBy(cent_hash.asc(), F.col("vid").asc()).limit(k).select("vid", "v")
+    cw = hash_pick(c, k).select("vid", "v")
     cb = _subspaces(cw, m=m).select(
         "m", F.col("vid").alias("cid"), F.col("sv").alias("cv")
     )
     if refine_iters:
-        sub = _subspaces(c, m=m)
+        # sub feeds the assignment join AND the per-iteration subvector
+        # rejoin — pinned, or the corpus-wide subspace explode replays
+        # twice per Lloyd iteration
+        sub = persist_slot(
+            "pq.sub",
+            _subspaces(c, m=m),
+            key=derived_key(base, "sub", m) if base else None,
+        )
         cb = pq_refine(
             sub,
             cb,
@@ -219,9 +240,8 @@ def pq_refine(
         scored = sub.join(F.broadcast(codebook), "m").select(
             "vid",
             "m",
-            (
-                _sqdist_fp(F.col("sv"), F.col("cv"), d_sub) * F.lit(_PACK)
-                + F.col("cid")
+            _pack_key(
+                _sqdist_fp(F.col("sv"), F.col("cv"), d_sub), F.col("cid")
             ).alias("__k"),
         )
         # packed argmin (see _PACK): no arrays ride the shuffle; the
@@ -313,10 +333,9 @@ def pq_encode(
     scored = sub.join(F.broadcast(codebook), "m").select(
         "vid",
         "m",
-        (
-            _sqdist_fp(F.col("sv"), F.col("cv"), dim // m if dim else None)
-            * F.lit(_PACK)
-            + F.col("cid")
+        _pack_key(
+            _sqdist_fp(F.col("sv"), F.col("cv"), dim // m if dim else None),
+            F.col("cid"),
         ).alias("__k"),
     )
     # packed argmin — codegen hash aggregate, not a struct SortAggregate
@@ -392,21 +411,11 @@ def pq_adc_topk(
 def ivfpq_centroids(
     c: DataFrame, *, num_centroids: int = 16
 ) -> DataFrame:
-    """Coarse quantizer from a prepared ``(vid, v, nrm)`` frame: the
-    hash-picked ``num_centroids`` corpus vectors (IVF's deterministic
-    pick) as ``(cid, cv, cnrm)``."""
-    cent_hash = F.pmod(
-        F.col("vid").cast("long") * F.lit(2654435761), F.lit(2147483648)
-    )
-    return (
-        c.orderBy(cent_hash.asc(), F.col("vid").asc())
-        .limit(num_centroids)
-        .select(
-            F.col("vid").alias("cid"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
+    """Coarse quantizer from a prepared ``(vid, v, nrm)`` frame — the
+    shared :func:`embedsim.hash_pick_centroids` pick."""
+    from .embedsim import hash_pick_centroids
+
+    return hash_pick_centroids(c, num_centroids)
 
 
 def _unit_centroids(centroids: DataFrame) -> DataFrame:
@@ -492,9 +501,8 @@ def ivfpq_encode(
         "vid",
         "bucket",
         "m",
-        (
-            _sqdist_fp(F.col("sv"), F.col("cv"), d_sub) * F.lit(_PACK)
-            + F.col("cid")
+        _pack_key(
+            _sqdist_fp(F.col("sv"), F.col("cv"), d_sub), F.col("cid")
         ).alias("__k"),
     )
     # packed argmin — codegen hash aggregate, not a struct SortAggregate

@@ -1964,7 +1964,11 @@ def _ann_recall_all_sql() -> str:
     return f"""
 WITH exact AS (SELECT q_id, nn_id FROM (\n{_EMBED_TOPK_SQL}\n)),
 apx AS ({unions}),
-meths AS (SELECT DISTINCT method FROM apx),
+-- literal method list: a tier that returns ZERO rows must still appear
+-- with recall 0 (DISTINCT over apx would drop it while the Spark side
+-- still emits its rows)
+meths AS (SELECT * FROM (VALUES ('ivf'), ('ivfpq'), ('pq'), ('srp'))
+          AS t(method)),
 pairs AS (SELECT m.method, e.q_id, e.nn_id FROM exact e CROSS JOIN meths m)
 SELECT p.method, p.q_id, CAST(count(*) AS INTEGER) AS k,
        CAST(sum(CASE WHEN a.nn_id IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)

@@ -10,7 +10,6 @@ TOP = [
     "q_semantic_dedup", "q_kmv_overlap", "q_cms_heavy",
     "q_triangle_stats", "q_dsir_select", "q_lm_quality", "q_bloom_prefilter",
     "q_stratified_sample", "q_pq_topk", "q_ivfpq_topk", "q_cdc_dedup",
-    "q_lm_quality",
 ]
 NOTES = {
     "q_dedup_clusters": "MinHash-LSH pairs (persisted shingle sets, banded bucket join) feed min-label propagation; two propagation steps per localCheckpoint+probe; edges pinned once.",
@@ -33,7 +32,6 @@ NOTES = {
     "q_pq_topk": "Lloyd-trained codebook pinned (tiny M*K rows; plan doubles per iteration without the pin), code table pinned as the stored index; ADC = codes x broadcast distance table, integer sums, TakeOrdered-style top-k.",
     "q_ivfpq_topk": "Coarse cosine argmax buckets + residual PQ codes; search touches only integer code rows of probed buckets; all index frames slot-pinned with keys EXCLUDING search params.",
     "q_cdc_dedup": "Arrow kernel chunking (zero shuffle), then one map-side-combinable digest groupBy - the exact-dedup shape over content-defined chunks.",
-    "q_lm_quality": "Bigram pairing is per-row HOF zip (no shuffle); model histograms bounded at B^2 cells; NLL LUT broadcast; one doc-keyed shuffle.",
     "q_cms_heavy": "Depth x width sketch as one grouped sum per (row,col) cell - map-side combinable grid, heavy-hitter probe reads the broadcast sketch; bounded state regardless of key cardinality.",
 }
 

@@ -63,9 +63,13 @@ def main() -> None:
                 t0 = time.perf_counter()
                 reg[name].fn(spark, sf).count()
                 runs.append(time.perf_counter() - t0)
+                # clear BETWEEN reps too: rep 2 must not serve from rep
+                # 1's persist slots, or "min of 2" silently reports the
+                # warm index-reuse path instead of the cold state the
+                # header claims
+                clear_slots()
+                spark.catalog.clearCache()
             cells.append(min(runs))
-            clear_slots()
-            spark.catalog.clearCache()
         rows.append((name, cells))
         print(f"{name:24s} " + "  ".join(f"{c:6.2f}" for c in cells), flush=True)
 
