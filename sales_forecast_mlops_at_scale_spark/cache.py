@@ -37,6 +37,45 @@ from pyspark.sql import DataFrame
 _LIVE: dict[str, tuple[int, str, DataFrame]] = {}
 
 
+_STAT_FILE_CAP = 1024
+
+
+def _files_digest(df: DataFrame) -> str:
+    """Digest of the source files behind ``df``: name + size + mtime.
+
+    Names alone under-key: a directory rewritten in place with identical
+    file names (compaction, an external writer with deterministic part
+    names) would key identically and serve stale cached data.  Size and
+    modification time come from the driver-side FileSystem status — one
+    metadata RPC per file, same order as the listing itself.  Beyond
+    ``_STAT_FILE_CAP`` files the per-file stat cost stops being free, so
+    we degrade to names-only; at that point slot reuse assumes
+    content-addressed immutable part files (Spark's own writers qualify:
+    every part name embeds a job UUID)."""
+    files = sorted(df.inputFiles())
+    entries = files
+    if 0 < len(files) <= _STAT_FILE_CAP:
+        try:
+            sess = df.sparkSession
+            jvm = sess._jvm
+            hconf = sess._jsc.hadoopConfiguration()
+            stamped = []
+            fs_cache: dict[str, object] = {}
+            for f in files:
+                path = jvm.org.apache.hadoop.fs.Path(f)
+                scheme = f.split(":", 1)[0] if ":" in f else ""
+                fs = fs_cache.get(scheme)
+                if fs is None:
+                    fs = path.getFileSystem(hconf)
+                    fs_cache[scheme] = fs
+                st = fs.getFileStatus(path)
+                stamped.append(f"{f}#{st.getLen()}#{st.getModificationTime()}")
+            entries = stamped
+        except Exception:  # noqa: BLE001 — connect clients, exotic FS
+            entries = files
+    return hashlib.sha256("\n".join(entries).encode()).hexdigest()
+
+
 def _plan_key(df: DataFrame) -> tuple[int, str] | None:
     try:
         plan = df._jdf.queryExecution().analyzed()
@@ -44,11 +83,10 @@ def _plan_key(df: DataFrame) -> tuple[int, str] | None:
         # Relation prints without its path), so same-shaped plans over
         # different directories stringify identically; semanticHash does
         # include relation identity but is only 32 bits.  The sorted
-        # input-file digest pins the data: reuse requires hash AND shape
-        # AND the exact same source files.  (inputFiles() is a listing,
-        # not a scan — once per operator call; at truly huge file counts
-        # swap for the FileIndex root paths.)
-        files = hashlib.sha256("\n".join(sorted(df.inputFiles())).encode()).hexdigest()
+        # input-file digest (name+size+mtime, see _files_digest) pins
+        # the data: reuse requires hash AND shape AND the exact same
+        # source file contents-as-stamped.
+        files = _files_digest(df)
         return plan.semanticHash(), plan.canonicalized().toString() + "#" + files
     except Exception:  # noqa: BLE001 — connect-only clients etc.
         return None
@@ -107,11 +145,36 @@ def persist_slot(
     return out
 
 
+_KEYLESS: list[DataFrame] = []
+
+
+def track_keyless(df: DataFrame) -> DataFrame:
+    """Persist ``df`` WITHOUT plan-keyed reuse but WITH registry-owned
+    lifetime: the frame is recorded so :func:`clear_slots` releases it.
+
+    For iterative plans (Lloyd loops) whose intermediate frames must
+    stay pinned until the FINAL frame is evaluated — an eager
+    unpersist-previous scheme would defeat the persist entirely, since
+    nothing materializes until the terminal action — but which would
+    otherwise leak one cached frame per iteration per invocation on
+    sessions where ``_plan_key`` returns ``None`` (Spark Connect)."""
+    out = df.persist()
+    _KEYLESS.append(out)
+    return out
+
+
 def clear_slots() -> None:
-    """Unpersist and drop every live slot (tests / session teardown)."""
+    """Unpersist and drop every live slot and every tracked keyless
+    persist (tests / session teardown)."""
     for _, _, df in _LIVE.values():
         try:
             df.unpersist(False)
         except Exception:  # noqa: BLE001
             pass
     _LIVE.clear()
+    for df in _KEYLESS:
+        try:
+            df.unpersist(False)
+        except Exception:  # noqa: BLE001
+            pass
+    _KEYLESS.clear()

@@ -289,9 +289,15 @@ def stratified_sample(
     q = F.floor(F.sqrt(F.col("__n")) * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
     counts = counts.withColumn("__q", q)
     tot = counts.agg(F.sum("__q").alias("__tq"))
+    # The budget·q_s product is computed in DECIMAL(38,0): as int64 it
+    # wraps silently (ANSI off) once budget·sqrt(n_s)·10^6 exceeds
+    # 2^63 — reachable at petabyte scale (budget 1e7 over a 1e14-row
+    # stratum).  DIV on decimal is still exact integral division, and
+    # the quotient (≤ budget) always fits back in a long.
     alloc = counts.crossJoin(F.broadcast(tot)).select(
         *gcols,
-        F.expr(f"{budget} * __q DIV __tq").alias("alloc"),
+        F.expr(f"CAST(CAST({budget} AS DECIMAL(38,0)) * __q DIV __tq AS BIGINT)")
+        .alias("alloc"),
     )
     h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
     w = Window.partitionBy(*gcols).orderBy(h.asc(), F.col(id_col).asc())

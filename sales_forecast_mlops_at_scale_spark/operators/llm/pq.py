@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ...cache import _plan_key, derived_key, persist_slot
+from ...cache import _plan_key, derived_key, persist_slot, track_keyless
 from .embedsim import SRP_QUANT_SCALE, _prepared
 
 #: Fixture geometry: 64-dim vectors → 32 subspaces × 2 dims, 16 codewords
@@ -309,11 +309,15 @@ def pq_refine(
                 f"{slot_prefix}.it{it}", stepped, key=derived_key(key, "it", it)
             )
         else:
-            # keyless: plain persist — slot keying would fall back to
-            # _plan_key over the Lloyd-unrolled tree, the exact
-            # driver-side traversal derived_key exists to avoid;
-            # lifetime is caller-owned (house convention)
-            codebook = stepped.persist()
+            # keyless: registry-tracked persist — slot keying would fall
+            # back to _plan_key over the Lloyd-unrolled tree, the exact
+            # driver-side traversal derived_key exists to avoid.  Every
+            # iteration must stay pinned until the final codebook is
+            # evaluated (eager unpersist-previous would void the cache —
+            # nothing materializes until the terminal action), so
+            # lifetime is owned by the registry: clear_slots() releases
+            # these instead of leaking one frame per iteration per call.
+            codebook = track_keyless(stepped)
     return codebook
 
 

@@ -170,6 +170,11 @@ def bloom_prefilter(
         _bloom_bits(F.col(probe_col), m=m, k=k),
         lambda b: F.array_contains(F.col("__bits"), b),
     )
+    # A NULL probe value makes the bit array NULL and has_all NULL; a
+    # NULL key can never be a true member of the build set, so coalesce
+    # to false — otherwise downstream `WHERE bloom_pass` silently drops
+    # NULL-key rows and the audit's sums stop reconciling with n_probe.
+    has_all = F.coalesce(has_all, F.lit(False))
     return probed.withColumn("bloom_pass", has_all).drop("__bits")
 
 

@@ -157,20 +157,34 @@ def expectation_report(df: DataFrame, expectations: Sequence[Expectation]) -> Da
     the same pass.  At 100 TB this runs at scan speed; the alternative —
     one job per constraint — rescans the table N times.
 
-    Metrics are rounded to 6 dp BEFORE the threshold comparison so the
-    pass/fail verdict is engine-exact and the DuckDB oracle twin agrees
-    bit-for-bit.
+    The REPORTED metric is rounded to 6 dp (display stability), but the
+    pass/fail verdict for an EXACTNESS constraint (``minimum >= 1.0``)
+    compares the UNROUNDED metric: rounding first would report
+    ``passed=true`` with a violation fraction up to ~5e-7, i.e. real
+    violations silently pass on any table beyond ~2M rows.  The
+    unrounded fraction is an integer-sum / integer-count double
+    division, so ``metric == 1.0`` exactly iff violations == 0 for any
+    table under 2^53 rows — engine-exact in both Spark and the DuckDB
+    oracle twin.  Fractional thresholds (< 1.0) keep the 6 dp rounding
+    so near-threshold float noise can't flap the verdict between
+    engines.
     """
     exps = list(expectations)
     wide = df.agg(
         *[e.metric.cast("double").alias(f"__m{i}") for i, e in enumerate(exps)]
     )
+
+    def _passed(i: int, e: Expectation) -> Column:
+        if float(e.minimum) >= 1.0:
+            return F.col(f"__m{i}") >= F.lit(float(e.minimum))
+        return F.round(F.col(f"__m{i}"), 6) >= F.lit(float(e.minimum))
+
     rows = [
         F.struct(
             F.lit(e.name).alias("check"),
             F.round(F.col(f"__m{i}"), 6).alias("metric"),
             F.lit(float(e.minimum)).cast("double").alias("threshold"),
-            (F.round(F.col(f"__m{i}"), 6) >= F.lit(float(e.minimum))).alias("passed"),
+            _passed(i, e).alias("passed"),
         )
         for i, e in enumerate(exps)
     ]
@@ -207,9 +221,14 @@ def fk_coverage_report(
         F.lit(1)
     )
     wide = joined.agg(metric.alias("__m"))
+    passed = (
+        (F.col("__m") >= F.lit(float(minimum)))
+        if float(minimum) >= 1.0
+        else (F.round(F.col("__m"), 6) >= F.lit(float(minimum)))
+    )
     return wide.select(
         F.lit(name).alias("check"),
         F.round(F.col("__m"), 6).alias("metric"),
         F.lit(float(minimum)).cast("double").alias("threshold"),
-        (F.round(F.col("__m"), 6) >= F.lit(float(minimum))).alias("passed"),
+        passed.alias("passed"),
     )

@@ -757,21 +757,21 @@ fk AS (
   FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
     ON orders.o_custkey = c.c_custkey)
 SELECT 'orders.completeness.o_custkey' AS check, round(m_comp, 6) AS metric,
-       1.0 AS threshold, round(m_comp, 6) >= 1.0 AS passed FROM o
+       1.0 AS threshold, m_comp >= 1.0 AS passed FROM o
 UNION ALL SELECT 'orders.uniqueness.o_orderkey', round(m_uniq, 6), 1.0,
-       round(m_uniq, 6) >= 1.0 FROM o
+       m_uniq >= 1.0 FROM o
 UNION ALL SELECT 'orders.domain.o_orderstatus', round(m_dom, 6), 1.0,
-       round(m_dom, 6) >= 1.0 FROM o
+       m_dom >= 1.0 FROM o
 UNION ALL SELECT 'orders.positive.o_totalprice', round(m_pos, 6), 1.0,
-       round(m_pos, 6) >= 1.0 FROM o
+       m_pos >= 1.0 FROM o
 UNION ALL SELECT 'lineitem.positive.l_extendedprice', round(m_ship, 6), 1.0,
-       round(m_ship, 6) >= 1.0 FROM l
+       m_ship >= 1.0 FROM l
 UNION ALL SELECT 'lineitem.range.l_quantity', round(m_qty, 6), 1.0,
-       round(m_qty, 6) >= 1.0 FROM l
+       m_qty >= 1.0 FROM l
 UNION ALL SELECT 'lineitem.range.l_discount', round(m_disc, 6), 1.0,
-       round(m_disc, 6) >= 1.0 FROM l
+       m_disc >= 1.0 FROM l
 UNION ALL SELECT 'orders.fk.customer', round(m_fk, 6), 1.0,
-       round(m_fk, 6) >= 1.0 FROM fk
+       m_fk >= 1.0 FROM fk
 """
 
 

@@ -1491,9 +1491,10 @@ bits AS (SELECT DISTINCT unnest([{_bloom_pos_sql(0, 256)},
                                  {_bloom_pos_sql(1, 256)}]) AS bit FROM build),
 probe AS (SELECT source, {_NORM} AS v FROM documents),
 flag AS (SELECT source,
-    ({_bloom_pos_sql(0, 256)} IN (SELECT bit FROM bits))
-    AND ({_bloom_pos_sql(1, 256)} IN (SELECT bit FROM bits)) AS bloom_pass,
-    v IN (SELECT v FROM build) AS exact
+    COALESCE(({_bloom_pos_sql(0, 256)} IN (SELECT bit FROM bits))
+             AND ({_bloom_pos_sql(1, 256)} IN (SELECT bit FROM bits)),
+             FALSE) AS bloom_pass,
+    COALESCE(v IN (SELECT v FROM build), FALSE) AS exact
   FROM probe)
 SELECT source, CAST(count(*) AS BIGINT) AS n_probe,
   CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
@@ -1520,7 +1521,8 @@ WITH counts AS (
          CAST(floor(sqrt(count(*)) * 1000000.0 + 0.5) AS BIGINT) AS q
   FROM documents GROUP BY 1, 2),
 tot AS (SELECT sum(q) AS tq FROM counts),
-alloc AS (SELECT source, lang, CAST(200 * q // tot.tq AS BIGINT) AS alloc
+alloc AS (SELECT source, lang,
+          CAST(CAST(200 AS HUGEINT) * q // tot.tq AS BIGINT) AS alloc
           FROM counts, tot),
 ranked AS (
   SELECT source, lang, doc_id,
