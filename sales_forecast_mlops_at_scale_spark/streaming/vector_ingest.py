@@ -146,10 +146,15 @@ def search_materialized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     ndigits: int = 6,
+    rerank: int = 0,
 ) -> DataFrame:
     """:func:`operators.llm.pq.ivfpq_search` over the MATERIALIZED index
     tables — the corpus itself is never touched.
-    Output: ``q_id, nn_id, adist, rank``."""
+    Output: ``q_id, nn_id, adist, rank`` — or, with ``rerank > 0``,
+    ``q_id, nn_id, score, rank``: ADC selects top-``rerank`` candidates
+    and the ``{root}/vectors`` table (the re-rank tier the ingest
+    maintains for exactly this) settles the final order by exact
+    cosine."""
     centroids = spark.read.parquet(f"{root_path}/centroids")
     codebook = spark.read.parquet(f"{root_path}/pq_codebook")
     codes = spark.read.parquet(f"{root_path}/codes").select(
@@ -157,6 +162,11 @@ def search_materialized(
     )
     q = _prepared(queries, id_col, vec_col).select(
         F.col("vid").alias("qid"), "v", "nrm"
+    )
+    vectors = (
+        _prepared(spark.read.parquet(f"{root_path}/vectors"), id_col, vec_col)
+        if rerank
+        else None
     )
     return ivfpq_search(
         q,
@@ -168,6 +178,8 @@ def search_materialized(
         m=m,
         d_sub=dim // m if dim else None,
         ndigits=ndigits,
+        vectors=vectors,
+        rerank=rerank,
     )
 
 

@@ -604,6 +604,13 @@ def test_vector_ingest_incremental_index_and_search(spark, tmp_path):
     dup = next(r for r in hits if r.nn_id == 100)
     assert dup.adist == best
 
+    # re-rank tier: the {root}/vectors table settles the final order by
+    # exact cosine — the duplicate must surface at rank 1 with score 1.0
+    rr = search_materialized(spark, root, q, k=3, dim=64, rerank=10).collect()
+    assert rr[0].rank == 1 or any(r.rank == 1 for r in rr)
+    top = next(r for r in rr if r.rank == 1)
+    assert top.nn_id == 100 and top.score == 1.0
+
 
 def test_vector_ingest_empty_first_batch_does_not_freeze_quantizer(spark, tmp_path):
     """An empty first micro-batch must not train-and-freeze a 0-row
