@@ -147,6 +147,37 @@ def persist_slot(
 
 _KEYLESS: list[DataFrame] = []
 
+_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def plan_memo(key: tuple[int, str] | None, builder) -> DataFrame:
+    """Driver-side memo of a CONSTRUCTED plan: same key → the same
+    DataFrame object, skipping Python/py4j expression re-construction.
+
+    Orthogonal to :func:`persist_slot` (which caches DATA): building a
+    wide plan like the PQ index + ADC search costs ~1 s of pure py4j
+    round trips per invocation — pure driver latency, invariant to data
+    size, and exactly what a production search tier amortizes by
+    constructing its query plan once and serving many.  The key must
+    come from :func:`_plan_key`/:func:`derived_key` so it pins the
+    source files (digest includes size+mtime): changed inputs or params
+    miss and rebuild.  Correctness never depends on a hit — the memo
+    returns a plan, not results; evaluation still runs the query.
+    ``None`` key (unkeyable session) → always build."""
+    if key is None:
+        return builder()
+    hit = _MEMO.get(key)
+    if hit is not None:
+        try:
+            same = hit.sparkSession.sparkContext._jsc is not None
+        except Exception:  # noqa: BLE001 — stopped session
+            same = False
+        if same:
+            return hit
+    out = builder()
+    _MEMO[key] = out
+    return out
+
 
 def track_keyless(df: DataFrame) -> DataFrame:
     """Persist ``df`` WITHOUT plan-keyed reuse but WITH registry-owned
@@ -178,3 +209,6 @@ def clear_slots() -> None:
         except Exception:  # noqa: BLE001
             pass
     _KEYLESS.clear()
+    # memoized plans reference the just-unpersisted frames; they'd still
+    # recompute correctly, but dropping them keeps lifetimes aligned
+    _MEMO.clear()

@@ -578,7 +578,44 @@ def ivf_topk(
     centroids move to actual cluster means, tightening buckets and
     raising recall at equal ``nprobe`` without touching the probe/search
     dataflow.
+
+    The constructed plan is memoized on (corpus, queries, params) — see
+    :func:`cache.plan_memo`: repeat searches skip the driver-side py4j
+    expression building (~1 s for the Lloyd-unrolled tree) and execute
+    directly against the slot-pinned centroids.
     """
+    from ...cache import _plan_key, derived_key, plan_memo
+
+    memo_key = derived_key(
+        _plan_key(corpus),
+        "ivf.search",
+        _plan_key(queries),
+        k, num_centroids, nprobe, refine_iters, refine_sample_frac,
+        id_col, vec_col, ndigits,
+    )
+    return plan_memo(
+        memo_key,
+        lambda: _ivf_topk_build(
+            corpus, queries, k=k, num_centroids=num_centroids, nprobe=nprobe,
+            refine_iters=refine_iters, refine_sample_frac=refine_sample_frac,
+            id_col=id_col, vec_col=vec_col, ndigits=ndigits,
+        ),
+    )
+
+
+def _ivf_topk_build(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    num_centroids: int,
+    nprobe: int,
+    refine_iters: int,
+    refine_sample_frac: float | None,
+    id_col: str,
+    vec_col: str,
+    ndigits: int,
+) -> DataFrame:
     c = _prepared(corpus, id_col, vec_col)
     if refine_iters:
         # the prepared corpus feeds one assignment pass per Lloyd

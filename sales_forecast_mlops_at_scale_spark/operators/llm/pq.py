@@ -61,33 +61,43 @@ def _subspaces(df: DataFrame, *, m: int, vec_col: str = "v") -> DataFrame:
     divide evenly by ``m`` — enforced per row with ``raise_error`` (the
     same guard class as ``embedsim._srp_band_udf``'s nbits/band_bits
     check); a silent non-divisible slice would drift subspace boundaries
-    and drop trailing dims with no symptom but degraded recall."""
-    sz = F.size(F.col(vec_col))
+    and drop trailing dims with no symptom but degraded recall.
+
+    The M-wide struct array is built as ONE ``F.expr`` SQL string, not M
+    ``F.struct``/``F.slice`` Column calls: each Column operation is a
+    py4j round trip, and the per-Column form cost ~500 driver→JVM
+    messages per call site — measured ~1 s of pure socket latency per
+    ``pq_codebook`` invocation (the "cold index build" the r4 bench
+    flagged was mostly this, not cluster work).  Same analyzed plan
+    either way."""
     d_sub = F.when(
-        sz % m == 0, (sz / m).cast("int")
+        F.size(F.col(vec_col)) % m == 0,
+        (F.size(F.col(vec_col)) / m).cast("int"),
     ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(f"PQ subspaces: dim must divide by m={m}, got "),
-                sz.cast("string"),
+                F.size(F.col(vec_col)).cast("string"),
             )
         ).cast("int")
     )
-    subs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("m"),
-                F.slice(
-                    F.col(vec_col), F.lit(i) * d_sub + 1, d_sub
-                ).alias("sv"),
-            )
+    subs_sql = (
+        "array("
+        + ",".join(
+            f"struct({i} AS m,"
+            f" slice(`{vec_col}`, {i} * __dsub + 1, __dsub) AS sv)"
             for i in range(m)
-        ]
+        )
+        + ")"
     )
-    return df.withColumn("__s", F.explode(subs)).select(
-        *[c for c in df.columns if c != vec_col],
-        F.col("__s.m").alias("m"),
-        F.col("__s.sv").alias("sv"),
+    return (
+        df.withColumn("__dsub", d_sub)
+        .withColumn("__s", F.explode(F.expr(subs_sql)))
+        .select(
+            *[c for c in df.columns if c != vec_col],
+            F.col("__s.m").alias("m"),
+            F.col("__s.sv").alias("sv"),
+        )
     )
 
 
@@ -365,7 +375,41 @@ def pq_adc_topk(
     Output: ``q_id, nn_id, adist, rank`` — ``adist`` is the fixed-point
     ADC squared distance / 10^6 (ascending = nearer), ranked with nn-id
     tie-break; the query itself is excluded.
+
+    The CONSTRUCTED plan is memoized on (corpus, queries, params) — see
+    :func:`cache.plan_memo`: identical repeat searches skip the ~1 s of
+    driver-side py4j expression building and go straight to execution
+    against the slot-pinned codebook/codes.
     """
+    ckey = _plan_key(corpus)
+    memo_key = derived_key(
+        ckey,
+        "pq.adc.search",
+        _plan_key(queries),
+        k, m, n_codewords, dim, id_col, vec_col,
+    )
+    from ...cache import plan_memo
+
+    return plan_memo(
+        memo_key,
+        lambda: _pq_adc_topk_build(
+            corpus, queries, k=k, m=m, n_codewords=n_codewords,
+            dim=dim, id_col=id_col, vec_col=vec_col,
+        ),
+    )
+
+
+def _pq_adc_topk_build(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    m: int,
+    n_codewords: int,
+    dim: int | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
     codebook = pq_codebook(
         corpus, m=m, k=n_codewords, dim=dim, id_col=id_col, vec_col=vec_col
     )
@@ -673,9 +717,51 @@ def ivfpq_topk(
     rebuild, the pinned index.
 
     Output: ``q_id, nn_id, adist, rank`` (query excluded).
+
+    Like :func:`pq_adc_topk`, the constructed plan is memoized on
+    (corpus, queries, params) — repeat searches skip driver-side
+    expression building entirely (:func:`cache.plan_memo`).
     """
+    ckey = _plan_key(corpus)
+    memo_key = derived_key(
+        ckey,
+        "ivfpq.search",
+        _plan_key(queries),
+        k, num_centroids, nprobe, m, n_codewords,
+        refine_iters, dim, id_col, vec_col, ndigits, rerank,
+    )
+    from ...cache import plan_memo
+
+    return plan_memo(
+        memo_key,
+        lambda: _ivfpq_topk_build(
+            corpus, queries, ckey=ckey, k=k, num_centroids=num_centroids,
+            nprobe=nprobe, m=m, n_codewords=n_codewords,
+            refine_iters=refine_iters, dim=dim, id_col=id_col,
+            vec_col=vec_col, ndigits=ndigits, rerank=rerank,
+        ),
+    )
+
+
+def _ivfpq_topk_build(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    ckey: tuple[int, str] | None,
+    k: int,
+    num_centroids: int,
+    nprobe: int,
+    m: int,
+    n_codewords: int,
+    refine_iters: int,
+    dim: int | None,
+    id_col: str,
+    vec_col: str,
+    ndigits: int,
+    rerank: int,
+) -> DataFrame:
     idx_key = derived_key(
-        _plan_key(corpus),
+        ckey,
         "ivfpq.idx", num_centroids, m, n_codewords,
         refine_iters, dim, id_col, vec_col, ndigits,
     )
