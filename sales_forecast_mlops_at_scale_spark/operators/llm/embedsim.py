@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ...cache import persist_slot
+from ...cache import _plan_key, derived_key, persist_slot
 
 
 def _as_double(v: Column) -> Column:
@@ -370,6 +370,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     ndigits: int = 6,
+    max_cluster_rows: int = 4096,
 ) -> DataFrame:
     """SemDeDup-shaped semantic dedup: cluster every vector to its
     nearest deterministic centroid, then within each cluster drop any
@@ -384,18 +385,35 @@ def semantic_dedup(
     grouped ``applyInPandas`` — **no embedding arrays ride any join**
     (the previous formulation self-joined ``assigned`` on cluster with
     full vectors on both sides: Σ|cluster|·dim shuffle and interpreted
-    HOF dot products over Σ|cluster|² pairs).  Per-task memory is
-    |cluster|² doubles; the SemDeDup recipe holds cluster size constant
-    by growing ``num_centroids`` ∝ N (for outlier mega-clusters, the
-    residue-blocked kernel of :func:`neardup_pairs` keyed by
-    (cluster, block pair) bounds it independently of cluster size).
+    HOF dot products over Σ|cluster|² pairs).
+
+    **Bounded task memory, enforced**: the grouped kernel's per-task
+    memory is |cluster|², and nothing guarantees the caller grew
+    ``num_centroids`` ∝ N — a skewed corpus can hand one task a
+    mega-cluster.  Clusters above ``max_cluster_rows`` are therefore
+    routed AUTOMATICALLY through the residue-blocked kernel of
+    :func:`neardup_pairs`, keyed by (cluster, block pair) with
+    per-cluster ``nblocks = ceil(n / max_cluster_rows)``: per-task
+    memory is capped at ~(2·``max_cluster_rows``)² regardless of
+    cluster size, at O(n·nblocks) extra row movement for the oversized
+    clusters only.  Both paths produce the identical min-id-dominator
+    verdict (same normalization, same rounded GEMM, min over the same
+    pair set), so the split is invisible in the output — the oracle
+    twin states the semantics once, unblocked.
     """
     import numpy as np
     import pandas as pd
 
     c = _prepared(corpus, id_col, vec_col)
     centroids = hash_pick_centroids(c, num_centroids)
-    assigned = _assign_nearest(c, centroids, "cluster", ndigits).drop("nrm")
+    assigned = persist_slot(
+        "embedsim.semdedup.assigned",
+        _assign_nearest(c, centroids, "cluster", ndigits).drop("nrm"),
+        key=derived_key(
+            _plan_key(c), "semdedup.assigned", num_centroids, ndigits
+        ),
+    )
+    counts = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("__n"))
 
     def dominate(pdf: pd.DataFrame) -> pd.DataFrame:
         # sort by id so "min dominating id" = first True down each column
@@ -417,9 +435,109 @@ def semantic_dedup(
             }
         )
 
-    return assigned.groupBy("cluster").applyInPandas(
+    small = (
+        assigned.join(F.broadcast(counts.filter(F.col("__n") <= max_cluster_rows)), "cluster")
+        .drop("__n")
+    )
+    small_out = small.groupBy("cluster").applyInPandas(
         dominate, "vec_id long, cluster long, kept boolean, dropped_by long"
     )
+
+    # -- oversized clusters: residue-blocked dominator search ------------
+    big_counts = counts.filter(F.col("__n") > max_cluster_rows).withColumn(
+        "__nb", F.ceil(F.col("__n") / F.lit(max_cluster_rows)).cast("int")
+    )
+
+    def big_side() -> DataFrame:
+        # fresh ALIASED select per side: each alias mints new attribute
+        # ids, so the self-cogroup's two sides can't collide in the
+        # analyzer (see neardup_pairs.side for the failure mode)
+        return (
+            assigned.select(
+                F.col("cluster").alias("cluster"),
+                F.col("vid").alias("vid"),
+                F.col("v").alias("v"),
+            )
+            .join(F.broadcast(big_counts.select("cluster", "__nb")), "cluster")
+            .withColumn("blk", F.pmod(F.col("vid"), F.col("__nb")).cast("int"))
+        )
+
+    a = big_side().withColumn(
+        "bj", F.explode(F.sequence(F.col("blk"), F.col("__nb") - 1))
+    ).select("cluster", F.col("blk").alias("bi"), "bj", "vid", "v")
+    b = big_side().withColumn(
+        "bi", F.explode(F.sequence(F.lit(0), F.col("blk")))
+    ).select("cluster", "bi", F.col("blk").alias("bj"), "vid", "v")
+
+    # sentinel above any real id (ids are < 2^31 per the packed-argmax
+    # contract): a row whose min over all blocks stays at the sentinel
+    # had no dominator anywhere — which lets the diagonal block emit one
+    # "presence" row per member and a single min-aggregate produce the
+    # verdict WITHOUT rejoining `assigned` (no extra corpus-sized join
+    # in the plan; vectors never leave the cogroup tasks)
+    _NO_DOM = 1 << 62
+
+    def gemm_dom(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "cluster": pd.Series(dtype="int64"),
+                "vid": pd.Series(dtype="int64"),
+                "dom": pd.Series(dtype="int64"),
+            }
+        )
+        parts = []
+        diag = key[1] == key[2]
+        if diag and len(left) and "vid" in left:
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "cluster": np.full(len(left), key[0], dtype=np.int64),
+                        "vid": left["vid"].to_numpy(),
+                        "dom": np.full(len(left), _NO_DOM, dtype=np.int64),
+                    }
+                )
+            )
+        if (
+            len(left) and len(right) and "v" in left and "v" in right
+        ):
+            A = np.asarray(left["v"].tolist(), dtype=np.float64)
+            B = np.asarray(right["v"].tolist(), dtype=np.float64)
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            B /= np.linalg.norm(B, axis=1, keepdims=True)
+            S = _np_round_half_up(A @ B.T, ndigits)
+            ii, jj = np.nonzero(S >= threshold)
+            if len(ii):
+                ia = left["vid"].to_numpy()[ii]
+                ib = right["vid"].to_numpy()[jj]
+                keep = ia != ib  # diagonal carries self-pairs; min-agg
+                ia, ib = ia[keep], ib[keep]  # dedupes (i,j)/(j,i)
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            "cluster": np.full(len(ia), key[0], dtype=np.int64),
+                            "vid": np.maximum(ia, ib),
+                            "dom": np.minimum(ia, ib),
+                        }
+                    )
+                )
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    big_out = (
+        a.groupBy("cluster", "bi", "bj")
+        .cogroup(b.groupBy("cluster", "bi", "bj"))
+        .applyInPandas(gemm_dom, "cluster long, vid long, dom long")
+        .groupBy("cluster", "vid")
+        .agg(F.min("dom").alias("__dom"))
+        .select(
+            F.col("vid").alias("vec_id"),
+            "cluster",
+            (F.col("__dom") == _NO_DOM).alias("kept"),
+            F.when(F.col("__dom") == _NO_DOM, F.lit(-1))
+            .otherwise(F.col("__dom"))
+            .alias("dropped_by"),
+        )
+    )
+    return small_out.unionByName(big_out)
 
 
 def _assign_nearest(

@@ -377,6 +377,33 @@ def test_semantic_dedup_invariants(spark):
             assert r.dropped_by == -1
 
 
+def test_semantic_dedup_blocked_path_matches_unblocked(spark):
+    """A deliberately skewed clustering (1 centroid => the whole corpus
+    is one mega-cluster) forced through the residue-blocked kernel with
+    a small max_cluster_rows must produce EXACTLY the verdict of the
+    single-task grouped kernel — the auto-blocking is a memory-bound
+    execution detail, invisible in the output."""
+    from sales_forecast_mlops_at_scale_spark.operators.llm import semantic_dedup
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    def as_set(df):
+        return {
+            (r.vec_id, r.cluster, r.kept, r.dropped_by) for r in df.collect()
+        }
+
+    unblocked = as_set(
+        semantic_dedup(emb, threshold=0.4, num_centroids=1)
+    )
+    blocked = as_set(
+        semantic_dedup(
+            emb, threshold=0.4, num_centroids=1, max_cluster_rows=60
+        )
+    )
+    assert blocked == unblocked
+    assert len(blocked) == emb.count()
+
+
 def test_bm25_ranks_term_richer_docs_higher(spark):
     from sales_forecast_mlops_at_scale_spark.operators.llm import bm25_topk
 
