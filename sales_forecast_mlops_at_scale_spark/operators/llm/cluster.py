@@ -77,23 +77,32 @@ def connected_components(
             *keep,
         )
 
-    # Two propagation steps per materialization: each checkpoint + count
-    # is a driver sync, and near-dup diameters are small, so halving the
-    # sync count (≤2 syncs for diameter ≤4) beats checking after every
-    # step; a step past the fixpoint is a no-op join over an already-
-    # stable tiny label frame.  ``max_iter`` bounds propagation STEPS
-    # (rounded UP to the next even number — the loop below runs
-    # ceil(max_iter / 2) double-steps, so at least max_iter steps always
-    # execute).  The pre-double-step label rides along as ``prev`` so
-    # the convergence probe is a scan of the materialized partitions,
-    # not another labels-vs-labels shuffle join.
-    for _ in range(max(1, (max_iter + 1) // 2)):
-        seeded = labels.select("node", "label", F.col("label").alias("prev"))
-        stepped = step(step(seeded, keep=("prev",)), keep=("prev",)).localCheckpoint(
-            eager=True
-        )  # truncate iterative lineage
+    # FOUR propagation steps per driver sync (the log₂-ish unroll for
+    # the diameter ≤ 4 clusters near-dup graphs actually produce): each
+    # burst is pure plan construction ending in ONE lazy localCheckpoint
+    # whose materialization rides the convergence ``count()`` itself —
+    # so a burst costs exactly one driver action (previous shape: an
+    # EAGER checkpoint + a count = 2 syncs per 2 steps; typical graphs
+    # went 6 syncs, now 2).  A step past the fixpoint is a no-op join
+    # over an already-stable tiny label frame, so overshooting the
+    # diameter inside a burst is cheaper than syncing to find out.
+    # ``max_iter`` still bounds total propagation STEPS; the
+    # pre-burst label rides along as ``prev`` so the convergence probe
+    # is a scan of the just-materialized partitions, not another
+    # labels-vs-labels shuffle join.
+    burst_len = 4
+    steps_done = 0
+    while steps_done < max_iter:
+        burst = min(burst_len, max_iter - steps_done)
+        cur = labels.select("node", "label", F.col("label").alias("prev"))
+        for _ in range(burst):
+            cur = step(cur, keep=("prev",))
+        # lazy checkpoint: lineage truncation + caching happen inside
+        # the count() action below — no separate materialization job
+        stepped = cur.localCheckpoint(eager=False)
         changed = stepped.filter(F.col("label") != F.col("prev")).count()
         labels = stepped.select("node", "label")
+        steps_done += burst
         if changed == 0:
             break
     return labels.select(
