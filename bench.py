@@ -92,6 +92,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_dup_span",
     "q_domain_quality",
     "q_bpe_pairs",
+    "q_bpe_encode",
     "q_dedup_summary",
     "q_split_leakage",
     "q_pii_redact",

@@ -115,6 +115,50 @@ def _apply_merge(syms: Column, a: str, b: str) -> Column:
     )
 
 
+def bpe_apply(syms: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply an ordered merge list to a symbol array — ``n_merges``
+    chained :func:`_apply_merge` folds, all JVM expression work."""
+    for a, b in merges:
+        syms = _apply_merge(syms, a, b)
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode a corpus with a TRAINED merge list — the apply side of the
+    tokenizer (`bpe_train` without this is half a tokenizer).
+
+    Output: ``id_col, token, pieces`` — one row per (doc, token
+    occurrence) with the token's subword segmentation under ``merges``.
+
+    Scale shape: merges are applied ONCE PER DISTINCT TOKEN (vocab-scale
+    — ~10^5-10^6 rows regardless of corpus size), then the encoded
+    vocabulary joins back to the corpus token stream on the token string
+    — the same corpus-scale/vocab-scale split as training, so a 30k-merge
+    production list costs O(vocab·merges) fold work, never
+    O(corpus·merges).  The merge list itself is driver-held and
+    broadcastable by construction (vocab-scale).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(normalized_text(F.col(text_col)))).alias("token"),
+    )
+    vocab = (
+        toks.select("token")
+        .distinct()
+        .select(
+            "token",
+            bpe_apply(initial_symbols(F.col("token")), merges).alias("pieces"),
+        )
+    )
+    return toks.join(vocab, "token").select(id_col, "token", "pieces")
+
+
 def bpe_train(
     df: DataFrame, text_col: str = "text", *, n_merges: int = 10
 ) -> tuple[list[tuple[str, str]], DataFrame]:

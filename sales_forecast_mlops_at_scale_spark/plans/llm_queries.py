@@ -607,6 +607,79 @@ SELECT pair, merge_count FROM pc ORDER BY merge_count DESC, pair LIMIT 20
 """
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 8 BPE merges on the documents corpus, ENCODE the corpus
+    with them (operators/llm/bpe.bpe_encode — merge application at
+    vocab scale, rejoined to the corpus token stream), and report the
+    top-20 subword pieces by occurrence count.  The apply side of the
+    tokenizer: the oracle twin re-trains the identical 8 merges as
+    unrolled SQL rounds, so train AND encode are both differentially
+    checked."""
+    from ..operators.llm.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, n_merges=8)
+    enc = bpe_encode(docs, merges)
+    return (
+        enc.select(F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("piece").asc())
+        .limit(20)
+    )
+
+
+#: One unrolled BPE training round (seg{i-1} -> seg{i}) for the encode
+#: twin.  The greedy left-to-right merge application is a list_reduce
+#: whose string accumulator mirrors operators/llm/bpe._apply_merge's
+#: array fold exactly: append ' '||x unless the accumulator's tail
+#: symbol is pa and x is pb, in which case splice in the merged symbol.
+#: (Symbols never contain spaces — tokens are whitespace-split — so the
+#: space-delimited accumulator is a faithful array encoding.)
+_BPE_REDUCE = (
+    "(string_split(list_reduce(list_prepend('', s), (acc, x) -> "
+    "CASE WHEN x = pb AND right(acc, length(pa) + 1) = ' ' || pa "
+    "THEN left(acc, length(acc) - length(pa) - 1) || ' ' || pa || pb "
+    "ELSE acc || ' ' || x END), ' '))[2:]"
+)
+
+
+def _bpe_round_cte(i: int) -> str:
+    return f"""p{i} AS (
+  SELECT weight, unnest([s[j] || ' ' || s[j+1]
+                         for j in generate_series(1, len(s) - 1)]) AS pair
+  FROM seg{i - 1}
+), c{i} AS (
+  SELECT pair FROM (SELECT pair, sum(weight) AS cnt FROM p{i} GROUP BY pair)
+  ORDER BY cnt DESC, pair LIMIT 1
+), b{i} AS (
+  SELECT split_part(pair, ' ', 1) AS pa, split_part(pair, ' ', 2) AS pb
+  FROM c{i}
+), seg{i} AS (
+  SELECT token, weight, {_BPE_REDUCE} AS s
+  FROM seg{i - 1} CROSS JOIN b{i}
+)"""
+
+
+def _bpe_encode_sql(n_merges: int = 8) -> str:
+    rounds = ", ".join(_bpe_round_cte(i) for i in range(1, n_merges + 1))
+    return f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+tf AS (SELECT token, count(*) AS weight FROM tok GROUP BY token),
+seg0 AS (SELECT token, weight,
+         list_append([substr(token, i, 1)
+                      for i in generate_series(1, length(token))], '</w>') AS s
+         FROM tf),
+{rounds},
+pieces AS (
+  SELECT unnest(e.s) AS piece
+  FROM tok JOIN (SELECT token, s FROM seg{n_merges}) e USING (token))
+SELECT piece, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM pieces GROUP BY piece
+ORDER BY n_occurrences DESC, piece LIMIT 20
+"""
+
+
 #: q_dedup_summary oracle: the cluster closure (_CLUSTER_SQL) rolled up
 #: to the one-row run report.  Defined lazily in the registry because
 #: _CLUSTER_SQL is declared later in the module.
@@ -2210,6 +2283,7 @@ FROM fps GROUP BY doc_id
     "q_dup_span": QueryDef(q_dup_span, _DUPSPAN_SQL),
     "q_domain_quality": QueryDef(q_domain_quality, _DOMAIN_QUALITY_SQL),
     "q_bpe_pairs": QueryDef(q_bpe_pairs, _BPE_PAIRS_SQL),
+    "q_bpe_encode": QueryDef(q_bpe_encode, _bpe_encode_sql()),
     "q_dedup_summary": QueryDef(q_dedup_summary, _dedup_summary_sql()),
     "q_split_leakage": QueryDef(q_split_leakage, _split_leakage_sql()),
     "q_ngram_jaccard": QueryDef(q_ngram_jaccard, _JACCARD_SQL),

@@ -312,6 +312,41 @@ def test_bpe_train_matches_reference(spark, docs):
     assert got == ref_vocab
 
 
+@given(docs=st.lists(st.lists(_BPE_WORD, min_size=1, max_size=6), min_size=1, max_size=4))
+@settings(**_SETTINGS)
+def test_bpe_encode_matches_reference_segmentation(spark, docs):
+    """bpe_encode with a trained merge list reproduces the reference
+    per-token segmentation for every token OCCURRENCE in the corpus —
+    the encode path (vocab-scale apply + corpus rejoin) can't drift from
+    the training-side segmentation."""
+    from sales_forecast_mlops_at_scale_spark.operators.llm.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    ref_merges, ref_vocab = _bpe_reference(texts, 4)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges, _ = bpe_train(df, n_merges=4)
+    rows = bpe_encode(df, merges).collect()
+    # every occurrence segmented per the reference vocab
+    for r in rows:
+        assert list(r.pieces) == ref_vocab[r.token], r.token
+    # occurrence multiset matches the corpus token stream
+    import re
+    from collections import Counter
+
+    want = Counter()
+    for i, t in enumerate(texts):
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        if norm:
+            want.update((i, tok) for tok in norm.split(" "))
+    got = Counter((r.doc_id, r.token) for r in rows)
+    assert got == want
+
+
 @given(
     blobs=st.lists(
         st.binary(min_size=0, max_size=120), min_size=1, max_size=6
