@@ -40,6 +40,36 @@ _LIVE: dict[str, tuple[int, str, DataFrame]] = {}
 _STAT_FILE_CAP = 1024
 
 
+def _source_files(df: DataFrame) -> list[str]:
+    """Input files collected from the ANALYZED logical plan.
+
+    ``df.inputFiles()`` reads the OPTIMIZED plan, which applies cache
+    substitution first — so the moment a semantically-equal frame is
+    persisted anywhere in the session, ``inputFiles()`` returns ``[]``
+    and a name-digest keyed on it flips between invocations, silently
+    breaking slot reuse (observed: the first ``persist_slot`` call
+    digests the real file list, every later call digests the empty
+    list).  The analyzed plan still holds the real relations, so walk
+    it and collect every file-based relation's listing; per-node
+    failures (streaming relations, exotic sources) are skipped — the
+    walk only needs to be DETERMINISTIC across invocations, and a
+    consistently-skipped node still is."""
+    files: list[str] = []
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        try:
+            if node.getClass().getSimpleName() == "LogicalRelation":
+                rel = node.relation()
+                files.extend(str(f) for f in rel.inputFiles())
+        except Exception:  # noqa: BLE001 — non-file relation
+            pass
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return sorted(files)
+
+
 def _files_digest(df: DataFrame) -> str:
     """Digest of the source files behind ``df``: name + size + mtime.
 
@@ -52,7 +82,10 @@ def _files_digest(df: DataFrame) -> str:
     we degrade to names-only; at that point slot reuse assumes
     content-addressed immutable part files (Spark's own writers qualify:
     every part name embeds a job UUID)."""
-    files = sorted(df.inputFiles())
+    try:
+        files = _source_files(df)
+    except Exception:  # noqa: BLE001 — connect clients
+        files = sorted(df.inputFiles())
     entries = files
     if 0 < len(files) <= _STAT_FILE_CAP:
         try:

@@ -42,6 +42,12 @@ QUERIES = [
     "q_forecast_7d",
     "q_triangle_stats",
     "q_cms_heavy",
+    # composite pipelines: eval harness, dedup cascade rollup, leakage audit,
+    # and the trained-tokenizer encode path
+    "q_ann_recall_all",
+    "q_dedup_summary",
+    "q_split_leakage",
+    "q_bpe_encode",
 ]
 
 
@@ -74,7 +80,7 @@ def main() -> None:
         print(f"{name:24s} " + "  ".join(f"{c:6.2f}" for c in cells), flush=True)
 
     lines = [
-        "# Scaling sweep (round 4)",
+        "# Scaling sweep (round 5)",
         "",
         "Wall-clock (s, min of 2, per-query cold cache state) for the headline",
         "operator families across a 100× data range on local[32].  The final",
