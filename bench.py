@@ -140,6 +140,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_cdc_chunks",
     "q_cdc_dedup",
     "q_media_frames",
+    "q_media_phash",
+    "q_media_phash_pairs",
     "q_window_funcs",
     "q_array_ops",
     "q_zorder_key",

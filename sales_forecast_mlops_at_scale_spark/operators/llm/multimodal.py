@@ -423,3 +423,229 @@ def media_dedup_keys(features: DataFrame) -> DataFrame:
     return features.groupBy("content_digest").agg(
         F.min("asset_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
     )
+
+
+# --- perceptual hashing (dHash) over the REAL decode ---------------------
+#
+# The exact-digest dedup above misses re-encoded / lightly-edited media.
+# dHash (difference hash) is the standard cheap perceptual tier: compare
+# adjacent downsampled cells, 1 bit per comparison, 64 bits per asset;
+# near-duplicates land within a small Hamming radius.  Everything here is
+# INTEGER-EXACT so a SQL oracle reproduces the bits: grayscale is the
+# plain channel sum r+g+b (no luma weights, no division), cells are
+# floor-boundary blocks, and "mean(cell b) > mean(cell a)" is evaluated
+# as the cross-multiplication sum_b·n_a > sum_a·n_b — no float touches
+# any bit.  Images use the classic 8-row × 9-col grid (8 comparisons per
+# row); audio uses the 1-D analogue over 65 sample blocks.  Cells can be
+# EMPTY when an image is smaller than the grid (fixture has 6-px-high
+# images): an empty cell has sum = n = 0, so both cross-products are 0
+# and the bit is deterministically 0 — same on both engines.
+
+PHASH_COLS = 9
+PHASH_ROWS = 8
+PHASH_AUDIO_BLOCKS = 65
+
+
+def _gray_bmp(b: bytes):
+    """(H, W) int64 grayscale (r+g+b) matrix of an uncompressed 24-bpp
+    BMP, top-down row order."""
+    import numpy as np
+
+    pix_off = struct.unpack_from("<I", b, 10)[0]
+    width, height = struct.unpack_from("<ii", b, 18)
+    h = abs(height)
+    stride = (3 * width + 3) // 4 * 4
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=pix_off)
+    rows = rows.reshape(h, stride)[:, : 3 * width].astype(np.int64)
+    gray = rows.reshape(h, width, 3).sum(axis=2)
+    if height > 0:  # bottom-up storage -> flip to top-down
+        gray = gray[::-1]
+    return gray
+
+
+def _gray_ppm(b: bytes):
+    """(H, W) grayscale matrix of a binary P6 PPM (maxval ≤ 255)."""
+    import numpy as np
+
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    width, height, _ = fields
+    pix = np.frombuffer(
+        b, dtype=np.uint8, count=3 * width * height, offset=pos + 1
+    ).astype(np.int64)
+    return pix.reshape(height, width, 3).sum(axis=2)
+
+
+def _samples_wav(b: bytes):
+    """int64 sample vector of an 8-bit PCM WAV (chunk-walked)."""
+    import numpy as np
+
+    pos, data = 12, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        if cid == b"data":
+            data = b[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if data is None:
+        raise ValueError("missing data chunk")
+    return np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+
+
+def _dhash_bits_2d(gray) -> list[bool]:
+    """64 gradient bits from the 8×9 floor-boundary cell grid: bit
+    (i, j) = mean(cell[i][j+1]) > mean(cell[i][j]), cross-multiplied."""
+    h, w = gray.shape
+    ys = [i * h // PHASH_ROWS for i in range(PHASH_ROWS + 1)]
+    xs = [j * w // PHASH_COLS for j in range(PHASH_COLS + 1)]
+    sums = [
+        [int(gray[ys[i] : ys[i + 1], xs[j] : xs[j + 1]].sum()) for j in range(PHASH_COLS)]
+        for i in range(PHASH_ROWS)
+    ]
+    cnts = [
+        [
+            (ys[i + 1] - ys[i]) * (xs[j + 1] - xs[j])
+            for j in range(PHASH_COLS)
+        ]
+        for i in range(PHASH_ROWS)
+    ]
+    return [
+        sums[i][j + 1] * cnts[i][j] > sums[i][j] * cnts[i][j + 1]
+        for i in range(PHASH_ROWS)
+        for j in range(PHASH_COLS - 1)
+    ]
+
+
+def _dhash_bits_1d(samples) -> list[bool]:
+    """64 gradient bits from 65 floor-boundary sample blocks."""
+    n = len(samples)
+    es = [j * n // PHASH_AUDIO_BLOCKS for j in range(PHASH_AUDIO_BLOCKS + 1)]
+    sums = [int(samples[es[j] : es[j + 1]].sum()) for j in range(PHASH_AUDIO_BLOCKS)]
+    cnts = [es[j + 1] - es[j] for j in range(PHASH_AUDIO_BLOCKS)]
+    return [
+        sums[j + 1] * cnts[j] > sums[j] * cnts[j + 1]
+        for j in range(PHASH_AUDIO_BLOCKS - 1)
+    ]
+
+
+def _pack_bits(bits: list[bool]) -> tuple[int, int, str]:
+    """(ph_hi, ph_lo, hex): bit k of the 64-bit value is bits[k]; hi/lo
+    are unsigned 32-bit halves carried in longs (the simhash convention
+    — no int64 sign games), hex is the 16-char big-endian rendering."""
+    v = 0
+    for k, bit in enumerate(bits):
+        if bit:
+            v |= 1 << k
+    hi, lo = v >> 32, v & 0xFFFFFFFF
+    return hi, lo, f"{hi:08x}{lo:08x}"
+
+
+def perceptual_hashes(assets: DataFrame) -> DataFrame:
+    """Per-decodable-asset 64-bit dHash: ``asset_id, modality, ph_hi,
+    ph_lo, phash_hex``.  Images (BMP/PPM) use the 2-D 8×9 gradient grid;
+    audio (PCM WAV) the 1-D 65-block analogue; assets with no
+    in-container codec (video here) emit nothing — filter upstream on
+    the typed metadata before decode, as always.
+
+    Scale shape: one ``mapInPandas`` pass over (asset_id, modality,
+    content); per-task memory is one Arrow batch of assets; output is 2
+    longs + a 16-char string per asset — the downstream Hamming pair
+    search never touches bytes again."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"asset_id": [], "modality": [], "ph_hi": [], "ph_lo": [],
+                   "phash_hex": []}
+            for aid, mod, content in zip(
+                pdf["asset_id"], pdf["modality"], pdf["content"]
+            ):
+                b = bytes(content)
+                try:
+                    if b[:2] == b"BM":
+                        bits = _dhash_bits_2d(_gray_bmp(b))
+                    elif b[:2] == b"P6":
+                        bits = _dhash_bits_2d(_gray_ppm(b))
+                    elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        bits = _dhash_bits_1d(_samples_wav(b))
+                    else:
+                        continue
+                except (ValueError, IndexError, struct.error):
+                    continue  # corrupt container -> no perceptual tier
+                hi, lo, hx = _pack_bits(bits)
+                out["asset_id"].append(aid)
+                out["modality"].append(mod)
+                out["ph_hi"].append(hi)
+                out["ph_lo"].append(lo)
+                out["phash_hex"].append(hx)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "modality", "content").mapInPandas(
+        process,
+        "asset_id long, modality string, ph_hi long, ph_lo long, "
+        "phash_hex string",
+    )
+
+
+def media_neardup_pairs(
+    hashes: DataFrame, *, max_hamming: int = 3
+) -> DataFrame:
+    """Perceptual near-duplicate pairs within a modality: ``modality,
+    id_a, id_b, hamming`` for Hamming distance ≤ ``max_hamming``.
+
+    Same pigeonhole shape as :func:`simhash.simhash_pairs` — 4×16-bit
+    chunk buckets (exact for ``max_hamming ≤ 3``), equi-join on
+    (modality, chunk index, chunk value), ``bit_count`` verify — so the
+    candidate generation is #assets × 4 bucket rows, never all-pairs."""
+    from .simhash import CHUNKS, _chunk
+
+    chunked = hashes.select(
+        "asset_id",
+        "modality",
+        "ph_hi",
+        "ph_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _chunk(F.col("ph_hi"), F.col("ph_lo"), j).alias("cv"),
+                    )
+                    for j in range(CHUNKS)
+                ]
+            )
+        ).alias("c"),
+    ).select(
+        "asset_id", "modality", "ph_hi", "ph_lo",
+        F.col("c.j").alias("j"), F.col("c.cv").alias("cv"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    hamming = F.bit_count(
+        F.col("a.ph_hi").bitwiseXOR(F.col("b.ph_hi"))
+    ) + F.bit_count(F.col("a.ph_lo").bitwiseXOR(F.col("b.ph_lo")))
+    return (
+        a.join(
+            b,
+            (F.col("a.modality") == F.col("b.modality"))
+            & (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.modality").alias("modality"),
+            F.col("a.asset_id").alias("id_a"),
+            F.col("b.asset_id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

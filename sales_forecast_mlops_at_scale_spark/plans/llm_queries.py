@@ -506,6 +506,44 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media_assets_fixture(spark), every_ms=1000)
 
 
+def q_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash of every decodable fixture asset from the REAL
+    byte-level decode (BMP pixel grid / WAV sample stream) — the oracle
+    twin re-decodes the same BLOBs in SQL, so the container parsing,
+    grayscale sums, floor-boundary cells, and cross-multiplied gradient
+    bits are all differentially checked
+    (operators/llm/multimodal.perceptual_hashes)."""
+    from ..operators.llm.multimodal import perceptual_hashes
+
+    return perceptual_hashes(media_assets_fixture(spark)).select(
+        "asset_id", "modality", "phash_hex"
+    )
+
+
+def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs: the fixture plus byte-padded twins
+    (content || 0x00 under new ids) — exact-digest dedup MISSES the
+    twins (different sha256) while the perceptual tier catches every one
+    at Hamming 0, the re-encoded-duplicate scenario dHash exists for.
+    Pair search is the 4×16 pigeonhole bucket join
+    (operators/llm/multimodal.media_neardup_pairs)."""
+    from ..operators.llm.multimodal import (
+        media_neardup_pairs,
+        perceptual_hashes,
+    )
+
+    assets = media_assets_fixture(spark).select(
+        "asset_id", "modality", "content"
+    )
+    padded = assets.select(
+        (F.col("asset_id") + 1000).alias("asset_id"),
+        "modality",
+        F.concat(F.col("content"), F.lit(bytes([0]))).alias("content"),
+    )
+    hashes = perceptual_hashes(assets.unionByName(padded))
+    return media_neardup_pairs(hashes, max_hamming=3)
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction over the committed web-documents fixture; the digest
     column pins the exact redacted output."""
@@ -1961,6 +1999,115 @@ FROM agg JOIN apg USING (grp)
 """
 
 
+def _mp_byte(p: str) -> str:
+    """Byte at 0-based position ``p`` of hex column ``h``."""
+    return f"CAST('0x' || substr(h, 2*({p}) + 1, 2) AS BIGINT)"
+
+
+def _mp_u32(off: int) -> str:
+    """Little-endian u32 at byte offset ``off`` of hex column ``h``."""
+    return " + ".join(
+        f"{_mp_byte(str(off + k))} * {256 ** k}" for k in range(4)
+    )
+
+
+def _media_phash_sql(*, with_padded: bool) -> str:
+    """DuckDB twin of perceptual_hashes: BMP pixel-grid + WAV
+    sample-stream decode from the raw BLOB hex, identical floor-boundary
+    cells and cross-multiplied gradient bits.  ``with_padded`` adds the
+    byte-padded twin assets (ids +1000) for the pairs query."""
+    base = (
+        "SELECT asset_id, modality, lower(hex(content)) AS h "
+        f"FROM read_parquet('{MEDIA_FIXTURE_PATH}/*.parquet')"
+    )
+    padded = (
+        "SELECT asset_id + 1000, modality, lower(hex(content)) || '00' "
+        f"FROM read_parquet('{MEDIA_FIXTURE_PATH}/*.parquet')"
+    )
+    src = f"{base} UNION ALL {padded}" if with_padded else base
+    gray = " + ".join(
+        _mp_byte(f"m.off + m.stride * (m.hh - 1 - y) + 3 * x + {k}")
+        for k in range(3)
+    )
+    return f"""
+WITH a AS ({src}),
+img AS (
+  SELECT asset_id, h, {_mp_u32(10)} AS off,
+         {_mp_u32(18)} AS w, {_mp_u32(22)} AS hh
+  FROM a WHERE modality = 'image'),
+img2 AS (SELECT *, (3 * w + 3) // 4 * 4 AS stride FROM img),
+ri AS (SELECT unnest(generate_series(0, 7)) AS i),
+cj AS (SELECT unnest(generate_series(0, 8)) AS j),
+cellpix AS (
+  SELECT m.asset_id, r.i, c.j, {gray} AS g
+  FROM img2 m, ri r, cj c,
+  LATERAL unnest(generate_series(r.i * m.hh // 8,
+                                 (r.i + 1) * m.hh // 8 - 1)) t(y),
+  LATERAL unnest(generate_series(c.j * m.w // 9,
+                                 (c.j + 1) * m.w // 9 - 1)) s(x)),
+cellsum AS (SELECT asset_id, i, j, sum(g) AS s, count(*) AS cnt
+            FROM cellpix GROUP BY 1, 2, 3),
+imggrid AS (
+  SELECT m.asset_id, r.i, c.j,
+         coalesce(cs.s, 0) AS s, coalesce(cs.cnt, 0) AS cnt
+  FROM img2 m CROSS JOIN ri r CROSS JOIN cj c
+  LEFT JOIN cellsum cs
+    ON cs.asset_id = m.asset_id AND cs.i = r.i AND cs.j = c.j),
+imgbits AS (
+  SELECT g1.asset_id, g1.i * 8 + g1.j AS k,
+         (g2.s * g1.cnt > g1.s * g2.cnt) AS bit
+  FROM imggrid g1 JOIN imggrid g2
+    ON g2.asset_id = g1.asset_id AND g2.i = g1.i AND g2.j = g1.j + 1
+  WHERE g1.j < 8),
+aud AS (SELECT asset_id, h, {_mp_u32(40)} AS ns
+        FROM a WHERE modality = 'audio'),
+bj AS (SELECT unnest(generate_series(0, 64)) AS j),
+blkpix AS (
+  SELECT d.asset_id, b.j, {_mp_byte("44 + p")} AS v
+  FROM aud d, bj b,
+  LATERAL unnest(generate_series(b.j * d.ns // 65,
+                                 (b.j + 1) * d.ns // 65 - 1)) t(p)),
+blkagg AS (SELECT asset_id, j, sum(v) AS s, count(*) AS cnt
+           FROM blkpix GROUP BY 1, 2),
+blkgrid AS (
+  SELECT d.asset_id, b.j, coalesce(g.s, 0) AS s, coalesce(g.cnt, 0) AS cnt
+  FROM aud d CROSS JOIN bj b
+  LEFT JOIN blkagg g ON g.asset_id = d.asset_id AND g.j = b.j),
+audbits AS (
+  SELECT b1.asset_id, b1.j AS k, (b2.s * b1.cnt > b1.s * b2.cnt) AS bit
+  FROM blkgrid b1 JOIN blkgrid b2
+    ON b2.asset_id = b1.asset_id AND b2.j = b1.j + 1
+  WHERE b1.j < 64),
+allbits AS (SELECT * FROM imgbits UNION ALL SELECT * FROM audbits),
+hsh AS (
+  SELECT asset_id,
+    CAST(sum(CASE WHEN bit AND k >= 32
+             THEN CAST(1 AS BIGINT) << (k - 32) ELSE 0 END) AS BIGINT) AS hi,
+    CAST(sum(CASE WHEN bit AND k < 32
+             THEN CAST(1 AS BIGINT) << k ELSE 0 END) AS BIGINT) AS lo
+  FROM allbits GROUP BY asset_id)
+SELECT a.asset_id, a.modality,
+       hsh.hi, hsh.lo, printf('%08x%08x', hsh.hi, hsh.lo) AS phash_hex
+FROM a JOIN hsh USING (asset_id)
+"""
+
+
+_MEDIA_PHASH_SQL = f"""
+SELECT asset_id, modality, phash_hex
+FROM ({_media_phash_sql(with_padded=False)})
+"""
+
+_MEDIA_PHASH_PAIRS_SQL = f"""
+WITH hashes AS ({_media_phash_sql(with_padded=True)})
+SELECT h1.modality, h1.asset_id AS id_a, h2.asset_id AS id_b,
+       CAST(bit_count(xor(h1.hi, h2.hi))
+            + bit_count(xor(h1.lo, h2.lo)) AS INTEGER) AS hamming
+FROM hashes h1 JOIN hashes h2
+  ON h1.modality = h2.modality AND h1.asset_id < h2.asset_id
+WHERE bit_count(xor(h1.hi, h2.hi)) + bit_count(xor(h1.lo, h2.lo)) <= 3
+"""
+
+
 def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-balanced subset: nearest-centroid cluster assignment + cap
     of 20 per cluster by salted-md5 rank
@@ -2419,6 +2566,8 @@ WHERE round(list_sum([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))])
     # (little-endian fields via hex() arithmetic, payload byte-sum via a
     # list fold over the hex string) — see _MEDIA_FEATURES_SQL
     "q_media_features": QueryDef(q_media_features, _MEDIA_FEATURES_SQL),
+    "q_media_phash": QueryDef(q_media_phash, _MEDIA_PHASH_SQL),
+    "q_media_phash_pairs": QueryDef(q_media_phash_pairs, _MEDIA_PHASH_PAIRS_SQL),
     "q_media_frames": QueryDef(
         q_media_frames,
         f"""

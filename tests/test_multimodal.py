@@ -130,3 +130,48 @@ def test_digest_dedup_and_similarity_handoff(spark):
     top = {r.q_id: (r.nn_id, r.score) for r in nn.filter(F.col("rank") == 1).collect()}
     assert top[0] == (1000, 1.0)
     assert top[1] == (1001, 1.0)
+
+
+def test_perceptual_dhash_catches_what_digest_dedup_misses(spark):
+    """Byte-padded + pixel-perturbed copies: sha256 digests all differ
+    (exact dedup finds nothing), but the perceptual tier pairs each
+    original with both variants within the Hamming budget."""
+    from sales_forecast_mlops_at_scale_spark.operators.llm.multimodal import (
+        make_bmp,
+        make_wav,
+        media_neardup_pairs,
+        perceptual_hashes,
+    )
+
+    img = make_bmp(18, 16, "orig")
+    img_padded = img + b"\x00\x07"          # container tail junk
+    perturbed = bytearray(img)
+    perturbed[60] = (perturbed[60] + 1) % 256  # one pixel byte nudged
+    wav = make_wav(16000, 700, "orig")
+    wav_padded = wav + b"\x00"
+    other_img = make_bmp(18, 16, "different")
+
+    rows = [
+        (0, "image", bytearray(img)),
+        (1, "image", bytearray(img_padded)),
+        (2, "image", bytes(perturbed)),
+        (3, "image", bytearray(other_img)),
+        (10, "audio", bytearray(wav)),
+        (11, "audio", bytearray(wav_padded)),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, modality string, content binary"
+    )
+    hashes = perceptual_hashes(assets)
+    got = {r.asset_id: r.phash_hex for r in hashes.collect()}
+    assert set(got) == {0, 1, 2, 3, 10, 11}
+    assert got[0] == got[1]              # padding: identical pixels
+    assert got[10] == got[11]
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in media_neardup_pairs(hashes, max_hamming=3).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert pairs[(10, 11)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 3  # perturbed copy found
+    assert (0, 3) not in pairs and (1, 3) not in pairs  # unrelated image
