@@ -368,13 +368,17 @@ def pq_adc_topk(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rerank: int = 0,
 ) -> DataFrame:
     """Asymmetric-distance top-``k``: exact query-to-codeword distance
     tables, corpus side represented ONLY by its codes.
 
     Output: ``q_id, nn_id, adist, rank`` — ``adist`` is the fixed-point
     ADC squared distance / 10^6 (ascending = nearer), ranked with nn-id
-    tie-break; the query itself is excluded.
+    tie-break; the query itself is excluded.  With ``rerank = R > 0``
+    the top-``R`` ADC candidates are re-ranked by exact cosine against
+    the raw vectors (:func:`_exact_rerank`; output ``q_id, nn_id,
+    score, rank``) — the same IndexRefineFlat tail the IVF-PQ tier uses.
 
     The CONSTRUCTED plan is memoized on (corpus, queries, params) — see
     :func:`cache.plan_memo`: identical repeat searches skip the ~1 s of
@@ -386,7 +390,7 @@ def pq_adc_topk(
         ckey,
         "pq.adc.search",
         _plan_key(queries),
-        k, m, n_codewords, dim, id_col, vec_col,
+        k, m, n_codewords, dim, id_col, vec_col, rerank,
     )
     from ...cache import plan_memo
 
@@ -394,8 +398,57 @@ def pq_adc_topk(
         memo_key,
         lambda: _pq_adc_topk_build(
             corpus, queries, k=k, m=m, n_codewords=n_codewords,
-            dim=dim, id_col=id_col, vec_col=vec_col,
+            dim=dim, id_col=id_col, vec_col=vec_col, rerank=rerank,
         ),
+    )
+
+
+def _exact_rerank(
+    scored: DataFrame,
+    q: DataFrame,
+    vectors: DataFrame,
+    *,
+    k: int,
+    rerank: int,
+    ndigits: int,
+) -> DataFrame:
+    """Shared IndexRefineFlat tail for both PQ tiers: ADC top-``rerank``
+    candidates per query (``scored`` = ``qid, vid, s_fp``), final
+    top-``k`` by exact cosine against the raw ``vectors`` frame.  The
+    candidate list is Q·R id rows broadcast to the vectors table — the
+    corpus-side join is shuffle-free.  Output: ``q_id, nn_id, score,
+    rank`` (exact-tier contract)."""
+    from .embedsim import _dot
+
+    w = Window.partitionBy("qid").orderBy(F.col("s_fp").asc(), F.col("vid").asc())
+    cand = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= rerank)
+        .select("qid", "vid")
+    )
+    qv = q.select("qid", F.col("v").alias("qv"), F.col("nrm").alias("qnrm"))
+    exact = (
+        vectors.join(F.broadcast(cand), "vid")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            "vid",
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
+                ndigits,
+            ).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vid").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("q_id"),
+            F.col("vid").alias("nn_id"),
+            "score",
+            "rank",
+        )
     )
 
 
@@ -409,6 +462,7 @@ def _pq_adc_topk_build(
     dim: int | None,
     id_col: str,
     vec_col: str,
+    rerank: int = 0,
 ) -> DataFrame:
     codebook = pq_codebook(
         corpus, m=m, k=n_codewords, dim=dim, id_col=id_col, vec_col=vec_col
@@ -443,6 +497,18 @@ def _pq_adc_topk_build(
         .groupBy("qid", "vid")
         .agg(F.sum("d_fp").alias("s_fp"))
     )
+    if rerank:
+        q = _prepared(queries, id_col, vec_col).select(
+            F.col("vid").alias("qid"), "v", "nrm"
+        )
+        return _exact_rerank(
+            scored,
+            q,
+            _prepared(corpus, id_col, vec_col),
+            k=k,
+            rerank=rerank,
+            ndigits=6,
+        )
     w = Window.partitionBy("qid").orderBy(F.col("s_fp").asc(), F.col("vid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -634,41 +700,8 @@ def ivfpq_search(
     )
     w = Window.partitionBy("qid").orderBy(F.col("s_fp").asc(), F.col("vid").asc())
     if rerank and vectors is not None:
-        from .embedsim import _dot
-
-        cand = (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= rerank)
-            .select("qid", "vid")
-        )
-        qv = q.select(
-            "qid", F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
-        )
-        exact = (
-            vectors.join(F.broadcast(cand), "vid")
-            .join(F.broadcast(qv), "qid")
-            .select(
-                "qid",
-                "vid",
-                F.round(
-                    _dot(F.col("qv"), F.col("v"))
-                    / (F.col("qnrm") * F.col("nrm")),
-                    ndigits,
-                ).alias("score"),
-            )
-        )
-        w2 = Window.partitionBy("qid").orderBy(
-            F.col("score").desc(), F.col("vid").asc()
-        )
-        return (
-            exact.withColumn("rank", F.row_number().over(w2))
-            .filter(F.col("rank") <= k)
-            .select(
-                F.col("qid").alias("q_id"),
-                F.col("vid").alias("nn_id"),
-                "score",
-                "rank",
-            )
+        return _exact_rerank(
+            scored, q, vectors, k=k, rerank=rerank, ndigits=ndigits
         )
     return (
         scored.withColumn("rank", F.row_number().over(w))

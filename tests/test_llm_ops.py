@@ -742,6 +742,29 @@ def test_pq_recall_at_fixture_beats_chance_floor(spark):
     assert len(exact & approx) / len(exact) >= 0.5
 
 
+def test_pq_adc_rerank_with_full_candidates_equals_exact(spark):
+    """Flat-PQ re-rank degenerate case: rerank ≥ |corpus| makes every
+    vector an exact-cosine candidate, so the output IS brute force."""
+    from pyspark.sql import functions as F
+
+    from sales_forecast_mlops_at_scale_spark.operators.llm.embedsim import (
+        brute_force_topk,
+    )
+    from sales_forecast_mlops_at_scale_spark.operators.llm.pq import pq_adc_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    exact = {
+        (r.q_id, r.nn_id, r.score, r.rank)
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+    rer = {
+        (r.q_id, r.nn_id, r.score, r.rank)
+        for r in pq_adc_topk(emb, q, k=5, dim=64, rerank=1_000_000).collect()
+    }
+    assert rer == exact
+
+
 def test_ivfpq_rerank_with_full_probe_equals_exact(spark):
     """With nprobe = num_centroids (no pruning) and rerank ≥ |corpus|,
     the re-ranked IVF-PQ search degenerates to exact brute force BY
