@@ -254,3 +254,72 @@ def test_triangle_stats_has_no_cartesian_product(spark):
     q = all_queries()["q_triangle_stats"]
     plan = _executed_plan(q.fn(spark, SMOKE_SF_DIR))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ivfpq_rerank_search_joins_are_broadcast_only(spark):
+    # the SEARCH dataflow (index frames already built/pinned) must never
+    # shuffle the corpus on its id: the Q*R candidate list and the query
+    # vectors broadcast to the codes/vectors tables.  (The TRAINING
+    # plan's N*M assignment rejoin is a legitimately data-sized shuffle
+    # and is not under test here.)
+    from pyspark.sql import functions as F
+
+    from sales_forecast_mlops_at_scale_spark.catalog import load_table
+    from sales_forecast_mlops_at_scale_spark.operators.llm.embedsim import (
+        _prepared,
+    )
+    from sales_forecast_mlops_at_scale_spark.operators.llm.pq import (
+        ivfpq_centroids,
+        ivfpq_encode,
+        ivfpq_residuals,
+        ivfpq_search,
+        ivfpq_train_codebook,
+    )
+
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    c = _prepared(emb, "vec_id", "embedding")
+    centroids = ivfpq_centroids(c, num_centroids=8)
+    resid = ivfpq_residuals(c, centroids)
+    cb = ivfpq_train_codebook(resid, refine_iters=0, d_sub=2)
+    # pin the index the way a deployment stores it
+    codes = ivfpq_encode(resid, cb, d_sub=2).persist()
+    codes.count()
+    q = c.filter(F.col("vid") < 4).select("vid", "v", "nrm").select(
+        F.col("vid").alias("qid"), "v", "nrm"
+    )
+    out = ivfpq_search(
+        q, centroids, cb, codes, k=5, nprobe=8, d_sub=2,
+        vectors=c, rerank=50,
+    )
+    plan = _executed_plan(out)
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line and ("vid#" in line or "qid#" in line):
+            raise AssertionError(f"corpus-keyed sort-merge join: {line}")
+    assert "BroadcastHashJoin" in plan
+    codes.unpersist()
+
+
+def test_media_phash_pairs_no_cartesian(spark):
+    # perceptual pair search is the pigeonhole bucket equi-join — a
+    # cartesian/BNL product over the hash table would be the all-pairs
+    # shape the chunking exists to avoid
+    q = all_queries()["q_media_phash_pairs"]
+    plan = _executed_plan(q.fn(spark, SMOKE_SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bpe_encode_applies_merges_at_vocab_scale(spark):
+    # the merge folds must sit ABOVE the distinct-token aggregate, not on
+    # the corpus token stream: the plan applies aggregate() folds after a
+    # HashAggregate (distinct), and the corpus rejoin is a plain equi-join
+    from sales_forecast_mlops_at_scale_spark.catalog import load_table
+    from sales_forecast_mlops_at_scale_spark.operators.llm.bpe import bpe_encode
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    df = bpe_encode(docs, [("e", "</w>"), ("t", "h")])
+    plan = _executed_plan(df)
+    assert "HashAggregate" in plan  # the distinct-token reduction exists
+    assert "CartesianProduct" not in plan
+    # corpus side joins the encoded vocab on the token string
+    assert "token" in plan
