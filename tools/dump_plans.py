@@ -10,9 +10,10 @@ TOP = [
     "q_semantic_dedup", "q_kmv_overlap", "q_cms_heavy",
     "q_triangle_stats", "q_dsir_select", "q_lm_quality", "q_bloom_prefilter",
     "q_stratified_sample", "q_pq_topk", "q_ivfpq_topk", "q_cdc_dedup",
+    "q_media_phash_pairs", "q_bpe_encode", "q_ann_recall_all",
 ]
 NOTES = {
-    "q_dedup_clusters": "MinHash-LSH pairs (persisted shingle sets, banded bucket join) feed min-label propagation; two propagation steps per localCheckpoint+probe; edges pinned once.",
+    "q_dedup_clusters": "MinHash-LSH pairs (persisted shingle sets, banded bucket join) feed min-label propagation; FOUR propagation steps per burst ending in one lazy checkpoint whose materialization rides the convergence count (one driver action per burst); edges pinned once.",
     "q_embed_ivf_topk": "Centroid argmax = codegen long-max hash aggregate (partial_max map-side); 2 Lloyd iterations trained on a 50% md5 sample; vectors never ride the assignment shuffle.",
     "q_forecast_7d": "One exchange total: repartition on group keys serves the daily agg AND the grouped-map (HashPartitioning subset rule); kernel is numpy LUT with JVM-precomputed __dow/__ord.",
     "q_train_metrics": "Same single-exchange series; walk-forward CV fully vectorized per group.",
@@ -30,14 +31,14 @@ NOTES = {
     "q_bloom_prefilter": "Build side reduces to <=m distinct bits (one row after collect_list), broadcast; probe pass is per-row HOF membership - zero probe-side shuffle.",
     "q_stratified_sample": "Per-stratum counts broadcast back as integer allocations; one window rank per stratum over the salted hash - a single shuffle keyed by the strata columns.",
     "q_pq_topk": "Lloyd-trained codebook pinned (tiny M*K rows; plan doubles per iteration without the pin), code table pinned as the stored index; ADC = codes x broadcast distance table, integer sums, TakeOrdered-style top-k.",
-    "q_ivfpq_topk": "Coarse cosine argmax buckets + residual PQ codes; search touches only integer code rows of probed buckets; all index frames slot-pinned with keys EXCLUDING search params.",
+    "q_ivfpq_topk": "Coarse cosine argmax buckets + residual PQ codes; ADC touches only integer code rows of probed buckets, then top-50 candidates broadcast to the raw-vector table for the exact cosine re-rank (recall@5 0.725); index slots keyed EXCLUDING search params; whole search plan memoized driver-side.",
     "q_cdc_dedup": "Arrow kernel chunking (zero shuffle), then one map-side-combinable digest groupBy - the exact-dedup shape over content-defined chunks.",
     "q_cms_heavy": "Depth x width sketch as one grouped sum per (row,col) cell - map-side combinable grid, heavy-hitter probe reads the broadcast sketch; bounded state regardless of key cardinality.",
 }
 
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")
 reg = all_queries()
-out = ["# Physical-plan audit (round 4)", "",
+out = ["# Physical-plan audit (round 5)", "",
        "Formatted `.explain` output for the most expensive bench queries at",
        "sf0.001, captured after execution (AQE-final plans). Regenerate with",
        "`python tools/dump_plans.py`.", ""]
@@ -52,6 +53,6 @@ for name in TOP:
     if len(lines) > 60:
         out.append(f"... ({len(lines) - 60} more lines)")
     out += ["```", ""]
-open("/root/repo/PLANS_r4.md", "w").write("\n".join(out))
-print("wrote PLANS_r4.md", sum(1 for _ in open('/root/repo/PLANS_r4.md')))
+open("/root/repo/PLANS_r5.md", "w").write("\n".join(out))
+print("wrote PLANS_r5.md", sum(1 for _ in open('/root/repo/PLANS_r5.md')))
 spark.stop()
