@@ -170,12 +170,15 @@ def bpe_train(
     the result is engine- and partitioning-independent), and rebuild the
     segmentation with one more fold.  ``localCheckpoint`` truncates the
     per-round lineage the same way the connected-components loop does —
-    without it round N replays all N-1 previous folds.
+    without it round N replays all N-1 previous folds.  The checkpoints
+    are LAZY: each round's materialization rides the next round's argmax
+    ``collect`` (one driver action per round, not two — the same trick
+    as the connected-components burst loop).
     """
     tf = token_frequencies(df, text_col)
     vocab = tf.select(
         "token", "weight", initial_symbols(F.col("token")).alias("s")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -192,6 +195,6 @@ def bpe_train(
         a, b = best[0]["pair"].split(" ", 1)
         merges.append((a, b))
         vocab = vocab.withColumn("s", _apply_merge(F.col("s"), a, b)).localCheckpoint(
-            eager=True
+            eager=False
         )
     return merges, vocab.select("token", "weight", F.col("s").alias("symbols"))
