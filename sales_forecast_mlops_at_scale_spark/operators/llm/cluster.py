@@ -52,11 +52,12 @@ def connected_components(
         edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        # edges join into EVERY round; without pinning, each round's two
-        # actions (checkpoint + convergence count) replay the full
-        # upstream pair-generation pipeline (measured: MinHash-LSH pairs
-        # recomputed ~8× → 4s of the 8s runtime)
-        .localCheckpoint(eager=True)
+        # edges join into EVERY round; without pinning, each round's
+        # convergence action would replay the full upstream
+        # pair-generation pipeline (measured: MinHash-LSH pairs
+        # recomputed ~8× → 4s of the 8s runtime).  Lazy: materialized by
+        # the first burst's count, reused by every later burst.
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
