@@ -566,6 +566,12 @@ def perceptual_hashes(assets: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {"asset_id": [], "modality": [], "ph_hi": [], "ph_lo": [],
                    "phash_hex": []}
+            # explicit dtypes: a partition where EVERY asset is skipped
+            # (all-video) must still yield typed (empty) Arrow columns,
+            # not object-dtype ones
+            dtypes = {"asset_id": "int64", "modality": "object",
+                      "ph_hi": "int64", "ph_lo": "int64",
+                      "phash_hex": "object"}
             for aid, mod, content in zip(
                 pdf["asset_id"], pdf["modality"], pdf["content"]
             ):
@@ -587,7 +593,9 @@ def perceptual_hashes(assets: DataFrame) -> DataFrame:
                 out["ph_hi"].append(hi)
                 out["ph_lo"].append(lo)
                 out["phash_hex"].append(hx)
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                {c: pd.Series(v, dtype=dtypes[c]) for c, v in out.items()}
+            )
 
     return assets.select("asset_id", "modality", "content").mapInPandas(
         process,

@@ -699,7 +699,13 @@ def ivfpq_search(
         .agg(F.sum("d_fp").alias("s_fp"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("s_fp").asc(), F.col("vid").asc())
-    if rerank and vectors is not None:
+    if rerank:
+        if vectors is None:
+            # a silent fall-through to ADC-only output would ALSO switch
+            # the output schema (adist vs score) — fail loudly instead
+            raise ValueError(
+                "ivfpq_search(rerank>0) requires the raw `vectors` frame"
+            )
         return _exact_rerank(
             scored, q, vectors, k=k, rerank=rerank, ndigits=ndigits
         )
