@@ -58,10 +58,27 @@ def vector_ingest_batch(
     dim: int | None = None,
     batch_id: int | None = None,
     app_id: str = "default",
+    dedup_threshold: float | None = None,
+    dedup_nprobe: int = 4,
+    dedup_rerank: int = 50,
 ) -> None:
     """foreachBatch body: train quantizers on the first non-empty batch,
     then assign + encode ONLY this batch and append all tiers in
-    lockstep."""
+    lockstep.
+
+    **Online semantic dedup** (``dedup_threshold``): before appending,
+    each batch vector is searched against the COMMITTED index
+    (:func:`search_materialized` with the exact re-rank tail — probe
+    ``dedup_nprobe`` buckets, re-rank ``dedup_rerank`` ADC candidates by
+    exact cosine); a vector whose best committed match scores ≥ the
+    threshold is REJECTED — appended to ``{root}/rejected`` as
+    ``(id, matched_id, score)`` for audit, never to the index tiers.
+    Cost stays O(batch): the search touches integer code rows of probed
+    buckets plus Q·R re-rank vectors, never the stored corpus.  Scope:
+    the check is batch-vs-CORPUS (the faiss-service shape); near-dups
+    arriving together in ONE batch are both admitted — run
+    ``embedsim.semantic_dedup`` on the batch first for the stricter
+    intra-batch contract."""
     from .ingest import _commit_marker_path
 
     spark = batch_df.sparkSession
@@ -101,6 +118,43 @@ def vector_ingest_batch(
         cb.write.mode("overwrite").parquet(f"{root_path}/pq_codebook")
         centroids = spark.read.parquet(f"{root_path}/centroids")
         codebook = spark.read.parquet(f"{root_path}/pq_codebook")
+
+    if dedup_threshold is not None:
+        existing_vecs = _read_or_none(spark, f"{root_path}/vectors")
+        if existing_vecs is not None:
+            matches = search_materialized(
+                spark,
+                root_path,
+                batch_df,
+                k=1,
+                nprobe=dedup_nprobe,
+                m=m,
+                dim=dim,
+                id_col=id_col,
+                vec_col=vec_col,
+                rerank=dedup_rerank,
+            ).filter(
+                (F.col("rank") == 1) & (F.col("score") >= dedup_threshold)
+            )
+            rejected = matches.select(
+                F.col("q_id").alias(id_col),
+                F.col("nn_id").alias("matched_id"),
+                "score",
+            ).persist()
+            if not rejected.isEmpty():
+                existing_rej = _read_or_none(spark, f"{root_path}/rejected")
+                delta = rejected
+                if existing_rej is not None:
+                    delta = delta.join(
+                        existing_rej.select(id_col).distinct(),
+                        id_col,
+                        "left_anti",
+                    )
+                delta.write.mode("append").parquet(f"{root_path}/rejected")
+                batch_df = batch_df.join(
+                    rejected.select(id_col), id_col, "left_anti"
+                ).persist()
+            rejected.unpersist()
 
     # O(batch) passes over THIS batch only; the residual frame feeds the
     # assignments append AND the encode, and codes feeds its own append —
@@ -193,8 +247,11 @@ def run_vector_ingest(
     vec_col: str = "embedding",
     dim: int | None = None,
     available_now: bool = True,
+    dedup_threshold: float | None = None,
 ) -> None:
-    """Drain an embedding stream into the incremental IVF-PQ index."""
+    """Drain an embedding stream into the incremental IVF-PQ index.
+    ``dedup_threshold`` enables online semantic dedup at ingest (see
+    :func:`vector_ingest_batch`)."""
     import hashlib
 
     app_id = hashlib.md5(checkpoint_path.encode()).hexdigest()[:12]
@@ -210,6 +267,7 @@ def run_vector_ingest(
                 dim=dim,
                 batch_id=bid,
                 app_id=app_id,
+                dedup_threshold=dedup_threshold,
             )
         )
     )

@@ -636,3 +636,53 @@ def test_vector_ingest_empty_first_batch_does_not_freeze_quantizer(spark, tmp_pa
     vector_ingest_batch(real, root, dim=64, batch_id=1)
     assert spark.read.parquet(f"{root}/centroids").count() == 16
     assert spark.read.parquet(f"{root}/assignments").count() == 30
+
+
+def test_vector_ingest_online_semantic_dedup(spark, tmp_path):
+    """dedup_threshold rejects batch vectors whose best COMMITTED match
+    clears the cosine bar: the exact duplicate of a batch-1 vector never
+    reaches the index tiers, lands in {root}/rejected with its match,
+    and fresh vectors ingest normally."""
+    from sales_forecast_mlops_at_scale_spark.streaming.vector_ingest import (
+        vector_ingest_batch,
+    )
+
+    root = str(tmp_path / "dedupidx")
+
+    def vec(seed):
+        # hash-decorrelated components: the linear (seed*31 + d*7) family
+        # used elsewhere makes DIFFERENT seeds near-collinear (affine
+        # shifts), which is exactly what a 0.99 cosine bar would reject
+        import hashlib
+
+        return [
+            float(
+                int.from_bytes(
+                    hashlib.md5(f"{seed}:{d}".encode()).digest()[:4], "big"
+                )
+                % 1009
+                - 504
+            )
+            for d in range(64)
+        ]
+
+    first = spark.createDataFrame(
+        [(i, vec(i)) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    vector_ingest_batch(first, root, dim=64, batch_id=0, dedup_threshold=0.99)
+
+    second = spark.createDataFrame(
+        [(100, vec(7))] + [(200 + i, vec(77 + i)) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    vector_ingest_batch(second, root, dim=64, batch_id=1, dedup_threshold=0.99)
+
+    ids = {r.vec_id for r in spark.read.parquet(f"{root}/vectors").collect()}
+    assert 100 not in ids, "exact duplicate must be rejected"
+    assert {200, 201, 202} <= ids, "fresh vectors must ingest"
+    rej = spark.read.parquet(f"{root}/rejected").collect()
+    assert [(r.vec_id, r.matched_id, r.score) for r in rej] == [(100, 7, 1.0)]
+    # codes/assignments stay in lockstep with vectors (no orphan tiers)
+    assert {
+        r.vec_id for r in spark.read.parquet(f"{root}/assignments").collect()
+    } == ids
