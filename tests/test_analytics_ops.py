@@ -157,3 +157,28 @@ def test_expectation_report_one_pass_and_verdicts(spark):
     parent = spark.createDataFrame([(1,), (2,)], ["pk"])
     fk = fk_coverage_report(df, parent, "id", "pk", name="fk.parent").collect()[0]
     assert fk.metric == 0.5 and not fk.passed
+
+
+def test_exactness_constraint_not_fooled_by_display_rounding(spark):
+    """ADVICE r4 regression: ONE violation in a table large enough that
+    the violation fraction rounds (at 6 dp) to 1.000000 must still FAIL
+    an exactness (minimum=1.0) constraint — the verdict compares the
+    unrounded metric, only the displayed metric is rounded."""
+    from pyspark.sql import functions as F
+
+    from sales_forecast_mlops_at_scale_spark.operators.warehouse import (
+        Expectation,
+        expectation_report,
+        fraction_where,
+    )
+
+    n = 4_000_000  # 1/n = 2.5e-7 < 5e-7, rounds away at 6 dp
+    df = spark.range(n).select(
+        F.when(F.col("id") == 0, None).otherwise(F.col("id")).alias("v")
+    )
+    row = expectation_report(
+        df,
+        [Expectation("completeness.v", fraction_where(F.col("v").isNotNull()), 1.0)],
+    ).collect()[0]
+    assert row.metric == 1.0  # display rounds up...
+    assert not row.passed  # ...but the verdict sees the violation
