@@ -111,6 +111,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_embed_srp_topk",
     "q_pq_topk",
     "q_ivfpq_topk",
+    "q_ivfpq_search",
     "q_embed_neardup",
     "q_semantic_dedup",
     "q_line_repetition",

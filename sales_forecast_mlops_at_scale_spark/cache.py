@@ -31,6 +31,7 @@ materialized table with the same keying.
 from __future__ import annotations
 
 import hashlib
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame
 
@@ -180,10 +181,21 @@ def persist_slot(
 
 _KEYLESS: list[DataFrame] = []
 
-_MEMO: dict[tuple[int, str], DataFrame] = {}
+# LRU-bounded: each memoized DataFrame pins a JVM plan tree (MBs for
+# Lloyd-unrolled indexes), so an unbounded dict would grow one entry per
+# distinct (corpus, queries, params) for the session's lifetime —
+# contradicting the bounded-memory contract _LIVE enforces per slot.
+# 32 entries covers every amortization pattern we serve (a handful of
+# index tiers × a handful of live query batches) while capping driver
+# retention; eviction only costs a plan rebuild, never correctness.
+_MEMO_CAP = 32
+
+_MEMO: OrderedDict[tuple[int, str], DataFrame] = OrderedDict()
 
 
-def plan_memo(key: tuple[int, str] | None, builder) -> DataFrame:
+def plan_memo(
+    key: tuple[int, str] | None, builder, *, session=None
+) -> DataFrame:
     """Driver-side memo of a CONSTRUCTED plan: same key → the same
     DataFrame object, skipping Python/py4j expression re-construction.
 
@@ -196,19 +208,27 @@ def plan_memo(key: tuple[int, str] | None, builder) -> DataFrame:
     source files (digest includes size+mtime): changed inputs or params
     miss and rebuild.  Correctness never depends on a hit — the memo
     returns a plan, not results; evaluation still runs the query.
-    ``None`` key (unkeyable session) → always build."""
+    ``None`` key (unkeyable session) → always build.  Pass ``session``
+    (the caller's ``df.sparkSession``) so a hit built by a DIFFERENT
+    concurrent session over the same files is rejected rather than
+    served across session boundaries."""
     if key is None:
         return builder()
     hit = _MEMO.get(key)
     if hit is not None:
         try:
-            same = hit.sparkSession.sparkContext._jsc is not None
+            alive = hit.sparkSession.sparkContext._jsc is not None
+            owned = session is None or hit.sparkSession is session
         except Exception:  # noqa: BLE001 — stopped session
-            same = False
-        if same:
+            alive = owned = False
+        if alive and owned:
+            _MEMO.move_to_end(key)
             return hit
     out = builder()
     _MEMO[key] = out
+    _MEMO.move_to_end(key)
+    while len(_MEMO) > _MEMO_CAP:
+        _MEMO.popitem(last=False)
     return out
 
 

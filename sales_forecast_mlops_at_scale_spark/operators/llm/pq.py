@@ -386,11 +386,19 @@ def pq_adc_topk(
     against the slot-pinned codebook/codes.
     """
     ckey = _plan_key(corpus)
-    memo_key = derived_key(
-        ckey,
-        "pq.adc.search",
-        _plan_key(queries),
-        k, m, n_codewords, dim, id_col, vec_col, rerank,
+    qkey = _plan_key(queries)
+    # an unkeyable QUERIES frame must poison the whole memo key: embedding
+    # the literal None would alias every such frame onto one entry and
+    # serve the first query's plan for a different query
+    memo_key = (
+        derived_key(
+            ckey,
+            "pq.adc.search",
+            qkey,
+            k, m, n_codewords, dim, id_col, vec_col, rerank,
+        )
+        if qkey is not None
+        else None
     )
     from ...cache import plan_memo
 
@@ -400,6 +408,7 @@ def pq_adc_topk(
             corpus, queries, k=k, m=m, n_codewords=n_codewords,
             dim=dim, id_col=id_col, vec_col=vec_col, rerank=rerank,
         ),
+        session=corpus.sparkSession,
     )
 
 
@@ -762,12 +771,18 @@ def ivfpq_topk(
     expression building entirely (:func:`cache.plan_memo`).
     """
     ckey = _plan_key(corpus)
-    memo_key = derived_key(
-        ckey,
-        "ivfpq.search",
-        _plan_key(queries),
-        k, num_centroids, nprobe, m, n_codewords,
-        refine_iters, dim, id_col, vec_col, ndigits, rerank,
+    qkey = _plan_key(queries)
+    # None queries-key poisons the whole memo key (see pq_adc_topk)
+    memo_key = (
+        derived_key(
+            ckey,
+            "ivfpq.search",
+            qkey,
+            k, num_centroids, nprobe, m, n_codewords,
+            refine_iters, dim, id_col, vec_col, ndigits, rerank,
+        )
+        if qkey is not None
+        else None
     )
     from ...cache import plan_memo
 
@@ -779,6 +794,7 @@ def ivfpq_topk(
             refine_iters=refine_iters, dim=dim, id_col=id_col,
             vec_col=vec_col, ndigits=ndigits, rerank=rerank,
         ),
+        session=corpus.sparkSession,
     )
 
 

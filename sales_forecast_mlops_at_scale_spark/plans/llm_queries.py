@@ -11,6 +11,8 @@ assertions.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1790,18 +1792,27 @@ WHERE rank <= 5
 """
 
 
+#: Shipped IVF-PQ search knobs: nprobe=16 / rerank=50 — the measured
+#: sweet spot (README knob table: recall@5 0.875 at sf0.1, statistically
+#: the same wall as nprobe=8's 0.725).  Pinned by the recall-floor test
+#: in tests/test_llm_ops.py; the DuckDB oracle below probes the same 16.
+IVFPQ_NPROBE = 16
+IVFPQ_RERANK = 50
+
+
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ residual-encoded ANN top-5 for the first 8 queries —
     faiss's IndexIVFPQ layout: coarse cosine buckets + Lloyd-refined
     residual PQ codes; ADC touches only integer code rows in probed
     buckets, then the top-50 ADC candidates are re-ranked by EXACT
     cosine against the raw vectors (faiss IndexRefineFlat; recall@5
-    0.20 → 0.725 at sf0.1) (operators/llm/pq.ivfpq_topk)."""
+    0.875 at sf0.1 with nprobe=16) (operators/llm/pq.ivfpq_topk)."""
     from ..operators.llm.pq import ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivfpq_topk(
-        emb, emb.filter(F.col("vec_id") < 8), k=5, dim=64, nprobe=8, rerank=50
+        emb, emb.filter(F.col("vec_id") < 8), k=5, dim=64,
+        nprobe=IVFPQ_NPROBE, rerank=IVFPQ_RERANK,
     )
 
 
@@ -1868,7 +1879,7 @@ sub AS (
                         / (q.nrm * ct.cnrm), 6) DESC, ct.cid ASC) AS rn
     FROM n q CROSS JOIN cent ct
     WHERE q.vec_id < 8)
-  WHERE rn <= 8
+  WHERE rn <= {IVFPQ_NPROBE}
 ), quv AS (
   SELECT vec_id AS qid,
          [v[i] / nrm for i in generate_series(1, len(v))] AS uv
@@ -1910,6 +1921,64 @@ FROM (SELECT *, row_number() OVER (PARTITION BY q_id
           ORDER BY score DESC, nn_id ASC) AS rank FROM rer)
 WHERE rank <= 5
 """
+
+
+def _ivfpq_index_root(sf_dir: str) -> str:
+    """Filesystem root for the MATERIALIZED IVF-PQ index over
+    ``{sf_dir}/embeddings.parquet``, keyed by a digest of the source
+    files (name + size + mtime): regenerated testdata mints a new root
+    and the stale index is simply never read again — the same staleness
+    contract :mod:`cache` uses for persist slots."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    entries = []
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            entries.append(f"{name}#{st.st_size}#{int(st.st_mtime)}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        entries.append(f"{src}#{st.st_size}#{int(st.st_mtime)}")
+    digest = hashlib.sha256("\n".join(entries).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "sfspark_ivfpq_idx", digest)
+
+
+def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-5 against a MATERIALIZED index — the production
+    search tier: quantizers are trained and the corpus encoded ONCE
+    (:func:`streaming.vector_ingest.vector_ingest_batch`, the same
+    frozen-quantizer ingest the streaming path uses); the query measures
+    what an interactive vector search actually costs — probe-bounded
+    integer-code ADC + exact re-rank over the stored tiers, never a
+    training pass.  ``q_ivfpq_topk`` (build + search fused) and this
+    query share every quantization/tie-break rule, so one DuckDB oracle
+    (`_IVFPQ_SQL`) covers both: the ingest trains on its first batch =
+    the full embeddings table here, which is bit-identical to the
+    in-session build.  The index is built at most once per testdata
+    generation (digest-keyed root + completion marker; a torn build
+    re-runs the ingest, whose per-table anti-joins heal partial
+    appends)."""
+    from ..streaming.vector_ingest import search_materialized, vector_ingest_batch
+
+    root = _ivfpq_index_root(sf_dir)
+    marker = os.path.join(root, "_INDEX_COMPLETE")
+    if not os.path.exists(marker):
+        emb_all = load_table(spark, sf_dir, "embeddings")
+        vector_ingest_batch(
+            emb_all, root, id_col="vec_id", vec_col="embedding",
+            num_centroids=16, dim=64,
+        )
+        os.makedirs(root, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return search_materialized(
+        spark, root, emb.filter(F.col("vec_id") < 8),
+        k=5, nprobe=IVFPQ_NPROBE, dim=64,
+        id_col="vec_id", vec_col="embedding", rerank=IVFPQ_RERANK,
+    )
 
 
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2015,7 +2084,17 @@ def _media_phash_sql(*, with_padded: bool) -> str:
     """DuckDB twin of perceptual_hashes: BMP pixel-grid + WAV
     sample-stream decode from the raw BLOB hex, identical floor-boundary
     cells and cross-multiplied gradient bits.  ``with_padded`` adds the
-    byte-padded twin assets (ids +1000) for the pairs query."""
+    byte-padded twin assets (ids +1000) for the pairs query.
+
+    CANONICAL-CONTAINER ASSUMPTION (fixture-bound oracle, like the CDC
+    twins): this SQL decodes only the layouts the committed fixture
+    emits — BMP height as unsigned LE u32 with bottom-up row order, and
+    the WAV sample count/data at fixed offsets 40/44 (canonical
+    fmt-then-data chunk order).  The OPERATOR is more general (signed /
+    negative top-down BMP heights, chunk-walked WAV); a fixture asset
+    using those forms would be a false differential mismatch here, so
+    any future fixture change must keep canonical containers or extend
+    this twin in lockstep."""
     base = (
         "SELECT asset_id, modality, lower(hex(content)) AS h "
         f"FROM read_parquet('{MEDIA_FIXTURE_PATH}/*.parquet')"
@@ -2369,6 +2448,10 @@ QUERIES: dict[str, QueryDef] = {
     "q_span_masks": QueryDef(q_span_masks, _SPAN_SQL),
     "q_fertility": QueryDef(q_fertility, _FERTILITY_SQL),
     "q_ivfpq_topk": QueryDef(q_ivfpq_topk, _IVFPQ_SQL),
+    # same oracle as q_ivfpq_topk by construction: the materialized
+    # index's frozen quantizers are trained from its first (= only)
+    # batch, bit-identical to the in-session build (see the docstring)
+    "q_ivfpq_search": QueryDef(q_ivfpq_search, _IVFPQ_SQL),
     "q_triangle_stats": QueryDef(q_triangle_stats, _TRIANGLE_SQL),
     "q_bloom_prefilter": QueryDef(q_bloom_prefilter, _BLOOM_SQL),
     "q_stratified_sample": QueryDef(q_stratified_sample, _STRAT_SQL),

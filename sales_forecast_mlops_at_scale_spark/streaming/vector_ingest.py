@@ -93,6 +93,10 @@ def vector_ingest_batch(
         if fs.exists(marker):
             return
     batch_df = batch_df.dropDuplicates([id_col]).persist()
+    # the dedup path below may REBIND batch_df to a derived frame; this
+    # handle keeps the original persist releasable (no cached-copy leak
+    # per micro-batch with rejections)
+    pinned_batch = batch_df
     d_sub = dim // m if dim else None
 
     centroids = _read_or_none(spark, f"{root_path}/centroids")
@@ -119,6 +123,9 @@ def vector_ingest_batch(
         centroids = spark.read.parquet(f"{root_path}/centroids")
         codebook = spark.read.parquet(f"{root_path}/pq_codebook")
 
+    # frames pinned for the duration of the append actions; released in
+    # one place at the end so no lineage re-executes mid-flight
+    extra_pins: list[DataFrame] = []
     if dedup_threshold is not None:
         existing_vecs = _read_or_none(spark, f"{root_path}/vectors")
         if existing_vecs is not None:
@@ -136,25 +143,41 @@ def vector_ingest_batch(
             ).filter(
                 (F.col("rank") == 1) & (F.col("score") >= dedup_threshold)
             )
-            rejected = matches.select(
-                F.col("q_id").alias(id_col),
-                F.col("nn_id").alias("matched_id"),
-                "score",
-            ).persist()
-            if not rejected.isEmpty():
-                existing_rej = _read_or_none(spark, f"{root_path}/rejected")
-                delta = rejected
-                if existing_rej is not None:
-                    delta = delta.join(
-                        existing_rej.select(id_col).distinct(),
-                        id_col,
-                        "left_anti",
-                    )
-                delta.write.mode("append").parquet(f"{root_path}/rejected")
-                batch_df = batch_df.join(
-                    rejected.select(id_col), id_col, "left_anti"
-                ).persist()
-            rejected.unpersist()
+            # crash-replay healing: a row already committed to
+            # {root}/vectors was ADMITTED on a prior torn attempt (append
+            # landed, marker didn't) — on replay its batch-mates now see
+            # it in the index, so without this anti-join it could be
+            # "rejected" while also present in the index, leaving the
+            # audit table disagreeing with the tiers
+            rejected = (
+                matches.select(
+                    F.col("q_id").alias(id_col),
+                    F.col("nn_id").alias("matched_id"),
+                    "score",
+                )
+                .join(existing_vecs.select(id_col).distinct(), id_col, "left_anti")
+                .persist()
+            )
+            extra_pins.append(rejected)
+            # ONE unconditional append action per batch: redelivery
+            # idempotence folds into the same anti-join the index tiers
+            # use, and an empty delta write is cheap — no isEmpty() probe
+            # and no second read of {root}/rejected afterwards
+            existing_rej = _read_or_none(spark, f"{root_path}/rejected")
+            delta = rejected
+            if existing_rej is not None:
+                delta = delta.join(
+                    existing_rej.select(id_col).distinct(),
+                    id_col,
+                    "left_anti",
+                )
+            # this write materializes `rejected`'s cache (delta's lineage
+            # runs the ADC+rerank search exactly once); the admission
+            # filter below then joins two cached batch-scale frames
+            delta.write.mode("append").parquet(f"{root_path}/rejected")
+            batch_df = batch_df.join(
+                rejected.select(id_col), id_col, "left_anti"
+            )
 
     # O(batch) passes over THIS batch only; the residual frame feeds the
     # assignments append AND the encode, and codes feeds its own append —
@@ -183,7 +206,9 @@ def vector_ingest_batch(
     )
     codes.unpersist()
     resid.unpersist()
-    batch_df.unpersist()
+    for df in extra_pins:
+        df.unpersist()
+    pinned_batch.unpersist()
     if marker is not None:
         fs.createNewFile(marker)  # marker LAST — see ingest.py
 

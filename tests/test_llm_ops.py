@@ -793,6 +793,73 @@ def test_ivfpq_rerank_with_full_probe_equals_exact(spark):
     assert rer == exact
 
 
+def test_ivfpq_recall_floor_at_shipped_knobs(spark):
+    """The SHIPPED q_ivfpq_topk knobs (nprobe=16, rerank=50) must hold a
+    recall@5 ≥ 0.8 vs exact cosine on the fixture (measured 0.975 at
+    sf0.01, 0.875 at sf0.1) — pins the r5→r6 default bump so a future
+    knob regression fails loudly instead of silently shipping the 0.2
+    unre-ranked floor."""
+    from pyspark.sql import functions as F
+
+    from sales_forecast_mlops_at_scale_spark.operators.llm.embedsim import (
+        brute_force_topk,
+    )
+    from sales_forecast_mlops_at_scale_spark.operators.llm.pq import ivfpq_topk
+    from sales_forecast_mlops_at_scale_spark.plans.llm_queries import (
+        IVFPQ_NPROBE,
+        IVFPQ_RERANK,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {(r.q_id, r.nn_id) for r in brute_force_topk(emb, q, k=5).collect()}
+    approx = {
+        (r.q_id, r.nn_id)
+        for r in ivfpq_topk(
+            emb, q, k=5, dim=64, nprobe=IVFPQ_NPROBE, rerank=IVFPQ_RERANK
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.8
+
+
+def test_materialized_ivfpq_search_equals_in_session_build(spark, tmp_path):
+    """The production search tier over a MATERIALIZED index
+    (vector_ingest_batch once → search_materialized) must be
+    bit-identical to the fused build+search ``ivfpq_topk``: the ingest
+    trains its frozen quantizers from the first (= only) batch with the
+    same shared pieces, so every score, rank, and tie-break matches —
+    the contract that lets q_ivfpq_search share q_ivfpq_topk's oracle."""
+    from pyspark.sql import functions as F
+
+    from sales_forecast_mlops_at_scale_spark.operators.llm.pq import ivfpq_topk
+    from sales_forecast_mlops_at_scale_spark.plans.llm_queries import (
+        IVFPQ_NPROBE,
+        IVFPQ_RERANK,
+    )
+    from sales_forecast_mlops_at_scale_spark.streaming.vector_ingest import (
+        search_materialized,
+        vector_ingest_batch,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    root = str(tmp_path / "idx")
+    vector_ingest_batch(emb, root, dim=64)
+    fused = {
+        tuple(r)
+        for r in ivfpq_topk(
+            emb, q, k=5, dim=64, nprobe=IVFPQ_NPROBE, rerank=IVFPQ_RERANK
+        ).collect()
+    }
+    warm = {
+        tuple(r)
+        for r in search_materialized(
+            spark, root, q, k=5, nprobe=IVFPQ_NPROBE, dim=64, rerank=IVFPQ_RERANK
+        ).collect()
+    }
+    assert warm == fused
+
+
 def test_cdc_chunks_boundary_stability_under_insertion(spark):
     """The CDC property fixed-size chunking lacks: inserting bytes at the
     front shifts boundaries only LOCALLY, so most chunk digests survive;
