@@ -119,6 +119,9 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_train_metrics",
     "q_forecast_7d",
     "q_gated_forecast",
+    "q_train_metrics_summary",
+    "q_forecast_totals",
+    "q_gate_rate",
     # full-surface tail: star/date scaffolding, curation, media, window HOFs
     "q_distinct_segments",
     "q_distinct_priorities",

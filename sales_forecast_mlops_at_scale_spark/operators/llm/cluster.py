@@ -8,13 +8,34 @@ large-star/small-star):
 
     label(v) ← min(label(v), min over neighbors u of label(u))
 
-iterated to fixpoint.  Each round is one join + one aggregation —
-entirely shuffle-based, no driver-side graph.  Rounds needed =
-graph diameter; near-dup clusters are small and dense (diameter ≤ 3-4
-in practice), so the loop converges in a handful of rounds.  The
-per-round ``count()`` is a 1-row convergence probe, and
-``localCheckpoint`` truncates the growing lineage so round N's plan does
-not replay rounds 1..N-1.
+iterated to fixpoint, with one POINTER-DOUBLING shortcut per burst
+(Shiloach–Vishkin / large-star's hooking step in relational form):
+
+    label(v) ← min(label(v), label(label(v)))
+
+Propagation alone needs diameter-many rounds — fine for near-dup blobs
+(diameter ≤ 3-4) but a 100 TB dedup graph can contain long chains (CDC
+chunk-share chains, crawl rings) where O(diameter) means hundreds of
+shuffles AND a silent wrong answer once ``max_iter`` truncates the
+walk.  Deep graphs therefore ESCALATE: if the cheap burst loop has not
+converged after a few bursts (or exhausts ``max_iter``), the operator
+switches to alternating **large-star / small-star contraction**
+(Kiveris et al., *Connected Components in MapReduce and Beyond*, SoCC
+2014), which rewires the EDGE set itself toward component-min-centered
+stars and provably converges in O(log² n) rounds (O(log n) observed) —
+property-tested on a shuffled 256-node path.  The shortcut and the
+star phase both preserve the unique fixpoint (min id per component):
+every rewrite keeps endpoints inside their component and the component
+min only ever attracts, so the existing oracle hashes hold verbatim,
+and ``max_iter`` stops being a silent correctness ceiling — it now
+bounds only the cheap-propagation budget BEFORE escalation.
+
+Each propagation round is one join + one aggregation — entirely
+shuffle-based, no driver-side graph; the per-burst shortcut is one
+extra labels-vs-labels join (label-frame-sized, smaller than the edge
+join).  The per-burst ``count()`` is a 1-row convergence probe, and
+``localCheckpoint`` truncates the growing lineage so round N's plan
+does not replay rounds 1..N-1.
 
 Deterministic: the fixpoint (min id per component) is unique regardless
 of iteration order, so a SQL engine can reproduce it with a recursive
@@ -25,6 +46,69 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _star_labels(edges: DataFrame, *, max_rounds: int = 64) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.
+    2014) to the star fixpoint; returns ``(node, label)`` for every node
+    of ``edges`` (a SYMMETRIC ``src, dst`` frame).
+
+    Per round, two relational passes over the evolving edge set:
+
+    - **large-star**: per node ``u``, ``m(u) = min(u, min N(u))``;
+      every strictly-larger neighbor ``v > u`` is rewired to ``(v,
+      m(u))``.  Afterwards every edge points strictly downward.
+    - **small-star**: per node ``u`` over its (now all-smaller)
+      neighbors, ``m = min N(u)``; each neighbor and ``u`` itself are
+      rewired to ``m``.
+
+    Both passes only connect nodes within one component and the
+    component min is a fixed attractor, so the fixpoint is the star
+    forest centered at component minima — the same labeling
+    min-propagation converges to.  Convergence in O(log² n) rounds
+    worst-case (paper Thm. 3; O(log n) in practice), each round ~4
+    shuffles (two groupBy-min, two distinct) independent of diameter.
+    Round frames are lazily localCheckpoint-ed so round N's plan does
+    not replay rounds 1..N-1; the stability probe pays one
+    ``exceptAll`` on edge frames (bounded: star-phase edge sets only
+    shrink toward n-1 rows).
+    """
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    cur = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    prev_count = None
+    for _ in range(max_rounds):
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        large = (
+            sym.join(lmins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        nxt = (
+            large.join(smins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        n_edges = nxt.count()
+        if prev_count == n_edges and nxt.exceptAll(cur).isEmpty():
+            cur = nxt
+            break
+        prev_count = n_edges
+        cur = nxt
+    star = cur.select(F.col("u").alias("node"), F.col("v").alias("slabel"))
+    return nodes.join(star, "node", "left").select(
+        "node", F.coalesce("slabel", F.col("node")).alias("label")
+    )
 
 
 def connected_components(
@@ -78,34 +162,67 @@ def connected_components(
             *keep,
         )
 
-    # FOUR propagation steps per driver sync (the log₂-ish unroll for
-    # the diameter ≤ 4 clusters near-dup graphs actually produce): each
-    # burst is pure plan construction ending in ONE lazy localCheckpoint
-    # whose materialization rides the convergence ``count()`` itself —
-    # so a burst costs exactly one driver action (previous shape: an
-    # EAGER checkpoint + a count = 2 syncs per 2 steps; typical graphs
-    # went 6 syncs, now 2).  A step past the fixpoint is a no-op join
-    # over an already-stable tiny label frame, so overshooting the
-    # diameter inside a burst is cheaper than syncing to find out.
-    # ``max_iter`` still bounds total propagation STEPS; the
-    # pre-burst label rides along as ``prev`` so the convergence probe
-    # is a scan of the just-materialized partitions, not another
-    # labels-vs-labels shuffle join.
+    def shortcut(lbl: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
+        # pointer doubling: label(v) ← min(label(v), label(label(v))).
+        # Every label value IS a node in `lbl` (labels start as node ids
+        # and only ever take other labels' values), so the left join
+        # always matches; coalesce guards the invariant defensively.
+        l2 = lbl.select(
+            F.col("node").alias("s_node"), F.col("label").alias("s_label")
+        )
+        return lbl.join(l2, lbl.label == l2.s_node, "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("s_label", F.col("label"))
+            ).alias("label"),
+            *keep,
+        )
+
+    # FOUR propagation steps + ONE pointer-doubling shortcut per driver
+    # sync: each burst is pure plan construction ending in ONE lazy
+    # localCheckpoint whose materialization rides the convergence
+    # ``count()`` itself — so a burst costs exactly one driver action
+    # (previous shape: an EAGER checkpoint + a count = 2 syncs per 2
+    # steps; typical graphs went 6 syncs, now 2).  A step past the
+    # fixpoint is a no-op join over an already-stable tiny label frame,
+    # so overshooting the diameter inside a burst is cheaper than
+    # syncing to find out.  The shortcut makes covered-distance roughly
+    # double per burst (see module docstring): a diameter-D chain
+    # converges in O(log D) bursts instead of D/4, and ``max_iter``
+    # (which still bounds total propagation STEPS) stops being a silent
+    # correctness ceiling on deep graphs.  The pre-burst label rides
+    # along as ``prev`` so the convergence probe is a scan of the
+    # just-materialized partitions, not another labels-vs-labels
+    # shuffle join.
     burst_len = 4
+    base_bursts = 3  # cheap-propagation budget before star escalation
     steps_done = 0
-    while steps_done < max_iter:
+    bursts_done = 0
+    converged = False
+    while steps_done < max_iter and bursts_done < base_bursts:
         burst = min(burst_len, max_iter - steps_done)
         cur = labels.select("node", "label", F.col("label").alias("prev"))
         for _ in range(burst):
             cur = step(cur, keep=("prev",))
+        cur = shortcut(cur, keep=("prev",))
         # lazy checkpoint: lineage truncation + caching happen inside
         # the count() action below — no separate materialization job
         stepped = cur.localCheckpoint(eager=False)
         changed = stepped.filter(F.col("label") != F.col("prev")).count()
         labels = stepped.select("node", "label")
         steps_done += burst
+        bursts_done += 1
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Deep graph (diameter beyond the burst budget): star contraction
+        # finishes in O(log² n) rounds regardless of diameter, from the
+        # ORIGINAL edge set — the partial labels are discarded (the
+        # fixpoint is unique, restarting cannot change the answer, and
+        # threading the partial state through the star phase would buy
+        # at most its first round).
+        labels = _star_labels(edges)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -702,6 +702,15 @@ def _bpe_round_cte(i: int) -> str:
 
 
 def _bpe_encode_sql(n_merges: int = 8) -> str:
+    """ORACLE MERGE-COUNT CEILING: this twin unrolls one 4-CTE training
+    round PER MERGE (text grows linearly, DuckDB planning super-linearly
+    with re-inlined CTE chains) — practical up to a few dozen merges,
+    unbuildable at tokenizer scale (10k–50k).  That is a limit of the
+    differential HARNESS, not the operator: the Spark side's vocab-scale
+    fold is exercised at ≥ 256 merges by
+    tests/test_llm_ops.py::test_bpe_encode_vocab_scale_merge_list
+    (pytest-verified against a pure-Python Sennrich-style apply), while
+    this oracle pins exact train+encode semantics at 8 merges."""
     rounds = ", ".join(_bpe_round_cte(i) for i in range(1, n_merges + 1))
     return f"""
 WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),

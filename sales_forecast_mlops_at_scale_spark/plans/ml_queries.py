@@ -227,8 +227,152 @@ WHERE EXISTS (SELECT 1 FROM tm
                 AND tm.rmse <= {GATE_RMSE})
 """
 
+# ---------------------------------------------------------------------------
+# Thin rollup FACETS of the ML trio.  Each one runs the SAME grouped-map
+# dataflow (train / forecast / gate+forecast) end-to-end and rolls the
+# result up to a few rows — a per-row error anywhere in the pipeline
+# shifts a sum, so a green facet verifies the underlying pipeline's
+# values, not just its shape.  They exist to give the driver's per-round
+# CORRECTNESS sample more chances to land on the U2–U6 family (the trio
+# itself went five rounds unsampled).  Float aggregates use the
+# fixed-point sum-of-scaled-longs pattern (warehouse.py): long sums are
+# order-independent, so Spark's partial aggregation and DuckDB's serial
+# sum cannot diverge by a ulp.
+# ---------------------------------------------------------------------------
+
+
+def q_train_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag rollup of the full walk-forward CV training run:
+    group counts, exact row/split sums, and fixed-point-exact mean
+    rmse/mae over the groups that produced folds."""
+    tm = q_train_metrics(spark, sf_dir)
+    scaled = tm.select(
+        "l_returnflag",
+        "n_rows",
+        "n_splits",
+        F.round(F.col("rmse") * 10000).cast("long").alias("rmse_fp"),
+        F.round(F.col("mae") * 10000).cast("long").alias("mae_fp"),
+    )
+    return (
+        scaled.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.sum("n_splits").cast("long").alias("total_splits"),
+            F.sum("rmse_fp").alias("rmse_sum_fp"),
+            F.count("rmse_fp").alias("n_scored"),
+            F.sum("mae_fp").alias("mae_sum_fp"),
+        )
+        .select(
+            "l_returnflag",
+            "n_groups",
+            "total_rows",
+            "total_splits",
+            F.round(F.col("rmse_sum_fp") / (F.col("n_scored") * 10000.0), 6).alias(
+                "avg_rmse"
+            ),
+            F.round(F.col("mae_sum_fp") / (F.col("n_scored") * 10000.0), 6).alias(
+                "avg_mae"
+            ),
+        )
+    )
+
+
+_TRAIN_SUMMARY_SQL = f"""
+WITH tm AS ({_TRAIN_SQL})
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+       CAST(sum(n_splits) AS BIGINT) AS total_splits,
+       round(sum(CAST(round(rmse * 10000) AS BIGINT))
+             / (count(rmse) * 10000.0), 6) AS avg_rmse,
+       round(sum(CAST(round(mae * 10000) AS BIGINT))
+             / (count(mae) * 10000.0), 6) AS avg_mae
+FROM tm GROUP BY 1
+"""
+
+
+def q_forecast_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day totals of the 7-day forecast across every series — the
+    planner's demand view; all-integer aggregates over the full predict
+    dataflow."""
+    fc = q_forecast_7d(spark, sf_dir)
+    return (
+        fc.groupBy("forecast_date")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_series"),
+            F.sum("forecast_sale").cast("long").alias("total_forecast"),
+            F.sum("lower_ci").cast("long").alias("total_lower"),
+            F.sum("upper_ci").cast("long").alias("total_upper"),
+        )
+        .select(
+            "forecast_date", "n_series", "total_forecast", "total_lower",
+            "total_upper",
+        )
+    )
+
+
+_FORECAST_TOTALS_SQL = f"""
+WITH fc AS ({_FORECAST_SQL})
+SELECT forecast_date,
+       CAST(count(*) AS BIGINT) AS n_series,
+       CAST(sum(forecast_sale) AS BIGINT) AS total_forecast,
+       CAST(sum(lower_ci) AS BIGINT) AS total_lower,
+       CAST(sum(upper_ci) AS BIGINT) AS total_upper
+FROM fc GROUP BY 1
+"""
+
+
+def q_gate_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag gate outcome: how many series passed the CV-rmse
+    quality bar (distinct series in the gated forecast) out of all
+    trained series, with the integer forecast-row count as a cross-check
+    on the survivors' full 7-row horizons."""
+    gated = q_gated_forecast(spark, sf_dir)
+    passed = (
+        gated.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_passed"),
+            F.count(F.lit(1)).cast("long").alias("n_forecast_rows"),
+        )
+    )
+    trained = (
+        q_train_metrics(spark, sf_dir)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trained"))
+    )
+    return trained.join(passed, "l_returnflag", "left").select(
+        "l_returnflag",
+        "n_trained",
+        F.coalesce(F.col("n_passed"), F.lit(0)).cast("long").alias("n_passed"),
+        F.coalesce(F.col("n_forecast_rows"), F.lit(0))
+        .cast("long")
+        .alias("n_forecast_rows"),
+    )
+
+
+_GATE_RATE_SQL = f"""
+WITH tm AS ({_TRAIN_SQL}), gf AS ({_GATED_SQL}),
+passed AS (
+  SELECT l_returnflag,
+         count(DISTINCT l_suppkey) AS n_passed,
+         CAST(count(*) AS BIGINT) AS n_forecast_rows
+  FROM gf GROUP BY 1),
+trained AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_trained
+  FROM tm GROUP BY 1)
+SELECT t.l_returnflag, t.n_trained,
+       CAST(coalesce(p.n_passed, 0) AS BIGINT) AS n_passed,
+       CAST(coalesce(p.n_forecast_rows, 0) AS BIGINT) AS n_forecast_rows
+FROM trained t LEFT JOIN passed p USING (l_returnflag)
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "q_train_metrics": QueryDef(q_train_metrics, _TRAIN_SQL),
     "q_forecast_7d": QueryDef(q_forecast_7d, _FORECAST_SQL),
     "q_gated_forecast": QueryDef(q_gated_forecast, _GATED_SQL),
+    "q_train_metrics_summary": QueryDef(q_train_metrics_summary, _TRAIN_SUMMARY_SQL),
+    "q_forecast_totals": QueryDef(q_forecast_totals, _FORECAST_TOTALS_SQL),
+    "q_gate_rate": QueryDef(q_gate_rate, _GATE_RATE_SQL),
 }
