@@ -182,18 +182,17 @@ def connected_components(
     # sync: each burst is pure plan construction ending in ONE lazy
     # localCheckpoint whose materialization rides the convergence
     # ``count()`` itself — so a burst costs exactly one driver action
-    # (previous shape: an EAGER checkpoint + a count = 2 syncs per 2
-    # steps; typical graphs went 6 syncs, now 2).  A step past the
+    # (previous shapes: an EAGER checkpoint + a count = 2 syncs per 2
+    # steps, then a whole-burst prev-probe needing a confirmation
+    # burst; typical graphs now finish in ONE sync).  A step past the
     # fixpoint is a no-op join over an already-stable tiny label frame,
     # so overshooting the diameter inside a burst is cheaper than
-    # syncing to find out.  The shortcut makes covered-distance roughly
-    # double per burst (see module docstring): a diameter-D chain
-    # converges in O(log D) bursts instead of D/4, and ``max_iter``
-    # (which still bounds total propagation STEPS) stops being a silent
-    # correctness ceiling on deep graphs.  The pre-burst label rides
-    # along as ``prev`` so the convergence probe is a scan of the
-    # just-materialized partitions, not another labels-vs-labels
-    # shuffle join.
+    # syncing to find out.  ``max_iter`` bounds total propagation STEPS
+    # but is no longer a silent correctness ceiling — unconverged
+    # graphs escalate to star contraction below.  The label entering
+    # the final step rides along as ``prelast`` so the convergence
+    # probe is a scan of the just-materialized partitions, not another
+    # labels-vs-labels shuffle join.
     burst_len = 4
     base_bursts = 3  # cheap-propagation budget before star escalation
     steps_done = 0
@@ -201,14 +200,23 @@ def connected_components(
     converged = False
     while steps_done < max_iter and bursts_done < base_bursts:
         burst = min(burst_len, max_iter - steps_done)
-        cur = labels.select("node", "label", F.col("label").alias("prev"))
-        for _ in range(burst):
-            cur = step(cur, keep=("prev",))
-        cur = shortcut(cur, keep=("prev",))
+        cur = labels.select("node", "label")
+        for _ in range(burst - 1):
+            cur = step(cur)
+        # convergence is detected WITHIN the burst: carry the label
+        # entering the final step as ``prelast`` — if the final step and
+        # the shortcut both change nothing, propagation is at its
+        # neighbor-min fixpoint (monotone: one full no-op step is
+        # forever a no-op), so the typical diameter ≤ 3-4 near-dup
+        # graph finishes in ONE burst/action where the old
+        # whole-burst-prev probe needed a second confirmation burst
+        cur = cur.select("node", "label", F.col("label").alias("prelast"))
+        cur = step(cur, keep=("prelast",))
+        cur = shortcut(cur, keep=("prelast",))
         # lazy checkpoint: lineage truncation + caching happen inside
         # the count() action below — no separate materialization job
         stepped = cur.localCheckpoint(eager=False)
-        changed = stepped.filter(F.col("label") != F.col("prev")).count()
+        changed = stepped.filter(F.col("label") != F.col("prelast")).count()
         labels = stepped.select("node", "label")
         steps_done += burst
         bursts_done += 1
