@@ -112,6 +112,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_pq_topk",
     "q_ivfpq_topk",
     "q_ivfpq_search",
+    "q_ivfpq_index_stats",
+    "q_pq_distortion",
     "q_embed_neardup",
     "q_semantic_dedup",
     "q_line_repetition",

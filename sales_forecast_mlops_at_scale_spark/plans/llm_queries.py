@@ -1752,8 +1752,11 @@ def _pq_lloyd_cte(i: int) -> str:
 )"""
 
 
-_PQ_SQL = f"""
-WITH n AS (
+#: Shared CTE prefix: unit-normalize → subspaces → hash-picked seed
+#: codewords → two Lloyd rounds → final codebook + corpus codes.  The
+#: flat-PQ search twin (_PQ_SQL) and the distortion report twin
+#: (_PQ_DISTORTION_SQL) both build on exactly this index state.
+_PQ_INDEX_CTES = f"""n AS (
   -- unit-normalized (PQ quantizes directions; see operators/llm/pq._unit)
   SELECT vec_id,
          [CAST(x AS DOUBLE)
@@ -1782,7 +1785,10 @@ sub AS (
                       ct.cid ASC) AS rn
     FROM sub s JOIN cb ct ON s.m = ct.m)
   WHERE rn = 1
-), dt AS (
+)"""
+
+_PQ_SQL = f"""
+WITH {_PQ_INDEX_CTES}, dt AS (
   SELECT s.vid AS qid, s.m, ct.cid AS code,
          {_PQ_D.format(a="s.sv", b="ct.cv")} AS d_fp
   FROM sub s JOIN cb ct ON s.m = ct.m
@@ -1798,6 +1804,79 @@ SELECT q_id, nn_id, round(s_fp / 1000000.0, 6) AS adist,
 FROM (SELECT *, row_number() OVER (PARTITION BY q_id
           ORDER BY s_fp ASC, nn_id ASC) AS rank FROM sc)
 WHERE rank <= 5
+"""
+
+
+def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ quantization distortion — the index-quality
+    report a vector store publishes after (re)training: for every
+    subspace, the count of encoded subvectors, the EXACT fixed-point
+    sum of squared quantization errors (distance from each subvector to
+    its assigned codeword), and the mean squared error.  High-MSE
+    subspaces are where recall leaks; watching this per ingest decides
+    when the frozen codebook needs an offline retrain
+    (operators/llm/pq.pq_codebook + pq_encode).  All-integer until one
+    final division, so Spark's partial aggregation and DuckDB's serial
+    sum cannot diverge."""
+    from ..operators.llm.pq import (
+        _prepared,
+        _sqdist_fp,
+        _subspaces,
+        _unit,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m, dim = 32, 64
+    cb = pq_codebook(emb, m=m, dim=dim)
+    enc = pq_encode(emb, cb, m=m, dim=dim)
+    sub = _subspaces(_unit(_prepared(emb, "vec_id", "embedding")), m=m)
+    cbr = cb.select(
+        F.col("m").alias("cm"), F.col("cid").alias("ccode"), "cv"
+    )
+    err = (
+        sub.join(enc, ["vid", "m"])
+        .join(
+            F.broadcast(cbr),
+            (F.col("m") == F.col("cm")) & (F.col("code") == F.col("ccode")),
+        )
+        .select(
+            F.col("m").alias("subspace"),
+            _sqdist_fp(F.col("sv"), F.col("cv"), dim // m).alias("d_fp"),
+        )
+    )
+    return (
+        err.groupBy("subspace")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("d_fp").cast("long").alias("sum_sqerr_fp"),
+        )
+        .select(
+            F.col("subspace").cast("long").alias("subspace"),
+            "n_vectors",
+            "sum_sqerr_fp",
+            F.round(
+                F.col("sum_sqerr_fp") / (F.col("n_vectors") * 1000000.0), 6
+            ).alias("mse"),
+        )
+    )
+
+
+#: Distortion twin: the shared index CTEs, then each subvector's
+#: fixed-point distance to its ASSIGNED codeword (the same _PQ_D the
+#: encode argmin used), aggregated exactly.
+_PQ_DISTORTION_SQL = f"""
+WITH {_PQ_INDEX_CTES}, derr AS (
+  SELECT s.m, {_PQ_D.format(a="s.sv", b="ct.cv")} AS d_fp
+  FROM sub s
+  JOIN codes k ON k.vid = s.vid AND k.m = s.m
+  JOIN cb ct ON ct.m = s.m AND ct.cid = k.code)
+SELECT CAST(m AS BIGINT) AS subspace,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(d_fp) AS BIGINT) AS sum_sqerr_fp,
+       round(sum(d_fp) / (count(*) * 1000000.0), 6) AS mse
+FROM derr GROUP BY m
 """
 
 
@@ -1954,22 +2033,12 @@ def _ivfpq_index_root(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), "sfspark_ivfpq_idx", digest)
 
 
-def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ ANN top-5 against a MATERIALIZED index — the production
-    search tier: quantizers are trained and the corpus encoded ONCE
-    (:func:`streaming.vector_ingest.vector_ingest_batch`, the same
-    frozen-quantizer ingest the streaming path uses); the query measures
-    what an interactive vector search actually costs — probe-bounded
-    integer-code ADC + exact re-rank over the stored tiers, never a
-    training pass.  ``q_ivfpq_topk`` (build + search fused) and this
-    query share every quantization/tie-break rule, so one DuckDB oracle
-    (`_IVFPQ_SQL`) covers both: the ingest trains on its first batch =
-    the full embeddings table here, which is bit-identical to the
-    in-session build.  The index is built at most once per testdata
-    generation (digest-keyed root + completion marker; a torn build
-    re-runs the ingest, whose per-table anti-joins heal partial
-    appends)."""
-    from ..streaming.vector_ingest import search_materialized, vector_ingest_batch
+def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the materialized IVF-PQ index for ``sf_dir`` at most once
+    per testdata generation (digest-keyed root + completion marker; a
+    torn build re-runs the ingest, whose per-table anti-joins heal
+    partial appends).  Returns the index root."""
+    from ..streaming.vector_ingest import vector_ingest_batch
 
     root = _ivfpq_index_root(sf_dir)
     marker = os.path.join(root, "_INDEX_COMPLETE")
@@ -1982,12 +2051,83 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(root, exist_ok=True)
         with open(marker, "w") as fh:
             fh.write("ok\n")
+    return root
+
+
+def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-5 against a MATERIALIZED index — the production
+    search tier: quantizers are trained and the corpus encoded ONCE
+    (:func:`streaming.vector_ingest.vector_ingest_batch`, the same
+    frozen-quantizer ingest the streaming path uses); the query measures
+    what an interactive vector search actually costs — probe-bounded
+    integer-code ADC + exact re-rank over the stored tiers, never a
+    training pass.  ``q_ivfpq_topk`` (build + search fused) and this
+    query share every quantization/tie-break rule, so one DuckDB oracle
+    (`_IVFPQ_SQL`) covers both: the ingest trains on its first batch =
+    the full embeddings table here, which is bit-identical to the
+    in-session build."""
+    from ..streaming.vector_ingest import search_materialized
+
+    root = _ensure_ivfpq_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     return search_materialized(
         spark, root, emb.filter(F.col("vec_id") < 8),
         k=5, nprobe=IVFPQ_NPROBE, dim=64,
         id_col="vec_id", vec_col="embedding", rerank=IVFPQ_RERANK,
     )
+
+
+def q_ivfpq_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-balance report over the MATERIALIZED IVF-PQ index's
+    coarse-assignment tier — THE operational metric for an IVF index:
+    probe cost is driven by the largest buckets, and a skewed coarse
+    quantizer silently degrades either latency (hot buckets) or recall
+    (starved buckets).  One row per bucket: exact vector count and
+    integer parts-per-million share (``(n·10⁶) div total`` — pure
+    integer arithmetic, engine-independent).  Reads only the
+    ``assignments`` table the ingest maintains; the oracle re-derives
+    the same assignment from scratch, so a drift between the
+    materialized tier and the definition fails the differential."""
+    asg = spark.read.parquet(f"{_ensure_ivfpq_index(spark, sf_dir)}/assignments")
+    per = asg.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    tot = per.agg(F.sum("n_vectors").alias("total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_vectors",
+        F.expr("n_vectors * 1000000 div total").cast("long").alias("share_ppm"),
+    )
+
+
+#: Index-stats twin: the shared coarse assignment (rounded-cosine
+#: argmax over the 16 hash-picked centroids — same CTE text as
+#: _IVFPQ_SQL / _CLUSTER_BALANCE_SQL) grouped by bucket; integer ppm.
+_IVFPQ_INDEX_STATS_SQL = """
+WITH n AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+         sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                        for x in embedding])) AS nrm
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+  ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 2147483648, vec_id
+  LIMIT 16
+), assigned AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT c.vec_id, ct.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_sum([c.v[i] * ct.cv[i]
+                        for i in generate_series(1, len(c.v))])
+                        / (c.nrm * ct.cnrm), 6) DESC, ct.cid ASC) AS rn
+    FROM n c CROSS JOIN cent ct)
+  WHERE rn = 1)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST((count(*) * 1000000) // (SELECT count(*) FROM assigned)
+            AS BIGINT) AS share_ppm
+FROM assigned GROUP BY bucket
+"""
 
 
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2461,6 +2601,8 @@ QUERIES: dict[str, QueryDef] = {
     # index's frozen quantizers are trained from its first (= only)
     # batch, bit-identical to the in-session build (see the docstring)
     "q_ivfpq_search": QueryDef(q_ivfpq_search, _IVFPQ_SQL),
+    "q_ivfpq_index_stats": QueryDef(q_ivfpq_index_stats, _IVFPQ_INDEX_STATS_SQL),
+    "q_pq_distortion": QueryDef(q_pq_distortion, _PQ_DISTORTION_SQL),
     "q_triangle_stats": QueryDef(q_triangle_stats, _TRIANGLE_SQL),
     "q_bloom_prefilter": QueryDef(q_bloom_prefilter, _BLOOM_SQL),
     "q_stratified_sample": QueryDef(q_stratified_sample, _STRAT_SQL),

@@ -954,6 +954,40 @@ def test_materialized_ivfpq_search_equals_in_session_build(spark, tmp_path):
     assert warm == fused
 
 
+def test_ivfpq_index_stats_partitions_the_corpus(spark):
+    """The bucket-balance report must account for EVERY corpus vector
+    exactly once (assignment is a partition), with integer ppm shares
+    summing to ≤ 10⁶ (floor division) and > 10⁶ − n_buckets."""
+    from pyspark.sql import functions as F
+
+    from sales_forecast_mlops_at_scale_spark.plans.llm_queries import (
+        q_ivfpq_index_stats,
+    )
+
+    rows = q_ivfpq_index_stats(spark, SF_DIR).collect()
+    n_corpus = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == n_corpus
+    ppm = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - len(rows) < ppm <= 1_000_000
+
+
+def test_pq_distortion_reports_every_subspace(spark):
+    """One row per subspace, every count = corpus size (each vector
+    contributes one subvector per subspace), distortion non-negative
+    and bounded by the unit-sphere diameter (‖a−b‖² ≤ 4)."""
+    from sales_forecast_mlops_at_scale_spark.plans.llm_queries import (
+        q_pq_distortion,
+    )
+
+    rows = q_pq_distortion(spark, SF_DIR).collect()
+    n_corpus = load_table(spark, SF_DIR, "embeddings").count()
+    assert sorted(r.subspace for r in rows) == list(range(32))
+    for r in rows:
+        assert r.n_vectors == n_corpus
+        assert 0 <= r.mse <= 4.0
+        assert r.sum_sqerr_fp >= 0
+
+
 def test_bpe_encode_vocab_scale_merge_list(spark):
     """Encode the corpus with a 256-merge list — tokenizer-scale in
     shape (the DuckDB twin's per-merge CTE unrolling caps the ORACLE at
