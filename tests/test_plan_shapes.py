@@ -299,6 +299,34 @@ def test_ivfpq_rerank_search_joins_are_broadcast_only(spark):
     codes.unpersist()
 
 
+def test_materialized_ivfpq_search_joins_are_broadcast_only(spark, tmp_path):
+    # the PRODUCTION search path (q_ivfpq_search / search_materialized)
+    # must keep the same broadcast-only discipline as the in-session
+    # search: query-side frames broadcast to the stored codes/vectors
+    # tables, never a corpus-keyed sort-merge shuffle — this is the plan
+    # that runs per interactive query against a 100 TB index
+    from pyspark.sql import functions as F
+
+    from sales_forecast_mlops_at_scale_spark.catalog import load_table
+    from sales_forecast_mlops_at_scale_spark.streaming.vector_ingest import (
+        search_materialized,
+        vector_ingest_batch,
+    )
+
+    emb = load_table(spark, SMOKE_SF_DIR, "embeddings")
+    root = str(tmp_path / "idx")
+    vector_ingest_batch(emb, root, dim=64)
+    out = search_materialized(
+        spark, root, emb.filter(F.col("vec_id") < 4),
+        k=5, nprobe=8, dim=64, rerank=50,
+    )
+    plan = _executed_plan(out)
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line and ("vid#" in line or "qid#" in line):
+            raise AssertionError(f"corpus-keyed sort-merge join: {line}")
+    assert "BroadcastHashJoin" in plan
+
+
 def test_media_phash_pairs_no_cartesian(spark):
     # perceptual pair search is the pigeonhole bucket equi-join — a
     # cartesian/BNL product over the hash table would be the all-pairs
