@@ -686,3 +686,58 @@ def test_vector_ingest_online_semantic_dedup(spark, tmp_path):
     assert {
         r.vec_id for r in spark.read.parquet(f"{root}/assignments").collect()
     } == ids
+
+
+def test_vector_ingest_torn_replay_does_not_reject_committed_rows(spark, tmp_path):
+    """Crash-replay audit consistency: a batch whose appends LANDED but
+    whose commit marker did NOT (torn commit) is redelivered; on replay
+    the dedup search now sees the batch's own vectors in the committed
+    index, so without healing, batch rows would 'reject' against
+    themselves/batch-mates — ending up in {root}/rejected while ALSO
+    present in the index.  The anti-join against {root}/vectors must
+    keep the audit table and the index tiers consistent."""
+    from sales_forecast_mlops_at_scale_spark.streaming.vector_ingest import (
+        vector_ingest_batch,
+    )
+
+    root = str(tmp_path / "tornidx")
+
+    def vec(seed):
+        import hashlib
+
+        return [
+            float(
+                int.from_bytes(
+                    hashlib.md5(f"{seed}:{d}".encode()).digest()[:4], "big"
+                )
+                % 1009
+                - 504
+            )
+            for d in range(64)
+        ]
+
+    batch = spark.createDataFrame(
+        [(i, vec(i)) for i in range(20)], "vec_id long, embedding array<double>"
+    )
+    # attempt 1: full ingest WITHOUT a batch marker (simulates the crash
+    # window after the appends, before fs.createNewFile(marker))
+    vector_ingest_batch(batch, root, dim=64, batch_id=None, dedup_threshold=0.99)
+    ids1 = {r.vec_id for r in spark.read.parquet(f"{root}/vectors").collect()}
+    assert ids1 == set(range(20))
+
+    # attempt 2: the redelivered batch — every row matches itself in the
+    # committed index at cosine 1.0, which would clear any threshold
+    vector_ingest_batch(batch, root, dim=64, batch_id=7, dedup_threshold=0.99)
+
+    import os
+
+    rej_path = f"{root}/rejected"
+    rejected = (
+        spark.read.parquet(rej_path).collect() if os.path.exists(rej_path) else []
+    )
+    assert rejected == [], f"committed rows must not self-reject: {rejected}"
+    # healing appends stay idempotent: no duplicate tier rows either
+    vecs = spark.read.parquet(f"{root}/vectors").collect()
+    assert len(vecs) == 20 and {r.vec_id for r in vecs} == ids1
+    asg = spark.read.parquet(f"{root}/assignments").collect()
+    assert len(asg) == 20
