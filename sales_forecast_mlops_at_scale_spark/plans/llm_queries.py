@@ -1815,45 +1815,38 @@ def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     its assigned codeword), and the mean squared error.  High-MSE
     subspaces are where recall leaks; watching this per ingest decides
     when the frozen codebook needs an offline retrain
-    (operators/llm/pq.pq_codebook + pq_encode).  All-integer until one
-    final division, so Spark's partial aggregation and DuckDB's serial
-    sum cannot diverge."""
+    (operators/llm/pq.pq_codebook).  The assigned codeword IS the
+    distance-argmin, so the per-subvector error is computed directly as
+    ``min(d_fp)`` over the broadcast codebook — no join against the
+    code table, no corpus-keyed shuffle beyond one map-side-combinable
+    aggregation of (vid, m, long) rows.  All-integer until one final
+    division, so Spark's partial aggregation and DuckDB's serial sum
+    cannot diverge."""
     from ..operators.llm.pq import (
         _prepared,
         _sqdist_fp,
         _subspaces,
         _unit,
         pq_codebook,
-        pq_encode,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     m, dim = 32, 64
     cb = pq_codebook(emb, m=m, dim=dim)
-    enc = pq_encode(emb, cb, m=m, dim=dim)
     sub = _subspaces(_unit(_prepared(emb, "vec_id", "embedding")), m=m)
-    cbr = cb.select(
-        F.col("m").alias("cm"), F.col("cid").alias("ccode"), "cv"
-    )
-    err = (
-        sub.join(enc, ["vid", "m"])
-        .join(
-            F.broadcast(cbr),
-            (F.col("m") == F.col("cm")) & (F.col("code") == F.col("ccode")),
-        )
-        .select(
-            F.col("m").alias("subspace"),
-            _sqdist_fp(F.col("sv"), F.col("cv"), dim // m).alias("d_fp"),
-        )
+    per_sv = (
+        sub.join(F.broadcast(cb), "m")
+        .groupBy("vid", "m")
+        .agg(F.min(_sqdist_fp(F.col("sv"), F.col("cv"), dim // m)).alias("d_fp"))
     )
     return (
-        err.groupBy("subspace")
+        per_sv.groupBy("m")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vectors"),
             F.sum("d_fp").cast("long").alias("sum_sqerr_fp"),
         )
         .select(
-            F.col("subspace").cast("long").alias("subspace"),
+            F.col("m").cast("long").alias("subspace"),
             "n_vectors",
             "sum_sqerr_fp",
             F.round(
@@ -1864,14 +1857,15 @@ def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Distortion twin: the shared index CTEs, then each subvector's
-#: fixed-point distance to its ASSIGNED codeword (the same _PQ_D the
-#: encode argmin used), aggregated exactly.
+#: fixed-point distance to its assigned codeword — stated as the
+#: distance-MIN over the codebook (assignment is the argmin, so min
+#: distance ≡ assigned-codeword distance), aggregated exactly.
 _PQ_DISTORTION_SQL = f"""
 WITH {_PQ_INDEX_CTES}, derr AS (
-  SELECT s.m, {_PQ_D.format(a="s.sv", b="ct.cv")} AS d_fp
-  FROM sub s
-  JOIN codes k ON k.vid = s.vid AND k.m = s.m
-  JOIN cb ct ON ct.m = s.m AND ct.cid = k.code)
+  SELECT s.vid, s.m,
+         min({_PQ_D.format(a="s.sv", b="ct.cv")}) AS d_fp
+  FROM sub s JOIN cb ct ON s.m = ct.m
+  GROUP BY s.vid, s.m)
 SELECT CAST(m AS BIGINT) AS subspace,
        CAST(count(*) AS BIGINT) AS n_vectors,
        CAST(sum(d_fp) AS BIGINT) AS sum_sqerr_fp,
