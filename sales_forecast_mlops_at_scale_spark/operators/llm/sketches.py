@@ -135,3 +135,105 @@ def kmv_overlap(
         F.round(jac, 6).alias("jaccard_est"),
         F.round(jac * union_est, ndigits).alias("intersect_est"),
     )
+
+
+#: Default bin count for the quantile sketch — shared with the oracle
+#: twin so a changed resolution re-syncs both sides.
+QSKETCH_BINS = 256
+
+
+def binned_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: Sequence[float],
+    group_cols: Sequence[str] = (),
+    *,
+    bins: int = QSKETCH_BINS,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group quantile estimates from an equi-width histogram sketch —
+    the deterministic, oracle-checkable twin of ``approx_percentile``
+    (whose Greenwald-Khanna summary is engine-specific and therefore
+    cannot be differentially verified), exactly as KMV is the twin of
+    HyperLogLog.
+
+    Two aggregation passes, bounded state: (1) per-group ``min/max/
+    count``; (2) per-group counts over ``bins`` equi-width cells
+    (map-side combinable — at most ``bins`` rows per group regardless of
+    data size, where an exact percentile sorts the full column).  The
+    quantile is read off the cumulative histogram with linear
+    interpolation inside the hit cell: rank ``r = max(1, ceil(q·n))``,
+    first bin whose cumulative count reaches ``r``, then
+    ``lo + (hi−lo)/bins · (bin + (r − cum_prev)/cnt)``.  Estimation
+    error is bounded by one cell width — tighten with ``bins``, the
+    same knob trade as any histogram sketch.  Every arithmetic step is
+    shaped identically in the SQL twin, so the estimates match digit
+    for digit.
+
+    Output: ``*group_cols, q, estimate, n_rows`` (NULL values excluded
+    from ranks; a group with ``hi == lo`` reports ``lo`` at every q).
+    """
+    gcols = list(group_cols)
+    v = F.col(value_col).cast("double")
+    stats = (
+        df.where(v.isNotNull())
+        .groupBy(*gcols)
+        .agg(F.min(v).alias("lo"), F.max(v).alias("hi"), F.count(v).alias("n"))
+    )
+    src = df.where(v.isNotNull()).select(*gcols, v.alias("v"))
+    joined = (
+        src.join(F.broadcast(stats), gcols)
+        if gcols
+        else src.crossJoin(F.broadcast(stats))
+    )
+    bin_ = (
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(bins - 1),
+                F.floor(
+                    (F.col("v") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * bins
+                ),
+            )
+        )
+        .cast("int")
+    )
+    counts = (
+        joined.select(*gcols, bin_.alias("bin"))
+        .groupBy(*gcols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("cnt").over(w))
+    cum = (
+        cum.join(F.broadcast(stats), gcols)
+        if gcols
+        else cum.crossJoin(F.broadcast(stats))
+    )
+    qexp = cum.select(
+        "*", F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    ).withColumn(
+        "r", F.greatest(F.lit(1), F.ceil(F.col("q") * F.col("n"))).cast("long")
+    )
+    pick = Window.partitionBy(*gcols, "q").orderBy("bin")
+    hit = (
+        qexp.where(F.col("cum") >= F.col("r"))
+        .withColumn("rn", F.row_number().over(pick))
+        .where(F.col("rn") == 1)
+    )
+    est = F.col("lo") + (F.col("hi") - F.col("lo")) / bins * (
+        F.col("bin")
+        + (F.col("r") - (F.col("cum") - F.col("cnt"))) * F.lit(1.0) / F.col("cnt")
+    )
+    return hit.select(
+        *gcols,
+        "q",
+        F.round(est, ndigits).alias("estimate"),
+        F.col("n").cast("long").alias("n_rows"),
+    )

@@ -294,6 +294,57 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_overlap(toks("en"), toks("de"), "tok", k=KMV_K)
 
 
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag price quantiles (p50/p90/p99) from the equi-width
+    histogram sketch — the deterministic, oracle-checkable twin of
+    ``approx_percentile`` (operators/llm/sketches.binned_quantiles):
+    two bounded aggregation passes where the exact percentile sorts the
+    column, and the estimate matches the SQL twin digit for digit."""
+    from ..operators.llm.sketches import binned_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return binned_quantiles(
+        li, "l_extendedprice", (0.5, 0.9, 0.99), ["l_returnflag"]
+    )
+
+
+#: Quantile-sketch twin: identical binning, rank, and interpolation
+#: arithmetic (same association order — the estimates are doubles, so
+#: the expression SHAPE is the contract, not just the math).
+_QSKETCH_SQL = """
+WITH v AS (
+  SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS v
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+stats AS (
+  SELECT grp, min(v) AS lo, max(v) AS hi, count(v) AS n FROM v GROUP BY grp),
+b AS (
+  SELECT v.grp,
+         CASE WHEN s.hi = s.lo THEN 0
+              ELSE CAST(least(255, floor((v.v - s.lo) / (s.hi - s.lo) * 256))
+                   AS INTEGER) END AS bin
+  FROM v JOIN stats s USING (grp)),
+c AS (SELECT grp, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT grp, bin, cnt,
+         sum(cnt) OVER (PARTITION BY grp ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+t AS (
+  SELECT cum.grp, cum.bin, cum.cnt, cum.cum, s.lo, s.hi, s.n, qs.q,
+         greatest(1, CAST(ceil(qs.q * s.n) AS BIGINT)) AS r
+  FROM cum JOIN stats s USING (grp) CROSS JOIN qs),
+pick AS (
+  SELECT *, row_number() OVER (PARTITION BY grp, q ORDER BY bin) AS rn
+  FROM t WHERE cum >= r)
+SELECT grp AS l_returnflag, q,
+       round(lo + (hi - lo) / 256 * (bin + (r - (cum - cnt)) * 1.0 / cnt), 6)
+         AS estimate,
+       CAST(n AS BIGINT) AS n_rows
+FROM pick WHERE rn = 1
+"""
+
+
 def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """25% deterministic downsample by salted-md5 hex threshold."""
     return deterministic_sample(
@@ -2699,6 +2750,7 @@ FROM fps GROUP BY doc_id
     # same min-per-component fixpoint as the label propagation.
     "q_dedup_clusters": QueryDef(q_dedup_clusters, _CLUSTER_SQL),
     "q_kmv_distinct": QueryDef(q_kmv_distinct, _KMV_SQL),
+    "q_quantile_sketch": QueryDef(q_quantile_sketch, _QSKETCH_SQL),
     "q_kmv_overlap": QueryDef(q_kmv_overlap, _KMV_OVERLAP_SQL),
     "q_sample_deterministic": QueryDef(
         q_sample_deterministic,

@@ -954,6 +954,59 @@ def test_materialized_ivfpq_search_equals_in_session_build(spark, tmp_path):
     assert warm == fused
 
 
+def test_binned_quantiles_within_one_cell_of_exact(spark):
+    """The histogram-sketch estimate must land within one cell width of
+    the exact percentile for every (group, q) — the sketch's stated
+    error bound — and degenerate constant groups must report the
+    constant exactly."""
+    from pyspark.sql import functions as F
+
+    from sales_forecast_mlops_at_scale_spark.operators.llm.sketches import (
+        QSKETCH_BINS,
+        binned_quantiles,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    got = {
+        (r.l_returnflag, r.q): r.estimate
+        for r in binned_quantiles(
+            li, "l_extendedprice", (0.5, 0.9, 0.99), ["l_returnflag"]
+        ).collect()
+    }
+    stats = {
+        r.l_returnflag: (r.lo, r.hi)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+        .collect()
+    }
+    exact = {
+        (r.l_returnflag, q): v
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.5, 0.9, 0.99))"
+            ).alias("p")
+        )
+        .collect()
+        for q, v in zip((0.5, 0.9, 0.99), r.p)
+    }
+    assert set(got) == set(exact)
+    for (flag, q), est in got.items():
+        lo, hi = stats[flag]
+        cell = (float(hi) - float(lo)) / QSKETCH_BINS
+        assert abs(est - float(exact[(flag, q)])) <= cell + 1e-9, (flag, q)
+
+    # constant column: every quantile IS the constant
+    const = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0), (3, 5.0)], "id long, x double"
+    )
+    rows = binned_quantiles(const, "x", (0.5, 0.99)).collect()
+    assert all(r.estimate == 5.0 for r in rows)
+
+
 def test_ivfpq_index_stats_partitions_the_corpus(spark):
     """The bucket-balance report must account for EVERY corpus vector
     exactly once (assignment is a partition), with integer ppm shares
