@@ -17,9 +17,9 @@ Propagation alone needs diameter-many rounds — fine for near-dup blobs
 (diameter ≤ 3-4) but a 100 TB dedup graph can contain long chains (CDC
 chunk-share chains, crawl rings) where O(diameter) means hundreds of
 shuffles AND a silent wrong answer once ``max_iter`` truncates the
-walk.  Deep graphs therefore ESCALATE: if the cheap burst loop has not
-converged after a few bursts (or exhausts ``max_iter``), the operator
-switches to alternating **large-star / small-star contraction**
+walk.  Deep graphs therefore ESCALATE: if the cheap burst loop exhausts
+its ``max_iter`` propagation-step budget without converging, the
+operator switches to alternating **large-star / small-star contraction**
 (Kiveris et al., *Connected Components in MapReduce and Beyond*, SoCC
 2014), which rewires the EDGE set itself toward component-min-centered
 stars and provably converges in O(log² n) rounds (O(log n) observed) —
@@ -124,6 +124,12 @@ def connected_components(
     doc id in the node's connected component.  Nodes not in any pair are
     singletons by definition and are NOT emitted (join the full corpus
     with a coalesce-to-self downstream when a total labeling is needed).
+
+    ``max_iter`` budgets the CHEAP min-propagation phase (in steps);
+    exhausting it unconverged escalates to star contraction rather than
+    truncating — the answer is always the exact component-min labeling,
+    ``max_iter`` only tunes where the diameter-independent phase takes
+    over.
     """
     edges = pairs.select(F.col(left).alias("src"), F.col(right).alias("dst"))
     # Contract: ``pairs`` rows are unique with left < right (every in-repo
@@ -194,11 +200,9 @@ def connected_components(
     # probe is a scan of the just-materialized partitions, not another
     # labels-vs-labels shuffle join.
     burst_len = 4
-    base_bursts = 3  # cheap-propagation budget before star escalation
     steps_done = 0
-    bursts_done = 0
     converged = False
-    while steps_done < max_iter and bursts_done < base_bursts:
+    while steps_done < max_iter:
         burst = min(burst_len, max_iter - steps_done)
         cur = labels.select("node", "label")
         for _ in range(burst - 1):
@@ -219,17 +223,17 @@ def connected_components(
         changed = stepped.filter(F.col("label") != F.col("prelast")).count()
         labels = stepped.select("node", "label")
         steps_done += burst
-        bursts_done += 1
         if changed == 0:
             converged = True
             break
     if not converged:
-        # Deep graph (diameter beyond the burst budget): star contraction
-        # finishes in O(log² n) rounds regardless of diameter, from the
-        # ORIGINAL edge set — the partial labels are discarded (the
-        # fixpoint is unique, restarting cannot change the answer, and
-        # threading the partial state through the star phase would buy
-        # at most its first round).
+        # Deep graph (diameter beyond the ``max_iter`` cheap-propagation
+        # budget): star contraction finishes in O(log² n) rounds
+        # regardless of diameter, from the ORIGINAL edge set — the
+        # partial labels are discarded (the fixpoint is unique,
+        # restarting cannot change the answer, and threading the partial
+        # state through the star phase would buy at most its first
+        # round).
         labels = _star_labels(edges)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")

@@ -48,7 +48,12 @@ from ..operators.llm.multimodal import (
     media_dedup_keys,
 )
 from ..operators.llm.embedsim import SRP_QUANT_SCALE
-from ..operators.llm.sketches import KMV_K, KMV_RANGE, kmv_distinct
+from ..operators.llm.sketches import (
+    KMV_K,
+    KMV_RANGE,
+    QSKETCH_BINS,
+    kmv_distinct,
+)
 from ..operators.llm.winnow import K_GRAM as _WINNOW_K
 from ..operators.llm.winnow import POLY_BASE as _WINNOW_BASE
 from ..operators.llm.winnow import POLY_MOD as _WINNOW_MOD
@@ -310,8 +315,10 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Quantile-sketch twin: identical binning, rank, and interpolation
 #: arithmetic (same association order — the estimates are doubles, so
-#: the expression SHAPE is the contract, not just the math).
-_QSKETCH_SQL = """
+#: the expression SHAPE is the contract, not just the math); bin count
+#: interpolated from QSKETCH_BINS so a tuned resolution re-syncs both
+#: sides.
+_QSKETCH_SQL = f"""
 WITH v AS (
   SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS v
   FROM lineitem WHERE l_extendedprice IS NOT NULL),
@@ -320,7 +327,8 @@ stats AS (
 b AS (
   SELECT v.grp,
          CASE WHEN s.hi = s.lo THEN 0
-              ELSE CAST(least(255, floor((v.v - s.lo) / (s.hi - s.lo) * 256))
+              ELSE CAST(least({QSKETCH_BINS - 1},
+                        floor((v.v - s.lo) / (s.hi - s.lo) * {QSKETCH_BINS}))
                    AS INTEGER) END AS bin
   FROM v JOIN stats s USING (grp)),
 c AS (SELECT grp, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
@@ -338,8 +346,8 @@ pick AS (
   SELECT *, row_number() OVER (PARTITION BY grp, q ORDER BY bin) AS rn
   FROM t WHERE cum >= r)
 SELECT grp AS l_returnflag, q,
-       round(lo + (hi - lo) / 256 * (bin + (r - (cum - cnt)) * 1.0 / cnt), 6)
-         AS estimate,
+       round(lo + (hi - lo) / {QSKETCH_BINS}
+             * (bin + (r - (cum - cnt)) * 1.0 / cnt), 6) AS estimate,
        CAST(n AS BIGINT) AS n_rows
 FROM pick WHERE rn = 1
 """
@@ -1929,6 +1937,15 @@ FROM derr GROUP BY m
 #: sweet spot (README knob table: recall@5 0.875 at sf0.1, statistically
 #: the same wall as nprobe=8's 0.725).  Pinned by the recall-floor test
 #: in tests/test_llm_ops.py; the DuckDB oracle below probes the same 16.
+#:
+#: Honest caveat: the fixture's coarse quantizer has 16 centroids (the
+#: oracle-tractable K at 6k vectors — hash-picked centroids degrade
+#: above that, measured 0.775 at K=32), so nprobe=16 probes EVERY
+#: bucket and the shipped setting is effectively a flat-PQ scan + rerank
+#: at fixture scale.  The probe-BOUNDING machinery is what transfers to
+#: 100 TB (where K ~ √N and nprobe ≪ K); it is exercised and
+#: plan-asserted at nprobe < K by the knob table's 4/8-probe rows,
+#: q_embed_ivf_topk, and tests/test_plan_shapes.py.
 IVFPQ_NPROBE = 16
 IVFPQ_RERANK = 50
 
@@ -2036,11 +2053,12 @@ sub AS (
   WHERE dt.qid != codes.vid
   GROUP BY 1, 2
 ), cand AS (
-  -- ADC top-50 candidates per query (IndexRefineFlat pre-selection)
+  -- ADC top-IVFPQ_RERANK candidates per query (IndexRefineFlat
+  -- pre-selection) — interpolated so a tuned constant re-syncs the twin
   SELECT q_id, nn_id
   FROM (SELECT *, row_number() OVER (PARTITION BY q_id
             ORDER BY s_fp ASC, nn_id ASC) AS rn FROM sc)
-  WHERE rn <= 50
+  WHERE rn <= {IVFPQ_RERANK}
 ), rer AS (
   -- exact cosine re-rank against the raw vectors
   SELECT c.q_id, c.nn_id,
@@ -2056,17 +2074,27 @@ WHERE rank <= 5
 """
 
 
+#: Geometry of the materialized fixture index — part of the index-root
+#: digest so changed hyperparameters mint a NEW root instead of silently
+#: reusing an index trained with the old geometry.
+_IVFPQ_IDX_CENTROIDS = 16
+
+
 def _ivfpq_index_root(sf_dir: str) -> str:
     """Filesystem root for the MATERIALIZED IVF-PQ index over
     ``{sf_dir}/embeddings.parquet``, keyed by a digest of the source
-    files (name + size + mtime): regenerated testdata mints a new root
-    and the stale index is simply never read again — the same staleness
-    contract :mod:`cache` uses for persist slots."""
+    files (name + size + mtime) AND the index hyperparameters
+    (num_centroids, M, K, dim): regenerated testdata or a changed
+    geometry mints a new root and the stale index is simply never read
+    again — the same staleness contract :mod:`cache` uses for persist
+    slots."""
     import hashlib
     import tempfile
 
+    from ..operators.llm.pq import PQ_K, PQ_M
+
     src = os.path.join(sf_dir, "embeddings.parquet")
-    entries = []
+    entries = [f"params#{_IVFPQ_IDX_CENTROIDS}#{PQ_M}#{PQ_K}#64"]
     if os.path.isdir(src):
         for name in sorted(os.listdir(src)):
             st = os.stat(os.path.join(src, name))
@@ -2080,22 +2108,39 @@ def _ivfpq_index_root(sf_dir: str) -> str:
 
 def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the materialized IVF-PQ index for ``sf_dir`` at most once
-    per testdata generation (digest-keyed root + completion marker; a
-    torn build re-runs the ingest, whose per-table anti-joins heal
-    partial appends).  Returns the index root."""
+    per (testdata generation, geometry).  Concurrency-safe: the build
+    lands in a process-unique STAGING directory that is atomically
+    renamed into place with its completion marker already inside, so
+    two processes racing on a cold index cannot interleave appends into
+    one root (the loser's rename fails and its staging copy is
+    discarded; the root only ever appears fully-built).  Returns the
+    index root."""
+    import shutil
+    import uuid
+
     from ..streaming.vector_ingest import vector_ingest_batch
 
     root = _ivfpq_index_root(sf_dir)
     marker = os.path.join(root, "_INDEX_COMPLETE")
-    if not os.path.exists(marker):
-        emb_all = load_table(spark, sf_dir, "embeddings")
-        vector_ingest_batch(
-            emb_all, root, id_col="vec_id", vec_col="embedding",
-            num_centroids=16, dim=64,
-        )
-        os.makedirs(root, exist_ok=True)
-        with open(marker, "w") as fh:
-            fh.write("ok\n")
+    if os.path.exists(marker):
+        return root
+    # a root without a marker is a torn artifact of a crashed build
+    # (pre-staging layout) — clear it so the atomic rename can land
+    if os.path.isdir(root):
+        shutil.rmtree(root, ignore_errors=True)
+    staging = f"{root}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    emb_all = load_table(spark, sf_dir, "embeddings")
+    vector_ingest_batch(
+        emb_all, staging, id_col="vec_id", vec_col="embedding",
+        num_centroids=_IVFPQ_IDX_CENTROIDS, dim=64,
+    )
+    with open(os.path.join(staging, "_INDEX_COMPLETE"), "w") as fh:
+        fh.write("ok\n")
+    try:
+        os.rename(staging, root)
+    except OSError:
+        # another builder won the rename race — use theirs
+        shutil.rmtree(staging, ignore_errors=True)
     return root
 
 
