@@ -11,9 +11,11 @@ TOP = [
     "q_triangle_stats", "q_dsir_select", "q_lm_quality", "q_bloom_prefilter",
     "q_stratified_sample", "q_pq_topk", "q_ivfpq_topk", "q_cdc_dedup",
     "q_media_phash_pairs", "q_bpe_encode", "q_ann_recall_all",
+    "q_ivfpq_search", "q_ivfpq_index_stats", "q_pq_distortion",
+    "q_quantile_sketch", "q_train_metrics_summary", "q_gate_rate",
 ]
 NOTES = {
-    "q_dedup_clusters": "MinHash-LSH pairs (persisted shingle sets, banded bucket join) feed min-label propagation; FOUR propagation steps per burst ending in one lazy checkpoint whose materialization rides the convergence count (one driver action per burst); edges pinned once.",
+    "q_dedup_clusters": "MinHash-LSH pairs (persisted shingle sets, banded bucket join) feed min-label propagation; four steps + one pointer-doubling shortcut per burst ending in one lazy checkpoint whose materialization rides the convergence count; in-burst convergence detection finishes shallow graphs in ONE driver action; deep graphs escalate to large-star/small-star contraction (O(log^2 n) rounds, diameter-independent); edges pinned once.",
     "q_embed_ivf_topk": "Centroid argmax = codegen long-max hash aggregate (partial_max map-side); 2 Lloyd iterations trained on a 50% md5 sample; vectors never ride the assignment shuffle.",
     "q_forecast_7d": "One exchange total: repartition on group keys serves the daily agg AND the grouped-map (HashPartitioning subset rule); kernel is numpy LUT with JVM-precomputed __dow/__ord.",
     "q_train_metrics": "Same single-exchange series; walk-forward CV fully vectorized per group.",
@@ -23,7 +25,7 @@ NOTES = {
     "q_minhash_dedup": "Shingle pipeline runs ONCE (persisted sets feed signature agg + exact verify); banding 16x4.",
     "q_ngram_jaccard": "Pair counting on a hashed inverted index; max_df bar folded in as a broadcast 1-row aggregate; per-doc sizes ride the index rows via window.",
     "q_winnow_fingerprint": "Arrow-batched Karp-Rabin kernel: pure map, zero shuffle; only the per-doc digest rollup aggregates.",
-    "q_semantic_dedup": "One shuffle on the cluster key into a grouped GEMM; no vector arrays in any join.",
+    "q_semantic_dedup": "One shuffle on the cluster key into a grouped GEMM; no vector arrays in any join; a max-aggregate over cluster counts short-circuits the residue-blocked branch when no cluster exceeds the cap (the skew path pays only when skew exists).",
     "q_kmv_overlap": "Per-side distinct-hash reduction, full-outer merge on 8-byte hashes, bottom-k via TakeOrderedAndProject.",
     "q_triangle_stats": "Degree-ordered orientation bounds the wedge join by oriented out-degree (O(sqrt m) even on power-law graphs); wedge closure is an equi-join on the canonical edge; per-vertex rollup is one explode+groupBy.",
     "q_dsir_select": "Two bounded bucket histograms (map-side combinable, <=1024 cells), broadcast log-ratio LUT, one doc-keyed shuffle, TakeOrderedAndProject for the selection.",
@@ -31,14 +33,20 @@ NOTES = {
     "q_bloom_prefilter": "Build side reduces to <=m distinct bits (one row after collect_list), broadcast; probe pass is per-row HOF membership - zero probe-side shuffle.",
     "q_stratified_sample": "Per-stratum counts broadcast back as integer allocations; one window rank per stratum over the salted hash - a single shuffle keyed by the strata columns.",
     "q_pq_topk": "Lloyd-trained codebook pinned (tiny M*K rows; plan doubles per iteration without the pin), code table pinned as the stored index; ADC = codes x broadcast distance table, integer sums, TakeOrdered-style top-k.",
-    "q_ivfpq_topk": "Coarse cosine argmax buckets + residual PQ codes; ADC touches only integer code rows of probed buckets, then top-50 candidates broadcast to the raw-vector table for the exact cosine re-rank (recall@5 0.725); index slots keyed EXCLUDING search params; whole search plan memoized driver-side.",
+    "q_ivfpq_topk": "Coarse cosine argmax buckets + residual PQ codes; ADC touches only integer code rows of probed buckets, then top-50 candidates broadcast to the raw-vector table for the exact cosine re-rank (recall@5 0.875 at shipped nprobe=16); index slots keyed EXCLUDING search params; whole search plan memoized driver-side (LRU-bounded, session-checked).",
+    "q_ivfpq_search": "The production tier: ADC + exact re-rank against the MATERIALIZED index tables (centroids/codebook/codes/vectors maintained by streaming/vector_ingest) - no training in the plan at all; query-side frames broadcast, corpus side shuffle-free (plan-asserted).",
+    "q_ivfpq_index_stats": "Reads only the materialized assignments tier: one groupBy(bucket) count + a broadcast 1-row total; integer ppm shares. The oracle re-derives the assignment from scratch, so tier drift fails the differential.",
+    "q_pq_distortion": "Per-subvector error = min(d_fp) over the BROADCAST codebook (assignment IS the argmin, so no join against the code table); one map-side-combinable (vid, m) aggregation of longs, then a 32-row rollup.",
+    "q_quantile_sketch": "Two bounded aggregation passes (per-group min/max/count, then <=bins equi-width cell counts, both map-side combinable) + a bins-sized cumulative window; exact percentile would sort the full column.",
+    "q_train_metrics_summary": "The full walk-forward-CV grouped-map job, then a fixed-point (sum-of-scaled-longs) rollup - order-independent, so Spark partial aggregation matches DuckDB serially.",
+    "q_gate_rate": "Runs the fused train->gate->predict pipeline AND the train pipeline, rolled up per returnflag with integer counts - the facet exists to put driver-sampleable rows on the U2-U6 family.",
     "q_cdc_dedup": "Arrow kernel chunking (zero shuffle), then one map-side-combinable digest groupBy - the exact-dedup shape over content-defined chunks.",
     "q_cms_heavy": "Depth x width sketch as one grouped sum per (row,col) cell - map-side combinable grid, heavy-hitter probe reads the broadcast sketch; bounded state regardless of key cardinality.",
 }
 
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")
 reg = all_queries()
-out = ["# Physical-plan audit (round 5)", "",
+out = ["# Physical-plan audit (round 6)", "",
        "Formatted `.explain` output for the most expensive bench queries at",
        "sf0.001, captured after execution (AQE-final plans). Regenerate with",
        "`python tools/dump_plans.py`.", ""]
@@ -53,6 +61,6 @@ for name in TOP:
     if len(lines) > 60:
         out.append(f"... ({len(lines) - 60} more lines)")
     out += ["```", ""]
-open("/root/repo/PLANS_r5.md", "w").write("\n".join(out))
-print("wrote PLANS_r5.md", sum(1 for _ in open('/root/repo/PLANS_r5.md')))
+open("/root/repo/PLANS_r6.md", "w").write("\n".join(out))
+print("wrote PLANS_r6.md", sum(1 for _ in open('/root/repo/PLANS_r6.md')))
 spark.stop()

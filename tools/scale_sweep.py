@@ -48,6 +48,13 @@ QUERIES = [
     "q_dedup_summary",
     "q_split_leakage",
     "q_bpe_encode",
+    # r6 additions: warm materialized-index search, semantic dedup with the
+    # short-circuited auto-blocking, the quantile sketch, and the heaviest
+    # ML facet (gate-rate runs the train AND fused-gated pipelines)
+    "q_ivfpq_search",
+    "q_semantic_dedup",
+    "q_quantile_sketch",
+    "q_gate_rate",
 ]
 
 
@@ -80,7 +87,7 @@ def main() -> None:
         print(f"{name:24s} " + "  ".join(f"{c:6.2f}" for c in cells), flush=True)
 
     lines = [
-        "# Scaling sweep (round 5)",
+        "# Scaling sweep (round 6)",
         "",
         "Wall-clock (s, min of 2, per-query cold cache state) for the headline",
         "operator families across a 100× data range on local[32].  The final",
