@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..cache import _plan_key, derived_key
+from ..cache import _plan_key, derived_key, persist_slot
 from ..operators.llm.embedsim import _prepared
 from ..operators.llm.pq import (
     PQ_K,
@@ -233,33 +233,67 @@ def search_materialized(
     ``q_id, nn_id, score, rank``: ADC selects top-``rerank`` candidates
     and the ``{root}/vectors`` table (the re-rank tier the ingest
     maintains for exactly this) settles the final order by exact
-    cosine."""
-    centroids = spark.read.parquet(f"{root_path}/centroids")
-    codebook = spark.read.parquet(f"{root_path}/pq_codebook")
-    codes = spark.read.parquet(f"{root_path}/codes").select(
-        F.col(id_col).alias("vid"), "bucket", "m", "code"
-    )
-    q = _prepared(queries, id_col, vec_col).select(
-        F.col("vid").alias("qid"), "v", "nrm"
-    )
-    vectors = (
-        _prepared(spark.read.parquet(f"{root_path}/vectors"), id_col, vec_col)
-        if rerank
+    cosine.
+
+    The CONSTRUCTED plan is memoized on (codes files, queries, params)
+    like the in-session tiers (:func:`cache.plan_memo`): a serving
+    process answering repeated queries pays the py4j expression build
+    once; the codes frame's file digest (size+mtime) keys the memo, so
+    an ingest that appends new codes misses and rebuilds."""
+    from ..cache import plan_memo
+
+    codes_src = spark.read.parquet(f"{root_path}/codes")
+    ckey = _plan_key(codes_src)
+    qkey = _plan_key(queries)
+    # None queries-key poisons the whole memo key (see pq.pq_adc_topk)
+    memo_key = (
+        derived_key(
+            ckey,
+            "vecingest.search",
+            qkey,
+            root_path, k, nprobe, m, dim, id_col, vec_col, ndigits, rerank,
+        )
+        if qkey is not None
         else None
     )
-    return ivfpq_search(
-        q,
-        centroids,
-        codebook,
-        codes,
-        k=k,
-        nprobe=nprobe,
-        m=m,
-        d_sub=dim // m if dim else None,
-        ndigits=ndigits,
-        vectors=vectors,
-        rerank=rerank,
-    )
+
+    def build() -> DataFrame:
+        centroids = spark.read.parquet(f"{root_path}/centroids")
+        codebook = spark.read.parquet(f"{root_path}/pq_codebook")
+        # the compressed tiers live in RAM in a serving deployment
+        # (codes are the integer index — the memory budget PQ exists to
+        # fit; quantizers are tiny); the raw-vector re-rank tier stays
+        # on storage, read only for Q·R candidate rows per query.  Slot
+        # keys derive from the codes file digest, so an ingest append
+        # evicts the stale pin.
+        codes = persist_slot(
+            "vecingest.codes",
+            codes_src.select(F.col(id_col).alias("vid"), "bucket", "m", "code"),
+            key=derived_key(ckey, "codes.pin", id_col) if ckey else None,
+        )
+        q = _prepared(queries, id_col, vec_col).select(
+            F.col("vid").alias("qid"), "v", "nrm"
+        )
+        vectors = (
+            _prepared(spark.read.parquet(f"{root_path}/vectors"), id_col, vec_col)
+            if rerank
+            else None
+        )
+        return ivfpq_search(
+            q,
+            centroids,
+            codebook,
+            codes,
+            k=k,
+            nprobe=nprobe,
+            m=m,
+            d_sub=dim // m if dim else None,
+            ndigits=ndigits,
+            vectors=vectors,
+            rerank=rerank,
+        )
+
+    return plan_memo(memo_key, build, session=spark)
 
 
 def run_vector_ingest(
