@@ -438,3 +438,48 @@ def test_stratified_sample_allocation_invariants(spark, sizes, budget):
         alloc = (budget * qs[f"s{s}"]) // tq
         assert taken.get(f"s{s}", 0) == min(n, alloc)
     assert sum(taken.values()) <= budget
+
+
+# -- star-contraction connected components vs union-find ----------------------
+
+
+_EDGE = st.tuples(
+    st.integers(min_value=1, max_value=24), st.integers(min_value=1, max_value=24)
+)
+
+
+@given(raw=st.lists(_EDGE, min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_star_contraction_matches_union_find(spark, raw):
+    """The large-star/small-star phase alone (max_iter=0 skips the cheap
+    propagation entirely) must reproduce a pure-python union-find's
+    component-min labeling on arbitrary random graphs — multi-component,
+    dense blobs, chains, pre-formed stars, repeated edges collapsed."""
+    from sales_forecast_mlops_at_scale_spark.operators.llm import (
+        connected_components,
+    )
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw if a != b})
+    if not edges:
+        return
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, max_iter=0).collect()
+    }
+    assert got == want
