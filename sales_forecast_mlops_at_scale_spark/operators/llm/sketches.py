@@ -150,6 +150,7 @@ def binned_quantiles(
     *,
     bins: int = QSKETCH_BINS,
     ndigits: int = 6,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Per-group quantile estimates from an equi-width histogram sketch —
     the deterministic, oracle-checkable twin of ``approx_percentile``
@@ -172,29 +173,63 @@ def binned_quantiles(
 
     Output: ``*group_cols, q, estimate, n_rows`` (NULL values excluded
     from ranks; a group with ``hi == lo`` reports ``lo`` at every q).
+
+    MERGEABILITY: with data-derived bounds (the default) the sketch is
+    TWO-pass — per-group ``lo/hi`` must be known before binning, so two
+    sketches built over different data slices do not share a grid and
+    their cell counts cannot be added.  Pass explicit ``bounds =
+    (lo, hi)`` for the one-pass, fully mergeable form (the streaming /
+    multi-dataset shape: fix the grid once, then cell counts from any
+    partitioning of the data sum exactly — same property as the CMS
+    grid).  Out-of-range values clamp into the edge cells, biasing tail
+    estimates toward the given bounds, exactly like any fixed-range
+    histogram.
     """
     gcols = list(group_cols)
     v = F.col(value_col).cast("double")
-    stats = (
-        df.where(v.isNotNull())
-        .groupBy(*gcols)
-        .agg(F.min(v).alias("lo"), F.max(v).alias("hi"), F.count(v).alias("n"))
-    )
+    if bounds is None:
+        stats = (
+            df.where(v.isNotNull())
+            .groupBy(*gcols)
+            .agg(
+                F.min(v).alias("lo"),
+                F.max(v).alias("hi"),
+                F.count(v).alias("n"),
+            )
+        )
+    else:
+        stats = (
+            df.where(v.isNotNull())
+            .groupBy(*gcols)
+            .agg(F.count(v).alias("n"))
+            .select(
+                *gcols,
+                F.lit(float(bounds[0])).alias("lo"),
+                F.lit(float(bounds[1])).alias("hi"),
+                "n",
+            )
+        )
     src = df.where(v.isNotNull()).select(*gcols, v.alias("v"))
     joined = (
         src.join(F.broadcast(stats), gcols)
         if gcols
         else src.crossJoin(F.broadcast(stats))
     )
+    # greatest(0, ·) clamps below-range values into the edge cell for
+    # the explicit-bounds form; with data-derived bounds v ≥ lo always,
+    # so it is an exact no-op there (integer clamp — no float drift)
     bin_ = (
         F.when(F.col("hi") == F.col("lo"), F.lit(0))
         .otherwise(
-            F.least(
-                F.lit(bins - 1),
-                F.floor(
-                    (F.col("v") - F.col("lo"))
-                    / (F.col("hi") - F.col("lo"))
-                    * bins
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (F.col("v") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo"))
+                        * bins
+                    ),
                 ),
             )
         )

@@ -1007,6 +1007,43 @@ def test_binned_quantiles_within_one_cell_of_exact(spark):
     assert all(r.estimate == 5.0 for r in rows)
 
 
+def test_binned_quantiles_explicit_bounds_mergeable_form(spark):
+    """Explicit bounds pin the grid (the one-pass mergeable form): with
+    bounds equal to the data's true min/max the estimates are identical
+    to the data-derived form, and bounds NARROWER than the data clamp
+    out-of-range values into the edge cells without error, keeping
+    estimates inside the given range."""
+    from pyspark.sql import functions as F
+
+    from sales_forecast_mlops_at_scale_spark.operators.llm.sketches import (
+        binned_quantiles,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    lo, hi = li.agg(
+        F.min(F.col("l_extendedprice").cast("double")),
+        F.max(F.col("l_extendedprice").cast("double")),
+    ).collect()[0]
+    derived = {
+        r.q: r.estimate
+        for r in binned_quantiles(li, "l_extendedprice", (0.5, 0.9)).collect()
+    }
+    pinned = {
+        r.q: r.estimate
+        for r in binned_quantiles(
+            li, "l_extendedprice", (0.5, 0.9), bounds=(lo, hi)
+        ).collect()
+    }
+    assert derived == pinned
+    mid_lo, mid_hi = lo + (hi - lo) * 0.25, lo + (hi - lo) * 0.75
+    clamped = binned_quantiles(
+        li, "l_extendedprice", (0.01, 0.5, 0.99), bounds=(mid_lo, mid_hi)
+    ).collect()
+    assert len(clamped) == 3
+    for r in clamped:
+        assert mid_lo - 1e-6 <= r.estimate <= mid_hi + 1e-6
+
+
 def test_ivfpq_index_stats_partitions_the_corpus(spark):
     """The bucket-balance report must account for EVERY corpus vector
     exactly once (assignment is a partition), with integer ppm shares
