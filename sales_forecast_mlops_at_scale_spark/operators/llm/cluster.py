@@ -120,6 +120,41 @@ def connected_components(
 ) -> DataFrame:
     """Cluster labels for every node appearing in ``pairs``.
 
+    The computed labeling is memoized on (pairs plan + source-file
+    digest, params) via :func:`cache.plan_memo`: unlike a lazy
+    operator, this one runs driver-synced iteration DURING the call, so
+    a repeat invocation over identical pairs would replay every burst —
+    while the production pattern is cluster once, consume the labels
+    many times (KEEP/DROP pass, run report, graph stats).  A memo hit
+    returns the already-checkpointed label frame; changed pair inputs
+    (new files, different params) miss and recompute.
+    """
+    from ...cache import _plan_key, derived_key, plan_memo
+
+    pkey = _plan_key(pairs)
+    memo_key = (
+        derived_key(pkey, "cc.labels", left, right, max_iter)
+        if pkey is not None
+        else None
+    )
+    return plan_memo(
+        memo_key,
+        lambda: _connected_components_impl(
+            pairs, left, right, max_iter=max_iter
+        ),
+        session=pairs.sparkSession,
+    )
+
+
+def _connected_components_impl(
+    pairs: DataFrame,
+    left: str = "id_a",
+    right: str = "id_b",
+    *,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Uncached body of :func:`connected_components`.
+
     Output: ``doc_id, cluster_id`` where ``cluster_id`` is the minimum
     doc id in the node's connected component.  Nodes not in any pair are
     singletons by definition and are NOT emitted (join the full corpus
