@@ -232,6 +232,38 @@ def plan_memo(
     return out
 
 
+_VAL_MEMO: OrderedDict[tuple[int, str], tuple[object, object]] = OrderedDict()
+
+
+def value_memo(key: tuple[int, str] | None, builder, *, session):
+    """Like :func:`plan_memo` but for arbitrary driver-side values whose
+    construction ran Spark ACTIONS (an iterative trainer's merge list +
+    checkpointed state, a collected anchor) — a repeat call with the
+    same key returns the stored value instead of replaying the jobs.
+    The caller passes the owning ``session`` explicitly since the value
+    itself may not carry one; a hit from a different or stopped session
+    is rejected.  Shares the LRU cap and ``clear_slots`` lifetime with
+    the plan memo."""
+    if key is None:
+        return builder()
+    hit = _VAL_MEMO.get(key)
+    if hit is not None:
+        owner, value = hit
+        try:
+            alive = owner.sparkContext._jsc is not None
+        except Exception:  # noqa: BLE001 — stopped session
+            alive = False
+        if alive and owner is session:
+            _VAL_MEMO.move_to_end(key)
+            return value
+    out = builder()
+    _VAL_MEMO[key] = (session, out)
+    _VAL_MEMO.move_to_end(key)
+    while len(_VAL_MEMO) > _MEMO_CAP:
+        _VAL_MEMO.popitem(last=False)
+    return out
+
+
 def track_keyless(df: DataFrame) -> DataFrame:
     """Persist ``df`` WITHOUT plan-keyed reuse but WITH registry-owned
     lifetime: the frame is recorded so :func:`clear_slots` releases it.
@@ -265,3 +297,4 @@ def clear_slots() -> None:
     # memoized plans reference the just-unpersisted frames; they'd still
     # recompute correctly, but dropping them keeps lifetimes aligned
     _MEMO.clear()
+    _VAL_MEMO.clear()

@@ -197,7 +197,32 @@ def bpe_train(
     are LAZY: each round's materialization rides the next round's argmax
     ``collect`` (one driver action per round, not two — the same trick
     as the connected-components burst loop).
-    """
+
+    Training runs ``n_merges`` driver-synced jobs DURING the call, so
+    the result is memoized on (corpus plan + file digest, text_col,
+    n_merges) — a tokenizer is trained once and applied many times;
+    a repeat call returns the stored merge list + checkpointed
+    segmentation instead of replaying every round
+    (:func:`cache.value_memo`)."""
+    from ...cache import _plan_key, derived_key, value_memo
+
+    dkey = _plan_key(df)
+    memo_key = (
+        derived_key(dkey, "bpe.train", text_col, n_merges)
+        if dkey is not None
+        else None
+    )
+    return value_memo(
+        memo_key,
+        lambda: _bpe_train_impl(df, text_col, n_merges=n_merges),
+        session=df.sparkSession,
+    )
+
+
+def _bpe_train_impl(
+    df: DataFrame, text_col: str = "text", *, n_merges: int = 10
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Uncached body of :func:`bpe_train`."""
     tf = token_frequencies(df, text_col)
     vocab = tf.select(
         "token", "weight", initial_symbols(F.col("token")).alias("s")
