@@ -74,3 +74,31 @@ def test_plan_memo_hits_on_same_key_only(spark):
     assert len(builds) == 3
     clear_slots()
     assert not _MEMO
+
+
+def test_value_memo_session_checked_and_cleared(spark):
+    from sales_forecast_mlops_at_scale_spark.cache import (
+        _VAL_MEMO,
+        value_memo,
+    )
+
+    clear_slots()
+    base = _plan_key(load_table(spark, SF_DIR, "embeddings"))
+    builds = []
+
+    def builder():
+        builds.append(1)
+        return ([("a", "b")], "payload")
+
+    k = derived_key(base, "vmemo-test", 7)
+    first = value_memo(k, builder, session=spark)
+    assert value_memo(k, builder, session=spark) is first and len(builds) == 1
+    # a different owning session must NOT be served this session's value
+    sentinel = object()
+    value_memo(k, builder, session=sentinel)
+    assert len(builds) == 2
+    # None key -> always build; clear_slots drops everything
+    value_memo(None, builder, session=spark)
+    assert len(builds) == 3
+    clear_slots()
+    assert not _VAL_MEMO
