@@ -76,6 +76,7 @@ def _star_labels(edges: DataFrame, *, max_rounds: int = 64) -> DataFrame:
     nodes = edges.select(F.col("src").alias("node")).distinct()
     cur = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     prev_count = None
+    stable = False
     for _ in range(max_rounds):
         sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
         lmins = (
@@ -102,9 +103,18 @@ def _star_labels(edges: DataFrame, *, max_rounds: int = 64) -> DataFrame:
         n_edges = nxt.count()
         if prev_count == n_edges and nxt.exceptAll(cur).isEmpty():
             cur = nxt
+            stable = True
             break
         prev_count = n_edges
         cur = nxt
+    if not stable:
+        # unreachable for any graph whose O(log² n) round bound fits in
+        # max_rounds (64 covers astronomically large n); failing loudly
+        # keeps the "never a silent correctness ceiling" contract if an
+        # input ever defies that analysis
+        raise RuntimeError(
+            f"star contraction did not stabilize within {max_rounds} rounds"
+        )
     star = cur.select(F.col("u").alias("node"), F.col("v").alias("slabel"))
     return nodes.join(star, "node", "left").select(
         "node", F.coalesce("slabel", F.col("node")).alias("label")
