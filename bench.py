@@ -102,6 +102,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_kmv_distinct",
     "q_kmv_overlap",
     "q_quantile_sketch",
+    "q_weighted_sample",
     "q_bm25_topk",
     "q_hybrid_rrf",
     "q_dsir_select",

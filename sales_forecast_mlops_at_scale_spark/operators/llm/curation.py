@@ -49,6 +49,76 @@ def deterministic_sample(
     return df.filter(bucket < F.lit(sample_threshold_hex(fraction)))
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    max_weight: int = 64,
+    seed: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sample of ``k`` rows, inclusion odds
+    increasing with integer ``weight_col`` — the quality-weighted
+    subsampling step of a curation mix (sample ∝ quality score, doc
+    length, or source priority) with zero RNG and zero transcendental
+    functions, so the result is bit-reproducible in any engine with md5.
+
+    Mechanism (replicated min-wise sampling): each row is expanded into
+    ``min(weight, max_weight)`` UNITS, each unit draws an independent
+    salted md5 hash, a row's key is its minimum unit hash, and the ``k``
+    smallest keys win (id tie-break).  Treating units as the sampled
+    population makes this exactly uniform sampling over weight units
+    deduplicated to rows — the classic integer-weight reduction of
+    weighted sampling without replacement.  A float-weight A-ES
+    (``u^(1/w)``) needs ``ln``/``exp``, which are not correctly-rounded
+    and therefore cannot be hash-verified across engines; integer
+    replication is the oracle-exact form.  ``max_weight`` caps the
+    fan-out (a weight beyond the cap saturates — document the cap as
+    part of the sampling design, the same honesty as any clipped
+    importance weight).
+
+    Scale shape: the explode is ≤ ``max_weight`` rows per input row with
+    the min collapsed by a map-side-combinable groupBy BEFORE the
+    top-``k`` (TakeOrdered — per-partition heads, no global sort).
+    Output: the sampled rows' ``id_col, weight, sample_rank``.
+    """
+    w_int = F.least(F.col(weight_col).cast("long"), F.lit(max_weight))
+    units = df.select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("weight"),
+        F.explode(F.sequence(F.lit(1), w_int)).alias("__u"),
+    ).where(F.col("weight") >= 1)
+    keyed = (
+        units.select(
+            id_col,
+            "weight",
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(seed),
+                        F.col(id_col).cast("string"),
+                        F.col("__u").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ).alias("__h"),
+        )
+        .groupBy(id_col, "weight")
+        .agg(F.min("__h").alias("__key"))
+    )
+    # orderBy+limit FIRST (TakeOrderedAndProject: per-partition heads,
+    # no global sort); the rank window then runs over ≤ k rows
+    top = keyed.orderBy(F.col("__key").asc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("__key").asc(), F.col(id_col).asc())
+    return (
+        top.withColumn("sample_rank", F.row_number().over(w))
+        .select(id_col, "weight", "sample_rank")
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     keys: Sequence[str],

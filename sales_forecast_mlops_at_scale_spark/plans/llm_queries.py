@@ -353,6 +353,44 @@ FROM pick WHERE rn = 1
 """
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 documents sampled with inclusion odds increasing in token
+    count (capped at 32) — quality/length-weighted subsampling via
+    replicated min-wise hashing: zero RNG, zero transcendental
+    functions, bit-reproducible in any engine with md5
+    (operators/llm/curation.weighted_sample)."""
+    from ..operators.llm.curation import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    weighted = token_count(docs).select("doc_id", "n_tokens")
+    return weighted_sample(weighted, "n_tokens", 100, max_weight=32)
+
+
+#: Weighted-sample twin: same token count, same unit replication via
+#: generate_series, same salted md5 unit hashes, same min-per-doc key
+#: and (key, id) top-100.
+_WSAMPLE_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END
+              AS BIGINT) AS weight
+  FROM documents),
+units AS (
+  SELECT doc_id, weight, unnest(generate_series(1, least(weight, 32))) AS u
+  FROM w WHERE weight >= 1),
+keyed AS (
+  SELECT doc_id, weight,
+         min(substr(md5('wsample' || ':' || CAST(doc_id AS VARCHAR)
+                        || ':' || CAST(u AS VARCHAR)), 1, 15)) AS k
+  FROM units GROUP BY 1, 2)
+SELECT doc_id, weight,
+       CAST(row_number() OVER (ORDER BY k ASC, doc_id ASC) AS INTEGER)
+         AS sample_rank
+FROM keyed ORDER BY k ASC, doc_id ASC LIMIT 100
+"""
+
+
 def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """25% deterministic downsample by salted-md5 hex threshold."""
     return deterministic_sample(
@@ -2796,6 +2834,7 @@ FROM fps GROUP BY doc_id
     "q_dedup_clusters": QueryDef(q_dedup_clusters, _CLUSTER_SQL),
     "q_kmv_distinct": QueryDef(q_kmv_distinct, _KMV_SQL),
     "q_quantile_sketch": QueryDef(q_quantile_sketch, _QSKETCH_SQL),
+    "q_weighted_sample": QueryDef(q_weighted_sample, _WSAMPLE_SQL),
     "q_kmv_overlap": QueryDef(q_kmv_overlap, _KMV_OVERLAP_SQL),
     "q_sample_deterministic": QueryDef(
         q_sample_deterministic,

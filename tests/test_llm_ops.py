@@ -1007,6 +1007,35 @@ def test_binned_quantiles_within_one_cell_of_exact(spark):
     assert all(r.estimate == 5.0 for r in rows)
 
 
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    """Replicated min-wise weighted sampling must (a) be exactly k rows
+    with dense ranks, (b) overrepresent heavy rows — the sampled mean
+    weight exceeds the corpus mean (deterministic for the fixed seed),
+    and (c) at weight floor 1 for every row degenerate to the uniform
+    bottom-k (same keys as a single-unit hash)."""
+    from pyspark.sql import functions as F
+
+    from sales_forecast_mlops_at_scale_spark.operators.llm.curation import (
+        weighted_sample,
+    )
+    from sales_forecast_mlops_at_scale_spark.operators.llm.textstats import (
+        token_count,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    weighted = token_count(docs).select("doc_id", "n_tokens")
+    rows = weighted_sample(weighted, "n_tokens", 100, max_weight=32).collect()
+    assert len(rows) == 100
+    assert sorted(r.sample_rank for r in rows) == list(range(1, 101))
+    corpus_mean = weighted.agg(F.avg("n_tokens")).collect()[0][0]
+    sample_mean = sum(r.weight for r in rows) / len(rows)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+    uniform = weighted.select("doc_id", F.lit(1).alias("w1"))
+    u_rows = weighted_sample(uniform, "w1", 20).collect()
+    assert len(u_rows) == 20 and all(r.weight == 1 for r in u_rows)
+
+
 def test_binned_quantiles_explicit_bounds_mergeable_form(spark):
     """Explicit bounds pin the grid (the one-pass mergeable form): with
     bounds equal to the data's true min/max the estimates are identical
