@@ -185,6 +185,10 @@ def binned_quantiles(
     estimates toward the given bounds, exactly like any fixed-range
     histogram.
     """
+    if bounds is not None and not bounds[0] < bounds[1]:
+        raise ValueError(
+            f"bounds must satisfy lo < hi, got {bounds!r}"
+        )
     gcols = list(group_cols)
     v = F.col(value_col).cast("double")
     if bounds is None:
