@@ -483,3 +483,37 @@ def test_star_contraction_matches_union_find(spark, raw):
         for r in connected_components(pairs, max_iter=0).collect()
     }
     assert got == want
+
+
+# -- binned-quantile sketch vs exact percentile -------------------------------
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-20, max_value=20), min_size=1, max_size=40),
+    q=st.sampled_from([0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]),
+)
+@settings(**_SETTINGS)
+def test_binned_quantiles_error_bound_on_random_data(spark, vals, q):
+    """Sketch estimate within one cell width of the exact rank value for
+    arbitrary integer data (heavy ties, negatives, singletons, extreme
+    q) — checks the rank/cumulative/interpolation logic, not just the
+    fixture's smooth distribution."""
+    from sales_forecast_mlops_at_scale_spark.operators.llm.sketches import (
+        QSKETCH_BINS,
+        binned_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, x double"
+    )
+    rows = binned_quantiles(df, "x", (q,)).collect()
+    assert len(rows) == 1
+    est = rows[0].estimate
+    s = sorted(vals)
+    # the sketch's rank definition: r = max(1, ceil(q*n)), 1-indexed
+    import math
+
+    r = max(1, math.ceil(q * len(s)))
+    exact = float(s[r - 1])
+    cell = (max(s) - min(s)) / QSKETCH_BINS
+    assert abs(est - exact) <= cell + 1e-9, (vals, q, est, exact)
