@@ -741,3 +741,56 @@ def test_vector_ingest_torn_replay_does_not_reject_committed_rows(spark, tmp_pat
     assert len(vecs) == 20 and {r.vec_id for r in vecs} == ids1
     asg = spark.read.parquet(f"{root}/assignments").collect()
     assert len(asg) == 20
+
+
+def test_compact_parquet_table_preserves_rows_and_shrinks_files(spark, tmp_path):
+    """Compaction over a many-small-appends table: identical row
+    multiset, far fewer part files, operator stats truthful, and a
+    sort_by compaction restores per-file clustering."""
+    from sales_forecast_mlops_at_scale_spark.streaming.compact import (
+        compact_parquet_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    for b in range(12):
+        spark.range(b * 50, (b + 1) * 50).selectExpr(
+            "id", "id * 2 AS v"
+        ).write.mode("append").parquet(path)
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(path).collect()
+    )
+    import os
+
+    n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_before >= 12
+    stats = compact_parquet_table(spark, path, sort_by=["id"])
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before
+    assert stats["rows"] == 600 and stats["files_before"] == n_before
+    assert stats["files_after"] < n_before
+    assert not os.path.exists(path + ".pre-compact")
+
+
+def test_compact_heal_restores_interrupted_swap(spark, tmp_path):
+    """A swap that died between its two renames (table dir gone, backup
+    present) must be restored verbatim by heal_compaction — and the next
+    compact call heals first, so the operator never sees a lost table."""
+    import os
+
+    from sales_forecast_mlops_at_scale_spark.streaming.compact import (
+        compact_parquet_table,
+        heal_compaction,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).write.parquet(path)
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+    # simulate the crash window: table renamed away, new one never landed
+    os.rename(path, path + ".pre-compact")
+    assert heal_compaction(path) is True
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == before
+    # compact after heal works end-to-end
+    os.rename(path, path + ".pre-compact")
+    stats = compact_parquet_table(spark, path)
+    assert stats["rows"] == 100
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == before
