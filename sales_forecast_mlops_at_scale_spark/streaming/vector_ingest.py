@@ -296,6 +296,42 @@ def search_materialized(
     return plan_memo(memo_key, build, session=spark)
 
 
+def compact_index_tables(
+    spark: SparkSession,
+    root_path: str,
+    *,
+    target_file_bytes: int = 128 << 20,
+) -> dict[str, dict]:
+    """Maintenance pass over the materialized index: compact every tier
+    the ingest appends to (vectors / assignments / codes / rejected) —
+    micro-batch ingest fragments them into per-batch part files, and at
+    scale the search's scan cost is dominated by file count, not bytes.
+    Codes and assignments are range-sorted by ``bucket`` during the
+    rewrite so a probe's bucket filter maps to contiguous, min/max-
+    prunable files (the search reads ONLY probed buckets — clustering is
+    what makes that a file-skip instead of a full listing).  Quantizer
+    tables (centroids/codebook) are single-write and never fragment.
+    Run between drains, not concurrently with an active ingest (single
+    writer, same as any OPTIMIZE).  Returns per-tier stats."""
+    import os
+
+    from .compact import compact_parquet_table
+
+    stats: dict[str, dict] = {}
+    for table, sort_by in (
+        ("vectors", None),
+        ("assignments", ["bucket"]),
+        ("codes", ["bucket", "m"]),
+        ("rejected", None),
+    ):
+        path = f"{root_path}/{table}"
+        if os.path.isdir(path):
+            stats[table] = compact_parquet_table(
+                spark, path, target_file_bytes=target_file_bytes, sort_by=sort_by
+            )
+    return stats
+
+
 def run_vector_ingest(
     spark: SparkSession,
     *,

@@ -794,3 +794,47 @@ def test_compact_heal_restores_interrupted_swap(spark, tmp_path):
     stats = compact_parquet_table(spark, path)
     assert stats["rows"] == 100
     assert sorted(r.id for r in spark.read.parquet(path).collect()) == before
+
+
+def test_compact_index_tables_preserves_search_results(spark, tmp_path):
+    """OPTIMIZE over a multi-batch-fragmented IVF-PQ index: every tier
+    shrinks to fewer files and search results are bit-identical before
+    and after (the quantizers are untouched; only file layout changes)."""
+    from sales_forecast_mlops_at_scale_spark.streaming.vector_ingest import (
+        compact_index_tables,
+        search_materialized,
+        vector_ingest_batch,
+    )
+
+    root = str(tmp_path / "cidx")
+
+    def vec(seed):
+        return [float((seed * 31 + d * 7) % 97) for d in range(64)]
+
+    for b in range(5):
+        batch = spark.createDataFrame(
+            [(b * 20 + i, vec(b * 20 + i)) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        vector_ingest_batch(batch, root, dim=64, batch_id=b)
+
+    q = spark.createDataFrame(
+        [(1000, vec(3)), (1001, vec(47))], "vec_id long, embedding array<double>"
+    )
+    before = sorted(
+        tuple(r)
+        for r in search_materialized(spark, root, q, k=5, dim=64, rerank=10).collect()
+    )
+    from sales_forecast_mlops_at_scale_spark.cache import clear_slots
+
+    clear_slots()  # drop plan memos pinned to the pre-compaction files
+    stats = compact_index_tables(spark, root)
+    assert set(stats) == {"vectors", "assignments", "codes"}
+    for tier in stats.values():
+        assert tier["files_after"] <= tier["files_before"]
+    after = sorted(
+        tuple(r)
+        for r in search_materialized(spark, root, q, k=5, dim=64, rerank=10).collect()
+    )
+    assert after == before
+    clear_slots()
