@@ -148,6 +148,37 @@ def dedup_ingest_batch(
         fs.createNewFile(marker)  # marker LAST — see ingest.py
 
 
+def compact_corpus_tables(
+    spark: SparkSession,
+    root_path: str,
+    *,
+    target_file_bytes: int = 128 << 20,
+) -> dict[str, dict]:
+    """Maintenance pass over the dedup corpus: compact the three
+    appended tiers (docs / sets / bands).  ``bands`` is range-sorted by
+    ``(band, bkey)`` during the rewrite so an incoming batch's bucket
+    probe maps to contiguous min/max-prunable files, and ``sets`` by
+    ``sh`` for the verify join — the same clustering-restoration move as
+    :func:`vector_ingest.compact_index_tables`.  Single-writer: run
+    between drains.  Returns per-tier stats."""
+    import os
+
+    from .compact import compact_parquet_table
+
+    stats: dict[str, dict] = {}
+    for table, sort_by in (
+        ("docs", None),
+        ("sets", ["sh"]),
+        ("bands", ["band", "bkey"]),
+    ):
+        path = f"{root_path}/{table}"
+        if os.path.isdir(path):
+            stats[table] = compact_parquet_table(
+                spark, path, target_file_bytes=target_file_bytes, sort_by=sort_by
+            )
+    return stats
+
+
 def run_dedup_ingest(
     spark: SparkSession,
     *,

@@ -838,3 +838,55 @@ def test_compact_index_tables_preserves_search_results(spark, tmp_path):
     )
     assert after == before
     clear_slots()
+
+
+def test_compact_corpus_tables_preserves_dedup_behavior(spark, tmp_path):
+    """OPTIMIZE over the dedup corpus between drains: tiers shrink,
+    and a post-compaction batch still dedups against the stored corpus
+    (near-dup of a stored doc rejected, fresh doc admitted)."""
+    import json
+
+    from sales_forecast_mlops_at_scale_spark.streaming.dedup_ingest import (
+        compact_corpus_tables,
+        run_dedup_ingest,
+    )
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    root = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    alpha = "the quick brown fox jumps over the lazy dog again and again tonight"
+
+    def drain():
+        source = (
+            spark.readStream.schema("doc_id long, text string").json(str(src))
+        )
+        run_dedup_ingest(
+            spark, source=source, root_path=root, checkpoint_path=ckpt
+        )
+
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 1, "text": alpha},
+                {"doc_id": 2, "text": "unrelated text about catalyst plans"},
+            ]
+        )
+    )
+    drain()
+    stats = compact_corpus_tables(spark, root)
+    assert set(stats) == {"docs", "sets", "bands"}
+
+    (src / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 10, "text": alpha},  # near-dup of stored 1
+                {"doc_id": 11, "text": "genuinely novel content with no overlap"},
+            ]
+        )
+    )
+    drain()
+    docs = {r.doc_id for r in spark.read.parquet(f"{root}/docs").collect()}
+    assert docs == {1, 2, 11}
