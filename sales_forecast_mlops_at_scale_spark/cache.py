@@ -190,7 +190,35 @@ _KEYLESS: list[DataFrame] = []
 # retention; eviction only costs a plan rebuild, never correctness.
 _MEMO_CAP = 32
 
-_MEMO: OrderedDict[tuple[int, str], DataFrame] = OrderedDict()
+#: One store for both memo flavors; entries are ``(owning_session,
+#: value)`` so the lookup logic (liveness, ownership, LRU, cap) exists
+#: exactly once.
+_MEMO: OrderedDict[tuple[int, str], tuple[object, object]] = OrderedDict()
+
+
+def _memo(key: tuple[int, str] | None, build_entry, *, session):
+    """Shared memo core: ``build_entry() -> (owner, value)``.  A hit is
+    served only if its owning session is alive AND (when ``session`` is
+    given) is the caller's session; ``session=None`` accepts any live
+    owner."""
+    if key is None:
+        return build_entry()[1]
+    hit = _MEMO.get(key)
+    if hit is not None:
+        owner, value = hit
+        try:
+            alive = owner.sparkContext._jsc is not None
+        except Exception:  # noqa: BLE001 — stopped session
+            alive = False
+        if alive and (session is None or owner is session):
+            _MEMO.move_to_end(key)
+            return value
+    owner, value = build_entry()
+    _MEMO[key] = (owner, value)
+    _MEMO.move_to_end(key)
+    while len(_MEMO) > _MEMO_CAP:
+        _MEMO.popitem(last=False)
+    return value
 
 
 def plan_memo(
@@ -212,27 +240,12 @@ def plan_memo(
     (the caller's ``df.sparkSession``) so a hit built by a DIFFERENT
     concurrent session over the same files is rejected rather than
     served across session boundaries."""
-    if key is None:
-        return builder()
-    hit = _MEMO.get(key)
-    if hit is not None:
-        try:
-            alive = hit.sparkSession.sparkContext._jsc is not None
-            owned = session is None or hit.sparkSession is session
-        except Exception:  # noqa: BLE001 — stopped session
-            alive = owned = False
-        if alive and owned:
-            _MEMO.move_to_end(key)
-            return hit
-    out = builder()
-    _MEMO[key] = out
-    _MEMO.move_to_end(key)
-    while len(_MEMO) > _MEMO_CAP:
-        _MEMO.popitem(last=False)
-    return out
 
+    def build_entry():
+        out = builder()
+        return out.sparkSession, out
 
-_VAL_MEMO: OrderedDict[tuple[int, str], tuple[object, object]] = OrderedDict()
+    return _memo(key, build_entry, session=session)
 
 
 def value_memo(key: tuple[int, str] | None, builder, *, session):
@@ -240,28 +253,11 @@ def value_memo(key: tuple[int, str] | None, builder, *, session):
     construction ran Spark ACTIONS (an iterative trainer's merge list +
     checkpointed state, a collected anchor) — a repeat call with the
     same key returns the stored value instead of replaying the jobs.
-    The caller passes the owning ``session`` explicitly since the value
-    itself may not carry one; a hit from a different or stopped session
-    is rejected.  Shares the LRU cap and ``clear_slots`` lifetime with
-    the plan memo."""
-    if key is None:
-        return builder()
-    hit = _VAL_MEMO.get(key)
-    if hit is not None:
-        owner, value = hit
-        try:
-            alive = owner.sparkContext._jsc is not None
-        except Exception:  # noqa: BLE001 — stopped session
-            alive = False
-        if alive and owner is session:
-            _VAL_MEMO.move_to_end(key)
-            return value
-    out = builder()
-    _VAL_MEMO[key] = (session, out)
-    _VAL_MEMO.move_to_end(key)
-    while len(_VAL_MEMO) > _MEMO_CAP:
-        _VAL_MEMO.popitem(last=False)
-    return out
+    The caller passes the owning ``session`` explicitly (required, since
+    the value itself may not carry one); a hit from a different or
+    stopped session is rejected.  Shares the store, LRU cap, and
+    ``clear_slots`` lifetime with the plan memo."""
+    return _memo(key, lambda: (session, builder()), session=session)
 
 
 def track_keyless(df: DataFrame) -> DataFrame:
@@ -297,4 +293,3 @@ def clear_slots() -> None:
     # memoized plans reference the just-unpersisted frames; they'd still
     # recompute correctly, but dropping them keeps lifetimes aligned
     _MEMO.clear()
-    _VAL_MEMO.clear()

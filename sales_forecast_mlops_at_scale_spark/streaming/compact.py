@@ -5,31 +5,48 @@ maintain (``streaming/ingest.py`` / ``dedup_ingest.py`` /
 Micro-batch appends are the right write pattern for exactly-once ingest,
 but each batch lands at least one part-file per partition — after a day
 of 1-minute triggers a table holds thousands of KB-sized files, and at
-100 TB the NameNode/listing pressure and per-file open cost dominate
-scan time (the canonical streaming-sink "small files problem").  Table
-formats solve this with OPTIMIZE/rewrite; this is the honest
-pure-parquet maximum, in the same spirit as the anti-join MERGE sink:
+scale the listing pressure and per-file open cost dominate scan time
+(the canonical streaming-sink "small files problem").  Table formats
+solve this with OPTIMIZE/rewrite; this is the honest pure-parquet
+maximum, in the same spirit as the anti-join MERGE sink:
 
 - rewrite into ``ceil(total_bytes / target_file_bytes)`` files via a
   single ``repartition`` (or a range-partitioned sort when ``sort_by``
   is given — compaction is the natural moment to restore clustering for
   min/max skipping);
-- verify the staged copy's ROW COUNT against the source before any
-  destructive step (a failed write aborts with the table untouched);
+- Hive-partitioned tables (``run_stream_ingest``'s date-partitioned
+  sales table) MUST pass ``partition_by``: the rewrite then
+  repartitions on the partition columns and writes with
+  ``partitionBy``, one file per partition value (``target_file_bytes``
+  is advisory there).  A partitioned layout with no ``partition_by`` is
+  REFUSED — flattening it would corrupt the table for the next
+  partitioned append;
+- auxiliary entries living inside the table directory (the ``_commits``
+  marker manifest, any other ``_``/``.``-prefixed metadata) are copied
+  into the staged rewrite BEFORE any destructive step, so no crash
+  window can lose commit markers;
+- verify the staged copy's ROW COUNT against the source before the
+  swap (a failed write aborts with the table untouched);
 - swap via two directory renames with a backup in between; the table is
   unavailable for the instant between them (pure parquet has no atomic
   dir replace — a table format is the fix, not more code), and every
   crash window is healable: :func:`heal_compaction` restores the backup
-  if the swap died in the middle, and stale backups are cleared on the
-  next compaction.
+  if the swap died in the middle, and stale backups/stagings are
+  cleared on the next compaction.
 
-Readers in the same session must re-open the table after compaction
-(the file listing changed); plan-keyed caches (``cache.py``) key on
-name+size+mtime, so stale cached frames are evicted, not served.
+LOCAL FILESYSTEM ONLY: the swap uses ``os.rename``; an ``hdfs://`` or
+``s3a://`` root raises instead of silently no-opping (those stores need
+the Hadoop FileSystem rename / a table format's commit protocol).
+Single writer: run between drains, never concurrently with an active
+ingest — the same rule as any OPTIMIZE.  Readers in the same session
+must re-open the table after compaction (the file listing changed);
+plan-keyed caches (``cache.py``) key on name+size+mtime, so stale
+cached frames are evicted, not served.
 """
 
 from __future__ import annotations
 
+import glob
 import math
 import os
 import shutil
@@ -38,11 +55,45 @@ import uuid
 from pyspark.sql import SparkSession
 
 
-def _part_files(path: str) -> list[str]:
+def _require_local(path: str) -> None:
+    if "://" in path and not path.startswith("file://"):
+        raise NotImplementedError(
+            "compact_parquet_table swaps directories with os.rename and "
+            f"supports local paths only; got {path!r} — use a table "
+            "format's OPTIMIZE (or a FileSystem-API port) for remote stores"
+        )
+
+
+def _data_files(path: str) -> list[str]:
+    """All parquet part files, recursively (partitioned tables nest
+    them under ``col=value`` directories)."""
+    out = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        out += [
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+    return out
+
+
+def _partition_dirs(path: str) -> list[str]:
     return [
-        os.path.join(path, f)
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
+        d
+        for d in os.listdir(path)
+        if "=" in d and os.path.isdir(os.path.join(path, d))
+    ]
+
+
+def _aux_entries(path: str) -> list[str]:
+    """Non-data entries that must survive a rewrite: the ``_commits``
+    marker manifest and any other ``_``/``.``-prefixed metadata, except
+    per-write artifacts the new write regenerates (``_SUCCESS``)."""
+    return [
+        e
+        for e in os.listdir(path)
+        if e.startswith(("_", ".")) and e != "_SUCCESS"
     ]
 
 
@@ -68,18 +119,23 @@ def compact_parquet_table(
     *,
     target_file_bytes: int = 128 << 20,
     sort_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Compact the parquet table at ``path`` in place.  Returns a stats
     dict: ``files_before, files_after, bytes, rows`` — the numbers an
-    operator alerts on.
+    operator alerts on (an already-compact unpartitioned table with no
+    ``sort_by`` is a no-op: ``files_after == files_before``, no
+    unavailability window).
 
     Content-preserving by construction (same rows, verified by count
     before the swap) and crash-healable at every step; see the module
-    docstring for the exact windows.  ``sort_by`` additionally
-    range-partitions + sorts within partitions, restoring the min/max
-    clustering that interleaved appends destroy (``operators/layout.py``
-    measures why that matters for scan pruning).
+    docstring for the exact windows and the partitioned-table contract.
+    ``sort_by`` additionally range-partitions + sorts within partitions,
+    restoring the min/max clustering that interleaved appends destroy
+    (``operators/layout.py`` measures why that matters for scan
+    pruning).
     """
+    _require_local(path)
     heal_compaction(path)
     backup = _backup_path(path)
     if os.path.isdir(backup):
@@ -87,13 +143,34 @@ def compact_parquet_table(
         # backup was deleted — the live table is already the compacted
         # one; the backup is garbage
         shutil.rmtree(backup)
+    for stale in glob.glob(f"{path.rstrip('/')}.compact-*"):
+        shutil.rmtree(stale, ignore_errors=True)  # single-writer contract
 
-    files = _part_files(path)
+    parts = _partition_dirs(path)
+    if parts and not partition_by:
+        raise ValueError(
+            f"{path!r} is Hive-partitioned ({parts[0]}, ...): pass "
+            "partition_by=[...] — rewriting without it would flatten the "
+            "layout and corrupt the table for the next partitioned append"
+        )
+
+    files = _data_files(path)
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    if len(files) <= n_out and not sort_by and not partition_by:
+        return {
+            "files_before": len(files),
+            "files_after": len(files),
+            "bytes": total_bytes,
+            "rows": None,  # untouched — no scan spent on a no-op
+        }
     df = spark.read.parquet(path)
     n_rows = df.count()
-    if sort_by:
+    if partition_by:
+        out = df.repartition(*partition_by)
+        if sort_by:
+            out = out.sortWithinPartitions(*sort_by)
+    elif sort_by:
         out = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(
             *sort_by
         )
@@ -102,12 +179,25 @@ def compact_parquet_table(
 
     staging = f"{path.rstrip('/')}.compact-{uuid.uuid4().hex[:8]}"
     try:
-        out.write.mode("overwrite").parquet(staging)
+        writer = out.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staging)
         staged_rows = spark.read.parquet(staging).count()
         if staged_rows != n_rows:
             raise RuntimeError(
                 f"compaction row-count mismatch: {staged_rows} != {n_rows}"
             )
+        # auxiliary metadata (commit markers) rides along BEFORE any
+        # destructive step — a crash anywhere below leaves it present in
+        # whichever directory survives
+        for entry in _aux_entries(path):
+            src = os.path.join(path, entry)
+            dst = os.path.join(staging, entry)
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy2(src, dst)
         # the swap: table unavailable only between these two renames
         os.rename(path, backup)
         os.rename(staging, path)
@@ -118,7 +208,7 @@ def compact_parquet_table(
     shutil.rmtree(backup)
     return {
         "files_before": len(files),
-        "files_after": len(_part_files(path)),
+        "files_after": len(_data_files(path)),
         "bytes": total_bytes,
         "rows": n_rows,
     }

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..cache import _plan_key, derived_key, persist_slot
+from ..cache import _plan_key, derived_key
 from ..operators.llm.embedsim import _prepared
 from ..operators.llm.pq import (
     PQ_K,
@@ -235,49 +235,52 @@ def search_materialized(
     maintains for exactly this) settles the final order by exact
     cosine.
 
-    The CONSTRUCTED plan is memoized on (codes files, queries, params)
-    like the in-session tiers (:func:`cache.plan_memo`): a serving
-    process answering repeated queries pays the py4j expression build
-    once; the codes frame's file digest (size+mtime) keys the memo, so
-    an ingest that appends new codes misses and rebuilds."""
+    The CONSTRUCTED plan is memoized on (codes files, vectors files
+    when re-ranking, queries, params) like the in-session tiers
+    (:func:`cache.plan_memo`): a serving process answering repeated
+    queries pays the py4j expression build once; the file digests
+    (size+mtime) key the memo, so an ingest append OR a tier rewrite
+    (compaction) misses and rebuilds against the new listing.  The
+    stored tiers are deliberately NOT persist-pinned here: materializing
+    a cache would scan the WHOLE codes table, while the probe filter
+    pushed to the parquet scan touches only probed buckets — the
+    O(batch)/O(probe) contract the ingest and compaction clustering are
+    built around."""
     from ..cache import plan_memo
 
     codes_src = spark.read.parquet(f"{root_path}/codes")
+    vectors_src = spark.read.parquet(f"{root_path}/vectors") if rerank else None
     ckey = _plan_key(codes_src)
+    vkey = _plan_key(vectors_src) if rerank else "norerank"
     qkey = _plan_key(queries)
-    # None queries-key poisons the whole memo key (see pq.pq_adc_topk)
+    # None on ANY constituent poisons the whole memo key (see
+    # pq.pq_adc_topk): the vectors digest must participate when the
+    # re-rank branch embeds that tier's file listing, or a
+    # vectors-only rewrite (partial compaction) would serve a memoized
+    # plan referencing deleted files
     memo_key = (
         derived_key(
             ckey,
             "vecingest.search",
             qkey,
+            vkey,
             root_path, k, nprobe, m, dim, id_col, vec_col, ndigits, rerank,
         )
-        if qkey is not None
+        if qkey is not None and vkey is not None
         else None
     )
 
     def build() -> DataFrame:
         centroids = spark.read.parquet(f"{root_path}/centroids")
         codebook = spark.read.parquet(f"{root_path}/pq_codebook")
-        # the compressed tiers live in RAM in a serving deployment
-        # (codes are the integer index — the memory budget PQ exists to
-        # fit; quantizers are tiny); the raw-vector re-rank tier stays
-        # on storage, read only for Q·R candidate rows per query.  Slot
-        # keys derive from the codes file digest, so an ingest append
-        # evicts the stale pin.
-        codes = persist_slot(
-            "vecingest.codes",
-            codes_src.select(F.col(id_col).alias("vid"), "bucket", "m", "code"),
-            key=derived_key(ckey, "codes.pin", id_col) if ckey else None,
+        codes = codes_src.select(
+            F.col(id_col).alias("vid"), "bucket", "m", "code"
         )
         q = _prepared(queries, id_col, vec_col).select(
             F.col("vid").alias("qid"), "v", "nrm"
         )
         vectors = (
-            _prepared(spark.read.parquet(f"{root_path}/vectors"), id_col, vec_col)
-            if rerank
-            else None
+            _prepared(vectors_src, id_col, vec_col) if rerank else None
         )
         return ivfpq_search(
             q,

@@ -77,10 +77,7 @@ def test_plan_memo_hits_on_same_key_only(spark):
 
 
 def test_value_memo_session_checked_and_cleared(spark):
-    from sales_forecast_mlops_at_scale_spark.cache import (
-        _VAL_MEMO,
-        value_memo,
-    )
+    from sales_forecast_mlops_at_scale_spark.cache import _MEMO, value_memo
 
     clear_slots()
     base = _plan_key(load_table(spark, SF_DIR, "embeddings"))
@@ -101,4 +98,4 @@ def test_value_memo_session_checked_and_cleared(spark):
     value_memo(None, builder, session=spark)
     assert len(builds) == 3
     clear_slots()
-    assert not _VAL_MEMO
+    assert not _MEMO

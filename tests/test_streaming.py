@@ -789,7 +789,9 @@ def test_compact_heal_restores_interrupted_swap(spark, tmp_path):
     os.rename(path, path + ".pre-compact")
     assert heal_compaction(path) is True
     assert sorted(r.id for r in spark.read.parquet(path).collect()) == before
-    # compact after heal works end-to-end
+    # compact after heal works end-to-end (the multi-part-file range
+    # write sits above the default target's n_out=1, so this is a real
+    # rewrite, not the already-compact early-exit)
     os.rename(path, path + ".pre-compact")
     stats = compact_parquet_table(spark, path)
     assert stats["rows"] == 100
@@ -890,3 +892,69 @@ def test_compact_corpus_tables_preserves_dedup_behavior(spark, tmp_path):
     drain()
     docs = {r.doc_id for r in spark.read.parquet(f"{root}/docs").collect()}
     assert docs == {1, 2, 11}
+
+
+def test_compact_partitioned_table_preserves_layout_and_markers(spark, tmp_path):
+    """Compacting a Hive-partitioned ingest target must (a) REFUSE to
+    run without partition_by (flattening corrupts the table for the next
+    partitioned append), (b) preserve the partition layout and the
+    in-table _commits marker manifest across the swap, and (c) leave the
+    table appendable and readable afterwards."""
+    import datetime as dt
+    import os
+
+    import pytest
+
+    from sales_forecast_mlops_at_scale_spark.streaming.compact import (
+        compact_parquet_table,
+    )
+
+    target = str(tmp_path / "sales")
+    for b in range(4):
+        df = spark.createDataFrame(
+            [(b * 10 + i, dt.date(2026, 1, 1 + (i % 2))) for i in range(10)],
+            "store int, date date",
+        )
+        df.write.mode("append").partitionBy("date").parquet(target)
+    os.makedirs(os.path.join(target, "_commits"), exist_ok=True)
+    open(os.path.join(target, "_commits", "app-3"), "w").write("")
+    before = sorted(tuple(r) for r in spark.read.parquet(target).collect())
+
+    with pytest.raises(ValueError, match="Hive-partitioned"):
+        compact_parquet_table(spark, target)
+
+    stats = compact_parquet_table(spark, target, partition_by=["date"])
+    assert stats["rows"] == 40 and stats["files_after"] < stats["files_before"]
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(target).collect()
+    ) == before
+    assert sorted(
+        d for d in os.listdir(target) if d.startswith("date=")
+    ) == ["date=2026-01-01", "date=2026-01-02"]
+    assert os.path.exists(os.path.join(target, "_commits", "app-3"))
+
+    # the table stays appendable with the partitioned layout
+    spark.createDataFrame(
+        [(99, dt.date(2026, 1, 3))], "store int, date date"
+    ).write.mode("append").partitionBy("date").parquet(target)
+    assert spark.read.parquet(target).count() == 41
+
+
+def test_compact_no_op_and_non_local_guard(spark, tmp_path):
+    """An already-compact unpartitioned table is a no-op (no scan, no
+    unavailability window) and remote URIs raise instead of silently
+    skipping."""
+    import pytest
+
+    from sales_forecast_mlops_at_scale_spark.streaming.compact import (
+        compact_parquet_table,
+    )
+
+    path = str(tmp_path / "one")
+    spark.range(10).coalesce(1).write.parquet(path)
+    stats = compact_parquet_table(spark, path)
+    assert stats["files_after"] == stats["files_before"] == 1
+    assert stats["rows"] is None  # untouched
+
+    with pytest.raises(NotImplementedError, match="local paths only"):
+        compact_parquet_table(spark, "hdfs://nn/warehouse/t")
