@@ -2198,10 +2198,14 @@ def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _ensure_ivfpq_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
+    # pin_codes: this query models the long-lived SERVING tier, which
+    # keeps the compressed codes resident (PQ's design premise); the
+    # per-micro-batch ingest dedup path leaves it off to stay O(batch)
     return search_materialized(
         spark, root, emb.filter(F.col("vec_id") < 8),
         k=5, nprobe=IVFPQ_NPROBE, dim=64,
         id_col="vec_id", vec_col="embedding", rerank=IVFPQ_RERANK,
+        pin_codes=True,
     )
 
 

@@ -226,6 +226,7 @@ def search_materialized(
     vec_col: str = "embedding",
     ndigits: int = 6,
     rerank: int = 0,
+    pin_codes: bool = False,
 ) -> DataFrame:
     """:func:`operators.llm.pq.ivfpq_search` over the MATERIALIZED index
     tables — the corpus itself is never touched.
@@ -241,11 +242,15 @@ def search_materialized(
     queries pays the py4j expression build once; the file digests
     (size+mtime) key the memo, so an ingest append OR a tier rewrite
     (compaction) misses and rebuilds against the new listing.  The
-    stored tiers are deliberately NOT persist-pinned here: materializing
-    a cache would scan the WHOLE codes table, while the probe filter
-    pushed to the parquet scan touches only probed buckets — the
-    O(batch)/O(probe) contract the ingest and compaction clustering are
-    built around."""
+    stored tiers are NOT persist-pinned by default: materializing a
+    cache scans the WHOLE codes table, while the probe filter pushed to
+    the parquet scan touches only probed buckets — the O(batch)
+    contract the per-micro-batch ingest dedup depends on.  A LONG-LIVED
+    SERVING tier should pass ``pin_codes=True``: PQ's design premise is
+    that the compressed codes fit in memory (that is what quantization
+    buys), so the serving deployment keeps them resident — the pin is
+    slot-keyed on the codes file digest, so an ingest append or a
+    compaction evicts it."""
     from ..cache import plan_memo
 
     codes_src = spark.read.parquet(f"{root_path}/codes")
@@ -265,17 +270,26 @@ def search_materialized(
             qkey,
             vkey,
             root_path, k, nprobe, m, dim, id_col, vec_col, ndigits, rerank,
+            pin_codes,
         )
         if qkey is not None and vkey is not None
         else None
     )
 
     def build() -> DataFrame:
+        from ..cache import persist_slot
+
         centroids = spark.read.parquet(f"{root_path}/centroids")
         codebook = spark.read.parquet(f"{root_path}/pq_codebook")
         codes = codes_src.select(
             F.col(id_col).alias("vid"), "bucket", "m", "code"
         )
+        if pin_codes:
+            codes = persist_slot(
+                "vecingest.codes",
+                codes,
+                key=derived_key(ckey, "codes.pin", id_col) if ckey else None,
+            )
         q = _prepared(queries, id_col, vec_col).select(
             F.col("vid").alias("qid"), "v", "nrm"
         )
