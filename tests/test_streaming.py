@@ -611,6 +611,16 @@ def test_vector_ingest_incremental_index_and_search(spark, tmp_path):
     top = next(r for r in rr if r.rank == 1)
     assert top.nn_id == 100 and top.score == 1.0
 
+    # serving-tier pin: pin_codes=True must be a pure performance knob —
+    # identical rows, and the codes slot actually lands in the registry
+    from sales_forecast_mlops_at_scale_spark import cache
+
+    pinned = search_materialized(
+        spark, root, q, k=3, dim=64, rerank=10, pin_codes=True
+    ).collect()
+    assert sorted(map(tuple, pinned)) == sorted(map(tuple, rr))
+    assert "vecingest.codes" in cache._LIVE
+
 
 def test_vector_ingest_empty_first_batch_does_not_freeze_quantizer(spark, tmp_path):
     """An empty first micro-batch must not train-and-freeze a 0-row
