@@ -516,4 +516,7 @@ def test_binned_quantiles_error_bound_on_random_data(spark, vals, q):
     r = max(1, math.ceil(q * len(s)))
     exact = float(s[r - 1])
     cell = (max(s) - min(s)) / QSKETCH_BINS
-    assert abs(est - exact) <= cell + 1e-9, (vals, q, est, exact)
+    # + half an ulp of the operator's 6-digit output rounding: an
+    # estimate sitting exactly one cell from the exact value can round
+    # AWAY by up to 5e-7 (e.g. cell = 2/256 = 0.0078125 -> 0.007813)
+    assert abs(est - exact) <= cell + 5e-7 + 1e-9, (vals, q, est, exact)
