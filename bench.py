@@ -108,6 +108,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_dsir_select",
     "q_lm_quality",
     "q_bloom_prefilter",
+    "q_salted_join",
+    "q_hot_keys",
     "q_embed_topk",
     "q_embed_ivf_topk",
     "q_embed_srp_topk",

@@ -1724,6 +1724,88 @@ FROM flag GROUP BY source
 """
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe revenue rollup: lineitem (the probe side, where a hot
+    part key would serialize into one task) salted across 8 sub-keys and
+    joined to the small-part dim replicated to match
+    (operators/scale.salted_join), then per-brand fixed-point revenue.
+
+    Correctness contract: salting is RESULT-INVARIANT — the oracle is the
+    plain join, so any double-count or drop in the salt/replicate
+    machinery fails the hash.  At fixture scale Catalyst may still
+    broadcast the ×8 build side (harmless); at 100 TB the pattern is for
+    the skewed, broadcast-ineligible probe feeding a window or
+    grouped-map next, where AQE's sort-merge skew split can't help.
+    Revenue is summed as exact scaled longs (price·100 × (100−disc·100)),
+    divided once at the end — order-independent, so Spark's partial
+    aggregation matches DuckDB serially."""
+    from ..operators.scale import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_fp"),
+    )
+    pt = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") < 10)
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    )
+    return (
+        salted_join(li, pt, ["l_partkey"], n_salts=8)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(F.sum("rev_fp") / 10000.0, 4).alias("revenue"),
+        )
+    )
+
+
+_SALTED_SQL = """
+WITH j AS (
+  SELECT p.p_brand,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_fp
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_size < 10)
+SELECT p_brand, CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(rev_fp) / 10000.0, 4) AS revenue
+FROM j GROUP BY 1
+"""
+
+
+def q_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew probe over the events stream: the 10 most frequent
+    user ids with exact counts and integer ppm traffic share
+    (operators/scale.top_keys) — the diagnostic that decides whether a
+    downstream join gets salted, isolated, or pre-aggregated.  TakeOrdered
+    top-k (no full sort); the 1-row total is broadcast.  Ties broken by
+    key ascending so the reported set is deterministic cross-engine."""
+    from ..operators.scale import top_keys
+
+    ev = load_table(spark, sf_dir, "events")
+    tk = top_keys(ev, ["user_id"], n=10)
+    tot = ev.agg(F.count(F.lit(1)).alias("__tot"))
+    return tk.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "n_rows",
+        F.expr("n_rows * 1000000L DIV __tot").alias("share_ppm"),
+    )
+
+
+_HOTKEYS_SQL = """
+WITH tot AS (SELECT count(*) AS t FROM events),
+tk AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+       FROM events GROUP BY 1
+       ORDER BY n_rows DESC, user_id ASC LIMIT 10)
+SELECT tk.user_id, tk.n_rows,
+       CAST(tk.n_rows * 1000000 // tot.t AS BIGINT) AS share_ppm
+FROM tk, tot
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Square-root-allocation stratified sample: 200-doc budget split
     across (source, lang) strata ∝ sqrt(stratum size), rows chosen by
@@ -2737,6 +2819,8 @@ QUERIES: dict[str, QueryDef] = {
     "q_pq_distortion": QueryDef(q_pq_distortion, _PQ_DISTORTION_SQL),
     "q_triangle_stats": QueryDef(q_triangle_stats, _TRIANGLE_SQL),
     "q_bloom_prefilter": QueryDef(q_bloom_prefilter, _BLOOM_SQL),
+    "q_salted_join": QueryDef(q_salted_join, _SALTED_SQL),
+    "q_hot_keys": QueryDef(q_hot_keys, _HOTKEYS_SQL),
     "q_stratified_sample": QueryDef(q_stratified_sample, _STRAT_SQL),
     "q_dedup_exact": QueryDef(
         q_dedup_exact,

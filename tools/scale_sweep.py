@@ -55,6 +55,10 @@ QUERIES = [
     "q_semantic_dedup",
     "q_quantile_sketch",
     "q_gate_rate",
+    # skew engineering: salted join (result-invariant vs plain join) and
+    # the hot-key diagnostic
+    "q_salted_join",
+    "q_hot_keys",
 ]
 
 
