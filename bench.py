@@ -206,20 +206,27 @@ def main() -> None:
         firsts[name] = round(runs[0], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "spread": spreads,
-                "first": firsts,
-                "reps": reps,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # KEY ORDER MATTERS: the driver stores only the TAIL of this line
+    # when it exceeds its record size, so the headline signal — the
+    # min-of-3 "queries" dict — must come LAST (r6 lost a round's perf
+    # story because the cold "first" dict survived truncation instead);
+    # diagnostics (first/spread) print before it, scalars first of all
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "reps": reps,
+        "first": firsts,
+        "spread": spreads,
+        "queries": timings,
+    }
+    print(json.dumps(payload))
+    # full, untruncated artifact for the per-round commit
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path:
+        with open(out_path, "w", encoding="utf-8") as fh:
+            json.dump(payload, fh, indent=1)
     spark.stop()
 
 

@@ -55,20 +55,68 @@ def _source_files(df: DataFrame) -> list[str]:
     failures (streaming relations, exotic sources) are skipped — the
     walk only needs to be DETERMINISTIC across invocations, and a
     consistently-skipped node still is."""
+    files, _ = _walk_leaves(df)
+    return files
+
+
+#: Leaf node classes that carry no data of their own, so contributing
+#: nothing to the key is correct (the canonicalized string still pins
+#: their shape/arguments).
+_DATALESS_LEAVES = frozenset({"OneRowRelation", "Range"})
+
+
+def _walk_leaves(df: DataFrame) -> tuple[list[str], str | None]:
+    """Walk the ANALYZED plan once, returning ``(files, data_digest)``.
+
+    ``files`` is every file-based relation's listing (see
+    :func:`_source_files` for why the analyzed — not optimized — plan).
+    ``data_digest`` covers the leaves that carry data OUTSIDE any file:
+    ``LocalRelation`` rows (Arrow-path local frames) are digested from
+    their ``UnsafeRow`` string forms, which print the row bytes and are
+    deterministic for identical data; ``LogicalRDD`` leaves (what
+    PySpark ``createDataFrame`` actually produces, and
+    ``localCheckpoint`` outputs) contribute their RDD id — unique for
+    the session's lifetime, so two same-schema-different-data frames can
+    never share a key (a semantically identical REBUILD gets a fresh id
+    and conservatively misses: a miss only costs a rebuild, never
+    correctness).  A leaf we can't account for at all makes the digest
+    ``None`` — the caller must then treat the plan as UNKEYABLE,
+    because the 32-bit ``semanticHash`` would be the key's only
+    data-sensitive component and a collision would silently serve
+    another dataset's results (ADVICE r6)."""
     files: list[str] = []
+    data_parts: list[str] = []
+    opaque = False
     stack = [df._jdf.queryExecution().analyzed()]
     while stack:
         node = stack.pop()
-        try:
-            if node.getClass().getSimpleName() == "LogicalRelation":
-                rel = node.relation()
-                files.extend(str(f) for f in rel.inputFiles())
-        except Exception:  # noqa: BLE001 — non-file relation
-            pass
         ch = node.children()
-        for i in range(ch.size()):
+        n = ch.size()
+        if n == 0:
+            name = node.getClass().getSimpleName()
+            if name == "LogicalRelation":
+                try:
+                    files.extend(str(f) for f in node.relation().inputFiles())
+                except Exception:  # noqa: BLE001 — non-file relation
+                    opaque = True
+            elif name == "LocalRelation":
+                try:
+                    data_parts.append(str(node.data().toString()))
+                except Exception:  # noqa: BLE001 — inaccessible rows
+                    opaque = True
+            elif name == "LogicalRDD":
+                try:
+                    data_parts.append(f"rdd:{node.rdd().id()}")
+                except Exception:  # noqa: BLE001 — no rdd accessor
+                    opaque = True
+            elif name not in _DATALESS_LEAVES:
+                opaque = True
+        for i in range(n):
             stack.append(ch.apply(i))
-    return sorted(files)
+    if opaque:
+        return sorted(files), None
+    digest = hashlib.sha256("\n".join(sorted(data_parts)).encode()).hexdigest()
+    return sorted(files), digest
 
 
 def _files_digest(df: DataFrame) -> str:
@@ -87,6 +135,10 @@ def _files_digest(df: DataFrame) -> str:
         files = _source_files(df)
     except Exception:  # noqa: BLE001 — connect clients
         files = sorted(df.inputFiles())
+    return _stamp_files(df, files)
+
+
+def _stamp_files(df: DataFrame, files: list[str]) -> str:
     entries = files
     if 0 < len(files) <= _STAT_FILE_CAP:
         try:
@@ -117,11 +169,18 @@ def _plan_key(df: DataFrame) -> tuple[int, str] | None:
         # Relation prints without its path), so same-shaped plans over
         # different directories stringify identically; semanticHash does
         # include relation identity but is only 32 bits.  The sorted
-        # input-file digest (name+size+mtime, see _files_digest) pins
-        # the data: reuse requires hash AND shape AND the exact same
-        # source file contents-as-stamped.
-        files = _files_digest(df)
-        return plan.semanticHash(), plan.canonicalized().toString() + "#" + files
+        # input-file digest (name+size+mtime, see _files_digest) plus
+        # the LocalRelation row digest pin the data: reuse requires
+        # hash AND shape AND the exact same leaf data-as-stamped.  A
+        # plan with an OPAQUE leaf (LogicalRDD, streaming) is unkeyable
+        # — its only data-sensitive key component would be the 32-bit
+        # semanticHash, and a collision would silently serve another
+        # dataset's cached rows / memoized results (ADVICE r6).
+        files, data_digest = _walk_leaves(df)
+        if data_digest is None:
+            return None
+        stamp = _stamp_files(df, files) + "#" + data_digest
+        return plan.semanticHash(), plan.canonicalized().toString() + "#" + stamp
     except Exception:  # noqa: BLE001 — connect-only clients etc.
         return None
 

@@ -73,7 +73,16 @@ def _star_labels(edges: DataFrame, *, max_rounds: int = 64) -> DataFrame:
     ``exceptAll`` on edge frames (bounded: star-phase edge sets only
     shrink toward n-1 rows).
     """
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # node set from BOTH endpoints: with a symmetric input these are
+    # equal, but deriving from src alone would silently drop each
+    # component's maximum-id node if a caller ever passed raw
+    # left<right pairs (ADVICE r6) — the union feeds a distinct that
+    # exists either way, so the safety is shuffle-neutral
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     cur = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     prev_count = None
     stable = False

@@ -47,6 +47,7 @@ cached frames are evicted, not served.
 from __future__ import annotations
 
 import glob
+import hashlib
 import math
 import os
 import shutil
@@ -55,13 +56,23 @@ import uuid
 from pyspark.sql import SparkSession
 
 
-def _require_local(path: str) -> None:
-    if "://" in path and not path.startswith("file://"):
+def _require_local(path: str) -> str:
+    """Validate ``path`` is local and return the plain filesystem path.
+
+    ``file://``-prefixed URIs are accepted — Spark writers emit and
+    accept them — but every subsequent call here is ``os``-level, so the
+    scheme is STRIPPED rather than passed through (a raw
+    ``file:///x/y`` string fed to ``os.walk`` silently lists nothing and
+    ``os.rename`` raises a misleading FileNotFoundError — ADVICE r6)."""
+    if path.startswith("file://"):
+        return path[len("file://") :] or "/"
+    if "://" in path:
         raise NotImplementedError(
             "compact_parquet_table swaps directories with os.rename and "
             f"supports local paths only; got {path!r} — use a table "
             "format's OPTIMIZE (or a FileSystem-API port) for remote stores"
         )
+    return path
 
 
 def _data_files(path: str) -> list[str]:
@@ -101,11 +112,39 @@ def _backup_path(path: str) -> str:
     return path.rstrip("/") + ".pre-compact"
 
 
+#: Marker file recording the layout signature of the last completed
+#: compaction; lives inside the table directory (``_``-prefixed, so data
+#: scans skip it and :func:`_aux_entries` carries it through rewrites).
+_MARKER = "_compacted"
+
+
+def _layout_signature(
+    path: str,
+    target_file_bytes: int,
+    sort_by: list[str] | None,
+    partition_by: list[str] | None,
+) -> str:
+    """Digest of the table's current data layout + compaction params.
+
+    Keyed on every data file's relative path, size, and mtime — any
+    append, delete, or rewrite changes it — plus the requested output
+    shape, so a ``sort_by`` change recompacts even if the files didn't
+    move."""
+    entries = sorted(
+        f"{os.path.relpath(f, path)}#{os.path.getsize(f)}"
+        f"#{os.path.getmtime(f)}"
+        for f in _data_files(path)
+    )
+    entries.append(repr((target_file_bytes, sort_by, partition_by)))
+    return hashlib.sha256("\n".join(entries).encode()).hexdigest()
+
+
 def heal_compaction(path: str) -> bool:
     """Recover from a compaction swap that died between its two renames:
     if the table directory is missing but its backup exists, the backup
     IS the table — restore it.  Returns True if a restore happened.
     Safe to call any time (no-op when the table is healthy)."""
+    path = _require_local(path)
     backup = _backup_path(path)
     if not os.path.exists(path) and os.path.isdir(backup):
         os.rename(backup, path)
@@ -135,7 +174,7 @@ def compact_parquet_table(
     (``operators/layout.py`` measures why that matters for scan
     pruning).
     """
-    _require_local(path)
+    path = _require_local(path)
     heal_compaction(path)
     backup = _backup_path(path)
     if os.path.isdir(backup):
@@ -164,6 +203,23 @@ def compact_parquet_table(
             "bytes": total_bytes,
             "rows": None,  # untouched — no scan spent on a no-op
         }
+    # sorted/partitioned tiers can't no-op on file count alone (the
+    # rewrite also restores clustering), so the last completed
+    # compaction leaves a layout-signature marker: unchanged files +
+    # unchanged params → the tier is already in its target layout, and
+    # a repeat maintenance invocation skips the full rewrite AND the
+    # two-rename unavailability window (ADVICE r6)
+    signature = _layout_signature(path, target_file_bytes, sort_by, partition_by)
+    marker = os.path.join(path, _MARKER)
+    if os.path.isfile(marker):
+        with open(marker, encoding="utf-8") as fh:
+            if fh.read().strip() == signature:
+                return {
+                    "files_before": len(files),
+                    "files_after": len(files),
+                    "bytes": total_bytes,
+                    "rows": None,  # untouched — marker certifies layout
+                }
     df = spark.read.parquet(path)
     n_rows = df.count()
     if partition_by:
@@ -206,6 +262,13 @@ def compact_parquet_table(
         heal_compaction(path)
         raise
     shutil.rmtree(backup)
+    # stamp the NEW layout so the next maintenance pass can prove the
+    # tier is already compact; written after the swap, so a crash here
+    # merely forfeits the next no-op (never correctness)
+    with open(os.path.join(path, _MARKER), "w", encoding="utf-8") as fh:
+        fh.write(
+            _layout_signature(path, target_file_bytes, sort_by, partition_by)
+        )
     return {
         "files_before": len(files),
         "files_after": len(_data_files(path)),

@@ -30,6 +30,32 @@ def test_plan_key_stable_across_invocations(spark):
     assert _plan_key(a) != _plan_key(c)
 
 
+def test_plan_key_is_data_sensitive_for_local_frames(spark):
+    """Non-file-backed frames: two same-schema frames with DIFFERENT
+    data must key differently beyond the 32-bit semanticHash (ADVICE
+    r6).  PySpark ``createDataFrame`` frames are LogicalRDD-backed, so
+    the key folds in the RDD id — same frame re-keys identically, any
+    other local frame (even identical data, i.e. a conservative miss)
+    keys differently, and a cross-dataset collision is impossible."""
+    a = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "s"])
+    c = spark.createDataFrame([(1, "x"), (9, "z")], ["id", "s"])
+    ka, kc = _plan_key(a), _plan_key(c)
+    assert ka is not None and _plan_key(a) == ka  # stable per frame
+    assert kc is not None and kc[1] != ka[1]  # distinct data never aliases
+    # mixed file + local leaves stay keyable and data-sensitive
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    ja = docs.join(a, docs.doc_id == a.id, "left")
+    jc = docs.join(c, docs.doc_id == c.id, "left")
+    kja, kjc = _plan_key(ja), _plan_key(jc)
+    assert kja is not None and kja[1] != kjc[1]
+    assert _plan_key(ja) == kja
+    # localCheckpoint output is LogicalRDD too: keyable, id-pinned
+    ck = spark.range(10).localCheckpoint()
+    kck = _plan_key(ck)
+    assert kck is not None and _plan_key(ck) == kck
+    assert kck[1] != _plan_key(spark.range(10).localCheckpoint())[1]
+
+
 def test_persist_slot_reuses_and_evicts(spark):
     clear_slots()
     a = load_table(spark, SF_DIR, "embeddings").select("vec_id")

@@ -1133,10 +1133,19 @@ def test_bpe_encode_vocab_scale_merge_list(spark):
     }
     wall = time.time() - t0
     assert vocab
-    # measured ~10 s (7 s plan construction + 3 s execution) at sf0.01
-    # on local[32]; 20 s leaves CI headroom while still failing hard on
-    # an O(corpus·merges) or analyzer-fallback regression
-    assert wall < 20, f"256-merge encode took {wall:.1f}s"
+    # regression (a) is asserted STRUCTURALLY: chunking across
+    # projections bounds the fold chain per Project node, so the
+    # analyzed plan holds ~ceil(256/BPE_FOLD_CHUNK) Projects; an
+    # unchunked 256-fold chain would collapse to a handful of Projects
+    # whose single expression tree triggers the analyzer blow-up.  The
+    # wall bound stays only as a generous backstop for (b) — measured
+    # ~10 s at sf0.01 on local[32]; 120 s still fails hard on
+    # O(corpus·merges) drift (minutes) without flaking on a loaded CI
+    # machine (ADVICE r6)
+    plan = enc._jdf.queryExecution().analyzed().toString()
+    n_projects = plan.count("Project [") + plan.count("Project\n")
+    assert 4 <= n_projects <= 64, f"unexpected Project count {n_projects}"
+    assert wall < 120, f"256-merge encode took {wall:.1f}s"
 
     def py_apply(token: str) -> list[str]:
         syms = list(token) + ["</w>"]

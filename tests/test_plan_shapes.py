@@ -178,6 +178,59 @@ def test_selective_dim_join_injects_runtime_bloom_filter(spark):
                 spark.conf.unset(k)
 
 
+def test_salted_join_salts_the_exchange_and_splits_hot_key(spark):
+    # r6 verdict item 5: at fixture scale q_salted_join's build side gets
+    # broadcast, so the salt machinery was hash-verified but its PLAN
+    # purpose — spreading one hot key across tasks under a shuffle join —
+    # was never asserted.  Force the shuffle path and check (a) the
+    # exchange is keyed on (key, __salt), (b) the hot key's rows really
+    # land in multiple partitions, i.e. no single hot task.
+    import pyspark.sql.functions as F
+
+    from sales_forecast_mlops_at_scale_spark.operators.scale import salted_join
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.adaptive.enabled": "false",  # keep the exchange literal
+    }
+    prior = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(20000).selectExpr(
+            "CASE WHEN id % 5 < 4 THEN 'hot' ELSE concat('k', id % 97) END AS key",
+            "id AS v",
+        )
+        right = spark.range(98).selectExpr(
+            "CASE WHEN id = 97 THEN 'hot' ELSE concat('k', id) END AS key",
+            "id AS w",
+        )
+        j = salted_join(left, right, ["key"], n_salts=8)
+        out = j.withColumn("pid", F.spark_partition_id())
+        hot_pids = [
+            r.pid
+            for r in out.where(F.col("key") == "hot")
+            .select("pid")
+            .distinct()
+            .collect()
+        ]
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        exchanges = [
+            ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+        ]
+        assert exchanges, plan
+        assert any("__salt" in ln for ln in exchanges), plan
+        assert "BroadcastHashJoin" not in plan, plan
+        # the 80%-hot key spreads across >1 task instead of serializing
+        assert len(hot_pids) > 1, hot_pids
+    finally:
+        for k, v in prior.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+
+
 def test_bpe_topk_is_take_ordered(spark):
     # vocab-induction top-k must compile to TakeOrderedAndProject, not a
     # global sort or a window over the pair table

@@ -781,6 +781,46 @@ def test_compact_parquet_table_preserves_rows_and_shrinks_files(spark, tmp_path)
     assert not os.path.exists(path + ".pre-compact")
 
 
+def test_compact_sorted_tier_repeat_is_noop_until_append(spark, tmp_path):
+    """A sort_by compaction leaves a layout-signature marker, so a
+    repeat maintenance invocation over the unchanged tier skips the
+    rewrite (rows=None, files untouched) instead of paying a full
+    rewrite + unavailability window; an append invalidates the marker
+    and the next compaction is a real rewrite again.  Also exercises the
+    file:// form of the path (Spark writers emit such URIs)."""
+    import os
+
+    from sales_forecast_mlops_at_scale_spark.streaming.compact import (
+        compact_parquet_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    for b in range(6):
+        spark.range(b * 40, (b + 1) * 40).selectExpr(
+            "id", "id % 7 AS k"
+        ).write.mode("append").parquet(path)
+    stats1 = compact_parquet_table(spark, "file://" + path, sort_by=["id"])
+    assert stats1["rows"] == 240
+    mtimes = {
+        f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    }
+    stats2 = compact_parquet_table(spark, path, sort_by=["id"])
+    assert stats2["rows"] is None  # marker certified: untouched
+    assert stats2["files_after"] == stats2["files_before"]
+    assert {
+        f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    } == mtimes
+    # different params → marker mismatch → real rewrite
+    stats3 = compact_parquet_table(spark, path, sort_by=["k"])
+    assert stats3["rows"] == 240
+    # append → marker mismatch → real rewrite picking up the new rows
+    spark.range(1000, 1010).selectExpr("id", "id % 7 AS k").write.mode(
+        "append"
+    ).parquet(path)
+    stats4 = compact_parquet_table(spark, path, sort_by=["k"])
+    assert stats4["rows"] == 250
+
+
 def test_compact_heal_restores_interrupted_swap(spark, tmp_path):
     """A swap that died between its two renames (table dir gone, backup
     present) must be restored verbatim by heal_compaction — and the next
