@@ -31,6 +31,36 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+#: Session-scoped memo of loaded tables: ``path -> (session, stat_sig,
+#: DataFrame)``.  Each ``spark.read.parquet`` costs ~50-80 ms of py4j +
+#: footer/listing work even for an already-seen path, and every query
+#: build pays it 1-3×, so the memo is the single biggest lever on
+#: cold-path plan-construction latency.  DataFrames are immutable plans:
+#: handing the same object to many queries is safe.  Staleness is
+#: checked per call against the path's (mtime_ns, size) — a rewrite,
+#: append, or compaction changes the signature and forces a re-read, so
+#: correctness never depends on the memo (it only skips re-listing an
+#: UNCHANGED path).  Entries are per-session (identity-checked) and the
+#: map stays bounded by the number of distinct table paths touched.
+_TABLE_MEMO: dict[str, tuple[object, tuple[int, int], DataFrame]] = {}
+
+
+def _path_sig(path: str) -> tuple[int, int] | None:
+    """(mtime_ns, size) for a file; for a directory, the max mtime_ns of
+    the dir and its direct children (appends create/replace entries, and
+    Spark writers always rewrite ``_SUCCESS``, bumping the dir)."""
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return st.st_mtime_ns, st.st_size
+        newest = st.st_mtime_ns
+        for e in os.scandir(path):
+            newest = max(newest, e.stat().st_mtime_ns)
+        return newest, st.st_size
+    except OSError:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table, normalizing fixture quirks.
 
@@ -38,6 +68,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       (floor division, matching DuckDB's nanos read of the same parquet).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    sig = _path_sig(path)
+    if sig is not None:
+        hit = _TABLE_MEMO.get(path)
+        if hit is not None:
+            owner, hit_sig, df = hit
+            try:
+                alive = owner.sparkContext._jsc is not None
+            except Exception:  # noqa: BLE001 — stopped session
+                alive = False
+            if owner is spark and alive and hit_sig == sig:
+                return df
     if name == "events":
         # The fixture's ts column is TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects unless nanos are surfaced as raw longs.  The conf is
@@ -48,6 +89,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    if sig is not None:
+        _TABLE_MEMO[path] = (spark, sig, df)
     return df
 
 

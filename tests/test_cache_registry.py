@@ -56,6 +56,28 @@ def test_plan_key_is_data_sensitive_for_local_frames(spark):
     assert kck[1] != _plan_key(spark.range(10).localCheckpoint())[1]
 
 
+def test_load_table_memo_hits_until_path_changes(spark, tmp_path):
+    """load_table memoizes the per-path DataFrame (the ~60 ms of py4j +
+    footer listing per call is the dominant cold plan-build cost), but a
+    rewrite of the path must invalidate: the memo may only ever skip
+    re-listing an UNCHANGED path."""
+    import time as _time
+
+    from sales_forecast_mlops_at_scale_spark.catalog import load_table
+
+    a = load_table(spark, SF_DIR, "documents")
+    assert load_table(spark, SF_DIR, "documents") is a  # memo hit
+    path = str(tmp_path)
+    spark.range(5).write.mode("overwrite").parquet(path + "/t.parquet")
+    b = load_table(spark, path, "t")
+    assert load_table(spark, path, "t") is b
+    _time.sleep(0.01)  # ensure mtime_ns moves even on coarse filesystems
+    spark.range(9).write.mode("overwrite").parquet(path + "/t.parquet")
+    c = load_table(spark, path, "t")
+    assert c is not b  # rewrite invalidated
+    assert c.count() == 9
+
+
 def test_persist_slot_reuses_and_evicts(spark):
     clear_slots()
     a = load_table(spark, SF_DIR, "embeddings").select("vec_id")
