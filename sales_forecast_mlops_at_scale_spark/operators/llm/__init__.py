@@ -43,7 +43,7 @@ from .textclean import (
     url_domain_stats,
     web_documents_fixture,
 )
-from .bpe import bpe_pair_counts, bpe_train, token_frequencies
+from .bpe import bpe_pair_counts, bpe_train, bpe_train_local, token_frequencies
 from .cms import cms_heavy_hitters, cms_sketch
 from .dupspan import dup_span_coverage, positional_grams
 from .retrieval import bm25_topk, exemplar_query_terms, hybrid_rrf
@@ -89,6 +89,7 @@ __all__ = [
     "kmv_overlap",
     "bpe_pair_counts",
     "bpe_train",
+    "bpe_train_local",
     "token_frequencies",
     "dup_span_coverage",
     "positional_grams",

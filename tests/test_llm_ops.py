@@ -1107,6 +1107,26 @@ def test_pq_distortion_reports_every_subspace(spark):
         assert r.sum_sqerr_fp >= 0
 
 
+def test_bpe_trainers_agree_to_saturation(spark):
+    """Distributed batched trainer and driver-local incremental trainer
+    produce the identical merge sequence and segmentation on the real
+    documents fixture, trained past saturation (every token fully
+    merged) so every argmax/tie-break path is exercised."""
+    from sales_forecast_mlops_at_scale_spark.operators.llm.bpe import (
+        _bpe_train_impl,
+        _bpe_train_local_impl,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    m_dist, seg_dist = _bpe_train_impl(docs, "text", n_merges=500)
+    m_local, seg_local = _bpe_train_local_impl(docs, "text", n_merges=500)
+    assert m_dist == m_local
+    assert len(m_dist) < 500  # saturation reached, not budget
+    d = {r.token: (r.weight, list(r.symbols)) for r in seg_dist.collect()}
+    l = {r.token: (r.weight, list(r.symbols)) for r in seg_local.collect()}
+    assert d == l
+
+
 def test_bpe_encode_vocab_scale_merge_list(spark):
     """Encode the corpus with a 256-merge list — tokenizer-scale in
     shape (the DuckDB twin's per-merge CTE unrolling caps the ORACLE at

@@ -314,6 +314,28 @@ def test_bpe_train_matches_reference(spark, docs):
 
 @given(docs=st.lists(st.lists(_BPE_WORD, min_size=1, max_size=6), min_size=1, max_size=4))
 @settings(**_SETTINGS)
+def test_bpe_train_local_matches_reference(spark, docs):
+    """The driver-local incremental trainer (lazy-deletion heap +
+    inverted index) must be merge-for-merge identical to the pure
+    recount reference — including the re-created-pair and merged-string
+    collision cases the aa/abab fixture words provoke."""
+    from sales_forecast_mlops_at_scale_spark.operators.llm.bpe import (
+        bpe_train_local,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    ref_merges, ref_vocab = _bpe_reference(texts, 6)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges, seg = bpe_train_local(df, n_merges=6)
+    assert merges == ref_merges
+    got = {r.token: list(r.symbols) for r in seg.collect()}
+    assert got == ref_vocab
+
+
+@given(docs=st.lists(st.lists(_BPE_WORD, min_size=1, max_size=6), min_size=1, max_size=4))
+@settings(**_SETTINGS)
 def test_bpe_encode_matches_reference_segmentation(spark, docs):
     """bpe_encode with a trained merge list reproduces the reference
     per-token segmentation for every token OCCURRENCE in the corpus —
