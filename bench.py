@@ -128,6 +128,9 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_train_metrics_summary",
     "q_forecast_totals",
     "q_gate_rate",
+    "q_cv_split_stats",
+    "q_forecast_weekday",
+    "q_rmse_bands",
     # full-surface tail: star/date scaffolding, curation, media, window HOFs
     "q_distinct_segments",
     "q_distinct_priorities",

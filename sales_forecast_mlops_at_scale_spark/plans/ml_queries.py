@@ -368,6 +368,84 @@ FROM trained t LEFT JOIN passed p USING (l_returnflag)
 """
 
 
+def q_cv_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row global audit of the walk-forward CV run: group counts,
+    how many groups were long enough to produce folds, total/min/max
+    split counts, and the exact row total — all integers, so the oracle
+    comparison is exact by construction."""
+    tm = q_train_metrics(spark, sf_dir)
+    return tm.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("n_splits") > 0).cast("long")).alias("n_scored_groups"),
+        F.sum("n_splits").cast("long").alias("total_splits"),
+        F.min("n_splits").cast("int").alias("min_splits"),
+        F.max("n_splits").cast("int").alias("max_splits"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+    )
+
+
+_CV_SPLIT_STATS_SQL = f"""
+WITH tm AS ({_TRAIN_SQL})
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n_splits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_scored_groups,
+       CAST(sum(n_splits) AS BIGINT) AS total_splits,
+       CAST(min(n_splits) AS INTEGER) AS min_splits,
+       CAST(max(n_splits) AS INTEGER) AS max_splits,
+       CAST(sum(n_rows) AS BIGINT) AS total_rows
+FROM tm
+"""
+
+
+def q_forecast_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day forecast rolled up by ISO weekday — the seasonal-naive
+    model is weekday-keyed, so this slice checks the horizon dates were
+    mapped to the right lookup rows (a one-day anchor error permutes
+    every band).  Integer sums only."""
+    fc = q_forecast_7d(spark, sf_dir)
+    return (
+        fc.groupBy((F.weekday("forecast_date") + 1).alias("iso_weekday"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("forecast_sale").cast("long").alias("total_forecast"),
+            F.sum("upper_ci").cast("long").alias("total_upper"),
+        )
+        .select("iso_weekday", "n_rows", "total_forecast", "total_upper")
+    )
+
+
+_FORECAST_WEEKDAY_SQL = f"""
+WITH fc AS ({_FORECAST_SQL})
+SELECT CAST(isodow(forecast_date) AS INTEGER) AS iso_weekday,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(forecast_sale) AS BIGINT) AS total_forecast,
+       CAST(sum(upper_ci) AS BIGINT) AS total_upper
+FROM fc GROUP BY 1
+"""
+
+
+def q_rmse_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-group CV rmse in width-5 bands — the
+    model-quality histogram an operator reads before moving the gate
+    bar.  Banding floors ``rmse / 5`` on the 4-digit-rounded value both
+    engines already share, so band membership cannot straddle a ulp."""
+    tm = q_train_metrics(spark, sf_dir)
+    return (
+        tm.where(F.col("rmse").isNotNull())
+        .groupBy(F.floor(F.col("rmse") / 5).cast("long").alias("rmse_band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+        .select("rmse_band", "n_groups")
+    )
+
+
+_RMSE_BANDS_SQL = f"""
+WITH tm AS ({_TRAIN_SQL})
+SELECT CAST(floor(rmse / 5) AS BIGINT) AS rmse_band,
+       CAST(count(*) AS BIGINT) AS n_groups
+FROM tm WHERE rmse IS NOT NULL GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "q_train_metrics": QueryDef(q_train_metrics, _TRAIN_SQL),
     "q_forecast_7d": QueryDef(q_forecast_7d, _FORECAST_SQL),
@@ -375,4 +453,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_train_metrics_summary": QueryDef(q_train_metrics_summary, _TRAIN_SUMMARY_SQL),
     "q_forecast_totals": QueryDef(q_forecast_totals, _FORECAST_TOTALS_SQL),
     "q_gate_rate": QueryDef(q_gate_rate, _GATE_RATE_SQL),
+    "q_cv_split_stats": QueryDef(q_cv_split_stats, _CV_SPLIT_STATS_SQL),
+    "q_forecast_weekday": QueryDef(q_forecast_weekday, _FORECAST_WEEKDAY_SQL),
+    "q_rmse_bands": QueryDef(q_rmse_bands, _RMSE_BANDS_SQL),
 }

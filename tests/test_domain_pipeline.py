@@ -119,3 +119,35 @@ def test_weekly_rerun_dedups_via_latest(spark, sales):
     latest = latest_forecasts(merged)
     assert latest.count() == f1.count()
     assert latest.filter(F.col("created_on") < gen2_start).count() == 0  # all gen 2
+
+
+def test_ml_facets_internally_consistent(spark):
+    """The three r7 facet queries (q_cv_split_stats, q_forecast_weekday,
+    q_rmse_bands) must reconcile exactly with the trio they roll up —
+    a facet that drifted from its parent dataflow would pass its own
+    oracle while misrepresenting the pipeline."""
+    from tests.conftest import SF_DIR
+
+    from sales_forecast_mlops_at_scale_spark.plans.ml_queries import (
+        q_cv_split_stats,
+        q_forecast_7d,
+        q_forecast_weekday,
+        q_rmse_bands,
+        q_train_metrics,
+    )
+
+    tm = q_train_metrics(spark, SF_DIR).collect()
+    stats = q_cv_split_stats(spark, SF_DIR).collect()[0]
+    assert stats.n_groups == len(tm)
+    assert stats.n_scored_groups == sum(1 for r in tm if r.n_splits > 0)
+    assert stats.total_splits == sum(r.n_splits for r in tm)
+    assert stats.total_rows == sum(r.n_rows for r in tm)
+
+    bands = {r.rmse_band: r.n_groups for r in q_rmse_bands(spark, SF_DIR).collect()}
+    assert sum(bands.values()) == sum(1 for r in tm if r.rmse is not None)
+
+    fc = q_forecast_7d(spark, SF_DIR).collect()
+    wk = q_forecast_weekday(spark, SF_DIR).collect()
+    assert sorted(r.iso_weekday for r in wk) == list(range(1, 8))
+    assert sum(r.n_rows for r in wk) == len(fc)
+    assert sum(r.total_forecast for r in wk) == sum(r.forecast_sale for r in fc)
