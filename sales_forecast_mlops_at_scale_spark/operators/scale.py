@@ -56,6 +56,76 @@ def salted_join(
     return l2.join(r2, on + ["__salt"], how).drop("__salt")
 
 
+def adaptive_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    *,
+    n_salts: int = 8,
+    probe_top: int = 10,
+    min_share_ppm: int = 50_000,
+    how: str = "inner",
+) -> DataFrame:
+    """:func:`top_keys` wired to :func:`salted_join`: probe the left
+    side's hot keys first, then salt ONLY those — the adaptive middle
+    ground between a blanket ×``n_salts`` right-side blow-up and an
+    unsalted join that serializes the hot key into one task.
+
+    The probe is one TakeOrdered job over the left side plus a count
+    (both driver-bounded: ``probe_top`` rows + one scalar); keys holding
+    ≥ ``min_share_ppm`` parts-per-million of the left rows are salted,
+    everything else joins with the constant salt 0, so the right side
+    is replicated only for the (few) hot keys.  Join RESULT is
+    identical to the plain join (salt columns never leave), same
+    ``inner``/``left`` contract as :func:`salted_join`.  If the probe
+    finds no hot key, the plain join is returned untouched — zero
+    overhead on balanced data.
+
+    At 100 TB: the probe scans one column set with map-side combine +
+    TakeOrdered (no full shuffle of payloads); production deployments
+    would persist the hot-key list per ingest batch instead of probing
+    per query, or lean on AQE skew-join where a sort-merge plan allows.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"adaptive_salted_join supports inner/left, got: {how}")
+    on = list(on)
+    total = left.count()
+    if total == 0:
+        return left.join(right, on, how)
+    hot_rows = top_keys(left, on, n=probe_top).collect()
+    hot = [
+        tuple(r[k] for k in on)
+        for r in hot_rows
+        if r["n_rows"] * 1_000_000 >= min_share_ppm * total
+    ]
+    if not hot:
+        return left.join(right, on, how)
+    key_struct = F.struct(*[F.col(k) for k in on])
+    hot_lit = F.array(
+        *[
+            F.struct(*[F.lit(v).alias(k) for k, v in zip(on, key)])
+            for key in hot
+        ]
+    )
+    is_hot = F.array_contains(hot_lit, key_struct)
+    l2 = left.withColumn(
+        "__salt",
+        F.when(
+            is_hot,
+            F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    r2 = right.withColumn(
+        "__salt",
+        F.explode(
+            F.when(
+                is_hot, F.sequence(F.lit(0), F.lit(n_salts - 1))
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    )
+    return l2.join(r2, on + ["__salt"], how).drop("__salt")
+
+
 def top_keys(df: DataFrame, keys: Sequence[str], *, n: int = 10) -> DataFrame:
     """Hot-key probe: the ``n`` most frequent key tuples with counts —
     the diagnostic feeding a decision to salt / isolate / pre-aggregate.

@@ -161,3 +161,57 @@ def test_persist_slot_repins_after_external_clear_cache(spark):
     assert c2.storageLevel.useMemory or c2.storageLevel.useDisk
     assert c2.count() == 50
     pc.clear_slots()
+
+
+def test_adaptive_salted_join_matches_plain_and_salts_only_hot(spark, skewed):
+    """adaptive_salted_join must (a) equal the plain join row-for-row,
+    (b) spread the probed hot key across multiple partitions under a
+    forced shuffle join while cold keys keep the constant salt, and
+    (c) pass through untouched (same plan, no salt column machinery)
+    when the probe finds no key over the share threshold."""
+    from sales_forecast_mlops_at_scale_spark.operators.scale import (
+        adaptive_salted_join,
+    )
+
+    left, right = skewed
+    plain = sorted(
+        map(tuple, left.join(right, "k").select("k", "v", "name").collect())
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    prior = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        out = adaptive_salted_join(
+            left, right, ["k"], n_salts=4, min_share_ppm=500_000
+        )
+        got = out.select("k", "v", "name")
+        pids = out.withColumn("pid", F.spark_partition_id())
+        hot_pids = pids.where(F.col("k") == 1).select("pid").distinct().count()
+        cold_pids = (
+            pids.where(F.col("k") != 1)
+            .select("k", "pid")
+            .groupBy("k")
+            .agg(F.countDistinct("pid").alias("n"))
+            .agg(F.max("n"))
+            .collect()[0][0]
+        )
+        assert sorted(map(tuple, got.collect())) == plain
+        assert hot_pids > 1  # the 90% key is split across tasks
+        assert cold_pids == 1  # constant salt: cold keys stay single-task
+    finally:
+        for k, v in prior.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+    # (c) balanced data -> the exact plain join, no salt in the plan
+    balanced = spark.range(0, 1000).select(
+        (F.col("id") % 100).cast("int").alias("k"), F.col("id").alias("v")
+    )
+    out2 = adaptive_salted_join(balanced, right, ["k"], min_share_ppm=500_000)
+    assert "__salt" not in out2._jdf.queryExecution().analyzed().toString()
+    assert out2.count() == balanced.join(right, "k").count()
