@@ -13,6 +13,7 @@ TOP = [
     "q_media_phash_pairs", "q_bpe_encode", "q_ann_recall_all",
     "q_ivfpq_search", "q_ivfpq_index_stats", "q_pq_distortion",
     "q_quantile_sketch", "q_train_metrics_summary", "q_gate_rate",
+    "q_cv_split_stats", "q_forecast_weekday", "q_rmse_bands",
 ]
 NOTES = {
     "q_dedup_clusters": "MinHash-LSH pairs (persisted shingle sets, banded bucket join) feed min-label propagation; four steps + one pointer-doubling shortcut per burst ending in one lazy checkpoint whose materialization rides the convergence count; in-burst convergence detection finishes shallow graphs in ONE driver action; deep graphs escalate to large-star/small-star contraction (O(log^2 n) rounds, diameter-independent); edges pinned once.",
@@ -40,13 +41,16 @@ NOTES = {
     "q_quantile_sketch": "Two bounded aggregation passes (per-group min/max/count, then <=bins equi-width cell counts, both map-side combinable) + a bins-sized cumulative window; exact percentile would sort the full column.",
     "q_train_metrics_summary": "The full walk-forward-CV grouped-map job, then a fixed-point (sum-of-scaled-longs) rollup - order-independent, so Spark partial aggregation matches DuckDB serially.",
     "q_gate_rate": "Runs the fused train->gate->predict pipeline AND the train pipeline, rolled up per returnflag with integer counts - the facet exists to put driver-sampleable rows on the U2-U6 family.",
+    "q_cv_split_stats": "The CV training grouped-map job reduced to ONE row of integer aggregates (count/sum/min/max) - a global hash aggregate with map-side partials; every per-group error anywhere in the pipeline shifts a sum.",
+    "q_forecast_weekday": "Full 7-day forecast grouped-map, then a 7-row integer rollup keyed on ISO weekday - catches horizon-anchor off-by-one errors that permute the weekday lookup.",
+    "q_rmse_bands": "CV training job banded by floor(rmse/5) on the shared 4-digit-rounded value - a handful of histogram rows, map-side combinable.",
     "q_cdc_dedup": "Arrow kernel chunking (zero shuffle), then one map-side-combinable digest groupBy - the exact-dedup shape over content-defined chunks.",
     "q_cms_heavy": "Depth x width sketch as one grouped sum per (row,col) cell - map-side combinable grid, heavy-hitter probe reads the broadcast sketch; bounded state regardless of key cardinality.",
 }
 
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")
 reg = all_queries()
-out = ["# Physical-plan audit (round 6)", "",
+out = ["# Physical-plan audit (round 7)", "",
        "Formatted `.explain` output for the most expensive bench queries at",
        "sf0.001, captured after execution (AQE-final plans). Regenerate with",
        "`python tools/dump_plans.py`.", ""]
@@ -61,6 +65,6 @@ for name in TOP:
     if len(lines) > 60:
         out.append(f"... ({len(lines) - 60} more lines)")
     out += ["```", ""]
-open("/root/repo/PLANS_r6.md", "w").write("\n".join(out))
-print("wrote PLANS_r6.md", sum(1 for _ in open('/root/repo/PLANS_r6.md')))
+open("/root/repo/PLANS_r7.md", "w").write("\n".join(out))
+print("wrote PLANS_r7.md", sum(1 for _ in open('/root/repo/PLANS_r7.md')))
 spark.stop()

@@ -58,6 +58,8 @@ QUERIES = [
     # skew engineering: salted join (result-invariant vs plain join) and
     # the hot-key diagnostic
     "q_salted_join",
+    # r7 additions: the 1-row CV audit facet (full grouped-map train run)
+    "q_cv_split_stats",
     "q_hot_keys",
 ]
 
