@@ -149,6 +149,94 @@ def make_gated_forecast_fn(
     return fn
 
 
+def make_gated_batch_kernel(
+    keys: Sequence[str],
+    horizon_start: _dt.date,
+    horizon_days: int,
+    *,
+    n_splits: int = 5,
+    y_col: str = "y",
+    max_rmse: float = 1000.0,
+):
+    """Batch kernel twin of the fused CV→gate→predict group function for
+    :func:`operators.groupmap.sorted_group_map`: evaluates and gates every
+    group of an Arrow batch, then assembles ONE output frame holding the
+    horizon rows of the survivors (rejects contribute nothing — no
+    per-reject empty frame, no per-survivor one-group frame).  Fold rmse,
+    half-away rounding, the ``<= max_rmse`` comparison, and the LUT
+    predict arithmetic are expression-identical to the per-group path, so
+    the composed-pipeline oracle (``_GATED_SQL``) hash is unchanged."""
+    from .train import _fold_preds_from_positions
+
+    dates = pd.date_range(pd.Timestamp(horizon_start), periods=horizon_days, freq="D")
+    h_dows = dates.dayofweek.to_numpy()
+    f_dates = np.asarray(dates.date, dtype=object)
+    version = SeasonalNaiveModel.version
+
+    def kernel(pdf: pd.DataFrame, starts, ends) -> pd.DataFrame:
+        ys_all = pdf[y_col].to_numpy(dtype=float)
+        dows_all = pdf["__dow"].to_numpy()
+        g = len(starts)
+        keep: list[int] = []
+        yhat_rows: list[np.ndarray] = []
+        for gi in range(g):
+            s, e = int(starts[gi]), int(ends[gi])
+            ys = ys_all[s:e]
+            dows = dows_all[s:e]
+            rmses: list[float] = []
+            wd_pos = None
+            for train_end, test_end in _split_bounds(e - s, n_splits):
+                if train_end < 1:
+                    continue
+                if wd_pos is None:
+                    wd_pos = [np.nonzero(dows == wd)[0] for wd in range(7)]
+                yhat = _fold_preds_from_positions(ys, dows, wd_pos, train_end, test_end)
+                err = ys[train_end:test_end] - yhat
+                rmses.append(float(math.sqrt((err * err).mean())))
+            if not rmses:
+                continue  # NULL rmse → gate fails
+            rmse = _round_half_away(sum(rmses) / len(rmses), 4)
+            if not (rmse <= max_rmse):
+                continue
+            keep.append(gi)
+            yhat_rows.append(_seasonal_naive_lut(ys, dows)[h_dows])
+        if not keep:
+            return pd.DataFrame(columns=[*keys, *_OUT_COLS])
+        kept = np.asarray(keep, dtype=np.int64)
+        yhat_mat = np.vstack(yhat_rows)
+        kept_starts = np.asarray(starts)[kept]
+        key_arrs = {
+            k: np.repeat(pdf[k].to_numpy()[kept_starts], horizon_days) for k in keys
+        }
+        stores = pdf[keys[0]].to_numpy()[kept_starts]
+        products = (
+            pdf[keys[1]].to_numpy()[kept_starts] if len(keys) > 1 else [""] * len(kept)
+        )
+        names = np.repeat(
+            np.asarray(
+                [
+                    MODEL_NAME_FMT.format(store=s_, product=p_)
+                    for s_, p_ in zip(stores, products)
+                ],
+                dtype=object,
+            ),
+            horizon_days,
+        )
+        return pd.DataFrame(
+            {
+                **key_arrs,
+                "forecast_date": np.tile(f_dates, len(kept)),
+                "forecast_sale": yhat_mat.astype(int).ravel(),
+                "lower_ci": (yhat_mat * 0.9).astype(int).ravel(),
+                "upper_ci": (yhat_mat * 1.1).astype(int).ravel(),
+                "model_name": names,
+                "model_version": version,
+            }
+        )
+
+    return kernel
+
+
 def gated_forecast_groups(
     sales: DataFrame,
     keys: Sequence[str] = ("store", "productname"),
@@ -160,11 +248,14 @@ def gated_forecast_groups(
     date_col: str = "date",
     y_col: str = "sales",
     max_rmse: float = 1000.0,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Forecast rows for the groups whose walk-forward CV rmse meets the
     bar — identical output to ``forecast_groups(gate_series(series,
     train_groups(series)))`` in one grouped-map job instead of two plus a
-    join."""
+    join.  Fast-model routing mirrors ``train_groups``: batch-amortized
+    ``sorted_group_map`` for the deterministic model (``pre_partitioned``
+    skips the exchange), per-group ``applyInPandas`` for heavy models."""
     from pyspark.sql import types as T
 
     key_fields = [sales.schema[k] for k in keys]
@@ -177,6 +268,28 @@ def gated_forecast_groups(
         T.StructField("model_version", T.StringType()),
     ]
     schema = T.StructType(key_fields + out_fields)
+    from .train import _with_time_cols
+
+    timed = _with_time_cols(sales, date_col)
+    if model_spec == "seasonal_naive":
+        from ..operators.groupmap import sorted_group_map
+
+        kernel = make_gated_batch_kernel(
+            keys,
+            horizon_start,
+            horizon_days,
+            n_splits=n_splits,
+            y_col=y_col,
+            max_rmse=max_rmse,
+        )
+        return sorted_group_map(
+            timed,
+            keys,
+            kernel,
+            schema,
+            order_cols=("__ord",),
+            pre_partitioned=pre_partitioned,
+        )
     fn = make_gated_forecast_fn(
         keys,
         horizon_start,
@@ -187,6 +300,4 @@ def gated_forecast_groups(
         y_col=y_col,
         max_rmse=max_rmse,
     )
-    from .train import _with_time_cols
-
-    return _with_time_cols(sales, date_col).groupBy(*keys).applyInPandas(fn, schema)
+    return timed.groupBy(*keys).applyInPandas(fn, schema)

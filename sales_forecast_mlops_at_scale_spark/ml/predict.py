@@ -92,6 +92,69 @@ def make_predict_fn(
     return predict_fn
 
 
+def make_predict_batch_kernel(
+    keys: Sequence[str],
+    horizon_start: _dt.date,
+    horizon_days: int,
+    *,
+    y_col: str = "y",
+):
+    """Batch kernel twin of ``predict_fn``'s fast path for
+    :func:`operators.groupmap.sorted_group_map`: one (groups × horizon)
+    numpy forecast matrix per Arrow batch, one output frame per batch —
+    instead of a pandas frame per group.  Rows arrive pre-sorted by
+    ``__ord``, so the per-group argsort disappears.  Float arithmetic and
+    int truncation are expression-identical to ``predict_fn`` /
+    ``SeasonalNaiveModel.predict``."""
+    import numpy as np
+
+    from .models import SeasonalNaiveModel
+
+    dates = pd.date_range(pd.Timestamp(horizon_start), periods=horizon_days, freq="D")
+    h_dows = dates.dayofweek.to_numpy()
+    f_dates = np.asarray(dates.date, dtype=object)
+    version = SeasonalNaiveModel.version
+
+    def kernel(pdf: pd.DataFrame, starts, ends) -> pd.DataFrame:
+        ys_all = pdf[y_col].to_numpy(dtype=float)
+        dows_all = pdf["__dow"].to_numpy()
+        g = len(starts)
+        yhat = np.empty((g, horizon_days))
+        for gi in range(g):
+            s, e = int(starts[gi]), int(ends[gi])
+            yhat[gi] = _seasonal_naive_lut(ys_all[s:e], dows_all[s:e])[h_dows]
+        key_arrs = {
+            k: np.repeat(pdf[k].to_numpy()[starts], horizon_days) for k in keys
+        }
+        stores = pdf[keys[0]].to_numpy()[starts]
+        products = (
+            pdf[keys[1]].to_numpy()[starts] if len(keys) > 1 else [""] * g
+        )
+        names = np.repeat(
+            np.asarray(
+                [
+                    MODEL_NAME_FMT.format(store=s_, product=p_)
+                    for s_, p_ in zip(stores, products)
+                ],
+                dtype=object,
+            ),
+            horizon_days,
+        )
+        return pd.DataFrame(
+            {
+                **key_arrs,
+                "forecast_date": np.tile(f_dates, g),
+                "forecast_sale": yhat.astype(int).ravel(),
+                "lower_ci": (yhat * 0.9).astype(int).ravel(),
+                "upper_ci": (yhat * 1.1).astype(int).ravel(),
+                "model_name": names,
+                "model_version": version,
+            }
+        )
+
+    return kernel
+
+
 def forecast_groups(
     sales: DataFrame,
     keys: Sequence[str] = ("store", "productname"),
@@ -101,12 +164,18 @@ def forecast_groups(
     model_spec: str = "seasonal_naive",
     date_col: str = "date",
     y_col: str = "sales",
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """7-day (by default) forecast rows per key group.
 
     ``horizon_start`` is explicit — the reference derives it from
     ``datetime.now()`` (``task_operators.py:68-74``), its reproducibility
-    hazard; callers bind a Clock instead."""
+    hazard; callers bind a Clock instead.
+
+    Fast-model routing mirrors :func:`ml.train.train_groups`: the
+    deterministic model runs batch-amortized via ``sorted_group_map``
+    (``pre_partitioned`` skips the exchange for key-partitioned input);
+    pluggable heavy models keep per-group ``applyInPandas``."""
     from pyspark.sql import types as T
 
     key_fields = [sales.schema[k] for k in keys]
@@ -119,6 +188,23 @@ def forecast_groups(
         T.StructField("model_version", T.StringType()),
     ]
     schema = T.StructType(key_fields + out_fields)
+    from .train import _with_time_cols
+
+    timed = _with_time_cols(sales, date_col)
+    if model_spec == "seasonal_naive":
+        from ..operators.groupmap import sorted_group_map
+
+        kernel = make_predict_batch_kernel(
+            keys, horizon_start, horizon_days, y_col=y_col
+        )
+        return sorted_group_map(
+            timed,
+            keys,
+            kernel,
+            schema,
+            order_cols=("__ord",),
+            pre_partitioned=pre_partitioned,
+        )
     fn = make_predict_fn(
         keys,
         horizon_start,
@@ -127,6 +213,4 @@ def forecast_groups(
         date_col=date_col,
         y_col=y_col,
     )
-    from .train import _with_time_cols
-
-    return _with_time_cols(sales, date_col).groupBy(*keys).applyInPandas(fn, schema)
+    return timed.groupBy(*keys).applyInPandas(fn, schema)

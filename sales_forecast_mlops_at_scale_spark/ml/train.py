@@ -138,6 +138,104 @@ def _seasonal_naive_lut(ys, dows):
     return lut
 
 
+def _fold_preds_from_positions(ys, dows, wd_pos, train_end: int, test_end: int):
+    """``_seasonal_naive_fold_preds`` with the per-weekday position index
+    precomputed ONCE per group instead of 7 ``np.nonzero`` scans per fold:
+    the last same-weekday observation inside the expanding train window is
+    found by ``searchsorted`` on the (sorted) position list.  Selects the
+    identical element and performs the identical float arithmetic — the
+    oracle hashes cannot move."""
+    import numpy as np
+
+    mean = float(ys[:train_end].mean())
+    lut = np.full(7, mean)
+    for wd in range(7):
+        pos = wd_pos[wd]
+        j = int(np.searchsorted(pos, train_end)) - 1
+        if j >= 0:
+            lut[wd] = ys[pos[j]]
+    return lut[dows[train_end:test_end]].astype(int)
+
+
+def make_train_batch_kernel(
+    keys: Sequence[str],
+    *,
+    n_splits: int = 5,
+    y_col: str = "y",
+):
+    """Batch kernel for :func:`operators.groupmap.sorted_group_map`: the
+    walk-forward-CV training of :func:`make_train_fn`'s fast path, applied
+    to EVERY group in an Arrow batch with one output frame per batch.
+    Rows arrive pre-sorted by ``__ord`` within each group (the operator's
+    partition sort), so the per-group argsort disappears too.  Arithmetic
+    is call-for-call identical to ``train_fn`` — property-tested equal and
+    hash-checked by the same DuckDB oracles."""
+    import numpy as np
+
+    from .models import SeasonalNaiveModel
+
+    version = SeasonalNaiveModel.version
+
+    def kernel(pdf: pd.DataFrame, starts, ends) -> pd.DataFrame:
+        ys_all = pdf[y_col].to_numpy(dtype=float)
+        dows_all = pdf["__dow"].to_numpy()
+        g = len(starts)
+        n_rows = (ends - starts).astype("int64")
+        splits_out = np.zeros(g, dtype="int32")
+        rmse_o = np.full(g, np.nan)
+        mape_o = np.full(g, np.nan)
+        mae_o = np.full(g, np.nan)
+        medae_o = np.full(g, np.nan)
+        for gi in range(g):
+            s, e = int(starts[gi]), int(ends[gi])
+            ys = ys_all[s:e]
+            dows = dows_all[s:e]
+            rmses: list[float] = []
+            mapes: list[float] = []
+            maes: list[float] = []
+            medaes: list[float] = []
+            wd_pos = None
+            for train_end, test_end in _split_bounds(e - s, n_splits):
+                if train_end < 1:
+                    continue
+                if wd_pos is None:
+                    wd_pos = [np.nonzero(dows == wd)[0] for wd in range(7)]
+                yhat = _fold_preds_from_positions(ys, dows, wd_pos, train_end, test_end)
+                r, p, a, m = _metrics_np(ys[train_end:test_end], yhat.astype(float))
+                rmses.append(r)
+                mapes.append(p)
+                maes.append(a)
+                medaes.append(m)
+            if rmses:
+                splits_out[gi] = len(rmses)
+                rmse_o[gi] = _round_half_away(sum(rmses) / len(rmses), 4)
+                mape_o[gi] = _round_half_away(sum(mapes) / len(mapes), 4)
+                mae_o[gi] = _round_half_away(sum(maes) / len(maes), 4)
+                medae_o[gi] = _round_half_away(sum(medaes) / len(medaes), 4)
+        key_arrs = {k: pdf[k].to_numpy()[starts] for k in keys}
+        stores = key_arrs[keys[0]]
+        products = key_arrs[keys[1]] if len(keys) > 1 else [""] * g
+        names = [
+            MODEL_NAME_FMT.format(store=s_, product=p_)
+            for s_, p_ in zip(stores, products)
+        ]
+        return pd.DataFrame(
+            {
+                **key_arrs,
+                "n_rows": n_rows,
+                "n_splits": splits_out,
+                "rmse": rmse_o,
+                "mape": mape_o,
+                "mae": mae_o,
+                "medae": medae_o,
+                "model_name": names,
+                "model_version": version,
+            }
+        )
+
+    return kernel
+
+
 def make_train_fn(
     keys: Sequence[str],
     *,
@@ -223,17 +321,40 @@ def train_groups(
     date_col: str = "date",
     y_col: str = "sales",
     schema=None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """One CV-metrics row per key group (the reference's per-model MLflow
     metrics, as a DataFrame).  ``schema`` defaults to TRAIN_METRICS with
-    the key columns' actual types substituted."""
+    the key columns' actual types substituted.
+
+    The deterministic fast model runs through
+    :func:`operators.groupmap.sorted_group_map` — thousands of small
+    groups per Arrow batch instead of one ``applyInPandas`` call (and one
+    one-row pandas frame) per group; ``pre_partitioned=True`` additionally
+    skips the exchange when the caller already hash-partitioned ``sales``
+    on ``keys`` (see ``plans/ml_queries.demand_series``).  Heavy pluggable
+    models (Prophet) keep the classic per-group ``applyInPandas`` shape,
+    where the per-call constant is noise next to the fit."""
     from pyspark.sql import types as T
 
     if schema is None:
         key_fields = [sales.schema[k] for k in keys]
         metric_fields = [f for f in TRAIN_METRICS.fields if f.name not in ("store", "productname")]
         schema = T.StructType(key_fields + metric_fields)
+    timed = _with_time_cols(sales, date_col)
+    if model_spec == "seasonal_naive":
+        from ..operators.groupmap import sorted_group_map
+
+        kernel = make_train_batch_kernel(keys, n_splits=n_splits, y_col=y_col)
+        return sorted_group_map(
+            timed,
+            keys,
+            kernel,
+            schema,
+            order_cols=("__ord",),
+            pre_partitioned=pre_partitioned,
+        )
     fn = make_train_fn(
         keys, model_spec=model_spec, n_splits=n_splits, date_col=date_col, y_col=y_col
     )
-    return _with_time_cols(sales, date_col).groupBy(*keys).applyInPandas(fn, schema)
+    return timed.groupBy(*keys).applyInPandas(fn, schema)

@@ -55,8 +55,11 @@ def q_train_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Walk-forward CV (5 expanding splits) per group via applyInPandas —
     the reference's 1,115-Ray-task weekly training as one Spark job."""
     series = demand_series(spark, sf_dir)
+    # pre_partitioned: demand_series repartitions on exactly KEYS, so the
+    # grouped map reuses that one exchange (see demand_series's plan note)
     return train_groups(
-        series, KEYS, model_spec="seasonal_naive", date_col="ds", y_col="y"
+        series, KEYS, model_spec="seasonal_naive", date_col="ds", y_col="y",
+        pre_partitioned=True,
     )
 
 
@@ -80,6 +83,7 @@ def q_forecast_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         model_spec="seasonal_naive",
         date_col="ds",
         y_col="y",
+        pre_partitioned=True,
     )
 
 
@@ -107,6 +111,7 @@ def q_gated_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         date_col="ds",
         y_col="y",
         max_rmse=GATE_RMSE,
+        pre_partitioned=True,
     )
 
 
