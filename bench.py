@@ -123,6 +123,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_line_repetition",
     "q_top_bigram",
     "q_train_metrics",
+    "q_train_incremental",
     "q_forecast_7d",
     "q_gated_forecast",
     "q_train_metrics_summary",

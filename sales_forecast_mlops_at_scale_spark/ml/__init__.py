@@ -8,6 +8,7 @@ group-level parallelism bounded only by cluster cores.
 """
 
 from .fused import gated_forecast_groups
+from .incremental import incremental_train, series_fingerprints
 from .gate import DEFAULT_MAX_RMSE, gate_report, gate_series, passing_model_keys
 from .models import SeasonalNaiveModel, get_model
 from .predict import forecast_groups
@@ -21,6 +22,8 @@ __all__ = [
     "gate_series",
     "gated_forecast_groups",
     "get_model",
+    "incremental_train",
     "passing_model_keys",
+    "series_fingerprints",
     "train_groups",
 ]

@@ -160,9 +160,20 @@ def triangle_stats(
     The oriented edge frame feeds three operators, so it is persisted
     (caller-owned lifetime, house convention).
     """
-    e = pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
+    # the canonical pair set feeds FOUR consumers (degree agg, the
+    # orientation join, the wedge-closure join, and — through deg — the
+    # final output join); when ``pairs`` is itself an expensive pipeline
+    # (MinHash LSH + exact verify), an unpersisted frame re-executes it
+    # per consumer.  Materialize once; deg likewise feeds three joins.
+    e = persist_slot(
+        "graph.triangle.pairs",
+        pairs.select(F.col(left).alias("a"), F.col(right).alias("b")),
+    )
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = sym.groupBy(F.col("a").alias("v")).agg(F.count(F.lit(1)).alias("degree"))
+    deg = persist_slot(
+        "graph.triangle.deg",
+        sym.groupBy(F.col("a").alias("v")).agg(F.count(F.lit(1)).alias("degree")),
+    )
     # orient: src = endpoint with smaller (degree, id); join degrees on
     # both endpoints (da/db), then pick direction
     da = deg.select(F.col("v").alias("a"), F.col("degree").alias("da"))

@@ -4,7 +4,7 @@ from sales_forecast_mlops_at_scale_spark.session import get_spark
 from sales_forecast_mlops_at_scale_spark.plans import all_queries
 
 TOP = [
-    "q_dedup_clusters", "q_embed_ivf_topk", "q_forecast_7d", "q_train_metrics",
+    "q_dedup_clusters", "q_embed_ivf_topk", "q_forecast_7d", "q_train_metrics", "q_train_incremental",
     "q_gated_forecast", "q_minhash_incremental", "q_simhash_pairs",
     "q_minhash_dedup", "q_ngram_jaccard", "q_winnow_fingerprint",
     "q_semantic_dedup", "q_kmv_overlap", "q_cms_heavy",
@@ -18,9 +18,10 @@ TOP = [
 NOTES = {
     "q_dedup_clusters": "MinHash-LSH pairs (persisted shingle sets, banded bucket join) feed min-label propagation; four steps + one pointer-doubling shortcut per burst ending in one lazy checkpoint whose materialization rides the convergence count; in-burst convergence detection finishes shallow graphs in ONE driver action; deep graphs escalate to large-star/small-star contraction (O(log^2 n) rounds, diameter-independent); edges pinned once.",
     "q_embed_ivf_topk": "Centroid argmax = codegen long-max hash aggregate (partial_max map-side); 2 Lloyd iterations trained on a 50% md5 sample; vectors never ride the assignment shuffle.",
-    "q_forecast_7d": "One exchange total: repartition on group keys serves the daily agg AND the grouped-map (HashPartitioning subset rule); kernel is numpy LUT with JVM-precomputed __dow/__ord.",
-    "q_train_metrics": "Same single-exchange series; walk-forward CV fully vectorized per group.",
-    "q_gated_forecast": "Fused train->gate->predict in ONE grouped pass; rejected groups emit zero rows.",
+    "q_forecast_7d": "One exchange total: repartition on group keys serves the daily agg AND the batched grouped map (sorted_group_map: partition-sorted MapInPandas, many groups per Arrow batch, trailing-group carry-over); kernel is a numpy LUT matrix per batch with JVM-precomputed __dow/__ord.",
+    "q_train_metrics": "Same single-exchange series; walk-forward CV via the batched sorted-partition kernel - per-group Python constant amortized across whole Arrow batches, rows pre-sorted so no per-group argsort.",
+    "q_train_incremental": "Fingerprint agg + stale probe reuse the series' key partitioning (the BIG data never reshuffles); only fingerprint-changed groups reach the grouped-map train; quiescent runs are a pure read of the committed metrics generation.",
+    "q_gated_forecast": "Fused train->gate->predict in ONE batched grouped pass; rejected groups contribute zero rows to the batch output frame.",
     "q_minhash_incremental": "Asymmetric LSH: batch buckets probe corpus buckets; never corpus x corpus.",
     "q_simhash_pairs": "64-bit votes as map-side-combinable sums; signatures persisted across the bucket self-join; pigeonhole chunk join + bit_count verify.",
     "q_minhash_dedup": "Shingle pipeline runs ONCE (persisted sets feed signature agg + exact verify); banding 16x4.",
@@ -28,7 +29,7 @@ NOTES = {
     "q_winnow_fingerprint": "Arrow-batched Karp-Rabin kernel: pure map, zero shuffle; only the per-doc digest rollup aggregates.",
     "q_semantic_dedup": "One shuffle on the cluster key into a grouped GEMM; no vector arrays in any join; a max-aggregate over cluster counts short-circuits the residue-blocked branch when no cluster exceeds the cap (the skew path pays only when skew exists).",
     "q_kmv_overlap": "Per-side distinct-hash reduction, full-outer merge on 8-byte hashes, bottom-k via TakeOrderedAndProject.",
-    "q_triangle_stats": "Degree-ordered orientation bounds the wedge join by oriented out-degree (O(sqrt m) even on power-law graphs); wedge closure is an equi-join on the canonical edge; per-vertex rollup is one explode+groupBy.",
+    "q_triangle_stats": "Degree-ordered orientation bounds the wedge join by oriented out-degree (O(sqrt m) even on power-law graphs); wedge closure is an equi-join on the canonical edge; per-vertex rollup is one explode+groupBy; the canonical pair set and degree frame are persisted (4 and 3 consumers - unpersisted they re-executed the MinHash pipeline per consumer).",
     "q_dsir_select": "Two bounded bucket histograms (map-side combinable, <=1024 cells), broadcast log-ratio LUT, one doc-keyed shuffle, TakeOrderedAndProject for the selection.",
     "q_lm_quality": "Bigram pairing is a per-row HOF zip (no shuffle); model histograms bounded at B^2 cells; NLL LUT restricted to probed cells and broadcast; one doc-keyed shuffle.",
     "q_bloom_prefilter": "Build side reduces to <=m distinct bits (one row after collect_list), broadcast; probe pass is per-row HOF membership - zero probe-side shuffle.",

@@ -39,6 +39,7 @@ QUERIES = [
     "q_pq_topk",
     "q_ivfpq_topk",
     "q_train_metrics",
+    "q_train_incremental",
     "q_forecast_7d",
     "q_triangle_stats",
     "q_cms_heavy",
