@@ -8,7 +8,12 @@ group-level parallelism bounded only by cluster cores.
 """
 
 from .fused import gated_forecast_groups
-from .incremental import incremental_train, series_fingerprints
+from .incremental import (
+    delta_fingerprints,
+    incremental_train,
+    merge_fingerprints,
+    series_fingerprints,
+)
 from .gate import DEFAULT_MAX_RMSE, gate_report, gate_series, passing_model_keys
 from .models import SeasonalNaiveModel, get_model
 from .predict import forecast_groups
@@ -16,6 +21,7 @@ from .train import train_groups
 
 __all__ = [
     "DEFAULT_MAX_RMSE",
+    "delta_fingerprints",
     "SeasonalNaiveModel",
     "forecast_groups",
     "gate_report",
@@ -23,6 +29,7 @@ __all__ = [
     "gated_forecast_groups",
     "get_model",
     "incremental_train",
+    "merge_fingerprints",
     "passing_model_keys",
     "series_fingerprints",
     "train_groups",

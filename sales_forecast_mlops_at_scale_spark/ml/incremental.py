@@ -35,10 +35,13 @@ training run from raw data; the incremental tier must hash-match it on
 every run, cold or warm).  Changed hyperparameters (keys / model /
 n_splits) invalidate the whole tier via a params marker.
 
-Scale note: fingerprinting still scans the full series once per run
-(unavoidable without CDC); an ingest path that already aggregates per
-group can maintain the fingerprints incrementally and skip that scan —
-the tier format is the same either way.
+Scale note: :func:`incremental_train` itself fingerprints by scanning
+the series once per run; an ingest path with CDC batches can skip that
+scan entirely by maintaining the fingerprint table via
+:func:`delta_fingerprints` + :func:`merge_fingerprints` — XOR is
+self-inverse, so inserts and deletes both fold in as one commutative
+merge (fingerprint(old ⊎ delta) == merge(fp(old), fp(delta)),
+property-tested), and the stored table is the same shape either way.
 """
 
 from __future__ import annotations
@@ -77,6 +80,54 @@ def series_fingerprints(
         F.count(F.lit(1)).alias("fp_rows"),
         F.bit_xor(row_hash).alias("fp_content"),
     )
+
+
+def delta_fingerprints(
+    delta: DataFrame,
+    keys: Sequence[str],
+    *,
+    date_col: str = "ds",
+    y_col: str = "y",
+    op_col: str | None = None,
+) -> DataFrame:
+    """Fingerprint CONTRIBUTION of a change batch, mergeable into a stored
+    fingerprint table with :func:`merge_fingerprints`.
+
+    XOR is self-inverse, so a deletion is just re-XORing the removed
+    row's hash; ``op_col`` (+1 insert / -1 delete, any numeric) drives
+    the row-count delta while every row's hash XORs in unconditionally.
+    ``op_col=None`` treats the whole batch as inserts.  This is what lets
+    an ingest path keep fingerprints current WITHOUT rescanning history:
+    fingerprint(old ⊎ delta) == merge(fingerprint(old), delta_fingerprints
+    (delta)) — property-tested in ``tests/test_ml_incremental.py``."""
+    op = F.lit(1) if op_col is None else F.col(op_col).cast("long")
+    row_hash = F.xxhash64(
+        F.col(date_col).cast("string"), F.col(y_col).cast("string")
+    )
+    return delta.groupBy(*keys).agg(
+        F.sum(op).alias("fp_rows"),
+        F.bit_xor(row_hash).alias("fp_content"),
+    )
+
+
+def merge_fingerprints(prev: DataFrame, delta: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Combine a stored fingerprint table with a batch's
+    :func:`delta_fingerprints`: counts add, content XORs; groups whose
+    merged count reaches 0 vanish (fully deleted).  Both inputs carry
+    ``(keys..., fp_rows, fp_content)``; commutative and associative, so
+    ingest batches can fold in any order."""
+    keys = list(keys)
+    p = prev.select(*keys, "fp_rows", "fp_content")
+    d = delta.select(*keys, "fp_rows", "fp_content")
+    merged = (
+        p.unionByName(d)
+        .groupBy(*keys)
+        .agg(
+            F.sum("fp_rows").alias("fp_rows"),
+            F.bit_xor("fp_content").alias("fp_content"),
+        )
+    )
+    return merged.filter(F.col("fp_rows") > 0)
 
 
 def _params_sig(keys, model_spec, n_splits, date_col, y_col) -> str:

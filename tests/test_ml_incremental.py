@@ -153,6 +153,53 @@ def test_quiescent_run_publishes_nothing(spark, sales, tmp_path):
     assert {p.name for p in root.iterdir() if p.name.startswith("gen-")} == gens
 
 
+def test_fingerprints_mergeable_from_deltas(spark, sales):
+    """fingerprint(full) == fold of delta contributions, in any order —
+    the property that lets an ingest path maintain the fingerprint table
+    from CDC batches without rescanning history."""
+    from sales_forecast_mlops_at_scale_spark.ml import (
+        delta_fingerprints,
+        merge_fingerprints,
+        series_fingerprints,
+    )
+
+    full = series_fingerprints(sales, KEYS, date_col="date", y_col="sales")
+    # split arbitrarily (not on group boundaries) and fold in either order
+    part1 = sales.filter(F.dayofmonth("date") <= 13)
+    part2 = sales.filter(F.dayofmonth("date") > 13)
+    d1 = delta_fingerprints(part1, KEYS, date_col="date", y_col="sales")
+    d2 = delta_fingerprints(part2, KEYS, date_col="date", y_col="sales")
+    for a, b in ((d1, d2), (d2, d1)):
+        merged = merge_fingerprints(a, b, KEYS)
+        assert _canon(merged) == _canon(full)
+
+
+def test_fingerprint_delete_retracts_exactly(spark, sales):
+    """A delete batch (op=-1) must return the fingerprint to what a scan
+    of the reduced data produces; deleting a whole group vanishes it."""
+    from sales_forecast_mlops_at_scale_spark.ml import (
+        delta_fingerprints,
+        merge_fingerprints,
+        series_fingerprints,
+    )
+
+    base = series_fingerprints(sales, KEYS, date_col="date", y_col="sales")
+    doomed_rows = sales.filter(
+        ((F.col("store") == 2) & (F.col("productname") == "b") & (F.dayofmonth("date") <= 3))
+        | ((F.col("store") == 1) & (F.col("productname") == "a"))
+    )
+    retract = delta_fingerprints(
+        doomed_rows.withColumn("op", F.lit(-1)),
+        KEYS, date_col="date", y_col="sales", op_col="op",
+    )
+    merged = merge_fingerprints(base, retract, KEYS)
+    survivor_truth = series_fingerprints(
+        sales.exceptAll(doomed_rows), KEYS, date_col="date", y_col="sales"
+    )
+    assert _canon(merged) == _canon(survivor_truth)
+    assert merged.filter((F.col("store") == 1) & (F.col("productname") == "a")).count() == 0
+
+
 def test_generation_gc_keeps_two(spark, sales, tmp_path):
     """Each churn run publishes a generation; GC retains the committed one
     plus its predecessor (reader grace window), dropping older ones."""
