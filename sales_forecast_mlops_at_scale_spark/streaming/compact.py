@@ -139,6 +139,24 @@ def _layout_signature(
     return hashlib.sha256("\n".join(entries).encode()).hexdigest()
 
 
+def _invalidate_cached_plans(spark: SparkSession, path: str) -> None:
+    """A cached plan built over the PRE-rewrite file listing is a
+    correctness hazard, not just a staleness one: lazily materialized
+    partitions would fault on the deleted files, and already-
+    materialized ones would keep serving rows a ``forget`` pass erased.
+    ``recacheByPath`` is the exact invalidation Spark itself runs after
+    an ``InsertIntoHadoopFsRelation`` commit — every cached plan
+    touching ``path`` is dropped and rebuilt over the fresh listing;
+    unrelated caches are untouched.  The blunt session-wide
+    ``clearCache`` is only the fallback if the internal API ever
+    moves."""
+    try:
+        jss = spark._jsparkSession
+        jss.sharedState().cacheManager().recacheByPath(jss, path)
+    except Exception:  # noqa: BLE001 — py4j surface change
+        spark.catalog.clearCache()
+
+
 def heal_compaction(path: str) -> bool:
     """Recover from a compaction swap that died between its two renames:
     if the table directory is missing but its backup exists, the backup
@@ -262,6 +280,7 @@ def compact_parquet_table(
         heal_compaction(path)
         raise
     shutil.rmtree(backup)
+    _invalidate_cached_plans(spark, path)
     # stamp the NEW layout so the next maintenance pass can prove the
     # tier is already compact; written after the swap, so a crash here
     # merely forfeits the next no-op (never correctness)

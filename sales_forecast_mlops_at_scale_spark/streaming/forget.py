@@ -1,0 +1,305 @@
+"""Targeted-key deletion ("right to be forgotten") for the parquet
+tables the streaming ingests maintain — the surgical-delete counterpart
+of :mod:`streaming.compact`'s OPTIMIZE.
+
+A takedown / GDPR-erasure request arrives as a bounded set of ids; the
+table holding them is petabyte-scale.  Rewriting the whole table per
+request (the naive ``overwrite`` answer) is O(table); table formats
+solve this with deletion vectors / MERGE DELETE that rewrite only the
+files containing matched rows.  This is that file-surgical shape in
+honest pure parquet:
+
+1. **Locate** — scan the table with ``input_file_name()`` semi-joined
+   against the broadcast tombstone set: only FILES that actually contain
+   a tombstoned row are touched.  Parquet min/max footer stats prune the
+   probe scan itself when the table is clustered on the key (what
+   :func:`streaming.compact.compact_parquet_table`'s ``sort_by``
+   restores), so the locate pass reads a sliver of a sorted table.
+2. **Rewrite** — read ONLY the affected files, anti-join the tombstones,
+   stage the survivors next to the table, and verify
+   ``staged == affected_rows − matched_rows`` before anything
+   destructive happens (a failed write aborts with the table untouched).
+3. **Swap via journal** — a single journal file (atomic rename) records
+   exactly which old files die and which staged files move in; then
+   staged files are moved in, old files unlinked, journal removed.  A
+   crash anywhere after the journal landed is rolled FORWARD by
+   :func:`heal_forget` (the staging was already verified complete);
+   a crash before it leaves the table untouched and only garbage
+   staging behind, cleared on the next run.  Readers between the
+   individual file operations may observe a transient mixed listing —
+   the same non-atomicity window as compaction's two renames; a table
+   format's snapshot commit is the fix, not more code.
+
+Downstream invariants that make the delete COMPLETE rather than
+row-deep:
+
+- derived index tiers are rewritten in the same call
+  (:func:`forget_documents` → docs/sets/bands so a forgotten document's
+  shingles no longer block future near-dup admissions;
+  :func:`forget_vectors` → vectors/assignments/codes/rejected so ANN
+  search can never return — or score against — a forgotten vector);
+- the ``_compacted`` layout marker self-invalidates (it digests the
+  file listing, which just changed), so the next maintenance pass
+  re-compacts honestly;
+- plan/value memo keys (``cache.py``) and the pinned serving tier
+  (``vector_ingest.search_materialized``) key on file digests, so
+  stale cached frames are evicted, not served.
+
+LOCAL FILESYSTEM ONLY, single writer between drains — the same contract
+as :mod:`streaming.compact`.  The tombstone set is broadcast (erasure
+requests are bounded by nature); at warehouse scale batch requests and
+run one pass per batch, amortizing the locate scan.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import math
+import os
+import shutil
+import uuid
+from collections.abc import Iterable, Sequence
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .compact import (
+    _data_files,
+    _invalidate_cached_plans,
+    _require_local,
+    heal_compaction,
+)
+
+#: Journal filename — ``_``-prefixed so data scans skip it and
+#: compaction's aux-entry copy carries an (impossible: single-writer)
+#: leftover through a rewrite instead of losing it.
+_JOURNAL = "_forget_journal.json"
+
+
+def _local_path(uri: str) -> str:
+    """``input_file_name()`` emits ``file:///x/part...`` URIs; os-level
+    surgery needs plain paths."""
+    if "://" in uri or uri.startswith("file:/"):
+        p = urlparse(uri)
+        return p.path or uri
+    return uri
+
+
+def heal_forget(path: str) -> bool:
+    """Roll FORWARD a forget whose swap died mid-way: the journal is
+    written only after the staged survivors are fully written and
+    count-verified, so completing its moves/deletes is always the
+    correct direction.  Idempotent; no-op (False) on a healthy table."""
+    path = _require_local(path)
+    journal = os.path.join(path, _JOURNAL)
+    if not os.path.isfile(journal):
+        return False
+    with open(journal, encoding="utf-8") as fh:
+        plan = json.load(fh)
+    staging = plan["staging"]
+    for name in plan["add"]:
+        dst = os.path.join(path, name)
+        src = os.path.join(staging, name)
+        if not os.path.exists(dst) and os.path.isfile(src):
+            os.rename(src, dst)
+    for rel in plan["delete"]:
+        victim = os.path.join(path, rel)
+        if os.path.isfile(victim):
+            os.unlink(victim)
+    shutil.rmtree(staging, ignore_errors=True)
+    os.unlink(journal)
+    return True
+
+
+def forget_keys(
+    spark: SparkSession,
+    path: str,
+    keys: Iterable | DataFrame,
+    key_col: str,
+    *,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Delete every row of the parquet table at ``path`` whose
+    ``key_col`` appears in ``keys``, rewriting ONLY the files that
+    contain matches.  Returns stats:
+    ``files_total, files_rewritten, rows_deleted, rows_before`` —
+    untouched files are bit-identical afterwards (same inode, same
+    bytes), which is what keeps an erasure pass O(matched files), not
+    O(table).
+
+    ``keys`` may be a small iterable of values or a single-column
+    DataFrame (its first column is used); either way it is broadcast.
+    """
+    path = _require_local(path)
+    heal_forget(path)
+    heal_compaction(path)
+    for stale in glob.glob(f"{path.rstrip('/')}.forget-*"):
+        # pre-journal crash garbage: the table was never touched
+        # (post-journal crashes were just healed forward above)
+        shutil.rmtree(stale, ignore_errors=True)
+
+    if isinstance(keys, DataFrame):
+        tomb = keys.select(F.col(keys.columns[0]).alias(key_col)).distinct()
+    else:
+        vals = list(keys)
+        if not vals:
+            return {
+                "files_total": len(_data_files(path)),
+                "files_rewritten": 0,
+                "rows_deleted": 0,
+                "rows_before": None,
+            }
+        tomb = spark.createDataFrame(
+            [(v,) for v in vals], [key_col]
+        ).distinct()
+    tomb = F.broadcast(tomb)
+
+    files_total = len(_data_files(path))
+    # locate: files containing at least one tombstoned row — footer
+    # min/max stats prune this scan on a key-clustered table.  The
+    # ``_metadata.file_path`` hidden column (not ``input_file_name()``)
+    # is load-bearing: its scan schema differs from any plain read of
+    # the table, so Spark can never substitute a plan-keyed CACHED
+    # frame here (an InMemoryRelation would report empty file names)
+    affected = [
+        _local_path(r[0])
+        for r in spark.read.parquet(path)
+        .select(F.col(key_col), F.col("_metadata.file_path").alias("__file"))
+        .join(tomb, key_col, "semi")
+        .select("__file")
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return {
+            "files_total": files_total,
+            "files_rewritten": 0,
+            "rows_deleted": 0,
+            "rows_before": None,
+        }
+
+    hit = spark.read.parquet(*affected)
+    affected_rows = hit.count()
+    matched_rows = hit.join(tomb, key_col, "semi").count()
+    survivors = hit.join(tomb, key_col, "left_anti")
+
+    run_id = uuid.uuid4().hex[:8]
+    # staging is a SIBLING of the table (like compaction's), so no
+    # reader listing the table can ever see half-written survivors
+    staging = f"{path.rstrip('/')}.forget-{run_id}"
+    bytes_affected = sum(os.path.getsize(f) for f in affected)
+    n_out = max(1, math.ceil(bytes_affected / target_file_bytes))
+    try:
+        survivors.repartition(min(n_out, len(affected))).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        staged = spark.read.parquet(staging)
+        staged_rows = staged.count()
+        if staged_rows != affected_rows - matched_rows:
+            raise RuntimeError(
+                f"forget row-count mismatch: staged {staged_rows} != "
+                f"{affected_rows} - {matched_rows}"
+            )
+        adds = []
+        for f in os.listdir(staging):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                # unique final names: a staged part can never collide
+                # with a live file, so the journal's moves are exact
+                final = f"forget-{run_id}-{f}"
+                os.rename(
+                    os.path.join(staging, f), os.path.join(staging, final)
+                )
+                adds.append(final)
+        plan = {
+            "staging": staging,
+            "add": adds,
+            "delete": [os.path.relpath(f, path) for f in affected],
+        }
+        # journal lands atomically (single-file rename); before it, the
+        # table is untouched — after it, heal_forget completes the swap
+        tmp = os.path.join(path, f".{_JOURNAL}.{run_id}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(plan, fh)
+        os.rename(tmp, os.path.join(path, _JOURNAL))
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    heal_forget(path)  # the swap itself IS the forward-heal procedure
+    _invalidate_cached_plans(spark, path)
+    return {
+        "files_total": files_total,
+        "files_rewritten": len(affected),
+        "rows_deleted": matched_rows,
+        "rows_before": affected_rows,
+    }
+
+
+def forget_documents(
+    spark: SparkSession,
+    root_path: str,
+    doc_ids: Iterable,
+    *,
+    id_col: str = "doc_id",
+) -> dict[str, dict]:
+    """Erase documents from every tier the dedup ingest maintains
+    (:mod:`streaming.dedup_ingest`): ``docs`` (the corpus), ``sets``
+    (shingle index), ``bands`` (LSH bucket index).  Removing the index
+    rows — not just the text — is what makes the erasure semantically
+    complete: a future near-duplicate of a forgotten document is
+    ADMITTED, exactly as if the original had never been ingested."""
+    doc_ids = list(doc_ids) if not isinstance(doc_ids, DataFrame) else doc_ids
+    stats: dict[str, dict] = {}
+    for tier in ("docs", "sets", "bands"):
+        p = f"{root_path}/{tier}"
+        if os.path.isdir(_require_local(p)):
+            stats[tier] = forget_keys(spark, p, doc_ids, id_col)
+    return stats
+
+
+def forget_vectors(
+    spark: SparkSession,
+    root_path: str,
+    vec_ids: Iterable,
+    *,
+    id_col: str = "vec_id",
+) -> dict[str, dict]:
+    """Erase vectors from every tier the vector ingest maintains
+    (:mod:`streaming.vector_ingest`): ``vectors`` (re-rank tier),
+    ``assignments``, ``codes`` (the compressed search tier), and the
+    ``rejected`` audit log — where a forgotten id is scrubbed whether it
+    was the rejected vector OR the retained match it scored against.
+    The frozen quantizers (``centroids`` / ``pq_codebook``) hold no
+    per-row data and are untouched — faiss's operational model, same as
+    ingest.  After the pass, ANN search cannot return a forgotten id
+    (its code rows are gone), and the file-digest cache keys evict any
+    pinned serving tier built over the old listing."""
+    vec_ids = list(vec_ids) if not isinstance(vec_ids, DataFrame) else vec_ids
+    stats: dict[str, dict] = {}
+    for tier in ("vectors", "assignments", "codes"):
+        p = f"{root_path}/{tier}"
+        if os.path.isdir(_require_local(p)):
+            stats[tier] = forget_keys(spark, p, vec_ids, id_col)
+    rej = f"{root_path}/rejected"
+    if os.path.isdir(_require_local(rej)):
+        stats["rejected"] = forget_keys(spark, rej, vec_ids, id_col)
+        matched = forget_keys(spark, rej, vec_ids, "matched_id")
+        stats["rejected"]["rows_deleted"] += matched["rows_deleted"]
+        stats["rejected"]["files_rewritten"] += matched["files_rewritten"]
+    return stats
+
+
+def forget_sales_rows(
+    spark: SparkSession,
+    table_path: str,
+    store_ids: Sequence,
+    *,
+    key_col: str = "store",
+) -> dict:
+    """Erasure for the domain table :func:`streaming.ingest.run_stream_ingest`
+    maintains (reference's rollback/delete path is a SQL ``DELETE`` in
+    ``services/data-producer``-adjacent tooling — here it is the same
+    file-surgical pass, and Hive partition directories prune the locate
+    scan before the footer stats do)."""
+    return forget_keys(spark, table_path, store_ids, key_col)

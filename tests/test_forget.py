@@ -1,0 +1,274 @@
+"""Targeted-key deletion (``streaming/forget.py``): file-surgical
+erasure across the maintained parquet tiers.
+
+What must hold:
+- only files containing a tombstoned row are rewritten — every other
+  file stays BIT-IDENTICAL (same name, size, mtime), which is the whole
+  point of the operator at 100 TB;
+- the journaled swap heals forward from any post-journal crash;
+- tier-level erasure is semantically complete: a forgotten document's
+  index rows no longer block a future near-duplicate, and a forgotten
+  vector can never be returned by ANN search again.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from sales_forecast_mlops_at_scale_spark.streaming.forget import (
+    _JOURNAL,
+    forget_documents,
+    forget_keys,
+    forget_vectors,
+    heal_forget,
+)
+
+
+def _file_states(path):
+    out = {}
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, path)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def _three_file_table(spark, path):
+    """Three known part files: keys 0-9 / 10-19 / 20-29, one file each."""
+    for lo in (0, 10, 20):
+        spark.createDataFrame(
+            [(i, f"payload-{i}") for i in range(lo, lo + 10)], ["k", "v"]
+        ).coalesce(1).write.mode("append").parquet(path)
+    assert len(_file_states(path)) == 3
+
+
+def test_forget_keys_rewrites_only_matched_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _three_file_table(spark, path)
+    before = _file_states(path)
+
+    stats = forget_keys(spark, path, [3, 7], "k")
+    assert stats == {
+        "files_total": 3,
+        "files_rewritten": 1,
+        "rows_deleted": 2,
+        "rows_before": 10,
+    }
+    got = spark.read.parquet(path)
+    assert got.count() == 28
+    assert {r.k for r in got.collect()} == set(range(30)) - {3, 7}
+    # untouched files are bit-identical; exactly one old file is gone
+    after = _file_states(path)
+    kept = set(before) & set(after)
+    assert len(kept) == 2
+    assert all(before[f] == after[f] for f in kept)
+    assert all(f.startswith("forget-") for f in set(after) - set(before))
+    assert not os.path.exists(os.path.join(path, _JOURNAL))
+
+
+def test_forget_keys_accepts_dataframe_and_noops_on_miss(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _three_file_table(spark, path)
+    before = _file_states(path)
+
+    miss = forget_keys(spark, path, [999, -1], "k")
+    assert miss["files_rewritten"] == 0 and miss["rows_deleted"] == 0
+    assert _file_states(path) == before  # literally nothing moved
+
+    tomb = spark.createDataFrame([(25,), (25,), (26,)], ["any_name"])
+    hit = forget_keys(spark, path, tomb, "k")
+    assert hit["rows_deleted"] == 2 and hit["files_rewritten"] == 1
+    assert spark.read.parquet(path).count() == 28
+
+    empty = forget_keys(spark, path, [], "k")
+    assert empty["rows_deleted"] == 0
+
+
+def test_heal_forget_completes_interrupted_swap(spark, tmp_path):
+    """Crash after the journal landed but before any file moved: the
+    next touch (heal_forget directly, or any forget_keys call) must
+    roll the swap FORWARD to the verified staged state."""
+    path = str(tmp_path / "t")
+    _three_file_table(spark, path)
+    victim = next(
+        f for f in _file_states(path) if any(
+            r.k == 5 for r in spark.read.parquet(os.path.join(path, f)).collect()
+        )
+    )
+    # stage the survivors of the victim file by hand, exactly as
+    # forget_keys would have left them at the crash point
+    staging = path + ".forget-deadbeef"
+    survivors = spark.read.parquet(os.path.join(path, victim)).where(
+        F.col("k") != 5
+    )
+    survivors.coalesce(1).write.parquet(staging)
+    staged = [
+        f for f in os.listdir(staging)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+    adds = []
+    for f in staged:
+        final = f"forget-deadbeef-{f}"
+        os.rename(os.path.join(staging, f), os.path.join(staging, final))
+        adds.append(final)
+    with open(os.path.join(path, _JOURNAL), "w", encoding="utf-8") as fh:
+        json.dump({"staging": staging, "add": adds, "delete": [victim]}, fh)
+
+    assert heal_forget(path) is True
+    got = spark.read.parquet(path)
+    assert got.count() == 29
+    assert {r.k for r in got.collect()} == set(range(30)) - {5}
+    assert not os.path.exists(staging)
+    assert not os.path.exists(os.path.join(path, _JOURNAL))
+    assert heal_forget(path) is False  # idempotent: healthy table no-ops
+
+
+def test_heal_forget_is_idempotent_mid_crash(spark, tmp_path):
+    """A crash DURING healing (some moves done, some not) heals cleanly
+    on the retry — every journal step is individually idempotent."""
+    path = str(tmp_path / "t")
+    _three_file_table(spark, path)
+    victim = sorted(_file_states(path))[0]
+    staging = path + ".forget-cafe0001"
+    os.makedirs(staging)
+    # empty survivor set: the whole victim file is tombstoned
+    with open(os.path.join(path, _JOURNAL), "w", encoding="utf-8") as fh:
+        json.dump({"staging": staging, "add": [], "delete": [victim]}, fh)
+    # simulate a half-heal: victim already unlinked, journal remains
+    os.unlink(os.path.join(path, victim))
+    assert heal_forget(path) is True
+    assert spark.read.parquet(path).count() == 20
+    assert not os.path.exists(os.path.join(path, _JOURNAL))
+
+
+def test_forget_documents_unblocks_future_near_dups(spark, tmp_path):
+    """Erasure is semantically complete: once a document's corpus row
+    AND index rows are gone, a near-duplicate of it is admitted by the
+    next ingest batch — as if the original had never existed."""
+    from sales_forecast_mlops_at_scale_spark.streaming.dedup_ingest import (
+        dedup_ingest_batch,
+    )
+
+    root = str(tmp_path / "corpus")
+    alpha = "the quick brown fox jumps over the lazy dog again and again tonight"
+    beta = "completely different text about distributed shuffle hash joins"
+    b1 = spark.createDataFrame(
+        [(1, alpha), (3, beta)], "doc_id long, text string"
+    )
+    dedup_ingest_batch(b1, root)
+
+    # sanity: a near-dup of stored doc 1 is currently rejected
+    probe = spark.createDataFrame([(10, alpha)], "doc_id long, text string")
+    dedup_ingest_batch(probe, root)
+    assert {r.doc_id for r in spark.read.parquet(f"{root}/docs").collect()} == {1, 3}
+
+    stats = forget_documents(spark, root, [1])
+    assert stats["docs"]["rows_deleted"] == 1
+    assert stats["sets"]["rows_deleted"] > 0  # shingle rows scrubbed
+    assert stats["bands"]["rows_deleted"] == 16  # one row per LSH band
+    for tier in ("docs", "sets", "bands"):
+        ids = {r.doc_id for r in spark.read.parquet(f"{root}/{tier}").collect()}
+        assert 1 not in ids and 3 in ids
+
+    # the same near-dup is now ADMITTED
+    dedup_ingest_batch(probe, root)
+    assert {r.doc_id for r in spark.read.parquet(f"{root}/docs").collect()} == {3, 10}
+
+
+def test_forget_vectors_scrubs_index_and_search(spark, tmp_path):
+    from sales_forecast_mlops_at_scale_spark.streaming.vector_ingest import (
+        search_materialized,
+        vector_ingest_batch,
+    )
+
+    root = str(tmp_path / "index")
+
+    def vec(seed):
+        return [float(((seed * 31 + d * 7) % 1009) - 504) for d in range(64)]
+
+    seed = spark.createDataFrame(
+        [(i, vec(i)) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    vector_ingest_batch(seed, root, dim=64, batch_id=0)
+    dup = spark.createDataFrame(
+        [(100, vec(7))], "vec_id long, embedding array<double>"
+    )
+    vector_ingest_batch(dup, root, dim=64, batch_id=1)
+
+    q = spark.createDataFrame([(7, vec(7))], "vec_id long, embedding array<double>")
+    hits = search_materialized(spark, root, q, k=5, dim=64, rerank=10).collect()
+    assert any(r.nn_id == 100 for r in hits)
+
+    stats = forget_vectors(spark, root, [100])
+    assert stats["vectors"]["rows_deleted"] == 1
+    assert stats["assignments"]["rows_deleted"] == 1
+    assert stats["codes"]["rows_deleted"] == 32  # M code rows per vector
+    # quantizers are frozen metadata — untouched by erasure
+    assert spark.read.parquet(f"{root}/centroids").count() == 16
+
+    hits = search_materialized(spark, root, q, k=5, dim=64, rerank=10).collect()
+    assert hits and all(r.nn_id != 100 for r in hits)
+    assert all(
+        100 not in {r.vec_id for r in spark.read.parquet(f"{root}/{t}").collect()}
+        for t in ("vectors", "assignments", "codes")
+    )
+
+
+def test_forget_vectors_scrubs_rejected_audit_log_both_sides(spark, tmp_path):
+    """The rejected audit log references ids in BOTH columns (the
+    rejected vector and the retained match it scored against) — erasure
+    of either id must scrub the row."""
+    from sales_forecast_mlops_at_scale_spark.streaming.vector_ingest import (
+        vector_ingest_batch,
+    )
+
+    root = str(tmp_path / "index")
+
+    def vec(seed):
+        return [float(((seed * 31 + d * 7) % 1009) - 504) for d in range(64)]
+
+    seed = spark.createDataFrame(
+        [(i, vec(i)) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    vector_ingest_batch(seed, root, dim=64, batch_id=0, dedup_threshold=0.99)
+    dup = spark.createDataFrame(
+        [(100, vec(7)), (101, vec(8))], "vec_id long, embedding array<double>"
+    )
+    vector_ingest_batch(dup, root, dim=64, batch_id=1, dedup_threshold=0.99)
+    rej = spark.read.parquet(f"{root}/rejected")
+    assert {(r.vec_id, r.matched_id) for r in rej.collect()} == {(100, 7), (101, 8)}
+
+    # forgetting the MATCH (7) scrubs the row that references it
+    forget_vectors(spark, root, [7])
+    left = {(r.vec_id, r.matched_id) for r in spark.read.parquet(f"{root}/rejected").collect()}
+    assert left == {(101, 8)}
+    # forgetting the REJECTED id scrubs its own audit row
+    forget_vectors(spark, root, [101])
+    assert spark.read.parquet(f"{root}/rejected").count() == 0
+
+
+def test_forget_invalidates_compaction_marker(spark, tmp_path):
+    """After an erasure the tier's layout changed: a compaction that
+    previously no-opped via the ``_compacted`` marker must rewrite
+    again (the marker digests the file listing)."""
+    from sales_forecast_mlops_at_scale_spark.streaming.compact import (
+        compact_parquet_table,
+    )
+
+    path = str(tmp_path / "t")
+    _three_file_table(spark, path)
+    first = compact_parquet_table(spark, path, sort_by=["k"])
+    assert first["rows"] == 30
+    again = compact_parquet_table(spark, path, sort_by=["k"])
+    assert again["rows"] is None  # marker hit: no-op
+
+    forget_keys(spark, path, [0], "k")
+    third = compact_parquet_table(spark, path, sort_by=["k"])
+    assert third["rows"] == 29  # marker invalidated, real rewrite
