@@ -9,12 +9,14 @@ solve this with deletion vectors / MERGE DELETE that rewrite only the
 files containing matched rows.  This is that file-surgical shape in
 honest pure parquet:
 
-1. **Locate** — scan the table with ``input_file_name()`` semi-joined
+1. **Locate** — scan the table's ``_metadata.file_path`` semi-joined
    against the broadcast tombstone set: only FILES that actually contain
-   a tombstoned row are touched.  Parquet min/max footer stats prune the
-   probe scan itself when the table is clustered on the key (what
+   a tombstoned row are touched.  A literal prune predicate on the key
+   (IN-list / [min,max] range — always a superset of the tombstones)
+   rides the scan so parquet footer stats skip row groups and files
+   before any row is read; on a table clustered on the key (what
    :func:`streaming.compact.compact_parquet_table`'s ``sort_by``
-   restores), so the locate pass reads a sliver of a sorted table.
+   restores) the locate pass reads a sliver, not the table.
 2. **Rewrite** — read ONLY the affected files, anti-join the tombstones,
    stage the survivors next to the table, and verify
    ``staged == affected_rows − matched_rows`` before anything
@@ -87,6 +89,40 @@ def _local_path(uri: str) -> str:
     return uri
 
 
+#: Above this many explicit tombstone values the prune predicate is the
+#: [min, max] range instead of the IN-list (Spark itself degrades a wide
+#: In source filter to a range at ``parquet.pushdown.inFilterThreshold``;
+#: keeping the literal list bounded also keeps the plan string sane).
+_INLIST_PRUNE_MAX = 1024
+
+
+def _locate_scan(spark: SparkSession, path: str, key_col: str, prune, tomb):
+    """The locate pass as a DataFrame (exposed for plan audits): files
+    containing at least one tombstoned row.
+
+    The semi-join alone would reach the scan as a runtime filter at
+    best; ``prune`` is a LITERAL predicate on ``key_col`` (IN-list or
+    [min,max] range — always a superset of the tombstone set, so it
+    never changes the result), guaranteed to reach the parquet footer.
+    Row groups / files whose stats cannot contain a tombstone are
+    skipped before any row is read — on a key-clustered table (what
+    :func:`streaming.compact.compact_parquet_table`'s ``sort_by``
+    restores) the locate pass reads a sliver, not the table.
+
+    The ``_metadata.file_path`` hidden column (not ``input_file_name()``)
+    is load-bearing: its scan schema differs from any plain read of the
+    table, so Spark can never substitute a plan-keyed CACHED frame here
+    (an InMemoryRelation would report empty file names)."""
+    return (
+        spark.read.parquet(path)
+        .select(F.col(key_col), F.col("_metadata.file_path").alias("__file"))
+        .where(prune)
+        .join(tomb, key_col, "semi")
+        .select("__file")
+        .distinct()
+    )
+
+
 def heal_forget(path: str) -> bool:
     """Roll FORWARD a forget whose swap died mid-way: the journal is
     written only after the staged survivors are fully written and
@@ -140,45 +176,40 @@ def forget_keys(
         # (post-journal crashes were just healed forward above)
         shutil.rmtree(stale, ignore_errors=True)
 
+    no_op = {
+        "files_total": len(_data_files(path)),
+        "files_rewritten": 0,
+        "rows_deleted": 0,
+        "rows_before": None,
+    }
     if isinstance(keys, DataFrame):
         tomb = keys.select(F.col(keys.columns[0]).alias(key_col)).distinct()
+        lo, hi = tomb.agg(F.min(key_col), F.max(key_col)).first()
+        if lo is None:
+            return no_op
+        prune = F.col(key_col).between(F.lit(lo), F.lit(hi))
     else:
         vals = list(keys)
         if not vals:
-            return {
-                "files_total": len(_data_files(path)),
-                "files_rewritten": 0,
-                "rows_deleted": 0,
-                "rows_before": None,
-            }
+            return no_op
         tomb = spark.createDataFrame(
             [(v,) for v in vals], [key_col]
         ).distinct()
+        if len(vals) <= _INLIST_PRUNE_MAX:
+            prune = F.col(key_col).isin(vals)
+        else:
+            prune = F.col(key_col).between(
+                F.lit(min(vals)), F.lit(max(vals))
+            )
     tomb = F.broadcast(tomb)
 
-    files_total = len(_data_files(path))
-    # locate: files containing at least one tombstoned row — footer
-    # min/max stats prune this scan on a key-clustered table.  The
-    # ``_metadata.file_path`` hidden column (not ``input_file_name()``)
-    # is load-bearing: its scan schema differs from any plain read of
-    # the table, so Spark can never substitute a plan-keyed CACHED
-    # frame here (an InMemoryRelation would report empty file names)
+    files_total = no_op["files_total"]
     affected = [
         _local_path(r[0])
-        for r in spark.read.parquet(path)
-        .select(F.col(key_col), F.col("_metadata.file_path").alias("__file"))
-        .join(tomb, key_col, "semi")
-        .select("__file")
-        .distinct()
-        .collect()
+        for r in _locate_scan(spark, path, key_col, prune, tomb).collect()
     ]
     if not affected:
-        return {
-            "files_total": files_total,
-            "files_rewritten": 0,
-            "rows_deleted": 0,
-            "rows_before": None,
-        }
+        return no_op
 
     hit = spark.read.parquet(*affected)
     affected_rows = hit.count()

@@ -148,6 +148,64 @@ def test_heal_forget_is_idempotent_mid_crash(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, _JOURNAL))
 
 
+def test_locate_scan_pushes_literal_prune_to_parquet(spark, tmp_path):
+    """The locate pass must push a LITERAL key predicate into the
+    parquet scan (footer-stats file/row-group skipping) — the semi-join
+    alone reaches the scan as a runtime filter at best, and at 100 TB
+    the difference is reading a sliver of a sorted table vs all of it.
+    Covers both prune shapes: IN-list (small explicit sets) and
+    [min,max] range (DataFrame tombstones)."""
+    from sales_forecast_mlops_at_scale_spark.streaming.forget import (
+        _locate_scan,
+    )
+
+    path = str(tmp_path / "t")
+    _three_file_table(spark, path)
+
+    def executed(df):
+        df.count()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    tomb = F.broadcast(
+        spark.createDataFrame([(3,), (7,)], ["k"]).distinct()
+    )
+    plan = executed(
+        _locate_scan(spark, path, "k", F.col("k").isin([3, 7]), tomb)
+    )
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "In(k" in pushed, plan
+
+    plan = executed(
+        _locate_scan(
+            spark, path, "k",
+            F.col("k").between(F.lit(3), F.lit(7)), tomb,
+        )
+    )
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThanOrEqual(k" in pushed and "LessThanOrEqual(k" in pushed, plan
+
+
+def test_forget_keys_dataframe_tombstones_use_range_prune(spark, tmp_path):
+    """End-to-end through forget_keys with DataFrame tombstones (the
+    [min,max] prune path): result identical to the explicit-list path,
+    empty tombstone frame no-ops without touching the table."""
+    path = str(tmp_path / "t")
+    _three_file_table(spark, path)
+    before = _file_states(path)
+
+    empty = spark.createDataFrame([], "k long")
+    stats = forget_keys(spark, path, empty, "k")
+    assert stats["files_rewritten"] == 0 and stats["rows_deleted"] == 0
+    assert _file_states(path) == before
+
+    tomb = spark.createDataFrame([(3,), (27,)], ["k"])
+    stats = forget_keys(spark, path, tomb, "k")
+    assert stats["rows_deleted"] == 2 and stats["files_rewritten"] == 2
+    assert {r.k for r in spark.read.parquet(path).collect()} == (
+        set(range(30)) - {3, 27}
+    )
+
+
 def test_forget_documents_unblocks_future_near_dups(spark, tmp_path):
     """Erasure is semantically complete: once a document's corpus row
     AND index rows are gone, a near-duplicate of it is admitted by the
