@@ -89,6 +89,26 @@ def _local_path(uri: str) -> str:
     return uri
 
 
+def _partition_cols(path: str, files: Sequence[str]) -> list[str]:
+    """Ordered Hive partition columns of the table at ``path``, derived
+    from the ``col=value`` directory segments of its data-file paths
+    (empty for a flat table).  All files of a valid layout share one
+    column sequence; a mixed layout is corrupt and refused."""
+    seqs = {
+        tuple(
+            seg.split("=", 1)[0]
+            for seg in os.path.relpath(f, path).split(os.sep)[:-1]
+            if "=" in seg
+        )
+        for f in files
+    }
+    if len(seqs) > 1:
+        raise ValueError(
+            f"inconsistent partition layout under {path!r}: {sorted(seqs)}"
+        )
+    return list(seqs.pop()) if seqs else []
+
+
 #: Above this many explicit tombstone values the prune predicate is the
 #: [min, max] range instead of the IN-list (Spark itself degrades a wide
 #: In source filter to a range at ``parquet.pushdown.inFilterThreshold``;
@@ -139,11 +159,32 @@ def heal_forget(path: str) -> bool:
         dst = os.path.join(path, name)
         src = os.path.join(staging, name)
         if not os.path.exists(dst) and os.path.isfile(src):
+            # partitioned adds nest under col=value dirs that may not
+            # exist yet (a rewrite can empty-then-refill a partition)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.rename(src, dst)
     for rel in plan["delete"]:
         victim = os.path.join(path, rel)
         if os.path.isfile(victim):
             os.unlink(victim)
+        # Hadoop's LocalFileSystem keeps a hidden sibling checksum per
+        # part file — orphaning it leaks the dir and blocks the prune
+        crc = os.path.join(
+            os.path.dirname(victim), f".{os.path.basename(victim)}.crc"
+        )
+        if os.path.isfile(crc):
+            os.unlink(crc)
+        # a partition dir fully drained by the delete (and not refilled
+        # by an add — adds ran first) must not linger: an empty
+        # col=value dir is dead weight for every future listing
+        d = os.path.dirname(victim)
+        while (
+            os.path.isdir(d)
+            and os.path.realpath(d) != os.path.realpath(path)
+            and not os.listdir(d)
+        ):
+            os.rmdir(d)
+            d = os.path.dirname(d)
     shutil.rmtree(staging, ignore_errors=True)
     os.unlink(journal)
     return True
@@ -211,7 +252,15 @@ def forget_keys(
     if not affected:
         return no_op
 
-    hit = spark.read.parquet(*affected)
+    # Hive-partitioned layout: partition VALUES live in the directory
+    # names, not the files — a bare read of the leaf files would drop
+    # the partition columns, and flat staged survivors moved into the
+    # table root would corrupt partition discovery for every future
+    # read.  ``basePath`` re-attaches the columns; the staged rewrite
+    # re-emits the col=value layout so journal moves are dir-faithful.
+    pcols = _partition_cols(path, affected)
+    reader = spark.read.option("basePath", path) if pcols else spark.read
+    hit = reader.parquet(*affected)
     affected_rows = hit.count()
     matched_rows = hit.join(tomb, key_col, "semi").count()
     survivors = hit.join(tomb, key_col, "left_anti")
@@ -223,26 +272,43 @@ def forget_keys(
     bytes_affected = sum(os.path.getsize(f) for f in affected)
     n_out = max(1, math.ceil(bytes_affected / target_file_bytes))
     try:
-        survivors.repartition(min(n_out, len(affected))).write.mode(
-            "overwrite"
-        ).parquet(staging)
-        staged = spark.read.parquet(staging)
-        staged_rows = staged.count()
+        writer = survivors.repartition(
+            min(n_out, len(affected)), *map(F.col, pcols)
+        ) if pcols else survivors.repartition(min(n_out, len(affected)))
+        w = writer.write.mode("overwrite")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(staging)
+        # a fully-tombstoned affected set stages ZERO files (legal: the
+        # journal then only deletes) — read.parquet can't infer a schema
+        # from an empty dir, so count via the listing in that case
+        staged_rows = (
+            spark.read.parquet(staging).count()
+            if _data_files(staging)
+            else 0
+        )
         if staged_rows != affected_rows - matched_rows:
             raise RuntimeError(
                 f"forget row-count mismatch: staged {staged_rows} != "
                 f"{affected_rows} - {matched_rows}"
             )
         adds = []
-        for f in os.listdir(staging):
-            if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                # unique final names: a staged part can never collide
-                # with a live file, so the journal's moves are exact
-                final = f"forget-{run_id}-{f}"
-                os.rename(
-                    os.path.join(staging, f), os.path.join(staging, final)
-                )
-                adds.append(final)
+        for root_dir, dirs, files in os.walk(staging):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    # unique final names: a staged part can never collide
+                    # with a live file, so the journal's moves are exact
+                    final = f"forget-{run_id}-{f}"
+                    os.rename(
+                        os.path.join(root_dir, f),
+                        os.path.join(root_dir, final),
+                    )
+                    adds.append(
+                        os.path.relpath(
+                            os.path.join(root_dir, final), staging
+                        )
+                    )
         plan = {
             "staging": staging,
             "add": adds,

@@ -206,6 +206,89 @@ def test_forget_keys_dataframe_tombstones_use_range_prune(spark, tmp_path):
     )
 
 
+def _partitioned_table(spark, path):
+    """Hive layout: d=0..2 partition dirs, keys 0-9 / 10-19 / 20-29."""
+    for d in (0, 1, 2):
+        spark.createDataFrame(
+            [(i, d, f"payload-{i}") for i in range(d * 10, d * 10 + 10)],
+            ["k", "d", "v"],
+        ).coalesce(1).write.mode("append").partitionBy("d").parquet(path)
+    assert len(_file_states(path)) == 3
+
+
+def test_forget_keys_preserves_hive_partitioned_layout(spark, tmp_path):
+    """Partition VALUES live in directory names: the rewrite must
+    re-attach them (basePath), stage survivors back under their
+    col=value dirs, and leave untouched partitions bit-identical — a
+    flat rewrite would corrupt partition discovery for every future
+    read of the table."""
+    path = str(tmp_path / "t")
+    _partitioned_table(spark, path)
+    before = _file_states(path)
+
+    stats = forget_keys(spark, path, [13, 17], "k")
+    assert stats["files_rewritten"] == 1 and stats["rows_deleted"] == 2
+    got = spark.read.parquet(path)
+    assert {r.k for r in got.collect()} == set(range(30)) - {13, 17}
+    # the partition column survives the rewrite with its dir-encoded value
+    assert {(r.k, r.d) for r in got.where(F.col("d") == 1).collect()} == {
+        (k, 1) for k in range(10, 20) if k not in (13, 17)
+    }
+    after = _file_states(path)
+    kept = set(before) & set(after)
+    assert len(kept) == 2
+    assert all(before[f] == after[f] for f in kept)
+    # every new file landed INSIDE its partition dir, none at the root
+    new = set(after) - set(before)
+    assert new and all(f.startswith("d=1/") or f.startswith("d=1" + os.sep) for f in new)
+
+
+def test_forget_whole_partition_drains_and_prunes_dir(spark, tmp_path):
+    """Tombstoning on the partition column itself: every row of the
+    affected files dies, zero files are staged (legal — the journal
+    only deletes), and the emptied col=value dir is removed rather
+    than left to pollute future listings."""
+    path = str(tmp_path / "t")
+    _partitioned_table(spark, path)
+
+    stats = forget_keys(spark, path, [2], "d")
+    assert stats == {
+        "files_total": 3,
+        "files_rewritten": 1,
+        "rows_deleted": 10,
+        "rows_before": 10,
+    }
+    assert not os.path.exists(os.path.join(path, "d=2"))
+    got = spark.read.parquet(path)
+    assert got.count() == 20
+    assert {r.d for r in got.select("d").distinct().collect()} == {0, 1}
+
+
+def test_forget_sales_rows_on_partitioned_domain_table(spark, tmp_path):
+    """The domain wrapper end-to-end: erase two stores from a
+    date-partitioned sales table; every partition keeps its other
+    stores, layout intact."""
+    from sales_forecast_mlops_at_scale_spark.streaming.forget import (
+        forget_sales_rows,
+    )
+
+    path = str(tmp_path / "sales")
+    rows = [
+        (s, f"2023-01-0{d}", float(s * 10 + d))
+        for s in range(1, 6)
+        for d in (1, 2, 3)
+    ]
+    spark.createDataFrame(rows, ["store", "sale_date", "sales"]).repartition(
+        "sale_date"
+    ).write.partitionBy("sale_date").parquet(path)
+
+    stats = forget_sales_rows(spark, path, [2, 4])
+    assert stats["rows_deleted"] == 6  # 2 stores x 3 dates
+    got = spark.read.parquet(path)
+    assert {r.store for r in got.collect()} == {1, 3, 5}
+    assert got.select("sale_date").distinct().count() == 3
+
+
 def test_forget_documents_unblocks_future_near_dups(spark, tmp_path):
     """Erasure is semantically complete: once a document's corpus row
     AND index rows are gone, a near-duplicate of it is admitted by the
