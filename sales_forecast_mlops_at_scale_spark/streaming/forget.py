@@ -47,6 +47,12 @@ row-deep:
   (``vector_ingest.search_materialized``) key on file digests, so
   stale cached frames are evicted, not served.
 
+The same locate→rewrite→journal core also powers the general
+predicate delete (:func:`delete_where` — ``DELETE FROM t WHERE …`` with
+three-valued NULL semantics) and the retention sweep
+(:func:`expire_older_than` — on time-clustered tables old files die
+whole, O(expired), never O(table)).
+
 LOCAL FILESYSTEM ONLY, single writer between drains — the same contract
 as :mod:`streaming.compact`.  The tombstone set is broadcast (erasure
 requests are bounded by nature); at warehouse scale batch requests and
@@ -190,6 +196,23 @@ def heal_forget(path: str) -> bool:
     return True
 
 
+def _heal_and_prepare(path: str) -> tuple[str, dict]:
+    """Shared preamble of every file-surgical delete: heal any torn
+    prior swap, clear pre-journal staging garbage (the table was never
+    touched by those runs), and build the no-op stats dict."""
+    path = _require_local(path)
+    heal_forget(path)
+    heal_compaction(path)
+    for stale in glob.glob(f"{path.rstrip('/')}.forget-*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    return path, {
+        "files_total": len(_data_files(path)),
+        "files_rewritten": 0,
+        "rows_deleted": 0,
+        "rows_before": None,
+    }
+
+
 def forget_keys(
     spark: SparkSession,
     path: str,
@@ -209,20 +232,9 @@ def forget_keys(
     ``keys`` may be a small iterable of values or a single-column
     DataFrame (its first column is used); either way it is broadcast.
     """
-    path = _require_local(path)
-    heal_forget(path)
-    heal_compaction(path)
-    for stale in glob.glob(f"{path.rstrip('/')}.forget-*"):
-        # pre-journal crash garbage: the table was never touched
-        # (post-journal crashes were just healed forward above)
-        shutil.rmtree(stale, ignore_errors=True)
-
-    no_op = {
-        "files_total": len(_data_files(path)),
-        "files_rewritten": 0,
-        "rows_deleted": 0,
-        "rows_before": None,
-    }
+    path, no_op = _heal_and_prepare(path)
+    if not no_op["files_total"]:
+        return no_op
     if isinstance(keys, DataFrame):
         tomb = keys.select(F.col(keys.columns[0]).alias(key_col)).distinct()
         lo, hi = tomb.agg(F.min(key_col), F.max(key_col)).first()
@@ -251,19 +263,44 @@ def forget_keys(
     ]
     if not affected:
         return no_op
+    return _surgical_delete(
+        spark,
+        path,
+        affected,
+        lambda hit: (
+            hit.join(tomb, key_col, "semi").count(),
+            hit.join(tomb, key_col, "left_anti"),
+        ),
+        files_total=no_op["files_total"],
+        target_file_bytes=target_file_bytes,
+    )
 
-    # Hive-partitioned layout: partition VALUES live in the directory
-    # names, not the files — a bare read of the leaf files would drop
-    # the partition columns, and flat staged survivors moved into the
-    # table root would corrupt partition discovery for every future
-    # read.  ``basePath`` re-attaches the columns; the staged rewrite
-    # re-emits the col=value layout so journal moves are dir-faithful.
+
+def _surgical_delete(
+    spark: SparkSession,
+    path: str,
+    affected: list[str],
+    matcher,
+    *,
+    files_total: int,
+    target_file_bytes: int,
+) -> dict:
+    """Shared rewrite-and-swap tail of every file-surgical delete:
+    read ONLY the affected files, let ``matcher(hit) -> (matched_rows,
+    survivors)`` split them, stage + count-verify the survivors, and
+    swap via the forward-healing journal.
+
+    Hive-partitioned layout: partition VALUES live in the directory
+    names, not the files — a bare read of the leaf files would drop
+    the partition columns, and flat staged survivors moved into the
+    table root would corrupt partition discovery for every future
+    read.  ``basePath`` re-attaches the columns; the staged rewrite
+    re-emits the col=value layout so journal moves are dir-faithful."""
     pcols = _partition_cols(path, affected)
     reader = spark.read.option("basePath", path) if pcols else spark.read
     hit = reader.parquet(*affected)
     affected_rows = hit.count()
-    matched_rows = hit.join(tomb, key_col, "semi").count()
-    survivors = hit.join(tomb, key_col, "left_anti")
+    matched_rows, survivors = matcher(hit)
 
     run_id = uuid.uuid4().hex[:8]
     # staging is a SIBLING of the table (like compaction's), so no
@@ -331,6 +368,78 @@ def forget_keys(
         "rows_deleted": matched_rows,
         "rows_before": affected_rows,
     }
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    *,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Predicate-based file-surgical delete — the ``MERGE DELETE`` /
+    ``DELETE FROM t WHERE …`` analog of :func:`forget_keys`.
+
+    ``condition`` is a Column (or a SQL string passed to ``F.expr``)
+    over the table's columns — including Hive partition columns, where
+    it becomes pure partition pruning.  Rows where the condition is
+    TRUE die; FALSE **and NULL** survive (standard ``DELETE WHERE``
+    three-valued semantics).  A simple condition (range, IN, equality)
+    pushes into the locate scan's parquet footer stats, so on a table
+    clustered on the filtered column only a sliver is read and only
+    matching files are rewritten."""
+    if isinstance(condition, str):
+        condition = F.expr(condition)
+    path, no_op = _heal_and_prepare(path)
+    if not no_op["files_total"]:
+        return no_op
+    affected = [
+        _local_path(r[0])
+        for r in spark.read.parquet(path)
+        .where(condition)
+        .select(F.col("_metadata.file_path").alias("__file"))
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return no_op
+    return _surgical_delete(
+        spark,
+        path,
+        affected,
+        lambda hit: (
+            hit.where(condition).count(),
+            # NULL-condition rows SURVIVE a delete (3VL), so the keep
+            # filter is NOT(coalesce(cond, false)), not plain NOT(cond)
+            hit.where(~F.coalesce(condition, F.lit(False))),
+        ),
+        files_total=no_op["files_total"],
+        target_file_bytes=target_file_bytes,
+    )
+
+
+def expire_older_than(
+    spark: SparkSession,
+    path: str,
+    ts_col: str,
+    cutoff,
+    *,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Retention / TTL sweep: delete every row whose ``ts_col`` is
+    strictly before ``cutoff`` — the scheduled maintenance twin of the
+    on-demand erasure pass.  On a time-partitioned or time-clustered
+    table (every streaming-maintained table here — appends arrive in
+    time order, and compaction's ``sort_by`` restores clustering) the
+    locate scan prunes to the expiring prefix via footer stats /
+    partition dirs, old files die whole (zero staged rewrites), and the
+    sweep is O(expired data), never O(table)."""
+    return delete_where(
+        spark,
+        path,
+        F.col(ts_col) < F.lit(cutoff),
+        target_file_bytes=target_file_bytes,
+    )
 
 
 def forget_documents(

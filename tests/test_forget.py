@@ -289,6 +289,85 @@ def test_forget_sales_rows_on_partitioned_domain_table(spark, tmp_path):
     assert got.select("sale_date").distinct().count() == 3
 
 
+def test_delete_where_predicate_and_null_semantics(spark, tmp_path):
+    """DELETE WHERE three-valued logic: TRUE rows die, FALSE **and
+    NULL** rows survive; only files containing a TRUE row are
+    rewritten."""
+    from sales_forecast_mlops_at_scale_spark.streaming.forget import (
+        delete_where,
+    )
+
+    path = str(tmp_path / "t")
+    # file A: scores 1..5, file B: scores 100..104, file C: all NULL
+    spark.createDataFrame(
+        [(i, i) for i in range(1, 6)], "k long, score long"
+    ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(i, 100 + i) for i in range(5)], "k long, score long"
+    ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(i, None) for i in range(50, 53)], "k long, score long"
+    ).coalesce(1).write.mode("append").parquet(path)
+    before = _file_states(path)
+
+    stats = delete_where(spark, path, "score < 10")
+    assert stats["rows_deleted"] == 5 and stats["files_rewritten"] == 1
+    got = spark.read.parquet(path)
+    assert got.count() == 8  # 5 high scores + 3 NULLs all survive
+    assert got.where(F.col("score").isNull()).count() == 3
+    # the NULL file and the high-score file were never touched
+    after = _file_states(path)
+    kept = set(before) & set(after)
+    assert len(kept) == 2 and all(before[f] == after[f] for f in kept)
+
+    # Column-object condition, zero matches: nothing moves
+    miss = delete_where(spark, path, F.col("score") > 10_000)
+    assert miss["files_rewritten"] == 0
+    assert _file_states(path) == after
+
+
+def test_expire_older_than_drops_old_files_whole(spark, tmp_path):
+    """Retention sweep on a time-clustered table: fully-expired files
+    die whole (no staged rewrite), the boundary file is rewritten, new
+    data is untouched."""
+    import datetime
+
+    from sales_forecast_mlops_at_scale_spark.streaming.forget import (
+        expire_older_than,
+    )
+
+    path = str(tmp_path / "t")
+    day = datetime.date
+    for lo, hi in ((1, 5), (6, 10), (11, 15)):
+        spark.createDataFrame(
+            [(i, day(2023, 1, i)) for i in range(lo, hi + 1)],
+            "k long, ts date",
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    stats = expire_older_than(spark, path, "ts", day(2023, 1, 8))
+    # files 1-5 (all expired) and 6-10 (boundary) touched; 11-15 not
+    assert stats["files_rewritten"] == 2 and stats["rows_deleted"] == 7
+    got = spark.read.parquet(path)
+    assert {r.k for r in got.collect()} == set(range(8, 16))
+
+    # idempotent: a second sweep at the same cutoff is a pure no-op
+    again = expire_older_than(spark, path, "ts", day(2023, 1, 8))
+    assert again["files_rewritten"] == 0 and again["rows_deleted"] == 0
+
+
+def test_delete_where_on_partition_column_prunes_whole_partition(spark, tmp_path):
+    from sales_forecast_mlops_at_scale_spark.streaming.forget import (
+        delete_where,
+    )
+
+    path = str(tmp_path / "t")
+    _partitioned_table(spark, path)
+    stats = delete_where(spark, path, "d = 0")
+    assert stats["files_rewritten"] == 1 and stats["rows_deleted"] == 10
+    assert not os.path.exists(os.path.join(path, "d=0"))
+    assert spark.read.parquet(path).count() == 20
+
+
 def test_forget_documents_unblocks_future_near_dups(spark, tmp_path):
     """Erasure is semantically complete: once a document's corpus row
     AND index rows are gone, a near-duplicate of it is admitted by the
