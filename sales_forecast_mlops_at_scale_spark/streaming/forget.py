@@ -496,6 +496,46 @@ def forget_vectors(
     return stats
 
 
+def run_forget_stream(
+    spark: SparkSession,
+    *,
+    source: DataFrame,
+    table_path: str,
+    key_col: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+) -> None:
+    """Drain a stream of erasure requests into file-surgical deletes —
+    the operational takedown shape: tombstone ids arrive on a queue
+    (Kafka in production, a file source in tests — the same source
+    contract as :func:`streaming.ingest.run_stream_ingest`), and each
+    micro-batch is applied as ONE :func:`forget_keys` pass, amortizing
+    the locate scan across the whole batch's ids.
+
+    Exactly-once needs no commit manifests here: the delete is
+    idempotent (an already-erased key matches no file and no-ops), so
+    the at-least-once replay a crashed ``foreachBatch`` gets from the
+    checkpoint converges to the same table state.  Blocks until the
+    ``availableNow`` drain completes."""
+
+    def _apply(batch_df: DataFrame, _bid: int) -> None:
+        # erasure requests are bounded by nature — collect them so the
+        # (possibly re-evaluated) streaming batch frame is read exactly
+        # once, then run the surgical pass with an explicit value set
+        ids = [r[0] for r in batch_df.select(key_col).distinct().collect()]
+        forget_keys(spark, table_path, ids, key_col)
+
+    writer = (
+        source.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_apply)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    query.awaitTermination()
+
+
 def forget_sales_rows(
     spark: SparkSession,
     table_path: str,

@@ -474,6 +474,48 @@ def test_forget_vectors_scrubs_rejected_audit_log_both_sides(spark, tmp_path):
     assert spark.read.parquet(f"{root}/rejected").count() == 0
 
 
+def test_run_forget_stream_drains_tombstone_queue(spark, tmp_path):
+    """Erasure requests arriving on a stream: each availableNow drain
+    applies the accumulated tombstones as one surgical pass; a second
+    drain after more requests land picks up ONLY the new ids (the
+    checkpoint remembers), and replaying an already-erased id is a
+    no-op rather than an error."""
+    from sales_forecast_mlops_at_scale_spark.streaming.forget import (
+        run_forget_stream,
+    )
+
+    table = str(tmp_path / "t")
+    _three_file_table(spark, table)
+    requests = str(tmp_path / "requests")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(requests)
+
+    spark.createDataFrame([(3,), (17,)], "k long").coalesce(1).write.mode(
+        "append"
+    ).parquet(requests)
+    src = spark.readStream.schema("k long").parquet(requests)
+    run_forget_stream(
+        spark, source=src, table_path=table, key_col="k",
+        checkpoint_path=ckpt,
+    )
+    assert {r.k for r in spark.read.parquet(table).collect()} == (
+        set(range(30)) - {3, 17}
+    )
+
+    # second wave: one new id + one replayed (already-erased) id
+    spark.createDataFrame([(17,), (25,)], "k long").coalesce(1).write.mode(
+        "append"
+    ).parquet(requests)
+    src = spark.readStream.schema("k long").parquet(requests)
+    run_forget_stream(
+        spark, source=src, table_path=table, key_col="k",
+        checkpoint_path=ckpt,
+    )
+    assert {r.k for r in spark.read.parquet(table).collect()} == (
+        set(range(30)) - {3, 17, 25}
+    )
+
+
 def test_forget_invalidates_compaction_marker(spark, tmp_path):
     """After an erasure the tier's layout changed: a compaction that
     previously no-opped via the ``_compacted`` marker must rewrite
