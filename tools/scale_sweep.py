@@ -94,7 +94,7 @@ def main() -> None:
         print(f"{name:24s} " + "  ".join(f"{c:6.2f}" for c in cells), flush=True)
 
     lines = [
-        "# Scaling sweep (round 6)",
+        "# Scaling sweep (round 7)",
         "",
         "Wall-clock (s, min of 2, per-query cold cache state) for the headline",
         "operator families across a 100× data range on local[32].  The final",
