@@ -194,6 +194,14 @@ def compact_parquet_table(
     """
     path = _require_local(path)
     heal_compaction(path)
+    # a torn FORGET swap must heal BEFORE any rewrite: the aux-entry
+    # copy below would carry the stale journal through the compaction,
+    # and healing it afterwards would move staged survivor files in
+    # whose rows the compaction already kept — duplicating them.
+    # Local import: forget builds on this module, not vice versa.
+    from .forget import heal_forget
+
+    heal_forget(path)
     backup = _backup_path(path)
     if os.path.isdir(backup):
         # a previous run crashed AFTER its swap completed but before the

@@ -201,8 +201,10 @@ def _heal_and_prepare(path: str) -> tuple[str, dict]:
     prior swap, clear pre-journal staging garbage (the table was never
     touched by those runs), and build the no-op stats dict."""
     path = _require_local(path)
-    heal_forget(path)
+    # compaction first: it may RESTORE the table directory (mid-swap
+    # crash), and a journal inside it can only be seen after the restore
     heal_compaction(path)
+    heal_forget(path)
     for stale in glob.glob(f"{path.rstrip('/')}.forget-*"):
         shutil.rmtree(stale, ignore_errors=True)
     return path, {

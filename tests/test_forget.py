@@ -474,6 +474,45 @@ def test_forget_vectors_scrubs_rejected_audit_log_both_sides(spark, tmp_path):
     assert spark.read.parquet(f"{root}/rejected").count() == 0
 
 
+def test_forget_differential_vs_full_rewrite_randomized(spark, tmp_path):
+    """Property: the file-surgical delete leaves EXACTLY the rows a
+    full-table anti-join would — across randomized layouts (file count,
+    duplicate keys spanning files, NULL keys, tombstones that miss).
+    NULL keys never match a tombstone (SQL IN semantics) and must
+    always survive."""
+    import random
+
+    for seed in (7, 23, 1009):
+        rng = random.Random(seed)
+        path = str(tmp_path / f"t{seed}")
+        rows = []
+        for fi in range(rng.randint(2, 5)):
+            chunk = [
+                (
+                    rng.choice([None] + list(range(20))),
+                    f"f{fi}-r{ri}",
+                )
+                for ri in range(rng.randint(3, 12))
+            ]
+            rows += chunk
+            spark.createDataFrame(
+                chunk, "k long, v string"
+            ).coalesce(1).write.mode("append").parquet(path)
+        tombs = rng.sample(range(25), rng.randint(1, 6))  # some miss
+
+        stats = forget_keys(spark, path, tombs, "k")
+        expect = sorted(
+            ((k, v) for k, v in rows if k is None or k not in tombs),
+            key=str,
+        )
+        got = sorted(
+            ((r.k, r.v) for r in spark.read.parquet(path).collect()),
+            key=str,
+        )
+        assert got == expect, f"seed {seed}: {stats}"
+        assert stats["rows_deleted"] == len(rows) - len(expect)
+
+
 def test_run_forget_stream_drains_tombstone_queue(spark, tmp_path):
     """Erasure requests arriving on a stream: each availableNow drain
     applies the accumulated tombstones as one surgical pass; a second
@@ -514,6 +553,49 @@ def test_run_forget_stream_drains_tombstone_queue(spark, tmp_path):
     assert {r.k for r in spark.read.parquet(table).collect()} == (
         set(range(30)) - {3, 17, 25}
     )
+
+
+def test_compaction_heals_torn_forget_first_no_duplicates(spark, tmp_path):
+    """Sequential-composition hazard: a forget that crashed post-journal
+    followed by a COMPACTION.  Compaction's aux-entry copy would carry
+    the stale journal through its rewrite; healing it afterwards would
+    move the staged survivors in on top of rows the compaction already
+    kept — duplicates.  Compaction must therefore heal the torn forget
+    at entry, and the final table must hold exactly the post-forget
+    rows, once each."""
+    from sales_forecast_mlops_at_scale_spark.streaming.compact import (
+        compact_parquet_table,
+    )
+
+    path = str(tmp_path / "t")
+    _three_file_table(spark, path)
+    victim = next(
+        f for f in _file_states(path) if any(
+            r.k == 5 for r in spark.read.parquet(os.path.join(path, f)).collect()
+        )
+    )
+    # torn forget: journal landed, no file moved yet (crash point)
+    staging = path + ".forget-0ddba11"
+    survivors = spark.read.parquet(os.path.join(path, victim)).where(
+        F.col("k") != 5
+    )
+    survivors.coalesce(1).write.parquet(staging)
+    adds = []
+    for f in os.listdir(staging):
+        if f.endswith(".parquet") and not f.startswith(("_", ".")):
+            final = f"forget-0ddba11-{f}"
+            os.rename(os.path.join(staging, f), os.path.join(staging, final))
+            adds.append(final)
+    with open(os.path.join(path, _JOURNAL), "w", encoding="utf-8") as fh:
+        json.dump({"staging": staging, "add": adds, "delete": [victim]}, fh)
+
+    stats = compact_parquet_table(spark, path, sort_by=["k"])
+    assert stats["rows"] == 29  # forget healed first, THEN compacted
+    got = spark.read.parquet(path).collect()
+    assert len(got) == 29  # no duplicated survivors
+    assert {r.k for r in got} == set(range(30)) - {5}
+    assert not os.path.exists(os.path.join(path, _JOURNAL))
+    assert not os.path.exists(staging)
 
 
 def test_forget_invalidates_compaction_marker(spark, tmp_path):
