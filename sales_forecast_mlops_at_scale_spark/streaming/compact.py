@@ -200,8 +200,10 @@ def compact_parquet_table(
     # whose rows the compaction already kept — duplicating them.
     # Local import: forget builds on this module, not vice versa.
     from .forget import heal_forget
+    from .snapshots import heal_dangling_manifest
 
     heal_forget(path)
+    heal_dangling_manifest(path)
     backup = _backup_path(path)
     if os.path.isdir(backup):
         # a previous run crashed AFTER its swap completed but before the
@@ -246,7 +248,19 @@ def compact_parquet_table(
                     "bytes": total_bytes,
                     "rows": None,  # untouched — marker certifies layout
                 }
-    df = spark.read.parquet(path)
+    # snapshot-enabled tables are rewritten FROM THE MANIFEST, not the
+    # listing: with retained history the directory legitimately holds
+    # files only old versions reference, and a listing-scan rewrite
+    # would resurrect their deleted rows into the compacted table
+    from .snapshots import latest_version, read_manifest, snapshots_enabled
+
+    if snapshots_enabled(path) and latest_version(path):
+        rels = read_manifest(path)["files"]
+        df = spark.read.option("basePath", path).parquet(
+            *(os.path.join(path, f) for f in rels)
+        )
+    else:
+        df = spark.read.parquet(path)
     n_rows = df.count()
     if partition_by:
         out = df.repartition(*partition_by)
@@ -296,6 +310,16 @@ def compact_parquet_table(
         fh.write(
             _layout_signature(path, target_file_bytes, sort_by, partition_by)
         )
+    if snapshots_enabled(path):
+        # compaction physically rewrites everything, so it COLLAPSES
+        # snapshot history by design: pin the post-swap listing as the
+        # new (only) version.  A crash between the swap and this
+        # publish leaves the LATEST manifest dangling — healed by
+        # heal_dangling_manifest at the next maintenance entry.
+        from .snapshots import publish_snapshot, vacuum_snapshots
+
+        publish_snapshot(path, op="compact")
+        vacuum_snapshots(path, keep_last=1)
     return {
         "files_before": len(files),
         "files_after": len(_data_files(path)),

@@ -122,6 +122,28 @@ def _partition_cols(path: str, files: Sequence[str]) -> list[str]:
 _INLIST_PRUNE_MAX = 1024
 
 
+def _table_frame(spark: SparkSession, path: str):
+    """The table's current frame + the file set it is scoped to.
+
+    Snapshot-enabled tables MUST be read through the LATEST manifest
+    here: with retained history the directory listing legitimately
+    contains old-version files, and a directory-scan locate pass would
+    find tombstone matches in them, re-delete them, and add their
+    survivors to the next manifest — resurrecting rows a previous
+    delete already removed.  Returns ``(df, manifest_relpaths|None)``."""
+    from .snapshots import latest_version, read_manifest, snapshots_enabled
+
+    if snapshots_enabled(path) and latest_version(path):
+        rels = read_manifest(path)["files"]
+        return (
+            spark.read.option("basePath", path).parquet(
+                *(os.path.join(path, f) for f in rels)
+            ),
+            rels,
+        )
+    return spark.read.parquet(path), None
+
+
 def _locate_scan(spark: SparkSession, path: str, key_col: str, prune, tomb):
     """The locate pass as a DataFrame (exposed for plan audits): files
     containing at least one tombstoned row.
@@ -139,9 +161,11 @@ def _locate_scan(spark: SparkSession, path: str, key_col: str, prune, tomb):
     is load-bearing: its scan schema differs from any plain read of the
     table, so Spark can never substitute a plan-keyed CACHED frame here
     (an InMemoryRelation would report empty file names)."""
+    frame, _ = _table_frame(spark, path)
     return (
-        spark.read.parquet(path)
-        .select(F.col(key_col), F.col("_metadata.file_path").alias("__file"))
+        frame.select(
+            F.col(key_col), F.col("_metadata.file_path").alias("__file")
+        )
         .where(prune)
         .join(tomb, key_col, "semi")
         .select("__file")
@@ -153,7 +177,12 @@ def heal_forget(path: str) -> bool:
     """Roll FORWARD a forget whose swap died mid-way: the journal is
     written only after the staged survivors are fully written and
     count-verified, so completing its moves/deletes is always the
-    correct direction.  Idempotent; no-op (False) on a healthy table."""
+    correct direction.  Idempotent; no-op (False) on a healthy table.
+
+    On a snapshot-enabled table the journal additionally carries the
+    next manifest's file list: healing publishes it (idempotently, by
+    run_id) and DEFERS the physical unlinks to the vacuum — old
+    versions stay readable until then."""
     path = _require_local(path)
     journal = os.path.join(path, _JOURNAL)
     if not os.path.isfile(journal):
@@ -169,6 +198,19 @@ def heal_forget(path: str) -> bool:
             # exist yet (a rewrite can empty-then-refill a partition)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.rename(src, dst)
+    if plan.get("manifest_files") is not None:
+        from .snapshots import publish_snapshot
+
+        publish_snapshot(
+            path,
+            op=plan.get("op", "forget"),
+            files=plan["manifest_files"],
+            run_id=plan.get("run_id"),
+        )
+    if plan.get("defer_deletes"):
+        shutil.rmtree(staging, ignore_errors=True)
+        os.unlink(journal)
+        return True
     for rel in plan["delete"]:
         victim = os.path.join(path, rel)
         if os.path.isfile(victim):
@@ -205,6 +247,9 @@ def _heal_and_prepare(path: str) -> tuple[str, dict]:
     # crash), and a journal inside it can only be seen after the restore
     heal_compaction(path)
     heal_forget(path)
+    from .snapshots import heal_dangling_manifest
+
+    heal_dangling_manifest(path)
     for stale in glob.glob(f"{path.rstrip('/')}.forget-*"):
         shutil.rmtree(stale, ignore_errors=True)
     return path, {
@@ -222,6 +267,7 @@ def forget_keys(
     key_col: str,
     *,
     target_file_bytes: int = 128 << 20,
+    retain_history: bool = False,
 ) -> dict:
     """Delete every row of the parquet table at ``path`` whose
     ``key_col`` appears in ``keys``, rewriting ONLY the files that
@@ -233,6 +279,12 @@ def forget_keys(
 
     ``keys`` may be a small iterable of values or a single-column
     DataFrame (its first column is used); either way it is broadcast.
+
+    On a snapshot-enabled table (:mod:`streaming.snapshots`) the delete
+    commits a new manifest version atomically; ``retain_history=False``
+    (the default — REAL byte removal, the takedown requirement)
+    vacuums superseded versions immediately, ``True`` keeps them
+    readable via ``read_snapshot`` until a later vacuum.
     """
     path, no_op = _heal_and_prepare(path)
     if not no_op["files_total"]:
@@ -275,6 +327,8 @@ def forget_keys(
         ),
         files_total=no_op["files_total"],
         target_file_bytes=target_file_bytes,
+        op="forget",
+        retain_history=retain_history,
     )
 
 
@@ -286,6 +340,8 @@ def _surgical_delete(
     *,
     files_total: int,
     target_file_bytes: int,
+    op: str = "forget",
+    retain_history: bool = False,
 ) -> dict:
     """Shared rewrite-and-swap tail of every file-surgical delete:
     read ONLY the affected files, let ``matcher(hit) -> (matched_rows,
@@ -353,6 +409,33 @@ def _surgical_delete(
             "add": adds,
             "delete": [os.path.relpath(f, path) for f in affected],
         }
+        from .snapshots import (
+            latest_version,
+            read_manifest,
+            snapshots_enabled,
+            vacuum_snapshots,
+        )
+
+        snap = snapshots_enabled(path)
+        if snap:
+            # the next manifest rides the SAME journal: a crash after
+            # the journal lands heals file moves AND the version flip
+            # together (publish is run_id-idempotent on replay), and
+            # physical unlinks defer to the vacuum so every retained
+            # version stays byte-stable until reclaimed
+            base = (
+                set(read_manifest(path)["files"])
+                if latest_version(path)
+                else {
+                    os.path.relpath(f, path) for f in _data_files(path)
+                }
+            )
+            plan["defer_deletes"] = True
+            plan["op"] = op
+            plan["run_id"] = run_id
+            plan["manifest_files"] = sorted(
+                (base - set(plan["delete"])) | set(adds)
+            )
         # journal lands atomically (single-file rename); before it, the
         # table is untouched — after it, heal_forget completes the swap
         tmp = os.path.join(path, f".{_JOURNAL}.{run_id}")
@@ -363,6 +446,10 @@ def _surgical_delete(
         shutil.rmtree(staging, ignore_errors=True)
         raise
     heal_forget(path)  # the swap itself IS the forward-heal procedure
+    if snap and not retain_history:
+        # physical erasure NOW (the takedown/GDPR default): reclaim
+        # every file only pre-delete versions reference
+        vacuum_snapshots(path, keep_last=1)
     _invalidate_cached_plans(spark, path)
     return {
         "files_total": files_total,
@@ -378,6 +465,7 @@ def delete_where(
     condition,
     *,
     target_file_bytes: int = 128 << 20,
+    retain_history: bool = False,
 ) -> dict:
     """Predicate-based file-surgical delete — the ``MERGE DELETE`` /
     ``DELETE FROM t WHERE …`` analog of :func:`forget_keys`.
@@ -395,10 +483,10 @@ def delete_where(
     path, no_op = _heal_and_prepare(path)
     if not no_op["files_total"]:
         return no_op
+    frame, _ = _table_frame(spark, path)
     affected = [
         _local_path(r[0])
-        for r in spark.read.parquet(path)
-        .where(condition)
+        for r in frame.where(condition)
         .select(F.col("_metadata.file_path").alias("__file"))
         .distinct()
         .collect()
@@ -417,6 +505,8 @@ def delete_where(
         ),
         files_total=no_op["files_total"],
         target_file_bytes=target_file_bytes,
+        op="delete_where",
+        retain_history=retain_history,
     )
 
 
@@ -427,6 +517,7 @@ def expire_older_than(
     cutoff,
     *,
     target_file_bytes: int = 128 << 20,
+    retain_history: bool = False,
 ) -> dict:
     """Retention / TTL sweep: delete every row whose ``ts_col`` is
     strictly before ``cutoff`` — the scheduled maintenance twin of the
@@ -441,6 +532,7 @@ def expire_older_than(
         path,
         F.col(ts_col) < F.lit(cutoff),
         target_file_bytes=target_file_bytes,
+        retain_history=retain_history,
     )
 
 

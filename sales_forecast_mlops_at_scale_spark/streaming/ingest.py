@@ -200,6 +200,18 @@ def idempotent_append_batch(
         # marker LAST: a crash before this line leaves no marker, so the
         # retry re-runs the (idempotent) anti-join append
         fs.createNewFile(marker)
+    try:
+        from .snapshots import publish_snapshot, snapshots_enabled
+
+        snap = snapshots_enabled(target_path)
+    except NotImplementedError:
+        snap = False  # non-local target: snapshots are local-FS only
+    if snap:
+        # atomic reader visibility for the batch (scan-mode publish is
+        # correct here: appends only ever ADD files).  A crash between
+        # the marker and this line merely delays visibility to the next
+        # batch's publish — never duplicates, never partial state.
+        publish_snapshot(target_path, op="append")
 
 
 def run_stream_ingest(

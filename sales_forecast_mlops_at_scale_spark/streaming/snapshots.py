@@ -1,0 +1,256 @@
+"""Minimal snapshot layer for the maintained parquet tables — atomic
+reader-visible commits, time travel, and vacuum, in the smallest honest
+subset of the Iceberg/Delta commit model this repo needs.
+
+:mod:`streaming.compact` and :mod:`streaming.forget` both document the
+same residual window: pure-parquet rewrites mutate a DIRECTORY LISTING,
+so a reader listing the table mid-swap can observe a transient mixed
+state.  Table formats close it by making readers consume an immutable
+MANIFEST instead of the listing; this module is that fix, scoped to the
+local-filesystem / single-writer contract the maintenance modules
+already hold:
+
+- ``_snapshots/v{N}.json`` — an explicit file list (+ op metadata).
+  Parquet part files here are immutable and uniquely named (appends,
+  compaction and forget all mint fresh names), so a manifest pins an
+  exact byte-stable table state forever.
+- ``_snapshots/LATEST`` — the current version number, updated by an
+  atomic single-file rename: :func:`read_snapshot` therefore sees the
+  previous complete state or the new complete state, NEVER a mix, no
+  matter where a writer currently is in its rewrite.
+- Time travel = reading an older manifest (the files it references are
+  retained until :func:`vacuum_snapshots` reclaims them).
+- Physical deletion becomes a VACUUM, exactly as in Delta/Iceberg —
+  which is also the honest GDPR story: an erasure pass must be followed
+  by (or default to) an immediate vacuum, trading history for actual
+  byte removal.
+
+Plain ``spark.read.parquet(path)`` keeps working on a snapshot-enabled
+table as long as every writer vacuums to the latest manifest (the
+default); a caller that retains history must read through
+:func:`read_snapshot`, because the directory listing then legitimately
+contains files only OLD versions reference.
+
+LOCAL FILESYSTEM ONLY, single writer between drains — the same contract
+as :mod:`streaming.compact` / :mod:`streaming.forget`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .compact import _data_files, _require_local
+
+_SNAPDIR = "_snapshots"
+_LATEST = "LATEST"
+
+
+def _snap_dir(path: str) -> str:
+    return os.path.join(path, _SNAPDIR)
+
+
+def snapshots_enabled(path: str) -> bool:
+    return os.path.isdir(_snap_dir(_require_local(path)))
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_snap_dir(path), f"v{version:08d}.json")
+
+
+def _atomic_write(target: str, payload: str) -> None:
+    tmp = target + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(payload)
+    os.rename(tmp, target)
+
+
+def latest_version(path: str) -> int:
+    """Current snapshot version (0 = snapshots enabled but nothing
+    committed yet; raises if snapshots were never enabled)."""
+    path = _require_local(path)
+    ptr = os.path.join(_snap_dir(path), _LATEST)
+    if not os.path.isfile(ptr):
+        if not snapshots_enabled(path):
+            raise FileNotFoundError(f"snapshots not enabled under {path!r}")
+        return 0
+    with open(ptr, encoding="utf-8") as fh:
+        return int(fh.read().strip())
+
+
+def read_manifest(path: str, version: int | None = None) -> dict:
+    path = _require_local(path)
+    v = latest_version(path) if version is None else version
+    with open(_manifest_path(path, v), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def publish_snapshot(
+    path: str,
+    *,
+    op: str = "append",
+    files: list[str] | None = None,
+    run_id: str | None = None,
+) -> int:
+    """Commit the next snapshot version and atomically flip ``LATEST``.
+
+    ``files`` is the table-relative data-file list the new version pins.
+    ``None`` derives it: on a fresh table, the directory listing; on a
+    versioned table, the LATEST manifest plus every on-disk file no
+    manifest references yet (i.e. new appends) — NEVER a bare listing,
+    which under retained history would resurrect files that only old
+    versions pin.  Deletes must still pass the explicit survivor list
+    (as :func:`streaming.forget` does through its journal).
+
+    Idempotent per ``run_id``: re-publishing the same run (a healed
+    crash replay) returns the already-committed version instead of
+    minting a duplicate."""
+    path = _require_local(path)
+    snap = _snap_dir(path)
+    os.makedirs(snap, exist_ok=True)
+    current = latest_version(path)
+    if run_id is not None and current:
+        head = read_manifest(path, current)
+        if head.get("run_id") == run_id:
+            return current
+    if files is None:
+        listing = {os.path.relpath(f, path) for f in _data_files(path)}
+        if current and op != "heal-compact":
+            referenced: set[str] = set()
+            for v in range(1, current + 1):
+                mp = _manifest_path(path, v)
+                if os.path.isfile(mp):
+                    with open(mp, encoding="utf-8") as fh:
+                        referenced |= set(json.load(fh)["files"])
+            files = sorted(
+                (set(read_manifest(path, current)["files"]) & listing)
+                | (listing - referenced)
+            )
+        else:
+            # fresh table — or a post-compaction state, where the swap
+            # replaced every file and the listing IS the whole truth
+            files = sorted(listing)
+    version = current + 1
+    manifest = {
+        "version": version,
+        "parent": current,
+        "op": op,
+        "run_id": run_id,
+        "files": sorted(files),
+    }
+    _atomic_write(_manifest_path(path, version), json.dumps(manifest))
+    # the pointer flip IS the commit: readers resolve LATEST first, so
+    # they see version N or N+1 in full, never a partial state
+    _atomic_write(os.path.join(snap, _LATEST), str(version))
+    return version
+
+
+def enable_snapshots(path: str) -> int:
+    """Turn the table at ``path`` into a snapshot-tracked table, pinning
+    its current listing as version 1.  No-op (returns the current
+    version) if already enabled."""
+    path = _require_local(path)
+    if snapshots_enabled(path) and latest_version(path):
+        return latest_version(path)
+    return publish_snapshot(path, op="enable")
+
+
+def list_snapshots(path: str) -> list[dict]:
+    """All RETAINED manifests, oldest first (op + file count, not the
+    full file lists) — vacuumed versions are gone by design."""
+    path = _require_local(path)
+    out = []
+    for v in range(1, latest_version(path) + 1):
+        if not os.path.isfile(_manifest_path(path, v)):
+            continue
+        m = read_manifest(path, v)
+        out.append(
+            {
+                "version": m["version"],
+                "op": m["op"],
+                "files": len(m["files"]),
+                "parent": m["parent"],
+            }
+        )
+    return out
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The table exactly as pinned by ``version`` (default: latest) —
+    immune to concurrent rewrites' transient listing states, and the
+    time-travel read for retained history.  ``basePath`` keeps Hive
+    partition columns attached for partitioned layouts."""
+    path = _require_local(path)
+    m = read_manifest(path, version)
+    if not m["files"]:
+        raise ValueError(
+            f"snapshot v{m['version']} of {path!r} pins zero files"
+        )
+    return spark.read.option("basePath", path).parquet(
+        *(os.path.join(path, f) for f in m["files"])
+    )
+
+
+def heal_dangling_manifest(path: str) -> bool:
+    """Recover a snapshot table whose compaction crashed between its
+    dir swap and its publish: the LATEST manifest then references
+    pre-swap files that no longer exist.  The live listing IS the
+    correct post-swap state (the swap's row count was verified), so
+    republish from it.  Idempotent; False on a healthy table."""
+    path = _require_local(path)
+    if not snapshots_enabled(path) or not latest_version(path):
+        return False
+    m = read_manifest(path)
+    if all(os.path.isfile(os.path.join(path, f)) for f in m["files"]):
+        return False
+    publish_snapshot(path, op="heal-compact")
+    vacuum_snapshots(path, keep_last=1)
+    return True
+
+
+def vacuum_snapshots(path: str, *, keep_last: int = 1) -> dict:
+    """Physically reclaim files no kept manifest references and drop the
+    expired manifests.  ``keep_last=1`` (the default everywhere a delete
+    wants REAL byte removal — the GDPR requirement) leaves only the
+    current version; larger values retain that much time travel.
+
+    Never touches a file the kept manifests still pin, so reads through
+    :func:`read_snapshot` of any surviving version stay byte-stable."""
+    path = _require_local(path)
+    head = latest_version(path)
+    if not head:
+        return {"files_removed": 0, "manifests_removed": 0}
+    keep_from = max(1, head - max(1, keep_last) + 1)
+    pinned: set[str] = set()
+    for v in range(keep_from, head + 1):
+        pinned |= set(read_manifest(path, v)["files"])
+    removed = 0
+    for f in _data_files(path):
+        rel = os.path.relpath(f, path)
+        if rel not in pinned:
+            os.unlink(f)
+            crc = os.path.join(
+                os.path.dirname(f), f".{os.path.basename(f)}.crc"
+            )
+            if os.path.isfile(crc):
+                os.unlink(crc)
+            removed += 1
+            d = os.path.dirname(f)
+            while (
+                os.path.isdir(d)
+                and os.path.realpath(d) != os.path.realpath(path)
+                and not os.listdir(d)
+            ):
+                os.rmdir(d)
+                d = os.path.dirname(d)
+    manifests_removed = 0
+    for v in range(1, keep_from):
+        mp = _manifest_path(path, v)
+        if os.path.isfile(mp):
+            os.unlink(mp)
+            manifests_removed += 1
+    return {"files_removed": removed, "manifests_removed": manifests_removed}

@@ -1,0 +1,238 @@
+"""Snapshot layer (``streaming/snapshots.py``): atomic reader-visible
+commits over the maintained parquet tables, time travel, vacuum, and
+the integration contracts with forget/compact/ingest.
+
+What must hold:
+- ``read_snapshot`` serves a complete pinned state — never the mixed
+  listing a mid-rewrite directory scan can observe;
+- a delete with ``retain_history`` keeps every old version byte-stable
+  and readable until vacuum; the default vacuums immediately (REAL
+  byte removal — the takedown requirement);
+- neither appends nor compaction may resurrect rows that a previous
+  delete removed, even while old-version files are still on disk.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from sales_forecast_mlops_at_scale_spark.streaming.forget import (
+    _JOURNAL,
+    forget_keys,
+    heal_forget,
+)
+from sales_forecast_mlops_at_scale_spark.streaming.snapshots import (
+    enable_snapshots,
+    heal_dangling_manifest,
+    latest_version,
+    list_snapshots,
+    publish_snapshot,
+    read_manifest,
+    read_snapshot,
+    vacuum_snapshots,
+)
+
+
+def _table(spark, path, n_files=3):
+    for lo in range(0, n_files * 10, 10):
+        spark.createDataFrame(
+            [(i, f"v-{i}") for i in range(lo, lo + 10)], ["k", "v"]
+        ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_enable_read_and_append_publish(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    assert enable_snapshots(path) == 1
+    assert enable_snapshots(path) == 1  # idempotent
+    assert read_snapshot(spark, path).count() == 30
+
+    # append new files, publish: version advances, new rows visible
+    spark.createDataFrame([(100, "v-100")], ["k", "v"]).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    assert publish_snapshot(path, op="append") == 2
+    assert read_snapshot(spark, path).count() == 31
+    assert read_snapshot(spark, path, version=1).count() == 30
+    assert [s["op"] for s in list_snapshots(path)] == ["enable", "append"]
+
+
+def test_forget_default_vacuums_old_versions(spark, tmp_path):
+    """The takedown default: after the delete, the erased bytes are
+    GONE — no manifest pins them, the superseded files are unlinked,
+    and time travel to the pre-delete state is impossible."""
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    enable_snapshots(path)
+
+    stats = forget_keys(spark, path, [5], "k")
+    assert stats["rows_deleted"] == 1
+    assert latest_version(path) == 2
+    assert read_snapshot(spark, path).count() == 29
+    assert spark.read.parquet(path).count() == 29  # plain read agrees
+    # v1 manifest is gone and its exclusive file is physically removed
+    assert not os.path.isfile(
+        os.path.join(path, "_snapshots", "v00000001.json")
+    )
+
+
+def test_forget_retain_history_time_travel_then_vacuum(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    enable_snapshots(path)
+    files_v1 = set(read_manifest(path)["files"])
+
+    stats = forget_keys(spark, path, [5, 25], "k", retain_history=True)
+    assert stats["rows_deleted"] == 2 and latest_version(path) == 2
+    # the new version lacks the rows; the OLD version still serves them
+    assert {r.k for r in read_snapshot(spark, path).collect()} == (
+        set(range(30)) - {5, 25}
+    )
+    assert read_snapshot(spark, path, version=1).count() == 30
+    # every v1 file is still on disk, byte-stable, until the vacuum
+    assert all(os.path.isfile(os.path.join(path, f)) for f in files_v1)
+
+    got = vacuum_snapshots(path, keep_last=1)
+    assert got["files_removed"] == 2 and got["manifests_removed"] == 1
+    assert spark.read.parquet(path).count() == 28  # plain read now clean
+    assert {r.k for r in read_snapshot(spark, path).collect()} == (
+        set(range(30)) - {5, 25}
+    )
+
+
+def test_append_publish_never_resurrects_retained_files(spark, tmp_path):
+    """Scan-mode publish on a versioned table must pin latest+new-only:
+    a bare listing would re-include the files only the superseded
+    version references, resurrecting deleted rows."""
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    enable_snapshots(path)
+    forget_keys(spark, path, [5], "k", retain_history=True)
+    assert latest_version(path) == 2
+
+    spark.createDataFrame([(200, "v-200")], ["k", "v"]).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    publish_snapshot(path, op="append")
+    got = {r.k for r in read_snapshot(spark, path).collect()}
+    assert got == (set(range(30)) - {5}) | {200}  # 5 stays deleted
+    assert read_snapshot(spark, path, version=1).count() == 30
+
+
+def test_compaction_on_snapshot_table_respects_manifest(spark, tmp_path):
+    """Compaction rewrites FROM the manifest: retained old-version
+    files on disk must not leak their deleted rows into the compacted
+    table; history collapses to the single post-compaction version."""
+    from sales_forecast_mlops_at_scale_spark.streaming.compact import (
+        compact_parquet_table,
+    )
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    enable_snapshots(path)
+    forget_keys(spark, path, [5], "k", retain_history=True)
+
+    stats = compact_parquet_table(spark, path, sort_by=["k"])
+    assert stats["rows"] == 29  # not 30: the retained v1 file is data,
+    # but only the manifest defines the table
+    head = latest_version(path)
+    assert read_manifest(path, head)["op"] == "compact"
+    assert read_snapshot(spark, path).count() == 29
+    assert spark.read.parquet(path).count() == 29
+    assert len(list_snapshots(path)) == 1  # history collapsed
+
+
+def test_torn_forget_snapshot_reader_sees_old_complete_state(spark, tmp_path):
+    """Crash after the journal landed: LATEST still points at the old
+    version, so a snapshot reader sees the complete pre-delete state —
+    no mixed listing.  Healing flips the version exactly once."""
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    enable_snapshots(path)
+    victim = read_manifest(path)["files"][0]
+    dead = {r.k for r in spark.read.parquet(os.path.join(path, victim)).collect()}
+    staging = path + ".forget-feedf00d"
+    survivors_files: list[str] = []
+    os.makedirs(staging)
+    with open(os.path.join(path, _JOURNAL), "w", encoding="utf-8") as fh:
+        json.dump(
+            {
+                "staging": staging,
+                "add": survivors_files,
+                "delete": [victim],
+                "defer_deletes": True,
+                "op": "forget",
+                "run_id": "feedf00d",
+                "manifest_files": sorted(
+                    set(read_manifest(path)["files"]) - {victim}
+                ),
+            },
+            fh,
+        )
+    # pre-heal: the snapshot reader serves the OLD complete state
+    assert read_snapshot(spark, path).count() == 30
+    assert latest_version(path) == 1
+
+    assert heal_forget(path) is True
+    assert latest_version(path) == 2
+    got = {r.k for r in read_snapshot(spark, path).collect()}
+    assert got == set(range(30)) - dead
+    # deferred delete: the victim file is still on disk until vacuum
+    assert os.path.isfile(os.path.join(path, victim))
+    vacuum_snapshots(path, keep_last=1)
+    assert not os.path.isfile(os.path.join(path, victim))
+
+
+def test_heal_dangling_manifest_after_compaction_crash(spark, tmp_path):
+    """Simulated crash between compaction's dir swap and its publish:
+    LATEST references pre-swap names that no longer exist.  The heal
+    republishes from the live (verified post-swap) listing."""
+    path = str(tmp_path / "t")
+    _table(spark, path, n_files=2)
+    enable_snapshots(path)
+    # simulate the swap: every data file gets a new name
+    for f in read_manifest(path)["files"]:
+        os.rename(
+            os.path.join(path, f), os.path.join(path, f"compacted-{f}")
+        )
+    assert heal_dangling_manifest(path) is True
+    assert read_snapshot(spark, path).count() == 20
+    assert heal_dangling_manifest(path) is False  # healthy now
+
+
+def test_ingest_batch_publishes_snapshot(spark, tmp_path):
+    from sales_forecast_mlops_at_scale_spark.streaming.ingest import (
+        idempotent_append_batch,
+    )
+
+    path = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], ["store", "productname", "sales"]
+    )
+    b1.write.parquet(path)  # seed the table, then enable
+    enable_snapshots(path)
+
+    b2 = spark.createDataFrame(
+        [(2, "b", 99.0), (3, "c", 30.0)], ["store", "productname", "sales"]
+    )
+    idempotent_append_batch(b2, path, ("store", "productname"))
+    assert latest_version(path) == 2
+    got = read_snapshot(spark, path)
+    assert got.count() == 3  # (2,b) deduped by the anti-join MERGE
+    assert {r.store for r in got.collect()} == {1, 2, 3}
+    assert read_manifest(path)["op"] == "append"
+
+
+def test_read_snapshot_partitioned_keeps_partition_column(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, i % 2, f"v{i}") for i in range(10)], ["k", "d", "v"]
+    ).repartition("d").write.partitionBy("d").parquet(path)
+    enable_snapshots(path)
+    got = read_snapshot(spark, path)
+    assert got.where(F.col("d") == 1).count() == 5
+    forget_keys(spark, path, [0], "k")
+    assert read_snapshot(spark, path).where(F.col("d") == 0).count() == 4
