@@ -342,11 +342,18 @@ def _surgical_delete(
     target_file_bytes: int,
     op: str = "forget",
     retain_history: bool = False,
+    insert_df: DataFrame | None = None,
+    insert_rows: int = 0,
 ) -> dict:
     """Shared rewrite-and-swap tail of every file-surgical delete:
     read ONLY the affected files, let ``matcher(hit) -> (matched_rows,
     survivors)`` split them, stage + count-verify the survivors, and
     swap via the forward-healing journal.
+
+    ``insert_df`` (the MERGE upsert path) stages additional new rows in
+    the SAME staging dir — they ride the same journal moves and the
+    same manifest commit, so delete-matched + insert is ONE atomic
+    version flip for snapshot readers.
 
     Hive-partitioned layout: partition VALUES live in the directory
     names, not the files — a bare read of the leaf files would drop
@@ -374,6 +381,11 @@ def _surgical_delete(
         if pcols:
             w = w.partitionBy(*pcols)
         w.parquet(staging)
+        if insert_df is not None:
+            wi = insert_df.write.mode("append")
+            if pcols:
+                wi = wi.partitionBy(*pcols)
+            wi.parquet(staging)
         # a fully-tombstoned affected set stages ZERO files (legal: the
         # journal then only deletes) — read.parquet can't infer a schema
         # from an empty dir, so count via the listing in that case
@@ -382,10 +394,10 @@ def _surgical_delete(
             if _data_files(staging)
             else 0
         )
-        if staged_rows != affected_rows - matched_rows:
+        if staged_rows != affected_rows - matched_rows + insert_rows:
             raise RuntimeError(
                 f"forget row-count mismatch: staged {staged_rows} != "
-                f"{affected_rows} - {matched_rows}"
+                f"{affected_rows} - {matched_rows} + {insert_rows}"
             )
         adds = []
         for root_dir, dirs, files in os.walk(staging):
@@ -451,12 +463,15 @@ def _surgical_delete(
         # every file only pre-delete versions reference
         vacuum_snapshots(path, keep_last=1)
     _invalidate_cached_plans(spark, path)
-    return {
+    out = {
         "files_total": files_total,
         "files_rewritten": len(affected),
         "rows_deleted": matched_rows,
         "rows_before": affected_rows,
     }
+    if insert_df is not None:
+        out["rows_inserted"] = insert_rows
+    return out
 
 
 def delete_where(
@@ -507,6 +522,103 @@ def delete_where(
         target_file_bytes=target_file_bytes,
         op="delete_where",
         retain_history=retain_history,
+    )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    target_file_bytes: int = 128 << 20,
+    retain_history: bool = False,
+) -> dict:
+    """File-surgical ``MERGE``: every table row whose ``key_cols``
+    match an update row is REPLACED by it, unseen keys are INSERTED —
+    delete-matched + insert staged together and committed as ONE
+    journaled swap.  On a snapshot-enabled table that is a single
+    manifest version flip: readers see the pre-merge or the post-merge
+    table, never the deleted-but-not-yet-inserted middle.
+
+    Only files containing a matched key are rewritten (located with a
+    per-key-column [min,max] prune riding the scan — composite keys
+    cannot push an IN-list, but the range box still lets footer stats
+    skip files on a key-clustered table).  ``updates`` is deduplicated
+    on ``key_cols`` first (last-writer-wins needs an explicit ordering
+    upstream; MERGE semantics reject multiple matches).  On a
+    partitioned table ``updates`` must carry the partition columns."""
+    path, no_op = _heal_and_prepare(path)
+    key_cols = list(key_cols)
+    updates = updates.dropDuplicates(key_cols)
+    insert_rows = updates.count()
+    no_op = {**no_op, "rows_inserted": 0}
+    if not insert_rows:
+        return no_op
+
+    keys = F.broadcast(updates.select(*key_cols).distinct())
+    affected: list[str] = []
+    if no_op["files_total"]:
+        bounds = updates.agg(
+            *(
+                f(c).alias(f"{tag}_{c}")
+                for c in key_cols
+                for f, tag in ((F.min, "lo"), (F.max, "hi"))
+            )
+        ).first()
+        clauses = [
+            F.col(c).between(
+                F.lit(bounds[f"lo_{c}"]), F.lit(bounds[f"hi_{c}"])
+            )
+            for c in key_cols
+            if bounds[f"lo_{c}"] is not None
+        ]
+        prune = clauses[0] if clauses else F.lit(True)
+        for cl in clauses[1:]:
+            prune = prune & cl
+        frame, _ = _table_frame(spark, path)
+        affected = [
+            _local_path(r[0])
+            for r in frame.select(
+                *key_cols, F.col("_metadata.file_path").alias("__file")
+            )
+            .where(prune)
+            .join(keys, key_cols, "semi")
+            .select("__file")
+            .distinct()
+            .collect()
+        ]
+    if not affected:
+        # pure insert: nothing to rewrite — plain append, one publish
+        pcols = (
+            _partition_cols(path, _data_files(path))
+            if no_op["files_total"]
+            else []
+        )
+        w = updates.write.mode("append")
+        if pcols:
+            w = w.partitionBy(*pcols)
+        w.parquet(path)
+        from .snapshots import publish_snapshot, snapshots_enabled
+
+        if snapshots_enabled(path):
+            publish_snapshot(path, op="merge")
+        _invalidate_cached_plans(spark, path)
+        return {**no_op, "rows_inserted": insert_rows}
+    return _surgical_delete(
+        spark,
+        path,
+        affected,
+        lambda hit: (
+            hit.join(keys, key_cols, "semi").count(),
+            hit.join(keys, key_cols, "left_anti"),
+        ),
+        files_total=no_op["files_total"],
+        target_file_bytes=target_file_bytes,
+        op="merge",
+        retain_history=retain_history,
+        insert_df=updates,
+        insert_rows=insert_rows,
     )
 
 

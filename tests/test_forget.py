@@ -513,6 +513,83 @@ def test_forget_differential_vs_full_rewrite_randomized(spark, tmp_path):
         assert stats["rows_deleted"] == len(rows) - len(expect)
 
 
+def test_merge_upsert_replaces_matched_and_inserts_new(spark, tmp_path):
+    from sales_forecast_mlops_at_scale_spark.streaming.forget import (
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "t")
+    _three_file_table(spark, path)
+    before = _file_states(path)
+
+    updates = spark.createDataFrame(
+        [(5, "NEW-5"), (5, "NEW-5"), (100, "NEW-100")], ["k", "v"]
+    )
+    stats = merge_upsert(spark, path, updates, ["k"])
+    assert stats["rows_deleted"] == 1      # old k=5 replaced
+    assert stats["rows_inserted"] == 2     # deduped updates
+    assert stats["files_rewritten"] == 1   # only k=5's file touched
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got[5] == "NEW-5" and got[100] == "NEW-100"
+    assert len(got) == 31
+    assert got[6] == "payload-6"
+    after = _file_states(path)
+    kept = set(before) & set(after)
+    assert len(kept) == 2 and all(before[f] == after[f] for f in kept)
+
+    # pure insert (no key matches): nothing rewritten
+    stats = merge_upsert(
+        spark, path, spark.createDataFrame([(200, "I")], ["k", "v"]), ["k"]
+    )
+    assert stats["files_rewritten"] == 0 and stats["rows_inserted"] == 1
+    assert spark.read.parquet(path).count() == 32
+
+
+def test_merge_upsert_snapshot_single_version_flip(spark, tmp_path):
+    from sales_forecast_mlops_at_scale_spark.streaming.forget import (
+        merge_upsert,
+    )
+    from sales_forecast_mlops_at_scale_spark.streaming.snapshots import (
+        enable_snapshots,
+        latest_version,
+        read_manifest,
+        read_snapshot,
+    )
+
+    path = str(tmp_path / "t")
+    _three_file_table(spark, path)
+    enable_snapshots(path)
+
+    updates = spark.createDataFrame([(5, "NEW-5"), (99, "NEW-99")], ["k", "v"])
+    stats = merge_upsert(spark, path, updates, ["k"])
+    assert stats["rows_deleted"] == 1 and stats["rows_inserted"] == 2
+    # delete-matched + insert is ONE committed version, not two
+    assert latest_version(path) == 2
+    assert read_manifest(path)["op"] == "merge"
+    got = {r.k: r.v for r in read_snapshot(spark, path).collect()}
+    assert got[5] == "NEW-5" and got[99] == "NEW-99" and len(got) == 31
+    assert spark.read.parquet(path).count() == 31  # default vacuumed
+
+
+def test_merge_upsert_moves_row_across_partitions(spark, tmp_path):
+    """A matched key whose update carries a DIFFERENT partition value:
+    the old row dies in its partition, the new row lands in the new
+    one — the layout stays Hive-valid throughout."""
+    from sales_forecast_mlops_at_scale_spark.streaming.forget import (
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "t")
+    _partitioned_table(spark, path)  # k 0-9 in d=0, 10-19 in d=1, ...
+    updates = spark.createDataFrame([("moved-5", 5, 2)], ["v", "k", "d"])
+    stats = merge_upsert(spark, path, updates, ["k"])
+    assert stats["rows_deleted"] == 1 and stats["rows_inserted"] == 1
+    got = spark.read.parquet(path)
+    moved = got.where(F.col("k") == 5).collect()
+    assert len(moved) == 1 and moved[0].d == 2 and moved[0].v == "moved-5"
+    assert got.count() == 30
+
+
 def test_run_forget_stream_drains_tombstone_queue(spark, tmp_path):
     """Erasure requests arriving on a stream: each availableNow drain
     applies the accumulated tombstones as one surgical pass; a second
