@@ -29,7 +29,8 @@ maximum, in the same spirit as the anti-join MERGE sink:
   swap (a failed write aborts with the table untouched);
 - swap via two directory renames with a backup in between; the table is
   unavailable for the instant between them (pure parquet has no atomic
-  dir replace — a table format is the fix, not more code), and every
+  dir replace — readers through :mod:`streaming.snapshots` manifests
+  are immune, and compaction republishes post-swap), and every
   crash window is healable: :func:`heal_compaction` restores the backup
   if the swap died in the middle, and stale backups/stagings are
   cleared on the next compaction.

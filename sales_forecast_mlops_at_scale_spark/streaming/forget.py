@@ -29,8 +29,10 @@ honest pure parquet:
    a crash before it leaves the table untouched and only garbage
    staging behind, cleared on the next run.  Readers between the
    individual file operations may observe a transient mixed listing —
-   the same non-atomicity window as compaction's two renames; a table
-   format's snapshot commit is the fix, not more code.
+   the same non-atomicity window as compaction's two renames; enable
+   :mod:`streaming.snapshots` to close it (the manifest commit rides
+   this module's journal, and ``read_snapshot`` then serves a complete
+   old or new state, never a mix).
 
 Downstream invariants that make the delete COMPLETE rather than
 row-deep:
