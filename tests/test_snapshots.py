@@ -226,6 +226,90 @@ def test_ingest_batch_publishes_snapshot(spark, tmp_path):
     assert read_manifest(path)["op"] == "append"
 
 
+def test_concurrent_snapshot_reader_never_sees_mixed_state(spark, tmp_path):
+    """The atomicity claim, attacked directly: a reader resolving
+    LATEST while a writer loops surgical deletes must only ever observe
+    COMPLETE committed states — row counts from the exact committed
+    sequence, never a partial/mixed listing."""
+    import threading
+
+    path = str(tmp_path / "t")
+    _table(spark, path, n_files=4)  # keys 0..39
+    enable_snapshots(path)
+
+    legal = {40, 39, 38, 37, 36}  # counts of the committed versions
+    seen: set[int] = set()
+    illegal: list[int] = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                n = read_snapshot(spark, path).count()
+            except Exception:
+                continue  # transient JVM-side race on eviction; retry
+            if n in legal:
+                seen.add(n)
+            else:
+                illegal.append(n)
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        for k in (3, 13, 23, 33):
+            forget_keys(spark, path, [k], "k", retain_history=True)
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert not illegal, f"reader observed non-committed states: {illegal}"
+    assert seen  # the reader actually sampled during the writes
+    assert read_snapshot(spark, path).count() == 36
+
+
+def test_crash_point_sweep_every_filesystem_op(spark, tmp_path, monkeypatch):
+    """Systematic crash injection: fail the k-th os.rename after the
+    journal write begins, for every k until the pass completes clean.
+    After each injected crash, the next forget_keys call must heal to a
+    correct, journal-free state — the table always equals either the
+    pre-delete or the post-delete rows, and the FINAL retry always
+    lands the delete."""
+    import os as _os
+
+    real_rename = _os.rename
+    k = 0
+    while True:
+        k += 1
+        path = str(tmp_path / f"t{k}")
+        _table(spark, path, n_files=3)
+
+        calls = {"n": 0}
+
+        def exploding(src, dst, *, _k=k, _calls=calls):
+            _calls["n"] += 1
+            if _calls["n"] == _k:
+                raise OSError(f"injected crash at rename #{_k}")
+            real_rename(src, dst)
+
+        monkeypatch.setattr(_os, "rename", exploding)
+        crashed = False
+        try:
+            forget_keys(spark, path, [5, 25], "k")
+        except OSError:
+            crashed = True
+        finally:
+            monkeypatch.setattr(_os, "rename", real_rename)
+
+        # whatever the crash point: a retry heals and completes
+        stats = forget_keys(spark, path, [5, 25], "k")
+        got = {r.k for r in spark.read.parquet(path).collect()}
+        assert got == set(range(30)) - {5, 25}, f"crash point {k}: {got}"
+        assert stats["rows_deleted"] in (0, 1, 2)
+        assert not _os.path.exists(_os.path.join(path, _JOURNAL))
+        if not crashed:
+            break  # k exceeded the total rename count: clean pass
+    assert k > 1  # the sweep actually exercised injected crashes
+
+
 def test_read_snapshot_partitioned_keeps_partition_column(spark, tmp_path):
     path = str(tmp_path / "t")
     spark.createDataFrame(
