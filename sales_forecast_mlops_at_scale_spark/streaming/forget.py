@@ -200,6 +200,21 @@ def heal_forget(path: str) -> bool:
             # exist yet (a rewrite can empty-then-refill a partition)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.rename(src, dst)
+    missing = [
+        n
+        for n in plan["add"]
+        if not os.path.isfile(os.path.join(path, n))
+    ]
+    if missing:
+        # a staged survivor exists NOWHERE: completing the journal's
+        # deletes would lose its rows.  Refuse loudly — the table is
+        # still fully intact (victims untouched), only the journal and
+        # staging need operator attention.
+        raise RuntimeError(
+            f"forget heal cannot complete: staged files {missing} are "
+            f"missing from both {path!r} and {staging!r}; victims were "
+            "NOT deleted"
+        )
     if plan.get("manifest_files") is not None:
         from .snapshots import publish_snapshot
 
@@ -457,7 +472,16 @@ def _surgical_delete(
             json.dump(plan, fh)
         os.rename(tmp, os.path.join(path, _JOURNAL))
     except BaseException:
-        shutil.rmtree(staging, ignore_errors=True)
+        # reap the staging ONLY if the journal did not land: once it is
+        # on disk, the staging is the journal's source of truth —
+        # deleting it would let a later heal unlink the victims without
+        # moving the survivors in (silent data loss).  Checked on DISK,
+        # not via a flag: the rename syscall can succeed and the call
+        # still raise (async exception in the window) — single-writer,
+        # and any prior journal was healed at entry, so an existing
+        # journal here is necessarily this run's.
+        if not os.path.isfile(os.path.join(path, _JOURNAL)):
+            shutil.rmtree(staging, ignore_errors=True)
         raise
     heal_forget(path)  # the swap itself IS the forward-heal procedure
     if snap and not retain_history:

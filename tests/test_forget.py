@@ -590,6 +590,49 @@ def test_merge_upsert_moves_row_across_partitions(spark, tmp_path):
     assert got.count() == 30
 
 
+def test_merge_upsert_crash_after_journal_retries_idempotently(
+    spark, tmp_path, monkeypatch
+):
+    """Crash after the merge journal landed (heal moves interrupted):
+    the retry heals forward, and re-running the SAME merge converges —
+    matched keys are replaced by identical rows, no duplicates."""
+    import os as _os
+
+    from sales_forecast_mlops_at_scale_spark.streaming.forget import (
+        merge_upsert,
+    )
+
+    path = str(tmp_path / "t")
+    _three_file_table(spark, path)
+    updates = spark.createDataFrame([(5, "NEW-5"), (99, "NEW-99")], ["k", "v"])
+
+    real_rename = _os.rename
+    state = {"journal_landed": False}
+
+    def exploding(src, dst):
+        real_rename(src, dst)
+        if dst.endswith(_JOURNAL):
+            state["journal_landed"] = True
+            raise OSError("injected crash right after the journal commit")
+
+    monkeypatch.setattr(_os, "rename", exploding)
+    try:
+        merge_upsert(spark, path, updates, ["k"])
+        raise AssertionError("injection did not fire")
+    except OSError:
+        pass
+    finally:
+        monkeypatch.setattr(_os, "rename", real_rename)
+    assert state["journal_landed"]
+
+    stats = merge_upsert(spark, path, updates, ["k"])  # heal + re-merge
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert len(got) == 31  # 30 - 1 replaced + 1 replacement + 1 new
+    assert got[5] == "NEW-5" and got[99] == "NEW-99"
+    assert stats["rows_inserted"] == 2
+    assert not os.path.exists(os.path.join(path, _JOURNAL))
+
+
 def test_run_forget_stream_drains_tombstone_queue(spark, tmp_path):
     """Erasure requests arriving on a stream: each availableNow drain
     applies the accumulated tombstones as one surgical pass; a second
