@@ -178,6 +178,7 @@ def compact_parquet_table(
     target_file_bytes: int = 128 << 20,
     sort_by: list[str] | None = None,
     partition_by: list[str] | None = None,
+    transform=None,
 ) -> dict:
     """Compact the parquet table at ``path`` in place.  Returns a stats
     dict: ``files_before, files_after, bytes, rows`` — the numbers an
@@ -192,6 +193,15 @@ def compact_parquet_table(
     restoring the min/max clustering that interleaved appends destroy
     (``operators/layout.py`` measures why that matters for scan
     pruning).
+
+    ``transform`` (``DataFrame -> DataFrame``) turns the rewrite into a
+    SCHEMA MIGRATION: add-column-with-default, rename, drop, type widen
+    — applied to every row while the rewrite is paying for the full
+    scan anyway.  Row-preserving by contract: the staged count is
+    verified against the PRE-transform count, so a transform that
+    filters or explodes rows aborts with the table untouched.  A
+    migration always rewrites (the already-compact no-op shortcuts are
+    bypassed — they certify layout, not schema).
     """
     path = _require_local(path)
     heal_compaction(path)
@@ -225,7 +235,9 @@ def compact_parquet_table(
     files = _data_files(path)
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
-    if len(files) <= n_out and not sort_by and not partition_by:
+    if transform is None and (
+        len(files) <= n_out and not sort_by and not partition_by
+    ):
         return {
             "files_before": len(files),
             "files_after": len(files),
@@ -240,7 +252,7 @@ def compact_parquet_table(
     # two-rename unavailability window (ADVICE r6)
     signature = _layout_signature(path, target_file_bytes, sort_by, partition_by)
     marker = os.path.join(path, _MARKER)
-    if os.path.isfile(marker):
+    if transform is None and os.path.isfile(marker):
         with open(marker, encoding="utf-8") as fh:
             if fh.read().strip() == signature:
                 return {
@@ -262,7 +274,9 @@ def compact_parquet_table(
         )
     else:
         df = spark.read.parquet(path)
-    n_rows = df.count()
+    n_rows = df.count()  # PRE-transform: enforces row-preserving migrations
+    if transform is not None:
+        df = transform(df)
     if partition_by:
         out = df.repartition(*partition_by)
         if sort_by:
@@ -319,7 +333,9 @@ def compact_parquet_table(
         # heal_dangling_manifest at the next maintenance entry.
         from .snapshots import publish_snapshot, vacuum_snapshots
 
-        publish_snapshot(path, op="compact")
+        publish_snapshot(
+            path, op="compact" if transform is None else "migrate"
+        )
         vacuum_snapshots(path, keep_last=1)
     return {
         "files_before": len(files),

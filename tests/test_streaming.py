@@ -781,6 +781,79 @@ def test_compact_parquet_table_preserves_rows_and_shrinks_files(spark, tmp_path)
     assert not os.path.exists(path + ".pre-compact")
 
 
+def test_compact_transform_migrates_schema(spark, tmp_path):
+    """``transform`` turns the rewrite into a schema migration:
+    add-column-with-default + rename applied to every row while the
+    rewrite pays for the scan anyway; row-preserving enforced (a
+    filtering transform aborts with the table untouched); the
+    already-compact no-op shortcuts are bypassed — they certify
+    layout, not schema."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from sales_forecast_mlops_at_scale_spark.streaming.compact import (
+        compact_parquet_table,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).selectExpr("id", "id * 2 AS v").coalesce(
+        2
+    ).write.parquet(path)
+    # stamp the marker: a repeat same-params compaction would no-op
+    compact_parquet_table(spark, path, sort_by=["id"])
+    assert compact_parquet_table(spark, path, sort_by=["id"])["rows"] is None
+
+    stats = compact_parquet_table(
+        spark,
+        path,
+        sort_by=["id"],
+        transform=lambda df: df.withColumnRenamed("v", "value").withColumn(
+            "source", F.lit("legacy")
+        ),
+    )
+    assert stats["rows"] == 100  # migration really ran despite the marker
+    got = spark.read.parquet(path)
+    assert set(got.columns) == {"id", "value", "source"}
+    assert got.where(F.col("source") == "legacy").count() == 100
+    assert got.agg(F.sum("value")).first()[0] == sum(i * 2 for i in range(100))
+
+    # a row-dropping transform is refused, table untouched
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    try:
+        compact_parquet_table(
+            spark, path, transform=lambda df: df.where(F.col("id") < 10)
+        )
+        raise AssertionError("row-dropping transform must abort")
+    except RuntimeError:
+        pass
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+    assert not os.path.exists(path + ".pre-compact")
+
+
+def test_migrate_snapshot_table_publishes_version(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from sales_forecast_mlops_at_scale_spark.streaming.compact import (
+        compact_parquet_table,
+    )
+    from sales_forecast_mlops_at_scale_spark.streaming.snapshots import (
+        enable_snapshots,
+        read_manifest,
+        read_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    spark.range(50).selectExpr("id", "id AS v").coalesce(1).write.parquet(path)
+    enable_snapshots(path)
+    compact_parquet_table(
+        spark, path, transform=lambda df: df.withColumn("w", F.col("v") + 1)
+    )
+    assert read_manifest(path)["op"] == "migrate"
+    got = read_snapshot(spark, path)
+    assert set(got.columns) == {"id", "v", "w"} and got.count() == 50
+
+
 def test_compact_sorted_tier_repeat_is_noop_until_append(spark, tmp_path):
     """A sort_by compaction leaves a layout-signature marker, so a
     repeat maintenance invocation over the unchanged tier skips the
