@@ -195,6 +195,27 @@ def read_snapshot(
     )
 
 
+def clone_snapshot(path: str, dest: str, *, version: int | None = None) -> int:
+    """Zero-copy clone of a pinned version into a fresh table at
+    ``dest`` (the dev/test-sandbox pattern): every data file is
+    HARDLINKED, so a 100 TB clone costs metadata only.  Safe because
+    part files here are immutable — writers always mint new names, and
+    deletes unlink (the other table's link keeps its bytes alive).
+    The clone starts its own snapshot history at version 1."""
+    path = _require_local(path)
+    dest = _require_local(dest)
+    if os.path.exists(dest) and (
+        not os.path.isdir(dest) or os.listdir(dest)
+    ):
+        raise FileExistsError(f"clone destination {dest!r} is not empty")
+    m = read_manifest(path, version)
+    for rel in m["files"]:
+        dst = os.path.join(dest, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.link(os.path.join(path, rel), dst)
+    return publish_snapshot(dest, op="clone")
+
+
 def heal_dangling_manifest(path: str) -> bool:
     """Recover a snapshot table whose compaction crashed between its
     dir swap and its publish: the LATEST manifest then references

@@ -226,6 +226,43 @@ def test_ingest_batch_publishes_snapshot(spark, tmp_path):
     assert read_manifest(path)["op"] == "append"
 
 
+def test_clone_snapshot_is_zero_copy_and_isolated(spark, tmp_path):
+    """A clone hardlinks the pinned files (same inode — metadata-only
+    cost) yet is fully isolated: a surgical delete on the clone leaves
+    the source byte-identical, and vice versa."""
+    from sales_forecast_mlops_at_scale_spark.streaming.snapshots import (
+        clone_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "clone")
+    _table(spark, src)
+    enable_snapshots(src)
+    assert clone_snapshot(src, dst) == 1
+
+    # same inodes: the clone cost no data bytes
+    m = read_manifest(src)
+    assert all(
+        os.stat(os.path.join(src, f)).st_ino
+        == os.stat(os.path.join(dst, f)).st_ino
+        for f in m["files"]
+    )
+    assert read_snapshot(spark, dst).count() == 30
+
+    # deleting on the CLONE never touches the source
+    forget_keys(spark, dst, [5], "k")
+    assert read_snapshot(spark, dst).count() == 29
+    assert read_snapshot(spark, src).count() == 30
+    assert spark.read.parquet(src).count() == 30
+
+    # a second clone into a non-empty dest is refused
+    try:
+        clone_snapshot(src, dst)
+        raise AssertionError("must refuse non-empty destination")
+    except FileExistsError:
+        pass
+
+
 def test_concurrent_snapshot_reader_never_sees_mixed_state(spark, tmp_path):
     """The atomicity claim, attacked directly: a reader resolving
     LATEST while a writer loops surgical deletes must only ever observe
