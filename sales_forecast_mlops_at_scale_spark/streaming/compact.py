@@ -211,10 +211,13 @@ def compact_parquet_table(
     # whose rows the compaction already kept — duplicating them.
     # Local import: forget builds on this module, not vice versa.
     from .forget import heal_forget
-    from .snapshots import heal_dangling_manifest
+    from .snapshots import catchup_publish, heal_dangling_manifest
 
     heal_forget(path)
     heal_dangling_manifest(path)
+    # pin any append that never published — the manifest-scoped rewrite
+    # below would otherwise silently DROP those rows at the dir swap
+    catchup_publish(path)
     backup = _backup_path(path)
     if os.path.isdir(backup):
         # a previous run crashed AFTER its swap completed but before the

@@ -264,9 +264,12 @@ def _heal_and_prepare(path: str) -> tuple[str, dict]:
     # crash), and a journal inside it can only be seen after the restore
     heal_compaction(path)
     heal_forget(path)
-    from .snapshots import heal_dangling_manifest
+    from .snapshots import catchup_publish, heal_dangling_manifest
 
     heal_dangling_manifest(path)
+    # pin any append that never published — a stale manifest would hide
+    # its rows from the locate scan and the delete would miss them
+    catchup_publish(path)
     for stale in glob.glob(f"{path.rstrip('/')}.forget-*"):
         shutil.rmtree(stale, ignore_errors=True)
     return path, {

@@ -216,6 +216,32 @@ def clone_snapshot(path: str, dest: str, *, version: int | None = None) -> int:
     return publish_snapshot(dest, op="clone")
 
 
+def catchup_publish(path: str) -> int | None:
+    """Pin any not-yet-published appends (files NO manifest references)
+    into a fresh version — the safety valve for writers that appended
+    without publishing.  Maintenance entry points call this before any
+    manifest-scoped read, so an unpublished append can never be missed
+    by a delete's locate scan or dropped by a compaction rewrite.
+    Returns the new version, or None if the table was current."""
+    path = _require_local(path)
+    if not snapshots_enabled(path) or not latest_version(path):
+        return None
+    current = set(read_manifest(path)["files"])
+    referenced: set[str] = set()
+    for v in range(1, latest_version(path) + 1):
+        mp = _manifest_path(path, v)
+        if os.path.isfile(mp):
+            with open(mp, encoding="utf-8") as fh:
+                referenced |= set(json.load(fh)["files"])
+    listing = {os.path.relpath(f, path) for f in _data_files(path)}
+    fresh = listing - referenced
+    if not fresh:
+        return None
+    return publish_snapshot(
+        path, op="append", files=sorted((current & listing) | fresh)
+    )
+
+
 def heal_dangling_manifest(path: str) -> bool:
     """Recover a snapshot table whose compaction crashed between its
     dir swap and its publish: the LATEST manifest then references
@@ -239,8 +265,11 @@ def vacuum_snapshots(path: str, *, keep_last: int = 1) -> dict:
     wants REAL byte removal — the GDPR requirement) leaves only the
     current version; larger values retain that much time travel.
 
-    Never touches a file the kept manifests still pin, so reads through
-    :func:`read_snapshot` of any surviving version stay byte-stable."""
+    Reclaims ONLY files the dropped manifests reference (minus any the
+    kept manifests still pin): a file referenced by NO manifest is a
+    not-yet-published append — deleting it would destroy fresh data, so
+    vacuum never touches it (and reads through :func:`read_snapshot`
+    of any surviving version stay byte-stable)."""
     path = _require_local(path)
     head = latest_version(path)
     if not head:
@@ -249,29 +278,37 @@ def vacuum_snapshots(path: str, *, keep_last: int = 1) -> dict:
     pinned: set[str] = set()
     for v in range(keep_from, head + 1):
         pinned |= set(read_manifest(path, v)["files"])
+    droppable: set[str] = set()
+    drop_versions = [
+        v
+        for v in range(1, keep_from)
+        if os.path.isfile(_manifest_path(path, v))
+    ]
+    for v in drop_versions:
+        droppable |= set(read_manifest(path, v)["files"])
     removed = 0
-    for f in _data_files(path):
-        rel = os.path.relpath(f, path)
-        if rel not in pinned:
+    for rel in sorted(droppable - pinned):
+        f = os.path.join(path, rel)
+        if os.path.isfile(f):
             os.unlink(f)
-            crc = os.path.join(
-                os.path.dirname(f), f".{os.path.basename(f)}.crc"
-            )
-            if os.path.isfile(crc):
-                os.unlink(crc)
             removed += 1
-            d = os.path.dirname(f)
-            while (
-                os.path.isdir(d)
-                and os.path.realpath(d) != os.path.realpath(path)
-                and not os.listdir(d)
-            ):
-                os.rmdir(d)
-                d = os.path.dirname(d)
+        crc = os.path.join(
+            os.path.dirname(f), f".{os.path.basename(f)}.crc"
+        )
+        if os.path.isfile(crc):
+            os.unlink(crc)
+        d = os.path.dirname(f)
+        while (
+            os.path.isdir(d)
+            and os.path.realpath(d) != os.path.realpath(path)
+            and not os.listdir(d)
+        ):
+            os.rmdir(d)
+            d = os.path.dirname(d)
+    # files first, manifests last: a crash mid-vacuum re-derives the
+    # drop set from the still-present manifests on the next run
     manifests_removed = 0
-    for v in range(1, keep_from):
-        mp = _manifest_path(path, v)
-        if os.path.isfile(mp):
-            os.unlink(mp)
-            manifests_removed += 1
+    for v in drop_versions:
+        os.unlink(_manifest_path(path, v))
+        manifests_removed += 1
     return {"files_removed": removed, "manifests_removed": manifests_removed}

@@ -226,6 +226,53 @@ def test_ingest_batch_publishes_snapshot(spark, tmp_path):
     assert read_manifest(path)["op"] == "append"
 
 
+def test_unpublished_appends_are_never_lost(spark, tmp_path):
+    """A writer that appends WITHOUT publishing must never lose data:
+    (1) vacuum only reclaims files the dropped manifests reference —
+    never-referenced fresh appends are untouchable; (2) a delete's
+    locate scan catch-up-publishes first, so it finds rows in the
+    unpublished files; (3) a compaction pins them before its rewrite
+    instead of dropping them at the dir swap."""
+    from sales_forecast_mlops_at_scale_spark.streaming.compact import (
+        compact_parquet_table,
+    )
+
+    # (1) vacuum never touches never-referenced files
+    p1 = str(tmp_path / "v")
+    _table(spark, p1)
+    enable_snapshots(p1)
+    forget_keys(spark, p1, [5], "k", retain_history=True)  # v2, v1 retained
+    spark.createDataFrame([(500, "fresh")], ["k", "v"]).coalesce(
+        1
+    ).write.mode("append").parquet(p1)  # unpublished append
+    got = vacuum_snapshots(p1, keep_last=1)
+    assert got["manifests_removed"] == 1
+    assert spark.read.parquet(p1).count() == 30  # 29 + the fresh row
+
+    # (2) forget catch-up-publishes, then finds the row in the fresh file
+    p2 = str(tmp_path / "f")
+    _table(spark, p2)
+    enable_snapshots(p2)
+    spark.createDataFrame([(500, "fresh")], ["k", "v"]).coalesce(
+        1
+    ).write.mode("append").parquet(p2)
+    stats = forget_keys(spark, p2, [500], "k")
+    assert stats["rows_deleted"] == 1
+    assert read_snapshot(spark, p2).count() == 30
+    assert spark.read.parquet(p2).count() == 30
+
+    # (3) compaction pins the fresh rows before its manifest-scoped rewrite
+    p3 = str(tmp_path / "c")
+    _table(spark, p3)
+    enable_snapshots(p3)
+    spark.createDataFrame([(500, "fresh")], ["k", "v"]).coalesce(
+        1
+    ).write.mode("append").parquet(p3)
+    stats = compact_parquet_table(spark, p3, sort_by=["k"])
+    assert stats["rows"] == 31
+    assert read_snapshot(spark, p3).count() == 31
+
+
 def test_clone_snapshot_is_zero_copy_and_isolated(spark, tmp_path):
     """A clone hardlinks the pinned files (same inode — metadata-only
     cost) yet is fully isolated: a surgical delete on the clone leaves
