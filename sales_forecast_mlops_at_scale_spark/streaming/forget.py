@@ -227,6 +227,10 @@ def heal_forget(path: str) -> bool:
     if plan.get("defer_deletes"):
         shutil.rmtree(staging, ignore_errors=True)
         os.unlink(journal)
+        if not plan.get("retain_history", False):
+            from .snapshots import vacuum_snapshots
+
+            vacuum_snapshots(path, keep_last=1)
         return True
     for rel in plan["delete"]:
         victim = os.path.join(path, rel)
@@ -445,11 +449,9 @@ def _surgical_delete(
             latest_version,
             read_manifest,
             snapshots_enabled,
-            vacuum_snapshots,
         )
 
-        snap = snapshots_enabled(path)
-        if snap:
+        if snapshots_enabled(path):
             # the next manifest rides the SAME journal: a crash after
             # the journal lands heals file moves AND the version flip
             # together (publish is run_id-idempotent on replay), and
@@ -465,6 +467,10 @@ def _surgical_delete(
             plan["defer_deletes"] = True
             plan["op"] = op
             plan["run_id"] = run_id
+            # the caller's vacuum intent must survive a crash: healing
+            # completes the PHYSICAL erasure too, or a takedown whose
+            # process died post-journal would leave the bytes on disk
+            plan["retain_history"] = retain_history
             plan["manifest_files"] = sorted(
                 (base - set(plan["delete"])) | set(adds)
             )
@@ -486,11 +492,10 @@ def _surgical_delete(
         if not os.path.isfile(os.path.join(path, _JOURNAL)):
             shutil.rmtree(staging, ignore_errors=True)
         raise
-    heal_forget(path)  # the swap itself IS the forward-heal procedure
-    if snap and not retain_history:
-        # physical erasure NOW (the takedown/GDPR default): reclaim
-        # every file only pre-delete versions reference
-        vacuum_snapshots(path, keep_last=1)
+    # the swap itself IS the forward-heal procedure — including the
+    # manifest publish and (per the journal's recorded intent) the
+    # physical vacuum, so a crashed run and a live run take ONE path
+    heal_forget(path)
     _invalidate_cached_plans(spark, path)
     out = {
         "files_total": files_total,

@@ -166,6 +166,7 @@ def test_torn_forget_snapshot_reader_sees_old_complete_state(spark, tmp_path):
                 "defer_deletes": True,
                 "op": "forget",
                 "run_id": "feedf00d",
+                "retain_history": True,  # deferred physical deletion
                 "manifest_files": sorted(
                     set(read_manifest(path)["files"]) - {victim}
                 ),
@@ -350,13 +351,19 @@ def test_concurrent_snapshot_reader_never_sees_mixed_state(spark, tmp_path):
     assert read_snapshot(spark, path).count() == 36
 
 
-def test_crash_point_sweep_every_filesystem_op(spark, tmp_path, monkeypatch):
+import pytest
+
+
+@pytest.mark.parametrize("snap", [False, True], ids=["plain", "snapshot"])
+def test_crash_point_sweep_every_filesystem_op(spark, tmp_path, monkeypatch, snap):
     """Systematic crash injection: fail the k-th os.rename after the
     journal write begins, for every k until the pass completes clean.
     After each injected crash, the next forget_keys call must heal to a
     correct, journal-free state — the table always equals either the
     pre-delete or the post-delete rows, and the FINAL retry always
-    lands the delete."""
+    lands the delete.  Runs over BOTH commit protocols: plain journal
+    swap, and the snapshot manifest publish riding it (whose
+    `_atomic_write` renames add more crash points)."""
     import os as _os
 
     real_rename = _os.rename
@@ -365,6 +372,8 @@ def test_crash_point_sweep_every_filesystem_op(spark, tmp_path, monkeypatch):
         k += 1
         path = str(tmp_path / f"t{k}")
         _table(spark, path, n_files=3)
+        if snap:
+            enable_snapshots(path)
 
         calls = {"n": 0}
 
@@ -389,8 +398,13 @@ def test_crash_point_sweep_every_filesystem_op(spark, tmp_path, monkeypatch):
         assert got == set(range(30)) - {5, 25}, f"crash point {k}: {got}"
         assert stats["rows_deleted"] in (0, 1, 2)
         assert not _os.path.exists(_os.path.join(path, _JOURNAL))
+        if snap:
+            assert {
+                r.k for r in read_snapshot(spark, path).collect()
+            } == got, f"crash point {k}: snapshot diverged"
         if not crashed:
             break  # k exceeded the total rename count: clean pass
+        assert k < 48, "sweep runaway: rename count grew unexpectedly"
     assert k > 1  # the sweep actually exercised injected crashes
 
 
