@@ -277,7 +277,10 @@ def vacuum_snapshots(path: str, *, keep_last: int = 1) -> dict:
     keep_from = max(1, head - max(1, keep_last) + 1)
     pinned: set[str] = set()
     for v in range(keep_from, head + 1):
-        pinned |= set(read_manifest(path, v)["files"])
+        # a kept slot can already be gone: an earlier STRONGER vacuum
+        # (smaller keep_last) legitimately removed it
+        if os.path.isfile(_manifest_path(path, v)):
+            pinned |= set(read_manifest(path, v)["files"])
     droppable: set[str] = set()
     drop_versions = [
         v

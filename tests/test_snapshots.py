@@ -227,6 +227,19 @@ def test_ingest_batch_publishes_snapshot(spark, tmp_path):
     assert read_manifest(path)["op"] == "append"
 
 
+def test_vacuum_with_wider_keep_after_stronger_vacuum(spark, tmp_path):
+    """A keep_last wider than what an earlier keep_last=1 vacuum left
+    must not fault on the already-removed manifest slots."""
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    enable_snapshots(path)
+    forget_keys(spark, path, [5], "k")       # v2, default vacuum drops v1
+    forget_keys(spark, path, [6], "k", retain_history=True)  # v3, v2 kept
+    got = vacuum_snapshots(path, keep_last=3)  # window reaches the gap
+    assert got["manifests_removed"] == 0      # nothing old enough to drop
+    assert read_snapshot(spark, path).count() == 28
+
+
 def test_unpublished_appends_are_never_lost(spark, tmp_path):
     """A writer that appends WITHOUT publishing must never lose data:
     (1) vacuum only reclaims files the dropped manifests reference —
