@@ -153,6 +153,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_media_dedup",
     "q_cdc_chunks",
     "q_cdc_dedup",
+    "q_erasure_audit",
     "q_media_frames",
     "q_media_phash",
     "q_media_phash_pairs",

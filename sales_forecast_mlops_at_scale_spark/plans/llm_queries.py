@@ -2264,6 +2264,115 @@ def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+#: Deterministic erasure rule for the governed-table audit: every
+#: doc_id divisible by this modulus is tombstoned.  Part of the root
+#: digest, so a changed rule mints a fresh governed copy.
+_ERASURE_MOD = 97
+
+
+def _erasure_table_root(sf_dir: str) -> str:
+    """Digest-keyed /tmp root for the GOVERNED COPY of ``documents`` —
+    same staleness contract as the materialized IVF-PQ index: the key
+    folds the source files (name+size+mtime) and the erasure rule, so
+    regenerated testdata or a changed rule mints a new root."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    entries = [f"params#{_ERASURE_MOD}"]
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            entries.append(f"{name}#{st.st_size}#{int(st.st_mtime)}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        entries.append(f"{src}#{st.st_size}#{int(st.st_mtime)}")
+    digest = hashlib.sha256("\n".join(entries).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "sfspark_erasure_tbl", digest)
+
+
+def _ensure_erased_table(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the governed copy at most once per (testdata
+    generation, erasure rule): write ``documents`` as a key-clustered
+    multi-file snapshot-enabled table, then run the REAL surgical
+    erasure (``streaming/forget.py``) over it — literal-prune locate,
+    journaled swap, manifest commit, immediate vacuum.  Concurrency-safe
+    via the same staging-then-atomic-rename protocol as the IVF-PQ
+    index builder.  Erasure is idempotent, so a replay converges to the
+    identical table."""
+    import shutil
+    import uuid
+
+    from ..streaming.forget import forget_keys
+    from ..streaming.snapshots import enable_snapshots
+
+    root = _erasure_table_root(sf_dir)
+    marker = os.path.join(root, "_ERASED_COMPLETE")
+    if os.path.exists(marker):
+        return root
+    if os.path.isdir(root):
+        shutil.rmtree(root, ignore_errors=True)
+    staging = f"{root}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    docs = load_table(spark, sf_dir, "documents")
+    # key-clustered multi-file layout: the erasure's [min,max]/IN prune
+    # has real footer stats to act on, exactly as at warehouse scale
+    docs.repartitionByRange(4, "doc_id").sortWithinPartitions(
+        "doc_id"
+    ).write.parquet(staging)
+    enable_snapshots(staging)
+    tombs = [
+        r[0]
+        for r in docs.where((F.col("doc_id") % _ERASURE_MOD) == 0)
+        .select("doc_id")
+        .collect()  # bounded: ~|documents| / MOD ids — erasure requests
+    ]
+    forget_keys(spark, staging, tombs, "doc_id")
+    with open(os.path.join(staging, "_ERASED_COMPLETE"), "w") as fh:
+        fh.write("ok\n")
+    try:
+        os.rename(staging, root)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+    return root
+
+
+def q_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-takedown audit over a GOVERNED table: ``documents`` is
+    materialized as a snapshot-enabled parquet table, every
+    ``doc_id ≡ 0 (mod {_ERASURE_MOD})`` is erased through the real
+    file-surgical delete (locate-prune → journaled swap → manifest
+    commit → vacuum), and the query reports exact per-source integers
+    over what remains.  The oracle computes the same aggregates from
+    the ORIGINAL fixture with the tombstone predicate inverted — so a
+    single surviving erased row, a lost survivor row, or a
+    double-counted duplicate anywhere in the erasure machinery shifts a
+    sum and fails the hash.  (The reference's closest shape is the SQL
+    DELETE its data tooling runs; here it is the warehouse-scale form:
+    only files containing a tombstoned id were rewritten.)"""
+    t = spark.read.parquet(_ensure_erased_table(spark, sf_dir))
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("chars"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+_ERASURE_AUDIT_SQL = f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS chars,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents
+WHERE doc_id IS NULL OR doc_id % {_ERASURE_MOD} <> 0
+GROUP BY source
+ORDER BY source
+"""
+
+
 def q_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN top-5 against a MATERIALIZED index — the production
     search tier: quantizers are trained and the corpus encoded ONCE
@@ -2805,6 +2914,11 @@ QUERIES: dict[str, QueryDef] = {
     "q_pq_topk": QueryDef(q_pq_topk, _PQ_SQL),
     "q_cdc_chunks": QueryDef(q_cdc_chunks, _CDC_CHUNKS_SQL),
     "q_cdc_dedup": QueryDef(q_cdc_dedup, _CDC_DEDUP_SQL),
+    # governed-table erasure audited end-to-end: the Spark side reads a
+    # materialized copy that went through the REAL surgical delete +
+    # snapshot commit + vacuum; the oracle recomputes from the original
+    # fixture with the tombstone rule inverted
+    "q_erasure_audit": QueryDef(q_erasure_audit, _ERASURE_AUDIT_SQL),
     "q_cluster_balance": QueryDef(q_cluster_balance, _CLUSTER_BALANCE_SQL),
     "q_ann_recall_all": QueryDef(q_ann_recall_all, _ann_recall_all_sql()),
     "q_contrastive_negatives": QueryDef(q_contrastive_negatives, _NEGATIVES_SQL),
