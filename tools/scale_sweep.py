@@ -31,6 +31,7 @@ QUERIES = [
     "q_ngram_jaccard",
     "q_winnow_fingerprint",
     "q_cdc_dedup",
+    "q_erasure_audit",
     "q_dsir_select",
     "q_lm_quality",
     "q_bm25_topk",
