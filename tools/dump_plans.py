@@ -14,6 +14,7 @@ TOP = [
     "q_ivfpq_search", "q_ivfpq_index_stats", "q_pq_distortion",
     "q_quantile_sketch", "q_train_metrics_summary", "q_gate_rate",
     "q_cv_split_stats", "q_forecast_weekday", "q_rmse_bands",
+    "q_erasure_audit",
 ]
 NOTES = {
     "q_dedup_clusters": "MinHash-LSH pairs (persisted shingle sets, banded bucket join) feed min-label propagation; four steps + one pointer-doubling shortcut per burst ending in one lazy checkpoint whose materialization rides the convergence count; in-burst convergence detection finishes shallow graphs in ONE driver action; deep graphs escalate to large-star/small-star contraction (O(log^2 n) rounds, diameter-independent); edges pinned once.",
@@ -47,6 +48,7 @@ NOTES = {
     "q_rmse_bands": "CV training job banded by floor(rmse/5) on the shared 4-digit-rounded value - a handful of histogram rows, map-side combinable.",
     "q_cdc_dedup": "Arrow kernel chunking (zero shuffle), then one map-side-combinable digest groupBy - the exact-dedup shape over content-defined chunks.",
     "q_cms_heavy": "Depth x width sketch as one grouped sum per (row,col) cell - map-side combinable grid, heavy-hitter probe reads the broadcast sketch; bounded state regardless of key cardinality.",
+    "q_erasure_audit": "The governed-copy build (key-clustered write + snapshot-enable + surgical erasure + vacuum) happens ONCE per testdata digest OUTSIDE the query plan (same convention as the materialized ANN index); the recorded plan is the steady state a warehouse audit actually runs - a parquet scan of the erased table into one map-side-combinable hash aggregate. The erasure itself rewrote only the files the IN-list prune + semi-join located (footer-stats pruned on the doc_id clustering the build laid down).",
 }
 
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")
