@@ -90,6 +90,31 @@ def _data_files(path: str) -> list[str]:
     return out
 
 
+def _unlink_data_file(root: str, victim: str) -> bool:
+    """Remove one data file plus its Hadoop ``.name.crc`` sidecar, then
+    prune any ``col=value`` ancestor dirs the removal emptied (an empty
+    partition dir is dead weight for every future listing).  Shared by
+    the forget heal and the snapshot vacuum so their on-disk hygiene
+    cannot diverge.  Returns True if the data file existed."""
+    existed = os.path.isfile(victim)
+    if existed:
+        os.unlink(victim)
+    crc = os.path.join(
+        os.path.dirname(victim), f".{os.path.basename(victim)}.crc"
+    )
+    if os.path.isfile(crc):
+        os.unlink(crc)
+    d = os.path.dirname(victim)
+    while (
+        os.path.isdir(d)
+        and os.path.realpath(d) != os.path.realpath(root)
+        and not os.listdir(d)
+    ):
+        os.rmdir(d)
+        d = os.path.dirname(d)
+    return existed
+
+
 def _partition_dirs(path: str) -> list[str]:
     return [
         d
@@ -268,15 +293,18 @@ def compact_parquet_table(
     # listing: with retained history the directory legitimately holds
     # files only old versions reference, and a listing-scan rewrite
     # would resurrect their deleted rows into the compacted table
-    from .snapshots import latest_version, read_manifest, snapshots_enabled
+    from .snapshots import snapshots_enabled, table_frame
 
-    if snapshots_enabled(path) and latest_version(path):
-        rels = read_manifest(path)["files"]
-        df = spark.read.option("basePath", path).parquet(
-            *(os.path.join(path, f) for f in rels)
-        )
-    else:
-        df = spark.read.parquet(path)
+    df, _rels = table_frame(spark, path)
+    if df is None:
+        # zero-file manifest: the table is logically empty — nothing to
+        # compact, and an empty path list cannot even infer a schema
+        return {
+            "files_before": len(files),
+            "files_after": len(files),
+            "bytes": total_bytes,
+            "rows": None,
+        }
     n_rows = df.count()  # PRE-transform: enforces row-preserving migrations
     if transform is not None:
         df = transform(df)

@@ -79,6 +79,7 @@ from .compact import (
     _data_files,
     _invalidate_cached_plans,
     _require_local,
+    _unlink_data_file,
     heal_compaction,
 )
 
@@ -125,25 +126,15 @@ _INLIST_PRUNE_MAX = 1024
 
 
 def _table_frame(spark: SparkSession, path: str):
-    """The table's current frame + the file set it is scoped to.
+    """Delegates to :func:`streaming.snapshots.table_frame` — manifest-
+    scoped on snapshot tables (a directory-scan locate pass would find
+    tombstone matches in retained old-version files and resurrect rows
+    a previous delete removed), directory listing otherwise.  A
+    ``(None, [])`` return means the manifest pins zero files: the
+    caller must no-op."""
+    from .snapshots import table_frame
 
-    Snapshot-enabled tables MUST be read through the LATEST manifest
-    here: with retained history the directory listing legitimately
-    contains old-version files, and a directory-scan locate pass would
-    find tombstone matches in them, re-delete them, and add their
-    survivors to the next manifest — resurrecting rows a previous
-    delete already removed.  Returns ``(df, manifest_relpaths|None)``."""
-    from .snapshots import latest_version, read_manifest, snapshots_enabled
-
-    if snapshots_enabled(path) and latest_version(path):
-        rels = read_manifest(path)["files"]
-        return (
-            spark.read.option("basePath", path).parquet(
-                *(os.path.join(path, f) for f in rels)
-            ),
-            rels,
-        )
-    return spark.read.parquet(path), None
+    return table_frame(spark, path)
 
 
 def _locate_scan(spark: SparkSession, path: str, key_col: str, prune, tomb):
@@ -162,8 +153,11 @@ def _locate_scan(spark: SparkSession, path: str, key_col: str, prune, tomb):
     The ``_metadata.file_path`` hidden column (not ``input_file_name()``)
     is load-bearing: its scan schema differs from any plain read of the
     table, so Spark can never substitute a plan-keyed CACHED frame here
-    (an InMemoryRelation would report empty file names)."""
+    (an InMemoryRelation would report empty file names).  Returns
+    ``None`` when the table is logically empty (zero-file manifest)."""
     frame, _ = _table_frame(spark, path)
+    if frame is None:
+        return None
     return (
         frame.select(
             F.col(key_col), F.col("_metadata.file_path").alias("__file")
@@ -226,34 +220,21 @@ def heal_forget(path: str) -> bool:
         )
     if plan.get("defer_deletes"):
         shutil.rmtree(staging, ignore_errors=True)
-        os.unlink(journal)
+        # vacuum BEFORE the journal unlink: the journal is what carries
+        # the caller's physical-erasure intent across crashes — dropped
+        # first, a crash here would leave the erased bytes on disk with
+        # nothing left to finish the job (replay is safe: moves and
+        # publish above are idempotent, vacuum is a no-op second time)
         if not plan.get("retain_history", False):
             from .snapshots import vacuum_snapshots
 
             vacuum_snapshots(path, keep_last=1)
+        os.unlink(journal)
         return True
     for rel in plan["delete"]:
-        victim = os.path.join(path, rel)
-        if os.path.isfile(victim):
-            os.unlink(victim)
-        # Hadoop's LocalFileSystem keeps a hidden sibling checksum per
-        # part file — orphaning it leaks the dir and blocks the prune
-        crc = os.path.join(
-            os.path.dirname(victim), f".{os.path.basename(victim)}.crc"
-        )
-        if os.path.isfile(crc):
-            os.unlink(crc)
-        # a partition dir fully drained by the delete (and not refilled
-        # by an add — adds ran first) must not linger: an empty
-        # col=value dir is dead weight for every future listing
-        d = os.path.dirname(victim)
-        while (
-            os.path.isdir(d)
-            and os.path.realpath(d) != os.path.realpath(path)
-            and not os.listdir(d)
-        ):
-            os.rmdir(d)
-            d = os.path.dirname(d)
+        # adds ran first, so a partition dir this empties was not
+        # refilled — _unlink_data_file prunes it with the crc sidecar
+        _unlink_data_file(path, os.path.join(path, rel))
     shutil.rmtree(staging, ignore_errors=True)
     os.unlink(journal)
     return True
@@ -276,6 +257,11 @@ def _heal_and_prepare(path: str) -> tuple[str, dict]:
     catchup_publish(path)
     for stale in glob.glob(f"{path.rstrip('/')}.forget-*"):
         shutil.rmtree(stale, ignore_errors=True)
+    for tmp in glob.glob(os.path.join(path, f".{_JOURNAL}.*")):
+        # a crash between writing the journal temp and its rename left
+        # pre-commit garbage the aux-entry copy would otherwise carry
+        # through every future compaction
+        os.unlink(tmp)
     return path, {
         "files_total": len(_data_files(path)),
         "files_rewritten": 0,
@@ -313,14 +299,23 @@ def forget_keys(
     path, no_op = _heal_and_prepare(path)
     if not no_op["files_total"]:
         return no_op
+    # NULL keys can never match the semi-join (SQL IN semantics), and
+    # they poison everything downstream — createDataFrame type
+    # inference on an all-None list, min()/max() on a mixed list — so
+    # a malformed erasure request must not wedge a checkpointed
+    # tombstone drain in a permanent replay loop: drop them here.
     if isinstance(keys, DataFrame):
-        tomb = keys.select(F.col(keys.columns[0]).alias(key_col)).distinct()
+        tomb = (
+            keys.select(F.col(keys.columns[0]).alias(key_col))
+            .where(F.col(key_col).isNotNull())
+            .distinct()
+        )
         lo, hi = tomb.agg(F.min(key_col), F.max(key_col)).first()
         if lo is None:
             return no_op
         prune = F.col(key_col).between(F.lit(lo), F.lit(hi))
     else:
-        vals = list(keys)
+        vals = [v for v in keys if v is not None]
         if not vals:
             return no_op
         tomb = spark.createDataFrame(
@@ -335,10 +330,12 @@ def forget_keys(
     tomb = F.broadcast(tomb)
 
     files_total = no_op["files_total"]
-    affected = [
-        _local_path(r[0])
-        for r in _locate_scan(spark, path, key_col, prune, tomb).collect()
-    ]
+    scan = _locate_scan(spark, path, key_col, prune, tomb)
+    affected = (
+        []
+        if scan is None
+        else [_local_path(r[0]) for r in scan.collect()]
+    )
     if not affected:
         return no_op
     return _surgical_delete(
@@ -533,6 +530,8 @@ def delete_where(
     if not no_op["files_total"]:
         return no_op
     frame, _ = _table_frame(spark, path)
+    if frame is None:  # zero-file manifest: logically empty table
+        return no_op
     affected = [
         _local_path(r[0])
         for r in frame.where(condition)
@@ -611,17 +610,18 @@ def merge_upsert(
         for cl in clauses[1:]:
             prune = prune & cl
         frame, _ = _table_frame(spark, path)
-        affected = [
-            _local_path(r[0])
-            for r in frame.select(
-                *key_cols, F.col("_metadata.file_path").alias("__file")
-            )
-            .where(prune)
-            .join(keys, key_cols, "semi")
-            .select("__file")
-            .distinct()
-            .collect()
-        ]
+        if frame is not None:  # zero-file manifest ⇒ pure insert below
+            affected = [
+                _local_path(r[0])
+                for r in frame.select(
+                    *key_cols, F.col("_metadata.file_path").alias("__file")
+                )
+                .where(prune)
+                .join(keys, key_cols, "semi")
+                .select("__file")
+                .distinct()
+                .collect()
+            ]
     if not affected:
         # pure insert: nothing to rewrite — plain append, one publish
         pcols = (

@@ -168,13 +168,30 @@ def idempotent_append_batch(
     preserving the semantics.  The existing-keys read is pruned to the
     key columns only (column pruning reaches the scan)."""
     spark = batch_df.sparkSession
+
+    def _publish_if_snapshot_table() -> None:
+        try:
+            from .snapshots import publish_snapshot, snapshots_enabled
+
+            snap = snapshots_enabled(target_path)
+        except NotImplementedError:
+            snap = False  # non-local target: snapshots are local-FS only
+        if snap:
+            publish_snapshot(target_path, op="append")
+
     fs = marker = None
     if batch_id is not None:
         fs, marker = _commit_marker_path(
             spark, target_path, f"{app_id}-{batch_id}"
         )
         if fs.exists(marker):
-            return  # batch already fully committed — redelivery is a no-op
+            # batch already fully committed — redelivery is a no-op for
+            # the DATA, but a crash in the marker→publish window may
+            # have left the manifest behind the listing: publishing
+            # here (scan-derived, content-idempotent) closes it even
+            # when this is the drain's final batch
+            _publish_if_snapshot_table()
+            return
     batch_df = batch_df.dropDuplicates(list(natural_key))  # in-batch dups
     partition_values: list[tuple] | None = None
     if partition_by:

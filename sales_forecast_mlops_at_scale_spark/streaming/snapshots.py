@@ -42,10 +42,20 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .compact import _data_files, _require_local
+from .compact import _data_files, _require_local, _unlink_data_file
 
 _SNAPDIR = "_snapshots"
 _LATEST = "LATEST"
+#: Incremental index of every file ANY manifest has ever referenced —
+#: what makes per-publish cost O(new files) instead of re-parsing every
+#: retained manifest (O(versions × files), quadratic over an append-only
+#: day of micro-batches).  Ever-referenced is the exact set the
+#: ``listing − referenced`` fresh-append derivation needs: a file
+#: referenced only by dropped manifests was either deleted by the
+#: vacuum or its manifest is still present (vacuum removes files first,
+#: manifests last).  Advisory on read — missing/corrupt rebuilds from
+#: the retained manifests.
+_REFS = "REFS.json"
 
 
 def _snap_dir(path: str) -> str:
@@ -87,6 +97,32 @@ def read_manifest(path: str, version: int | None = None) -> dict:
         return json.load(fh)
 
 
+def _referenced_files(path: str) -> set[str]:
+    """Every file any manifest has ever referenced (see ``_REFS``).
+    Reads the incremental index when present; otherwise rebuilds
+    exactly from the retained manifests (single-writer, so the index
+    can only be missing/stale, never wrong for files that still exist
+    on disk — a stale index misses only head-manifest files, which the
+    derivation re-includes through the ``head ∩ listing`` term)."""
+    rp = os.path.join(_snap_dir(path), _REFS)
+    if os.path.isfile(rp):
+        with open(rp, encoding="utf-8") as fh:
+            return set(json.load(fh))
+    refs: set[str] = set()
+    for v in range(1, latest_version(path) + 1):
+        mp = _manifest_path(path, v)
+        if os.path.isfile(mp):
+            with open(mp, encoding="utf-8") as fh:
+                refs |= set(json.load(fh)["files"])
+    return refs
+
+
+def _record_refs(path: str, refs: set[str]) -> None:
+    _atomic_write(
+        os.path.join(_snap_dir(path), _REFS), json.dumps(sorted(refs))
+    )
+
+
 def publish_snapshot(
     path: str,
     *,
@@ -118,12 +154,7 @@ def publish_snapshot(
     if files is None:
         listing = {os.path.relpath(f, path) for f in _data_files(path)}
         if current and op != "heal-compact":
-            referenced: set[str] = set()
-            for v in range(1, current + 1):
-                mp = _manifest_path(path, v)
-                if os.path.isfile(mp):
-                    with open(mp, encoding="utf-8") as fh:
-                        referenced |= set(json.load(fh)["files"])
+            referenced = _referenced_files(path)
             files = sorted(
                 (set(read_manifest(path, current)["files"]) & listing)
                 | (listing - referenced)
@@ -132,19 +163,57 @@ def publish_snapshot(
             # fresh table — or a post-compaction state, where the swap
             # replaced every file and the listing IS the whole truth
             files = sorted(listing)
+    files = sorted(files)
+    if current and files == read_manifest(path, current)["files"]:
+        # no-change publish (a no-op batch, a redelivered marker-hit
+        # replay): minting an identical version would bloat history.
+        # Still fold the files into the refs index — a stale index is
+        # what got us here, and this is the heal point.
+        _record_refs(path, _referenced_files(path) | set(files))
+        return current
     version = current + 1
     manifest = {
         "version": version,
         "parent": current,
         "op": op,
         "run_id": run_id,
-        "files": sorted(files),
+        "files": files,
     }
     _atomic_write(_manifest_path(path, version), json.dumps(manifest))
     # the pointer flip IS the commit: readers resolve LATEST first, so
     # they see version N or N+1 in full, never a partial state
     _atomic_write(os.path.join(snap, _LATEST), str(version))
+    # refs AFTER the commit: a crash window here leaves the index one
+    # version stale, which the derivation tolerates (head ∩ listing)
+    # and any no-change publish heals
+    _record_refs(path, _referenced_files(path) | set(files))
     return version
+
+
+def table_frame(spark: SparkSession, path: str):
+    """The table's current frame + the file set it is scoped to —
+    the ONE reader every maintenance rewrite must use.
+
+    Snapshot-enabled tables are read through the LATEST manifest: with
+    retained history the directory listing legitimately contains files
+    only old versions reference, and a listing-scan rewrite would
+    resurrect their deleted rows.  Returns ``(df, manifest_relpaths)``;
+    ``(None, [])`` means the manifest pins ZERO files (every row
+    deleted, history retained) — the table is logically empty and the
+    caller must no-op rather than scan (an empty path list cannot
+    infer a schema).  Flat tables return ``(listing_df, None)``."""
+    path = _require_local(path)
+    if snapshots_enabled(path) and latest_version(path):
+        rels = read_manifest(path)["files"]
+        if not rels:
+            return None, []
+        return (
+            spark.read.option("basePath", path).parquet(
+                *(os.path.join(path, f) for f in rels)
+            ),
+            rels,
+        )
+    return spark.read.parquet(path), None
 
 
 def enable_snapshots(path: str) -> int:
@@ -227,12 +296,7 @@ def catchup_publish(path: str) -> int | None:
     if not snapshots_enabled(path) or not latest_version(path):
         return None
     current = set(read_manifest(path)["files"])
-    referenced: set[str] = set()
-    for v in range(1, latest_version(path) + 1):
-        mp = _manifest_path(path, v)
-        if os.path.isfile(mp):
-            with open(mp, encoding="utf-8") as fh:
-                referenced |= set(json.load(fh)["files"])
+    referenced = _referenced_files(path)
     listing = {os.path.relpath(f, path) for f in _data_files(path)}
     fresh = listing - referenced
     if not fresh:
@@ -291,23 +355,8 @@ def vacuum_snapshots(path: str, *, keep_last: int = 1) -> dict:
         droppable |= set(read_manifest(path, v)["files"])
     removed = 0
     for rel in sorted(droppable - pinned):
-        f = os.path.join(path, rel)
-        if os.path.isfile(f):
-            os.unlink(f)
+        if _unlink_data_file(path, os.path.join(path, rel)):
             removed += 1
-        crc = os.path.join(
-            os.path.dirname(f), f".{os.path.basename(f)}.crc"
-        )
-        if os.path.isfile(crc):
-            os.unlink(crc)
-        d = os.path.dirname(f)
-        while (
-            os.path.isdir(d)
-            and os.path.realpath(d) != os.path.realpath(path)
-            and not os.listdir(d)
-        ):
-            os.rmdir(d)
-            d = os.path.dirname(d)
     # files first, manifests last: a crash mid-vacuum re-derives the
     # drop set from the still-present manifests on the next run
     manifests_removed = 0

@@ -287,6 +287,131 @@ def test_unpublished_appends_are_never_lost(spark, tmp_path):
     assert read_snapshot(spark, p3).count() == 31
 
 
+def test_delete_all_rows_then_maintenance_noops(spark, tmp_path):
+    """A retained-history delete of EVERY row leaves a zero-file head
+    manifest while old files stay on disk: the table is logically
+    empty, and subsequent forget / delete_where / compaction must
+    no-op instead of failing schema inference on an empty path list."""
+    from sales_forecast_mlops_at_scale_spark.streaming.compact import (
+        compact_parquet_table,
+    )
+    from sales_forecast_mlops_at_scale_spark.streaming.forget import (
+        delete_where,
+    )
+
+    path = str(tmp_path / "t")
+    # partitioned layout: a fully-tombstoned partitionBy staging write
+    # emits NO files, which is what produces the zero-file manifest
+    spark.createDataFrame(
+        [(i, i % 2, f"v{i}") for i in range(20)], ["k", "d", "v"]
+    ).repartition("d").write.partitionBy("d").parquet(path)
+    enable_snapshots(path)
+    stats = forget_keys(
+        spark, path, list(range(20)), "k", retain_history=True
+    )
+    assert stats["rows_deleted"] == 20
+    assert read_manifest(path)["files"] == []
+
+    again = forget_keys(spark, path, [5], "k", retain_history=True)
+    assert again["rows_deleted"] == 0
+    assert delete_where(spark, path, "k > 0")["rows_deleted"] == 0
+    c = compact_parquet_table(spark, path, partition_by=["d"])
+    assert c["rows"] is None  # logically empty: nothing to compact
+    # the old version is still time-travel readable throughout
+    assert read_snapshot(spark, path, version=1).count() == 20
+
+
+def test_marker_hit_redelivery_still_publishes(spark, tmp_path):
+    """Crash window between the commit marker and the snapshot publish:
+    the redelivered (marker-hit) batch must publish the manifest the
+    crashed run never did — even when it is the drain's final batch."""
+    from sales_forecast_mlops_at_scale_spark.streaming.ingest import (
+        idempotent_append_batch,
+    )
+
+    path = str(tmp_path / "t")
+    b = spark.createDataFrame([(1, "a", 1.0)], ["store", "productname", "sales"])
+    b.write.parquet(path)
+    enable_snapshots(path)
+
+    # simulate: batch 7 appended its files and created its marker, but
+    # died before publish — the manifest is one batch behind
+    b2 = spark.createDataFrame([(2, "b", 2.0)], ["store", "productname", "sales"])
+    b2.write.mode("append").parquet(path)
+    commits = os.path.join(path, "_commits")
+    os.makedirs(commits, exist_ok=True)
+    with open(os.path.join(commits, "app-7"), "w") as fh:
+        fh.write("")
+    assert read_snapshot(spark, path).count() == 1  # stale manifest
+
+    # redelivery of batch 7 hits the marker — and must still publish
+    idempotent_append_batch(
+        b2, path, ("store", "productname"), batch_id=7, app_id="app"
+    )
+    assert read_snapshot(spark, path).count() == 2
+
+
+def test_null_tombstone_keys_are_ignored_not_fatal(spark, tmp_path):
+    """A malformed erasure request with NULL ids must not wedge the
+    drain: NULLs can never match (SQL IN semantics), so they are
+    dropped — mixed lists delete the real keys, all-NULL no-ops."""
+    path = str(tmp_path / "t")
+    _three = [(i, f"v{i}") for i in range(10)]
+    spark.createDataFrame(_three, ["k", "v"]).coalesce(1).write.parquet(path)
+
+    assert forget_keys(spark, path, [None, None], "k")["rows_deleted"] == 0
+    stats = forget_keys(spark, path, [None, 5], "k")
+    assert stats["rows_deleted"] == 1
+    # >1024 values with a None mixed in (the min()/max() range path)
+    stats = forget_keys(
+        spark, path, [None] + list(range(100, 1300)), "k"
+    )
+    assert stats["rows_deleted"] == 0  # none of those keys exist
+    tomb = spark.createDataFrame([(None,), (7,)], "k long")
+    assert forget_keys(spark, path, tomb, "k")["rows_deleted"] == 1
+    assert {r.k for r in spark.read.parquet(path).collect()} == (
+        set(range(10)) - {5, 7}
+    )
+
+
+def test_refs_index_speeds_publish_and_rebuilds(spark, tmp_path):
+    """The REFS index makes publish O(new files); deleting it must be
+    harmless (exact rebuild from retained manifests), and the
+    resurrect-prevention property must hold either way."""
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    enable_snapshots(path)
+    forget_keys(spark, path, [5], "k", retain_history=True)
+    refs_file = os.path.join(path, "_snapshots", "REFS.json")
+    assert os.path.isfile(refs_file)
+
+    os.unlink(refs_file)  # stale/lost index: rebuild path
+    spark.createDataFrame([(300, "x")], ["k", "v"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    publish_snapshot(path, op="append")
+    got = {r.k for r in read_snapshot(spark, path).collect()}
+    assert got == (set(range(30)) - {5}) | {300}  # no resurrection
+    assert os.path.isfile(refs_file)  # re-recorded by the publish
+
+
+def test_stale_journal_temp_is_reaped(spark, tmp_path):
+    """A crash between writing the journal temp and its rename leaves
+    dot-prefixed garbage inside the table; the next maintenance entry
+    must reap it rather than carry it through every future rewrite."""
+    from sales_forecast_mlops_at_scale_spark.streaming.forget import (
+        _JOURNAL as J,
+    )
+
+    path = str(tmp_path / "t")
+    _table(spark, path, n_files=1)
+    tmp = os.path.join(path, f".{J}.deadbeef")
+    with open(tmp, "w") as fh:
+        fh.write("{}")
+    forget_keys(spark, path, [0], "k")
+    assert not os.path.exists(tmp)
+
+
 def test_clone_snapshot_is_zero_copy_and_isolated(spark, tmp_path):
     """A clone hardlinks the pinned files (same inode — metadata-only
     cost) yet is fully isolated: a surgical delete on the clone leaves
