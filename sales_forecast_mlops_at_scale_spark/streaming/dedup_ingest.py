@@ -76,10 +76,24 @@ def dedup_ingest_batch(
     # site, stale plans evicted on the next invocation), so a long
     # stream holds a BOUNDED number of cached frames — no session-global
     # clearCache, which would also wipe caches this module doesn't own
+    from .snapshots import publish_snapshot, snapshots_enabled
+
+    def _publish_tiers() -> None:
+        # snapshot-enabled tiers get per-batch atomic reader visibility
+        # (scan-derived publish — appends only ever ADD files; a no-op
+        # batch short-circuits without minting a version)
+        for tier in ("docs", "sets", "bands"):
+            p = f"{root_path}/{tier}"
+            if snapshots_enabled(p):
+                publish_snapshot(p, op="append")
+
     fs = marker = None
     if batch_id is not None:
         fs, marker = _commit_marker_path(spark, root_path, f"{app_id}-{batch_id}")
         if fs.exists(marker):
+            # redelivery: data already committed, but a crash in the
+            # marker→publish window may have left manifests stale
+            _publish_tiers()
             return
     batch_df = batch_df.dropDuplicates([id_col])
 
@@ -146,6 +160,7 @@ def dedup_ingest_batch(
     accepted.unpersist()
     if marker is not None:
         fs.createNewFile(marker)  # marker LAST — see ingest.py
+    _publish_tiers()
 
 
 def compact_corpus_tables(

@@ -87,10 +87,22 @@ def vector_ingest_batch(
     # (empty parquet reads back non-None, so training never re-runs)
     if batch_df.isEmpty():
         return
+    from .snapshots import publish_snapshot, snapshots_enabled
+
+    def _publish_tiers() -> None:
+        # snapshot-enabled tiers get per-batch atomic reader visibility
+        # (scan-derived publish; no-op batches mint no version)
+        for tier in ("vectors", "assignments", "codes", "rejected"):
+            p = f"{root_path}/{tier}"
+            if snapshots_enabled(p):
+                publish_snapshot(p, op="append")
+
     fs = marker = None
     if batch_id is not None:
         fs, marker = _commit_marker_path(spark, root_path, f"{app_id}-{batch_id}")
         if fs.exists(marker):
+            # redelivery: data committed; heal any marker→publish crash
+            _publish_tiers()
             return
     batch_df = batch_df.dropDuplicates([id_col]).persist()
     # the dedup path below may REBIND batch_df to a derived frame; this
@@ -211,6 +223,7 @@ def vector_ingest_batch(
     pinned_batch.unpersist()
     if marker is not None:
         fs.createNewFile(marker)  # marker LAST — see ingest.py
+    _publish_tiers()
 
 
 def search_materialized(

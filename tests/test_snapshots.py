@@ -412,6 +412,51 @@ def test_stale_journal_temp_is_reaped(spark, tmp_path):
     assert not os.path.exists(tmp)
 
 
+def test_dedup_and_vector_ingests_auto_publish_snapshot_tiers(spark, tmp_path):
+    """Once a maintained tier is snapshot-enabled, every micro-batch
+    publishes it: snapshot readers track the ingest without waiting for
+    a maintenance catch-up."""
+    from sales_forecast_mlops_at_scale_spark.streaming.dedup_ingest import (
+        dedup_ingest_batch,
+    )
+    from sales_forecast_mlops_at_scale_spark.streaming.vector_ingest import (
+        vector_ingest_batch,
+    )
+
+    root = str(tmp_path / "corpus")
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "completely different text about shuffle hash joins")],
+        "doc_id long, text string",
+    )
+    dedup_ingest_batch(b1, root)
+    enable_snapshots(f"{root}/docs")
+    b2 = spark.createDataFrame(
+        [(9, "a third, unrelated document about parquet footers")],
+        "doc_id long, text string",
+    )
+    dedup_ingest_batch(b2, root)
+    got = read_snapshot(spark, f"{root}/docs")
+    assert {r.doc_id for r in got.collect()} == {1, 2, 9}
+
+    vroot = str(tmp_path / "index")
+
+    def vec(seed):
+        return [float(((seed * 31 + d * 7) % 1009) - 504) for d in range(64)]
+
+    seed_df = spark.createDataFrame(
+        [(i, vec(i)) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    vector_ingest_batch(seed_df, vroot, dim=64, batch_id=0)
+    enable_snapshots(f"{vroot}/codes")
+    more = spark.createDataFrame(
+        [(100, vec(100))], "vec_id long, embedding array<double>"
+    )
+    vector_ingest_batch(more, vroot, dim=64, batch_id=1)
+    codes = read_snapshot(spark, f"{vroot}/codes")
+    assert codes.where(F.col("vec_id") == 100).count() == 32  # M code rows
+
+
 def test_clone_snapshot_is_zero_copy_and_isolated(spark, tmp_path):
     """A clone hardlinks the pinned files (same inode — metadata-only
     cost) yet is fully isolated: a surgical delete on the clone leaves
