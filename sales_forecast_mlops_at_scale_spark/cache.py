@@ -31,11 +31,18 @@ materialized table with the same keying.
 from __future__ import annotations
 
 import hashlib
+import threading
 from collections import OrderedDict
 
 from pyspark.sql import DataFrame
 
 _LIVE: dict[str, tuple[int, str, DataFrame]] = {}
+#: Serializes slot read-evict-replace: concurrent streaming queries
+#: (foreachBatch bodies run on separate driver threads) interleaving on
+#: one slot would otherwise each persist a frame and overwrite the
+#: other's registry entry — the overwritten frame stays cached with no
+#: reference, leaking executor memory every batch.
+_LIVE_LOCK = threading.Lock()
 
 
 _STAT_FILE_CAP = 1024
@@ -87,7 +94,21 @@ def _walk_leaves(df: DataFrame) -> tuple[list[str], str | None]:
     files: list[str] = []
     data_parts: list[str] = []
     opaque = False
-    stack = [df._jdf.queryExecution().analyzed()]
+    root = df._jdf.queryExecution().analyzed()
+    stack = [root]
+    # subquery expressions (scalar/IN/EXISTS) hang off expressions, not
+    # children(), so a child-only walk would silently OMIT their
+    # relations from the key — a table referenced only inside a
+    # subquery could then be rewritten without changing the key, the
+    # exact stale-aliasing class the opaque rule exists to prevent.
+    # subqueriesAll is recursive, so ONE py4j call covers every level;
+    # if the accessor ever moves, refuse to key rather than under-key.
+    try:
+        subs = root.subqueriesAll()
+        for i in range(subs.size()):
+            stack.append(subs.apply(i))
+    except Exception:  # noqa: BLE001 — API surface change
+        opaque = True
     while stack:
         node = stack.pop()
         ch = node.children()
@@ -218,24 +239,25 @@ def persist_slot(
     if key is None:
         return df.persist()
     h, canon = key
-    prev = _LIVE.get(slot)
-    if prev is not None:
-        ph, pcanon, pdf = prev
-        same_session = pdf.sparkSession is df.sparkSession
-        if same_session and ph == h and pcanon == canon:
-            # a spark.catalog.clearCache() elsewhere unpersists the frame
-            # behind the registry's back; returning it as-is would
-            # silently lose the cache — re-pin before handing it out
-            if pdf.storageLevel.useMemory or pdf.storageLevel.useDisk:
-                return pdf
-            return pdf.persist()
-        try:
-            pdf.unpersist(False)
-        except Exception:  # noqa: BLE001 — stopped session
-            pass
-    out = df.persist()
-    _LIVE[slot] = (h, canon, out)
-    return out
+    with _LIVE_LOCK:
+        prev = _LIVE.get(slot)
+        if prev is not None:
+            ph, pcanon, pdf = prev
+            same_session = pdf.sparkSession is df.sparkSession
+            if same_session and ph == h and pcanon == canon:
+                # a spark.catalog.clearCache() elsewhere unpersists the
+                # frame behind the registry's back; returning it as-is
+                # would silently lose the cache — re-pin first
+                if pdf.storageLevel.useMemory or pdf.storageLevel.useDisk:
+                    return pdf
+                return pdf.persist()
+            try:
+                pdf.unpersist(False)
+            except Exception:  # noqa: BLE001 — stopped session
+                pass
+        out = df.persist()
+        _LIVE[slot] = (h, canon, out)
+        return out
 
 
 _KEYLESS: list[DataFrame] = []
@@ -337,12 +359,13 @@ def track_keyless(df: DataFrame) -> DataFrame:
 def clear_slots() -> None:
     """Unpersist and drop every live slot and every tracked keyless
     persist (tests / session teardown)."""
-    for _, _, df in _LIVE.values():
-        try:
-            df.unpersist(False)
-        except Exception:  # noqa: BLE001
-            pass
-    _LIVE.clear()
+    with _LIVE_LOCK:
+        for _, _, df in _LIVE.values():
+            try:
+                df.unpersist(False)
+            except Exception:  # noqa: BLE001
+                pass
+        _LIVE.clear()
     for df in _KEYLESS:
         try:
             df.unpersist(False)

@@ -131,7 +131,17 @@ def minhash_incremental_pairs(
     )
     if corpus_sets is None:
         corpus_sets = shingle_sets(corpus_df, text_col, id_col, n=n)
-    corpus_sets = persist_slot("minhash.corpus_sets", corpus_sets)
+    if corpus_bands is None:
+        # derived in-session sets feed TWO consumers (signature agg +
+        # exact verify) — pin so the shingling runs once.  With
+        # corpus_bands given (the streaming ingest), corpus_sets is the
+        # MATERIALIZED file-backed table with ONE consumer (the exact
+        # verify), and the table grows every batch so its digest-keyed
+        # slot would never hit: pinning would materialize the ENTIRE
+        # corpus into executor cache per micro-batch and evict it on
+        # the next — O(corpus) cache churn for zero reuse, violating
+        # the O(batch) ingest contract.
+        corpus_sets = persist_slot("minhash.corpus_sets", corpus_sets)
     k = bands * rows_per_band
     new_sigs = minhash_signatures(new_df, text_col, id_col, n=n, num_hashes=k, sets=new_sets)
     nb = _band_buckets(new_sigs, bands=bands, rows_per_band=rows_per_band)

@@ -76,17 +76,21 @@ def dedup_ingest_batch(
     # site, stale plans evicted on the next invocation), so a long
     # stream holds a BOUNDED number of cached frames — no session-global
     # clearCache, which would also wipe caches this module doesn't own
-    from .snapshots import publish_snapshot, snapshots_enabled
+    from .snapshots import publish_enabled_tiers
 
     def _publish_tiers() -> None:
         # snapshot-enabled tiers get per-batch atomic reader visibility
         # (scan-derived publish — appends only ever ADD files; a no-op
-        # batch short-circuits without minting a version)
-        for tier in ("docs", "sets", "bands"):
-            p = f"{root_path}/{tier}"
-            if snapshots_enabled(p):
-                publish_snapshot(p, op="append")
+        # batch short-circuits without minting a version; non-local
+        # roots no-op inside the helper)
+        publish_enabled_tiers(root_path, ("docs", "sets", "bands"))
 
+    # an empty batch (restart/commit-only trigger) must not run the LSH
+    # pipeline, three appends, and a marker write — and must not mint
+    # empty tier tables whose existence flips the stored-corpus branch
+    # for every later batch (the same guard as vector_ingest)
+    if batch_df.isEmpty():
+        return
     fs = marker = None
     if batch_id is not None:
         fs, marker = _commit_marker_path(spark, root_path, f"{app_id}-{batch_id}")
@@ -131,33 +135,41 @@ def dedup_ingest_batch(
         batch_df = batch_df.join(drop_cross, id_col, "left_anti")
 
     accepted = batch_df.persist()  # feeds all three appends; tiny (one batch)
-    # per-table anti-join on id: a torn retry (docs append landed, sets
-    # append did not — or vice versa) self-heals by appending ONLY each
-    # table's missing rows, so the two tables re-enter lockstep without
-    # duplicates; the marker then short-circuits clean redeliveries
-    docs_existing = _read_or_none(spark, f"{root_path}/docs")
-    docs_delta = accepted
-    if docs_existing is not None:
-        docs_delta = accepted.join(
-            docs_existing.select(id_col), id_col, "left_anti"
-        )
-    docs_delta.write.mode("append").parquet(f"{root_path}/docs")
-    accepted_sets = shingle_sets(accepted, text_col, id_col, n=n)
-    sets_delta = accepted_sets.withColumnRenamed("doc", id_col)
-    if stored_sets is not None:
-        sets_delta = sets_delta.join(
-            stored_sets.select(id_col), id_col, "left_anti"
-        )
-    sets_delta.write.mode("append").parquet(f"{root_path}/sets")
-    bands_delta = band_rows(
-        None, text_col, id_col, sets=accepted_sets, n=n
-    ).withColumnRenamed("doc", id_col)
-    if stored_bands is not None:
-        bands_delta = bands_delta.join(
-            stored_bands.select(id_col).distinct(), id_col, "left_anti"
-        )
-    bands_delta.write.mode("append").parquet(f"{root_path}/bands")
-    accepted.unpersist()
+    # the shingle stage feeds TWO separate write actions (sets + bands)
+    # — unpinned, the regex+HOF shingling would run twice per batch
+    accepted_sets = shingle_sets(accepted, text_col, id_col, n=n).persist()
+    try:
+        # per-table anti-join on id: a torn retry (docs append landed,
+        # sets append did not — or vice versa) self-heals by appending
+        # ONLY each table's missing rows, so the tables re-enter
+        # lockstep without duplicates; the marker then short-circuits
+        # clean redeliveries
+        docs_existing = _read_or_none(spark, f"{root_path}/docs")
+        docs_delta = accepted
+        if docs_existing is not None:
+            docs_delta = accepted.join(
+                docs_existing.select(id_col), id_col, "left_anti"
+            )
+        docs_delta.write.mode("append").parquet(f"{root_path}/docs")
+        sets_delta = accepted_sets.withColumnRenamed("doc", id_col)
+        if stored_sets is not None:
+            sets_delta = sets_delta.join(
+                stored_sets.select(id_col), id_col, "left_anti"
+            )
+        sets_delta.write.mode("append").parquet(f"{root_path}/sets")
+        bands_delta = band_rows(
+            None, text_col, id_col, sets=accepted_sets, n=n
+        ).withColumnRenamed("doc", id_col)
+        if stored_bands is not None:
+            bands_delta = bands_delta.join(
+                stored_bands.select(id_col).distinct(), id_col, "left_anti"
+            )
+        bands_delta.write.mode("append").parquet(f"{root_path}/bands")
+    finally:
+        # released even when an append fails: a streaming retry must
+        # not accumulate a pinned pair per attempt
+        accepted_sets.unpersist()
+        accepted.unpersist()
     if marker is not None:
         fs.createNewFile(marker)  # marker LAST — see ingest.py
     _publish_tiers()

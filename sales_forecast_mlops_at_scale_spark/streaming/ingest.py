@@ -167,18 +167,9 @@ def idempotent_append_batch(
     anti-join formulation keeps this container dependency-free while
     preserving the semantics.  The existing-keys read is pruned to the
     key columns only (column pruning reaches the scan)."""
+    from .snapshots import publish_if_enabled
+
     spark = batch_df.sparkSession
-
-    def _publish_if_snapshot_table() -> None:
-        try:
-            from .snapshots import publish_snapshot, snapshots_enabled
-
-            snap = snapshots_enabled(target_path)
-        except NotImplementedError:
-            snap = False  # non-local target: snapshots are local-FS only
-        if snap:
-            publish_snapshot(target_path, op="append")
-
     fs = marker = None
     if batch_id is not None:
         fs, marker = _commit_marker_path(
@@ -190,7 +181,7 @@ def idempotent_append_batch(
             # have left the manifest behind the listing: publishing
             # here (scan-derived, content-idempotent) closes it even
             # when this is the drain's final batch
-            _publish_if_snapshot_table()
+            publish_if_enabled(target_path)
             return
     batch_df = batch_df.dropDuplicates(list(natural_key))  # in-batch dups
     partition_values: list[tuple] | None = None
@@ -217,18 +208,11 @@ def idempotent_append_batch(
         # marker LAST: a crash before this line leaves no marker, so the
         # retry re-runs the (idempotent) anti-join append
         fs.createNewFile(marker)
-    try:
-        from .snapshots import publish_snapshot, snapshots_enabled
-
-        snap = snapshots_enabled(target_path)
-    except NotImplementedError:
-        snap = False  # non-local target: snapshots are local-FS only
-    if snap:
-        # atomic reader visibility for the batch (scan-mode publish is
-        # correct here: appends only ever ADD files).  A crash between
-        # the marker and this line merely delays visibility to the next
-        # batch's publish — never duplicates, never partial state.
-        publish_snapshot(target_path, op="append")
+    # atomic reader visibility for the batch (scan-mode publish is
+    # correct here: appends only ever ADD files).  A crash between the
+    # marker and this line merely delays visibility to the redelivery's
+    # or the next batch's publish — never duplicates, never partial.
+    publish_if_enabled(target_path)
 
 
 def run_stream_ingest(

@@ -216,6 +216,27 @@ def table_frame(spark: SparkSession, path: str):
     return spark.read.parquet(path), None
 
 
+def publish_if_enabled(path: str, *, op: str = "append") -> int | None:
+    """Per-batch publish for a single table IF snapshots are enabled on
+    it — scheme-agnostic: a non-local path (where snapshots cannot
+    exist) is a silent no-op, so remote-store ingests keep working.
+    Every ingest's per-batch publish goes through here so the guard
+    cannot be forgotten at a call site."""
+    try:
+        enabled = snapshots_enabled(path)
+    except NotImplementedError:
+        return None  # non-local: snapshots are local-FS only
+    return publish_snapshot(path, op=op) if enabled else None
+
+
+def publish_enabled_tiers(
+    root_path: str, tiers, *, op: str = "append"
+) -> None:
+    """:func:`publish_if_enabled` over every tier under ``root_path``."""
+    for tier in tiers:
+        publish_if_enabled(f"{root_path}/{tier}", op=op)
+
+
 def enable_snapshots(path: str) -> int:
     """Turn the table at ``path`` into a snapshot-tracked table, pinning
     its current listing as version 1.  No-op (returns the current

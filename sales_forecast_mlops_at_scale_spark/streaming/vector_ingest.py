@@ -87,15 +87,15 @@ def vector_ingest_batch(
     # (empty parquet reads back non-None, so training never re-runs)
     if batch_df.isEmpty():
         return
-    from .snapshots import publish_snapshot, snapshots_enabled
+    from .snapshots import publish_enabled_tiers
 
     def _publish_tiers() -> None:
         # snapshot-enabled tiers get per-batch atomic reader visibility
-        # (scan-derived publish; no-op batches mint no version)
-        for tier in ("vectors", "assignments", "codes", "rejected"):
-            p = f"{root_path}/{tier}"
-            if snapshots_enabled(p):
-                publish_snapshot(p, op="append")
+        # (scan-derived publish; no-op batches mint no version;
+        # non-local roots no-op inside the helper)
+        publish_enabled_tiers(
+            root_path, ("vectors", "assignments", "codes", "rejected")
+        )
 
     fs = marker = None
     if batch_id is not None:
@@ -104,13 +104,55 @@ def vector_ingest_batch(
             # redelivery: data committed; heal any marker→publish crash
             _publish_tiers()
             return
+    if dedup_threshold is not None and dedup_rerank < 1:
+        raise ValueError(
+            "dedup_threshold needs dedup_rerank >= 1: the threshold is a "
+            "cosine score, which only the exact re-rank tier produces "
+            "(rerank=0 returns ADC distances)"
+        )
     batch_df = batch_df.dropDuplicates([id_col]).persist()
-    # the dedup path below may REBIND batch_df to a derived frame; this
-    # handle keeps the original persist releasable (no cached-copy leak
-    # per micro-batch with rejections)
-    pinned_batch = batch_df
+    # every persisted frame lands here so ONE finally releases them all:
+    # a transient append failure must not leak pinned frames into each
+    # streaming retry (the accumulation cache.py exists to prevent)
+    pins: list[DataFrame] = [batch_df]
     d_sub = dim // m if dim else None
 
+    try:
+        _vector_ingest_body(
+            spark, batch_df, root_path, pins,
+            id_col=id_col, vec_col=vec_col, num_centroids=num_centroids,
+            m=m, n_codewords=n_codewords, dim=dim, d_sub=d_sub,
+            dedup_threshold=dedup_threshold, dedup_nprobe=dedup_nprobe,
+            dedup_rerank=dedup_rerank,
+        )
+    finally:
+        for df in pins:
+            df.unpersist()
+    if marker is not None:
+        fs.createNewFile(marker)  # marker LAST — see ingest.py
+    _publish_tiers()
+
+
+def _vector_ingest_body(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    root_path: str,
+    pins: list,
+    *,
+    id_col: str,
+    vec_col: str,
+    num_centroids: int,
+    m: int,
+    n_codewords: int,
+    dim: int | None,
+    d_sub: int | None,
+    dedup_threshold: float | None,
+    dedup_nprobe: int,
+    dedup_rerank: int,
+) -> None:
+    """The append work of :func:`vector_ingest_batch`, factored so the
+    caller's try/finally releases every frame appended to ``pins`` no
+    matter where a write fails."""
     centroids = _read_or_none(spark, f"{root_path}/centroids")
     codebook = _read_or_none(spark, f"{root_path}/pq_codebook")
     if centroids is None or codebook is None:
@@ -135,12 +177,18 @@ def vector_ingest_batch(
         centroids = spark.read.parquet(f"{root_path}/centroids")
         codebook = spark.read.parquet(f"{root_path}/pq_codebook")
 
-    # frames pinned for the duration of the append actions; released in
-    # one place at the end so no lineage re-executes mid-flight
-    extra_pins: list[DataFrame] = []
     if dedup_threshold is not None:
         existing_vecs = _read_or_none(spark, f"{root_path}/vectors")
-        if existing_vecs is not None:
+        # the CODES tier must exist too: a torn first batch can crash
+        # between the vectors and codes appends, and a search against a
+        # codes-less index would fail on every replay BEFORE the
+        # self-healing anti-join appends run — wedging the stream.  No
+        # codes ⇒ no committed searchable corpus ⇒ nothing to dedup
+        # against yet; the anti-joins below heal the torn tiers.
+        if (
+            existing_vecs is not None
+            and _read_or_none(spark, f"{root_path}/codes") is not None
+        ):
             matches = search_materialized(
                 spark,
                 root_path,
@@ -170,7 +218,7 @@ def vector_ingest_batch(
                 .join(existing_vecs.select(id_col).distinct(), id_col, "left_anti")
                 .persist()
             )
-            extra_pins.append(rejected)
+            pins.append(rejected)
             # ONE unconditional append action per batch: redelivery
             # idempotence folds into the same anti-join the index tiers
             # use, and an empty delta write is cheap — no isEmpty() probe
@@ -197,7 +245,9 @@ def vector_ingest_batch(
     # downstream action (the appends are separate Spark actions)
     c = _prepared(batch_df, id_col, vec_col)
     resid = ivfpq_residuals(c, centroids).persist()
+    pins.append(resid)
     codes = ivfpq_encode(resid, codebook, m=m, d_sub=d_sub).persist()
+    pins.append(codes)
 
     def _append(delta: DataFrame, table: str, key: str) -> None:
         existing = _read_or_none(spark, f"{root_path}/{table}")
@@ -216,14 +266,6 @@ def vector_ingest_batch(
         "codes",
         id_col,
     )
-    codes.unpersist()
-    resid.unpersist()
-    for df in extra_pins:
-        df.unpersist()
-    pinned_batch.unpersist()
-    if marker is not None:
-        fs.createNewFile(marker)  # marker LAST — see ingest.py
-    _publish_tiers()
 
 
 def search_materialized(

@@ -147,3 +147,31 @@ def test_value_memo_session_checked_and_cleared(spark):
     assert len(builds) == 3
     clear_slots()
     assert not _MEMO
+
+
+def test_plan_key_covers_subquery_relations(spark, tmp_path):
+    """Subquery expressions hang off expressions, not children(): a
+    child-only walk omitted their relations from the key, so a table
+    referenced only inside a scalar subquery could be rewritten without
+    changing the key — the stale-aliasing class the opaque rule exists
+    to prevent."""
+    import shutil
+
+    from sales_forecast_mlops_at_scale_spark.cache import _plan_key
+
+    p1, p2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    spark.range(10).selectExpr("id AS x").write.parquet(p1)
+    spark.range(5).selectExpr("id AS y").write.parquet(p2)
+
+    def q():
+        spark.read.parquet(p1).createOrReplaceTempView("sq_t1")
+        spark.read.parquet(p2).createOrReplaceTempView("sq_t2")
+        return spark.sql(
+            "SELECT * FROM sq_t1 WHERE x > (SELECT max(y) FROM sq_t2)"
+        )
+
+    k1 = _plan_key(q())
+    assert k1 is not None  # subquery plans stay keyable
+    shutil.rmtree(p2)
+    spark.range(7).selectExpr("id AS y").write.parquet(p2)
+    assert _plan_key(q()) != k1  # the subquery table's rewrite is seen

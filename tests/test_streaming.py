@@ -1081,3 +1081,67 @@ def test_compact_no_op_and_non_local_guard(spark, tmp_path):
 
     with pytest.raises(NotImplementedError, match="local paths only"):
         compact_parquet_table(spark, "hdfs://nn/warehouse/t")
+
+
+def test_vector_ingest_dedup_survives_codes_less_replay(spark, tmp_path):
+    """Torn first batch: the vectors append landed but the codes append
+    did not (crash between them).  The replay's dedup search must NOT
+    read the missing codes tier — that wedged the stream permanently —
+    and the anti-join appends must heal the torn tiers."""
+    import shutil
+
+    from sales_forecast_mlops_at_scale_spark.streaming.vector_ingest import (
+        vector_ingest_batch,
+    )
+
+    root = str(tmp_path / "index")
+
+    def vec(seed):
+        return [float(((seed * 31 + d * 7) % 1009) - 504) for d in range(64)]
+
+    seed_df = spark.createDataFrame(
+        [(i, vec(i)) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    vector_ingest_batch(seed_df, root, dim=64, dedup_threshold=0.99)
+    # simulate the crash point: codes (and assignments) never landed
+    shutil.rmtree(f"{root}/codes")
+    shutil.rmtree(f"{root}/assignments")
+
+    vector_ingest_batch(seed_df, root, dim=64, dedup_threshold=0.99)  # replay
+    import os
+
+    assert os.path.isdir(f"{root}/codes")
+    assert spark.read.parquet(f"{root}/codes").count() == 40 * 32
+    assert spark.read.parquet(f"{root}/vectors").count() == 40  # no dups
+
+
+def test_vector_ingest_rejects_threshold_without_rerank(spark, tmp_path):
+    import pytest
+
+    from sales_forecast_mlops_at_scale_spark.streaming.vector_ingest import (
+        vector_ingest_batch,
+    )
+
+    b = spark.createDataFrame(
+        [(1, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dedup_rerank"):
+        vector_ingest_batch(
+            b, str(tmp_path / "i"), dim=64, dedup_threshold=0.9, dedup_rerank=0
+        )
+
+
+def test_dedup_ingest_empty_batch_is_a_pure_noop(spark, tmp_path):
+    from sales_forecast_mlops_at_scale_spark.streaming.dedup_ingest import (
+        dedup_ingest_batch,
+    )
+
+    root = str(tmp_path / "corpus")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    dedup_ingest_batch(empty, root)
+    import os
+
+    # no tier tables minted: an empty-batch-created table would flip the
+    # stored-corpus branch for every later batch
+    assert not os.path.exists(f"{root}/docs")
+    assert not os.path.exists(f"{root}/sets")
