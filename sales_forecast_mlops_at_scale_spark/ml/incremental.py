@@ -13,8 +13,11 @@ metrics AND an order-independent content fingerprint of the series rows
 that produced them.  Each run:
 
 1. fingerprints the current series per group — ``count`` + commutative
-   ``bit_xor`` of per-row ``xxhash64(date, y)``; any insert, update, or
-   delete anywhere in a group's history moves its fingerprint,
+   ``bit_xor`` + commutative decimal ``sum`` of per-row
+   ``xxhash64(date, y)``; any insert, update, or delete anywhere in a
+   group's history moves the fingerprint unless it simultaneously
+   collides all three (the sum exists because XOR alone cancels on
+   even-multiplicity multiset swaps, e.g. {h,h} → {g,g}),
 2. joins against the stored tier: unchanged groups CARRY their stored
    metrics, changed/new groups are STALE, vanished groups are dropped,
 3. retrains ONLY the stale groups (semi-join prune feeding the batched
@@ -56,7 +59,7 @@ from pyspark.sql import functions as F
 
 from .train import train_groups
 
-_FP_COLS = ("fp_rows", "fp_content")
+_FP_COLS = ("fp_rows", "fp_content", "fp_sum")
 _POINTER = "_CURRENT"
 _PARAMS = "_PARAMS.json"
 
@@ -68,17 +71,26 @@ def series_fingerprints(
     date_col: str = "ds",
     y_col: str = "y",
 ) -> DataFrame:
-    """Per-group content fingerprint: exact row count + commutative XOR of
-    per-row ``xxhash64`` over (date, y) as strings (string casts make the
-    hash input engine- and type-stable).  XOR is order-independent, so
-    partial aggregation composes freely; a duplicated (date, y) row pair
-    would cancel in the XOR but still moves ``fp_rows``."""
+    """Per-group content fingerprint: exact row count + commutative XOR
+    + commutative SUM of per-row ``xxhash64`` over (date, y) as strings
+    (string casts make the hash input engine- and type-stable).  All
+    three are order-independent, so partial aggregation composes freely.
+
+    The XOR alone is blind to replacing one EVEN-multiplicity row
+    multiset with another of equal count ({h,h} and {g,g} both cancel);
+    the SUM moves under exactly that class (2h → 2g), so a carried
+    'unchanged' verdict requires a simultaneous count+xor+sum collision.
+    The sum runs in DECIMAL(38,0): ANSI mode would throw on a long
+    overflow, and decimal stays exact and mergeable for 10**19 rows."""
     row_hash = F.xxhash64(
         F.col(date_col).cast("string"), F.col(y_col).cast("string")
     )
     return series.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("fp_rows"),
         F.bit_xor(row_hash).alias("fp_content"),
+        F.sum(row_hash.cast("decimal(20,0)"))
+        .cast("decimal(38,0)")
+        .alias("fp_sum"),
     )
 
 
@@ -104,9 +116,14 @@ def delta_fingerprints(
     row_hash = F.xxhash64(
         F.col(date_col).cast("string"), F.col(y_col).cast("string")
     )
+    # the sum contribution is SIGNED (insert adds the hash, delete
+    # subtracts it — sum's self-inverse, like XOR's re-XOR); multiply in
+    # decimal so op=-1 against Long.MIN_VALUE cannot overflow under ANSI
+    signed = op.cast("decimal(2,0)") * row_hash.cast("decimal(20,0)")
     return delta.groupBy(*keys).agg(
         F.sum(op).alias("fp_rows"),
         F.bit_xor(row_hash).alias("fp_content"),
+        F.sum(signed).cast("decimal(38,0)").alias("fp_sum"),
     )
 
 
@@ -117,14 +134,15 @@ def merge_fingerprints(prev: DataFrame, delta: DataFrame, keys: Sequence[str]) -
     ``(keys..., fp_rows, fp_content)``; commutative and associative, so
     ingest batches can fold in any order."""
     keys = list(keys)
-    p = prev.select(*keys, "fp_rows", "fp_content")
-    d = delta.select(*keys, "fp_rows", "fp_content")
+    p = prev.select(*keys, *_FP_COLS)
+    d = delta.select(*keys, *_FP_COLS)
     merged = (
         p.unionByName(d)
         .groupBy(*keys)
         .agg(
             F.sum("fp_rows").alias("fp_rows"),
             F.bit_xor("fp_content").alias("fp_content"),
+            F.sum("fp_sum").cast("decimal(38,0)").alias("fp_sum"),
         )
     )
     return merged.filter(F.col("fp_rows") > 0)
@@ -138,7 +156,10 @@ def _params_sig(keys, model_spec, n_splits, date_col, y_col) -> str:
             "n_splits": n_splits,
             "date_col": date_col,
             "y_col": y_col,
-            "v": 1,
+            # v2: fp_sum column added to the fingerprint schema — old
+            # generations (no fp_sum) invalidate cleanly into a full
+            # retrain instead of a schema mismatch
+            "v": 2,
         },
         sort_keys=True,
     )
@@ -163,6 +184,13 @@ def _gc_generations(state_root: str, keep: set[str | None]) -> None:
     for name in os.listdir(state_root):
         if name.startswith("gen-") and name not in keep:
             shutil.rmtree(os.path.join(state_root, name), ignore_errors=True)
+        elif name.startswith(".ptr-"):
+            # a crash between writing the pointer temp and os.replace
+            # orphans it; nothing else ever reaps these
+            try:
+                os.unlink(os.path.join(state_root, name))
+            except OSError:
+                pass
 
 
 def _read_state(
@@ -202,11 +230,16 @@ def incremental_train(
     ``train_groups(series, ...)`` — retraining only groups whose
     fingerprint changed since the last committed state generation.
 
-    Pass ``stats={}`` to receive ``n_groups / n_stale / n_carried`` (runs
-    two extra counts over the SMALL per-group frames; leave ``None`` on
-    hot paths).  Returns the published generation read back from disk, so
-    repeated evaluation of the result is a stable parquet scan, not a
-    training job."""
+    Pass ``stats={}`` to receive ``n_groups / n_stale / n_carried`` (the
+    warm path reuses the quiescence-check counts; the cold path runs two
+    counts over the SMALL per-group frames).  Returns the published
+    generation read back from disk, so repeated evaluation of the result
+    is a stable parquet scan, not a training job.
+
+    SINGLE WRITER per ``state_root`` between runs — the same contract as
+    every maintenance pass in this repo: two concurrent trainers could
+    GC each other's freshly committed generation (the weekly-retrain
+    cadence this models is scheduler-serialized by nature)."""
     spark = series.sparkSession
     keys = list(keys)
     sig = _params_sig(keys, model_spec, n_splits, date_col, y_col)
@@ -218,20 +251,27 @@ def incremental_train(
     # pin it for the function's lifetime
     fp = series_fingerprints(series, keys, date_col=date_col, y_col=y_col).persist()
     try:
+        n_stale = n_groups = None
         if prev is None:
             stale_keys = fp.select(*keys)
             carried = None
+            # cold start: every group is stale — the semi-join against
+            # the full key set would be a no-op probe of every series
+            # row on exactly the run that is already the most expensive
+            stale_series = series
         else:
             prev_fp = prev.select(
                 *keys,
                 F.col("fp_rows").alias("__prev_rows"),
                 F.col("fp_content").alias("__prev_content"),
+                F.col("fp_sum").alias("__prev_sum"),
             )
             j = fp.join(prev_fp, keys, "left")
             stale_keys = j.filter(
                 F.col("__prev_rows").isNull()
                 | (F.col("__prev_rows") != F.col("fp_rows"))
                 | (F.col("__prev_content") != F.col("fp_content"))
+                | (F.col("__prev_sum") != F.col("fp_sum"))
             ).select(*keys)
             # quiescent fast path: nothing added/changed AND nothing
             # deleted → the committed generation IS the answer; return it
@@ -244,11 +284,10 @@ def incremental_train(
                         n_stale=0, n_groups=n_groups, n_carried=n_groups
                     )
                 return prev.drop(*_FP_COLS)
-            # inner semi-join on keys AND both fingerprint fields: carries
+            # inner semi-join on keys AND all fingerprint fields: carries
             # only groups that still exist unchanged; vanished groups drop
             carried = prev.join(fp, [*keys, *_FP_COLS], "left_semi")
-
-        stale_series = series.join(stale_keys, keys, "left_semi")
+            stale_series = series.join(stale_keys, keys, "left_semi")
         fresh = train_groups(
             stale_series,
             keys,
@@ -267,8 +306,14 @@ def incremental_train(
         )
 
         if stats is not None:
-            stats["n_stale"] = stale_keys.count()
-            stats["n_groups"] = fp.count()
+            # the warm path already ran these two counts for the
+            # quiescence check — don't pay the probe join twice
+            stats["n_stale"] = (
+                n_stale if n_stale is not None else stale_keys.count()
+            )
+            stats["n_groups"] = (
+                n_groups if n_groups is not None else fp.count()
+            )
             stats["n_carried"] = stats["n_groups"] - stats["n_stale"]
 
         prev_gen = _current_gen(state_root)

@@ -66,17 +66,34 @@ BatchKernel = Callable[[pd.DataFrame, np.ndarray, np.ndarray], pd.DataFrame]
 def group_starts(pdf: pd.DataFrame, keys: Sequence[str]) -> np.ndarray:
     """Start positions of the contiguous key-groups of ``pdf`` (which must
     be sorted/clustered by ``keys``).  Null-safe: NaN == NaN for grouping
-    purposes, matching SQL GROUP BY semantics."""
+    purposes, matching SQL GROUP BY semantics.
+
+    Boundaries are found by POSITIONAL comparison of the raw arrays —
+    never ``shift()``, whose int64→float64 upcast makes surrogate keys
+    ≥ 2**53 that differ only in low bits compare EQUAL, silently fusing
+    two groups into one (wrong results for both at the ~1M-group scale
+    this module exists for)."""
     n = len(pdf)
     if n == 0:
         return np.empty(0, dtype=np.int64)
     change = np.zeros(n, dtype=bool)
-    for k in keys:
-        s = pdf[k]
-        prev = s.shift()
-        neq = s.ne(prev) & ~(s.isna() & prev.isna())
-        change |= neq.to_numpy(dtype=bool, na_value=False)
     change[0] = True
+    for k in keys:
+        a = pdf[k].to_numpy()  # dtype-preserving: int64 stays int64
+        isna = pd.isna(a)
+        raw = a[1:] != a[:-1]
+        if isna.any():
+            # SQL GROUP BY null semantics: null == null, null != value.
+            # Masking BEFORE astype also neutralizes pd.NA comparisons,
+            # which return pd.NA instead of a bool.
+            neq = np.where(
+                isna[1:] & isna[:-1],
+                False,
+                np.where(isna[1:] ^ isna[:-1], True, raw),
+            ).astype(bool)
+        else:
+            neq = np.asarray(raw, dtype=bool)
+        change[1:] |= neq
     return np.nonzero(change)[0].astype(np.int64)
 
 
@@ -87,30 +104,48 @@ def _batched_group_gen(
 ) -> Iterator[pd.DataFrame]:
     """Drive ``kernel`` over complete groups, carrying the trailing group
     of each Arrow batch into the next (it may continue there)."""
-    pending: pd.DataFrame | None = None
+    # fragments of the (possibly batch-spanning) trailing group: kept as
+    # a LIST and concatenated once per flush — re-concatenating the
+    # accumulated prefix on every batch would cost O(k²) row copies for
+    # a group spanning k Arrow batches
+    pending: list[pd.DataFrame] = []
     for pdf in batches:
         if len(pdf) == 0:
             continue
-        if pending is not None:
-            pdf = pd.concat([pending, pdf], ignore_index=True)
-            pending = None
         starts = group_starts(pdf, keys)
+        if pending:
+            # the seam (last carried row vs this batch's first) decides
+            # whether the carry continues without touching the fragments
+            seam = pd.concat(
+                [pending[-1].iloc[-1:], pdf.iloc[:1]], ignore_index=True
+            )
+            if len(group_starts(seam, keys)) == 1 and len(starts) == 1:
+                pending.append(pdf)  # O(1): still one unbroken group
+                continue
+            pdf = pd.concat([*pending, pdf], ignore_index=True)
+            pending = []
+            starts = group_starts(pdf, keys)
         if len(starts) == 1:
-            # the whole batch is (a continuation of) one group — keep
-            # accumulating until a new key or the partition end shows up
-            pending = pdf
+            # the whole batch is one group — keep accumulating until a
+            # new key or the partition end shows up
+            pending = [pdf]
             continue
         cut = int(starts[-1])  # trailing group: fate unknown until next batch
-        pending = pdf.iloc[cut:].reset_index(drop=True)
+        pending = [pdf.iloc[cut:].reset_index(drop=True)]
         body = pdf.iloc[:cut]
         ends = np.append(starts[1:-1], cut).astype(np.int64)
         out = kernel(body, starts[:-1], ends)
         if out is not None and len(out):
             yield out
-    if pending is not None and len(pending):
-        starts = group_starts(pending, keys)
-        ends = np.append(starts[1:], len(pending)).astype(np.int64)
-        out = kernel(pending, starts, ends)
+    if pending:
+        tail = (
+            pending[0]
+            if len(pending) == 1
+            else pd.concat(pending, ignore_index=True)
+        )
+        starts = group_starts(tail, keys)
+        ends = np.append(starts[1:], len(tail)).astype(np.int64)
+        out = kernel(tail, starts, ends)
         if out is not None and len(out):
             yield out
 
@@ -127,12 +162,14 @@ def sorted_group_map(
     """Grouped map with batch-amortized Python overhead (see module doc).
 
     ``pre_partitioned=True`` asserts the caller already hash-partitioned
-    ``df`` on (a prefix-superset of) ``keys`` — e.g. via an upstream
+    ``df`` on a (non-empty) SUBSET of ``keys`` — e.g. via an upstream
     ``repartition(*keys)`` that also feeds an aggregate — and skips the
-    exchange entirely; the partition-local sort still runs.  Passing an
-    unpartitioned frame with this flag silently corrupts group boundaries,
-    so it is opt-in and the ML callers that use it cite the exchange they
-    reuse."""
+    exchange entirely; the partition-local sort still runs.  A subset is
+    the safe direction: partitioning on FEWER columns co-locates every
+    row of each key-group (coarser buckets), while a strict SUPERSET
+    would scatter one group across partitions and silently corrupt
+    boundaries.  Opt-in; the ML callers that use it cite the exchange
+    they reuse (they partition on exactly ``keys``)."""
     keys = list(keys)
     part = df if pre_partitioned else df.repartition(*keys)
     ordered = part.sortWithinPartitions(*keys, *order_cols)

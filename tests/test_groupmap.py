@@ -211,3 +211,24 @@ def test_prophet_spec_still_routes_to_apply_in_pandas(spark, series):
     )
     plan = df._jdf.queryExecution().analyzed().toString()
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_group_starts_preserves_int64_precision():
+    """shift()'s int64→float64 upcast made surrogate keys >= 2**53 that
+    differ only in low bits compare EQUAL, fusing adjacent groups into
+    one — the positional raw-array comparison must keep them apart."""
+    import numpy as np
+    import pandas as pd
+
+    from sales_forecast_mlops_at_scale_spark.operators.groupmap import (
+        group_starts,
+    )
+
+    big = 2**53
+    pdf = pd.DataFrame({"k": np.array([big, big, big + 1, big + 1, big + 2], dtype=np.int64)})
+    assert group_starts(pdf, ["k"]).tolist() == [0, 2, 4]
+    # null-safety unchanged: NaN == NaN groups, NaN != value splits
+    pdf = pd.DataFrame({"k": [1.0, float("nan"), float("nan"), 2.0]})
+    assert group_starts(pdf, ["k"]).tolist() == [0, 1, 3]
+    pdf = pd.DataFrame({"k": ["a", "a", None, None, "b"]})
+    assert group_starts(pdf, ["k"]).tolist() == [0, 2, 4]

@@ -104,6 +104,34 @@ def test_value_change_same_rowcount_detected(spark, sales, tmp_path):
     assert _canon(out) == _canon(full)
 
 
+def test_even_multiplicity_swap_detected(spark, sales, tmp_path):
+    """XOR alone cancels on even-multiplicity multiset swaps — replacing
+    a duplicated row PAIR {h,h} with a different duplicated pair {g,g}
+    keeps the count and the XOR identical; the sum fingerprint must
+    still mark the group stale so the carried metrics never go stale."""
+    dup = spark.createDataFrame(
+        [(99, "z", dt.date(2025, 1, d), v)
+         for d, v in [(1, 10.0), (2, 7.0), (2, 7.0), (3, 4.0)]],
+        "store int, productname string, date date, sales double",
+    )
+    base = sales.unionByName(dup)
+    root = tmp_path / "state"
+    _inc(base, root)
+
+    swapped = spark.createDataFrame(
+        [(99, "z", dt.date(2025, 1, d), v)
+         for d, v in [(1, 10.0), (2, 8.0), (2, 8.0), (3, 4.0)]],
+        "store int, productname string, date date, sales double",
+    )
+    mutated = sales.unionByName(swapped)
+    out, stats = _inc(mutated, root)
+    assert stats["n_stale"] == 1  # the swap is SEEN despite XOR cancel
+    full = train_groups(
+        mutated, KEYS, model_spec="seasonal_naive", date_col="date", y_col="sales"
+    )
+    assert _canon(out) == _canon(full)
+
+
 def test_vanished_group_dropped(spark, sales, tmp_path):
     root = tmp_path / "state"
     _inc(sales, root)
