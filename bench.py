@@ -185,17 +185,31 @@ def main() -> None:
     spark.catalog.clearCache()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # noisy queries get extra reps (up to max_reps) until the WARM spread
+    # (reps 2..N — rep 1 is the cold/build path, reported as "first")
+    # drops under 10% of the min: min-of-5 where it matters, min-of-3
+    # where 3 already agree, so the recorded number rides above the
+    # run-to-run noise band instead of inside it
+    max_reps = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "5")))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     firsts: dict[str, float] = {}
     for name in names:
         runs = []
-        for _ in range(reps):
+        while len(runs) < reps:
             t0 = time.perf_counter()
             registry[name].fn(spark, SF_DIR).count()
             runs.append(time.perf_counter() - t0)
+        while len(runs) < max_reps:
+            warm = runs[1:] if len(runs) > 1 else runs
+            if max(warm) - min(warm) <= 0.10 * min(runs):
+                break
+            t0 = time.perf_counter()
+            registry[name].fn(spark, SF_DIR).count()
+            runs.append(time.perf_counter() - t0)
+        warm = runs[1:] if len(runs) > 1 else runs
         timings[name] = round(min(runs), 3)
-        spreads[name] = round(max(runs) - min(runs), 3)
+        spreads[name] = round(max(warm) - min(warm), 3)
         # isolate queries from each other: reps of THIS query share its
         # persist-slot caches (so "min" is the intra-query warm path),
         # but the next query starts from a clean cache state — otherwise
@@ -227,6 +241,20 @@ def main() -> None:
         "queries": timings,
     }
     print(json.dumps(payload))
+    # the driver keeps only a bounded window of output, which truncates
+    # the big line above from the FRONT (losing "value") — so ALSO print
+    # one final compact line (<1 KB) carrying the headline total and the
+    # worst-query mins: small enough to survive any tail window, and
+    # parseable on its own
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": payload["value"],
+        "unit": "sec",
+        "sf": payload["sf"],
+        "n_queries": len(timings),
+        "slowest": slowest,
+    }))
     # full, untruncated artifact for the per-round commit
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
     if out_path:

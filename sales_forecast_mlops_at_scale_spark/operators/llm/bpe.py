@@ -277,10 +277,20 @@ def _safe_merge_prefix(
                 break
             if {a, b} & used:
                 break
+        # intra-batch collision: two accepted merges can mint the SAME
+        # concatenation (('a','bc') then ('ab','c') both produce 'abc')
+        # without tripping merged_exists (which only sees PRE-batch
+        # symbols) or the overlap stop (which checks {a,b}, not a+b).
+        # After such a double mint a pair containing the shared symbol
+        # can reach the SUM of two old adjacent counts while the
+        # strict-bound stop only bounds by the MAX — so, exactly like
+        # the collision stop, accept this candidate (it is still the
+        # sequential argmax at its step) but end the batch here.
+        intra_collision = (a + b) in used
         accepted.append((a, b))
         accepted_pairs.add(r["pair"])
         used |= {a, b, a + b}
-        if r["merged_exists"] or len(accepted) >= budget:
+        if r["merged_exists"] or intra_collision or len(accepted) >= budget:
             break
     return accepted
 

@@ -2311,7 +2311,26 @@ def _ensure_erased_table(spark: SparkSession, sf_dir: str) -> str:
     if os.path.exists(marker):
         return root
     if os.path.isdir(root):
-        shutil.rmtree(root, ignore_errors=True)
+        # TOCTOU guard: a concurrent builder can complete its atomic
+        # rename between the marker check above and any removal — so
+        # never rmtree a root that might be complete.  Rename it ASIDE
+        # first (atomic claim of exactly one directory), re-check the
+        # marker on the claimed copy, and only destroy a PROVABLY stale
+        # half-build; a just-completed build is put back (or served
+        # from the aside path if a rival re-occupied the root).
+        aside = f"{root}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(root, aside)
+        except OSError:
+            pass  # another builder already claimed/removed it
+        else:
+            if os.path.exists(os.path.join(aside, "_ERASED_COMPLETE")):
+                try:
+                    os.rename(aside, root)
+                    return root
+                except OSError:
+                    return aside
+            shutil.rmtree(aside, ignore_errors=True)
     staging = f"{root}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     docs = load_table(spark, sf_dir, "documents")
     # key-clustered multi-file layout: the erasure's [min,max]/IN prune

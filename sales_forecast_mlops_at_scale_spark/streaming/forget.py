@@ -70,6 +70,7 @@ import os
 import shutil
 import uuid
 from collections.abc import Iterable, Sequence
+from itertools import islice
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -116,6 +117,41 @@ def _partition_cols(path: str, files: Sequence[str]) -> list[str]:
             f"inconsistent partition layout under {path!r}: {sorted(seqs)}"
         )
     return list(seqs.pop()) if seqs else []
+
+
+#: Driver-memory bound for file-surgical passes: matched file paths are
+#: pulled in chunks of this many via ``toLocalIterator`` and each chunk
+#: is applied as its own journaled swap, so a broad predicate matching
+#: most of a 1M-file table never materializes the full path list on the
+#: driver (at 128 MB part files a chunk bounds one pass to ~512 GB of
+#: rewrites).  The locate scan's parquet read is the map stage of the
+#: ``distinct()`` shuffle, fully materialized before the first chunk is
+#: yielded — later chunks read shuffle output, never the (by then
+#: partially rewritten) table files.
+_AFFECTED_CHUNK_FILES = 4096
+
+
+def _affected_chunks(scan, chunk_files: int):
+    """Yield matched-file-path lists of at most ``chunk_files`` from a
+    locate scan without ever holding the full list on the driver."""
+    if scan is None:
+        return
+    it = scan.toLocalIterator()
+    while True:
+        chunk = [_local_path(r[0]) for r in islice(it, chunk_files)]
+        if not chunk:
+            return
+        yield chunk
+
+
+def _merge_stats(total: dict, part: dict) -> dict:
+    """Accumulate per-chunk surgical-pass stats into a single report."""
+    total["files_rewritten"] += part["files_rewritten"]
+    total["rows_deleted"] += part["rows_deleted"]
+    total["rows_before"] = (total["rows_before"] or 0) + (
+        part["rows_before"] or 0
+    )
+    return total
 
 
 #: Above this many explicit tombstone values the prune predicate is the
@@ -278,6 +314,7 @@ def forget_keys(
     *,
     target_file_bytes: int = 128 << 20,
     retain_history: bool = False,
+    max_files_per_pass: int = _AFFECTED_CHUNK_FILES,
 ) -> dict:
     """Delete every row of the parquet table at ``path`` whose
     ``key_col`` appears in ``keys``, rewriting ONLY the files that
@@ -285,7 +322,9 @@ def forget_keys(
     ``files_total, files_rewritten, rows_deleted, rows_before`` —
     untouched files are bit-identical afterwards (same inode, same
     bytes), which is what keeps an erasure pass O(matched files), not
-    O(table).
+    O(table).  Matched paths are consumed in ``max_files_per_pass``
+    chunks (each its own journaled, crash-healing swap), so even a key
+    set touching most of a million-file table stays driver-bounded.
 
     ``keys`` may be a small iterable of values or a single-column
     DataFrame (its first column is used); either way it is broadcast.
@@ -331,26 +370,25 @@ def forget_keys(
 
     files_total = no_op["files_total"]
     scan = _locate_scan(spark, path, key_col, prune, tomb)
-    affected = (
-        []
-        if scan is None
-        else [_local_path(r[0]) for r in scan.collect()]
-    )
-    if not affected:
-        return no_op
-    return _surgical_delete(
-        spark,
-        path,
-        affected,
-        lambda hit: (
-            hit.join(tomb, key_col, "semi").count(),
-            hit.join(tomb, key_col, "left_anti"),
-        ),
-        files_total=no_op["files_total"],
-        target_file_bytes=target_file_bytes,
-        op="forget",
-        retain_history=retain_history,
-    )
+    stats = no_op
+    for affected in _affected_chunks(scan, max_files_per_pass):
+        stats = _merge_stats(
+            stats,
+            _surgical_delete(
+                spark,
+                path,
+                affected,
+                lambda hit: (
+                    hit.join(tomb, key_col, "semi").count(),
+                    hit.join(tomb, key_col, "left_anti"),
+                ),
+                files_total=files_total,
+                target_file_bytes=target_file_bytes,
+                op="forget",
+                retain_history=retain_history,
+            ),
+        )
+    return stats
 
 
 def _surgical_delete(
@@ -512,6 +550,7 @@ def delete_where(
     *,
     target_file_bytes: int = 128 << 20,
     retain_history: bool = False,
+    max_files_per_pass: int = _AFFECTED_CHUNK_FILES,
 ) -> dict:
     """Predicate-based file-surgical delete — the ``MERGE DELETE`` /
     ``DELETE FROM t WHERE …`` analog of :func:`forget_keys`.
@@ -523,7 +562,10 @@ def delete_where(
     three-valued semantics).  A simple condition (range, IN, equality)
     pushes into the locate scan's parquet footer stats, so on a table
     clustered on the filtered column only a sliver is read and only
-    matching files are rewritten."""
+    matching files are rewritten.  A BROAD predicate (matching most of
+    the table) is still driver-safe: matched paths stream in
+    ``max_files_per_pass`` chunks, each applied as its own journaled
+    swap — the full path list never materializes on the driver."""
     if isinstance(condition, str):
         condition = F.expr(condition)
     path, no_op = _heal_and_prepare(path)
@@ -532,30 +574,33 @@ def delete_where(
     frame, _ = _table_frame(spark, path)
     if frame is None:  # zero-file manifest: logically empty table
         return no_op
-    affected = [
-        _local_path(r[0])
-        for r in frame.where(condition)
+    scan = (
+        frame.where(condition)
         .select(F.col("_metadata.file_path").alias("__file"))
         .distinct()
-        .collect()
-    ]
-    if not affected:
-        return no_op
-    return _surgical_delete(
-        spark,
-        path,
-        affected,
-        lambda hit: (
-            hit.where(condition).count(),
-            # NULL-condition rows SURVIVE a delete (3VL), so the keep
-            # filter is NOT(coalesce(cond, false)), not plain NOT(cond)
-            hit.where(~F.coalesce(condition, F.lit(False))),
-        ),
-        files_total=no_op["files_total"],
-        target_file_bytes=target_file_bytes,
-        op="delete_where",
-        retain_history=retain_history,
     )
+    stats = no_op
+    for affected in _affected_chunks(scan, max_files_per_pass):
+        stats = _merge_stats(
+            stats,
+            _surgical_delete(
+                spark,
+                path,
+                affected,
+                lambda hit: (
+                    hit.where(condition).count(),
+                    # NULL-condition rows SURVIVE a delete (3VL), so the
+                    # keep filter is NOT(coalesce(cond, false)), not
+                    # plain NOT(cond)
+                    hit.where(~F.coalesce(condition, F.lit(False))),
+                ),
+                files_total=no_op["files_total"],
+                target_file_bytes=target_file_bytes,
+                op="delete_where",
+                retain_history=retain_history,
+            ),
+        )
+    return stats
 
 
 def merge_upsert(
@@ -580,7 +625,14 @@ def merge_upsert(
     skip files on a key-clustered table).  ``updates`` is deduplicated
     on ``key_cols`` first (last-writer-wins needs an explicit ordering
     upstream; MERGE semantics reject multiple matches).  On a
-    partitioned table ``updates`` must carry the partition columns."""
+    partitioned table ``updates`` must carry the partition columns.
+
+    Unlike :func:`delete_where`, the matched-file list here is collected
+    whole: it is inherently driver-bounded at O(distinct update keys)
+    (each key matches at most a handful of files), and the
+    delete-matched + insert pair must land as ONE journaled swap — a
+    chunked merge would expose readers to a deleted-but-not-reinserted
+    middle state."""
     path, no_op = _heal_and_prepare(path)
     key_cols = list(key_cols)
     updates = updates.dropDuplicates(key_cols)

@@ -123,6 +123,39 @@ def _record_refs(path: str, refs: set[str]) -> None:
     )
 
 
+def _roll_forward(path: str) -> int:
+    """Complete any commit that crashed between its manifest CAS and its
+    ``LATEST`` flip: a manifest AHEAD of LATEST is always complete (the
+    hardlink CAS publishes whole files only), so flipping forward is the
+    commit protocol's redo.  Called at every writer entry point; returns
+    the (possibly advanced) current version."""
+    current = latest_version(path)
+    snap = _snap_dir(path)
+    while os.path.isfile(_manifest_path(path, current + 1)):
+        current += 1
+        _atomic_write(os.path.join(snap, _LATEST), str(current))
+    return current
+
+
+def _commit_manifest(path: str, version: int, manifest: dict) -> bool:
+    """Exclusive version CAS: stage the manifest fully, then hardlink it
+    to ``v{version}.json`` — the link either atomically publishes this
+    COMPLETE file or fails with ``FileExistsError`` because another
+    writer minted the version first.  No partially-written manifest can
+    ever carry the final name.  Returns False when the CAS is lost."""
+    target = _manifest_path(path, version)
+    tmp = f"{target}.stage.{os.getpid()}.{id(manifest)}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(json.dumps(manifest))
+    try:
+        os.link(tmp, target)
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
 def publish_snapshot(
     path: str,
     *,
@@ -142,52 +175,80 @@ def publish_snapshot(
 
     Idempotent per ``run_id``: re-publishing the same run (a healed
     crash replay) returns the already-committed version instead of
-    minting a duplicate."""
+    minting a duplicate.
+
+    Single-writer is ENFORCED, not just documented: the version number
+    is minted by an exclusive hardlink CAS (:func:`_commit_manifest`),
+    so two racing publishers can never both own ``v{N+1}`` — the loser
+    re-reads the winner's LATEST and retries its derivation, or (when it
+    carried an EXPLICIT file list, i.e. a journaled swap whose base
+    state the winner just changed) fails loudly rather than silently
+    last-writer-winning."""
     path = _require_local(path)
     snap = _snap_dir(path)
     os.makedirs(snap, exist_ok=True)
-    current = latest_version(path)
-    if run_id is not None and current:
-        head = read_manifest(path, current)
-        if head.get("run_id") == run_id:
+    files_arg = files
+    for _attempt in range(64):
+        current = _roll_forward(path)
+        if run_id is not None and current:
+            head = read_manifest(path, current)
+            if head.get("run_id") == run_id:
+                return current
+        files = files_arg
+        if files is None:
+            listing = {os.path.relpath(f, path) for f in _data_files(path)}
+            if current and op != "heal-compact":
+                referenced = _referenced_files(path)
+                files = sorted(
+                    (set(read_manifest(path, current)["files"]) & listing)
+                    | (listing - referenced)
+                )
+            else:
+                # fresh table — or a post-compaction state, where the
+                # swap replaced every file and the listing IS the truth
+                files = sorted(listing)
+        files = sorted(files)
+        if current and files == read_manifest(path, current)["files"]:
+            # no-change publish (a no-op batch, a redelivered marker-hit
+            # replay): minting an identical version would bloat history.
+            # Still fold the files into the refs index — a stale index
+            # is what got us here, and this is the heal point.
+            _record_refs(path, _referenced_files(path) | set(files))
             return current
-    if files is None:
-        listing = {os.path.relpath(f, path) for f in _data_files(path)}
-        if current and op != "heal-compact":
-            referenced = _referenced_files(path)
-            files = sorted(
-                (set(read_manifest(path, current)["files"]) & listing)
-                | (listing - referenced)
-            )
-        else:
-            # fresh table — or a post-compaction state, where the swap
-            # replaced every file and the listing IS the whole truth
-            files = sorted(listing)
-    files = sorted(files)
-    if current and files == read_manifest(path, current)["files"]:
-        # no-change publish (a no-op batch, a redelivered marker-hit
-        # replay): minting an identical version would bloat history.
-        # Still fold the files into the refs index — a stale index is
-        # what got us here, and this is the heal point.
+        version = current + 1
+        manifest = {
+            "version": version,
+            "parent": current,
+            "op": op,
+            "run_id": run_id,
+            "files": files,
+        }
+        if not _commit_manifest(path, version, manifest):
+            # lost the CAS: a concurrent publisher owns this version
+            if files_arg is not None:
+                raise RuntimeError(
+                    f"concurrent snapshot publish detected on {path!r}: "
+                    f"version {version} was minted by another writer "
+                    "while this journaled swap was committing its "
+                    "explicit file list — the base state changed, so "
+                    "re-run the maintenance pass instead of overwriting"
+                )
+            continue  # derived publish: re-derive from the new LATEST
+        # the pointer flip IS the commit: readers resolve LATEST first,
+        # so they see version N or N+1 in full, never a partial state
+        # (a crash between CAS and flip is rolled forward by the next
+        # writer's _roll_forward)
+        _atomic_write(os.path.join(snap, _LATEST), str(version))
+        # refs AFTER the commit: a crash window here leaves the index
+        # one version stale, which the derivation tolerates (head ∩
+        # listing) and any no-change publish heals
         _record_refs(path, _referenced_files(path) | set(files))
-        return current
-    version = current + 1
-    manifest = {
-        "version": version,
-        "parent": current,
-        "op": op,
-        "run_id": run_id,
-        "files": files,
-    }
-    _atomic_write(_manifest_path(path, version), json.dumps(manifest))
-    # the pointer flip IS the commit: readers resolve LATEST first, so
-    # they see version N or N+1 in full, never a partial state
-    _atomic_write(os.path.join(snap, _LATEST), str(version))
-    # refs AFTER the commit: a crash window here leaves the index one
-    # version stale, which the derivation tolerates (head ∩ listing)
-    # and any no-change publish heals
-    _record_refs(path, _referenced_files(path) | set(files))
-    return version
+        return version
+    raise RuntimeError(
+        f"snapshot publish on {path!r} lost the version CAS 64 times — "
+        "a runaway concurrent publisher is violating the maintenance "
+        "serialization contract"
+    )
 
 
 def table_frame(spark: SparkSession, path: str):
@@ -316,6 +377,7 @@ def catchup_publish(path: str) -> int | None:
     path = _require_local(path)
     if not snapshots_enabled(path) or not latest_version(path):
         return None
+    _roll_forward(path)
     current = set(read_manifest(path)["files"])
     referenced = _referenced_files(path)
     listing = {os.path.relpath(f, path) for f in _data_files(path)}
@@ -336,6 +398,7 @@ def heal_dangling_manifest(path: str) -> bool:
     path = _require_local(path)
     if not snapshots_enabled(path) or not latest_version(path):
         return False
+    _roll_forward(path)
     m = read_manifest(path)
     if all(os.path.isfile(os.path.join(path, f)) for f in m["files"]):
         return False
@@ -359,6 +422,7 @@ def vacuum_snapshots(path: str, *, keep_last: int = 1) -> dict:
     head = latest_version(path)
     if not head:
         return {"files_removed": 0, "manifests_removed": 0}
+    head = _roll_forward(path)
     keep_from = max(1, head - max(1, keep_last) + 1)
     pinned: set[str] = set()
     for v in range(keep_from, head + 1):
@@ -384,4 +448,22 @@ def vacuum_snapshots(path: str, *, keep_last: int = 1) -> dict:
     for v in drop_versions:
         os.unlink(_manifest_path(path, v))
         manifests_removed += 1
+    if manifests_removed:
+        # prune the ever-referenced index down to what can still matter:
+        # without this the per-publish REFS rewrite grows O(total
+        # history) on a long-lived streaming table — quadratic JSON IO
+        # over its lifetime.  A file referenced only by the manifests
+        # just dropped is either deleted above (gone from the listing —
+        # irrelevant to the `listing − referenced` derivation) or pinned
+        # by a kept manifest; keeping `(old ∪ droppable) ∩ listing ∪
+        # pinned` therefore preserves the derivation exactly while
+        # bounding the index at O(live files).
+        listing_after = {
+            os.path.relpath(f, path) for f in _data_files(path)
+        }
+        _record_refs(
+            path,
+            ((_referenced_files(path) | droppable) & listing_after)
+            | pinned,
+        )
     return {"files_removed": removed, "manifests_removed": manifests_removed}

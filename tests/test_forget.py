@@ -736,3 +736,127 @@ def test_forget_invalidates_compaction_marker(spark, tmp_path):
     forget_keys(spark, path, [0], "k")
     third = compact_parquet_table(spark, path, sort_by=["k"])
     assert third["rows"] == 29  # marker invalidated, real rewrite
+
+
+def _many_file_table(spark, path, n_files=12):
+    for lo in range(0, n_files * 10, 10):
+        spark.createDataFrame(
+            [(i, f"payload-{i}") for i in range(lo, lo + 10)], ["k", "v"]
+        ).coalesce(1).write.mode("append").parquet(path)
+    assert len(_file_states(path)) == n_files
+
+
+def test_chunked_broad_delete_matches_unchunked(spark, tmp_path):
+    """A broad predicate (matches every file) applied in bounded
+    ``max_files_per_pass`` chunks must land the exact same table state
+    and aggregate stats as the single-pass form — the driver-memory
+    bound costs nothing semantically."""
+    from sales_forecast_mlops_at_scale_spark.streaming.forget import (
+        delete_where,
+    )
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    _many_file_table(spark, a)
+    _many_file_table(spark, b)
+    cond = F.col("k") % 3 == 0
+    chunked = delete_where(spark, a, cond, max_files_per_pass=5)
+    single = delete_where(spark, b, cond, max_files_per_pass=10_000)
+    for key in ("files_total", "files_rewritten", "rows_deleted",
+                "rows_before"):
+        assert chunked[key] == single[key], key
+    assert chunked["files_rewritten"] == 12
+    got_a = sorted((r.k, r.v) for r in spark.read.parquet(a).collect())
+    got_b = sorted((r.k, r.v) for r in spark.read.parquet(b).collect())
+    assert got_a == got_b
+    assert {k for k, _ in got_a} == {i for i in range(120) if i % 3}
+
+
+def test_chunked_forget_keys_bounds_each_pass(spark, tmp_path):
+    """Each chunk is its own journaled swap: with a chunk size of 4 and
+    12 matched files the pass count is visible through the per-pass
+    file-rewrite bursts, and the final state equals a full erasure."""
+    path = str(tmp_path / "t")
+    _many_file_table(spark, path)
+    stats = forget_keys(
+        spark, path, list(range(0, 120, 2)), "k", max_files_per_pass=4
+    )
+    assert stats["files_rewritten"] == 12
+    assert stats["rows_deleted"] == 60
+    assert {r.k for r in spark.read.parquet(path).collect()} == set(
+        range(1, 120, 2)
+    )
+
+
+def test_chunked_delete_crash_between_chunks_converges(
+    spark, tmp_path, monkeypatch
+):
+    """Dying between chunk N and chunk N+1 leaves a healthy table with
+    chunk N applied; re-running the same delete finishes the job (the
+    already-erased keys match nothing and no-op)."""
+    import sales_forecast_mlops_at_scale_spark.streaming.forget as fg
+
+    path = str(tmp_path / "t")
+    _many_file_table(spark, path)
+    real = fg._surgical_delete
+    calls = {"n": 0}
+
+    def crashing(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash between chunks")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(fg, "_surgical_delete", crashing)
+    try:
+        fg.delete_where(
+            spark, path, F.col("k") % 2 == 0, max_files_per_pass=5
+        )
+        raise AssertionError("expected simulated crash")
+    except RuntimeError as e:
+        assert "simulated crash" in str(e)
+    # chunk 1 applied, table healthy (journal completed by its own swap)
+    assert not os.path.exists(os.path.join(path, _JOURNAL))
+    monkeypatch.setattr(fg, "_surgical_delete", real)
+    fg.delete_where(spark, path, F.col("k") % 2 == 0, max_files_per_pass=5)
+    assert {r.k for r in spark.read.parquet(path).collect()} == set(
+        range(1, 120, 2)
+    )
+
+
+def test_chunked_delete_crash_mid_chunk_journal_heals(
+    spark, tmp_path, monkeypatch
+):
+    """Dying right after a mid-sequence chunk's journal lands: the
+    journal rolls FORWARD on the next maintenance entry and a re-run
+    deletes the rest."""
+    import sales_forecast_mlops_at_scale_spark.streaming.forget as fg
+
+    path = str(tmp_path / "t")
+    _many_file_table(spark, path)
+    real_heal = fg.heal_forget
+    calls = {"n": 0}
+
+    def crashing_heal(p):
+        # _surgical_delete's trailing heal IS the swap; crashing it on
+        # the second chunk leaves that chunk's journal on disk
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash after journal landed")
+        return real_heal(p)
+
+    monkeypatch.setattr(fg, "heal_forget", crashing_heal)
+    try:
+        fg.delete_where(
+            spark, path, F.col("k") % 2 == 0, max_files_per_pass=5
+        )
+        raise AssertionError("expected simulated crash")
+    except RuntimeError as e:
+        assert "after journal landed" in str(e)
+    assert os.path.exists(os.path.join(path, _JOURNAL))
+    monkeypatch.setattr(fg, "heal_forget", real_heal)
+    # re-running the delete heals the torn chunk first, then finishes
+    fg.delete_where(spark, path, F.col("k") % 2 == 0, max_files_per_pass=5)
+    assert not os.path.exists(os.path.join(path, _JOURNAL))
+    assert {r.k for r in spark.read.parquet(path).collect()} == set(
+        range(1, 120, 2)
+    )

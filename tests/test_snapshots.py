@@ -601,3 +601,141 @@ def test_read_snapshot_partitioned_keeps_partition_column(spark, tmp_path):
     assert got.where(F.col("d") == 1).count() == 5
     forget_keys(spark, path, [0], "k")
     assert read_snapshot(spark, path).where(F.col("d") == 0).count() == 4
+
+
+def test_version_cas_rolls_forward_dangling_commit(spark, tmp_path):
+    """A writer that crashed between its manifest CAS and the LATEST
+    flip left a complete manifest ahead of the pointer; the next writer
+    rolls it forward instead of overwriting or wedging."""
+    from sales_forecast_mlops_at_scale_spark.streaming.snapshots import (
+        _commit_manifest,
+        catchup_publish,
+    )
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    enable_snapshots(path)
+    m1 = read_manifest(path, 1)
+    dangling = {
+        "version": 2,
+        "parent": 1,
+        "op": "forget",
+        "run_id": "deadbeef",
+        "files": m1["files"][:-1],
+    }
+    assert _commit_manifest(path, 2, dangling)
+    assert latest_version(path) == 1  # flip never happened
+
+    # replaying the crashed run converges idempotently on version 2
+    assert (
+        publish_snapshot(
+            path, op="forget", files=m1["files"][:-1], run_id="deadbeef"
+        )
+        == 2
+    )
+    assert latest_version(path) == 2
+    assert read_manifest(path, 2)["files"] == sorted(m1["files"][:-1])
+    assert catchup_publish(path) in (None, 3)  # healthy afterwards
+
+
+def test_version_cas_refuses_double_mint(spark, tmp_path):
+    from sales_forecast_mlops_at_scale_spark.streaming.snapshots import (
+        _commit_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    enable_snapshots(path)
+    m = {"version": 2, "parent": 1, "op": "x", "run_id": None, "files": []}
+    assert _commit_manifest(path, 2, m)
+    assert not _commit_manifest(path, 2, m)  # loser detects the race
+
+
+def test_explicit_files_cas_loss_fails_loudly(spark, tmp_path, monkeypatch):
+    """A journaled swap committing an EXPLICIT file list must not
+    silently last-writer-win over a concurrent publisher: losing the
+    CAS raises instead of retrying with a stale base state."""
+    import sales_forecast_mlops_at_scale_spark.streaming.snapshots as sn
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    enable_snapshots(path)
+    m1 = read_manifest(path, 1)
+    monkeypatch.setattr(sn, "_commit_manifest", lambda *a: False)
+    try:
+        sn.publish_snapshot(path, op="forget", files=m1["files"][:-1])
+        raise AssertionError("expected concurrent-publish RuntimeError")
+    except RuntimeError as e:
+        assert "concurrent snapshot publish" in str(e)
+
+
+def test_concurrent_derived_publishers_serialize(spark, tmp_path):
+    """Two racing DERIVED publishers (the compaction + takedown-drain
+    shape): the CAS serializes them — every version number is minted
+    once, no commit is lost, and the final manifest pins all appends."""
+    import threading
+
+    path = str(tmp_path / "t")
+    _table(spark, path)
+    enable_snapshots(path)
+    for k in (100, 101):
+        spark.createDataFrame([(k, f"v-{k}")], ["k", "v"]).coalesce(
+            1
+        ).write.mode("append").parquet(path)
+
+    barrier = threading.Barrier(2)
+    results, errors = [], []
+
+    def publish():
+        try:
+            barrier.wait()
+            results.append(publish_snapshot(path, op="append"))
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=publish) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    # both publishers committed (same derived content: one mints v2,
+    # the other lands on it as a no-change or re-derived publish)
+    assert latest_version(path) == max(results) == 2
+    assert read_snapshot(spark, path).count() == 32
+
+
+def test_refs_index_pruned_by_vacuum(spark, tmp_path):
+    """REFS.json must stay O(live files), not O(ever-referenced):
+    vacuum prunes entries only dropped manifests referenced, and the
+    pruned index still classifies fresh unpublished appends correctly."""
+    import json as _json
+
+    from sales_forecast_mlops_at_scale_spark.streaming.snapshots import (
+        _REFS,
+        _SNAPDIR,
+        catchup_publish,
+    )
+
+    path = str(tmp_path / "t")
+    _table(spark, path, n_files=2)
+    enable_snapshots(path)
+    # a long-lived table: many publish+vacuum generations
+    for k in range(5):
+        spark.createDataFrame(
+            [(1000 + k, "x")], ["k", "v"]
+        ).coalesce(1).write.mode("append").parquet(path)
+        publish_snapshot(path, op="append")
+        vacuum_snapshots(path, keep_last=1)
+    refs_path = os.path.join(path, _SNAPDIR, _REFS)
+    with open(refs_path, encoding="utf-8") as fh:
+        refs = set(_json.load(fh))
+    live = set(read_manifest(path)["files"])
+    assert refs == live  # pruned exactly to the live file set
+
+    # fresh unpublished append: the pruned index must NOT hide it
+    spark.createDataFrame([(9999, "fresh")], ["k", "v"]).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+    assert catchup_publish(path) == latest_version(path)
+    assert read_snapshot(spark, path).count() == 2 * 10 + 5 + 1
