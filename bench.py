@@ -109,6 +109,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_lm_quality",
     "q_bloom_prefilter",
     "q_salted_join",
+    "q_adaptive_salted_join",
     "q_hot_keys",
     "q_embed_topk",
     "q_embed_ivf_topk",
@@ -117,6 +118,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_ivfpq_topk",
     "q_ivfpq_search",
     "q_ivfpq_index_stats",
+    "q_index_drift",
     "q_pq_distortion",
     "q_embed_neardup",
     "q_semantic_dedup",

@@ -1776,6 +1776,53 @@ FROM j GROUP BY 1
 """
 
 
+def q_adaptive_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-ADAPTIVE join: events (the probe side, whose user_id
+    distribution is hot-headed) joined to the customer dim through
+    ``operators/scale.adaptive_salted_join`` — a TakeOrdered hot-key
+    probe first, then ONLY keys above the ppm threshold are salted
+    across 8 sub-keys (the build side replicates just for those);
+    every other key joins with constant salt 0.  The end-to-end
+    probe→threshold→selective-salt path runs inside the query.
+
+    Correctness contract: adaptivity is RESULT-INVARIANT — the oracle
+    is the plain inner join, so a dropped cold key, a double-counted
+    replicated hot row, or a probe miscount all fail the hash.  The
+    threshold (500 ppm) is below the fixtures' top-key share at every
+    SF, so the salted branch (not the balanced-data fallback) is the
+    one exercised.  Sums ride decimal(18,6) — exact and
+    order-independent, immune to partial-aggregation reordering."""
+    from ..operators.scale import adaptive_salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("value").cast("decimal(18,6)").alias("val")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = adaptive_salted_join(
+        ev, cust, ["user_id"], n_salts=8, probe_top=10, min_share_ppm=500
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("val").cast("double"), 4).alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_ADAPTIVE_SALTED_SQL = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key skew probe over the events stream: the 10 most frequent
     user ids with exact counts and integer ppm traffic share
@@ -2226,6 +2273,35 @@ def _ivfpq_index_root(sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), "sfspark_ivfpq_idx", digest)
 
 
+def _claim_or_clear_root(root: str, marker_name: str) -> str | None:
+    """TOCTOU-safe handling of an existing build root that is missing
+    its completion marker: rename it ASIDE (an atomic claim — exactly
+    one process gets the directory), re-check the marker on the claimed
+    copy, and only destroy a PROVABLY stale half-build.  A build that
+    completed between the caller's marker check and the claim is put
+    back (or served from the aside path if a rival re-occupied the
+    root).  Returns the path of a COMPLETE root if one surfaced, else
+    None (the root name is now clear for an atomic rename)."""
+    import shutil
+    import uuid
+
+    if not os.path.isdir(root):
+        return None
+    aside = f"{root}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    try:
+        os.rename(root, aside)
+    except OSError:
+        return None  # another process already claimed/removed it
+    if os.path.exists(os.path.join(aside, marker_name)):
+        try:
+            os.rename(aside, root)
+            return root
+        except OSError:
+            return aside
+    shutil.rmtree(aside, ignore_errors=True)
+    return None
+
+
 def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the materialized IVF-PQ index for ``sf_dir`` at most once
     per (testdata generation, geometry).  Concurrency-safe: the build
@@ -2244,10 +2320,12 @@ def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     marker = os.path.join(root, "_INDEX_COMPLETE")
     if os.path.exists(marker):
         return root
-    # a root without a marker is a torn artifact of a crashed build
-    # (pre-staging layout) — clear it so the atomic rename can land
-    if os.path.isdir(root):
-        shutil.rmtree(root, ignore_errors=True)
+    # a marker-less root is a torn artifact of a crashed build — but a
+    # concurrent builder may complete its rename between the check and
+    # any removal, so claim-then-verify instead of rmtree-ing blind
+    done = _claim_or_clear_root(root, "_INDEX_COMPLETE")
+    if done is not None:
+        return done
     staging = f"{root}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     emb_all = load_table(spark, sf_dir, "embeddings")
     vector_ingest_batch(
@@ -2310,27 +2388,11 @@ def _ensure_erased_table(spark: SparkSession, sf_dir: str) -> str:
     marker = os.path.join(root, "_ERASED_COMPLETE")
     if os.path.exists(marker):
         return root
-    if os.path.isdir(root):
-        # TOCTOU guard: a concurrent builder can complete its atomic
-        # rename between the marker check above and any removal — so
-        # never rmtree a root that might be complete.  Rename it ASIDE
-        # first (atomic claim of exactly one directory), re-check the
-        # marker on the claimed copy, and only destroy a PROVABLY stale
-        # half-build; a just-completed build is put back (or served
-        # from the aside path if a rival re-occupied the root).
-        aside = f"{root}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        try:
-            os.rename(root, aside)
-        except OSError:
-            pass  # another builder already claimed/removed it
-        else:
-            if os.path.exists(os.path.join(aside, "_ERASED_COMPLETE")):
-                try:
-                    os.rename(aside, root)
-                    return root
-                except OSError:
-                    return aside
-            shutil.rmtree(aside, ignore_errors=True)
+    # TOCTOU guard: never rmtree a root a concurrent builder may have
+    # just completed — claim-then-verify (see _claim_or_clear_root)
+    done = _claim_or_clear_root(root, "_ERASED_COMPLETE")
+    if done is not None:
+        return done
     staging = f"{root}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     docs = load_table(spark, sf_dir, "documents")
     # key-clustered multi-file layout: the erasure's [min,max]/IN prune
@@ -2469,6 +2531,131 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST((count(*) * 1000000) // (SELECT count(*) FROM assigned)
             AS BIGINT) AS share_ppm
 FROM assigned GROUP BY bucket
+"""
+
+
+def _drift_index_root(sf_dir: str) -> str:
+    """Digest-keyed /tmp root for the DRIFT-DEMO IVF-PQ index: trained
+    on the first half of ``embeddings`` (by vec_id), then the second
+    half ingested against the frozen quantizers — the two-epoch shape
+    that makes assignment-share drift a real, non-vacuous signal."""
+    import hashlib
+    import tempfile
+
+    from ..operators.llm.pq import PQ_K, PQ_M
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    entries = [f"params#drift#{_IVFPQ_IDX_CENTROIDS}#{PQ_M}#{PQ_K}#64"]
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            entries.append(f"{name}#{st.st_size}#{int(st.st_mtime)}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        entries.append(f"{src}#{st.st_size}#{int(st.st_mtime)}")
+    digest = hashlib.sha256("\n".join(entries).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "sfspark_drift_idx", digest)
+
+
+def _ensure_drift_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the two-epoch drift index at most once per testdata
+    generation (same staging + atomic-rename + claim-then-verify
+    protocol as :func:`_ensure_ivfpq_index`).  Epoch 1 (vec_id < mid)
+    TRAINS the quantizers and freezes the seed distribution; epoch 2
+    is assigned/encoded against them — a real frozen-quantizer ingest
+    whose live distribution has drifted from its training epoch."""
+    import shutil
+    import uuid
+
+    from ..streaming.vector_ingest import vector_ingest_batch
+
+    root = _drift_index_root(sf_dir)
+    marker = os.path.join(root, "_INDEX_COMPLETE")
+    if os.path.exists(marker):
+        return root
+    done = _claim_or_clear_root(root, "_INDEX_COMPLETE")
+    if done is not None:
+        return done
+    staging = f"{root}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    emb = load_table(spark, sf_dir, "embeddings")
+    # 1-row anchor: the epoch boundary (same split rule in the oracle)
+    mid = (emb.agg(F.max("vec_id")).first()[0] + 1) // 2
+    for epoch in (
+        emb.filter(F.col("vec_id") < mid),
+        emb.filter(F.col("vec_id") >= mid),
+    ):
+        vector_ingest_batch(
+            epoch, staging, id_col="vec_id", vec_col="embedding",
+            num_centroids=_IVFPQ_IDX_CENTROIDS, dim=64,
+        )
+    with open(os.path.join(staging, "_INDEX_COMPLETE"), "w") as fh:
+        fh.write("ok\n")
+    try:
+        os.rename(staging, root)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+    return root
+
+
+def q_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-drift observability over a frozen-quantizer ANN index
+    (streaming/vector_ingest.index_drift): per-bucket assignment share
+    of the LIVE corpus vs the distribution at training time, as exact
+    integer ppm, over a two-epoch index (quantizers trained on the
+    first half of the vectors, the second half ingested frozen).  At
+    100 TB this is THE signal that schedules ``retrain_index``: recall
+    degrades silently as buckets overfill/starve, and this query reads
+    ONLY the assignments + seed_stats tiers — bytes per million
+    vectors, never the vectors or codes.  The oracle re-derives both
+    epochs' assignments from scratch (shared hash-picked-centroid +
+    rounded-cosine-argmax CTE text), so a drift between the
+    materialized tiers and the definition fails the hash."""
+    from ..streaming.vector_ingest import index_drift
+
+    root = _ensure_drift_index(spark, sf_dir)
+    return index_drift(spark, root).orderBy("bucket")
+
+
+_INDEX_DRIFT_SQL = f"""
+WITH n AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+         sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                        for x in embedding])) AS nrm
+  FROM embeddings
+), mid AS (SELECT (max(vec_id) + 1) // 2 AS m FROM embeddings),
+cent AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+  WHERE vec_id < (SELECT m FROM mid)
+  ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 2147483648, vec_id
+  LIMIT {_IVFPQ_IDX_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT c.vec_id, ct.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_sum([c.v[i] * ct.cv[i]
+                        for i in generate_series(1, len(c.v))])
+                        / (c.nrm * ct.cnrm), 6) DESC, ct.cid ASC) AS rn
+    FROM n c CROSS JOIN cent ct)
+  WHERE rn = 1),
+seed_counts AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_seed FROM assigned
+  WHERE vec_id < (SELECT m FROM mid) GROUP BY 1),
+cur_counts AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n_current
+  FROM assigned GROUP BY 1),
+tot AS (SELECT (SELECT sum(n_seed) FROM seed_counts) AS ts,
+               (SELECT sum(n_current) FROM cur_counts) AS tc)
+SELECT CAST(c.bucket AS BIGINT) AS bucket,
+       CAST(coalesce(s.n_seed, 0) AS BIGINT) AS n_seed,
+       c.n_current,
+       CAST(coalesce(s.n_seed, 0) * 1000000 // tot.ts AS BIGINT)
+         AS seed_ppm,
+       CAST(c.n_current * 1000000 // tot.tc AS BIGINT) AS cur_ppm,
+       CAST(c.n_current * 1000000 // tot.tc
+            - coalesce(s.n_seed, 0) * 1000000 // tot.ts AS BIGINT)
+         AS drift_ppm
+FROM cur_counts c LEFT JOIN seed_counts s USING (bucket), tot
+ORDER BY bucket
 """
 
 
@@ -2949,10 +3136,14 @@ QUERIES: dict[str, QueryDef] = {
     # batch, bit-identical to the in-session build (see the docstring)
     "q_ivfpq_search": QueryDef(q_ivfpq_search, _IVFPQ_SQL),
     "q_ivfpq_index_stats": QueryDef(q_ivfpq_index_stats, _IVFPQ_INDEX_STATS_SQL),
+    "q_index_drift": QueryDef(q_index_drift, _INDEX_DRIFT_SQL),
     "q_pq_distortion": QueryDef(q_pq_distortion, _PQ_DISTORTION_SQL),
     "q_triangle_stats": QueryDef(q_triangle_stats, _TRIANGLE_SQL),
     "q_bloom_prefilter": QueryDef(q_bloom_prefilter, _BLOOM_SQL),
     "q_salted_join": QueryDef(q_salted_join, _SALTED_SQL),
+    "q_adaptive_salted_join": QueryDef(
+        q_adaptive_salted_join, _ADAPTIVE_SALTED_SQL
+    ),
     "q_hot_keys": QueryDef(q_hot_keys, _HOTKEYS_SQL),
     "q_stratified_sample": QueryDef(q_stratified_sample, _STRAT_SQL),
     "q_dedup_exact": QueryDef(

@@ -13,6 +13,13 @@ Tables maintained under ``root_path``:
 - ``{root}/assignments`` — ``(id, bucket)`` coarse assignments
 - ``{root}/codes``      — ``(id, bucket, m, code)`` residual PQ codes,
   the compressed search tier
+- ``{root}/seed_stats`` — the per-bucket assignment distribution of the
+  TRAINING batch, written once at train time: the drift baseline
+  :func:`index_drift` compares the live ``assignments`` tier against
+  (a frozen quantizer degrades recall silently as the ingest
+  distribution wanders from the epoch it was trained on — this tier is
+  what makes that drift observable, and :func:`retrain_index` is the
+  remedy)
 
 Every dataflow here is COMPOSED from :mod:`operators.llm.pq`'s shared
 pieces (``ivfpq_centroids`` / ``ivfpq_residuals`` /
@@ -28,6 +35,9 @@ marker + per-table anti-join healing protocol as the other ingests
 """
 
 from __future__ import annotations
+
+import glob
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -176,6 +186,12 @@ def _vector_ingest_body(
         cb.write.mode("overwrite").parquet(f"{root_path}/pq_codebook")
         centroids = spark.read.parquet(f"{root_path}/centroids")
         codebook = spark.read.parquet(f"{root_path}/pq_codebook")
+        # drift baseline: the training batch's per-bucket assignment
+        # distribution, frozen alongside the quantizers it describes
+        # (same overwrite-idempotence as the quantizer writes)
+        _seed_distribution(c0, centroids).write.mode("overwrite").parquet(
+            f"{root_path}/seed_stats"
+        )
 
     if dedup_threshold is not None:
         existing_vecs = _read_or_none(spark, f"{root_path}/vectors")
@@ -366,6 +382,252 @@ def search_materialized(
         )
 
     return plan_memo(memo_key, build, session=spark)
+
+
+def _seed_distribution(c_prepared: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Per-bucket assignment counts of a prepared ``(vid, v, nrm)``
+    frame under ``centroids`` — the shared coarse-argmax, counts only."""
+    from ..operators.llm.embedsim import _assign_nearest
+
+    return (
+        _assign_nearest(c_prepared, centroids, "bucket", 6)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_seed"))
+    )
+
+
+def index_drift(spark: SparkSession, root_path: str) -> DataFrame:
+    """Per-centroid assignment-share drift of the LIVE corpus versus the
+    training epoch — THE observability signal for a frozen-quantizer
+    index: at 100 TB ingest the data distribution wanders, buckets
+    overfill or starve, and recall degrades with no error anywhere.
+
+    One row per bucket: exact seed / current counts and integer
+    parts-per-million shares, plus ``drift_ppm = cur_ppm − seed_ppm``
+    (positive = the bucket now holds a larger share than the quantizer
+    was trained for).  Reads ONLY the ``assignments`` and ``seed_stats``
+    tiers — never the vectors, never the codes — so the scan is a few
+    bytes per million vectors; exactly oracle-able (pure integer
+    arithmetic).  Feed a threshold on ``max(abs(drift_ppm))`` into a
+    maintenance scheduler that calls :func:`retrain_index`."""
+    seed_path = f"{root_path}/seed_stats"
+    seed = _read_or_none(spark, seed_path)
+    if seed is None:
+        raise FileNotFoundError(
+            f"{seed_path} is missing: the index predates drift tracking "
+            "— run retrain_index() once to mint a baseline"
+        )
+    cur = (
+        spark.read.parquet(f"{root_path}/assignments")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_current"))
+    )
+    totals = (
+        cur.agg(F.sum("n_current").alias("__tc"))
+        .crossJoin(seed.agg(F.sum("n_seed").alias("__ts")))
+    )
+    # every seed bucket's rows are in assignments too, so current drives
+    return (
+        cur.join(seed, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.coalesce(F.col("n_seed"), F.lit(0)).cast("long").alias("n_seed"),
+            "n_current",
+            F.expr("coalesce(n_seed, 0L) * 1000000 div __ts")
+            .cast("long")
+            .alias("seed_ppm"),
+            F.expr("n_current * 1000000 div __tc")
+            .cast("long")
+            .alias("cur_ppm"),
+            (
+                F.expr("n_current * 1000000 div __tc")
+                - F.expr("coalesce(n_seed, 0L) * 1000000 div __ts")
+            )
+            .cast("long")
+            .alias("drift_ppm"),
+        )
+    )
+
+
+#: Retrain journal filename — ``_``-prefixed so data scans skip it.
+_RETRAIN_JOURNAL = "_retrain_journal.json"
+
+#: Tiers a retrain replaces wholesale, in swap order.
+_RETRAIN_TIERS = (
+    "centroids",
+    "pq_codebook",
+    "assignments",
+    "codes",
+    "seed_stats",
+)
+
+
+def heal_retrain(root_path: str) -> bool:
+    """Roll FORWARD a retrain whose tier swaps died mid-way: the journal
+    is written only after every staged tier is fully built and
+    count-verified, so completing the swaps is always the correct
+    direction.  Per-tier idempotent: a tier whose staged dir is gone was
+    already swapped.  No-op (False) on a healthy index."""
+    import json
+    import shutil
+
+    journal = os.path.join(root_path, _RETRAIN_JOURNAL)
+    if not os.path.isfile(journal):
+        return False
+    with open(journal, encoding="utf-8") as fh:
+        plan = json.load(fh)
+    rid = plan["rid"]
+    for tier in plan["tiers"]:
+        live = os.path.join(root_path, tier)
+        staged = f"{live}.retrain-{rid}"
+        aside = f"{live}.old-{rid}"
+        if os.path.isdir(staged):
+            if os.path.isdir(live):
+                os.rename(live, aside)
+            os.rename(staged, live)
+        # snapshot history lives INSIDE the replaced dir: rescue it into
+        # the new tier before the old dir dies, so snapshot-enabled
+        # tiers keep their version chain across a retrain (the caller
+        # then publishes the new listing; until it does, the head
+        # manifest references swapped-out files — exactly the state
+        # heal_dangling_manifest repairs)
+        old_snaps = os.path.join(aside, "_snapshots")
+        new_snaps = os.path.join(live, "_snapshots")
+        if os.path.isdir(old_snaps) and not os.path.isdir(new_snaps):
+            os.rename(old_snaps, new_snaps)
+        shutil.rmtree(aside, ignore_errors=True)
+    os.unlink(journal)
+    return True
+
+
+def retrain_index(
+    spark: SparkSession,
+    root_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    m: int = PQ_M,
+    n_codewords: int = PQ_K,
+    dim: int | None = None,
+) -> dict:
+    """Offline quantizer rebuild — the remedy :func:`index_drift`
+    triggers: train FRESH centroids + PQ codebook from the CURRENT
+    ``vectors`` tier (faiss's model: retraining is an offline rebuild,
+    never an ingest-path mutation), re-assign and re-encode the whole
+    corpus, and swap every derived tier.
+
+    Commit protocol (crash-healing, same journal discipline as
+    :mod:`streaming.forget`): all five replacement tiers are built and
+    COUNT-VERIFIED in sibling staging dirs first — the live index is
+    untouched and fully searchable throughout the expensive phase; then
+    one atomically-renamed journal records the swap intent, the five
+    dir renames run, and :func:`heal_retrain` completes them after any
+    crash.  Readers between two individual renames can observe a
+    transient listing (the same single-writer-between-drains window as
+    compaction); snapshot-enabled tiers additionally get a post-swap
+    manifest publish + vacuum so ``read_snapshot`` flips atomically.
+    The new ``seed_stats`` baseline is the post-retrain distribution,
+    so drift restarts from zero.  Returns
+    ``{"n_vectors", "num_centroids", "retrained": True}``."""
+    import json
+    import shutil
+    import uuid
+
+    from ..cache import derived_key
+    from .compact import _invalidate_cached_plans
+    from .snapshots import publish_if_enabled, snapshots_enabled, vacuum_snapshots
+
+    heal_retrain(root_path)
+    for tier in _RETRAIN_TIERS:
+        # pre-journal staging garbage from a crashed build: the live
+        # index was never touched by that run
+        for stale in glob.glob(f"{root_path}/{tier}.retrain-*") + glob.glob(
+            f"{root_path}/{tier}.old-*"
+        ):
+            shutil.rmtree(stale, ignore_errors=True)
+
+    vectors = spark.read.parquet(f"{root_path}/vectors")
+    n_vec = vectors.count()
+    if n_vec == 0:
+        return {"n_vectors": 0, "num_centroids": 0, "retrained": False}
+    d_sub = dim // m if dim else None
+    c0 = _prepared(vectors, id_col, vec_col)
+    cent = ivfpq_centroids(c0, num_centroids=num_centroids)
+    cb = ivfpq_train_codebook(
+        ivfpq_residuals(c0, cent),
+        m=m,
+        n_codewords=n_codewords,
+        refine_iters=2,
+        d_sub=d_sub,
+        key=derived_key(
+            _plan_key(c0), "vecingest.retrain.cb", num_centroids, m,
+            n_codewords, dim,
+        ),
+    )
+    rid = uuid.uuid4().hex[:8]
+
+    def _staged(tier: str) -> str:
+        return f"{root_path}/{tier}.retrain-{rid}"
+
+    cent.write.parquet(_staged("centroids"))
+    cb.write.parquet(_staged("pq_codebook"))
+    cent_frozen = spark.read.parquet(_staged("centroids"))
+    cb_frozen = spark.read.parquet(_staged("pq_codebook"))
+    resid = ivfpq_residuals(c0, cent_frozen).persist()
+    try:
+        resid.select(F.col("vid").alias(id_col), "bucket").write.parquet(
+            _staged("assignments")
+        )
+        ivfpq_encode(resid, cb_frozen, m=m, d_sub=d_sub).select(
+            F.col("vid").alias(id_col), "bucket", "m", "code"
+        ).write.parquet(_staged("codes"))
+        _seed_distribution(c0, cent_frozen).write.parquet(
+            _staged("seed_stats")
+        )
+        # verify BEFORE anything destructive: the staged tiers must
+        # cover the corpus exactly, or the swap is refused whole
+        n_asg = spark.read.parquet(_staged("assignments")).count()
+        n_codes = spark.read.parquet(_staged("codes")).count()
+        if n_asg != n_vec or n_codes != n_vec * m:
+            raise RuntimeError(
+                f"retrain verification failed: {n_asg} assignments / "
+                f"{n_codes} codes staged for {n_vec} vectors (m={m})"
+            )
+    except BaseException:
+        for tier in _RETRAIN_TIERS:
+            shutil.rmtree(_staged(tier), ignore_errors=True)
+        raise
+    finally:
+        resid.unpersist()
+
+    # journal lands atomically; before it the live index is untouched,
+    # after it heal_retrain always completes the swap
+    tmp = os.path.join(root_path, f".{_RETRAIN_JOURNAL}.{rid}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"rid": rid, "tiers": list(_RETRAIN_TIERS)}, fh)
+    os.rename(tmp, os.path.join(root_path, _RETRAIN_JOURNAL))
+    heal_retrain(root_path)
+
+    for tier in _RETRAIN_TIERS:
+        path = f"{root_path}/{tier}"
+        _invalidate_cached_plans(spark, path)
+        try:
+            enabled = snapshots_enabled(path)
+        except NotImplementedError:
+            enabled = False
+        if enabled:
+            # wholesale replacement: the derived publish pins exactly
+            # the new listing (head ∩ listing is empty), and the vacuum
+            # reclaims nothing (old files died with the dir swap)
+            publish_if_enabled(path, op="retrain")
+            vacuum_snapshots(path, keep_last=1)
+    return {
+        "n_vectors": n_vec,
+        "num_centroids": num_centroids,
+        "retrained": True,
+    }
 
 
 def compact_index_tables(

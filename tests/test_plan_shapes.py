@@ -404,3 +404,62 @@ def test_bpe_encode_applies_merges_at_vocab_scale(spark):
     assert "CartesianProduct" not in plan
     # corpus side joins the encoded vocab on the token string
     assert "token" in plan
+
+
+def test_adaptive_salted_registry_query_takes_salted_branch(spark):
+    """q_adaptive_salted_join must exercise the probe→threshold→
+    selective-salt path, not the balanced-data fallback: the plan
+    carries the hot-key membership CASE (salt only above-threshold
+    keys) and the exchange — when the join shuffles — keys on
+    (user_id, __salt)."""
+    import pyspark.sql.functions as F
+
+    from sales_forecast_mlops_at_scale_spark.plans.llm_queries import (
+        q_adaptive_salted_join,
+    )
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    prior = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = q_adaptive_salted_join(spark, SMOKE_SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # selective salting: the CASE over hot-key membership is in the
+        # plan (the fallback plain join has no __salt at all)
+        assert "__salt" in plan, plan
+        assert "array_contains" in plan, plan
+        exchanges = [
+            ln
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln and "__salt" in ln
+        ]
+        assert exchanges, plan
+        # and the result still matches the plain join exactly
+        ev = spark.read.parquet(f"{SMOKE_SF_DIR}/events.parquet").select(
+            "user_id", F.col("value").cast("decimal(18,6)").alias("val")
+        )
+        cust = spark.read.parquet(
+            f"{SMOKE_SF_DIR}/customer.parquet"
+        ).select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+        plain = (
+            ev.join(cust, "user_id")
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.round(F.sum("val").cast("double"), 4).alias("sum_value"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        assert [tuple(r) for r in df.collect()] == [
+            tuple(r) for r in plain.collect()
+        ]
+    finally:
+        for k, v in prior.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)

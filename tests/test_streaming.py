@@ -1145,3 +1145,154 @@ def test_dedup_ingest_empty_batch_is_a_pure_noop(spark, tmp_path):
     # stored-corpus branch for every later batch
     assert not os.path.exists(f"{root}/docs")
     assert not os.path.exists(f"{root}/sets")
+
+
+def test_index_drift_observes_two_epoch_shift_and_retrain_resets(
+    spark, tmp_path
+):
+    """Drift observability + the retrain remedy: a second ingest epoch
+    drawn from a shifted distribution shows nonzero drift_ppm; after
+    retrain_index the baseline is the post-retrain distribution, so
+    drift restarts at ~zero, search still serves every corpus id, and
+    every tier's row counts are preserved."""
+    import os
+
+    from sales_forecast_mlops_at_scale_spark.streaming.vector_ingest import (
+        index_drift,
+        retrain_index,
+        search_materialized,
+        vector_ingest_batch,
+    )
+
+    root = str(tmp_path / "driftidx")
+
+    def vec(seed, shift=0):
+        import hashlib
+
+        return [
+            float(
+                int.from_bytes(
+                    hashlib.md5(f"{seed}-{d}-{shift}".encode()).digest()[:4],
+                    "big",
+                )
+                % 1009
+                - 504
+            )
+            for d in range(64)
+        ]
+
+    epoch1 = spark.createDataFrame(
+        [(i, vec(i)) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    # epoch 2: a different generator family → shifted distribution
+    epoch2 = spark.createDataFrame(
+        [(100 + i, vec(i, shift=7)) for i in range(120)],
+        "vec_id long, embedding array<double>",
+    )
+    vector_ingest_batch(epoch1, root, dim=64, batch_id=0)
+    assert os.path.isdir(f"{root}/seed_stats")
+    vector_ingest_batch(epoch2, root, dim=64, batch_id=1)
+
+    drift = index_drift(spark, root).collect()
+    assert sum(r.n_seed for r in drift) == 60
+    assert sum(r.n_current for r in drift) == 180
+    assert any(r.drift_ppm != 0 for r in drift)  # the shift is visible
+
+    before = {
+        t: spark.read.parquet(f"{root}/{t}").count()
+        for t in ("vectors", "assignments", "codes")
+    }
+    stats = retrain_index(spark, root, dim=64)
+    assert stats == {
+        "n_vectors": 180,
+        "num_centroids": 16,
+        "retrained": True,
+    }
+    after = {
+        t: spark.read.parquet(f"{root}/{t}").count()
+        for t in ("vectors", "assignments", "codes")
+    }
+    assert after == before  # wholesale replacement, nothing lost
+    assert not os.path.exists(f"{root}/_retrain_journal.json")
+
+    # baseline reset: seed distribution == current distribution now
+    drift2 = index_drift(spark, root).collect()
+    assert all(r.drift_ppm == 0 for r in drift2)
+    assert all(r.n_seed == r.n_current for r in drift2)
+
+    # search continuity: a probe carrying a corpus vector (under a
+    # FRESH id — search excludes qid==vid self-matches by design) must
+    # find that vector as its exact-cosine top-1.  rerank spans the
+    # corpus: iid-random vectors give ADC no structure to exploit, so
+    # only a full re-rank is deterministic.
+    probes = spark.createDataFrame(
+        [(10_000 + i, vec(i)) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    hits = search_materialized(
+        spark, root, probes, k=3, nprobe=16, dim=64, rerank=200
+    ).filter("rank = 1")
+    assert {(r.q_id, r.nn_id) for r in hits.collect()} == {
+        (10_000 + i, i) for i in range(5)
+    }
+
+
+def test_retrain_index_crash_mid_swap_heals_forward(
+    spark, tmp_path, monkeypatch
+):
+    """A crash between two tier renames leaves the journal on disk;
+    heal_retrain completes the swap and the index is consistent (all
+    tiers from the NEW generation, counts intact, drift zero)."""
+    import os
+
+    import sales_forecast_mlops_at_scale_spark.streaming.vector_ingest as vi
+
+    root = str(tmp_path / "crashidx")
+
+    def vec(seed):
+        import hashlib
+
+        return [
+            float(
+                int.from_bytes(
+                    hashlib.md5(f"{seed}-{d}".encode()).digest()[:4], "big"
+                )
+                % 1009
+                - 504
+            )
+            for d in range(64)
+        ]
+
+    batch = spark.createDataFrame(
+        [(i, vec(i)) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    vi.vector_ingest_batch(batch, root, dim=64, batch_id=0)
+
+    real_rename = os.rename
+    state = {"renames_after_journal": 0, "armed": False}
+
+    def crashing_rename(src, dst):
+        if state["armed"] and "/codes" in dst.replace("\\", "/"):
+            raise RuntimeError("simulated crash mid-swap")
+        real_rename(src, dst)
+        if dst.endswith("_retrain_journal.json"):
+            state["armed"] = True  # crash on the codes-tier rename
+
+    monkeypatch.setattr(vi.os, "rename", crashing_rename)
+    try:
+        vi.retrain_index(spark, root, dim=64)
+        raise AssertionError("expected simulated crash")
+    except RuntimeError as e:
+        assert "mid-swap" in str(e)
+    monkeypatch.setattr(vi.os, "rename", real_rename)
+    assert os.path.isfile(f"{root}/_retrain_journal.json")
+    assert vi.heal_retrain(root)  # rolls the swap forward
+    assert not os.path.exists(f"{root}/_retrain_journal.json")
+    from sales_forecast_mlops_at_scale_spark.operators.llm.pq import PQ_M
+
+    for t, n in (("vectors", 50), ("assignments", 50), ("codes", 50 * PQ_M)):
+        assert spark.read.parquet(f"{root}/{t}").count() == n
+    drift = vi.index_drift(spark, root).collect()
+    assert all(r.drift_ppm == 0 for r in drift)  # post-retrain baseline
