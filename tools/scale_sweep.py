@@ -63,7 +63,147 @@ QUERIES = [
     # r7 additions: the 1-row CV audit facet (full grouped-map train run)
     "q_cv_split_stats",
     "q_hot_keys",
+    # r8 additions: centroid-drift observability over the two-epoch index
+    # and the probe->threshold->selective-salt adaptive join
+    "q_index_drift",
+    "q_adaptive_salted_join",
 ]
+
+
+def governance_sweep(spark) -> list[str]:
+    """Measure the governance maintenance passes directly (they mutate
+    tables, so they cannot ride the query sweep): wall-clock for
+    forget_keys / delete_where / compact / publish+vacuum across the
+    three SFs, and — the O(matched files) claim — erasure wall across
+    file COUNTS at fixed rows, with the tombstones confined to one
+    file's key range, so matched files stay constant while unmatched
+    files grow 32×."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from sales_forecast_mlops_at_scale_spark.catalog import load_table
+    from sales_forecast_mlops_at_scale_spark.streaming.compact import (
+        compact_parquet_table,
+    )
+    from sales_forecast_mlops_at_scale_spark.streaming.forget import (
+        delete_where,
+        forget_keys,
+    )
+    from sales_forecast_mlops_at_scale_spark.streaming.snapshots import (
+        enable_snapshots,
+        publish_snapshot,
+        vacuum_snapshots,
+    )
+
+    work = tempfile.mkdtemp(prefix="gov_sweep_")
+
+    def build(sf: str, n_files: int) -> str:
+        path = f"{work}/docs-{sf.rsplit('sf', 1)[-1]}-{n_files}-{time.monotonic_ns()}"
+        load_table(spark, sf, "documents").repartitionByRange(
+            n_files, "doc_id"
+        ).sortWithinPartitions("doc_id").write.parquet(path)
+        return path
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        out = fn()
+        return time.perf_counter() - t0, out
+
+    lines = [
+        "## Governance maintenance",
+        "",
+        "Direct wall-clock (s) of the mutating maintenance passes over a",
+        "key-clustered copy of `documents` (fresh copy per cell — these",
+        "mutate).  `forget` erases every 97th doc_id; `delete` removes a",
+        "doc_id range; `compact` is the full OPTIMIZE rewrite; `snapshot`",
+        "is enable + publish + vacuum.",
+        "",
+        "| op | sf0.001 | sf0.01 | sf0.1 |",
+        "|---|---|---|---|",
+    ]
+    cells: dict[str, list[str]] = {
+        "forget_keys (1/97 of ids)": [],
+        "delete_where (id range)": [],
+        "compact (full rewrite)": [],
+        "snapshot publish+vacuum": [],
+    }
+    for sf in SFS:
+        path = build(sf, 16)
+        ids = [
+            r[0]
+            for r in load_table(spark, sf, "documents")
+            .where((F.col("doc_id") % 97) == 0)
+            .select("doc_id")
+            .collect()
+        ]
+        w, stats = timed(lambda: forget_keys(spark, path, ids, "doc_id"))
+        cells["forget_keys (1/97 of ids)"].append(
+            f"{w:.2f} ({stats['files_rewritten']}/{stats['files_total']} files)"
+        )
+        path2 = build(sf, 16)
+        hi = (
+            load_table(spark, sf, "documents").agg(F.max("doc_id")).first()[0]
+        )
+        w, stats = timed(
+            lambda: delete_where(
+                spark, path2, F.col("doc_id") > hi - hi // 10
+            )
+        )
+        cells["delete_where (id range)"].append(
+            f"{w:.2f} ({stats['files_rewritten']}/{stats['files_total']} files)"
+        )
+        w, _ = timed(
+            lambda: compact_parquet_table(spark, path, sort_by=["doc_id"])
+        )
+        cells["compact (full rewrite)"].append(f"{w:.2f}")
+
+        def snap():
+            enable_snapshots(path2)
+            publish_snapshot(path2, op="append")
+            return vacuum_snapshots(path2, keep_last=1)
+
+        w, _ = timed(snap)
+        cells["snapshot publish+vacuum"].append(f"{w:.2f}")
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(path2, ignore_errors=True)
+    for op, vals in cells.items():
+        lines.append(f"| {op} | " + " | ".join(vals) + " |")
+
+    lines += [
+        "",
+        "**O(matched files), demonstrated**: same table (sf0.01 rows),",
+        "file count swept 8→256 (32×), tombstones confined to ONE file's",
+        "key range — matched files stay ~1 while unmatched files grow 32×.",
+        "A flat wall (and a flat rewrite count) is the file-surgical",
+        "contract: erasure cost follows the MATCHED files, not the table.",
+        "",
+        "| total files | erase wall (s) | files rewritten | bytes untouched |",
+        "|---|---|---|---|",
+    ]
+    sf = SFS[1]
+    hi = load_table(spark, sf, "documents").agg(F.max("doc_id")).first()[0]
+    for n_files in (8, 64, 256):
+        path = build(sf, n_files)
+        # keys inside the FIRST file's range only: files are key-
+        # clustered, so matched files ≈ 1 regardless of total count
+        span = max(1, (hi + 1) // n_files)
+        ids = list(range(0, span, max(1, span // 20)))[:20]
+        w, stats = timed(lambda: forget_keys(spark, path, ids, "doc_id"))
+        untouched = stats["files_total"] - stats["files_rewritten"]
+        lines.append(
+            f"| {stats['files_total']} | {w:.2f} |"
+            f" {stats['files_rewritten']} | {untouched} files |"
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        print(
+            f"gov files={n_files:4d} erase={w:5.2f}s "
+            f"rewritten={stats['files_rewritten']}", flush=True,
+        )
+    lines.append("")
+    shutil.rmtree(work, ignore_errors=True)
+    return lines
 
 
 def main() -> None:
@@ -95,7 +235,7 @@ def main() -> None:
         print(f"{name:24s} " + "  ".join(f"{c:6.2f}" for c in cells), flush=True)
 
     lines = [
-        "# Scaling sweep (round 7)",
+        "# Scaling sweep (round 8)",
         "",
         "Wall-clock (s, min of 2, per-query cold cache state) for the headline",
         "operator families across a 100× data range on local[32].  The final",
@@ -125,6 +265,7 @@ def main() -> None:
         "designs exist to prevent).",
         "",
     ]
+    lines += governance_sweep(spark)
     with open("/root/repo/SCALING.md", "w") as f:
         f.write("\n".join(lines))
     print("wrote SCALING.md")
