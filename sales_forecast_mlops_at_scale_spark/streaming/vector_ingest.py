@@ -450,6 +450,33 @@ def index_drift(spark: SparkSession, root_path: str) -> DataFrame:
     )
 
 
+def maybe_retrain(
+    spark: SparkSession,
+    root_path: str,
+    *,
+    drift_threshold_ppm: int = 100_000,
+    **retrain_kwargs,
+) -> dict:
+    """The maintenance-tick policy that closes the drift loop: measure
+    :func:`index_drift`, and when any bucket's absolute share drift
+    crosses ``drift_threshold_ppm`` (default 10% of the corpus), run
+    :func:`retrain_index`.  Returns the drift summary plus whatever the
+    retrain returned (``retrained: False`` when under threshold).
+    The measurement is the assignments-tier scan only, so running this
+    every compaction tick is effectively free; the rebuild triggers
+    O(corpus re-encode) work only when the distribution actually moved."""
+    worst = (
+        index_drift(spark, root_path)
+        .agg(F.max(F.abs(F.col("drift_ppm"))).alias("w"))
+        .first()[0]
+        or 0
+    )
+    out = {"max_abs_drift_ppm": int(worst), "retrained": False}
+    if worst >= drift_threshold_ppm:
+        out.update(retrain_index(spark, root_path, **retrain_kwargs))
+    return out
+
+
 #: Retrain journal filename — ``_``-prefixed so data scans skip it.
 _RETRAIN_JOURNAL = "_retrain_journal.json"
 

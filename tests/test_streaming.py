@@ -1296,3 +1296,50 @@ def test_retrain_index_crash_mid_swap_heals_forward(
         assert spark.read.parquet(f"{root}/{t}").count() == n
     drift = vi.index_drift(spark, root).collect()
     assert all(r.drift_ppm == 0 for r in drift)  # post-retrain baseline
+
+
+def test_maybe_retrain_policy_thresholds(spark, tmp_path):
+    """The drift→retrain policy: under threshold it only measures (the
+    cheap assignments scan), over threshold it rebuilds and the next
+    tick reports ~zero drift."""
+    import hashlib
+
+    import sales_forecast_mlops_at_scale_spark.streaming.vector_ingest as vi
+
+    root = str(tmp_path / "policyidx")
+
+    def vec(seed, shift=0):
+        return [
+            float(
+                int.from_bytes(
+                    hashlib.md5(f"{seed}-{d}-{shift}".encode()).digest()[:4],
+                    "big",
+                )
+                % 1009
+                - 504
+            )
+            for d in range(64)
+        ]
+
+    e1 = spark.createDataFrame(
+        [(i, vec(i)) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    e2 = spark.createDataFrame(
+        [(100 + i, vec(i, shift=3)) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    vi.vector_ingest_batch(e1, root, dim=64, batch_id=0)
+    vi.vector_ingest_batch(e2, root, dim=64, batch_id=1)
+
+    # absurdly high bar: measure-only tick
+    out = vi.maybe_retrain(spark, root, drift_threshold_ppm=999_999, dim=64)
+    assert out["retrained"] is False
+    assert out["max_abs_drift_ppm"] > 0
+
+    # zero bar: any drift triggers the rebuild, and drift resets
+    out2 = vi.maybe_retrain(spark, root, drift_threshold_ppm=1, dim=64)
+    assert out2["retrained"] is True
+    out3 = vi.maybe_retrain(spark, root, drift_threshold_ppm=1, dim=64)
+    assert out3["retrained"] is False  # post-retrain baseline is current
+    assert out3["max_abs_drift_ppm"] == 0

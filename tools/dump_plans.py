@@ -14,7 +14,7 @@ TOP = [
     "q_ivfpq_search", "q_ivfpq_index_stats", "q_pq_distortion",
     "q_quantile_sketch", "q_train_metrics_summary", "q_gate_rate",
     "q_cv_split_stats", "q_forecast_weekday", "q_rmse_bands",
-    "q_erasure_audit",
+    "q_erasure_audit", "q_index_drift", "q_adaptive_salted_join",
 ]
 NOTES = {
     "q_dedup_clusters": "MinHash-LSH pairs (persisted shingle sets, banded bucket join) feed min-label propagation; four steps + one pointer-doubling shortcut per burst ending in one lazy checkpoint whose materialization rides the convergence count; in-burst convergence detection finishes shallow graphs in ONE driver action; deep graphs escalate to large-star/small-star contraction (O(log^2 n) rounds, diameter-independent); edges pinned once.",
@@ -48,12 +48,14 @@ NOTES = {
     "q_rmse_bands": "CV training job banded by floor(rmse/5) on the shared 4-digit-rounded value - a handful of histogram rows, map-side combinable.",
     "q_cdc_dedup": "Arrow kernel chunking (zero shuffle), then one map-side-combinable digest groupBy - the exact-dedup shape over content-defined chunks.",
     "q_cms_heavy": "Depth x width sketch as one grouped sum per (row,col) cell - map-side combinable grid, heavy-hitter probe reads the broadcast sketch; bounded state regardless of key cardinality.",
+    "q_index_drift": "Drift observability over the two-epoch materialized index: reads ONLY the assignments + seed_stats tiers - two tiny groupBy(bucket) hash aggregates (map-side combinable) joined and crossed with a broadcast 1-row totals frame; pure integer ppm arithmetic. The two-epoch index build (train on first half, ingest second half frozen) is digest-memoized OUTSIDE the plan, same convention as the other materialized indexes; the steady-state plan is what a warehouse drift monitor runs per maintenance tick. At 100 TB the scan is bytes per million vectors - vectors and codes never load.",
+    "q_adaptive_salted_join": "Probe (TakeOrderedAndProject top-10 key counts + one scalar count) -> ppm threshold -> selective salt: only hot keys fan the build side out x8, cold keys ride salt 0, so the build-side blow-up is O(hot keys), not O(dim rows). Exchange keyed on (user_id, __salt) under a forced shuffle (plan-asserted in tests); result is hash-identical to the plain join (oracle) - the salt never changes semantics, only placement.",
     "q_erasure_audit": "The governed-copy build (key-clustered write + snapshot-enable + surgical erasure + vacuum) happens ONCE per testdata digest OUTSIDE the query plan (same convention as the materialized ANN index); the recorded plan is the steady state a warehouse audit actually runs - a parquet scan of the erased table into one map-side-combinable hash aggregate. The erasure itself rewrote only the files the IN-list prune + semi-join located (footer-stats pruned on the doc_id clustering the build laid down).",
 }
 
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")
 reg = all_queries()
-out = ["# Physical-plan audit (round 7)", "",
+out = ["# Physical-plan audit (round 8)", "",
        "Formatted `.explain` output for the most expensive bench queries at",
        "sf0.001, captured after execution (AQE-final plans). Regenerate with",
        "`python tools/dump_plans.py`.", ""]
@@ -68,6 +70,6 @@ for name in TOP:
     if len(lines) > 60:
         out.append(f"... ({len(lines) - 60} more lines)")
     out += ["```", ""]
-open("/root/repo/PLANS_r7.md", "w").write("\n".join(out))
-print("wrote PLANS_r7.md", sum(1 for _ in open('/root/repo/PLANS_r7.md')))
+open("/root/repo/PLANS_r8.md", "w").write("\n".join(out))
+print("wrote PLANS_r8.md", sum(1 for _ in open('/root/repo/PLANS_r8.md')))
 spark.stop()
