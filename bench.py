@@ -169,6 +169,12 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_tfidf_terms",
     "q_chunk_documents",
     "q_mix_weights",
+    "q_k_anonymity",
+    "q_l_diversity",
+    "q_decayed_counts",
+    "q_anomaly_mad",
+    "q_feature_matrix",
+    "q_psi_drift",
 )
 
 

@@ -1,0 +1,134 @@
+"""Data-distribution drift monitoring: PSI + binned KS between a
+reference window and a current window.
+
+The reference repo is an MLOps stack with NO drift monitoring — its
+weekly retrain fires on schedule whether or not the input distribution
+moved (services/airflow DAG).  Production MLOps gates the retrain (and
+alerts) on a drift score between the training-time feature distribution
+and live data; this module supplies the two standard ones:
+
+- **PSI** (population stability index): ``Σ_bins (p_i − q_i)·ln(p_i/q_i)``
+  with Laplace-smoothed bin shares (empty bins can't blow up the log).
+  Field convention: < 0.1 stable, 0.1–0.25 drifting, > 0.25 retrain.
+- **Binned KS**: ``max_i |CDF_ref(i) − CDF_cur(i)|`` over the same grid.
+
+Determinism (the repo-wide oracle discipline):
+
+- Bin assignment is one shared float expression shape —
+  ``floor((x − lo)·B / (hi − lo))`` clamped to ``B−1`` — built from IEEE
+  ops both engines round identically, over a [lo, hi] computed from the
+  UNION of both windows (neither window's outliers fall off the grid).
+- The PSI bin terms are quantized to 10^-6 integer fixed point
+  (``floor(term·10^6 + 0.5)``) and summed as exact longs — the DSIR
+  pattern (``llm/importance.py``): ``ln`` is the only step without a
+  correct-rounding guarantee, and a quantization flip needs two engines'
+  ln to straddle a 10^-6 boundary from ≤ 1 ulp apart.
+- The KS path has no caveat at all: cumulative bin counts are exact
+  integers, the CDF shares are single IEEE divisions of those integers,
+  and the max/abs/floor chain is reproducible bit-for-bit from identical
+  inputs on any engine.
+
+Scale (100 TB): per feature, two map-side-combinable aggregates — a
+1-row min/max over the union and a ≤ B-row bin count — so the shuffles
+carry bytes, not data.  The ≤ B-row tail arithmetic (cumsum, max, one
+summary row) is a rounding error at any scale; features are independent
+plans unioned at the end.  Nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: fixed-point scale for quantized PSI terms (the DSIR_FP discipline)
+PSI_FP = 1_000_000
+
+
+def _binned_counts(ref: DataFrame, cur: DataFrame, col: str, bins: int) -> DataFrame:
+    """Per-bin (ref_n, cur_n) over a shared equi-width grid, densified so
+    both engines agree on the bin SET (absent bins count (0,0) but still
+    receive smoothing mass)."""
+    both = ref.select(F.col(col).alias("x"), F.lit(0).alias("w")).unionByName(
+        cur.select(F.col(col).alias("x"), F.lit(1).alias("w"))
+    )
+    stats = both.agg(F.min("x").alias("__lo"), F.max("x").alias("__hi"))
+    bin_expr = F.expr(
+        f"CASE WHEN __hi = __lo THEN 0 ELSE "
+        f"least(cast(floor((x - __lo) * {int(bins)} / (__hi - __lo)) as int), "
+        f"{int(bins) - 1}) END"
+    )
+    counted = (
+        both.crossJoin(F.broadcast(stats))
+        .withColumn("bin", bin_expr)
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("w") == 0, 1).otherwise(0)).alias("ref_n"),
+            F.sum(F.when(F.col("w") == 1, 1).otherwise(0)).alias("cur_n"),
+        )
+    )
+    grid = ref.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
+    return grid.join(counted, "bin", "left").select(
+        "bin",
+        F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+        F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
+    )
+
+
+def psi_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: Sequence[str],
+    *,
+    bins: int = 10,
+) -> DataFrame:
+    """One row per feature: ``feature, n_ref, n_cur, psi, ks_ppm``.
+
+    ``psi``: fixed-point-summed PSI rounded to 6 digits.  ``ks_ppm``:
+    binned KS distance floored to integer parts-per-million.  Laplace
+    smoothing ``p_i = (ref_n_i + 1) / (n_ref + bins)`` keeps every log
+    finite; PSI ≥ 0 by Gibbs' inequality (pytest-pinned), 0 iff the
+    smoothed histograms coincide.
+    """
+    b = int(bins)
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    outs = []
+    for c in cols:
+        bc = _binned_counts(ref, cur, c, b)
+        totals = bc.agg(F.sum("ref_n").alias("__nr"), F.sum("cur_n").alias("__nc"))
+        d = (
+            bc.crossJoin(F.broadcast(totals))
+            .withColumn("__ref_cum", F.sum("ref_n").over(w_cum))
+            .withColumn("__cur_cum", F.sum("cur_n").over(w_cum))
+            .withColumn(
+                "__term_fp",
+                F.expr(
+                    f"""cast(floor(
+                         ( (ref_n + 1) / (__nr + {b}) - (cur_n + 1) / (__nc + {b}) )
+                         * ln( ((ref_n + 1) / (__nr + {b}))
+                               / ((cur_n + 1) / (__nc + {b})) )
+                         * {PSI_FP} + 0.5
+                       ) as long)"""
+                ),
+            )
+            .withColumn(
+                "__ks_frac",
+                F.expr(
+                    "abs(__ref_cum / nullif(__nr, 0)"
+                    " - __cur_cum / nullif(__nc, 0))"
+                ),
+            )
+        )
+        outs.append(
+            d.agg(
+                F.max("__nr").alias("n_ref"),
+                F.max("__nc").alias("n_cur"),
+                F.round(F.sum("__term_fp") / PSI_FP, 6).alias("psi"),
+                F.expr(f"cast(floor(max(__ks_frac) * {PSI_FP}) as long)").alias(
+                    "ks_ppm"
+                ),
+            ).select(F.lit(c).alias("feature"), "n_ref", "n_cur", "psi", "ks_ppm")
+        )
+    return reduce(DataFrame.unionByName, outs)

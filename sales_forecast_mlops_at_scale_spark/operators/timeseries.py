@@ -206,3 +206,130 @@ def interval_join_agg(
         F.count("__r_ts").alias("n_follow"),
         F.round(F.coalesce(F.sum("__r_value"), F.lit(0.0)), 4).alias("sum_follow_value"),
     )
+
+
+def decayed_score(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_days: int = 7,
+    value_scale: int = 100,
+    shift: int = 8,
+) -> DataFrame:
+    """Exponentially time-decayed engagement score per key — the
+    "trending now" aggregate every feed/popularity service maintains —
+    in EXACT integer arithmetic, so the result is bit-reproducible
+    across engines, partitionings, and summation orders.
+
+    Each row contributes ``value * 2^-age`` where ``age`` counts
+    EPOCH-ALIGNED ``half_life_days`` buckets between the event and the
+    dataset's newest timestamp: ``age = bucket(anchor) - bucket(day)``
+    with ``bucket(d) = days_since_epoch(d) div half_life_days``.  The
+    alignment choice is what makes the score *incrementally
+    maintainable*: bucket membership never changes as the anchor
+    advances (anchor-relative bucketing re-bins every historical row on
+    every new day), so a streaming refresh can fold batches into
+    per-(key, bucket) integer sums and derive the identical score at
+    read time — see ``streaming/decay.py``, whose state is proven
+    bit-equal to this batch operator in tests.  The anchor itself is the
+    data's max timestamp, so the score stays a pure function of the
+    data.  Because the decay base is a power of two and ``value``
+    is fixed-point (``value_scale`` units per 1.0, e.g. cents), every
+    contribution is representable as the integer ``value_units <<
+    (shift - age)`` over the common denominator ``2^shift`` — the sum
+    of those integers is EXACT, order-independent, and engine-
+    independent, unlike a ``sum(value * pow(0.5, age))`` of doubles
+    whose libm/row-order rounding differs between Spark and any oracle.
+    Rows older than ``shift`` half-lives contribute exactly 0 (their
+    true weight is below the representable resolution — documented
+    truncation, identical on both sides).
+
+    Output per key: ``n_events``, ``decayed_num`` (the exact integer
+    numerator, bigint), and ``decayed_units`` = numerator / 2^shift —
+    the score in ``value_col``'s fixed-point units (e.g. cents).  The
+    divisor is a power of two, so the division only shifts the float
+    exponent: the result is EXACT, needs no rounding, and a round-half
+    boundary can never flip between engines (a ``/ (2^shift *
+    value_scale)`` presentation rounded to N digits lands exactly on
+    half-ulp boundaries constantly — measured, it flips HALF_UP Spark
+    vs half-even DuckDB).
+
+    Scale: one map-side-combinable hash aggregate over a column-pruned
+    scan; the anchor rides a broadcast 1-row cross join (no driver
+    action, no second pass over payload columns).  State is O(keys)
+    regardless of history length; the incremental twin
+    (``streaming/decay.py``) keeps O(keys × shift) state and folds each
+    batch in O(batch) — the classic decayed-counter service, exact.
+    """
+    keys = list(keys)
+    anchor = df.agg(F.max(F.col(ts_col).cast("date")).alias("__anchor"))
+    hl = int(half_life_days)
+    age = (
+        f"(unix_date(__anchor) div {hl}"
+        f" - unix_date(cast({ts_col} as date)) div {hl})"
+    )
+    num = F.expr(
+        f"""CASE WHEN {age} <= {int(shift)}
+            THEN shiftleft(cast(round({value_col} * {int(value_scale)}) as bigint),
+                           {int(shift)} - cast({age} as int))
+            ELSE 0L END"""
+    )
+    return (
+        df.crossJoin(F.broadcast(anchor))
+        .withColumn("__num", num)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("__num").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("decayed_num"),
+        )
+        .withColumn(
+            "decayed_units",
+            F.col("decayed_num").cast("double") / float(1 << shift),
+        )
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    *,
+    keys: Sequence[str],
+    value_col: str,
+    n_mads: float = 3.0,
+) -> DataFrame:
+    """Median/MAD outlier flagging per key group — the robust anomaly
+    detector (mean/stddev breaks down when the anomaly itself inflates
+    the threshold; median and MAD have a 50% breakdown point).
+
+    Returns the input rows with ``med`` (group median), ``mad`` (median
+    absolute deviation) and ``is_outlier`` (|x - med| > n_mads * mad;
+    groups with mad = 0 flag any deviation).  Uses Spark's EXACT
+    ``percentile`` — when ``value_col`` is integer-valued the median and
+    MAD are exact binary fractions (k or k + 0.5), so the comparison is
+    engine-exact, never a float-rounding coin flip.
+
+    Scale: two grouped exact percentiles over the same hash partitioning
+    (one Exchange; Catalyst reuses it) — intended for PRE-AGGREGATED
+    series (e.g. daily totals per key: group cardinality × days rows),
+    not raw events; aggregate first so the percentile's per-group sort
+    is over thousands of rows, not billions.
+    """
+    keys = list(keys)
+    med_w = Window.partitionBy(*keys)
+    with_med = df.withColumn(
+        "med", F.expr(f"percentile({value_col}, 0.5)").over(med_w)
+    ).withColumn("__adev", F.abs(F.col(value_col) - F.col("med")))
+    return (
+        with_med.withColumn("mad", F.expr("percentile(__adev, 0.5)").over(med_w))
+        .withColumn(
+            "is_outlier",
+            F.when(
+                F.col("mad") > 0,
+                F.col("__adev") > F.lit(n_mads) * F.col("mad"),
+            ).otherwise(F.col("__adev") > 0),
+        )
+        .drop("__adev")
+    )

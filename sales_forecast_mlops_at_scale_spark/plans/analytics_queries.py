@@ -1151,7 +1151,236 @@ def q_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- k-anonymity release audit (privacy governance) ---------------------------
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity risk across a generalization lattice of customer
+    quasi-identifiers — the release audit a warehouse runs before any
+    data share (Sweeney 2002).  All four levels come out of ONE
+    ``GROUPING SETS`` scan (one shuffle, map-side combinable); the risk
+    shares are exact integer ppm.  Complements the erasure layer
+    (``q_erasure_audit``): forget-by-key removes a subject, this
+    measures whether the remaining projection still re-identifies one."""
+    from ..operators.privacy import k_anonymity_report
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("bal_bucket"),
+    )
+    return k_anonymity_report(
+        cust,
+        [
+            ["nation", "segment", "bal_bucket"],
+            ["nation", "segment"],
+            ["segment", "bal_bucket"],
+            ["segment"],
+        ],
+        ks=(2, 5, 10),
+    )
+
+
+_K_ANON_SQL = """
+WITH base AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         cast(floor(c_acctbal / 1000.0) AS bigint) AS bal_bucket
+  FROM customer
+), cls AS (
+  SELECT nation, segment, bal_bucket, count(*) AS class_size,
+         grouping(nation) AS g_n, grouping(segment) AS g_s,
+         grouping(bal_bucket) AS g_b
+  FROM base
+  GROUP BY GROUPING SETS ((nation, segment, bal_bucket),
+                          (nation, segment),
+                          (segment, bal_bucket),
+                          (segment))
+), lab AS (
+  SELECT CASE
+           WHEN g_n = 0 AND g_s = 0 AND g_b = 0 THEN 'nation+segment+bal_bucket'
+           WHEN g_n = 0 AND g_s = 0             THEN 'nation+segment'
+           WHEN g_s = 0 AND g_b = 0             THEN 'segment+bal_bucket'
+           ELSE 'segment'
+         END AS level, class_size
+  FROM cls
+), agg AS (
+  SELECT level,
+         count(*) AS n_classes,
+         min(class_size) AS min_class_size,
+         cast(sum(class_size) AS bigint) AS n_rows,
+         cast(sum(CASE WHEN class_size < 2 THEN class_size ELSE 0 END) AS bigint) AS rows_lt_2,
+         cast(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS bigint) AS rows_lt_5,
+         cast(sum(CASE WHEN class_size < 10 THEN class_size ELSE 0 END) AS bigint) AS rows_lt_10
+  FROM lab GROUP BY level
+)
+SELECT level, n_classes, min_class_size, n_rows, rows_lt_2, rows_lt_5, rows_lt_10,
+       (rows_lt_2 * 1000000) // n_rows  AS risk_ppm_2,
+       (rows_lt_5 * 1000000) // n_rows  AS risk_ppm_5,
+       (rows_lt_10 * 1000000) // n_rows AS risk_ppm_10
+FROM agg
+"""
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity audit over the (nation, segment) release
+    projection with the balance bucket as the sensitive attribute —
+    k-anonymity's complement against the homogeneity attack (a large but
+    single-valued class still leaks).  One count-distinct shuffle on the
+    composite key, then a one-row rollup; exact integer ppm."""
+    from ..operators.privacy import l_diversity_report
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("bal_bucket"),
+    )
+    return l_diversity_report(
+        cust, ["nation", "segment"], "bal_bucket", ls=(2, 3)
+    )
+
+
+_L_DIVERSITY_SQL = """
+WITH base AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         cast(floor(c_acctbal / 1000.0) AS bigint) AS bal_bucket
+  FROM customer
+), cls AS (
+  SELECT nation, segment, count(*) AS class_size,
+         count(DISTINCT bal_bucket) AS n_sensitive
+  FROM base GROUP BY 1, 2
+), agg AS (
+  SELECT count(*) AS n_classes,
+         cast(sum(class_size) AS bigint) AS n_rows,
+         min(n_sensitive) AS min_l,
+         cast(sum(CASE WHEN n_sensitive < 2 THEN class_size ELSE 0 END) AS bigint) AS rows_lt_l2,
+         cast(sum(CASE WHEN n_sensitive < 3 THEN class_size ELSE 0 END) AS bigint) AS rows_lt_l3
+  FROM cls
+)
+SELECT n_classes, n_rows, min_l, rows_lt_l2, rows_lt_l3,
+       (rows_lt_l2 * 1000000) // n_rows AS risk_ppm_l2,
+       (rows_lt_l3 * 1000000) // n_rows AS risk_ppm_l3
+FROM agg
+"""
+
+
+# -- exponentially time-decayed engagement (exact fixed-point) -----------------
+
+#: decayed-score constants, interpolated into BOTH sides (never twice)
+_DECAY_HALF_LIFE_DAYS = 7
+_DECAY_SHIFT = 8
+_DECAY_TOP = 50
+
+
+def q_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top users by exponentially time-decayed engagement — the
+    "trending" aggregate — in EXACT shifted-integer arithmetic (decay
+    base 2, fixed-point values), so the score is bit-identical across
+    engines and summation orders.  One map-side-combinable hash
+    aggregate + TakeOrdered; state O(users) regardless of history."""
+    from ..operators.timeseries import decayed_score
+
+    scored = decayed_score(
+        _events(spark, sf_dir),
+        keys=["user_id", "event_type"],
+        ts_col="ts",
+        value_col="value",
+        half_life_days=_DECAY_HALF_LIFE_DAYS,
+        value_scale=100,
+        shift=_DECAY_SHIFT,
+    )
+    return scored.orderBy(
+        F.col("decayed_num").desc(), "user_id", "event_type"
+    ).limit(_DECAY_TOP)
+
+
+_DECAY_SQL = f"""
+WITH anchor AS (
+  SELECT (max(cast(ts AS date)) - DATE '1970-01-01')
+           // {_DECAY_HALF_LIFE_DAYS} AS ab
+  FROM events
+),
+scored AS (
+  SELECT user_id, event_type,
+         count(*) AS n_events,
+         cast(sum(CASE
+           WHEN (SELECT ab FROM anchor)
+                - (cast(ts AS date) - DATE '1970-01-01')
+                  // {_DECAY_HALF_LIFE_DAYS} <= {_DECAY_SHIFT}
+           THEN cast(round(value * 100) AS bigint)
+                << ({_DECAY_SHIFT} - ((SELECT ab FROM anchor)
+                    - (cast(ts AS date) - DATE '1970-01-01')
+                      // {_DECAY_HALF_LIFE_DAYS}))
+           ELSE 0 END) AS bigint) AS decayed_num
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type, n_events, decayed_num,
+       cast(decayed_num AS double) / {1 << _DECAY_SHIFT}.0 AS decayed_units
+FROM scored
+ORDER BY decayed_num DESC, user_id, event_type
+LIMIT {_DECAY_TOP}
+"""
+
+
+# -- robust anomaly detection (median/MAD) -------------------------------------
+
+
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD anomaly flags over per-type daily revenue — the robust
+    detector (50% breakdown point; a spike can't inflate its own
+    threshold the way mean/stddev lets it).  Daily totals are exact
+    integer cents (order-independent), and the medians of integers are
+    exact binary fractions, so the |x-med| > 3·MAD comparison is
+    engine-exact — never a float coin flip.  Scale: the raw scan reduces
+    map-side into (type, day) totals; the percentile sorts touch only
+    those tiny aggregates."""
+    from ..operators.timeseries import robust_outliers
+
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "total_units"
+            )
+        )
+    )
+    return robust_outliers(
+        daily, keys=["event_type"], value_col="total_units", n_mads=3.0
+    ).select(
+        "event_type",
+        "day",
+        "total_units",
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        "is_outlier",
+    )
+
+
+_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type, cast(ts AS date) AS day,
+         sum(cast(round(value * 100) AS bigint)) AS total_units
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT *, median(total_units) OVER (PARTITION BY event_type) AS med
+  FROM daily
+), m2 AS (
+  SELECT *, abs(total_units - med) AS adev,
+         median(abs(total_units - med)) OVER (PARTITION BY event_type) AS mad
+  FROM m
+)
+SELECT event_type, day, cast(total_units AS bigint) AS total_units,
+       round(med, 4) AS med, round(mad, 4) AS mad,
+       CASE WHEN mad > 0 THEN adev > 3.0 * mad ELSE adev > 0 END AS is_outlier
+FROM m2
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "q_k_anonymity": QueryDef(q_k_anonymity, _K_ANON_SQL),
+    "q_l_diversity": QueryDef(q_l_diversity, _L_DIVERSITY_SQL),
+    "q_decayed_counts": QueryDef(q_decayed_counts, _DECAY_SQL),
+    "q_anomaly_mad": QueryDef(q_anomaly_mad, _ANOMALY_SQL),
     "q_asof_join": QueryDef(q_asof_join, _ASOF_SQL),
     "q_range_join": QueryDef(q_range_join, _RANGE_SQL),
     "q_sessionize": QueryDef(q_sessionize, _SESSION_SQL),

@@ -492,8 +492,145 @@ FROM tm WHERE rmse IS NOT NULL GROUP BY 1
 """
 
 
+def q_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training matrix for the forecast model —
+    the reference's pandas feature-prep stage (lag / rolling features
+    per (store, product) before the model fit) as ONE windowed scan.
+    Every trailing frame ends at *yesterday* (``RANGE ... AND -1``) so
+    the label can't leak into its own features, and frames are calendar
+    ``RANGE`` over the day index, not ``ROWS``, so gap days never
+    stretch a 7-day lag into a 7-observation lag.  All frames share a
+    single Exchange+Sort on the group keys — the same partitioning the
+    grouped-map trainer consumes, so feature-prep adds zero shuffles to
+    the training pipeline."""
+    from ..ml.features import feature_matrix
+
+    m = feature_matrix(
+        demand_series(spark, sf_dir),
+        KEYS,
+        date_col="ds",
+        y_col="y",
+        lags=(7, 14),
+        ma_window=28,
+    )
+    return m.select(
+        "l_suppkey",
+        "l_returnflag",
+        "ds",
+        F.round("y", 2).alias("y"),
+        F.round("lag_7", 2).alias("lag_7"),
+        F.round("lag_14", 2).alias("lag_14"),
+        "ma_28",
+        "n_hist",
+        "isodow",
+        "month",
+    )
+
+
+_FEATURE_MATRIX_SQL = """
+WITH series AS (
+  SELECT l_suppkey, l_returnflag, cast(l_shipdate AS date) AS ds,
+         sum(l_quantity) AS y
+  FROM lineitem GROUP BY 1, 2, 3
+), s2 AS (
+  SELECT *, (ds - DATE '1970-01-01') AS di FROM series
+)
+SELECT l_suppkey, l_returnflag, ds, round(y, 2) AS y,
+       round(max(y) OVER (PARTITION BY l_suppkey, l_returnflag ORDER BY di
+                          RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING), 2)
+         AS lag_7,
+       round(max(y) OVER (PARTITION BY l_suppkey, l_returnflag ORDER BY di
+                          RANGE BETWEEN 14 PRECEDING AND 14 PRECEDING), 2)
+         AS lag_14,
+       round(sum(y) OVER (PARTITION BY l_suppkey, l_returnflag ORDER BY di
+                          RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING)
+             / count(y) OVER (PARTITION BY l_suppkey, l_returnflag ORDER BY di
+                              RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING), 4)
+         AS ma_28,
+       count(y) OVER (PARTITION BY l_suppkey, l_returnflag ORDER BY di
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         AS n_hist,
+       cast(isodow(ds) AS INTEGER) AS isodow,
+       cast(month(ds) AS INTEGER) AS month
+FROM s2
+"""
+
+
+#: drift-monitor constants, interpolated into BOTH sides
+_DRIFT_BINS = 10
+_DRIFT_SPLIT = "1995-01-01"
+_DRIFT_COLS = ("l_extendedprice", "l_quantity", "l_discount")
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI + binned-KS drift between the pre/post-{split} shipment
+    windows for three pricing features — the drift gate the reference's
+    schedule-only weekly retrain lacks (see operators/drift.py).  Two
+    map-side-combinable aggregates per feature; nothing data-scale
+    crosses a shuffle."""
+    from ..operators.drift import psi_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    split = F.lit(_DRIFT_SPLIT).cast("date")
+    ref = li.where(F.col("l_shipdate").cast("date") < split)
+    cur = li.where(F.col("l_shipdate").cast("date") >= split)
+    return psi_report(ref, cur, list(_DRIFT_COLS), bins=_DRIFT_BINS)
+
+
+def _psi_ctes_one(col: str, i: int) -> str:
+    b = _DRIFT_BINS
+    return f"""both_{i} AS (
+    SELECT {col} AS x,
+           CASE WHEN cast(l_shipdate AS date) < DATE '{_DRIFT_SPLIT}'
+                THEN 0 ELSE 1 END AS w
+    FROM lineitem
+  ), stats_{i} AS (SELECT min(x) AS lo, max(x) AS hi FROM both_{i}),
+  counted_{i} AS (
+    SELECT CASE WHEN hi = lo THEN 0
+                ELSE least(cast(floor((x - lo) * {b} / (hi - lo)) AS int),
+                           {b - 1}) END AS bin,
+           sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS ref_n,
+           sum(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS cur_n
+    FROM both_{i}, stats_{i} GROUP BY 1
+  ), dens_{i} AS (
+    SELECT g.bin, coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+    FROM (SELECT cast(range AS int) AS bin FROM range({b})) g
+    LEFT JOIN counted_{i} USING (bin)
+  ), tot_{i} AS (
+    SELECT cast(sum(ref_n) AS bigint) AS nr, cast(sum(cur_n) AS bigint) AS nc
+    FROM dens_{i}
+  ), terms_{i} AS (
+    SELECT cast(floor(
+             ( (ref_n + 1) / (nr + {b}) - (cur_n + 1) / (nc + {b}) )
+             * ln( ((ref_n + 1) / (nr + {b})) / ((cur_n + 1) / (nc + {b})) )
+             * 1000000 + 0.5
+           ) AS bigint) AS term_fp,
+           abs( (sum(ref_n) OVER (ORDER BY bin)) / nullif(nr, 0)
+              - (sum(cur_n) OVER (ORDER BY bin)) / nullif(nc, 0) ) AS ks,
+           nr, nc
+    FROM dens_{i}, tot_{i}
+  ), final_{i} AS (
+    SELECT '{col}' AS feature, max(nr) AS n_ref, max(nc) AS n_cur,
+           round(sum(term_fp) / 1000000.0, 6) AS psi,
+           cast(floor(max(ks) * 1000000) AS bigint) AS ks_ppm
+    FROM terms_{i}
+  )"""
+
+
+_PSI_SQL = (
+    "WITH "
+    + ",\n  ".join(_psi_ctes_one(c, i) for i, c in enumerate(_DRIFT_COLS))
+    + "\n"
+    + " UNION ALL ".join(
+        f"SELECT * FROM final_{i}" for i in range(len(_DRIFT_COLS))
+    )
+)
+
+
 QUERIES: dict[str, QueryDef] = {
     "q_train_metrics": QueryDef(q_train_metrics, _TRAIN_SQL),
+    "q_feature_matrix": QueryDef(q_feature_matrix, _FEATURE_MATRIX_SQL),
+    "q_psi_drift": QueryDef(q_psi_drift, _PSI_SQL),
     "q_train_incremental": QueryDef(q_train_incremental, _TRAIN_SQL),
     "q_forecast_7d": QueryDef(q_forecast_7d, _FORECAST_SQL),
     "q_gated_forecast": QueryDef(q_gated_forecast, _GATED_SQL),

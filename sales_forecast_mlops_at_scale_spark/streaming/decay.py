@@ -1,0 +1,235 @@
+"""Incremental exponentially-decayed counters — the streaming twin of
+``operators/timeseries.decayed_score``, EXACT to the bit.
+
+The batch operator scores each key as ``Σ value_units · 2^-(A - b(d))``
+where ``b(d)`` is the event's epoch-aligned half-life bucket and ``A`` the
+newest bucket.  Because bucket membership is epoch-aligned (never
+re-binned when the anchor advances) and every contribution is an integer
+over the common denominator ``2^shift``, the score decomposes as
+
+    decayed_num(key) = Σ_buckets  units[key, b]  <<  (shift - (A - b))
+
+so the ONLY state a streaming service needs is the per-(key, bucket)
+integer sums ``units`` and ``n_events`` — O(keys × (shift+1)) rows, folded
+per batch with plain integer addition (commutative ⇒ any batch split,
+ordering, or late arrival yields the same state).  The decay itself is
+applied at READ time from the current max bucket.  This is the classic
+decayed-counter service (feed "trending now" backends), here with a proof
+obligation the float version can never meet: ``read_scores`` after any
+sequence of ``fold_batch`` calls is **bit-identical** to
+``decayed_score`` over the concatenated history (pinned in
+tests/test_streaming.py).
+
+Buckets older than ``shift`` half-lives contribute exactly 0 forever (the
+anchor only advances), so ``fold_batch`` folds them into a sentinel row
+(``bucket = -1``, ``units = 0``) that preserves the exact ``n_events``
+total while bounding state — pruning loses nothing, bit-for-bit.
+
+Commit protocol (local-FS substrate, same family as
+``streaming/snapshots.py``): each fold writes a fresh ``state_v{N}``
+directory and flips a ``LATEST`` pointer via atomic rename; a crash
+leaves either the old pointer (fold never happened — caller replays the
+batch) or the new one (fold complete).  Torn, unreferenced ``state_v*``
+directories above the pointer are removed at the next fold's entry.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: sentinel bucket holding n_events of pruned (zero-weight-forever) rows
+_SENTINEL = -1
+
+_LATEST = "LATEST"
+
+
+def _state_version(root: str) -> int:
+    """Committed state version, 0 if none."""
+    p = os.path.join(root, _LATEST)
+    if not os.path.exists(p):
+        return 0
+    with open(p, encoding="utf-8") as fh:
+        return int(fh.read().strip())
+
+
+def _state_dir(root: str, version: int) -> str:
+    return os.path.join(root, f"state_v{version}")
+
+
+def _heal(root: str) -> None:
+    """Remove torn artifacts: staging dirs and any state_v* ABOVE the
+    committed pointer (a fold that died between the data rename and the
+    pointer flip left them unreferenced — by on-disk state, not by any
+    in-process flag)."""
+    committed = _state_version(root)
+    for name in os.listdir(root):
+        full = os.path.join(root, name)
+        if name.startswith("_staging_"):
+            shutil.rmtree(full, ignore_errors=True)
+        elif name.startswith("state_v"):
+            try:
+                v = int(name[len("state_v"):])
+            except ValueError:
+                continue
+            if v > committed:
+                shutil.rmtree(full, ignore_errors=True)
+
+
+def _bucket_sums(
+    batch_df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    half_life_days: int,
+    value_scale: int,
+) -> DataFrame:
+    bucket = F.expr(
+        f"unix_date(cast({ts_col} as date)) div {int(half_life_days)}"
+    ).alias("bucket")
+    units = F.expr(
+        f"cast(round({value_col} * {int(value_scale)}) as bigint)"
+    ).alias("__u")
+    return (
+        batch_df.select(*keys, bucket, units)
+        .groupBy(*keys, "bucket")
+        .agg(
+            F.sum(F.col("__u").cast("decimal(38,0)")).cast("bigint").alias("units"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def fold_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    root: str,
+    *,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_days: int = 7,
+    value_scale: int = 100,
+    shift: int = 8,
+    prune: bool = True,
+) -> int:
+    """Fold one batch into the decayed-counter state; returns the newly
+    committed state version.  O(batch + live state) work: the batch
+    reduces map-side to (key, bucket) rows before touching the (small)
+    state table; history length never enters the cost.
+
+    Exactly-once composition: the commit is a single pointer flip, so a
+    caller replaying an uncommitted batch (e.g. foreachBatch after a
+    crash) re-folds from the OLD state — never a double count.
+    """
+    keys = list(keys)
+    os.makedirs(root, exist_ok=True)
+    _heal(root)
+    version = _state_version(root)
+
+    merged = _bucket_sums(
+        batch_df, keys, ts_col, value_col, half_life_days, value_scale
+    )
+    if version > 0:
+        merged = merged.unionByName(
+            spark.read.parquet(_state_dir(root, version))
+        )
+    merged = merged.groupBy(*keys, "bucket").agg(
+        F.sum(F.col("units").cast("decimal(38,0)")).cast("bigint").alias("units"),
+        F.sum("n_events").alias("n_events"),
+    )
+    if prune:
+        # zero-weight-forever buckets collapse into the sentinel; their
+        # exact n_events ride along, their units are dropped (they can
+        # never contribute again — the anchor bucket only advances)
+        cutoff = merged.where(F.col("bucket") != _SENTINEL).agg(
+            (F.max("bucket") - F.lit(int(shift))).alias("__cutoff")
+        )
+        stale = (F.col("bucket") < F.col("__cutoff")) | (
+            F.col("bucket") == _SENTINEL
+        )
+        merged = (
+            merged.crossJoin(F.broadcast(cutoff))
+            .withColumn(
+                "bucket",
+                F.when(stale, F.lit(_SENTINEL)).otherwise(F.col("bucket")),
+            )
+            .withColumn(
+                "units",
+                F.when(F.col("bucket") == _SENTINEL, F.lit(0)).otherwise(
+                    F.col("units")
+                ),
+            )
+            .groupBy(*keys, "bucket")
+            .agg(
+                F.sum(F.col("units").cast("decimal(38,0)"))
+                .cast("bigint")
+                .alias("units"),
+                F.sum("n_events").alias("n_events"),
+            )
+        )
+
+    staging = os.path.join(root, f"_staging_{version + 1}")
+    merged.write.mode("overwrite").parquet(staging)
+    final = _state_dir(root, version + 1)
+    os.rename(staging, final)
+    tmp = os.path.join(root, "_LATEST.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(str(version + 1))
+    os.replace(tmp, os.path.join(root, _LATEST))
+    # keep exactly one superseded version for in-flight readers
+    for name in os.listdir(root):
+        if name.startswith("state_v"):
+            try:
+                v = int(name[len("state_v"):])
+            except ValueError:
+                continue
+            if v < version:
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+    return version + 1
+
+
+def read_scores(
+    spark: SparkSession,
+    root: str,
+    *,
+    keys: Sequence[str],
+    shift: int = 8,
+) -> DataFrame:
+    """Current decayed scores from the folded state — same schema and
+    bit-identical values as ``decayed_score`` over the full history:
+    ``keys…, n_events, decayed_num, decayed_units``.
+
+    The anchor is the state's max real bucket (== the bucket of the max
+    event date ever folded, since buckets are monotone in date); the
+    sentinel row is excluded from the anchor but its ``n_events`` count.
+    """
+    keys = list(keys)
+    state = spark.read.parquet(_state_dir(root, _state_version(root)))
+    anchor = state.where(F.col("bucket") != _SENTINEL).agg(
+        F.max("bucket").alias("__ab")
+    )
+    num = F.expr(
+        f"CASE WHEN bucket != {_SENTINEL} AND (__ab - bucket) <= {int(shift)} "
+        f"THEN shiftleft(units, {int(shift)} - cast(__ab - bucket as int)) "
+        "ELSE 0L END"
+    )
+    return (
+        state.crossJoin(F.broadcast(anchor))
+        .withColumn("__num", num)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum(F.col("__num").cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("decayed_num"),
+        )
+        .withColumn(
+            "decayed_units",
+            F.col("decayed_num").cast("double") / float(1 << shift),
+        )
+    )

@@ -182,3 +182,235 @@ def test_exactness_constraint_not_fooled_by_display_rounding(spark):
     ).collect()[0]
     assert row.metric == 1.0  # display rounds up...
     assert not row.passed  # ...but the verdict sees the violation
+
+
+# -- k-anonymity ---------------------------------------------------------------
+
+
+def test_k_anonymity_report_basic(spark):
+    from sales_forecast_mlops_at_scale_spark.operators.privacy import (
+        k_anonymity_report,
+    )
+
+    # classes by (a,b): (x,1)x3, (x,2)x1, (y,1)x4  → min class 1
+    rows = [("x", 1)] * 3 + [("x", 2)] + [("y", 1)] * 4
+    df = spark.createDataFrame(rows, ["a", "b"])
+    rep = {
+        r.level: r
+        for r in k_anonymity_report(df, [["a", "b"], ["a"]], ks=(2, 4)).collect()
+    }
+    full = rep["a+b"]
+    assert full.n_classes == 3 and full.min_class_size == 1 and full.n_rows == 8
+    assert full.rows_lt_2 == 1  # the singleton (x,2)
+    assert full.rows_lt_4 == 4  # (x,1)x3 + (x,2)x1
+    assert full.risk_ppm_2 == 125_000
+    gen = rep["a"]  # generalizing away b: classes x:4, y:4 → safe at k=4
+    assert gen.n_classes == 2 and gen.min_class_size == 4
+    assert gen.rows_lt_2 == 0 and gen.rows_lt_4 == 0 and gen.risk_ppm_4 == 0
+
+
+def test_k_anonymity_null_qi_is_its_own_class(spark):
+    """NULL QI values are data (their own equivalence class), not
+    grouping-set subtotal markers — the grouping() flags keep them
+    apart."""
+    from sales_forecast_mlops_at_scale_spark.operators.privacy import (
+        k_anonymity_report,
+    )
+
+    df = spark.createDataFrame(
+        [("x", 1), ("x", None), ("x", None)], ["a", "b"]
+    )
+    rep = {
+        r.level: r
+        for r in k_anonymity_report(df, [["a", "b"], ["a"]], ks=(2,)).collect()
+    }
+    assert rep["a+b"].n_classes == 2  # (x,1) and (x,NULL)
+    assert rep["a+b"].rows_lt_2 == 1
+    assert rep["a"].n_classes == 1 and rep["a"].rows_lt_2 == 0
+
+
+def test_k_anonymity_duplicate_level_rejected(spark):
+    import pytest as _pytest
+
+    from sales_forecast_mlops_at_scale_spark.operators.privacy import (
+        k_anonymity_report,
+    )
+
+    df = spark.createDataFrame([("x", 1)], ["a", "b"])
+    with _pytest.raises(ValueError, match="duplicate"):
+        k_anonymity_report(df, [["a", "b"], ["b", "a"]])
+
+
+# -- decayed score -------------------------------------------------------------
+
+
+def test_decayed_score_exact_halving(spark):
+    """One event per half-life bucket, value 1.00: weights are exactly
+    1, 1/2, 1/4 — numerator 256+128+64 over 2^8."""
+    import datetime as dt
+
+    from sales_forecast_mlops_at_scale_spark.operators.timeseries import (
+        decayed_score,
+    )
+
+    base = dt.datetime(2024, 3, 31, 12, 0, 0)
+    rows = [
+        (1, base, 1.0),                            # age bucket 0
+        (1, base - dt.timedelta(days=7), 1.0),     # bucket 1
+        (1, base - dt.timedelta(days=14), 1.0),    # bucket 2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = decayed_score(
+        df, keys=["user_id"], half_life_days=7, value_scale=100, shift=8
+    ).collect()[0]
+    assert out.n_events == 3
+    assert out.decayed_num == 100 * (256 + 128 + 64)
+    assert out.decayed_units == 100 * (1 + 0.5 + 0.25)
+
+
+def test_decayed_score_old_rows_contribute_zero(spark):
+    import datetime as dt
+
+    from sales_forecast_mlops_at_scale_spark.operators.timeseries import (
+        decayed_score,
+    )
+
+    base = dt.datetime(2024, 3, 31)
+    df = spark.createDataFrame(
+        [(1, base, 5.0), (1, base - dt.timedelta(days=7 * 9), 1000.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = decayed_score(
+        df, keys=["user_id"], half_life_days=7, value_scale=100, shift=8
+    ).collect()[0]
+    assert out.n_events == 2  # counted...
+    assert out.decayed_num == 500 * 256  # ...but weight exactly 0 past shift
+
+
+def test_decayed_score_partition_invariant(spark):
+    """Exact integer arithmetic ⇒ bit-identical under any partitioning."""
+    import datetime as dt
+
+    from sales_forecast_mlops_at_scale_spark.operators.timeseries import (
+        decayed_score,
+    )
+
+    base = dt.datetime(2024, 3, 31)
+    rows = [
+        (i % 7, base - dt.timedelta(days=i % 29, hours=i % 23), 0.01 * (i % 997))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    a = {
+        r.user_id: (r.decayed_num, r.decayed_units)
+        for r in decayed_score(df.repartition(1), keys=["user_id"]).collect()
+    }
+    b = {
+        r.user_id: (r.decayed_num, r.decayed_units)
+        for r in decayed_score(df.repartition(16), keys=["user_id"]).collect()
+    }
+    assert a == b
+
+
+# -- robust outliers -----------------------------------------------------------
+
+
+def test_robust_outliers_flags_spike_not_mean_pull(spark):
+    """A single huge spike must be flagged, and must NOT drag the
+    threshold (the mean/stddev failure mode) so normal days stay
+    unflagged."""
+    from sales_forecast_mlops_at_scale_spark.operators.timeseries import (
+        robust_outliers,
+    )
+
+    vals = [100, 101, 99, 102, 98, 100, 5000]
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)], ["k", "i", "x"]
+    )
+    out = {r.i: r for r in robust_outliers(df, keys=["k"], value_col="x").collect()}
+    assert out[6].is_outlier
+    assert not any(out[i].is_outlier for i in range(6))
+    assert out[0].med == 100.0  # spike didn't move the centre
+
+
+def test_robust_outliers_zero_mad_group(spark):
+    """Constant group: mad = 0 → any deviation is an outlier, the
+    constant rows are not."""
+    from sales_forecast_mlops_at_scale_spark.operators.timeseries import (
+        robust_outliers,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0, 5), ("a", 1, 5), ("a", 2, 5), ("a", 3, 6)], ["k", "i", "x"]
+    )
+    out = {r.i: r for r in robust_outliers(df, keys=["k"], value_col="x").collect()}
+    assert out[3].is_outlier and not out[0].is_outlier
+    assert out[0].mad == 0.0
+
+
+# -- distribution drift (PSI + binned KS) ---------------------------------------
+
+
+def test_psi_zero_for_identical_distributions(spark):
+    """Same window on both sides: every bin share matches, PSI = 0 and
+    KS = 0 exactly (smoothing cancels)."""
+    from sales_forecast_mlops_at_scale_spark.operators.drift import psi_report
+
+    df = spark.createDataFrame([(float(i % 17),) for i in range(500)], ["x"])
+    row = psi_report(df, df, ["x"]).collect()[0]
+    assert row.psi == 0.0 and row.ks_ppm == 0
+    assert row.n_ref == 500 and row.n_cur == 500
+
+
+def test_psi_nonnegative_and_orders_drift(spark):
+    """Gibbs: PSI ≥ 0 always; a shifted window scores strictly higher
+    than a mildly perturbed one."""
+    from sales_forecast_mlops_at_scale_spark.operators.drift import psi_report
+
+    ref = spark.createDataFrame([(float(i % 100),) for i in range(1000)], ["x"])
+    mild = spark.createDataFrame(
+        [(float((i + 3) % 100),) for i in range(1000)], ["x"]
+    )
+    shifted = spark.createDataFrame(
+        [(float(50 + i % 100),) for i in range(1000)], ["x"]
+    )
+    p_mild = psi_report(ref, mild, ["x"]).collect()[0].psi
+    p_shift = psi_report(ref, shifted, ["x"]).collect()[0].psi
+    assert p_mild >= 0.0 and p_shift >= 0.0
+    assert p_shift > p_mild
+    assert p_shift > 0.25  # the "retrain" convention band
+
+
+def test_ks_detects_median_shift_psi_grid_shared(spark):
+    """KS is the max CDF gap: moving half the mass one bin over gives a
+    ks_ppm close to the moved share; empty-vs-dense bins stay finite
+    thanks to smoothing."""
+    from sales_forecast_mlops_at_scale_spark.operators.drift import psi_report
+
+    ref = spark.createDataFrame([(0.0,)] * 100 + [(9.0,)] * 100, ["x"])
+    cur = spark.createDataFrame([(0.0,)] * 200, ["x"])
+    row = psi_report(ref, cur, ["x"], bins=10).collect()[0]
+    assert row.ks_ppm == 500_000  # CDF gap of exactly 1/2 at bin 0
+    assert row.psi > 0.25
+
+
+def test_psi_multi_feature_and_degenerate_range(spark):
+    """Multiple features come back as independent rows; a constant
+    column (hi == lo) degenerates to one occupied bin without NaN/inf.
+    Windows are EQUAL-SIZED here because Laplace smoothing gives
+    unequal-sized windows slightly different smoothed shares even for
+    identical shapes (p0 = (n+1)/(n+bins)) — a real, documented property
+    of smoothed PSI, not a bug."""
+    from sales_forecast_mlops_at_scale_spark.operators.drift import psi_report
+
+    ref = spark.createDataFrame(
+        [(float(i % 10), 5.0) for i in range(100)], ["a", "c"]
+    )
+    cur = spark.createDataFrame(
+        [(float((i * 7) % 10), 5.0) for i in range(100)], ["a", "c"]
+    )
+    rows = {r.feature: r for r in psi_report(ref, cur, ["a", "c"]).collect()}
+    assert set(rows) == {"a", "c"}
+    assert rows["c"].psi == 0.0 and rows["c"].ks_ppm == 0
+    # i%10 and (7i)%10 are both uniform over 0..9 → identical bin shares
+    assert rows["a"].psi == 0.0 and rows["a"].ks_ppm == 0

@@ -1343,3 +1343,168 @@ def test_maybe_retrain_policy_thresholds(spark, tmp_path):
     out3 = vi.maybe_retrain(spark, root, drift_threshold_ppm=1, dim=64)
     assert out3["retrained"] is False  # post-retrain baseline is current
     assert out3["max_abs_drift_ppm"] == 0
+
+
+# -- incremental decayed counters (streaming/decay.py) -------------------------
+
+
+def _decay_events(spark, seed_rows):
+    import datetime as dt
+
+    rows = [
+        (uid, dt.datetime(2024, 1, 1) + dt.timedelta(days=d, hours=h), v)
+        for uid, d, h, v in seed_rows
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    )
+
+
+def _decay_fixture_rows(n=600):
+    # deterministic, spans ~20 weeks, late/out-of-order across batches
+    return [
+        (i % 9, (i * 37) % 140, i % 23, 0.01 * ((i * 97) % 4999))
+        for i in range(n)
+    ]
+
+
+def test_decay_fold_equals_batch_bit_for_bit(spark, tmp_path):
+    """THE exactness contract: fold 3 out-of-order batches, read back,
+    and every (decayed_num, n_events) equals the batch operator over the
+    concatenated history — integer arithmetic leaves no tolerance."""
+    from sales_forecast_mlops_at_scale_spark.operators.timeseries import (
+        decayed_score,
+    )
+    from sales_forecast_mlops_at_scale_spark.streaming import decay
+
+    rows = _decay_fixture_rows()
+    # batch 2 carries the OLDEST events (late data), batch 3 a mix
+    batches = [rows[0::3], rows[1::3], rows[2::3]]
+    root = str(tmp_path / "decaystate")
+    for b in batches:
+        decay.fold_batch(
+            spark, _decay_events(spark, b), root, keys=["user_id"]
+        )
+    got = {
+        r.user_id: (r.n_events, r.decayed_num, r.decayed_units)
+        for r in decay.read_scores(spark, root, keys=["user_id"]).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.decayed_num, r.decayed_units)
+        for r in decayed_score(
+            _decay_events(spark, rows), keys=["user_id"]
+        ).collect()
+    }
+    assert got == want
+
+
+def test_decay_prune_bounds_state_without_changing_scores(spark, tmp_path):
+    """After pruning, state holds ≤ shift+2 buckets per key (live window
+    + sentinel), yet scores AND total n_events still match the batch
+    recompute exactly — the sentinel preserves pruned counts."""
+    from sales_forecast_mlops_at_scale_spark.operators.timeseries import (
+        decayed_score,
+    )
+    from sales_forecast_mlops_at_scale_spark.streaming import decay
+
+    rows = _decay_fixture_rows()
+    root = str(tmp_path / "prunestate")
+    # fold oldest half first, then newest half (anchor advances → prune)
+    rows_sorted = sorted(rows, key=lambda r: r[1])
+    for b in (rows_sorted[:300], rows_sorted[300:]):
+        decay.fold_batch(
+            spark, _decay_events(spark, b), root, keys=["user_id"], shift=4
+        )
+    state = spark.read.parquet(
+        decay._state_dir(root, decay._state_version(root))
+    )
+    import pyspark.sql.functions as F
+
+    per_key = state.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    assert per_key <= 4 + 2  # live window + sentinel
+    got = {
+        r.user_id: (r.n_events, r.decayed_num)
+        for r in decay.read_scores(
+            spark, root, keys=["user_id"], shift=4
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.decayed_num)
+        for r in decayed_score(
+            _decay_events(spark, rows), keys=["user_id"], shift=4
+        ).collect()
+    }
+    assert got == want
+
+
+def test_decay_fold_crash_before_pointer_flip_is_replayable(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the fold between the staging rename and the pointer flip:
+    the state pointer still names the OLD version, so replaying the
+    batch (what a checkpointed foreachBatch driver does) folds it
+    exactly once — the torn higher version is healed at entry."""
+    import os as _os
+
+    from sales_forecast_mlops_at_scale_spark.operators.timeseries import (
+        decayed_score,
+    )
+    from sales_forecast_mlops_at_scale_spark.streaming import decay
+
+    rows = _decay_fixture_rows(200)
+    b1, b2 = rows[:100], rows[100:]
+    root = str(tmp_path / "crashstate")
+    decay.fold_batch(spark, _decay_events(spark, b1), root, keys=["user_id"])
+
+    real_replace = _os.replace
+
+    def exploding_replace(src, dst):
+        if _os.path.basename(dst) == "LATEST":
+            raise OSError("simulated crash before pointer flip")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(decay.os, "replace", exploding_replace)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="simulated"):
+        decay.fold_batch(spark, _decay_events(spark, b2), root, keys=["user_id"])
+    monkeypatch.setattr(decay.os, "replace", real_replace)
+
+    assert decay._state_version(root) == 1  # commit never happened
+    # checkpoint replay: same batch again
+    decay.fold_batch(spark, _decay_events(spark, b2), root, keys=["user_id"])
+    got = {
+        r.user_id: (r.n_events, r.decayed_num)
+        for r in decay.read_scores(spark, root, keys=["user_id"]).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.decayed_num)
+        for r in decayed_score(
+            _decay_events(spark, rows), keys=["user_id"]
+        ).collect()
+    }
+    assert got == want
+
+
+def test_decay_fold_is_batch_split_invariant(spark, tmp_path):
+    """Any partition of the history into batches commits the same state
+    (integer addition commutes): 1 fold vs 5 folds, identical scores."""
+    from sales_forecast_mlops_at_scale_spark.streaming import decay
+
+    rows = _decay_fixture_rows(300)
+    ra = str(tmp_path / "one")
+    rb = str(tmp_path / "five")
+    decay.fold_batch(spark, _decay_events(spark, rows), ra, keys=["user_id"])
+    for i in range(5):
+        decay.fold_batch(
+            spark, _decay_events(spark, rows[i::5]), rb, keys=["user_id"]
+        )
+    a = {
+        r.user_id: (r.n_events, r.decayed_num)
+        for r in decay.read_scores(spark, ra, keys=["user_id"]).collect()
+    }
+    b = {
+        r.user_id: (r.n_events, r.decayed_num)
+        for r in decay.read_scores(spark, rb, keys=["user_id"]).collect()
+    }
+    assert a == b

@@ -15,6 +15,7 @@ TOP = [
     "q_quantile_sketch", "q_train_metrics_summary", "q_gate_rate",
     "q_cv_split_stats", "q_forecast_weekday", "q_rmse_bands",
     "q_erasure_audit", "q_index_drift", "q_adaptive_salted_join",
+    "q_feature_matrix", "q_k_anonymity", "q_decayed_counts",
 ]
 NOTES = {
     "q_dedup_clusters": "MinHash-LSH pairs (persisted shingle sets, banded bucket join) feed min-label propagation; four steps + one pointer-doubling shortcut per burst ending in one lazy checkpoint whose materialization rides the convergence count; in-burst convergence detection finishes shallow graphs in ONE driver action; deep graphs escalate to large-star/small-star contraction (O(log^2 n) rounds, diameter-independent); edges pinned once.",
@@ -50,6 +51,9 @@ NOTES = {
     "q_cms_heavy": "Depth x width sketch as one grouped sum per (row,col) cell - map-side combinable grid, heavy-hitter probe reads the broadcast sketch; bounded state regardless of key cardinality.",
     "q_index_drift": "Drift observability over the two-epoch materialized index: reads ONLY the assignments + seed_stats tiers - two tiny groupBy(bucket) hash aggregates (map-side combinable) joined and crossed with a broadcast 1-row totals frame; pure integer ppm arithmetic. The two-epoch index build (train on first half, ingest second half frozen) is digest-memoized OUTSIDE the plan, same convention as the other materialized indexes; the steady-state plan is what a warehouse drift monitor runs per maintenance tick. At 100 TB the scan is bytes per million vectors - vectors and codes never load.",
     "q_adaptive_salted_join": "Probe (TakeOrderedAndProject top-10 key counts + one scalar count) -> ppm threshold -> selective salt: only hot keys fan the build side out x8, cold keys ride salt 0, so the build-side blow-up is O(hot keys), not O(dim rows). Exchange keyed on (user_id, __salt) under a forced shuffle (plan-asserted in tests); result is hash-identical to the plain join (oracle) - the salt never changes semantics, only placement.",
+    "q_feature_matrix": "ONE Window operator evaluates ALL five frames (two calendar lags, trailing-28d sum+count, unbounded history count) over ONE Exchange+Sort on the group keys - the same REPARTITION_BY_COL the grouped-map trainer reuses, so feature prep adds zero shuffles to the training pipeline. RANGE frames end at -1 (yesterday): point-in-time correctness is in the frame spec, not in a join.",
+    "q_k_anonymity": "All four generalization levels of the QI lattice from ONE Expand + map-side-combined count shuffle (grouping sets); the second aggregate reduces class rows (<= distinct-QI cardinality, never data-scale) to 4 summary rows. Release-audit cost is one scan regardless of lattice width.",
+    "q_decayed_counts": "Partial hash agg (map-side combine of the exact shifted-integer numerators) -> one exchange -> TakeOrderedAndProject(50); the anchor is a broadcast 1-row max over a ts-only column-pruned scan. The streaming twin (streaming/decay.py) folds the same integers incrementally - state O(keys x shift), proven bit-equal in tests.",
     "q_erasure_audit": "The governed-copy build (key-clustered write + snapshot-enable + surgical erasure + vacuum) happens ONCE per testdata digest OUTSIDE the query plan (same convention as the materialized ANN index); the recorded plan is the steady state a warehouse audit actually runs - a parquet scan of the erased table into one map-side-combinable hash aggregate. The erasure itself rewrote only the files the IN-list prune + semi-join located (footer-stats pruned on the doc_id clustering the build laid down).",
 }
 

@@ -67,6 +67,16 @@ QUERIES = [
     # and the probe->threshold->selective-salt adaptive join
     "q_index_drift",
     "q_adaptive_salted_join",
+    # r8 additions: privacy release audits (grouping-sets lattice +
+    # count-distinct diversity), the exact decayed-counter aggregate,
+    # median/MAD anomaly flags, and the point-in-time feature matrix
+    # (the widest output of the sweep — full windowed series)
+    "q_k_anonymity",
+    "q_l_diversity",
+    "q_decayed_counts",
+    "q_anomaly_mad",
+    "q_feature_matrix",
+    "q_psi_drift",
 ]
 
 
