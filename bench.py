@@ -175,6 +175,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_anomaly_mad",
     "q_feature_matrix",
     "q_psi_drift",
+    "q_model_compare",
 )
 
 

@@ -1,0 +1,139 @@
+"""Champion/challenger model comparison — one grouped-map pass.
+
+The reference trains exactly one model family (Prophet) per (store,
+product) and serves whatever came out (train_utils.py:72-151); there is
+no challenger, so a store whose demand went flat keeps paying Prophet's
+fit cost and serving its worse fit forever.  Production MLOps runs a
+champion/challenger bake-off: evaluate ≥ 2 model families on the SAME
+walk-forward CV folds and promote the winner per group.
+
+This module evaluates the deterministic pair in ONE pass:
+
+- ``seasonal_naive`` (champion/incumbent): latest same-weekday value in
+  the train window, train-mean fallback (ml/models.SeasonalNaiveModel).
+- ``moving_average`` (challenger): the mean of the last ``ma_window``
+  train-window OBSERVATIONS, constant across the fold — the right model
+  when weekday seasonality is noise (ml/models.MovingAverageModel).
+
+Both models share the group's fold bounds, so the comparison is
+apples-to-apples by construction; promotion compares the 4-digit-rounded
+CV RMSE both engines already share (never a raw-double coin flip), ties
+keep the incumbent.
+
+Scale: ONE ``sorted_group_map`` job (same shape as ml/train.py — the
+series shuffles once on the group keys, reusing the daily-agg exchange
+under ``pre_partitioned=True``); both models fit inside the same Arrow
+batch visit, so the challenger costs one extra numpy mean per fold, not
+a second pass over 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.groupmap import sorted_group_map
+from .train import (
+    _fold_preds_from_positions,
+    _metrics_np,
+    _round_half_away,
+    _split_bounds,
+    _with_time_cols,
+)
+
+COMPARE_SCHEMA = (
+    "l_suppkey long, l_returnflag string, n_rows long, n_splits int, "
+    "rmse_sn double, rmse_ma double, champion string"
+)
+
+
+def make_compare_kernel(
+    keys: Sequence[str], *, n_splits: int = 5, ma_window: int = 28, y_col: str = "y"
+):
+    """Batch kernel: per group, walk-forward CV RMSE for BOTH models over
+    identical folds, plus the promotion verdict."""
+    import numpy as np
+
+    keys = list(keys)
+
+    def kernel(pdf: pd.DataFrame, starts, ends) -> pd.DataFrame:
+        ys_all = pdf[y_col].to_numpy(dtype=float)
+        dows_all = pdf["__dow"].to_numpy()
+        g = len(starts)
+        n_rows = (ends - starts).astype("int64")
+        splits_out = np.zeros(g, dtype="int32")
+        rmse_sn = np.full(g, np.nan)
+        rmse_ma = np.full(g, np.nan)
+        champ = np.full(g, "untrained", dtype=object)
+        for gi in range(g):
+            s, e = int(starts[gi]), int(ends[gi])
+            ys = ys_all[s:e]
+            dows = dows_all[s:e]
+            sn_folds: list[float] = []
+            ma_folds: list[float] = []
+            wd_pos = None
+            for train_end, test_end in _split_bounds(e - s, n_splits):
+                if train_end < 1:
+                    continue
+                if wd_pos is None:
+                    wd_pos = [np.nonzero(dows == wd)[0] for wd in range(7)]
+                y_test = ys[train_end:test_end]
+                yhat_sn = _fold_preds_from_positions(
+                    ys, dows, wd_pos, train_end, test_end
+                )
+                sn_folds.append(_metrics_np(y_test, yhat_sn.astype(float))[0])
+                # challenger: trunc(mean of last ma_window train rows),
+                # constant over the fold (MovingAverageModel semantics)
+                lo = max(0, train_end - ma_window)
+                yhat_ma = float(int(ys[lo:train_end].mean()))
+                ma_folds.append(
+                    _metrics_np(y_test, np.full(len(y_test), yhat_ma))[0]
+                )
+            if sn_folds:
+                splits_out[gi] = len(sn_folds)
+                r_sn = _round_half_away(sum(sn_folds) / len(sn_folds), 4)
+                r_ma = _round_half_away(sum(ma_folds) / len(ma_folds), 4)
+                rmse_sn[gi] = r_sn
+                rmse_ma[gi] = r_ma
+                # promotion on the ROUNDED values both engines share;
+                # ties keep the incumbent
+                champ[gi] = "moving_average" if r_ma < r_sn else "seasonal_naive"
+        key_arrs = {k: pdf[k].to_numpy()[starts] for k in keys}
+        return pd.DataFrame(
+            {
+                **key_arrs,
+                "n_rows": n_rows,
+                "n_splits": splits_out,
+                "rmse_sn": rmse_sn,
+                "rmse_ma": rmse_ma,
+                "champion": champ,
+            }
+        )
+
+    return kernel
+
+
+def compare_models_groups(
+    series: DataFrame,
+    keys: Sequence[str],
+    *,
+    n_splits: int = 5,
+    ma_window: int = 28,
+    date_col: str = "ds",
+    y_col: str = "y",
+    pre_partitioned: bool = False,
+) -> DataFrame:
+    """Per-group champion/challenger CV bake-off (see module doc)."""
+    keys = list(keys)
+    with_cols = _with_time_cols(series, date_col)
+    return sorted_group_map(
+        with_cols.select(*keys, "__dow", "__ord", F.col(y_col).alias("y")),
+        keys,
+        make_compare_kernel(keys, n_splits=n_splits, ma_window=ma_window),
+        COMPARE_SCHEMA,
+        order_cols=["__ord"],
+        pre_partitioned=pre_partitioned,
+    )

@@ -71,6 +71,41 @@ class SeasonalNaiveModel:
         )
 
 
+class MovingAverageModel:
+    """Trailing-mean challenger: predict the truncated mean of the last
+    ``window`` observations for every horizon date — the right model when
+    weekday seasonality is noise.  Deterministic and SQL-expressible, so
+    the champion/challenger bake-off (``ml/compare.py``) stays fully
+    oracle-checkable.  Same int-truncation + ±10% interval conventions as
+    :class:`SeasonalNaiveModel` (SURVEY.md F10)."""
+
+    name = "moving_average"
+    version = "1"
+
+    def __init__(self, window: int = 28) -> None:
+        self._window = int(window)
+        self._level: float = 0.0
+
+    def fit(self, history: pd.DataFrame) -> "MovingAverageModel":
+        h = history.dropna(subset=["y"]).sort_values("ds")
+        if len(h):
+            tail = h["y"].astype(float).tail(self._window)
+            self._level = float(int(tail.mean()))
+        return self
+
+    def predict(self, dates: pd.Series) -> pd.DataFrame:
+        ds = pd.to_datetime(pd.Series(dates).reset_index(drop=True))
+        yhat = pd.Series([self._level] * len(ds))
+        return pd.DataFrame(
+            {
+                "ds": ds,
+                "yhat": yhat.astype(int),
+                "yhat_lower": (yhat * 0.9).astype(int),
+                "yhat_upper": (yhat * 1.1).astype(int),
+            }
+        )
+
+
 class ProphetModel:
     """Prophet adapter (optional heavy dependency; import-gated)."""
 
@@ -104,6 +139,8 @@ def get_model(spec: str = "seasonal_naive"):
     string so it ships to executors without pickling model state."""
     if spec == "seasonal_naive":
         return SeasonalNaiveModel()
+    if spec == "moving_average":
+        return MovingAverageModel()
     if spec == "prophet":
         return ProphetModel()
     raise ValueError(f"unknown model spec: {spec}")

@@ -556,6 +556,106 @@ FROM s2
 """
 
 
+#: challenger trailing-mean window, interpolated into BOTH sides
+_MA_WINDOW = 28
+
+
+def q_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Champion/challenger bake-off (ml/compare.py): walk-forward CV RMSE
+    for seasonal-naive AND the trailing-mean challenger over IDENTICAL
+    folds, one grouped-map pass, promotion per group on the rounded
+    values — the model-selection loop the reference's single-family
+    Prophet pipeline never runs."""
+    from ..ml.compare import compare_models_groups
+
+    return compare_models_groups(
+        demand_series(spark, sf_dir),
+        KEYS,
+        n_splits=5,
+        ma_window=_MA_WINDOW,
+        pre_partitioned=True,
+    )
+
+
+#: q_model_compare oracle: the _TRAIN_SQL CV scaffolding with BOTH models'
+#: fold predictions — naive = latest same-weekday y in the train window
+#: (train-mean fallback), challenger = trunc(mean of last {_MA_WINDOW}
+#: train rows), both truncated to int; per-model fold RMSE averaged and
+#: rounded to 4 before the promotion CASE (ties keep the incumbent).
+_MODEL_COMPARE_SQL = f"""
+WITH series AS ({{series}}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY l_suppkey, l_returnflag ORDER BY ds) AS rn,
+         count(*) OVER (PARTITION BY l_suppkey, l_returnflag) AS n
+  FROM series),
+grp AS (SELECT DISTINCT l_suppkey, l_returnflag, n FROM ranked),
+splits AS (
+  SELECT g.l_suppkey, g.l_returnflag, g.n, g.n // 6 AS ts, i.i,
+         g.n - (5 - i.i) * (g.n // 6) AS train_end
+  FROM grp g, (SELECT unnest([0, 1, 2, 3, 4]) AS i) i
+  WHERE g.n // 6 > 0),
+test_rows AS (
+  SELECT s.l_suppkey, s.l_returnflag, s.i, s.train_end, r.rn, r.ds, r.y
+  FROM splits s JOIN ranked r
+    ON r.l_suppkey = s.l_suppkey AND r.l_returnflag = s.l_returnflag
+   AND r.rn > s.train_end AND r.rn <= s.train_end + s.ts),
+train_means AS (
+  SELECT s.l_suppkey, s.l_returnflag, s.i, avg(r.y) AS mean_y
+  FROM splits s JOIN ranked r
+    ON r.l_suppkey = s.l_suppkey AND r.l_returnflag = s.l_returnflag
+   AND r.rn <= s.train_end
+  GROUP BY 1, 2, 3),
+ma_levels AS (
+  SELECT s.l_suppkey, s.l_returnflag, s.i,
+         CAST(trunc(avg(r.y)) AS INTEGER) AS level
+  FROM splits s JOIN ranked r
+    ON r.l_suppkey = s.l_suppkey AND r.l_returnflag = s.l_returnflag
+   AND r.rn > s.train_end - {_MA_WINDOW} AND r.rn <= s.train_end
+  GROUP BY 1, 2, 3),
+lookup AS (
+  SELECT t.l_suppkey, t.l_returnflag, t.i, t.rn AS trn, h.y,
+         row_number() OVER (PARTITION BY t.l_suppkey, t.l_returnflag, t.i, t.rn
+                            ORDER BY h.rn DESC) AS lr
+  FROM test_rows t JOIN ranked h
+    ON h.l_suppkey = t.l_suppkey AND h.l_returnflag = t.l_returnflag
+   AND isodow(h.ds) = isodow(t.ds) AND h.rn <= t.train_end),
+preds AS (
+  SELECT t.l_suppkey, t.l_returnflag, t.i, t.y,
+         CAST(trunc(coalesce(l.y, m.mean_y)) AS INTEGER) AS yhat_sn,
+         a.level AS yhat_ma
+  FROM test_rows t
+  LEFT JOIN (SELECT * FROM lookup WHERE lr = 1) l
+    ON l.l_suppkey = t.l_suppkey AND l.l_returnflag = t.l_returnflag
+   AND l.i = t.i AND l.trn = t.rn
+  JOIN train_means m
+    ON m.l_suppkey = t.l_suppkey AND m.l_returnflag = t.l_returnflag AND m.i = t.i
+  JOIN ma_levels a
+    ON a.l_suppkey = t.l_suppkey AND a.l_returnflag = t.l_returnflag AND a.i = t.i),
+fold_metrics AS (
+  SELECT l_suppkey, l_returnflag, i,
+         sqrt(avg((y - yhat_sn) * (y - yhat_sn))) AS rmse_sn,
+         sqrt(avg((y - yhat_ma) * (y - yhat_ma))) AS rmse_ma
+  FROM preds GROUP BY 1, 2, 3),
+summary AS (
+  SELECT g.l_suppkey, g.l_returnflag,
+         CAST(g.n AS BIGINT) AS n_rows,
+         CAST(count(f.i) AS INTEGER) AS n_splits,
+         round(avg(f.rmse_sn), 4) AS rmse_sn,
+         round(avg(f.rmse_ma), 4) AS rmse_ma
+  FROM grp g LEFT JOIN fold_metrics f
+    ON f.l_suppkey = g.l_suppkey AND f.l_returnflag = g.l_returnflag
+  GROUP BY 1, 2, 3)
+SELECT l_suppkey, l_returnflag, n_rows, n_splits, rmse_sn, rmse_ma,
+       CASE WHEN n_splits = 0 THEN 'untrained'
+            WHEN rmse_ma < rmse_sn THEN 'moving_average'
+            ELSE 'seasonal_naive' END AS champion
+FROM summary
+""".format(series=(
+    "SELECT l_suppkey, l_returnflag, CAST(l_shipdate AS DATE) AS ds,"
+    " sum(l_quantity) AS y FROM lineitem GROUP BY 1, 2, 3"
+))
+
+
 #: drift-monitor constants, interpolated into BOTH sides
 _DRIFT_BINS = 10
 _DRIFT_SPLIT = "1995-01-01"
@@ -631,6 +731,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_train_metrics": QueryDef(q_train_metrics, _TRAIN_SQL),
     "q_feature_matrix": QueryDef(q_feature_matrix, _FEATURE_MATRIX_SQL),
     "q_psi_drift": QueryDef(q_psi_drift, _PSI_SQL),
+    "q_model_compare": QueryDef(q_model_compare, _MODEL_COMPARE_SQL),
     "q_train_incremental": QueryDef(q_train_incremental, _TRAIN_SQL),
     "q_forecast_7d": QueryDef(q_forecast_7d, _FORECAST_SQL),
     "q_gated_forecast": QueryDef(q_gated_forecast, _GATED_SQL),

@@ -1,0 +1,97 @@
+"""Champion/challenger bake-off (ml/compare.py)."""
+
+import datetime as dt
+
+from sales_forecast_mlops_at_scale_spark.ml.compare import compare_models_groups
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(
+        [(k, dt.date(2023, 1, 1) + dt.timedelta(days=d), float(y)) for k, d, y in rows],
+        "l_suppkey string, ds date, y double",
+    ).withColumnRenamed("l_suppkey", "k")
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(
+        [
+            (int(k), "F", dt.date(2023, 1, 1) + dt.timedelta(days=d), float(y))
+            for k, d, y in rows
+        ],
+        "l_suppkey long, l_returnflag string, ds date, y double",
+    )
+    return {
+        (r.l_suppkey, r.l_returnflag): r
+        for r in compare_models_groups(
+            df, ["l_suppkey", "l_returnflag"]
+        ).collect()
+    }
+
+
+def test_seasonal_series_promotes_the_naive(spark):
+    # strong weekday pattern: y = 100*(dow+1) exactly — the weekday
+    # lookup predicts perfectly, the flat mean cannot
+    rows = [(1, d, 100 * ((d % 7) + 1)) for d in range(120)]
+    out = _run(spark, rows)[(1, "F")]
+    assert out.champion == "seasonal_naive"
+    assert out.rmse_sn == 0.0 and out.rmse_ma > 0.0
+    assert out.n_splits == 5
+
+
+def test_trend_free_noise_promotes_the_challenger(spark):
+    # deterministic "noise" around a level with NO weekday structure:
+    # the last-same-weekday lookup chases noise, the trailing mean
+    # smooths it
+    rows = [(2, d, 100 + ((d * 37) % 11) - 5) for d in range(120)]
+    out = _run(spark, rows)[(2, "F")]
+    assert out.champion == "moving_average"
+    assert out.rmse_ma < out.rmse_sn
+
+
+def test_short_group_is_untrained(spark):
+    rows = [(3, d, 50) for d in range(5)]  # n//6 == 0 → no folds
+    out = _run(spark, rows)[(3, "F")]
+    assert out.champion == "untrained"
+    assert out.n_splits == 0 and out.rmse_sn is None and out.rmse_ma is None
+
+
+def test_groups_scored_independently_one_pass(spark):
+    rows = [(1, d, 100 * ((d % 7) + 1)) for d in range(120)]
+    rows += [(2, d, 100 + ((d * 37) % 11) - 5) for d in range(120)]
+    rows += [(3, d, 50) for d in range(5)]
+    out = _run(spark, rows)
+    assert out[(1, "F")].champion == "seasonal_naive"
+    assert out[(2, "F")].champion == "moving_average"
+    assert out[(3, "F")].champion == "untrained"
+
+
+def test_compare_matches_train_groups_on_shared_model(spark):
+    """The bake-off's seasonal-naive CV numbers must equal train_groups'
+    (same folds, same arithmetic) — the comparison never re-defines the
+    incumbent's score."""
+    from sales_forecast_mlops_at_scale_spark.ml import train_groups
+
+    rows = [(1, d, 100 * ((d % 7) + 1)) for d in range(90)]
+    rows += [(2, d, 100 + ((d * 37) % 11) - 5) for d in range(90)]
+    df = spark.createDataFrame(
+        [
+            (int(k), "F", dt.date(2023, 1, 1) + dt.timedelta(days=d), float(y))
+            for k, d, y in rows
+        ],
+        "l_suppkey long, l_returnflag string, ds date, y double",
+    )
+    cmp_rows = {
+        (r.l_suppkey, r.l_returnflag): r.rmse_sn
+        for r in compare_models_groups(df, ["l_suppkey", "l_returnflag"]).collect()
+    }
+    tg_rows = {
+        (r.l_suppkey, r.l_returnflag): r.rmse
+        for r in train_groups(
+            df,
+            ["l_suppkey", "l_returnflag"],
+            model_spec="seasonal_naive",
+            date_col="ds",
+            y_col="y",
+        ).collect()
+    }
+    assert cmp_rows == tg_rows

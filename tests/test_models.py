@@ -43,3 +43,31 @@ def test_prophet_smoke():
 def test_unknown_model_spec_rejected():
     with pytest.raises(ValueError, match="unknown model spec"):
         get_model("arima")
+
+
+def test_moving_average_model_interface_parity():
+    """MovingAverageModel: trunc(mean of last `window` observations),
+    constant across the horizon, same int/interval conventions as the
+    naive — and the same semantics the compare kernel inlines."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from sales_forecast_mlops_at_scale_spark.ml.models import (
+        MovingAverageModel,
+        get_model,
+    )
+
+    hist = pd.DataFrame(
+        {
+            "ds": [dt.date(2023, 1, 1) + dt.timedelta(days=i) for i in range(40)],
+            "y": [float(100 + (i % 7)) for i in range(40)],
+        }
+    )
+    m = MovingAverageModel(window=28).fit(hist)
+    out = m.predict(pd.Series([dt.date(2023, 2, 10), dt.date(2023, 2, 11)]))
+    expected = int(hist["y"].tail(28).mean())
+    assert list(out["yhat"]) == [expected, expected]
+    assert list(out["yhat_lower"]) == [int(expected * 0.9)] * 2
+    assert list(out["yhat_upper"]) == [int(expected * 1.1)] * 2
+    assert isinstance(get_model("moving_average"), MovingAverageModel)

@@ -77,6 +77,7 @@ QUERIES = [
     "q_anomaly_mad",
     "q_feature_matrix",
     "q_psi_drift",
+    "q_model_compare",
 ]
 
 
