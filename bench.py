@@ -176,6 +176,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_feature_matrix",
     "q_psi_drift",
     "q_model_compare",
+    "q_conformal_intervals",
 )
 
 

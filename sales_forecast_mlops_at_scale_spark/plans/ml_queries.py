@@ -656,6 +656,107 @@ FROM summary
 ))
 
 
+def q_conformal_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 80% interval radius per group + held-out coverage
+    audit (ml/conformal.py): calibrate on every CV fold but the last,
+    exact integer-rank order statistic, audit on the untouched last
+    fold — the finite-sample interval guarantee (and the honesty check)
+    the reference's raw Prophet intervals never had."""
+    from ..ml.conformal import conformal_intervals_groups
+
+    return conformal_intervals_groups(
+        demand_series(spark, sf_dir), KEYS, n_splits=5, pre_partitioned=True
+    )
+
+
+#: q_conformal oracle: the CV scaffolding (naive model only), residuals
+#: split into calibration folds (i < last) and the eval fold (i = last);
+#: rank k in PURE integer arithmetic ((4·(n+1)+4) // 5 for α = 1/5), the
+#: radius as an exact order statistic, coverage as exact integer ppm.
+#: k > n_cal ⇒ infinite radius: NULL + vacuous 10^6 ppm, both sides.
+_CONFORMAL_SQL = """
+WITH series AS (
+  SELECT l_suppkey, l_returnflag, CAST(l_shipdate AS DATE) AS ds,
+         sum(l_quantity) AS y FROM lineitem GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY l_suppkey, l_returnflag ORDER BY ds) AS rn,
+         count(*) OVER (PARTITION BY l_suppkey, l_returnflag) AS n
+  FROM series),
+grp AS (SELECT DISTINCT l_suppkey, l_returnflag, n FROM ranked),
+splits AS (
+  SELECT g.l_suppkey, g.l_returnflag, g.n, g.n // 6 AS ts, i.i,
+         g.n - (5 - i.i) * (g.n // 6) AS train_end
+  FROM grp g, (SELECT unnest([0, 1, 2, 3, 4]) AS i) i
+  WHERE g.n // 6 > 0 AND g.n - (5 - i.i) * (g.n // 6) >= 1),
+folds AS (
+  SELECT l_suppkey, l_returnflag, max(i) AS last_i, count(*) AS n_folds
+  FROM splits GROUP BY 1, 2),
+test_rows AS (
+  SELECT s.l_suppkey, s.l_returnflag, s.i, s.train_end, r.rn, r.ds, r.y
+  FROM splits s JOIN ranked r
+    ON r.l_suppkey = s.l_suppkey AND r.l_returnflag = s.l_returnflag
+   AND r.rn > s.train_end AND r.rn <= s.train_end + s.ts),
+train_means AS (
+  SELECT s.l_suppkey, s.l_returnflag, s.i, avg(r.y) AS mean_y
+  FROM splits s JOIN ranked r
+    ON r.l_suppkey = s.l_suppkey AND r.l_returnflag = s.l_returnflag
+   AND r.rn <= s.train_end
+  GROUP BY 1, 2, 3),
+lookup AS (
+  SELECT t.l_suppkey, t.l_returnflag, t.i, t.rn AS trn, h.y,
+         row_number() OVER (PARTITION BY t.l_suppkey, t.l_returnflag, t.i, t.rn
+                            ORDER BY h.rn DESC) AS lr
+  FROM test_rows t JOIN ranked h
+    ON h.l_suppkey = t.l_suppkey AND h.l_returnflag = t.l_returnflag
+   AND isodow(h.ds) = isodow(t.ds) AND h.rn <= t.train_end),
+resid AS (
+  SELECT t.l_suppkey, t.l_returnflag, t.i,
+         abs(t.y - CAST(trunc(coalesce(l.y, m.mean_y)) AS INTEGER)) AS r
+  FROM test_rows t
+  LEFT JOIN (SELECT * FROM lookup WHERE lr = 1) l
+    ON l.l_suppkey = t.l_suppkey AND l.l_returnflag = t.l_returnflag
+   AND l.i = t.i AND l.trn = t.rn
+  JOIN train_means m
+    ON m.l_suppkey = t.l_suppkey AND m.l_returnflag = t.l_returnflag AND m.i = t.i),
+cal AS (
+  SELECT x.l_suppkey, x.l_returnflag, x.r,
+         row_number() OVER (PARTITION BY x.l_suppkey, x.l_returnflag
+                            ORDER BY x.r) AS rk,
+         count(*) OVER (PARTITION BY x.l_suppkey, x.l_returnflag) AS n_cal
+  FROM resid x JOIN folds f
+    ON f.l_suppkey = x.l_suppkey AND f.l_returnflag = x.l_returnflag
+   AND x.i < f.last_i
+  WHERE f.n_folds >= 2),
+radius AS (
+  SELECT l_suppkey, l_returnflag, n_cal,
+         CASE WHEN (4 * (n_cal + 1) + 4) // 5 <= n_cal
+              THEN max(CASE WHEN rk = (4 * (n_cal + 1) + 4) // 5 THEN r END)
+         END AS radius
+  FROM cal GROUP BY 1, 2, 3),
+eval_cov AS (
+  SELECT x.l_suppkey, x.l_returnflag,
+         count(*) AS n_eval,
+         CASE WHEN rr.radius IS NULL THEN 1000000
+              ELSE (sum(CASE WHEN x.r <= rr.radius THEN 1 ELSE 0 END)
+                    * 1000000) // count(*) END AS coverage_ppm,
+         rr.n_cal, rr.radius
+  FROM resid x
+  JOIN folds f
+    ON f.l_suppkey = x.l_suppkey AND f.l_returnflag = x.l_returnflag
+   AND x.i = f.last_i AND f.n_folds >= 2
+  JOIN radius rr
+    ON rr.l_suppkey = x.l_suppkey AND rr.l_returnflag = x.l_returnflag
+  GROUP BY x.l_suppkey, x.l_returnflag, rr.n_cal, rr.radius)
+SELECT g.l_suppkey, g.l_returnflag,
+       CAST(coalesce(e.n_cal, 0) AS BIGINT) AS n_cal,
+       CAST(coalesce(e.n_eval, 0) AS BIGINT) AS n_eval,
+       CAST(e.radius AS DOUBLE) AS radius,
+       CAST(e.coverage_ppm AS BIGINT) AS coverage_ppm
+FROM grp g LEFT JOIN eval_cov e
+  ON e.l_suppkey = g.l_suppkey AND e.l_returnflag = g.l_returnflag
+"""
+
+
 #: drift-monitor constants, interpolated into BOTH sides
 _DRIFT_BINS = 10
 _DRIFT_SPLIT = "1995-01-01"
@@ -732,6 +833,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_feature_matrix": QueryDef(q_feature_matrix, _FEATURE_MATRIX_SQL),
     "q_psi_drift": QueryDef(q_psi_drift, _PSI_SQL),
     "q_model_compare": QueryDef(q_model_compare, _MODEL_COMPARE_SQL),
+    "q_conformal_intervals": QueryDef(q_conformal_intervals, _CONFORMAL_SQL),
     "q_train_incremental": QueryDef(q_train_incremental, _TRAIN_SQL),
     "q_forecast_7d": QueryDef(q_forecast_7d, _FORECAST_SQL),
     "q_gated_forecast": QueryDef(q_gated_forecast, _GATED_SQL),

@@ -95,3 +95,75 @@ def test_compare_matches_train_groups_on_shared_model(spark):
         ).collect()
     }
     assert cmp_rows == tg_rows
+
+
+# -- split-conformal intervals (ml/conformal.py) --------------------------------
+
+
+def test_conformal_rank_matches_ceiling_definition():
+    import math
+
+    from sales_forecast_mlops_at_scale_spark.ml.conformal import (
+        ALPHA_DEN,
+        ALPHA_NUM,
+        conformal_rank,
+    )
+
+    from fractions import Fraction
+
+    one_minus_alpha = Fraction(ALPHA_DEN - ALPHA_NUM, ALPHA_DEN)
+    for n in range(1, 500):
+        assert conformal_rank(n) == math.ceil((n + 1) * one_minus_alpha)
+
+
+def _conformal(spark, rows):
+    import datetime as dt
+
+    from sales_forecast_mlops_at_scale_spark.ml.conformal import (
+        conformal_intervals_groups,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (int(k), "F", dt.date(2023, 1, 1) + dt.timedelta(days=d), float(y))
+            for k, d, y in rows
+        ],
+        "l_suppkey long, l_returnflag string, ds date, y double",
+    )
+    return {
+        (r.l_suppkey, r.l_returnflag): r
+        for r in conformal_intervals_groups(
+            df, ["l_suppkey", "l_returnflag"]
+        ).collect()
+    }
+
+
+def test_conformal_perfect_model_zero_radius_full_coverage(spark):
+    # exact weekday pattern → all residuals 0 → radius 0, coverage 10^6
+    rows = [(1, d, 100 * ((d % 7) + 1)) for d in range(120)]
+    out = _conformal(spark, rows)[(1, "F")]
+    assert out.radius == 0.0
+    assert out.coverage_ppm == 1_000_000
+    assert out.n_cal == 80 and out.n_eval == 20  # 4 cal folds + 1 eval
+
+
+def test_conformal_short_group_reports_nulls(spark):
+    rows = [(2, d, 50) for d in range(5)]
+    out = _conformal(spark, rows)[(2, "F")]
+    assert out.n_cal == 0 and out.n_eval == 0
+    assert out.radius is None and out.coverage_ppm is None
+
+
+def test_conformal_coverage_near_nominal_on_exchangeable_noise(spark):
+    """The distribution-free guarantee, empirically: over many groups of
+    structureless (exchangeable) deterministic noise, mean held-out
+    coverage must sit near 1-α = 80%."""
+    rows = []
+    for k in range(40):
+        rows += [
+            (k, d, 100 + ((d * 37 + k * 101) % 23)) for d in range(120)
+        ]
+    out = _conformal(spark, rows)
+    covs = [r.coverage_ppm for r in out.values() if r.coverage_ppm is not None]
+    mean_cov = sum(covs) / len(covs)
+    assert 700_000 <= mean_cov <= 950_000, mean_cov

@@ -16,7 +16,7 @@ TOP = [
     "q_cv_split_stats", "q_forecast_weekday", "q_rmse_bands",
     "q_erasure_audit", "q_index_drift", "q_adaptive_salted_join",
     "q_feature_matrix", "q_k_anonymity", "q_decayed_counts",
-    "q_model_compare", "q_psi_drift",
+    "q_model_compare", "q_psi_drift", "q_conformal_intervals",
 ]
 NOTES = {
     "q_dedup_clusters": "MinHash-LSH pairs (persisted shingle sets, banded bucket join) feed min-label propagation; four steps + one pointer-doubling shortcut per burst ending in one lazy checkpoint whose materialization rides the convergence count; in-burst convergence detection finishes shallow graphs in ONE driver action; deep graphs escalate to large-star/small-star contraction (O(log^2 n) rounds, diameter-independent); edges pinned once.",
@@ -50,6 +50,7 @@ NOTES = {
     "q_rmse_bands": "CV training job banded by floor(rmse/5) on the shared 4-digit-rounded value - a handful of histogram rows, map-side combinable.",
     "q_cdc_dedup": "Arrow kernel chunking (zero shuffle), then one map-side-combinable digest groupBy - the exact-dedup shape over content-defined chunks.",
     "q_cms_heavy": "Depth x width sketch as one grouped sum per (row,col) cell - map-side combinable grid, heavy-hitter probe reads the broadcast sketch; bounded state regardless of key cardinality.",
+    "q_conformal_intervals": "Split-conformal calibration as the SAME single-shuffle sorted-group-map shape as the trainer: per group the kernel sorts a few-hundred-element residual vector executor-side; nothing but one summary row per group leaves the worker. The coverage audit on the held-out fold rides the same pass.",
     "q_model_compare": "Champion/challenger CV bake-off as ONE sorted-group-map job: the series shuffles once (the reused REPARTITION_BY_COL exchange), both models fit inside the same Arrow batch visit over identical folds - the challenger costs one numpy mean per fold, not a second pass. Promotion compares the rounded RMSEs both engines share.",
     "q_psi_drift": "Per feature: a 1-row min/max over the union + a <=10-row bin count, both map-side combinable - the shuffles carry bytes, not data. PSI terms are 1e-6 fixed-point quantized ln (the DSIR discipline); the KS path is exact-integer CDF numerators. Three features = three independent tiny plans unioned.",
     "q_index_drift": "Drift observability over the two-epoch materialized index: reads ONLY the assignments + seed_stats tiers - two tiny groupBy(bucket) hash aggregates (map-side combinable) joined and crossed with a broadcast 1-row totals frame; pure integer ppm arithmetic. The two-epoch index build (train on first half, ingest second half frozen) is digest-memoized OUTSIDE the plan, same convention as the other materialized indexes; the steady-state plan is what a warehouse drift monitor runs per maintenance tick. At 100 TB the scan is bytes per million vectors - vectors and codes never load.",

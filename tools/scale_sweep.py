@@ -78,6 +78,7 @@ QUERIES = [
     "q_feature_matrix",
     "q_psi_drift",
     "q_model_compare",
+    "q_conformal_intervals",
 ]
 
 
