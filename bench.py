@@ -172,6 +172,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_k_anonymity",
     "q_l_diversity",
     "q_decayed_counts",
+    "q_decayed_serving",
     "q_anomaly_mad",
     "q_feature_matrix",
     "q_psi_drift",

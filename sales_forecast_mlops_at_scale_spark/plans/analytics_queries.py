@@ -1321,6 +1321,98 @@ LIMIT {_DECAY_TOP}
 """
 
 
+#: number of ingest batches for the materialized decay-state fixture —
+#: part of the root digest (a changed batching mints a fresh root, and
+#: correctness must not depend on it: the fold is batch-split invariant)
+_DECAY_STATE_BATCHES = 3
+
+
+def _decay_state_root(sf_dir: str) -> str:
+    """Digest-keyed /tmp root for the MATERIALIZED decayed-counter state
+    over ``{sf_dir}/events.parquet`` — the staleness contract of the
+    IVF-PQ index root (source name+size+mtime + fold parameters)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    entries = [
+        f"params#{_DECAY_HALF_LIFE_DAYS}#{_DECAY_SHIFT}#{_DECAY_STATE_BATCHES}"
+    ]
+    if os.path.isdir(src):
+        for name in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, name))
+            entries.append(f"{name}#{st.st_size}#{int(st.st_mtime)}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        entries.append(f"{src}#{st.st_size}#{int(st.st_mtime)}")
+    digest = hashlib.sha256("\n".join(entries).encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "sfspark_decay_state", digest)
+
+
+def _ensure_decay_state(spark: SparkSession, sf_dir: str) -> str:
+    """Fold the events fixture into decayed-counter state at most once
+    per testdata generation, through the REAL streaming fold path
+    (three batches split by event_id — the fold is proven batch-split
+    invariant, so the serving scores equal the one-shot batch operator
+    bit-for-bit).  Same concurrency-safe staging-rename protocol as the
+    materialized ANN index."""
+    import os
+    import shutil
+    import uuid
+
+    from ..streaming import decay
+    from .llm_queries import _claim_or_clear_root
+
+    root = _decay_state_root(sf_dir)
+    marker = os.path.join(root, "_STATE_COMPLETE")
+    if os.path.exists(marker):
+        return root
+    done = _claim_or_clear_root(root, "_STATE_COMPLETE")
+    if done is not None:
+        return done
+    staging = f"{root}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    ev = _events(spark, sf_dir)
+    for b in range(_DECAY_STATE_BATCHES):
+        decay.fold_batch(
+            spark,
+            ev.where(F.col("event_id") % _DECAY_STATE_BATCHES == b),
+            staging,
+            keys=["user_id", "event_type"],
+            half_life_days=_DECAY_HALF_LIFE_DAYS,
+            shift=_DECAY_SHIFT,
+        )
+    with open(os.path.join(staging, "_STATE_COMPLETE"), "w") as fh:
+        fh.write("ok\n")
+    try:
+        os.rename(staging, root)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+    return root
+
+
+def q_decayed_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decayed-counter SERVING path: read the incrementally-folded
+    state (streaming/decay.py — built once per testdata generation via
+    three real fold_batch commits) and rank the top users.  The oracle
+    is the SAME batch SQL as q_decayed_counts — valid because the fold
+    is exactly batch-split invariant; any drift between the incremental
+    state and a from-scratch recompute fails this query's hash.  The
+    steady-state plan reads O(keys × shift) state rows and never
+    touches event history."""
+    from ..streaming import decay
+
+    scored = decay.read_scores(
+        spark,
+        _ensure_decay_state(spark, sf_dir),
+        keys=["user_id", "event_type"],
+        shift=_DECAY_SHIFT,
+    )
+    return scored.orderBy(
+        F.col("decayed_num").desc(), "user_id", "event_type"
+    ).limit(_DECAY_TOP)
+
+
 # -- robust anomaly detection (median/MAD) -------------------------------------
 
 
@@ -1380,6 +1472,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_k_anonymity": QueryDef(q_k_anonymity, _K_ANON_SQL),
     "q_l_diversity": QueryDef(q_l_diversity, _L_DIVERSITY_SQL),
     "q_decayed_counts": QueryDef(q_decayed_counts, _DECAY_SQL),
+    "q_decayed_serving": QueryDef(q_decayed_serving, _DECAY_SQL),
     "q_anomaly_mad": QueryDef(q_anomaly_mad, _ANOMALY_SQL),
     "q_asof_join": QueryDef(q_asof_join, _ASOF_SQL),
     "q_range_join": QueryDef(q_range_join, _RANGE_SQL),

@@ -414,3 +414,19 @@ def test_psi_multi_feature_and_degenerate_range(spark):
     assert rows["c"].psi == 0.0 and rows["c"].ks_ppm == 0
     # i%10 and (7i)%10 are both uniform over 0..9 → identical bin shares
     assert rows["a"].psi == 0.0 and rows["a"].ks_ppm == 0
+
+
+def test_decayed_serving_equals_batch_on_fixture(spark):
+    """The materialized decay state (3 real fold_batch commits) must
+    serve the exact rows the batch operator computes from raw history —
+    the registry pair (q_decayed_serving / q_decayed_counts) shares one
+    oracle, this pins the same equality locally."""
+    from sales_forecast_mlops_at_scale_spark.plans.analytics_queries import (
+        q_decayed_counts,
+        q_decayed_serving,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, q_decayed_counts(spark, sf).collect()))
+    b = sorted(map(tuple, q_decayed_serving(spark, sf).collect()))
+    assert a == b

@@ -74,6 +74,7 @@ QUERIES = [
     "q_k_anonymity",
     "q_l_diversity",
     "q_decayed_counts",
+    "q_decayed_serving",
     "q_anomaly_mad",
     "q_feature_matrix",
     "q_psi_drift",
