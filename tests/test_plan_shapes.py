@@ -463,3 +463,45 @@ def test_adaptive_salted_registry_query_takes_salted_branch(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_k_anonymity_one_data_scale_shuffle(spark):
+    """The whole generalization lattice must come out of ONE Expand +
+    one exchange keyed on the QI columns; the only other exchange is the
+    4-row level rollup — never one scan/shuffle per level."""
+    q = all_queries()["q_k_anonymity"]
+    plan = _executed_plan(q.fn(spark, SMOKE_SF_DIR))
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_decayed_counts_is_take_ordered_with_broadcast_anchor(spark):
+    """Top-k rides TakeOrderedAndProject (never a global sort) and the
+    anchor is a broadcast 1-row aggregate over a ts-only pruned scan."""
+    q = all_queries()["q_decayed_counts"]
+    plan = _executed_plan(q.fn(spark, SMOKE_SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+    assert "Sort [decayed_num" not in plan  # no full sort of the agg
+
+
+def test_feature_matrix_single_window_single_exchange(spark):
+    """All five RANGE frames evaluate in ONE Window operator over the
+    trainer's single REPARTITION exchange — adding features must not add
+    shuffles or sorts."""
+    q = all_queries()["q_feature_matrix"]
+    plan = _executed_plan(q.fn(spark, SMOKE_SF_DIR))
+    assert plan.count("Window [") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_psi_drift_shuffles_carry_bins_not_data(spark):
+    """Each feature's plan: the grouped bin-count exchange moves ≤ bins
+    rows per partition (a hash agg with map-side partials precedes it);
+    no join against the raw fact table ever appears."""
+    q = all_queries()["q_psi_drift"]
+    plan = _executed_plan(q.fn(spark, SMOKE_SF_DIR))
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
