@@ -48,13 +48,27 @@ _SENTINEL = -1
 _LATEST = "LATEST"
 
 
-def _state_version(root: str) -> int:
-    """Committed state version, 0 if none."""
+def _pointer(root: str) -> dict:
+    """Committed pointer: ``{"version": N, "batch_id": B|None}``.  The
+    batch id is the streaming replay fence — it commits ATOMICALLY with
+    the version flip, so a crashed ``foreachBatch`` can never half-commit
+    (fold applied but fence not advanced, or vice versa)."""
+    import json
+
     p = os.path.join(root, _LATEST)
     if not os.path.exists(p):
-        return 0
+        return {"version": 0, "batch_id": None}
     with open(p, encoding="utf-8") as fh:
-        return int(fh.read().strip())
+        raw = fh.read().strip()
+    try:
+        return json.loads(raw)
+    except ValueError:  # legacy plain-int pointer
+        return {"version": int(raw), "batch_id": None}
+
+
+def _state_version(root: str) -> int:
+    """Committed state version, 0 if none."""
+    return int(_pointer(root)["version"])
 
 
 def _state_dir(root: str, version: int) -> str:
@@ -116,6 +130,7 @@ def fold_batch(
     value_scale: int = 100,
     shift: int = 8,
     prune: bool = True,
+    batch_id: int | None = None,
 ) -> int:
     """Fold one batch into the decayed-counter state; returns the newly
     committed state version.  O(batch + live state) work: the batch
@@ -124,12 +139,24 @@ def fold_batch(
 
     Exactly-once composition: the commit is a single pointer flip, so a
     caller replaying an uncommitted batch (e.g. foreachBatch after a
-    crash) re-folds from the OLD state — never a double count.
+    crash) re-folds from the OLD state — never a double count.  Under a
+    checkpointed streaming driver pass the epoch id as ``batch_id``:
+    the fence commits atomically WITH the fold, so a batch the pointer
+    already records is skipped on replay (the fold itself is NOT
+    idempotent — re-adding integers double-counts; the fence is what
+    turns at-least-once delivery into exactly-once state).
     """
     keys = list(keys)
     os.makedirs(root, exist_ok=True)
     _heal(root)
-    version = _state_version(root)
+    ptr = _pointer(root)
+    version = int(ptr["version"])
+    if (
+        batch_id is not None
+        and ptr["batch_id"] is not None
+        and batch_id <= int(ptr["batch_id"])
+    ):
+        return version  # checkpointed replay of an already-folded batch
 
     merged = _bucket_sums(
         batch_df, keys, ts_col, value_col, half_life_days, value_scale
@@ -177,9 +204,15 @@ def fold_batch(
     merged.write.mode("overwrite").parquet(staging)
     final = _state_dir(root, version + 1)
     os.rename(staging, final)
+    import json
+
     tmp = os.path.join(root, "_LATEST.tmp")
+    new_ptr = {
+        "version": version + 1,
+        "batch_id": batch_id if batch_id is not None else ptr["batch_id"],
+    }
     with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(str(version + 1))
+        fh.write(json.dumps(new_ptr))
     os.replace(tmp, os.path.join(root, _LATEST))
     # keep exactly one superseded version for in-flight readers
     for name in os.listdir(root):
@@ -233,3 +266,51 @@ def read_scores(
             F.col("decayed_num").cast("double") / float(1 << shift),
         )
     )
+
+
+def run_decay_stream(
+    spark: SparkSession,
+    *,
+    source: DataFrame,
+    root: str,
+    keys: Sequence[str],
+    checkpoint_path: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_days: int = 7,
+    value_scale: int = 100,
+    shift: int = 8,
+    available_now: bool = True,
+) -> None:
+    """Maintain the decayed-counter state from a stream — the trending
+    service's ingestion loop (same source contract as
+    ``ingest.run_stream_ingest``: Kafka in production, a file source in
+    tests).  Each micro-batch is ONE :func:`fold_batch` commit carrying
+    the epoch id as the replay fence, so a crashed/restarted driver's
+    at-least-once redelivery folds each batch exactly once.  Blocks
+    until the ``availableNow`` drain completes; serve with
+    :func:`read_scores` at any time between commits."""
+
+    def _apply(batch_df: DataFrame, bid: int) -> None:
+        fold_batch(
+            spark,
+            batch_df,
+            root,
+            keys=keys,
+            ts_col=ts_col,
+            value_col=value_col,
+            half_life_days=half_life_days,
+            value_scale=value_scale,
+            shift=shift,
+            batch_id=bid,
+        )
+
+    writer = (
+        source.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_apply)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    query.awaitTermination()

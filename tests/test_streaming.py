@@ -1508,3 +1508,109 @@ def test_decay_fold_is_batch_split_invariant(spark, tmp_path):
         for r in decay.read_scores(spark, rb, keys=["user_id"]).collect()
     }
     assert a == b
+
+
+def test_decay_stream_drain_equals_batch_and_restart_is_noop(spark, tmp_path):
+    """run_decay_stream over a file source: the drained state equals the
+    batch operator on the same rows; a SECOND drain of the same
+    checkpoint (a restart with no new data) changes nothing — and a new
+    file folds incrementally on the next drain."""
+    import json as _json
+
+    from sales_forecast_mlops_at_scale_spark.operators.timeseries import (
+        decayed_score,
+    )
+    from sales_forecast_mlops_at_scale_spark.streaming import decay
+
+    src = tmp_path / "src"
+    src.mkdir()
+    root = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_file(name, rows):
+        (src / name).write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n"
+        )
+
+    rows1 = [
+        {"user_id": i % 5, "ts": f"2024-03-{(i % 28) + 1:02d}T12:00:00",
+         "value": 1.0 + (i % 7)}
+        for i in range(60)
+    ]
+    write_file("b1.json", rows1)
+
+    def drain():
+        decay.run_decay_stream(
+            spark,
+            source=spark.readStream.schema(
+                "user_id long, ts timestamp, value double"
+            ).json(str(src)),
+            root=root,
+            keys=["user_id"],
+            checkpoint_path=ckpt,
+        )
+
+    drain()
+    v1 = decay._state_version(root)
+    got1 = {
+        r.user_id: (r.n_events, r.decayed_num)
+        for r in decay.read_scores(spark, root, keys=["user_id"]).collect()
+    }
+    all1 = spark.createDataFrame(
+        [(r["user_id"], r["ts"].replace("T", " "), r["value"]) for r in rows1],
+        "user_id long, ts string, value double",
+    ).selectExpr("user_id", "cast(ts as timestamp) ts", "value")
+    want1 = {
+        r.user_id: (r.n_events, r.decayed_num)
+        for r in decayed_score(all1, keys=["user_id"]).collect()
+    }
+    assert got1 == want1
+
+    drain()  # restart, no new data: no new commit, same scores
+    assert decay._state_version(root) == v1
+
+    rows2 = [
+        {"user_id": 9, "ts": "2024-03-30T09:00:00", "value": 2.5},
+        {"user_id": 0, "ts": "2024-03-30T10:00:00", "value": 4.0},
+    ]
+    write_file("b2.json", rows2)
+    drain()
+    got2 = {
+        r.user_id: (r.n_events, r.decayed_num)
+        for r in decay.read_scores(spark, root, keys=["user_id"]).collect()
+    }
+    all2 = spark.createDataFrame(
+        [
+            (r["user_id"], r["ts"].replace("T", " "), r["value"])
+            for r in rows1 + rows2
+        ],
+        "user_id long, ts string, value double",
+    ).selectExpr("user_id", "cast(ts as timestamp) ts", "value")
+    want2 = {
+        r.user_id: (r.n_events, r.decayed_num)
+        for r in decayed_score(all2, keys=["user_id"]).collect()
+    }
+    assert got2 == want2
+
+
+def test_decay_batch_id_fence_blocks_replay_double_count(spark, tmp_path):
+    """The replay fence: folding the SAME epoch id twice commits once —
+    at-least-once delivery cannot double-count; a higher id folds."""
+    from sales_forecast_mlops_at_scale_spark.streaming import decay
+
+    root = str(tmp_path / "fence")
+    df = spark.createDataFrame(
+        [(1, "2024-03-01 10:00:00", 3.0)], "user_id long, ts string, value double"
+    ).selectExpr("user_id", "cast(ts as timestamp) ts", "value")
+    decay.fold_batch(spark, df, root, keys=["user_id"], batch_id=0)
+    before = decay.read_scores(spark, root, keys=["user_id"]).collect()[0]
+    decay.fold_batch(spark, df, root, keys=["user_id"], batch_id=0)  # replay
+    after = decay.read_scores(spark, root, keys=["user_id"]).collect()[0]
+    assert (before.n_events, before.decayed_num) == (
+        after.n_events,
+        after.decayed_num,
+    )
+    decay.fold_batch(spark, df, root, keys=["user_id"], batch_id=1)  # new epoch
+    final = decay.read_scores(spark, root, keys=["user_id"]).collect()[0]
+    assert final.n_events == 2 * before.n_events
+    assert final.decayed_num == 2 * before.decayed_num
