@@ -50,13 +50,16 @@ PSI_FP = 1_000_000
 def _binned_counts(ref: DataFrame, cur: DataFrame, col: str, bins: int) -> DataFrame:
     """Per-bin (ref_n, cur_n) over a shared equi-width grid, densified so
     both engines agree on the bin SET (absent bins count (0,0) but still
-    receive smoothing mass)."""
+    receive smoothing mass).  NULLs are a real bin (``-1``): a null-rate
+    shift is a classic drift mode — dropping null rows would report
+    psi = 0 for a window whose feature silently went 60% missing
+    (code-review r8)."""
     both = ref.select(F.col(col).alias("x"), F.lit(0).alias("w")).unionByName(
         cur.select(F.col(col).alias("x"), F.lit(1).alias("w"))
     )
     stats = both.agg(F.min("x").alias("__lo"), F.max("x").alias("__hi"))
     bin_expr = F.expr(
-        f"CASE WHEN __hi = __lo THEN 0 ELSE "
+        f"CASE WHEN x IS NULL THEN -1 WHEN __hi = __lo THEN 0 ELSE "
         f"least(cast(floor((x - __lo) * {int(bins)} / (__hi - __lo)) as int), "
         f"{int(bins) - 1}) END"
     )
@@ -69,7 +72,11 @@ def _binned_counts(ref: DataFrame, cur: DataFrame, col: str, bins: int) -> DataF
             F.sum(F.when(F.col("w") == 1, 1).otherwise(0)).alias("cur_n"),
         )
     )
-    grid = ref.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
+    # grid covers -1 (nulls) .. bins-1, so the null bin exists (with
+    # smoothing mass) even when neither window has a null yet
+    grid = ref.sparkSession.range(-1, bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
     return grid.join(counted, "bin", "left").select(
         "bin",
         F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
@@ -88,11 +95,13 @@ def psi_report(
 
     ``psi``: fixed-point-summed PSI rounded to 6 digits.  ``ks_ppm``:
     binned KS distance floored to integer parts-per-million.  Laplace
-    smoothing ``p_i = (ref_n_i + 1) / (n_ref + bins)`` keeps every log
+    smoothing ``p_i = (ref_n_i + 1) / (n_ref + bins + 1)`` (the +1 is
+    the null bin — a first-class grid cell) keeps every log
     finite; PSI ≥ 0 by Gibbs' inequality (pytest-pinned), 0 iff the
     smoothed histograms coincide.
     """
     b = int(bins)
+    nb = b + 1  # grid cells incl. the null bin — the smoothing total
     w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     outs = []
     for c in cols:
@@ -106,9 +115,9 @@ def psi_report(
                 "__term_fp",
                 F.expr(
                     f"""cast(floor(
-                         ( (ref_n + 1) / (__nr + {b}) - (cur_n + 1) / (__nc + {b}) )
-                         * ln( ((ref_n + 1) / (__nr + {b}))
-                               / ((cur_n + 1) / (__nc + {b})) )
+                         ( (ref_n + 1) / (__nr + {nb}) - (cur_n + 1) / (__nc + {nb}) )
+                         * ln( ((ref_n + 1) / (__nr + {nb}))
+                               / ((cur_n + 1) / (__nc + {nb})) )
                          * {PSI_FP} + 0.5
                        ) as long)"""
                 ),

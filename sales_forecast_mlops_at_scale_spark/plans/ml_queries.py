@@ -787,7 +787,8 @@ def _psi_ctes_one(col: str, i: int) -> str:
     FROM lineitem
   ), stats_{i} AS (SELECT min(x) AS lo, max(x) AS hi FROM both_{i}),
   counted_{i} AS (
-    SELECT CASE WHEN hi = lo THEN 0
+    SELECT CASE WHEN x IS NULL THEN -1
+                WHEN hi = lo THEN 0
                 ELSE least(cast(floor((x - lo) * {b} / (hi - lo)) AS int),
                            {b - 1}) END AS bin,
            sum(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS ref_n,
@@ -795,15 +796,15 @@ def _psi_ctes_one(col: str, i: int) -> str:
     FROM both_{i}, stats_{i} GROUP BY 1
   ), dens_{i} AS (
     SELECT g.bin, coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
-    FROM (SELECT cast(range AS int) AS bin FROM range({b})) g
+    FROM (SELECT cast(range AS int) AS bin FROM range(-1, {b})) g
     LEFT JOIN counted_{i} USING (bin)
   ), tot_{i} AS (
     SELECT cast(sum(ref_n) AS bigint) AS nr, cast(sum(cur_n) AS bigint) AS nc
     FROM dens_{i}
   ), terms_{i} AS (
     SELECT cast(floor(
-             ( (ref_n + 1) / (nr + {b}) - (cur_n + 1) / (nc + {b}) )
-             * ln( ((ref_n + 1) / (nr + {b})) / ((cur_n + 1) / (nc + {b})) )
+             ( (ref_n + 1) / (nr + {b + 1}) - (cur_n + 1) / (nc + {b + 1}) )
+             * ln( ((ref_n + 1) / (nr + {b + 1})) / ((cur_n + 1) / (nc + {b + 1})) )
              * 1000000 + 0.5
            ) AS bigint) AS term_fp,
            abs( (sum(ref_n) OVER (ORDER BY bin)) / nullif(nr, 0)

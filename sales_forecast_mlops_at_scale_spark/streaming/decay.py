@@ -42,28 +42,41 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-#: sentinel bucket holding n_events of pruned (zero-weight-forever) rows
-_SENTINEL = -1
+#: sentinel bucket holding n_events of pruned (zero-weight-forever) rows.
+#: Must be IMPOSSIBLE as a real bucket: epoch-aligned buckets bottom out
+#: at unix_date(0001-01-01) div half_life ≈ -7.2e5, so a -1 sentinel
+#: collides with real pre-1970 data (ts 1969-12-25 → bucket -1) and
+#: would silently zero it (code-review r8) — use a value no date reaches.
+_SENTINEL = -(2**62)
 
 _LATEST = "LATEST"
 
 
 def _pointer(root: str) -> dict:
-    """Committed pointer: ``{"version": N, "batch_id": B|None}``.  The
-    batch id is the streaming replay fence — it commits ATOMICALLY with
-    the version flip, so a crashed ``foreachBatch`` can never half-commit
-    (fold applied but fence not advanced, or vice versa)."""
+    """Committed pointer: ``{"version": N, "batch_id": B|None,
+    "fence_scope": S|None}``.  The batch id is the streaming replay
+    fence — it commits ATOMICALLY with the version flip, so a crashed
+    ``foreachBatch`` can never half-commit (fold applied but fence not
+    advanced, or vice versa).  ``fence_scope`` names the checkpoint the
+    ids belong to: epoch ids restart at 0 under a NEW checkpoint, so an
+    unscoped fence would silently drop the fresh stream's early batches
+    (code-review r8)."""
     import json
 
     p = os.path.join(root, _LATEST)
     if not os.path.exists(p):
-        return {"version": 0, "batch_id": None}
+        return {"version": 0, "batch_id": None, "fence_scope": None}
     with open(p, encoding="utf-8") as fh:
         raw = fh.read().strip()
     try:
-        return json.loads(raw)
-    except ValueError:  # legacy plain-int pointer
-        return {"version": int(raw), "batch_id": None}
+        parsed = json.loads(raw)
+    except ValueError:
+        parsed = None
+    if not isinstance(parsed, dict):  # legacy plain-int pointer
+        parsed = {"version": int(raw), "batch_id": None}
+    parsed.setdefault("batch_id", None)
+    parsed.setdefault("fence_scope", None)
+    return parsed
 
 
 def _state_version(root: str) -> int:
@@ -131,6 +144,7 @@ def fold_batch(
     shift: int = 8,
     prune: bool = True,
     batch_id: int | None = None,
+    fence_scope: str | None = None,
 ) -> int:
     """Fold one batch into the decayed-counter state; returns the newly
     committed state version.  O(batch + live state) work: the batch
@@ -151,12 +165,22 @@ def fold_batch(
     _heal(root)
     ptr = _pointer(root)
     version = int(ptr["version"])
+    # the fence only applies within ONE checkpoint's epoch numbering: a
+    # relocated/fresh checkpoint restarts ids at 0, so a scope change
+    # resets the fence instead of dropping the new stream's batches
+    same_scope = ptr["fence_scope"] == fence_scope
     if (
         batch_id is not None
+        and same_scope
         and ptr["batch_id"] is not None
         and batch_id <= int(ptr["batch_id"])
     ):
         return version  # checkpointed replay of an already-folded batch
+    # idle micro-batch: folding adds nothing — skip the O(state) rewrite
+    # (safe: the fence stays behind, and replaying an empty batch is a
+    # no-op by construction)
+    if batch_df.isEmpty():
+        return version
 
     merged = _bucket_sums(
         batch_df, keys, ts_col, value_col, half_life_days, value_scale
@@ -207,10 +231,18 @@ def fold_batch(
     import json
 
     tmp = os.path.join(root, "_LATEST.tmp")
-    new_ptr = {
-        "version": version + 1,
-        "batch_id": batch_id if batch_id is not None else ptr["batch_id"],
-    }
+    if batch_id is not None:
+        new_ptr = {
+            "version": version + 1,
+            "batch_id": batch_id,
+            "fence_scope": fence_scope,
+        }
+    else:  # direct (non-streaming) fold: carry the fence untouched
+        new_ptr = {
+            "version": version + 1,
+            "batch_id": ptr["batch_id"],
+            "fence_scope": ptr["fence_scope"],
+        }
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(json.dumps(new_ptr))
     os.replace(tmp, os.path.join(root, _LATEST))
@@ -291,6 +323,14 @@ def run_decay_stream(
     until the ``availableNow`` drain completes; serve with
     :func:`read_scores` at any time between commits."""
 
+    import hashlib
+
+    # fence ids are only meaningful within one checkpoint's numbering —
+    # scope them by the checkpoint identity (vector_ingest convention)
+    scope = hashlib.md5(
+        os.path.abspath(checkpoint_path).encode()
+    ).hexdigest()[:16]
+
     def _apply(batch_df: DataFrame, bid: int) -> None:
         fold_batch(
             spark,
@@ -303,6 +343,7 @@ def run_decay_stream(
             value_scale=value_scale,
             shift=shift,
             batch_id=bid,
+            fence_scope=scope,
         )
 
     writer = (

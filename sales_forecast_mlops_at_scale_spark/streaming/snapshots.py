@@ -71,7 +71,14 @@ def _manifest_path(path: str, version: int) -> str:
 
 
 def _atomic_write(target: str, payload: str) -> None:
-    tmp = target + ".tmp"
+    """Atomic replace via a WRITER-UNIQUE temp name: a shared ``.tmp``
+    suffix lets two concurrent pointer writers clobber each other's
+    staging file, and the loser's rename then throws FileNotFoundError
+    (found by the concurrent-publisher test once _roll_forward started
+    re-flipping LATEST under contention)."""
+    import threading
+
+    tmp = f"{target}.tmp.{os.getpid()}.{threading.get_ident()}"
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(payload)
     os.rename(tmp, target)
@@ -129,12 +136,23 @@ def _roll_forward(path: str) -> int:
     hardlink CAS publishes whole files only), so flipping forward is the
     commit protocol's redo.  Called at every writer entry point; returns
     the (possibly advanced) current version."""
-    current = latest_version(path)
     snap = _snap_dir(path)
-    while os.path.isfile(_manifest_path(path, current + 1)):
-        current += 1
-        _atomic_write(os.path.join(snap, _LATEST), str(current))
-    return current
+    current = latest_version(path)
+    while True:
+        # only ever advance: a concurrent publisher may have flipped
+        # LATEST past our stale read between iterations, and writing the
+        # smaller value would transiently time-travel readers backwards
+        # (code-review r8) — re-read and take the max before every write
+        current = max(current, latest_version(path))
+        if os.path.isfile(_manifest_path(path, current + 1)):
+            current += 1
+            _atomic_write(os.path.join(snap, _LATEST), str(current))
+            continue
+        live = latest_version(path)
+        if live > current:  # our write raced an even newer flip — redo
+            current = live
+            continue
+        return current
 
 
 def _commit_manifest(path: str, version: int, manifest: dict) -> bool:

@@ -92,6 +92,10 @@ def vector_ingest_batch(
     from .ingest import _commit_marker_path
 
     spark = batch_df.sparkSession
+    # a retrain whose tier swaps died mid-way leaves NEW centroids with
+    # OLD codes — every entry point completes the journaled swap first,
+    # or the mixed tiers silently mis-assign this batch (code-review r8)
+    heal_retrain(root_path)
     # an empty batch (restart/commit-only trigger) must NOT train: a
     # frozen 0-row quantizer would silently break the index forever
     # (empty parquet reads back non-None, so training never re-runs)
@@ -192,6 +196,17 @@ def _vector_ingest_body(
         _seed_distribution(c0, centroids).write.mode("overwrite").parquet(
             f"{root_path}/seed_stats"
         )
+    elif _read_or_none(spark, f"{root_path}/seed_stats") is None:
+        # torn training commit (code-review r8): the quantizer writes
+        # landed but the process died before the baseline write, so the
+        # replay skips the training branch and the baseline would stay
+        # missing FOREVER (every index_drift / maybe_retrain tick then
+        # crashes).  The absent commit marker means the seed batch is
+        # the one being redelivered — rebuild its distribution against
+        # the committed centroids (same overwrite-idempotence).
+        _seed_distribution(
+            _prepared(batch_df, id_col, vec_col), centroids
+        ).write.mode("overwrite").parquet(f"{root_path}/seed_stats")
 
     if dedup_threshold is not None:
         existing_vecs = _read_or_none(spark, f"{root_path}/vectors")
@@ -324,6 +339,9 @@ def search_materialized(
     compaction evicts it."""
     from ..cache import plan_memo
 
+    # never search mixed tiers: complete a mid-swap retrain first
+    # (cheap journal-presence check; code-review r8)
+    heal_retrain(root_path)
     codes_src = spark.read.parquet(f"{root_path}/codes")
     vectors_src = spark.read.parquet(f"{root_path}/vectors") if rerank else None
     ckey = _plan_key(codes_src)
@@ -410,6 +428,10 @@ def index_drift(spark: SparkSession, root_path: str) -> DataFrame:
     bytes per million vectors; exactly oracle-able (pure integer
     arithmetic).  Feed a threshold on ``max(abs(drift_ppm))`` into a
     maintenance scheduler that calls :func:`retrain_index`."""
+    # a drift measurement over mixed (mid-swap) tiers is meaningless —
+    # and an under-threshold reading would postpone the very retrain
+    # that heals them; complete the swap first (code-review r8)
+    heal_retrain(root_path)
     seed_path = f"{root_path}/seed_stats"
     seed = _read_or_none(spark, seed_path)
     if seed is None:

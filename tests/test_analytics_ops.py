@@ -430,3 +430,22 @@ def test_decayed_serving_equals_batch_on_fixture(spark):
     a = sorted(map(tuple, q_decayed_counts(spark, sf).collect()))
     b = sorted(map(tuple, q_decayed_serving(spark, sf).collect()))
     assert a == b
+
+
+def test_psi_detects_null_rate_shift(spark):
+    """A window whose feature silently went 50% NULL at an unchanged
+    non-null distribution MUST register drift — NULLs are a real bin
+    (code-review r8: the drop-nulls version reported psi = 0 here)."""
+    from sales_forecast_mlops_at_scale_spark.operators.drift import psi_report
+
+    ref = spark.createDataFrame(
+        [(float(i % 10),) for i in range(200)], "x double"
+    )
+    cur = spark.createDataFrame(
+        [((float(i % 10)) if i % 2 == 0 else None,) for i in range(200)],
+        "x double",
+    )
+    row = psi_report(ref, cur, ["x"]).collect()[0]
+    assert row.psi > 0.25  # the retrain band
+    assert row.ks_ppm >= 400_000  # null mass is ~half the CDF gap
+    assert row.n_cur == 200  # nulls are counted, not dropped

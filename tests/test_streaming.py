@@ -1614,3 +1614,171 @@ def test_decay_batch_id_fence_blocks_replay_double_count(spark, tmp_path):
     final = decay.read_scores(spark, root, keys=["user_id"]).collect()[0]
     assert final.n_events == 2 * before.n_events
     assert final.decayed_num == 2 * before.decayed_num
+
+
+def test_decay_fence_scope_reset_on_new_checkpoint(spark, tmp_path):
+    """Epoch ids restart at 0 under a fresh checkpoint: a scope change
+    must RESET the fence (fold the new stream's batch 0), never drop it
+    (code-review r8 silent-data-loss finding)."""
+    from sales_forecast_mlops_at_scale_spark.streaming import decay
+
+    root = str(tmp_path / "scoped")
+    df = spark.createDataFrame(
+        [(1, "2024-03-01 10:00:00", 3.0)], "user_id long, ts string, value double"
+    ).selectExpr("user_id", "cast(ts as timestamp) ts", "value")
+    # checkpoint A folds epochs 0..5
+    decay.fold_batch(spark, df, root, keys=["user_id"], batch_id=5, fence_scope="ckptA")
+    # fresh checkpoint B restarts at epoch 0 with NEW data: must fold
+    decay.fold_batch(spark, df, root, keys=["user_id"], batch_id=0, fence_scope="ckptB")
+    out = decay.read_scores(spark, root, keys=["user_id"]).collect()[0]
+    assert out.n_events == 2
+    # and within scope B the fence works again
+    decay.fold_batch(spark, df, root, keys=["user_id"], batch_id=0, fence_scope="ckptB")
+    out2 = decay.read_scores(spark, root, keys=["user_id"]).collect()[0]
+    assert out2.n_events == 2
+
+
+def test_decay_empty_batch_is_free_and_legacy_pointer_readable(spark, tmp_path):
+    """An idle micro-batch must not rewrite state or mint a version; a
+    legacy plain-int LATEST (pre-fence format) must still read."""
+    from sales_forecast_mlops_at_scale_spark.streaming import decay
+
+    root = str(tmp_path / "idle")
+    df = spark.createDataFrame(
+        [(1, "2024-03-01 10:00:00", 3.0)], "user_id long, ts string, value double"
+    ).selectExpr("user_id", "cast(ts as timestamp) ts", "value")
+    decay.fold_batch(spark, df, root, keys=["user_id"])
+    v1 = decay._state_version(root)
+    decay.fold_batch(spark, df.limit(0), root, keys=["user_id"])
+    assert decay._state_version(root) == v1  # no version churn
+    # legacy pointer: plain int, as the pre-fence format wrote it
+    import os as _os
+
+    with open(_os.path.join(root, "LATEST"), "w") as fh:
+        fh.write(str(v1))
+    assert decay._state_version(root) == v1
+    assert decay._pointer(root)["batch_id"] is None
+    assert decay.read_scores(spark, root, keys=["user_id"]).count() == 1
+
+
+def test_decay_pre_epoch_timestamps_not_eaten_by_sentinel(spark, tmp_path):
+    """Pre-1970 events produce negative buckets; they must decay like any
+    other data (the old -1 sentinel collided with bucket(1969-12-25) and
+    zeroed it).  Anchor in 1969 + small shift: the old event still
+    contributes exactly value >> 1."""
+    from sales_forecast_mlops_at_scale_spark.operators.timeseries import (
+        decayed_score,
+    )
+    from sales_forecast_mlops_at_scale_spark.streaming import decay
+
+    rows = [
+        (1, "1969-12-26 12:00:00", 4.0),   # bucket -1 (the old sentinel!)
+        (1, "1969-12-19 12:00:00", 8.0),   # one bucket older
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, value double"
+    ).selectExpr("user_id", "cast(ts as timestamp) ts", "value")
+    root = str(tmp_path / "preepoch")
+    decay.fold_batch(spark, df, root, keys=["user_id"], shift=8)
+    got = decay.read_scores(spark, root, keys=["user_id"], shift=8).collect()[0]
+    want = decayed_score(df, keys=["user_id"], shift=8).collect()[0]
+    assert (got.n_events, got.decayed_num) == (want.n_events, want.decayed_num)
+    assert got.decayed_num == 400 * 256 + 800 * 128  # both events live
+
+
+def test_entry_points_heal_mid_swap_retrain(spark, tmp_path, monkeypatch):
+    """code-review r8: a mid-swap retrain crash must be healed by EVERY
+    entry point (ingest / search / drift), not only by a manual
+    heal_retrain — otherwise new batches assign against NEW centroids
+    but encode with OLD codebooks, silently corrupting search."""
+    import hashlib
+    import os
+
+    import sales_forecast_mlops_at_scale_spark.streaming.vector_ingest as vi
+
+    root = str(tmp_path / "healentry")
+
+    def vec(seed):
+        return [
+            float(
+                int.from_bytes(
+                    hashlib.md5(f"{seed}-{d}".encode()).digest()[:4], "big"
+                )
+                % 1009
+                - 504
+            )
+            for d in range(64)
+        ]
+
+    batch = spark.createDataFrame(
+        [(i, vec(i)) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    vi.vector_ingest_batch(batch, root, dim=64, batch_id=0)
+
+    real_rename = os.rename
+    state = {"armed": False}
+
+    def crashing_rename(src, dst):
+        if state["armed"] and "/codes" in dst.replace("\\", "/"):
+            raise RuntimeError("simulated crash mid-swap")
+        real_rename(src, dst)
+        if dst.endswith("_retrain_journal.json"):
+            state["armed"] = True
+
+    monkeypatch.setattr(vi.os, "rename", crashing_rename)
+    try:
+        vi.retrain_index(spark, root, dim=64)
+        raise AssertionError("expected simulated crash")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(vi.os, "rename", real_rename)
+    assert os.path.isfile(f"{root}/_retrain_journal.json")
+
+    # drift entry heals, measures the healed index, and reports zero
+    drift = vi.index_drift(spark, root).collect()
+    assert not os.path.exists(f"{root}/_retrain_journal.json")
+    assert all(r.drift_ppm == 0 for r in drift)
+
+
+def test_ingest_replay_heals_missing_seed_stats(spark, tmp_path):
+    """code-review r8: quantizer writes landed, the process died before
+    the drift-baseline write — the marker-less replay must rebuild
+    seed_stats instead of skipping training forever (which crashed every
+    index_drift / maybe_retrain tick)."""
+    import hashlib
+    import shutil
+
+    import sales_forecast_mlops_at_scale_spark.streaming.vector_ingest as vi
+
+    root = str(tmp_path / "seedheal")
+
+    def vec(seed):
+        return [
+            float(
+                int.from_bytes(
+                    hashlib.md5(f"{seed}-{d}".encode()).digest()[:4], "big"
+                )
+                % 1009
+                - 504
+            )
+            for d in range(64)
+        ]
+
+    batch = spark.createDataFrame(
+        [(i, vec(i)) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    vi.vector_ingest_batch(batch, root, dim=64, batch_id=0)
+    # simulate the torn training commit: baseline gone, quantizers live
+    shutil.rmtree(f"{root}/seed_stats")
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        vi.index_drift(spark, root).collect()
+    # the replay of the (uncommitted — its marker was never written)
+    # seed batch heals it; the tier anti-joins keep the rows single
+    vi.vector_ingest_batch(batch, root, dim=64)
+    drift = vi.index_drift(spark, root).collect()
+    assert all(r.drift_ppm == 0 for r in drift)
+    assert spark.read.parquet(f"{root}/vectors").count() == 40  # no dupes
