@@ -178,6 +178,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_psi_drift",
     "q_model_compare",
     "q_conformal_intervals",
+    "q_retrain_decision",
 )
 
 

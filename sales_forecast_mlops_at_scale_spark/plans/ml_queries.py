@@ -829,12 +829,74 @@ _PSI_SQL = (
 )
 
 
+#: retrain-decision thresholds (field-convention PSI bar; challenger
+#: majority bar), interpolated into BOTH sides
+_DECISION_PSI_PPM = 250_000
+_DECISION_FLIP_PPM = 500_000
+
+
+def q_retrain_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MLOps control loop as ONE row: the drift gate (worst
+    per-feature PSI) and the bake-off verdict (share of groups where the
+    challenger beats the incumbent) reduced to the operational decision
+    the reference's schedule-only weekly DAG never computes — retrain
+    when the inputs drifted, switch families when the challenger wins a
+    majority.  Integer-ppm thresholds shared with the oracle; both
+    sub-pipelines are the already-oracled q_psi_drift / q_model_compare
+    plans, so this is a composition audit: a wrong bit anywhere in
+    either pipeline flips a decision flag."""
+    drift = q_psi_drift(spark, sf_dir).agg(
+        F.max(F.expr("cast(floor(psi * 1000000) as bigint)")).alias(
+            "max_psi_ppm"
+        )
+    )
+    cmp_ = q_model_compare(spark, sf_dir)
+    flips = cmp_.where(F.col("n_splits") > 0).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.expr(
+            "cast(sum(CASE WHEN champion = 'moving_average' THEN 1 ELSE 0 END)"
+            " * 1000000L as bigint) div count(1)"
+        ).alias("flip_ppm"),
+    )
+    return (
+        drift.crossJoin(flips)
+        .withColumn(
+            "retrain", F.col("max_psi_ppm") > F.lit(_DECISION_PSI_PPM)
+        )
+        .withColumn(
+            "switch_family", F.col("flip_ppm") > F.lit(_DECISION_FLIP_PPM)
+        )
+        .select(
+            "max_psi_ppm", "n_scored", "flip_ppm", "retrain", "switch_family"
+        )
+    )
+
+
+_RETRAIN_DECISION_SQL = f"""
+WITH drift AS (
+  SELECT max(cast(floor(psi * 1000000) AS bigint)) AS max_psi_ppm
+  FROM ({_PSI_SQL})
+), flips AS (
+  SELECT count(*) AS n_scored,
+         (sum(CASE WHEN champion = 'moving_average' THEN 1 ELSE 0 END)
+          * 1000000) // count(*) AS flip_ppm
+  FROM ({_MODEL_COMPARE_SQL}) WHERE n_splits > 0
+)
+SELECT max_psi_ppm, cast(n_scored AS bigint) AS n_scored,
+       cast(flip_ppm AS bigint) AS flip_ppm,
+       max_psi_ppm > {_DECISION_PSI_PPM} AS retrain,
+       flip_ppm > {_DECISION_FLIP_PPM} AS switch_family
+FROM drift, flips
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "q_train_metrics": QueryDef(q_train_metrics, _TRAIN_SQL),
     "q_feature_matrix": QueryDef(q_feature_matrix, _FEATURE_MATRIX_SQL),
     "q_psi_drift": QueryDef(q_psi_drift, _PSI_SQL),
     "q_model_compare": QueryDef(q_model_compare, _MODEL_COMPARE_SQL),
     "q_conformal_intervals": QueryDef(q_conformal_intervals, _CONFORMAL_SQL),
+    "q_retrain_decision": QueryDef(q_retrain_decision, _RETRAIN_DECISION_SQL),
     "q_train_incremental": QueryDef(q_train_incremental, _TRAIN_SQL),
     "q_forecast_7d": QueryDef(q_forecast_7d, _FORECAST_SQL),
     "q_gated_forecast": QueryDef(q_gated_forecast, _GATED_SQL),

@@ -167,3 +167,18 @@ def test_conformal_coverage_near_nominal_on_exchangeable_noise(spark):
     covs = [r.coverage_ppm for r in out.values() if r.coverage_ppm is not None]
     mean_cov = sum(covs) / len(covs)
     assert 700_000 <= mean_cov <= 950_000, mean_cov
+
+
+def test_retrain_decision_thresholds(spark):
+    """The control-loop capstone on the fixtures: the pre/post-1995
+    pricing windows REALLY drifted (PSI >> 0.25) and the structureless
+    demand series promotes the challenger everywhere — both flags must
+    fire, with exact integer evidence columns."""
+    from sales_forecast_mlops_at_scale_spark.plans.ml_queries import (
+        q_retrain_decision,
+    )
+
+    row = q_retrain_decision(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.retrain and row.switch_family
+    assert row.max_psi_ppm > 250_000
+    assert row.flip_ppm == 1_000_000 and row.n_scored == 30

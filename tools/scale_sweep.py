@@ -80,6 +80,7 @@ QUERIES = [
     "q_psi_drift",
     "q_model_compare",
     "q_conformal_intervals",
+    "q_retrain_decision",
 ]
 
 
