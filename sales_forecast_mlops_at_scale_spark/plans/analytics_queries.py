@@ -1329,25 +1329,17 @@ _DECAY_STATE_BATCHES = 3
 
 def _decay_state_root(sf_dir: str) -> str:
     """Digest-keyed /tmp root for the MATERIALIZED decayed-counter state
-    over ``{sf_dir}/events.parquet`` — the staleness contract of the
-    IVF-PQ index root (source name+size+mtime + fold parameters)."""
-    import hashlib
+    over ``{sf_dir}/events.parquet`` (source identity + fold parameters
+    — see :mod:`.fixture_roots`)."""
     import os
-    import tempfile
 
-    src = os.path.join(sf_dir, "events.parquet")
-    entries = [
-        f"params#{_DECAY_HALF_LIFE_DAYS}#{_DECAY_SHIFT}#{_DECAY_STATE_BATCHES}"
-    ]
-    if os.path.isdir(src):
-        for name in sorted(os.listdir(src)):
-            st = os.stat(os.path.join(src, name))
-            entries.append(f"{name}#{st.st_size}#{int(st.st_mtime)}")
-    elif os.path.exists(src):
-        st = os.stat(src)
-        entries.append(f"{src}#{st.st_size}#{int(st.st_mtime)}")
-    digest = hashlib.sha256("\n".join(entries).encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), "sfspark_decay_state", digest)
+    from .fixture_roots import digest_root
+
+    return digest_root(
+        "sfspark_decay_state",
+        [os.path.join(sf_dir, "events.parquet")],
+        [_DECAY_HALF_LIFE_DAYS, _DECAY_SHIFT, _DECAY_STATE_BATCHES],
+    )
 
 
 def _ensure_decay_state(spark: SparkSession, sf_dir: str) -> str:
@@ -1355,40 +1347,23 @@ def _ensure_decay_state(spark: SparkSession, sf_dir: str) -> str:
     per testdata generation, through the REAL streaming fold path
     (three batches split by event_id — the fold is proven batch-split
     invariant, so the serving scores equal the one-shot batch operator
-    bit-for-bit).  Same concurrency-safe staging-rename protocol as the
-    materialized ANN index."""
-    import os
-    import shutil
-    import uuid
-
+    bit-for-bit).  Shared claim/stage/rename protocol."""
     from ..streaming import decay
-    from .llm_queries import _claim_or_clear_root
+    from .fixture_roots import ensure_built
 
-    root = _decay_state_root(sf_dir)
-    marker = os.path.join(root, "_STATE_COMPLETE")
-    if os.path.exists(marker):
-        return root
-    done = _claim_or_clear_root(root, "_STATE_COMPLETE")
-    if done is not None:
-        return done
-    staging = f"{root}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    ev = _events(spark, sf_dir)
-    for b in range(_DECAY_STATE_BATCHES):
-        decay.fold_batch(
-            spark,
-            ev.where(F.col("event_id") % _DECAY_STATE_BATCHES == b),
-            staging,
-            keys=["user_id", "event_type"],
-            half_life_days=_DECAY_HALF_LIFE_DAYS,
-            shift=_DECAY_SHIFT,
-        )
-    with open(os.path.join(staging, "_STATE_COMPLETE"), "w") as fh:
-        fh.write("ok\n")
-    try:
-        os.rename(staging, root)
-    except OSError:
-        shutil.rmtree(staging, ignore_errors=True)
-    return root
+    def build(staging: str) -> None:
+        ev = _events(spark, sf_dir)
+        for b in range(_DECAY_STATE_BATCHES):
+            decay.fold_batch(
+                spark,
+                ev.where(F.col("event_id") % _DECAY_STATE_BATCHES == b),
+                staging,
+                keys=["user_id", "event_type"],
+                half_life_days=_DECAY_HALF_LIFE_DAYS,
+                shift=_DECAY_SHIFT,
+            )
+
+    return ensure_built(_decay_state_root(sf_dir), "_STATE_COMPLETE", build)
 
 
 def q_decayed_serving(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2248,98 +2248,34 @@ _IVFPQ_IDX_CENTROIDS = 16
 
 
 def _ivfpq_index_root(sf_dir: str) -> str:
-    """Filesystem root for the MATERIALIZED IVF-PQ index over
-    ``{sf_dir}/embeddings.parquet``, keyed by a digest of the source
-    files (name + size + mtime) AND the index hyperparameters
-    (num_centroids, M, K, dim): regenerated testdata or a changed
-    geometry mints a new root and the stale index is simply never read
-    again — the same staleness contract :mod:`cache` uses for persist
-    slots."""
-    import hashlib
-    import tempfile
-
+    """Digest-keyed root for the MATERIALIZED IVF-PQ index over
+    ``{sf_dir}/embeddings.parquet`` (source identity + geometry — see
+    :mod:`.fixture_roots`)."""
     from ..operators.llm.pq import PQ_K, PQ_M
+    from .fixture_roots import digest_root
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    entries = [f"params#{_IVFPQ_IDX_CENTROIDS}#{PQ_M}#{PQ_K}#64"]
-    if os.path.isdir(src):
-        for name in sorted(os.listdir(src)):
-            st = os.stat(os.path.join(src, name))
-            entries.append(f"{name}#{st.st_size}#{int(st.st_mtime)}")
-    elif os.path.exists(src):
-        st = os.stat(src)
-        entries.append(f"{src}#{st.st_size}#{int(st.st_mtime)}")
-    digest = hashlib.sha256("\n".join(entries).encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), "sfspark_ivfpq_idx", digest)
-
-
-def _claim_or_clear_root(root: str, marker_name: str) -> str | None:
-    """TOCTOU-safe handling of an existing build root that is missing
-    its completion marker: rename it ASIDE (an atomic claim — exactly
-    one process gets the directory), re-check the marker on the claimed
-    copy, and only destroy a PROVABLY stale half-build.  A build that
-    completed between the caller's marker check and the claim is put
-    back (or served from the aside path if a rival re-occupied the
-    root).  Returns the path of a COMPLETE root if one surfaced, else
-    None (the root name is now clear for an atomic rename)."""
-    import shutil
-    import uuid
-
-    if not os.path.isdir(root):
-        return None
-    aside = f"{root}.stale-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    try:
-        os.rename(root, aside)
-    except OSError:
-        return None  # another process already claimed/removed it
-    if os.path.exists(os.path.join(aside, marker_name)):
-        try:
-            os.rename(aside, root)
-            return root
-        except OSError:
-            return aside
-    shutil.rmtree(aside, ignore_errors=True)
-    return None
+    return digest_root(
+        "sfspark_ivfpq_idx",
+        [os.path.join(sf_dir, "embeddings.parquet")],
+        [_IVFPQ_IDX_CENTROIDS, PQ_M, PQ_K, 64],
+    )
 
 
 def _ensure_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
     """Build the materialized IVF-PQ index for ``sf_dir`` at most once
-    per (testdata generation, geometry).  Concurrency-safe: the build
-    lands in a process-unique STAGING directory that is atomically
-    renamed into place with its completion marker already inside, so
-    two processes racing on a cold index cannot interleave appends into
-    one root (the loser's rename fails and its staging copy is
-    discarded; the root only ever appears fully-built).  Returns the
-    index root."""
-    import shutil
-    import uuid
-
+    per (testdata generation, geometry) under the shared claim/stage/
+    rename protocol (:func:`.fixture_roots.ensure_built`)."""
     from ..streaming.vector_ingest import vector_ingest_batch
+    from .fixture_roots import ensure_built
 
-    root = _ivfpq_index_root(sf_dir)
-    marker = os.path.join(root, "_INDEX_COMPLETE")
-    if os.path.exists(marker):
-        return root
-    # a marker-less root is a torn artifact of a crashed build — but a
-    # concurrent builder may complete its rename between the check and
-    # any removal, so claim-then-verify instead of rmtree-ing blind
-    done = _claim_or_clear_root(root, "_INDEX_COMPLETE")
-    if done is not None:
-        return done
-    staging = f"{root}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    emb_all = load_table(spark, sf_dir, "embeddings")
-    vector_ingest_batch(
-        emb_all, staging, id_col="vec_id", vec_col="embedding",
-        num_centroids=_IVFPQ_IDX_CENTROIDS, dim=64,
-    )
-    with open(os.path.join(staging, "_INDEX_COMPLETE"), "w") as fh:
-        fh.write("ok\n")
-    try:
-        os.rename(staging, root)
-    except OSError:
-        # another builder won the rename race — use theirs
-        shutil.rmtree(staging, ignore_errors=True)
-    return root
+    def build(staging: str) -> None:
+        vector_ingest_batch(
+            load_table(spark, sf_dir, "embeddings"), staging,
+            id_col="vec_id", vec_col="embedding",
+            num_centroids=_IVFPQ_IDX_CENTROIDS, dim=64,
+        )
+
+    return ensure_built(_ivfpq_index_root(sf_dir), "_INDEX_COMPLETE", build)
 
 
 #: Deterministic erasure rule for the governed-table audit: every
@@ -2349,24 +2285,15 @@ _ERASURE_MOD = 97
 
 
 def _erasure_table_root(sf_dir: str) -> str:
-    """Digest-keyed /tmp root for the GOVERNED COPY of ``documents`` —
-    same staleness contract as the materialized IVF-PQ index: the key
-    folds the source files (name+size+mtime) and the erasure rule, so
-    regenerated testdata or a changed rule mints a new root."""
-    import hashlib
-    import tempfile
+    """Digest-keyed /tmp root for the GOVERNED COPY of ``documents``
+    (source identity + erasure rule — see :mod:`.fixture_roots`)."""
+    from .fixture_roots import digest_root
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    entries = [f"params#{_ERASURE_MOD}"]
-    if os.path.isdir(src):
-        for name in sorted(os.listdir(src)):
-            st = os.stat(os.path.join(src, name))
-            entries.append(f"{name}#{st.st_size}#{int(st.st_mtime)}")
-    elif os.path.exists(src):
-        st = os.stat(src)
-        entries.append(f"{src}#{st.st_size}#{int(st.st_mtime)}")
-    digest = hashlib.sha256("\n".join(entries).encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), "sfspark_erasure_tbl", digest)
+    return digest_root(
+        "sfspark_erasure_tbl",
+        [os.path.join(sf_dir, "documents.parquet")],
+        [_ERASURE_MOD],
+    )
 
 
 def _ensure_erased_table(spark: SparkSession, sf_dir: str) -> str:
@@ -2378,43 +2305,29 @@ def _ensure_erased_table(spark: SparkSession, sf_dir: str) -> str:
     via the same staging-then-atomic-rename protocol as the IVF-PQ
     index builder.  Erasure is idempotent, so a replay converges to the
     identical table."""
-    import shutil
-    import uuid
-
     from ..streaming.forget import forget_keys
     from ..streaming.snapshots import enable_snapshots
+    from .fixture_roots import ensure_built
 
-    root = _erasure_table_root(sf_dir)
-    marker = os.path.join(root, "_ERASED_COMPLETE")
-    if os.path.exists(marker):
-        return root
-    # TOCTOU guard: never rmtree a root a concurrent builder may have
-    # just completed — claim-then-verify (see _claim_or_clear_root)
-    done = _claim_or_clear_root(root, "_ERASED_COMPLETE")
-    if done is not None:
-        return done
-    staging = f"{root}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    docs = load_table(spark, sf_dir, "documents")
-    # key-clustered multi-file layout: the erasure's [min,max]/IN prune
-    # has real footer stats to act on, exactly as at warehouse scale
-    docs.repartitionByRange(4, "doc_id").sortWithinPartitions(
-        "doc_id"
-    ).write.parquet(staging)
-    enable_snapshots(staging)
-    tombs = [
-        r[0]
-        for r in docs.where((F.col("doc_id") % _ERASURE_MOD) == 0)
-        .select("doc_id")
-        .collect()  # bounded: ~|documents| / MOD ids — erasure requests
-    ]
-    forget_keys(spark, staging, tombs, "doc_id")
-    with open(os.path.join(staging, "_ERASED_COMPLETE"), "w") as fh:
-        fh.write("ok\n")
-    try:
-        os.rename(staging, root)
-    except OSError:
-        shutil.rmtree(staging, ignore_errors=True)
-    return root
+    def build(staging: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        # key-clustered multi-file layout: the erasure's [min,max]/IN
+        # prune has real footer stats to act on, as at warehouse scale
+        docs.repartitionByRange(4, "doc_id").sortWithinPartitions(
+            "doc_id"
+        ).write.parquet(staging)
+        enable_snapshots(staging)
+        tombs = [
+            r[0]
+            for r in docs.where((F.col("doc_id") % _ERASURE_MOD) == 0)
+            .select("doc_id")
+            .collect()  # bounded: ~|documents| / MOD ids
+        ]
+        forget_keys(spark, staging, tombs, "doc_id")
+
+    return ensure_built(
+        _erasure_table_root(sf_dir), "_ERASED_COMPLETE", build
+    )
 
 
 def q_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2539,62 +2452,40 @@ def _drift_index_root(sf_dir: str) -> str:
     on the first half of ``embeddings`` (by vec_id), then the second
     half ingested against the frozen quantizers — the two-epoch shape
     that makes assignment-share drift a real, non-vacuous signal."""
-    import hashlib
-    import tempfile
-
     from ..operators.llm.pq import PQ_K, PQ_M
+    from .fixture_roots import digest_root
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    entries = [f"params#drift#{_IVFPQ_IDX_CENTROIDS}#{PQ_M}#{PQ_K}#64"]
-    if os.path.isdir(src):
-        for name in sorted(os.listdir(src)):
-            st = os.stat(os.path.join(src, name))
-            entries.append(f"{name}#{st.st_size}#{int(st.st_mtime)}")
-    elif os.path.exists(src):
-        st = os.stat(src)
-        entries.append(f"{src}#{st.st_size}#{int(st.st_mtime)}")
-    digest = hashlib.sha256("\n".join(entries).encode()).hexdigest()[:16]
-    return os.path.join(tempfile.gettempdir(), "sfspark_drift_idx", digest)
+    return digest_root(
+        "sfspark_drift_idx",
+        [os.path.join(sf_dir, "embeddings.parquet")],
+        ["drift", _IVFPQ_IDX_CENTROIDS, PQ_M, PQ_K, 64],
+    )
 
 
 def _ensure_drift_index(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the two-epoch drift index at most once per testdata
-    generation (same staging + atomic-rename + claim-then-verify
-    protocol as :func:`_ensure_ivfpq_index`).  Epoch 1 (vec_id < mid)
-    TRAINS the quantizers and freezes the seed distribution; epoch 2
-    is assigned/encoded against them — a real frozen-quantizer ingest
-    whose live distribution has drifted from its training epoch."""
-    import shutil
-    import uuid
-
+    generation (shared claim/stage/rename protocol).  Epoch 1
+    (vec_id < mid) TRAINS the quantizers and freezes the seed
+    distribution; epoch 2 is assigned/encoded against them — a real
+    frozen-quantizer ingest whose live distribution has drifted from
+    its training epoch."""
     from ..streaming.vector_ingest import vector_ingest_batch
+    from .fixture_roots import ensure_built
 
-    root = _drift_index_root(sf_dir)
-    marker = os.path.join(root, "_INDEX_COMPLETE")
-    if os.path.exists(marker):
-        return root
-    done = _claim_or_clear_root(root, "_INDEX_COMPLETE")
-    if done is not None:
-        return done
-    staging = f"{root}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    emb = load_table(spark, sf_dir, "embeddings")
-    # 1-row anchor: the epoch boundary (same split rule in the oracle)
-    mid = (emb.agg(F.max("vec_id")).first()[0] + 1) // 2
-    for epoch in (
-        emb.filter(F.col("vec_id") < mid),
-        emb.filter(F.col("vec_id") >= mid),
-    ):
-        vector_ingest_batch(
-            epoch, staging, id_col="vec_id", vec_col="embedding",
-            num_centroids=_IVFPQ_IDX_CENTROIDS, dim=64,
-        )
-    with open(os.path.join(staging, "_INDEX_COMPLETE"), "w") as fh:
-        fh.write("ok\n")
-    try:
-        os.rename(staging, root)
-    except OSError:
-        shutil.rmtree(staging, ignore_errors=True)
-    return root
+    def build(staging: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        # 1-row anchor: the epoch boundary (same split rule in the oracle)
+        mid = (emb.agg(F.max("vec_id")).first()[0] + 1) // 2
+        for epoch in (
+            emb.filter(F.col("vec_id") < mid),
+            emb.filter(F.col("vec_id") >= mid),
+        ):
+            vector_ingest_batch(
+                epoch, staging, id_col="vec_id", vec_col="embedding",
+                num_centroids=_IVFPQ_IDX_CENTROIDS, dim=64,
+            )
+
+    return ensure_built(_drift_index_root(sf_dir), "_INDEX_COMPLETE", build)
 
 
 def q_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:

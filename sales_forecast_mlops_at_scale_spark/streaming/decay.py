@@ -52,20 +52,26 @@ _SENTINEL = -(2**62)
 _LATEST = "LATEST"
 
 
+#: fences-dict key for folds that pass a batch_id without a scope
+_UNSCOPED = "__unscoped__"
+
+
 def _pointer(root: str) -> dict:
-    """Committed pointer: ``{"version": N, "batch_id": B|None,
-    "fence_scope": S|None}``.  The batch id is the streaming replay
-    fence — it commits ATOMICALLY with the version flip, so a crashed
+    """Committed pointer: ``{"version": N, "fences": {scope: last_id}}``.
+    A fence commits ATOMICALLY with the version flip, so a crashed
     ``foreachBatch`` can never half-commit (fold applied but fence not
-    advanced, or vice versa).  ``fence_scope`` names the checkpoint the
-    ids belong to: epoch ids restart at 0 under a NEW checkpoint, so an
-    unscoped fence would silently drop the fresh stream's early batches
-    (code-review r8)."""
+    advanced, or vice versa).  Fences are PER SCOPE (one per checkpoint
+    identity): epoch ids restart at 0 under a new checkpoint, and two
+    independent streams feeding one root must not erase each other's
+    fence — a single (scope, id) pair would let stream B's commit reset
+    stream A's fence and a subsequent replay of A double-count
+    (code-review r8, round 2).  Scope count is bounded by checkpoint
+    generations, so the dict stays tiny."""
     import json
 
     p = os.path.join(root, _LATEST)
     if not os.path.exists(p):
-        return {"version": 0, "batch_id": None, "fence_scope": None}
+        return {"version": 0, "fences": {}}
     with open(p, encoding="utf-8") as fh:
         raw = fh.read().strip()
     try:
@@ -73,10 +79,15 @@ def _pointer(root: str) -> dict:
     except ValueError:
         parsed = None
     if not isinstance(parsed, dict):  # legacy plain-int pointer
-        parsed = {"version": int(raw), "batch_id": None}
-    parsed.setdefault("batch_id", None)
-    parsed.setdefault("fence_scope", None)
-    return parsed
+        parsed = {"version": int(raw)}
+    if "fences" not in parsed:
+        # migrate the single-pair format (or legacy int: no fence)
+        if parsed.get("batch_id") is not None:
+            scope = parsed.get("fence_scope") or _UNSCOPED
+            parsed["fences"] = {scope: int(parsed["batch_id"])}
+        else:
+            parsed["fences"] = {}
+    return {"version": int(parsed["version"]), "fences": parsed["fences"]}
 
 
 def _state_version(root: str) -> int:
@@ -165,21 +176,20 @@ def fold_batch(
     _heal(root)
     ptr = _pointer(root)
     version = int(ptr["version"])
-    # the fence only applies within ONE checkpoint's epoch numbering: a
-    # relocated/fresh checkpoint restarts ids at 0, so a scope change
-    # resets the fence instead of dropping the new stream's batches
-    same_scope = ptr["fence_scope"] == fence_scope
-    if (
-        batch_id is not None
-        and same_scope
-        and ptr["batch_id"] is not None
-        and batch_id <= int(ptr["batch_id"])
-    ):
+    scope_key = fence_scope or _UNSCOPED
+    # the fence only applies within ONE checkpoint's epoch numbering
+    # (per-scope: a relocated checkpoint restarts ids at 0 under a NEW
+    # scope; another stream's commits never touch this scope's fence)
+    fenced = ptr["fences"].get(scope_key)
+    if batch_id is not None and fenced is not None and batch_id <= int(fenced):
         return version  # checkpointed replay of an already-folded batch
-    # idle micro-batch: folding adds nothing — skip the O(state) rewrite
-    # (safe: the fence stays behind, and replaying an empty batch is a
-    # no-op by construction)
-    if batch_df.isEmpty():
+    # idle micro-batch past the first commit: folding adds nothing —
+    # skip the O(state) rewrite.  The FIRST commit is never skipped, so
+    # read_scores on a drained-but-empty stream serves an empty state
+    # instead of crashing on a never-created state_v dir.  (The isEmpty
+    # probe costs one limit-1 job per micro-batch — the same trade
+    # vector_ingest_batch makes; the fold job it guards is far larger.)
+    if version > 0 and batch_df.isEmpty():
         return version
 
     merged = _bucket_sums(
@@ -231,18 +241,10 @@ def fold_batch(
     import json
 
     tmp = os.path.join(root, "_LATEST.tmp")
+    fences = dict(ptr["fences"])
     if batch_id is not None:
-        new_ptr = {
-            "version": version + 1,
-            "batch_id": batch_id,
-            "fence_scope": fence_scope,
-        }
-    else:  # direct (non-streaming) fold: carry the fence untouched
-        new_ptr = {
-            "version": version + 1,
-            "batch_id": ptr["batch_id"],
-            "fence_scope": ptr["fence_scope"],
-        }
+        fences[scope_key] = batch_id  # other scopes' fences untouched
+    new_ptr = {"version": version + 1, "fences": fences}
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(json.dumps(new_ptr))
     os.replace(tmp, os.path.join(root, _LATEST))

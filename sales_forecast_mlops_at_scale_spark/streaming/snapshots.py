@@ -139,10 +139,14 @@ def _roll_forward(path: str) -> int:
     snap = _snap_dir(path)
     current = latest_version(path)
     while True:
-        # only ever advance: a concurrent publisher may have flipped
-        # LATEST past our stale read between iterations, and writing the
-        # smaller value would transiently time-travel readers backwards
-        # (code-review r8) — re-read and take the max before every write
+        # advance-only discipline: a concurrent publisher may have
+        # flipped LATEST past our stale read, and writing the smaller
+        # value would time-travel readers backwards (code-review r8).
+        # Re-reading + max NARROWS that window to the instant between
+        # this read and our write — it cannot eliminate it without a
+        # lock file — and the post-write re-check below guarantees the
+        # pointer is monotone BY THE TIME THIS FUNCTION RETURNS, so any
+        # regression is transient and repaired by its own causer.
         current = max(current, latest_version(path))
         if os.path.isfile(_manifest_path(path, current + 1)):
             current += 1

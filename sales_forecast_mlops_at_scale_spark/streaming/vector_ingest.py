@@ -196,14 +196,22 @@ def _vector_ingest_body(
         _seed_distribution(c0, centroids).write.mode("overwrite").parquet(
             f"{root_path}/seed_stats"
         )
-    elif _read_or_none(spark, f"{root_path}/seed_stats") is None:
+    elif (
+        _read_or_none(spark, f"{root_path}/seed_stats") is None
+        and _read_or_none(spark, f"{root_path}/assignments") is None
+    ):
         # torn training commit (code-review r8): the quantizer writes
         # landed but the process died before the baseline write, so the
         # replay skips the training branch and the baseline would stay
         # missing FOREVER (every index_drift / maybe_retrain tick then
-        # crashes).  The absent commit marker means the seed batch is
-        # the one being redelivered — rebuild its distribution against
-        # the committed centroids (same overwrite-idempotence).
+        # crashes).  The heal applies ONLY while no assignments tier
+        # exists — that pins the crash to the pre-append training window
+        # of THIS redelivered seed batch.  A legacy pre-drift-tracking
+        # index (assignments present, no seed_stats) is deliberately NOT
+        # healed from an arbitrary in-flight batch: that would mint a
+        # ~zero-drift baseline on exactly the index whose distribution
+        # has wandered most — it keeps the loud index_drift error and
+        # the documented remedy (one retrain_index) instead.
         _seed_distribution(
             _prepared(batch_df, id_col, vec_col), centroids
         ).write.mode("overwrite").parquet(f"{root_path}/seed_stats")
@@ -512,41 +520,111 @@ _RETRAIN_TIERS = (
 )
 
 
+#: orphaned heal claims younger than this are assumed live and left alone
+_CLAIM_ADOPT_AGE_S = 60.0
+
+
 def heal_retrain(root_path: str) -> bool:
     """Roll FORWARD a retrain whose tier swaps died mid-way: the journal
     is written only after every staged tier is fully built and
     count-verified, so completing the swaps is always the correct
     direction.  Per-tier idempotent: a tier whose staged dir is gone was
-    already swapped.  No-op (False) on a healthy index."""
+    already swapped.  No-op (False) on a healthy index.
+
+    Concurrency (code-review r8, round 2): this runs from EVERY entry
+    point, so two processes can race on one journal — and two healers
+    interleaving the same tier swap can rename a freshly-swapped LIVE
+    dir aside and destroy it.  The journal is therefore CLAIMED by
+    atomic rename first: exactly one healer proceeds, rivals see no
+    journal and return.  A healer that dies mid-heal leaves its claim
+    file; it is adopted (again by exclusive rename, one winner) when its
+    OWNER PID is provably dead — the claim name embeds the pid and this
+    is a local-FS substrate — or, as the pid-reuse fallback, when the
+    claim is older than {age}s.  A claim whose owner is alive is left
+    alone, so a running healer is never raced on the swap steps."""
+    import glob as _glob
     import json
     import shutil
+    import time
+    import uuid
+
+    def _owner_alive(path: str) -> bool:
+        # claim names are {journal}.claim-{pid}-{uuid}
+        try:
+            pid = int(os.path.basename(path).split(".claim-", 1)[1].split("-")[0])
+            os.kill(pid, 0)
+            return True
+        except (ValueError, IndexError, ProcessLookupError):
+            return False
+        except PermissionError:
+            return True  # exists, other user
 
     journal = os.path.join(root_path, _RETRAIN_JOURNAL)
-    if not os.path.isfile(journal):
+    claim = f"{journal}.claim-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    claimed = None
+    if os.path.isfile(journal):
+        try:
+            os.rename(journal, claim)
+            claimed = claim
+        except OSError:
+            pass  # a rival claimed it first
+    if claimed is None:
+        for orphan in _glob.glob(f"{journal}.claim-*"):
+            if orphan == claim:
+                continue
+            try:
+                fresh = (
+                    time.time() - os.path.getmtime(orphan) < _CLAIM_ADOPT_AGE_S
+                )
+            except OSError:
+                continue
+            if fresh and _owner_alive(orphan):
+                continue  # a live healer owns it
+            try:
+                os.rename(orphan, claim)
+                claimed = claim
+                break
+            except OSError:
+                continue
+    if claimed is None:
         return False
-    with open(journal, encoding="utf-8") as fh:
+    with open(claimed, encoding="utf-8") as fh:
         plan = json.load(fh)
     rid = plan["rid"]
-    for tier in plan["tiers"]:
-        live = os.path.join(root_path, tier)
-        staged = f"{live}.retrain-{rid}"
-        aside = f"{live}.old-{rid}"
-        if os.path.isdir(staged):
-            if os.path.isdir(live):
-                os.rename(live, aside)
-            os.rename(staged, live)
-        # snapshot history lives INSIDE the replaced dir: rescue it into
-        # the new tier before the old dir dies, so snapshot-enabled
-        # tiers keep their version chain across a retrain (the caller
-        # then publishes the new listing; until it does, the head
-        # manifest references swapped-out files — exactly the state
-        # heal_dangling_manifest repairs)
-        old_snaps = os.path.join(aside, "_snapshots")
-        new_snaps = os.path.join(live, "_snapshots")
-        if os.path.isdir(old_snaps) and not os.path.isdir(new_snaps):
-            os.rename(old_snaps, new_snaps)
-        shutil.rmtree(aside, ignore_errors=True)
-    os.unlink(journal)
+    try:
+        for tier in plan["tiers"]:
+            live = os.path.join(root_path, tier)
+            staged = f"{live}.retrain-{rid}"
+            aside = f"{live}.old-{rid}"
+            if os.path.isdir(staged):
+                if os.path.isdir(live):
+                    os.rename(live, aside)
+                os.rename(staged, live)
+            # snapshot history lives INSIDE the replaced dir: rescue it
+            # into the new tier before the old dir dies, so snapshot-
+            # enabled tiers keep their version chain across a retrain
+            # (the caller then publishes the new listing; until it does,
+            # the head manifest references swapped-out files — exactly
+            # the state heal_dangling_manifest repairs)
+            old_snaps = os.path.join(aside, "_snapshots")
+            new_snaps = os.path.join(live, "_snapshots")
+            if os.path.isdir(old_snaps) and not os.path.isdir(new_snaps):
+                os.rename(old_snaps, new_snaps)
+            shutil.rmtree(aside, ignore_errors=True)
+    except BaseException:
+        # an in-process failure must not wedge the heal behind a claim
+        # owned by a LIVE pid: put the journal back so any healer (this
+        # process included) can retry immediately; the steps already
+        # taken are idempotent under the re-run
+        try:
+            os.rename(claimed, journal)
+        except OSError:
+            pass
+        raise
+    try:
+        os.unlink(claimed)
+    except OSError:
+        pass  # an adopter took over — it finishes the heal
     return True
 
 

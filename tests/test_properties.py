@@ -542,3 +542,66 @@ def test_binned_quantiles_error_bound_on_random_data(spark, vals, q):
     # estimate sitting exactly one cell from the exact value can round
     # AWAY by up to 5e-7 (e.g. cell = 2/256 = 0.0078125 -> 0.007813)
     assert abs(est - exact) <= cell + 5e-7 + 1e-9, (vals, q, est, exact)
+
+
+# -- decayed counters: stream fold == batch, under ANY batch partition ---------
+
+_DECAY_DAY = st.integers(min_value=-10, max_value=120)  # spans pre-epoch too
+_DECAY_CENTS = st.integers(min_value=0, max_value=9999)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(_KEY, _DECAY_DAY, _DECAY_CENTS), min_size=1, max_size=24
+    ),
+    assign=st.lists(st.integers(min_value=0, max_value=2), min_size=24, max_size=24),
+    shift=st.sampled_from([2, 4, 8]),
+)
+@settings(**_SETTINGS)
+def test_decay_fold_equals_batch_under_random_partitions(
+    spark, tmp_path_factory, rows, assign, shift
+):
+    """The module's central claim, randomized: for ANY event set (incl.
+    pre-epoch days and ages past the pruning horizon) and ANY partition
+    of it into 3 ordered batches (incl. empty ones), the folded state
+    serves decayed_num/n_events BIT-EQUAL to the batch operator."""
+    import datetime as dt_
+
+    from sales_forecast_mlops_at_scale_spark.operators.timeseries import (
+        decayed_score,
+    )
+    from sales_forecast_mlops_at_scale_spark.streaming import decay
+
+    def frame(rws):
+        return spark.createDataFrame(
+            [
+                (
+                    k,
+                    dt_.datetime(1970, 1, 1) + dt_.timedelta(days=d, hours=3),
+                    cents / 100.0,
+                )
+                for k, d, cents in rws
+            ],
+            "user_id long, ts timestamp, value double",
+        )
+
+    root = str(tmp_path_factory.mktemp("decayprop") / "state")
+    batches = [[], [], []]
+    for r, b in zip(rows, assign):
+        batches[b].append(r)
+    for b in batches:
+        if b:  # empty frames can't infer schema; fold skips them anyway
+            decay.fold_batch(
+                spark, frame(b), root, keys=["user_id"], shift=shift
+            )
+    got = {
+        r.user_id: (r.n_events, r.decayed_num)
+        for r in decay.read_scores(
+            spark, root, keys=["user_id"], shift=shift
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.decayed_num)
+        for r in decayed_score(frame(rows), keys=["user_id"], shift=shift).collect()
+    }
+    assert got == want

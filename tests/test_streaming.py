@@ -1657,7 +1657,7 @@ def test_decay_empty_batch_is_free_and_legacy_pointer_readable(spark, tmp_path):
     with open(_os.path.join(root, "LATEST"), "w") as fh:
         fh.write(str(v1))
     assert decay._state_version(root) == v1
-    assert decay._pointer(root)["batch_id"] is None
+    assert decay._pointer(root)["fences"] == {}
     assert decay.read_scores(spark, root, keys=["user_id"]).count() == 1
 
 
@@ -1770,15 +1770,154 @@ def test_ingest_replay_heals_missing_seed_stats(spark, tmp_path):
         "vec_id long, embedding array<double>",
     )
     vi.vector_ingest_batch(batch, root, dim=64, batch_id=0)
-    # simulate the torn training commit: baseline gone, quantizers live
-    shutil.rmtree(f"{root}/seed_stats")
+    # simulate the torn TRAINING commit precisely: the crash happened
+    # between the quantizer writes and everything after — quantizers
+    # live, baseline AND all data tiers absent
+    for tier in ("seed_stats", "assignments", "vectors", "codes"):
+        shutil.rmtree(f"{root}/{tier}", ignore_errors=True)
     import pytest as _pytest
 
     with _pytest.raises(FileNotFoundError):
         vi.index_drift(spark, root).collect()
     # the replay of the (uncommitted — its marker was never written)
-    # seed batch heals it; the tier anti-joins keep the rows single
+    # seed batch heals the baseline and re-appends the tiers
     vi.vector_ingest_batch(batch, root, dim=64)
     drift = vi.index_drift(spark, root).collect()
     assert all(r.drift_ppm == 0 for r in drift)
     assert spark.read.parquet(f"{root}/vectors").count() == 40  # no dupes
+
+
+def test_legacy_index_without_baseline_is_not_silently_healed(spark, tmp_path):
+    """code-review r8 round 2: an index that PREDATES drift tracking
+    (assignments exist, seed_stats never written) must NOT get a
+    baseline minted from an arbitrary later batch — that would report
+    ~zero drift on exactly the index that wandered most.  The loud
+    error (and its retrain_index remedy) stays."""
+    import hashlib
+    import shutil
+
+    import sales_forecast_mlops_at_scale_spark.streaming.vector_ingest as vi
+
+    root = str(tmp_path / "legacyidx")
+
+    def vec(seed, salt=0):
+        return [
+            float(
+                int.from_bytes(
+                    hashlib.md5(f"{seed}-{d}-{salt}".encode()).digest()[:4],
+                    "big",
+                )
+                % 1009
+                - 504
+            )
+            for d in range(64)
+        ]
+
+    seed_batch = spark.createDataFrame(
+        [(i, vec(i)) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    vi.vector_ingest_batch(seed_batch, root, dim=64, batch_id=0)
+    shutil.rmtree(f"{root}/seed_stats")  # the legacy shape
+    later = spark.createDataFrame(
+        [(100 + i, vec(i, salt=9)) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    vi.vector_ingest_batch(later, root, dim=64, batch_id=1)
+    import os as _os
+
+    import pytest as _pytest
+
+    assert not _os.path.exists(f"{root}/seed_stats")  # not silently minted
+    with _pytest.raises(FileNotFoundError, match="predates drift tracking"):
+        vi.index_drift(spark, root).collect()
+    # the later batch itself was still admitted normally
+    assert spark.read.parquet(f"{root}/vectors").count() == 60
+
+
+def test_decay_fences_are_per_scope_multi_writer_safe(spark, tmp_path):
+    """code-review r8 round 2: stream B committing under its own scope
+    must NOT erase stream A's fence — A's redelivered batch would
+    double-count.  Fences live per scope in one atomic pointer."""
+    from sales_forecast_mlops_at_scale_spark.streaming import decay
+
+    root = str(tmp_path / "multiw")
+    df = spark.createDataFrame(
+        [(1, "2024-03-01 10:00:00", 3.0)], "user_id long, ts string, value double"
+    ).selectExpr("user_id", "cast(ts as timestamp) ts", "value")
+    decay.fold_batch(spark, df, root, keys=["user_id"], batch_id=5, fence_scope="A")
+    decay.fold_batch(spark, df, root, keys=["user_id"], batch_id=0, fence_scope="B")
+    n0 = decay.read_scores(spark, root, keys=["user_id"]).collect()[0].n_events
+    assert n0 == 2
+    # A's crash-redelivery of its already-folded batch 5: must be fenced
+    decay.fold_batch(spark, df, root, keys=["user_id"], batch_id=5, fence_scope="A")
+    n1 = decay.read_scores(spark, root, keys=["user_id"]).collect()[0].n_events
+    assert n1 == 2  # no double count
+    # and B's replay too
+    decay.fold_batch(spark, df, root, keys=["user_id"], batch_id=0, fence_scope="B")
+    assert decay.read_scores(spark, root, keys=["user_id"]).collect()[0].n_events == 2
+
+
+def test_decay_empty_first_batch_still_commits_readable_state(spark, tmp_path):
+    """code-review r8 round 2: a stream whose first drain is empty must
+    leave a READABLE (empty) state — the idle-skip only applies after
+    the first commit."""
+    from sales_forecast_mlops_at_scale_spark.streaming import decay
+
+    root = str(tmp_path / "emptyfirst")
+    df = spark.createDataFrame(
+        [], "user_id long, ts timestamp, value double"
+    )
+    decay.fold_batch(spark, df, root, keys=["user_id"], batch_id=0, fence_scope="s")
+    assert decay._state_version(root) == 1
+    assert decay.read_scores(spark, root, keys=["user_id"]).count() == 0
+    # later idle batches skip (no version churn)
+    decay.fold_batch(spark, df, root, keys=["user_id"], batch_id=1, fence_scope="s")
+    assert decay._state_version(root) == 1
+
+
+def test_heal_retrain_claim_is_exclusive_and_orphans_age_out(
+    spark, tmp_path, monkeypatch
+):
+    """The journal is claimed by atomic rename: a second healer sees no
+    journal (False); a claim orphaned by a dead healer is adopted only
+    after the age bar, again by exclusive rename."""
+    import glob as _glob
+    import os
+
+    import sales_forecast_mlops_at_scale_spark.streaming.vector_ingest as vi
+
+    root = str(tmp_path / "claimidx")
+    os.makedirs(root)
+    journal = os.path.join(root, "_retrain_journal.json")
+    with open(journal, "w") as fh:
+        fh.write('{"rid": "r1", "tiers": []}')
+
+    # healer A claims and crashes mid-heal (simulated: claim the journal
+    # but fail before the tier loop by making json.load raise once)
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def crash_after_claim(src, dst):
+        real_rename(src, dst)
+        if ".claim-" in dst:
+            calls["n"] += 1
+            raise RuntimeError("simulated healer death post-claim")
+
+    monkeypatch.setattr(vi.os, "rename", crash_after_claim)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="post-claim"):
+        vi.heal_retrain(root)
+    monkeypatch.setattr(vi.os, "rename", real_rename)
+    (orphan,) = _glob.glob(f"{journal}.claim-*")
+
+    # a FRESH orphan is assumed live: rivals leave it alone
+    assert vi.heal_retrain(root) is False
+    assert os.path.exists(orphan)
+
+    # age it past the bar: the next healer adopts and completes
+    old = os.path.getmtime(orphan) - vi._CLAIM_ADOPT_AGE_S - 5
+    os.utime(orphan, (old, old))
+    assert vi.heal_retrain(root) is True
+    assert not _glob.glob(f"{journal}.claim-*")
+    assert not os.path.exists(journal)
