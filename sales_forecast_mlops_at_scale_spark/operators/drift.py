@@ -141,3 +141,58 @@ def psi_report(
             ).select(F.lit(c).alias("feature"), "n_ref", "n_cur", "psi", "ks_ppm")
         )
     return reduce(DataFrame.unionByName, outs)
+
+
+def run_drift_monitor(
+    ref: DataFrame,
+    *,
+    source: DataFrame,
+    cols: Sequence[str],
+    out_path: str,
+    checkpoint_path: str,
+    bins: int = 10,
+    available_now: bool = True,
+) -> None:
+    """The PSI gate as a monitoring SERVICE: drain a checkpointed stream
+    and append one drift row per (micro-batch, feature) — ``batch_id,
+    feature, n_ref, n_cur, psi, ks_ppm`` — to a parquet log the alerting
+    layer tails.  This is the live half of the retrain loop: the batch
+    query (``q_psi_drift``) audits two historical windows, this watches
+    production data arrive against the frozen training window.
+
+    Exactly-once by idempotent overwrite: each batch writes its rows
+    under ``{out}/batch_id={id}`` with dynamic partition overwrite, so a
+    checkpointed replay REPLACES its own partition instead of appending
+    a duplicate (the drift row is a pure function of (ref, batch) — the
+    same trick as the partition-pruned idempotent sales sink).
+
+    Scale: per batch and feature, two map-side-combinable aggregates
+    over the BATCH (the reference window re-aggregates per batch too —
+    cache ``ref`` if it is expensive); the appended log is a few rows
+    per trigger.
+    """
+    cols = list(cols)
+
+    def _apply(batch_df: DataFrame, bid: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = psi_report(ref, batch_df, cols, bins=bins).withColumn(
+            "batch_id", F.lit(int(bid))
+        )
+        (
+            out.coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
+    writer = (
+        source.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(_apply)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    query.awaitTermination()

@@ -1921,3 +1921,58 @@ def test_heal_retrain_claim_is_exclusive_and_orphans_age_out(
     assert vi.heal_retrain(root) is True
     assert not _glob.glob(f"{journal}.claim-*")
     assert not os.path.exists(journal)
+
+
+def test_drift_monitor_stream_per_batch_rows_and_idempotent_replay(
+    spark, tmp_path
+):
+    """run_drift_monitor: one drift row per (micro-batch, feature)
+    against the frozen reference window; a stable batch scores ~0, a
+    shifted one crosses the retrain band; re-draining the same
+    checkpoint (restart, no new data) changes nothing."""
+    import json as _json
+
+    from sales_forecast_mlops_at_scale_spark.operators.drift import (
+        run_drift_monitor,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "driftlog")
+    ckpt = str(tmp_path / "ckpt")
+
+    ref = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1000)], "x double"
+    )
+
+    def write_file(name, vals):
+        (src / name).write_text(
+            "\n".join(_json.dumps({"x": v}) for v in vals) + "\n"
+        )
+
+    def drain():
+        run_drift_monitor(
+            ref,
+            source=spark.readStream.schema("x double").json(str(src)),
+            cols=["x"],
+            out_path=out,
+            checkpoint_path=ckpt,
+        )
+
+    write_file("b1.json", [float(i % 100) for i in range(1000)])  # stable
+    drain()
+    write_file("b2.json", [float(150 + i % 100) for i in range(1000)])  # shifted
+    drain()
+
+    rows = {
+        r.batch_id: r
+        for r in spark.read.parquet(out).collect()
+    }
+    assert set(rows) == {0, 1}
+    assert rows[0].psi == 0.0 and rows[0].ks_ppm == 0
+    assert rows[1].psi > 0.25 and rows[1].feature == "x"
+
+    before = sorted(map(tuple, spark.read.parquet(out).collect()))
+    drain()  # restart with no new data
+    after = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert before == after
