@@ -179,6 +179,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_model_compare",
     "q_conformal_intervals",
     "q_retrain_decision",
+    "q_mondrian_conformal",
 )
 
 

@@ -829,6 +829,108 @@ _PSI_SQL = (
 )
 
 
+def q_mondrian_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-conditional (Mondrian) conformal intervals: one exact
+    order-statistic radius and one coverage audit PER ISO WEEKDAY within
+    each group — marginal conformal only guarantees AVERAGE coverage,
+    which under-covers the noisy weekdays of a weekday-seasonal series
+    (Vovk's Mondrian construction restores the per-class guarantee)."""
+    from ..ml.conformal import mondrian_conformal_groups
+
+    return mondrian_conformal_groups(
+        demand_series(spark, sf_dir), KEYS, n_splits=5, pre_partitioned=True
+    )
+
+
+#: Mondrian oracle: the conformal CV scaffolding with calibration and
+#: eval residuals partitioned by isodow; rank/vacuous rules identical
+#: per class.  Classes absent from BOTH windows produce no row.
+_MONDRIAN_SQL = """
+WITH series AS (
+  SELECT l_suppkey, l_returnflag, CAST(l_shipdate AS DATE) AS ds,
+         sum(l_quantity) AS y FROM lineitem GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY l_suppkey, l_returnflag ORDER BY ds) AS rn,
+         count(*) OVER (PARTITION BY l_suppkey, l_returnflag) AS n
+  FROM series),
+grp AS (SELECT DISTINCT l_suppkey, l_returnflag, n FROM ranked),
+splits AS (
+  SELECT g.l_suppkey, g.l_returnflag, g.n, g.n // 6 AS ts, i.i,
+         g.n - (5 - i.i) * (g.n // 6) AS train_end
+  FROM grp g, (SELECT unnest([0, 1, 2, 3, 4]) AS i) i
+  WHERE g.n // 6 > 0 AND g.n - (5 - i.i) * (g.n // 6) >= 1),
+folds AS (
+  SELECT l_suppkey, l_returnflag, max(i) AS last_i, count(*) AS n_folds
+  FROM splits GROUP BY 1, 2),
+test_rows AS (
+  SELECT s.l_suppkey, s.l_returnflag, s.i, s.train_end, r.rn, r.ds, r.y
+  FROM splits s JOIN ranked r
+    ON r.l_suppkey = s.l_suppkey AND r.l_returnflag = s.l_returnflag
+   AND r.rn > s.train_end AND r.rn <= s.train_end + s.ts),
+train_means AS (
+  SELECT s.l_suppkey, s.l_returnflag, s.i, avg(r.y) AS mean_y
+  FROM splits s JOIN ranked r
+    ON r.l_suppkey = s.l_suppkey AND r.l_returnflag = s.l_returnflag
+   AND r.rn <= s.train_end
+  GROUP BY 1, 2, 3),
+lookup AS (
+  SELECT t.l_suppkey, t.l_returnflag, t.i, t.rn AS trn, h.y,
+         row_number() OVER (PARTITION BY t.l_suppkey, t.l_returnflag, t.i, t.rn
+                            ORDER BY h.rn DESC) AS lr
+  FROM test_rows t JOIN ranked h
+    ON h.l_suppkey = t.l_suppkey AND h.l_returnflag = t.l_returnflag
+   AND isodow(h.ds) = isodow(t.ds) AND h.rn <= t.train_end),
+resid AS (
+  SELECT t.l_suppkey, t.l_returnflag, t.i,
+         CAST(isodow(t.ds) AS INTEGER) AS isodow,
+         abs(t.y - CAST(trunc(coalesce(l.y, m.mean_y)) AS INTEGER)) AS r
+  FROM test_rows t
+  LEFT JOIN (SELECT * FROM lookup WHERE lr = 1) l
+    ON l.l_suppkey = t.l_suppkey AND l.l_returnflag = t.l_returnflag
+   AND l.i = t.i AND l.trn = t.rn
+  JOIN train_means m
+    ON m.l_suppkey = t.l_suppkey AND m.l_returnflag = t.l_returnflag AND m.i = t.i),
+cal AS (
+  SELECT x.l_suppkey, x.l_returnflag, x.isodow, x.r,
+         row_number() OVER (PARTITION BY x.l_suppkey, x.l_returnflag, x.isodow
+                            ORDER BY x.r) AS rk,
+         count(*) OVER (PARTITION BY x.l_suppkey, x.l_returnflag, x.isodow)
+           AS n_cal
+  FROM resid x JOIN folds f
+    ON f.l_suppkey = x.l_suppkey AND f.l_returnflag = x.l_returnflag
+   AND x.i < f.last_i
+  WHERE f.n_folds >= 2),
+radius AS (
+  SELECT l_suppkey, l_returnflag, isodow, n_cal,
+         CASE WHEN (4 * (n_cal + 1) + 4) // 5 <= n_cal
+              THEN max(CASE WHEN rk = (4 * (n_cal + 1) + 4) // 5 THEN r END)
+         END AS radius
+  FROM cal GROUP BY 1, 2, 3, 4),
+ev AS (
+  SELECT x.l_suppkey, x.l_returnflag, x.isodow, count(*) AS n_eval,
+         list(x.r) AS rs
+  FROM resid x JOIN folds f
+    ON f.l_suppkey = x.l_suppkey AND f.l_returnflag = x.l_returnflag
+   AND x.i = f.last_i AND f.n_folds >= 2
+  GROUP BY 1, 2, 3)
+SELECT coalesce(rr.l_suppkey, e.l_suppkey) AS l_suppkey,
+       coalesce(rr.l_returnflag, e.l_returnflag) AS l_returnflag,
+       coalesce(rr.isodow, e.isodow) AS isodow,
+       CAST(coalesce(rr.n_cal, 0) AS BIGINT) AS n_cal,
+       CAST(coalesce(e.n_eval, 0) AS BIGINT) AS n_eval,
+       CAST(rr.radius AS DOUBLE) AS radius,
+       CAST(CASE
+         WHEN e.n_eval IS NULL THEN NULL
+         WHEN rr.radius IS NULL THEN 1000000
+         ELSE (len(list_filter(e.rs, v -> v <= rr.radius)) * 1000000)
+              // e.n_eval
+       END AS BIGINT) AS coverage_ppm
+FROM radius rr FULL OUTER JOIN ev e
+  ON e.l_suppkey = rr.l_suppkey AND e.l_returnflag = rr.l_returnflag
+ AND e.isodow = rr.isodow
+"""
+
+
 #: retrain-decision thresholds (field-convention PSI bar; challenger
 #: majority bar), interpolated into BOTH sides
 _DECISION_PSI_PPM = 250_000
@@ -897,6 +999,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_model_compare": QueryDef(q_model_compare, _MODEL_COMPARE_SQL),
     "q_conformal_intervals": QueryDef(q_conformal_intervals, _CONFORMAL_SQL),
     "q_retrain_decision": QueryDef(q_retrain_decision, _RETRAIN_DECISION_SQL),
+    "q_mondrian_conformal": QueryDef(q_mondrian_conformal, _MONDRIAN_SQL),
     "q_train_incremental": QueryDef(q_train_incremental, _TRAIN_SQL),
     "q_forecast_7d": QueryDef(q_forecast_7d, _FORECAST_SQL),
     "q_gated_forecast": QueryDef(q_gated_forecast, _GATED_SQL),

@@ -182,3 +182,68 @@ def test_retrain_decision_thresholds(spark):
     assert row.retrain and row.switch_family
     assert row.max_psi_ppm > 250_000
     assert row.flip_ppm == 1_000_000 and row.n_scored == 30
+
+
+def test_mondrian_conformal_radii_track_weekday_noise(spark):
+    """Weekday-heteroscedastic series: weekday 0 is exact (radius 0),
+    weekday 3 carries deterministic 'noise' of amplitude ≤ 12 — the
+    Mondrian radii must separate the classes where the marginal radius
+    smears them into one number."""
+    import datetime as dt
+
+    from sales_forecast_mlops_at_scale_spark.ml.conformal import (
+        conformal_intervals_groups,
+        mondrian_conformal_groups,
+    )
+
+    rows = []
+    for d in range(140):
+        base = 100 * ((d % 7) + 1)
+        noise = ((d * 37) % 13) if d % 7 == 3 else 0
+        rows.append((1, "F", dt.date(2023, 1, 2) + dt.timedelta(days=d),
+                     float(base + noise)))
+    df = spark.createDataFrame(
+        rows, "l_suppkey long, l_returnflag string, ds date, y double"
+    )
+    mond = {
+        r.isodow: r
+        for r in mondrian_conformal_groups(
+            df, ["l_suppkey", "l_returnflag"]
+        ).collect()
+    }
+    # 2023-01-02 is a Monday: day offset d has isodow (d % 7) + 1
+    quiet = mond[1]  # the exact weekday
+    noisy = mond[4]  # the noisy weekday (d % 7 == 3 → isodow 4)
+    assert quiet.radius == 0.0 and quiet.coverage_ppm == 1_000_000
+    assert noisy.radius is not None and noisy.radius > 0.0
+    marg = conformal_intervals_groups(
+        df, ["l_suppkey", "l_returnflag"]
+    ).collect()[0]
+    # the marginal radius is one number for all classes — strictly less
+    # informative: it cannot be simultaneously 0 (quiet) and >0 (noisy)
+    assert marg.radius < noisy.radius  # noise diluted by 6 quiet classes
+
+
+def test_mondrian_small_class_vacuous_and_absent_class_skipped(spark):
+    import datetime as dt
+
+    from sales_forecast_mlops_at_scale_spark.ml.conformal import (
+        mondrian_conformal_groups,
+    )
+
+    # weekly observations only (every Monday): 6 weekday classes absent
+    rows = [
+        (1, "F", dt.date(2023, 1, 2) + dt.timedelta(days=7 * w), 50.0)
+        for w in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "l_suppkey long, l_returnflag string, ds date, y double"
+    )
+    out = {
+        r.isodow: r
+        for r in mondrian_conformal_groups(
+            df, ["l_suppkey", "l_returnflag"]
+        ).collect()
+    }
+    assert set(out) == {1}  # absent weekday classes produce no row
+    assert out[1].n_cal > 0 and out[1].coverage_ppm == 1_000_000

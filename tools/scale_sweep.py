@@ -81,6 +81,7 @@ QUERIES = [
     "q_model_compare",
     "q_conformal_intervals",
     "q_retrain_decision",
+    "q_mondrian_conformal",
 ]
 
 
