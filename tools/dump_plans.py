@@ -17,6 +17,7 @@ TOP = [
     "q_erasure_audit", "q_index_drift", "q_adaptive_salted_join",
     "q_feature_matrix", "q_k_anonymity", "q_decayed_counts",
     "q_model_compare", "q_psi_drift", "q_conformal_intervals",
+    "q_mondrian_conformal",
 ]
 NOTES = {
     "q_dedup_clusters": "MinHash-LSH pairs (persisted shingle sets, banded bucket join) feed min-label propagation; four steps + one pointer-doubling shortcut per burst ending in one lazy checkpoint whose materialization rides the convergence count; in-burst convergence detection finishes shallow graphs in ONE driver action; deep graphs escalate to large-star/small-star contraction (O(log^2 n) rounds, diameter-independent); edges pinned once.",
@@ -50,6 +51,7 @@ NOTES = {
     "q_rmse_bands": "CV training job banded by floor(rmse/5) on the shared 4-digit-rounded value - a handful of histogram rows, map-side combinable.",
     "q_cdc_dedup": "Arrow kernel chunking (zero shuffle), then one map-side-combinable digest groupBy - the exact-dedup shape over content-defined chunks.",
     "q_cms_heavy": "Depth x width sketch as one grouped sum per (row,col) cell - map-side combinable grid, heavy-hitter probe reads the broadcast sketch; bounded state regardless of key cardinality.",
+    "q_mondrian_conformal": "The weekday-conditional variant rides the SAME single-shuffle sorted-group-map pass; the per-class partitioning happens inside the kernel (numpy mask per weekday), so conditioning costs zero extra shuffles - 7 classes or 700 would plan identically.",
     "q_conformal_intervals": "Split-conformal calibration as the SAME single-shuffle sorted-group-map shape as the trainer: per group the kernel sorts a few-hundred-element residual vector executor-side; nothing but one summary row per group leaves the worker. The coverage audit on the held-out fold rides the same pass.",
     "q_model_compare": "Champion/challenger CV bake-off as ONE sorted-group-map job: the series shuffles once (the reused REPARTITION_BY_COL exchange), both models fit inside the same Arrow batch visit over identical folds - the challenger costs one numpy mean per fold, not a second pass. Promotion compares the rounded RMSEs both engines share.",
     "q_psi_drift": "Per feature: a 1-row min/max over the union + a <=10-row bin count, both map-side combinable - the shuffles carry bytes, not data. PSI terms are 1e-6 fixed-point quantized ln (the DSIR discipline); the KS path is exact-integer CDF numerators. Three features = three independent tiny plans unioned.",
