@@ -28,17 +28,21 @@ Determinism (the repo-wide oracle discipline):
   and the max/abs/floor chain is reproducible bit-for-bit from identical
   inputs on any engine.
 
-Scale (100 TB): per feature, two map-side-combinable aggregates — a
-1-row min/max over the union and a ≤ B-row bin count — so the shuffles
-carry bytes, not data.  The ≤ B-row tail arithmetic (cumsum, max, one
-summary row) is a rounding error at any scale; features are independent
-plans unioned at the end.  Nothing is collected to the driver.
+Scale (100 TB): the features are UNPIVOTED (``stack``) into
+``(feature, x)`` rows so ALL features share exactly two
+map-side-combinable passes over the data — one F-row min/max pass and
+one ≤ F·(B+1)-row bin-count pass — regardless of feature count; two
+passes is the floor for exact equi-width binning (the grid depends on
+the global min/max).  Window totals/cumsums run over the ≤ F·(B+1)-row
+densified bin frame, never over data-scale rows, so the bin-count
+subtree is evaluated once (the r8 plan re-aggregated the un-persisted
+frame for totals and paid the whole union+binning pipeline twice per
+feature).  Nothing is collected to the driver.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
-from functools import reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -47,37 +51,59 @@ from pyspark.sql import functions as F
 PSI_FP = 1_000_000
 
 
-def _binned_counts(ref: DataFrame, cur: DataFrame, col: str, bins: int) -> DataFrame:
-    """Per-bin (ref_n, cur_n) over a shared equi-width grid, densified so
-    both engines agree on the bin SET (absent bins count (0,0) but still
+def _binned_counts(
+    ref: DataFrame, cur: DataFrame, cols: Sequence[str], bins: int
+) -> DataFrame:
+    """Per-(feature, bin) ``(ref_n, cur_n)`` over a shared equi-width
+    grid for ALL features in two shared passes: features are unpivoted
+    via ``stack`` into ``(feature, x)`` rows (``x`` cast to double — the
+    one shared unpivot type), so pass 1 is one F-row min/max aggregate
+    and pass 2 one bin-count aggregate, both map-side combinable.  The
+    result is densified against the full (feature, bin) grid so both
+    engines agree on the bin SET (absent bins count (0,0) but still
     receive smoothing mass).  NULLs are a real bin (``-1``): a null-rate
     shift is a classic drift mode — dropping null rows would report
     psi = 0 for a window whose feature silently went 60% missing
     (code-review r8)."""
-    both = ref.select(F.col(col).alias("x"), F.lit(0).alias("w")).unionByName(
-        cur.select(F.col(col).alias("x"), F.lit(1).alias("w"))
+    stack_expr = "stack({n}, {args}) as (feature, x)".format(
+        n=len(cols),
+        args=", ".join(f"'{c}', cast(`{c}` as double)" for c in cols),
     )
-    stats = both.agg(F.min("x").alias("__lo"), F.max("x").alias("__hi"))
+    both = ref.select(F.expr(stack_expr), F.lit(0).alias("w")).unionByName(
+        cur.select(F.expr(stack_expr), F.lit(1).alias("w"))
+    )
+    stats = both.groupBy("feature").agg(
+        F.min("x").alias("__lo"), F.max("x").alias("__hi")
+    )
     bin_expr = F.expr(
         f"CASE WHEN x IS NULL THEN -1 WHEN __hi = __lo THEN 0 ELSE "
         f"least(cast(floor((x - __lo) * {int(bins)} / (__hi - __lo)) as int), "
         f"{int(bins) - 1}) END"
     )
     counted = (
-        both.crossJoin(F.broadcast(stats))
+        both.join(F.broadcast(stats), "feature")
         .withColumn("bin", bin_expr)
-        .groupBy("bin")
+        .groupBy("feature", "bin")
         .agg(
             F.sum(F.when(F.col("w") == 0, 1).otherwise(0)).alias("ref_n"),
             F.sum(F.when(F.col("w") == 1, 1).otherwise(0)).alias("cur_n"),
         )
     )
-    # grid covers -1 (nulls) .. bins-1, so the null bin exists (with
-    # smoothing mass) even when neither window has a null yet
-    grid = ref.sparkSession.range(-1, bins).select(
-        F.col("id").cast("int").alias("bin")
+    # grid covers -1 (nulls) .. bins-1 PER FEATURE, so the null bin
+    # exists (with smoothing mass) even when neither window has a null
+    grid = (
+        ref.sparkSession.range(-1, bins)
+        .select(F.col("id").cast("int").alias("bin"))
+        .crossJoin(
+            F.broadcast(
+                ref.sparkSession.createDataFrame(
+                    [(c,) for c in cols], "feature string"
+                )
+            )
+        )
     )
-    return grid.join(counted, "bin", "left").select(
+    return grid.join(counted, ["feature", "bin"], "left").select(
+        "feature",
         "bin",
         F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
         F.coalesce("cur_n", F.lit(0)).alias("cur_n"),
@@ -91,56 +117,69 @@ def psi_report(
     *,
     bins: int = 10,
 ) -> DataFrame:
-    """One row per feature: ``feature, n_ref, n_cur, psi, ks_ppm``.
+    """One row per feature: ``feature, n_ref, n_cur, psi, psi_fp,
+    ks_ppm``.
 
-    ``psi``: fixed-point-summed PSI rounded to 6 digits.  ``ks_ppm``:
-    binned KS distance floored to integer parts-per-million.  Laplace
-    smoothing ``p_i = (ref_n_i + 1) / (n_ref + bins + 1)`` (the +1 is
-    the null bin — a first-class grid cell) keeps every log
-    finite; PSI ≥ 0 by Gibbs' inequality (pytest-pinned), 0 iff the
-    smoothed histograms coincide.
+    ``psi``: fixed-point-summed PSI rounded to 6 digits.  ``psi_fp``:
+    the EXACT integer fixed-point numerator (``Σ term_fp``, scale
+    10^-6) — downstream thresholds (``q_retrain_decision``) compare this
+    long directly instead of re-quantizing the rounded double, whose
+    half-up-vs-half-even rounding is not bit-identical across engines
+    (ADVICE r8).  ``ks_ppm``: binned KS distance floored to integer
+    parts-per-million.  Laplace smoothing ``p_i = (ref_n_i + 1) /
+    (n_ref + bins + 1)`` (the +1 is the null bin — a first-class grid
+    cell) keeps every log finite; PSI ≥ 0 by Gibbs' inequality
+    (pytest-pinned), 0 iff the smoothed histograms coincide.
+
+    Window totals (``__nr``/``__nc``) and the KS cumsums are computed as
+    window sums OVER the ≤ F·(B+1)-row densified bin frame — not by
+    re-aggregating the un-persisted bin-count subtree, which would make
+    Catalyst evaluate the whole union+binning pipeline twice (the r8
+    plan defect: ~8 scans of both windows per feature instead of the
+    two shared passes this plan does in total).
     """
     b = int(bins)
     nb = b + 1  # grid cells incl. the null bin — the smoothing total
-    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    outs = []
-    for c in cols:
-        bc = _binned_counts(ref, cur, c, b)
-        totals = bc.agg(F.sum("ref_n").alias("__nr"), F.sum("cur_n").alias("__nc"))
-        d = (
-            bc.crossJoin(F.broadcast(totals))
-            .withColumn("__ref_cum", F.sum("ref_n").over(w_cum))
-            .withColumn("__cur_cum", F.sum("cur_n").over(w_cum))
-            .withColumn(
-                "__term_fp",
-                F.expr(
-                    f"""cast(floor(
-                         ( (ref_n + 1) / (__nr + {nb}) - (cur_n + 1) / (__nc + {nb}) )
-                         * ln( ((ref_n + 1) / (__nr + {nb}))
-                               / ((cur_n + 1) / (__nc + {nb})) )
-                         * {PSI_FP} + 0.5
-                       ) as long)"""
-                ),
-            )
-            .withColumn(
-                "__ks_frac",
-                F.expr(
-                    "abs(__ref_cum / nullif(__nr, 0)"
-                    " - __cur_cum / nullif(__nc, 0))"
-                ),
-            )
+    w_tot = Window.partitionBy("feature")
+    w_cum = (
+        Window.partitionBy("feature")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = (
+        _binned_counts(ref, cur, list(cols), b)
+        .withColumn("__nr", F.sum("ref_n").over(w_tot))
+        .withColumn("__nc", F.sum("cur_n").over(w_tot))
+        .withColumn("__ref_cum", F.sum("ref_n").over(w_cum))
+        .withColumn("__cur_cum", F.sum("cur_n").over(w_cum))
+        .withColumn(
+            "__term_fp",
+            F.expr(
+                f"""cast(floor(
+                     ( (ref_n + 1) / (__nr + {nb}) - (cur_n + 1) / (__nc + {nb}) )
+                     * ln( ((ref_n + 1) / (__nr + {nb}))
+                           / ((cur_n + 1) / (__nc + {nb})) )
+                     * {PSI_FP} + 0.5
+                   ) as long)"""
+            ),
         )
-        outs.append(
-            d.agg(
-                F.max("__nr").alias("n_ref"),
-                F.max("__nc").alias("n_cur"),
-                F.round(F.sum("__term_fp") / PSI_FP, 6).alias("psi"),
-                F.expr(f"cast(floor(max(__ks_frac) * {PSI_FP}) as long)").alias(
-                    "ks_ppm"
-                ),
-            ).select(F.lit(c).alias("feature"), "n_ref", "n_cur", "psi", "ks_ppm")
+        .withColumn(
+            "__ks_frac",
+            F.expr(
+                "abs(__ref_cum / nullif(__nr, 0)"
+                " - __cur_cum / nullif(__nc, 0))"
+            ),
         )
-    return reduce(DataFrame.unionByName, outs)
+    )
+    return d.groupBy("feature").agg(
+        F.max("__nr").alias("n_ref"),
+        F.max("__nc").alias("n_cur"),
+        F.round(F.sum("__term_fp") / PSI_FP, 6).alias("psi"),
+        F.sum("__term_fp").alias("psi_fp"),
+        F.expr(f"cast(floor(max(__ks_frac) * {PSI_FP}) as long)").alias(
+            "ks_ppm"
+        ),
+    )
 
 
 def run_drift_monitor(

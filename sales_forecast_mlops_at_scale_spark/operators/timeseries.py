@@ -266,9 +266,14 @@ def decayed_score(
     keys = list(keys)
     anchor = df.agg(F.max(F.col(ts_col).cast("date")).alias("__anchor"))
     hl = int(half_life_days)
+    # floor division, NOT Spark's truncating `div`: truncation and floor
+    # differ for negative day counts, so pre-1970 timestamps would bucket
+    # differently from the DuckDB oracle's `//` (floor) and from the
+    # streaming twin (ADVICE r8).  |unix_date| ≤ ~7.4e5 « 2^53, so the
+    # float floor is exact.
     age = (
-        f"(unix_date(__anchor) div {hl}"
-        f" - unix_date(cast({ts_col} as date)) div {hl})"
+        f"(cast(floor(unix_date(__anchor) / {hl}) as bigint)"
+        f" - cast(floor(unix_date(cast({ts_col} as date)) / {hl}) as bigint))"
     )
     num = F.expr(
         f"""CASE WHEN {age} <= {int(shift)}

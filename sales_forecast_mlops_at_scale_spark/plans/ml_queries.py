@@ -781,7 +781,7 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _psi_ctes_one(col: str, i: int) -> str:
     b = _DRIFT_BINS
     return f"""both_{i} AS (
-    SELECT {col} AS x,
+    SELECT CAST({col} AS DOUBLE) AS x,
            CASE WHEN cast(l_shipdate AS date) < DATE '{_DRIFT_SPLIT}'
                 THEN 0 ELSE 1 END AS w
     FROM lineitem
@@ -814,6 +814,7 @@ def _psi_ctes_one(col: str, i: int) -> str:
   ), final_{i} AS (
     SELECT '{col}' AS feature, max(nr) AS n_ref, max(nc) AS n_cur,
            round(sum(term_fp) / 1000000.0, 6) AS psi,
+           cast(sum(term_fp) AS bigint) AS psi_fp,
            cast(floor(max(ks) * 1000000) AS bigint) AS ks_ppm
     FROM terms_{i}
   )"""
@@ -947,10 +948,12 @@ def q_retrain_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-pipelines are the already-oracled q_psi_drift / q_model_compare
     plans, so this is a composition audit: a wrong bit anywhere in
     either pipeline flips a decision flag."""
+    # psi_fp IS the exact integer ppm (PSI_FP = 10^6): thresholding on
+    # it directly avoids re-quantizing a rounded double whose HALF_UP
+    # (Spark BigDecimal) vs float rounding (DuckDB) last-ulp behavior is
+    # not guaranteed bit-identical (ADVICE r8)
     drift = q_psi_drift(spark, sf_dir).agg(
-        F.max(F.expr("cast(floor(psi * 1000000) as bigint)")).alias(
-            "max_psi_ppm"
-        )
+        F.max("psi_fp").alias("max_psi_ppm")
     )
     cmp_ = q_model_compare(spark, sf_dir)
     flips = cmp_.where(F.col("n_splits") > 0).agg(
@@ -976,7 +979,7 @@ def q_retrain_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RETRAIN_DECISION_SQL = f"""
 WITH drift AS (
-  SELECT max(cast(floor(psi * 1000000) AS bigint)) AS max_psi_ppm
+  SELECT max(psi_fp) AS max_psi_ppm
   FROM ({_PSI_SQL})
 ), flips AS (
   SELECT count(*) AS n_scored,

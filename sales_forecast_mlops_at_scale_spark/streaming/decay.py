@@ -31,6 +31,17 @@ directory and flips a ``LATEST`` pointer via atomic rename; a crash
 leaves either the old pointer (fold never happened — caller replays the
 batch) or the new one (fold complete).  Torn, unreferenced ``state_v*``
 directories above the pointer are removed at the next fold's entry.
+
+Folds are SINGLE-WRITER per root, enforced by a pid-tagged exclusive
+claim file (``_WRITER.claim``, ``O_CREAT|O_EXCL``): the per-scope fences
+explicitly invite two independent streams to feed one root, and without
+mutual exclusion the entry-time heal of writer B would rmtree writer A's
+just-renamed, not-yet-committed ``state_v{N+1}`` (indistinguishable from
+a torn fold), both writers would collide on the identical staging name,
+and the pointer flip would be last-writer-wins — a lost commit (ADVICE
+r8).  A rival fold WAITS for the claim; a claim whose owner pid is dead
+is adopted (crash recovery).  The claim serializes writers only —
+``read_scores`` never takes it.
 """
 
 from __future__ import annotations
@@ -51,9 +62,101 @@ _SENTINEL = -(2**62)
 
 _LATEST = "LATEST"
 
+#: single-writer claim file (pid-tagged, exclusive-create)
+_CLAIM = "_WRITER.claim"
+
 
 #: fences-dict key for folds that pass a batch_id without a scope
 _UNSCOPED = "__unscoped__"
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True
+
+
+#: per-root in-process writer locks — a pid-tagged file cannot tell two
+#: THREADS of one process apart (thread B would "adopt" thread A's live
+#: claim), so same-process writers serialize on these first
+_ROOT_LOCKS: dict[str, object] = {}
+_ROOT_LOCKS_GUARD = None  # initialized lazily to avoid import-time threading
+
+
+def _root_lock(root: str):
+    import threading
+
+    global _ROOT_LOCKS_GUARD
+    if _ROOT_LOCKS_GUARD is None:
+        _ROOT_LOCKS_GUARD = threading.Lock()
+    with _ROOT_LOCKS_GUARD:
+        return _ROOT_LOCKS.setdefault(os.path.realpath(root), threading.Lock())
+
+
+def _acquire_claim(root: str, *, timeout_s: float = 600.0):
+    """Take the single-writer claim: first the in-process per-root lock
+    (serializes threads), then an exclusive-create pid-tagged file
+    (serializes processes).  If a claim file exists and its owner is a
+    live OTHER process, wait (poll) — never adopt a live writer's claim
+    (the destroy-live-dir scenario the claim exists to prevent).  A
+    claim whose owner is dead — or our own pid, impossible while we hold
+    the thread lock — is an orphan: removed and re-raced (O_EXCL
+    arbitrates).  Returns a handle for :func:`_release_claim`."""
+    import json
+    import time
+
+    lock = _root_lock(root)
+    if not lock.acquire(timeout=timeout_s):
+        raise TimeoutError(f"decay writer lock busy in-process: {root}")
+    path = os.path.join(root, _CLAIM)
+    deadline = time.monotonic() + timeout_s
+    try:
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                try:
+                    with open(path, encoding="utf-8") as fh:
+                        owner = json.loads(fh.read()).get("pid")
+                except (OSError, ValueError):
+                    owner = None  # torn claim write → treat as orphan
+                if (
+                    owner is not None
+                    and int(owner) != os.getpid()
+                    and _pid_alive(int(owner))
+                ):
+                    if time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"decay writer claim held by live pid {owner}: "
+                            f"{path}"
+                        )
+                    time.sleep(0.05)
+                    continue
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+                continue
+            with os.fdopen(fd, "w", encoding="utf-8") as fh:
+                fh.write(json.dumps({"pid": os.getpid()}))
+            return (path, lock)
+    except BaseException:
+        lock.release()
+        raise
+
+
+def _release_claim(handle) -> None:
+    path, lock = handle
+    try:
+        os.unlink(path)
+    except FileNotFoundError:
+        pass
+    finally:
+        lock.release()
 
 
 def _pointer(root: str) -> dict:
@@ -126,8 +229,12 @@ def _bucket_sums(
     half_life_days: int,
     value_scale: int,
 ) -> DataFrame:
+    # floor division (matches the batch operator and the DuckDB oracle's
+    # `//`): Spark `div` truncates toward zero, which diverges for
+    # pre-1970 (negative-day) timestamps — ADVICE r8
     bucket = F.expr(
-        f"unix_date(cast({ts_col} as date)) div {int(half_life_days)}"
+        f"cast(floor(unix_date(cast({ts_col} as date)) / "
+        f"{int(half_life_days)}) as bigint)"
     ).alias("bucket")
     units = F.expr(
         f"cast(round({value_col} * {int(value_scale)}) as bigint)"
@@ -173,6 +280,46 @@ def fold_batch(
     """
     keys = list(keys)
     os.makedirs(root, exist_ok=True)
+    # single-writer fence: heal + stage + mint + flip all run under the
+    # claim, so a concurrent fold can neither rmtree this fold's
+    # just-renamed state_v nor collide on the staging name nor overwrite
+    # the pointer flip (ADVICE r8)
+    claim = _acquire_claim(root)
+    try:
+        return _fold_batch_locked(
+            spark,
+            batch_df,
+            root,
+            keys=keys,
+            ts_col=ts_col,
+            value_col=value_col,
+            half_life_days=half_life_days,
+            value_scale=value_scale,
+            shift=shift,
+            prune=prune,
+            batch_id=batch_id,
+            fence_scope=fence_scope,
+        )
+    finally:
+        _release_claim(claim)
+
+
+def _fold_batch_locked(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    root: str,
+    *,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    half_life_days: int,
+    value_scale: int,
+    shift: int,
+    prune: bool,
+    batch_id: int | None,
+    fence_scope: str | None,
+) -> int:
+    """The fold body; caller holds the writer claim."""
     _heal(root)
     ptr = _pointer(root)
     version = int(ptr["version"])

@@ -1857,6 +1857,111 @@ def test_decay_fences_are_per_scope_multi_writer_safe(spark, tmp_path):
     assert decay.read_scores(spark, root, keys=["user_id"]).collect()[0].n_events == 2
 
 
+def test_decay_concurrent_folds_lose_no_commit(spark, tmp_path):
+    """ADVICE r8: two writers folding one root concurrently (the
+    per-scope fences invite it) must serialize through the writer claim
+    — without it, B's entry heal can rmtree A's just-renamed state_v,
+    both collide on the staging name, and the pointer flip is
+    last-writer-wins.  Both commits must land."""
+    import os
+    import threading
+
+    from sales_forecast_mlops_at_scale_spark.streaming import decay
+
+    root = str(tmp_path / "concfold")
+    rows = _decay_fixture_rows()
+    halves = [rows[0::2], rows[1::2]]
+    errs = []
+
+    def fold(i):
+        try:
+            decay.fold_batch(
+                spark,
+                _decay_events(spark, halves[i]),
+                root,
+                keys=["user_id"],
+                batch_id=0,
+                fence_scope=f"scope{i}",
+            )
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    ts = [threading.Thread(target=fold, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    assert decay._state_version(root) == 2  # both commits minted
+    total = (
+        decay.read_scores(spark, root, keys=["user_id"])
+        .agg(F.sum("n_events"))
+        .collect()[0][0]
+    )
+    assert total == len(rows)  # no lost fold, no double count
+    assert not os.path.exists(os.path.join(root, decay._CLAIM))
+
+
+def test_decay_claim_dead_owner_adopted_live_owner_blocks(spark, tmp_path):
+    """The writer claim is adopted ONLY when its owner pid is dead; a
+    claim held by a live process blocks (TimeoutError after the bound)
+    instead of being destroyed mid-fold."""
+    import json
+    import os
+
+    from sales_forecast_mlops_at_scale_spark.streaming import decay
+
+    root = str(tmp_path / "claims")
+    os.makedirs(root)
+    claim = os.path.join(root, decay._CLAIM)
+    df = spark.createDataFrame(
+        [(1, "2024-03-01 10:00:00", 3.0)],
+        "user_id long, ts string, value double",
+    ).selectExpr("user_id", "cast(ts as timestamp) ts", "value")
+
+    # dead owner: pick a pid that cannot be alive (our own max-range probe)
+    dead = 2**22 + (os.getpid() % 1000)
+    with open(claim, "w", encoding="utf-8") as fh:
+        fh.write(json.dumps({"pid": dead}))
+    decay.fold_batch(spark, df, root, keys=["user_id"])  # adopts orphan
+    assert decay._state_version(root) == 1
+
+    # live owner (pid 1 — provably alive): acquisition must time out,
+    # never unlink the live writer's claim
+    with open(claim, "w", encoding="utf-8") as fh:
+        fh.write(json.dumps({"pid": 1}))
+    import pytest as _pytest
+
+    with _pytest.raises(TimeoutError):
+        decay._acquire_claim(root, timeout_s=0.3)
+    assert os.path.exists(claim)
+    os.unlink(claim)
+
+
+def test_decay_bucket_uses_floor_not_truncation(spark, tmp_path):
+    """ADVICE r8: Spark `div` truncates toward zero, DuckDB `//` floors —
+    they differ for pre-1970 day counts.  1969-12-26 (day −6) and
+    1970-01-02 (day +1) sit in DIFFERENT hl=7 buckets under floor
+    (−1 vs 0) but the SAME bucket (0) under truncation; the decayed
+    numerator pins floor on both the batch operator and the fold."""
+    from sales_forecast_mlops_at_scale_spark.operators.timeseries import (
+        decayed_score,
+    )
+    from sales_forecast_mlops_at_scale_spark.streaming import decay
+
+    df = spark.createDataFrame(
+        [(1, "1969-12-26 12:00:00", 4.0), (1, "1970-01-02 12:00:00", 4.0)],
+        "user_id long, ts string, value double",
+    ).selectExpr("user_id", "cast(ts as timestamp) ts", "value")
+    want = 400 * (1 << 7) + 400 * (1 << 8)  # ages 1 and 0 — NOT 2·400·256
+    got_batch = decayed_score(df, keys=["user_id"], shift=8).collect()[0]
+    assert got_batch.decayed_num == want
+    root = str(tmp_path / "floorbuckets")
+    decay.fold_batch(spark, df, root, keys=["user_id"], shift=8)
+    got_stream = decay.read_scores(spark, root, keys=["user_id"], shift=8).collect()[0]
+    assert got_stream.decayed_num == want
+
+
 def test_decay_empty_first_batch_still_commits_readable_state(spark, tmp_path):
     """code-review r8 round 2: a stream whose first drain is empty must
     leave a READABLE (empty) state — the idle-skip only applies after
