@@ -176,6 +176,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_anomaly_mad",
     "q_feature_matrix",
     "q_psi_drift",
+    "q_drift_log",
     "q_model_compare",
     "q_conformal_intervals",
     "q_retrain_decision",

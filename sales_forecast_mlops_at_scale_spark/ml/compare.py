@@ -7,24 +7,35 @@ fit cost and serving its worse fit forever.  Production MLOps runs a
 champion/challenger bake-off: evaluate ≥ 2 model families on the SAME
 walk-forward CV folds and promote the winner per group.
 
-This module evaluates the deterministic pair in ONE pass:
+This module evaluates three deterministic families in ONE pass:
 
 - ``seasonal_naive`` (champion/incumbent): latest same-weekday value in
   the train window, train-mean fallback (ml/models.SeasonalNaiveModel).
 - ``moving_average`` (challenger): the mean of the last ``ma_window``
   train-window OBSERVATIONS, constant across the fold — the right model
   when weekday seasonality is noise (ml/models.MovingAverageModel).
+- ``lag_7`` (feature-matrix challenger, VERDICT r8 #4): serve each test
+  day its OWN trailing ``lag_7`` feature from
+  :func:`ml.features.feature_matrix` — the value exactly 7 calendar
+  days earlier, point-in-time by the feature frame's construction —
+  falling back to the fold's moving-average level on gap days.  This is
+  the rolling one-day-ahead serving mode a feature-based model actually
+  runs in production (the other two freeze at train_end), and it closes
+  the control loop: the leak-free feature matrix FEEDS the bake-off and
+  the retrain decision instead of standing alone.
 
-Both models share the group's fold bounds, so the comparison is
+All models share the group's fold bounds, so the comparison is
 apples-to-apples by construction; promotion compares the 4-digit-rounded
 CV RMSE both engines already share (never a raw-double coin flip), ties
-keep the incumbent.
+keep the incumbent (and ``moving_average`` beats ``lag_7`` on a
+challenger tie — strict inequality required to promote the newer
+family).
 
 Scale: ONE ``sorted_group_map`` job (same shape as ml/train.py — the
-series shuffles once on the group keys, reusing the daily-agg exchange
-under ``pre_partitioned=True``); both models fit inside the same Arrow
-batch visit, so the challenger costs one extra numpy mean per fold, not
-a second pass over 100 TB.
+series shuffles once on the group keys; the lag feature is a RANGE
+frame over that same Exchange+Sort, zero extra shuffles); all three
+models fit inside the same Arrow batch visit, so the challengers cost
+numpy means per fold, not more passes over 100 TB.
 """
 
 from __future__ import annotations
@@ -46,15 +57,17 @@ from .train import (
 
 COMPARE_SCHEMA = (
     "l_suppkey long, l_returnflag string, n_rows long, n_splits int, "
-    "rmse_sn double, rmse_ma double, champion string"
+    "rmse_sn double, rmse_ma double, rmse_lag double, champion string"
 )
 
 
 def make_compare_kernel(
     keys: Sequence[str], *, n_splits: int = 5, ma_window: int = 28, y_col: str = "y"
 ):
-    """Batch kernel: per group, walk-forward CV RMSE for BOTH models over
-    identical folds, plus the promotion verdict."""
+    """Batch kernel: per group, walk-forward CV RMSE for all THREE
+    models over identical folds, plus the promotion verdict.  Expects a
+    ``lag_7`` column (the point-in-time feature from
+    ``ml.features.feature_matrix``; NaN on gap days)."""
     import numpy as np
 
     keys = list(keys)
@@ -62,18 +75,22 @@ def make_compare_kernel(
     def kernel(pdf: pd.DataFrame, starts, ends) -> pd.DataFrame:
         ys_all = pdf[y_col].to_numpy(dtype=float)
         dows_all = pdf["__dow"].to_numpy()
+        lag_all = pdf["lag_7"].to_numpy(dtype=float)
         g = len(starts)
         n_rows = (ends - starts).astype("int64")
         splits_out = np.zeros(g, dtype="int32")
         rmse_sn = np.full(g, np.nan)
         rmse_ma = np.full(g, np.nan)
+        rmse_lag = np.full(g, np.nan)
         champ = np.full(g, "untrained", dtype=object)
         for gi in range(g):
             s, e = int(starts[gi]), int(ends[gi])
             ys = ys_all[s:e]
             dows = dows_all[s:e]
+            lags = lag_all[s:e]
             sn_folds: list[float] = []
             ma_folds: list[float] = []
+            lag_folds: list[float] = []
             wd_pos = None
             for train_end, test_end in _split_bounds(e - s, n_splits):
                 if train_end < 1:
@@ -92,15 +109,29 @@ def make_compare_kernel(
                 ma_folds.append(
                     _metrics_np(y_test, np.full(len(y_test), yhat_ma))[0]
                 )
+                # feature challenger: each test day served its OWN
+                # trailing lag_7 (rolling one-day-ahead), MA level on
+                # gap days — exact integers either way
+                lag_test = lags[train_end:test_end]
+                yhat_lag = np.where(np.isnan(lag_test), yhat_ma, lag_test)
+                lag_folds.append(_metrics_np(y_test, yhat_lag)[0])
             if sn_folds:
                 splits_out[gi] = len(sn_folds)
                 r_sn = _round_half_away(sum(sn_folds) / len(sn_folds), 4)
                 r_ma = _round_half_away(sum(ma_folds) / len(ma_folds), 4)
+                r_lag = _round_half_away(sum(lag_folds) / len(lag_folds), 4)
                 rmse_sn[gi] = r_sn
                 rmse_ma[gi] = r_ma
+                rmse_lag[gi] = r_lag
                 # promotion on the ROUNDED values both engines share;
-                # ties keep the incumbent
-                champ[gi] = "moving_average" if r_ma < r_sn else "seasonal_naive"
+                # ties keep the incumbent, and the older challenger on
+                # a challenger tie (strictly-better-or-stay)
+                if r_lag < r_sn and r_lag < r_ma:
+                    champ[gi] = "lag_7"
+                elif r_ma < r_sn:
+                    champ[gi] = "moving_average"
+                else:
+                    champ[gi] = "seasonal_naive"
         key_arrs = {k: pdf[k].to_numpy()[starts] for k in keys}
         return pd.DataFrame(
             {
@@ -109,6 +140,7 @@ def make_compare_kernel(
                 "n_splits": splits_out,
                 "rmse_sn": rmse_sn,
                 "rmse_ma": rmse_ma,
+                "rmse_lag": rmse_lag,
                 "champion": champ,
             }
         )
@@ -126,11 +158,23 @@ def compare_models_groups(
     y_col: str = "y",
     pre_partitioned: bool = False,
 ) -> DataFrame:
-    """Per-group champion/challenger CV bake-off (see module doc)."""
+    """Per-group champion/challenger CV bake-off (see module doc).
+
+    The ``lag_7`` column rides :func:`ml.features.feature_matrix`'s
+    calendar-RANGE frame over the SAME Exchange+Sort the grouped map
+    needs (``pre_partitioned=True`` keeps it one shuffle end-to-end),
+    so the feature-based challenger adds zero data-scale movement."""
+    from .features import feature_matrix
+
     keys = list(keys)
-    with_cols = _with_time_cols(series, date_col)
+    feats = feature_matrix(
+        series, keys, date_col=date_col, y_col=y_col, lags=(7,), ma_window=ma_window
+    )
+    with_cols = _with_time_cols(feats, date_col)
     return sorted_group_map(
-        with_cols.select(*keys, "__dow", "__ord", F.col(y_col).alias("y")),
+        with_cols.select(
+            *keys, "__dow", "__ord", F.col(y_col).alias("y"), "lag_7"
+        ),
         keys,
         make_compare_kernel(keys, n_splits=n_splits, ma_window=ma_window),
         COMPARE_SCHEMA,

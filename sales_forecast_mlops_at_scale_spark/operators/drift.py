@@ -42,6 +42,7 @@ feature).  Nothing is collected to the driver.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -235,3 +236,43 @@ def run_drift_monitor(
         writer = writer.trigger(availableNow=True)
     query = writer.start()
     query.awaitTermination()
+
+
+def expire_drift_log(out_path: str, *, keep_last_batches: int = 1000) -> dict:
+    """Retention for the monitor's append-forever log (VERDICT r8 #3):
+    drop all but the newest ``keep_last_batches`` ``batch_id=``
+    partitions.  At monitoring cadence (one partition per trigger) the
+    PARTITION COUNT itself becomes the log's scan/listing cost — this
+    bounds it, the same contract ``expire_older_than`` gives the
+    time-clustered tables (partitions die whole; zero rewrites;
+    O(expired), never O(log)).
+
+    Replay safety: a checkpointed replay can only re-emit the LAST
+    uncommitted batch, and ``keep_last_batches ≥ 1`` always retains the
+    newest partition, so expiry never un-commits a batch the idempotent
+    dynamic-partition overwrite might legitimately rewrite.  Returns
+    ``{"partitions_removed", "partitions_kept"}``."""
+    import shutil
+
+    if keep_last_batches < 1:
+        raise ValueError("keep_last_batches must be >= 1")
+    parts: list[tuple[int, str]] = []
+    try:
+        names = os.listdir(out_path)
+    except FileNotFoundError:
+        return {"partitions_removed": 0, "partitions_kept": 0}
+    for name in names:
+        if not name.startswith("batch_id="):
+            continue
+        try:
+            parts.append((int(name.split("=", 1)[1]), name))
+        except ValueError:
+            continue
+    parts.sort()
+    expired = parts[: max(0, len(parts) - int(keep_last_batches))]
+    for _, name in expired:
+        shutil.rmtree(os.path.join(out_path, name), ignore_errors=True)
+    return {
+        "partitions_removed": len(expired),
+        "partitions_kept": len(parts) - len(expired),
+    }

@@ -619,14 +619,26 @@ lookup AS (
   FROM test_rows t JOIN ranked h
     ON h.l_suppkey = t.l_suppkey AND h.l_returnflag = t.l_returnflag
    AND isodow(h.ds) = isodow(t.ds) AND h.rn <= t.train_end),
+lag7 AS (
+  -- the feature-matrix column: the value exactly 7 CALENDAR days
+  -- earlier, point-in-time over the full series (rolling one-day-ahead
+  -- serving; ml/features.feature_matrix's RANGE(-7,-7) frame)
+  SELECT r.l_suppkey, r.l_returnflag, r.rn, h.y AS lag_7
+  FROM ranked r JOIN ranked h
+    ON h.l_suppkey = r.l_suppkey AND h.l_returnflag = r.l_returnflag
+   AND h.ds = r.ds - 7),
 preds AS (
   SELECT t.l_suppkey, t.l_returnflag, t.i, t.y,
          CAST(trunc(coalesce(l.y, m.mean_y)) AS INTEGER) AS yhat_sn,
-         a.level AS yhat_ma
+         a.level AS yhat_ma,
+         coalesce(g7.lag_7, a.level) AS yhat_lag
   FROM test_rows t
   LEFT JOIN (SELECT * FROM lookup WHERE lr = 1) l
     ON l.l_suppkey = t.l_suppkey AND l.l_returnflag = t.l_returnflag
    AND l.i = t.i AND l.trn = t.rn
+  LEFT JOIN lag7 g7
+    ON g7.l_suppkey = t.l_suppkey AND g7.l_returnflag = t.l_returnflag
+   AND g7.rn = t.rn
   JOIN train_means m
     ON m.l_suppkey = t.l_suppkey AND m.l_returnflag = t.l_returnflag AND m.i = t.i
   JOIN ma_levels a
@@ -634,19 +646,22 @@ preds AS (
 fold_metrics AS (
   SELECT l_suppkey, l_returnflag, i,
          sqrt(avg((y - yhat_sn) * (y - yhat_sn))) AS rmse_sn,
-         sqrt(avg((y - yhat_ma) * (y - yhat_ma))) AS rmse_ma
+         sqrt(avg((y - yhat_ma) * (y - yhat_ma))) AS rmse_ma,
+         sqrt(avg((y - yhat_lag) * (y - yhat_lag))) AS rmse_lag
   FROM preds GROUP BY 1, 2, 3),
 summary AS (
   SELECT g.l_suppkey, g.l_returnflag,
          CAST(g.n AS BIGINT) AS n_rows,
          CAST(count(f.i) AS INTEGER) AS n_splits,
          round(avg(f.rmse_sn), 4) AS rmse_sn,
-         round(avg(f.rmse_ma), 4) AS rmse_ma
+         round(avg(f.rmse_ma), 4) AS rmse_ma,
+         round(avg(f.rmse_lag), 4) AS rmse_lag
   FROM grp g LEFT JOIN fold_metrics f
     ON f.l_suppkey = g.l_suppkey AND f.l_returnflag = g.l_returnflag
   GROUP BY 1, 2, 3)
-SELECT l_suppkey, l_returnflag, n_rows, n_splits, rmse_sn, rmse_ma,
+SELECT l_suppkey, l_returnflag, n_rows, n_splits, rmse_sn, rmse_ma, rmse_lag,
        CASE WHEN n_splits = 0 THEN 'untrained'
+            WHEN rmse_lag < rmse_sn AND rmse_lag < rmse_ma THEN 'lag_7'
             WHEN rmse_ma < rmse_sn THEN 'moving_average'
             ELSE 'seasonal_naive' END AS champion
 FROM summary
@@ -778,13 +793,31 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_report(ref, cur, list(_DRIFT_COLS), bins=_DRIFT_BINS)
 
 
-def _psi_ctes_one(col: str, i: int) -> str:
+def _psi_ctes_one(
+    col: str, i: int, *, cur_pred: str | None = None, batch_id: int | None = None
+) -> str:
+    """One feature's PSI/KS CTE chain.  ``cur_pred`` restricts the
+    CURRENT window (the reference window is always the full pre-split
+    slice); ``batch_id`` prepends an int column — together they express
+    one micro-batch of the streaming drift monitor, so the monitor's
+    parquet log can be oracled per epoch (q_drift_log)."""
     b = _DRIFT_BINS
+    pre = f"cast(l_shipdate AS date) < DATE '{_DRIFT_SPLIT}'"
+    where = (
+        ""
+        if cur_pred is None
+        else f"\n    WHERE ({pre}) OR ((NOT ({pre})) AND ({cur_pred}))"
+    )
+    lead = (
+        ""
+        if batch_id is None
+        else f"CAST({int(batch_id)} AS INTEGER) AS batch_id, "
+    )
     return f"""both_{i} AS (
     SELECT CAST({col} AS DOUBLE) AS x,
-           CASE WHEN cast(l_shipdate AS date) < DATE '{_DRIFT_SPLIT}'
+           CASE WHEN {pre}
                 THEN 0 ELSE 1 END AS w
-    FROM lineitem
+    FROM lineitem{where}
   ), stats_{i} AS (SELECT min(x) AS lo, max(x) AS hi FROM both_{i}),
   counted_{i} AS (
     SELECT CASE WHEN x IS NULL THEN -1
@@ -812,7 +845,7 @@ def _psi_ctes_one(col: str, i: int) -> str:
            nr, nc
     FROM dens_{i}, tot_{i}
   ), final_{i} AS (
-    SELECT '{col}' AS feature, max(nr) AS n_ref, max(nc) AS n_cur,
+    SELECT {lead}'{col}' AS feature, max(nr) AS n_ref, max(nc) AS n_cur,
            round(sum(term_fp) / 1000000.0, 6) AS psi,
            cast(sum(term_fp) AS bigint) AS psi_fp,
            cast(floor(max(ks) * 1000000) AS bigint) AS ks_ppm
@@ -828,6 +861,141 @@ _PSI_SQL = (
         f"SELECT * FROM final_{i}" for i in range(len(_DRIFT_COLS))
     )
 )
+
+
+#: micro-batch count for the materialized drift-log fixture — each epoch
+#: is one deterministic slice of the post-split window (l_orderkey mod)
+_DRIFT_LOG_EPOCHS = 2
+
+
+def _drift_log_root(sf_dir: str) -> str:
+    from .fixture_roots import digest_root
+
+    return digest_root(
+        "sfspark_drift_log",
+        [os.path.join(sf_dir, "lineitem.parquet")],
+        [_DRIFT_BINS, _DRIFT_SPLIT, _DRIFT_LOG_EPOCHS, *_DRIFT_COLS],
+    )
+
+
+def _ensure_drift_log(spark: SparkSession, sf_dir: str) -> str:
+    """Drive the REAL streaming drift monitor
+    (``operators.drift.run_drift_monitor``) over a deterministic
+    file-stream split of the post-split lineitem window, at most once
+    per testdata generation: epoch e = the ``l_orderkey %
+    {_DRIFT_LOG_EPOCHS} == e`` slice, delivered as one file per drain so
+    micro-batch ids map to epochs 0..N−1.  The parquet log it appends —
+    checkpointed, exactly-once via dynamic partition overwrite — is what
+    ``q_drift_log`` reads back and oracles against per-epoch batch SQL
+    (the decayed-counters serving pattern applied to the monitor)."""
+    import glob as _glob
+    import shutil
+
+    from ..operators.drift import run_drift_monitor
+    from .fixture_roots import ensure_built
+
+    def build(staging: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem")
+        split = F.lit(_DRIFT_SPLIT).cast("date")
+        ref = li.where(F.col("l_shipdate").cast("date") < split)
+        cur = li.where(F.col("l_shipdate").cast("date") >= split)
+        cols = list(_DRIFT_COLS)
+        src = os.path.join(staging, "src")
+        os.makedirs(src)
+        schema = cur.select(*cols).schema
+        for e in range(_DRIFT_LOG_EPOCHS):
+            tmp = os.path.join(staging, f"_epoch{e}")
+            (
+                cur.where(
+                    F.col("l_orderkey") % _DRIFT_LOG_EPOCHS == e
+                )
+                .select(*cols)
+                .coalesce(1)
+                .write.parquet(tmp)
+            )
+            (part,) = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+            os.rename(part, os.path.join(src, f"epoch{e}.parquet"))
+            shutil.rmtree(tmp, ignore_errors=True)
+            # one drain per epoch file → batch_id e is epoch e
+            run_drift_monitor(
+                ref,
+                source=spark.readStream.schema(schema).parquet(src),
+                cols=cols,
+                out_path=os.path.join(staging, "log"),
+                checkpoint_path=os.path.join(staging, "ckpt"),
+                bins=_DRIFT_BINS,
+            )
+        # a replay drain with no new data must be a byte-level no-op
+        # (exactly-once): pin it during the build so every fixture
+        # consumer inherits the checked property
+        before = sorted(
+            os.path.basename(p)
+            for p in _glob.glob(os.path.join(staging, "log", "**", "*"), recursive=True)
+        )
+        run_drift_monitor(
+            ref,
+            source=spark.readStream.schema(schema).parquet(src),
+            cols=cols,
+            out_path=os.path.join(staging, "log"),
+            checkpoint_path=os.path.join(staging, "ckpt"),
+            bins=_DRIFT_BINS,
+        )
+        after = sorted(
+            os.path.basename(p)
+            for p in _glob.glob(os.path.join(staging, "log", "**", "*"), recursive=True)
+        )
+        if before != after:
+            raise RuntimeError("drift-log replay drain was not a no-op")
+
+    return ensure_built(_drift_log_root(sf_dir), "_LOG_COMPLETE", build)
+
+
+def q_drift_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming drift monitor's parquet log, read back: one row per
+    (micro-batch, feature) as appended by ``run_drift_monitor`` over a
+    two-epoch file stream — the exactly-once monitoring path itself
+    hash-checked against per-epoch batch PSI SQL, not only
+    pytest-checked (VERDICT r8 #2).  Steady-state plan: a partition-
+    pruned scan of a few-rows-per-trigger log; the monitor's own cost is
+    two shared passes per (batch, feature set) — see psi_report."""
+    root = _ensure_drift_log(spark, sf_dir)
+    log = spark.read.parquet(os.path.join(root, "log"))
+    return log.select(
+        F.col("batch_id").cast("int").alias("batch_id"),
+        "feature",
+        "n_ref",
+        "n_cur",
+        "psi",
+        "psi_fp",
+        "ks_ppm",
+    ).orderBy("batch_id", "feature")
+
+
+def _drift_log_sql() -> str:
+    ctes, finals = [], []
+    i = 0
+    for e in range(_DRIFT_LOG_EPOCHS):
+        for c in _DRIFT_COLS:
+            ctes.append(
+                _psi_ctes_one(
+                    c,
+                    i,
+                    cur_pred=f"(l_orderkey % {_DRIFT_LOG_EPOCHS}) = {e}",
+                    batch_id=e,
+                )
+            )
+            finals.append(f"SELECT * FROM final_{i}")
+            i += 1
+    return (
+        "WITH "
+        + ",\n  ".join(ctes)
+        + "\nSELECT * FROM ("
+        + " UNION ALL ".join(finals)
+        + ") ORDER BY batch_id, feature"
+    )
+
+
+_DRIFT_LOG_SQL = _drift_log_sql()
 
 
 def q_mondrian_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -959,7 +1127,7 @@ def q_retrain_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     flips = cmp_.where(F.col("n_splits") > 0).agg(
         F.count(F.lit(1)).alias("n_scored"),
         F.expr(
-            "cast(sum(CASE WHEN champion = 'moving_average' THEN 1 ELSE 0 END)"
+            "cast(sum(CASE WHEN champion != 'seasonal_naive' THEN 1 ELSE 0 END)"
             " * 1000000L as bigint) div count(1)"
         ).alias("flip_ppm"),
     )
@@ -983,7 +1151,7 @@ WITH drift AS (
   FROM ({_PSI_SQL})
 ), flips AS (
   SELECT count(*) AS n_scored,
-         (sum(CASE WHEN champion = 'moving_average' THEN 1 ELSE 0 END)
+         (sum(CASE WHEN champion != 'seasonal_naive' THEN 1 ELSE 0 END)
           * 1000000) // count(*) AS flip_ppm
   FROM ({_MODEL_COMPARE_SQL}) WHERE n_splits > 0
 )
@@ -999,6 +1167,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_train_metrics": QueryDef(q_train_metrics, _TRAIN_SQL),
     "q_feature_matrix": QueryDef(q_feature_matrix, _FEATURE_MATRIX_SQL),
     "q_psi_drift": QueryDef(q_psi_drift, _PSI_SQL),
+    "q_drift_log": QueryDef(q_drift_log, _DRIFT_LOG_SQL),
     "q_model_compare": QueryDef(q_model_compare, _MODEL_COMPARE_SQL),
     "q_conformal_intervals": QueryDef(q_conformal_intervals, _CONFORMAL_SQL),
     "q_retrain_decision": QueryDef(q_retrain_decision, _RETRAIN_DECISION_SQL),

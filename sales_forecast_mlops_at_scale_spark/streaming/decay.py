@@ -190,7 +190,15 @@ def _pointer(root: str) -> dict:
             parsed["fences"] = {scope: int(parsed["batch_id"])}
         else:
             parsed["fences"] = {}
-    return {"version": int(parsed["version"]), "fences": parsed["fences"]}
+    # fence values are [last_batch_id, commit_seq]: the seq (the state
+    # version at commit time) is what lets retention keep the N most
+    # recently ACTIVE scopes; legacy bare-int fences migrate as seq 0
+    # (oldest — a retired checkpoint generation by definition)
+    fences = {
+        s: (list(map(int, v)) if isinstance(v, (list, tuple)) else [int(v), 0])
+        for s, v in parsed["fences"].items()
+    }
+    return {"version": int(parsed["version"]), "fences": fences}
 
 
 def _state_version(root: str) -> int:
@@ -328,7 +336,11 @@ def _fold_batch_locked(
     # (per-scope: a relocated checkpoint restarts ids at 0 under a NEW
     # scope; another stream's commits never touch this scope's fence)
     fenced = ptr["fences"].get(scope_key)
-    if batch_id is not None and fenced is not None and batch_id <= int(fenced):
+    if (
+        batch_id is not None
+        and fenced is not None
+        and batch_id <= int(fenced[0])
+    ):
         return version  # checkpointed replay of an already-folded batch
     # idle micro-batch past the first commit: folding adds nothing —
     # skip the O(state) rewrite.  The FIRST commit is never skipped, so
@@ -390,7 +402,8 @@ def _fold_batch_locked(
     tmp = os.path.join(root, "_LATEST.tmp")
     fences = dict(ptr["fences"])
     if batch_id is not None:
-        fences[scope_key] = batch_id  # other scopes' fences untouched
+        # other scopes' fences untouched; the commit seq stamps recency
+        fences[scope_key] = [int(batch_id), version + 1]
     new_ptr = {"version": version + 1, "fences": fences}
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(json.dumps(new_ptr))
@@ -447,6 +460,46 @@ def read_scores(
             F.col("decayed_num").cast("double") / float(1 << shift),
         )
     )
+
+
+def prune_decay_fences(root: str, *, keep_last_scopes: int = 32) -> dict:
+    """Retention for the pointer's fence map (VERDICT r8 #3): scope
+    entries accumulate one per checkpoint GENERATION forever — bounded
+    in practice, but unbounded in principle, unlike every other governed
+    structure here.  Keep the ``keep_last_scopes`` most recently
+    COMMITTED scopes (by the commit seq each fence carries) and drop the
+    rest, through the same claim + atomic pointer rewrite as a fold —
+    the state version and surviving fences are untouched.
+
+    Only retire scopes whose checkpoints are gone: a pruned scope's
+    stream would re-fold its history on replay (the fence IS its
+    exactly-once guarantee).  The keep-most-recent policy encodes
+    exactly that — retired generations stop committing, so they age to
+    the bottom.  Returns ``{"scopes_removed", "scopes_kept"}``."""
+    import json
+
+    if keep_last_scopes < 1:
+        raise ValueError("keep_last_scopes must be >= 1")
+    os.makedirs(root, exist_ok=True)
+    claim = _acquire_claim(root)
+    try:
+        ptr = _pointer(root)
+        fences = ptr["fences"]
+        ranked = sorted(fences.items(), key=lambda kv: kv[1][1], reverse=True)
+        kept = dict(ranked[: int(keep_last_scopes)])
+        removed = len(fences) - len(kept)
+        if removed:
+            tmp = os.path.join(root, "_LATEST.tmp")
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(
+                    json.dumps(
+                        {"version": int(ptr["version"]), "fences": kept}
+                    )
+                )
+            os.replace(tmp, os.path.join(root, _LATEST))
+        return {"scopes_removed": removed, "scopes_kept": len(kept)}
+    finally:
+        _release_claim(claim)
 
 
 def run_decay_stream(

@@ -523,6 +523,67 @@ _RETRAIN_TIERS = (
 #: orphaned heal claims younger than this are assumed live and left alone
 _CLAIM_ADOPT_AGE_S = 60.0
 
+#: pid-reuse fallback: a claim whose owner LOOKS alive is still adopted
+#: past this age — a real healer heartbeats its claim mtime per tier, so
+#: only a recycled pid (or a healer wedged this long between two single
+#: directory renames) ever reaches the bar (ADVICE r8: age alone must
+#: not override a provably-live owner)
+_CLAIM_PIDREUSE_AGE_S = 900.0
+
+#: how long retrain_index waits for an in-flight rival heal to finish
+#: before giving up (it must NOT sweep while one runs)
+_RETRAIN_QUIET_TIMEOUT_S = 600.0
+
+#: per-root in-process heal locks — a pid-tagged claim cannot tell two
+#: THREADS of one process apart, so same-process healers serialize here
+_HEAL_LOCKS: dict[str, object] = {}
+_HEAL_LOCKS_GUARD = None
+
+
+def _heal_lock(root_path: str):
+    import threading
+
+    global _HEAL_LOCKS_GUARD
+    if _HEAL_LOCKS_GUARD is None:
+        _HEAL_LOCKS_GUARD = threading.Lock()
+    with _HEAL_LOCKS_GUARD:
+        return _HEAL_LOCKS.setdefault(
+            os.path.realpath(root_path), threading.Lock()
+        )
+
+
+def _claim_owner_alive(path: str) -> bool:
+    """Claim names are ``{journal}.claim-{pid}-{uuid}``."""
+    try:
+        pid = int(os.path.basename(path).split(".claim-", 1)[1].split("-")[0])
+        os.kill(pid, 0)
+        return True
+    except (ValueError, IndexError, ProcessLookupError):
+        return False
+    except PermissionError:
+        return True  # exists, other user
+
+
+def _inflight_retrain_rids(root_path: str) -> set[str]:
+    """rids named by the journal or ANY claim file — staged/aside dirs
+    carrying these rids belong to a (possibly mid-swap) retrain and must
+    never be swept as garbage (ADVICE r8: the pre-clean sweep deleted a
+    rival healer's staged dir between its two renames — data loss)."""
+    import glob as _glob
+    import json
+
+    rids: set[str] = set()
+    journal = os.path.join(root_path, _RETRAIN_JOURNAL)
+    for p in [journal, *_glob.glob(f"{journal}.claim-*")]:
+        try:
+            with open(p, encoding="utf-8") as fh:
+                rid = json.load(fh).get("rid")
+            if rid:
+                rids.add(str(rid))
+        except (OSError, ValueError):
+            continue
+    return rids
+
 
 def heal_retrain(root_path: str) -> bool:
     """Roll FORWARD a retrain whose tier swaps died mid-way: the journal
@@ -531,33 +592,44 @@ def heal_retrain(root_path: str) -> bool:
     direction.  Per-tier idempotent: a tier whose staged dir is gone was
     already swapped.  No-op (False) on a healthy index.
 
-    Concurrency (code-review r8, round 2): this runs from EVERY entry
-    point, so two processes can race on one journal — and two healers
-    interleaving the same tier swap can rename a freshly-swapped LIVE
-    dir aside and destroy it.  The journal is therefore CLAIMED by
-    atomic rename first: exactly one healer proceeds, rivals see no
-    journal and return.  A healer that dies mid-heal leaves its claim
-    file; it is adopted (again by exclusive rename, one winner) when its
-    OWNER PID is provably dead — the claim name embeds the pid and this
-    is a local-FS substrate — or, as the pid-reuse fallback, when the
-    claim is older than {age}s.  A claim whose owner is alive is left
-    alone, so a running healer is never raced on the swap steps."""
+    Concurrency (code-review r8, round 2; hardened ADVICE r9): this runs
+    from EVERY entry point, so two processes can race on one journal —
+    and two healers interleaving the same tier swap can rename a
+    freshly-swapped LIVE dir aside and destroy it.  Same-process threads
+    first serialize on an in-process per-root lock (a pid-tagged claim
+    cannot tell threads apart); then the journal is CLAIMED by atomic
+    rename: exactly one healer proceeds, rivals see no journal and
+    return.  A healer that dies mid-heal leaves its claim file; it is
+    adopted (again by exclusive rename, one winner) when its OWNER PID
+    is provably dead — the claim name embeds the pid and this is a
+    local-FS substrate.  A claim whose owner is ALIVE is left alone (a
+    running healer is never raced on the swap steps) with two aged
+    escapes: our own pid past the short bar (a leak from a crashed
+    in-process heal — safe under the thread lock), and any pid past the
+    LONG pid-reuse bar — the active healer heartbeats its claim mtime
+    per tier, so only a recycled pid or a healer wedged {long}s between
+    two directory renames ever ages that far (ADVICE r8: age alone must
+    not override a provably-live owner)."""
     import glob as _glob
     import json
     import shutil
     import time
     import uuid
 
-    def _owner_alive(path: str) -> bool:
-        # claim names are {journal}.claim-{pid}-{uuid}
+    with _heal_lock(root_path):
+        return _heal_retrain_locked(
+            root_path, _glob, json, shutil, time, uuid
+        )
+
+
+def _heal_retrain_locked(root_path, _glob, json, shutil, time, uuid) -> bool:
+    def _claim_pid(path: str) -> int | None:
         try:
-            pid = int(os.path.basename(path).split(".claim-", 1)[1].split("-")[0])
-            os.kill(pid, 0)
-            return True
-        except (ValueError, IndexError, ProcessLookupError):
-            return False
-        except PermissionError:
-            return True  # exists, other user
+            return int(
+                os.path.basename(path).split(".claim-", 1)[1].split("-")[0]
+            )
+        except (ValueError, IndexError):
+            return None
 
     journal = os.path.join(root_path, _RETRAIN_JOURNAL)
     claim = f"{journal}.claim-{os.getpid()}-{uuid.uuid4().hex[:8]}"
@@ -573,13 +645,14 @@ def heal_retrain(root_path: str) -> bool:
             if orphan == claim:
                 continue
             try:
-                fresh = (
-                    time.time() - os.path.getmtime(orphan) < _CLAIM_ADOPT_AGE_S
-                )
+                age = time.time() - os.path.getmtime(orphan)
             except OSError:
                 continue
-            if fresh and _owner_alive(orphan):
-                continue  # a live healer owns it
+            if _claim_owner_alive(orphan):
+                own = _claim_pid(orphan) == os.getpid()
+                bar = _CLAIM_ADOPT_AGE_S if own else _CLAIM_PIDREUSE_AGE_S
+                if age < bar:
+                    continue  # a live healer owns it — never race it
             try:
                 os.rename(orphan, claim)
                 claimed = claim
@@ -593,6 +666,10 @@ def heal_retrain(root_path: str) -> bool:
     rid = plan["rid"]
     try:
         for tier in plan["tiers"]:
+            try:
+                os.utime(claimed)  # heartbeat: we are alive mid-heal
+            except OSError:
+                pass
             live = os.path.join(root_path, tier)
             staged = f"{live}.retrain-{rid}"
             aside = f"{live}.old-{rid}"
@@ -666,13 +743,42 @@ def retrain_index(
     from .compact import _invalidate_cached_plans
     from .snapshots import publish_if_enabled, snapshots_enabled, vacuum_snapshots
 
-    heal_retrain(root_path)
+    # wait for any in-flight heal to finish before sweeping: a rival
+    # process holding a claimed journal mid-heal owns rid-suffixed
+    # staged/aside dirs that are NOT garbage — sweeping them between its
+    # two renames loses a tier's live copy AND its replacement (ADVICE
+    # r8).  heal_retrain itself completes orphans; live claims we wait
+    # out.
+    import time as _time
+
+    journal = os.path.join(root_path, _RETRAIN_JOURNAL)
+    deadline = _time.monotonic() + _RETRAIN_QUIET_TIMEOUT_S
+    while True:
+        heal_retrain(root_path)
+        live_claims = [
+            c
+            for c in glob.glob(f"{journal}.claim-*")
+            if _claim_owner_alive(c)
+        ]
+        if not os.path.isfile(journal) and not live_claims:
+            break
+        if _time.monotonic() > deadline:
+            raise TimeoutError(
+                f"retrain blocked by an in-flight heal: {live_claims}"
+            )
+        _time.sleep(0.05)
+    # belt-and-braces TOCTOU guard: never sweep a rid the journal or any
+    # claim still names, even if one appeared since the quiet check
+    protected = _inflight_retrain_rids(root_path)
     for tier in _RETRAIN_TIERS:
         # pre-journal staging garbage from a crashed build: the live
         # index was never touched by that run
         for stale in glob.glob(f"{root_path}/{tier}.retrain-*") + glob.glob(
             f"{root_path}/{tier}.old-*"
         ):
+            rid_sfx = stale.rsplit("-", 1)[-1]
+            if rid_sfx in protected:
+                continue
             shutil.rmtree(stale, ignore_errors=True)
 
     vectors = spark.read.parquet(f"{root_path}/vectors")

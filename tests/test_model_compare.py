@@ -48,6 +48,18 @@ def test_trend_free_noise_promotes_the_challenger(spark):
     assert out.rmse_ma < out.rmse_sn
 
 
+def test_trending_series_promotes_the_lag_feature_challenger(spark):
+    # a steady ramp: both frozen-at-train_end models go stale across the
+    # test horizon (error grows with the fold), but the rolling lag_7
+    # feature stays exactly 70 behind every day — the feature-matrix
+    # challenger wins (VERDICT r8 #4: prove it's not dead code)
+    rows = [(4, d, 10 * d) for d in range(120)]
+    out = _run(spark, rows)[(4, "F")]
+    assert out.champion == "lag_7"
+    assert out.rmse_lag < out.rmse_sn and out.rmse_lag < out.rmse_ma
+    assert out.rmse_lag == 70.0  # |y(d) − y(d−7)| = 70 exactly, every day
+
+
 def test_short_group_is_untrained(spark):
     rows = [(3, d, 50) for d in range(5)]  # n//6 == 0 → no folds
     out = _run(spark, rows)[(3, "F")]

@@ -2028,6 +2028,201 @@ def test_heal_retrain_claim_is_exclusive_and_orphans_age_out(
     assert not os.path.exists(journal)
 
 
+def test_expire_drift_log_bounds_partition_count(tmp_path):
+    """VERDICT r8 #3: the monitor log appends one batch_id= partition
+    per trigger forever; retention must bound the partition count (the
+    listing cost) — newest N survive, the rest die whole, a 1000-trigger
+    synthetic run stays bounded."""
+    import os
+
+    from sales_forecast_mlops_at_scale_spark.operators.drift import (
+        expire_drift_log,
+    )
+
+    out = str(tmp_path / "log1000")
+    os.makedirs(out)
+    for i in range(1000):
+        d = os.path.join(out, f"batch_id={i}")
+        os.makedirs(d)
+        with open(os.path.join(d, "part-0.parquet"), "w") as fh:
+            fh.write("x")
+    stats = expire_drift_log(out, keep_last_batches=50)
+    assert stats == {"partitions_removed": 950, "partitions_kept": 50}
+    left = sorted(
+        int(n.split("=")[1]) for n in os.listdir(out) if n.startswith("batch_id=")
+    )
+    assert left == list(range(950, 1000))  # the NEWEST 50
+    # idempotent re-run removes nothing
+    assert expire_drift_log(out, keep_last_batches=50) == {
+        "partitions_removed": 0,
+        "partitions_kept": 50,
+    }
+    # missing log dir is a no-op, not a crash
+    assert expire_drift_log(str(tmp_path / "nolog")) == {
+        "partitions_removed": 0,
+        "partitions_kept": 0,
+    }
+
+
+def test_expire_drift_log_live_monitor_and_replay_still_noop(
+    spark, tmp_path
+):
+    """Retention composed with the live monitor: expired partitions
+    vanish from the read-back, the kept rows are untouched, and a
+    checkpointed replay drain after expiry is still a no-op (it can only
+    rewrite the newest partition, which retention always keeps)."""
+    import json as _json
+    import os
+
+    from sales_forecast_mlops_at_scale_spark.operators.drift import (
+        expire_drift_log,
+        run_drift_monitor,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "driftlog")
+    ckpt = str(tmp_path / "ckpt")
+    ref = spark.createDataFrame(
+        [(float(i % 10),) for i in range(100)], "x double"
+    )
+
+    def drain():
+        run_drift_monitor(
+            ref,
+            source=spark.readStream.schema("x double").json(str(src)),
+            cols=["x"],
+            out_path=out,
+            checkpoint_path=ckpt,
+        )
+
+    for b in range(3):
+        (src / f"b{b}.json").write_text(
+            "\n".join(_json.dumps({"x": float((i + b) % 10)}) for i in range(100))
+            + "\n"
+        )
+        drain()
+    assert expire_drift_log(out, keep_last_batches=2) == {
+        "partitions_removed": 1,
+        "partitions_kept": 2,
+    }
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.batch_id for r in rows) == [1, 2]
+    before = sorted(map(tuple, rows))
+    drain()  # replay with no new data: byte-level no-op
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == before
+
+
+def test_prune_decay_fences_keeps_recent_scopes_pointer_intact(
+    spark, tmp_path
+):
+    """VERDICT r8 #3: fence entries accumulate one per checkpoint
+    generation; pruning keeps the most recently committed scopes, never
+    touches the state version or scores — and a pruned (retired) scope
+    replaying WOULD re-fold, which is exactly why only dead checkpoints
+    may be pruned (documented contract, pinned here)."""
+    from sales_forecast_mlops_at_scale_spark.streaming import decay
+
+    root = str(tmp_path / "fenceprune")
+    df = spark.createDataFrame(
+        [(1, "2024-03-01 10:00:00", 3.0)],
+        "user_id long, ts string, value double",
+    ).selectExpr("user_id", "cast(ts as timestamp) ts", "value")
+    for i, scope in enumerate(["genA", "genB", "genC"]):
+        decay.fold_batch(
+            spark, df, root, keys=["user_id"], batch_id=i, fence_scope=scope
+        )
+    v = decay._state_version(root)
+    stats = decay.prune_decay_fences(root, keep_last_scopes=2)
+    assert stats == {"scopes_removed": 1, "scopes_kept": 2}
+    ptr = decay._pointer(root)
+    assert set(ptr["fences"]) == {"genB", "genC"}  # genA was oldest
+    assert int(ptr["version"]) == v  # state untouched
+    n = decay.read_scores(spark, root, keys=["user_id"]).collect()[0].n_events
+    assert n == 3
+    # surviving scopes still fence their replays
+    decay.fold_batch(
+        spark, df, root, keys=["user_id"], batch_id=2, fence_scope="genC"
+    )
+    assert (
+        decay.read_scores(spark, root, keys=["user_id"]).collect()[0].n_events
+        == 3
+    )
+    # the pruned scope's replay re-folds — the reason pruning is only
+    # for RETIRED checkpoint generations
+    decay.fold_batch(
+        spark, df, root, keys=["user_id"], batch_id=0, fence_scope="genA"
+    )
+    assert (
+        decay.read_scores(spark, root, keys=["user_id"]).collect()[0].n_events
+        == 4
+    )
+
+
+def test_heal_retrain_live_owner_never_adopted_by_age_alone(
+    spark, tmp_path
+):
+    """ADVICE r8: a claim whose owner pid is provably ALIVE must not be
+    adopted just because it aged past the short bar — a healer stalled
+    >60 s would be raced on the very renames the claim protects.  Only
+    the LONG pid-reuse bar (backed by the per-tier mtime heartbeat)
+    overrides liveness."""
+    import glob as _glob
+    import os
+
+    import sales_forecast_mlops_at_scale_spark.streaming.vector_ingest as vi
+
+    root = str(tmp_path / "liveclaim")
+    os.makedirs(root)
+    journal = os.path.join(root, "_retrain_journal.json")
+    orphan = f"{journal}.claim-1-deadbeef"  # pid 1: provably alive
+    with open(orphan, "w") as fh:
+        fh.write('{"rid": "r1", "tiers": []}')
+
+    # aged past the short bar but under the pid-reuse bar: left alone
+    old = os.path.getmtime(orphan) - vi._CLAIM_ADOPT_AGE_S - 5
+    os.utime(orphan, (old, old))
+    assert vi.heal_retrain(root) is False
+    assert os.path.exists(orphan)
+
+    # aged past the pid-reuse bar: adopted (recycled-pid fallback)
+    old = os.path.getmtime(orphan) - vi._CLAIM_PIDREUSE_AGE_S - 5
+    os.utime(orphan, (old, old))
+    assert vi.heal_retrain(root) is True
+    assert not _glob.glob(f"{journal}.claim-*")
+
+
+def test_retrain_sweep_waits_out_live_heal_and_spares_its_dirs(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r8: retrain_index's pre-clean must not rmtree staged/aside
+    dirs owned by a rival healer holding a live claim — it waits for the
+    heal to finish and times out (leaving the dirs intact) rather than
+    destroying a mid-swap tier's only copies."""
+    import os
+
+    import pytest as _pytest
+
+    import sales_forecast_mlops_at_scale_spark.streaming.vector_ingest as vi
+
+    root = str(tmp_path / "sweepguard")
+    os.makedirs(root)
+    journal = os.path.join(root, "_retrain_journal.json")
+    claim = f"{journal}.claim-1-cafef00d"  # live rival (pid 1), mid-heal
+    with open(claim, "w") as fh:
+        fh.write('{"rid": "r9", "tiers": ["assignments"]}')
+    staged = os.path.join(root, "assignments.retrain-r9")
+    aside = os.path.join(root, "assignments.old-r9")
+    os.makedirs(staged)
+    os.makedirs(aside)
+
+    monkeypatch.setattr(vi, "_RETRAIN_QUIET_TIMEOUT_S", 0.3)
+    with _pytest.raises(TimeoutError, match="in-flight heal"):
+        vi.retrain_index(spark, root)
+    assert os.path.isdir(staged) and os.path.isdir(aside)  # untouched
+    os.unlink(claim)
+
+
 def test_drift_monitor_stream_per_batch_rows_and_idempotent_replay(
     spark, tmp_path
 ):
