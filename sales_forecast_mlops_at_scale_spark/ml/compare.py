@@ -52,7 +52,6 @@ from .train import (
     _metrics_np,
     _round_half_away,
     _split_bounds,
-    _with_time_cols,
 )
 
 COMPARE_SCHEMA = (
@@ -163,14 +162,24 @@ def compare_models_groups(
     The ``lag_7`` column rides :func:`ml.features.feature_matrix`'s
     calendar-RANGE frame over the SAME Exchange+Sort the grouped map
     needs (``pre_partitioned=True`` keeps it one shuffle end-to-end),
-    so the feature-based challenger adds zero data-scale movement."""
+    so the feature-based challenger adds zero data-scale movement.
+    The grouped map's sort key ``__ord`` is an ALIAS of the feature
+    frame's own ``__di`` day index (``keep_day_index=True``) — the
+    Window's partition-local order then already satisfies the
+    ``mapInPandas`` required ordering and Catalyst elides the second
+    Sort; recomputing the epoch day as a fresh expression (what
+    ``_with_time_cols`` does) breaks the alias chain and re-sorts the
+    whole series per partition."""
     from .features import feature_matrix
 
     keys = list(keys)
     feats = feature_matrix(
-        series, keys, date_col=date_col, y_col=y_col, lags=(7,), ma_window=ma_window
+        series, keys, date_col=date_col, y_col=y_col, lags=(7,),
+        ma_window=ma_window, keep_day_index=True,
     )
-    with_cols = _with_time_cols(feats, date_col)
+    with_cols = feats.withColumn(
+        "__dow", ((F.dayofweek(F.col(date_col)) + 5) % 7).cast("int")
+    ).withColumn("__ord", F.col("__di"))
     return sorted_group_map(
         with_cols.select(
             *keys, "__dow", "__ord", F.col(y_col).alias("y"), "lag_7"

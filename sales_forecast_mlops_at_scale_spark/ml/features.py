@@ -37,6 +37,7 @@ def feature_matrix(
     lags: Sequence[int] = (7, 14),
     ma_window: int = 28,
     ndigits: int = 4,
+    keep_day_index: bool = False,
 ) -> DataFrame:
     """Per-(key, day) training matrix: label + leak-free features.
 
@@ -51,6 +52,14 @@ def feature_matrix(
     Determinism: the moving mean is ``round(sum/count)`` where the sum
     is exact when ``y`` is integral (daily unit counts); every other
     column is exact integer/date arithmetic.
+
+    ``keep_day_index=True`` retains the ``__di`` epoch-day column the
+    frames sort on, so a downstream consumer can declare ITS sort key
+    as an alias of the same attribute — Catalyst then recognizes the
+    Window's partition-local order as already satisfying the consumer's
+    (e.g. ``sorted_group_map``'s) required ordering and elides the
+    second Sort (a recomputed-expression sort key, even a semantically
+    identical one, breaks the alias chain and re-sorts).
     """
     keys = list(keys)
     di = F.unix_date(F.col(date_col).cast("date"))
@@ -75,4 +84,4 @@ def feature_matrix(
         .withColumn("isodow", (F.weekday(F.col(date_col)) + F.lit(1)).cast("int"))
         .withColumn("month", F.month(F.col(date_col)).cast("int"))
     )
-    return out.drop("__di")
+    return out if keep_day_index else out.drop("__di")

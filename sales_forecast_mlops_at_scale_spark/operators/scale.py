@@ -281,3 +281,59 @@ def bloom_prefilter_audit(
             "n_false_pos"
         ),
     )
+
+
+def group_skew_report(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """One-row group-size distribution audit for a grouped-map pipeline:
+    ``n_groups, total_rows, p50_size, p99_size, max_size,
+    max_share_ppm`` over ``df.groupBy(keys)``.
+
+    This is the observability for the ONE remaining straggler risk in
+    ``sorted_group_map`` (SURVEY §7 hard-item 3): a whole-group kernel
+    cannot be salted — the largest group bounds the slowest task, so the
+    number that matters at 100 TB is ``max_share_ppm`` (the largest
+    group's share of all rows, parts-per-million).  A healthy trainer
+    input keeps it near ``10^6 / n_groups``; a hot key shows up here
+    LONG before it shows up as a wedged executor.
+
+    Determinism/scale: group sizes reduce to a DISTINCT-size histogram
+    first (``(size, count)`` — bounded by the max group size, never by
+    the group count), so the quantiles are exact integer order
+    statistics — ``p_q = min size with cum_count ≥ ceil(q·G)`` — and the
+    single-partition window only ever sees the tiny histogram.  Totals
+    ride unbounded windows over that same frame (never a re-aggregation
+    of the un-persisted sizes subtree — the r8 psi_report defect class).
+    All outputs are exact integers; ppm uses integer division
+    (nonnegative, so Spark ``div`` == DuckDB ``//``).
+    """
+    from pyspark.sql import Window
+
+    sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    dist = sizes.groupBy("n").agg(F.count(F.lit(1)).alias("c"))
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy("n").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        dist.withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("n_groups", F.sum("c").over(w_all))
+        .withColumn("total_rows", F.sum(F.col("n") * F.col("c")).over(w_all))
+        .withColumn("max_n", F.max("n").over(w_all))
+    )
+    return cum.agg(
+        F.max("n_groups").alias("n_groups"),
+        F.max("total_rows").alias("total_rows"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n_groups + 1) div 2"), F.col("n"))
+        ).alias("p50_size"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(99 * n_groups + 99) div 100"),
+                F.col("n"),
+            )
+        ).alias("p99_size"),
+        F.max("max_n").alias("max_size"),
+        F.expr("max(max_n) * 1000000L div max(total_rows)").alias(
+            "max_share_ppm"
+        ),
+    )

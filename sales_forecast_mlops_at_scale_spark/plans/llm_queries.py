@@ -2550,6 +2550,118 @@ ORDER BY bucket
 """
 
 
+#: Drift threshold for the retrain-demo fixture, tuned to the synthetic
+#: embeddings' drift scale (max |drift| is 1-3% across SFs — the vectors
+#: are near-uniform, so epoch splits move shares gently).  Production
+#: keeps maybe_retrain's 10% default; the POLICY under test is the same.
+_RETRAIN_DEMO_PPM = 5_000
+
+
+def _retrained_index_root(sf_dir: str) -> str:
+    """Digest-keyed /tmp root for the POST-RETRAIN index: the drift-demo
+    two-epoch index after ``maybe_retrain`` crossed the demo threshold
+    and ``retrain_index`` swapped all five tiers."""
+    from ..operators.llm.pq import PQ_K, PQ_M
+    from .fixture_roots import digest_root
+
+    return digest_root(
+        "sfspark_retrained_idx",
+        [os.path.join(sf_dir, "embeddings.parquet")],
+        ["retrain", _IVFPQ_IDX_CENTROIDS, PQ_M, PQ_K, 64, _RETRAIN_DEMO_PPM],
+    )
+
+
+def _ensure_retrained_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the drift→retrain closure at most once per testdata
+    generation: rebuild the SAME two-epoch drifted index as
+    ``_ensure_drift_index`` (epoch 1 trains, epoch 2 ingests frozen),
+    then run the real maintenance tick — ``maybe_retrain`` measures
+    drift, crosses the demo threshold, and ``retrain_index`` rebuilds
+    the quantizers from the full corpus and swaps all five tiers through
+    the crash-healing journal.  The build REFUSES to complete unless the
+    retrain genuinely fired (no dead-code fixtures)."""
+    from ..streaming.vector_ingest import maybe_retrain, vector_ingest_batch
+    from .fixture_roots import ensure_built
+
+    def build(staging: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        mid = (emb.agg(F.max("vec_id")).first()[0] + 1) // 2
+        for epoch in (
+            emb.filter(F.col("vec_id") < mid),
+            emb.filter(F.col("vec_id") >= mid),
+        ):
+            vector_ingest_batch(
+                epoch, staging, id_col="vec_id", vec_col="embedding",
+                num_centroids=_IVFPQ_IDX_CENTROIDS, dim=64,
+            )
+        out = maybe_retrain(
+            spark, staging,
+            drift_threshold_ppm=_RETRAIN_DEMO_PPM,
+            num_centroids=_IVFPQ_IDX_CENTROIDS, dim=64,
+        )
+        if not out.get("retrained"):
+            raise RuntimeError(
+                f"retrain-demo fixture did not fire: {out} "
+                f"(threshold {_RETRAIN_DEMO_PPM} ppm)"
+            )
+
+    return ensure_built(
+        _retrained_index_root(sf_dir), "_INDEX_COMPLETE", build
+    )
+
+
+def q_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_index_drift``'s closure (VERDICT r8 #8): the SAME two-epoch
+    drifted index after the maintenance tick — ``maybe_retrain`` crossed
+    the threshold, ``retrain_index`` retrained the quantizers on the
+    full corpus and swapped every tier — re-measured with the SAME
+    ``index_drift`` operator.  Post-retrain, seed_stats IS the live
+    distribution, so every bucket's ``drift_ppm`` must be exactly 0 and
+    seed == current counts; the oracle re-derives the retrained
+    assignment from scratch (full-corpus hash-picked centroids +
+    rounded-cosine argmax), so a wrong retrain — stale tier, mixed swap,
+    wrong training set — fails the hash, not just a zero-check.  The
+    decayed-counters serving pattern applied to the vector index."""
+    from ..streaming.vector_ingest import index_drift
+
+    root = _ensure_retrained_index(spark, sf_dir)
+    return index_drift(spark, root).orderBy("bucket")
+
+
+#: Post-retrain twin of _INDEX_DRIFT_SQL: centroids hash-picked from the
+#: FULL corpus (retrain_index trains on the whole vectors tier), seed ==
+#: current by construction, drift identically 0.
+_INDEX_RETRAIN_SQL = f"""
+WITH n AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v,
+         sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                        for x in embedding])) AS nrm
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+  ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 2147483648, vec_id
+  LIMIT {_IVFPQ_IDX_CENTROIDS}
+), assigned AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT c.vec_id, ct.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY round(list_sum([c.v[i] * ct.cv[i]
+                        for i in generate_series(1, len(c.v))])
+                        / (c.nrm * ct.cnrm), 6) DESC, ct.cid ASC) AS rn
+    FROM n c CROSS JOIN cent ct)
+  WHERE rn = 1),
+counts AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS nb FROM assigned GROUP BY 1),
+tot AS (SELECT sum(nb) AS t FROM counts)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       nb AS n_seed, nb AS n_current,
+       CAST(nb * 1000000 // tot.t AS BIGINT) AS seed_ppm,
+       CAST(nb * 1000000 // tot.t AS BIGINT) AS cur_ppm,
+       CAST(0 AS BIGINT) AS drift_ppm
+FROM counts, tot ORDER BY bucket
+"""
+
+
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking of the media BLOBs: per-chunk rows with
     content-derived boundaries + hex-md5 digests (operators/llm/cdc.py).
@@ -3028,6 +3140,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_ivfpq_search": QueryDef(q_ivfpq_search, _IVFPQ_SQL),
     "q_ivfpq_index_stats": QueryDef(q_ivfpq_index_stats, _IVFPQ_INDEX_STATS_SQL),
     "q_index_drift": QueryDef(q_index_drift, _INDEX_DRIFT_SQL),
+    "q_index_retrain": QueryDef(q_index_retrain, _INDEX_RETRAIN_SQL),
     "q_pq_distortion": QueryDef(q_pq_distortion, _PQ_DISTORTION_SQL),
     "q_triangle_stats": QueryDef(q_triangle_stats, _TRIANGLE_SQL),
     "q_bloom_prefilter": QueryDef(q_bloom_prefilter, _BLOOM_SQL),

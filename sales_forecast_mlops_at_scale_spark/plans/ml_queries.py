@@ -1163,8 +1163,55 @@ FROM drift, flips
 """
 
 
+def q_group_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-size distribution audit over the TRAINER's grouping
+    (SURVEY §7 hard-item 3): the series rows per (l_suppkey,
+    l_returnflag) bound the per-task work of every grouped-map kernel
+    downstream (train / compare / conformal — a whole-group kernel
+    cannot be salted), so this one row — exact p50/p99/max group size
+    and the largest group's integer-ppm share of all rows — is the
+    observability for the single remaining straggler risk.  Healthy:
+    ``max_share_ppm ≈ 10^6 / n_groups``; a hot key shows here long
+    before it shows as a wedged executor.  Plan: the quantiles are
+    exact order statistics over the DISTINCT-size histogram (bounded by
+    the max group size, never the group count), so nothing data-scale
+    crosses a single-partition window."""
+    from ..operators.scale import group_skew_report
+
+    return group_skew_report(
+        demand_series(spark, sf_dir), ["l_suppkey", "l_returnflag"]
+    )
+
+
+#: ceil via integer division on both engines; nonnegative operands make
+#: Spark `div` and DuckDB `//` agree everywhere this SQL divides
+_GROUP_SKEW_SQL = f"""
+WITH series AS ({_SERIES}),
+sizes AS (
+  SELECT l_suppkey, l_returnflag, count(*) AS n FROM series GROUP BY 1, 2),
+dist AS (SELECT n, count(*) AS c FROM sizes GROUP BY n),
+cum AS (
+  SELECT n, sum(c) OVER (ORDER BY n) AS cum,
+         sum(c) OVER () AS n_groups,
+         sum(n * c) OVER () AS total_rows,
+         max(n) OVER () AS max_n
+  FROM dist)
+SELECT CAST(max(n_groups) AS BIGINT) AS n_groups,
+       CAST(max(total_rows) AS BIGINT) AS total_rows,
+       CAST(min(CASE WHEN cum >= (n_groups + 1) // 2 THEN n END) AS BIGINT)
+         AS p50_size,
+       CAST(min(CASE WHEN cum >= (99 * n_groups + 99) // 100 THEN n END)
+         AS BIGINT) AS p99_size,
+       CAST(max(max_n) AS BIGINT) AS max_size,
+       CAST(max(max_n) * 1000000 // max(total_rows) AS BIGINT)
+         AS max_share_ppm
+FROM cum
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "q_train_metrics": QueryDef(q_train_metrics, _TRAIN_SQL),
+    "q_group_skew": QueryDef(q_group_skew, _GROUP_SKEW_SQL),
     "q_feature_matrix": QueryDef(q_feature_matrix, _FEATURE_MATRIX_SQL),
     "q_psi_drift": QueryDef(q_psi_drift, _PSI_SQL),
     "q_drift_log": QueryDef(q_drift_log, _DRIFT_LOG_SQL),

@@ -1350,3 +1350,26 @@ def test_span_corruption_masks_invariants(spark):
     assert {(r.doc_id, r.span_start, r.span_len) for r in out2} == {
         (r.doc_id, r.span_start, r.span_len) for r in out
     }
+
+
+def test_index_retrain_closure_zeroes_drift_and_preserves_corpus(spark):
+    """The registry closure of the drift loop (VERDICT r8 #8): the SAME
+    two-epoch fixture that q_index_drift shows drifting measures exactly
+    zero after the maintenance tick retrained it (q_index_retrain), the
+    corpus size is preserved, and the retrain demo threshold was really
+    crossed (the fixture build refuses to complete otherwise)."""
+    from sales_forecast_mlops_at_scale_spark.plans.llm_queries import (
+        _RETRAIN_DEMO_PPM,
+        q_index_drift,
+        q_index_retrain,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pre = q_index_drift(spark, sf).collect()
+    post = q_index_retrain(spark, sf).collect()
+    worst_pre = max(abs(r.drift_ppm) for r in pre)
+    assert worst_pre >= _RETRAIN_DEMO_PPM  # the tick genuinely fires
+    assert all(r.drift_ppm == 0 for r in post)
+    assert all(r.n_seed == r.n_current for r in post)
+    # retrain re-encodes, never drops: same corpus on both sides
+    assert sum(r.n_current for r in pre) == sum(r.n_current for r in post)

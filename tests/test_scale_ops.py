@@ -215,3 +215,42 @@ def test_adaptive_salted_join_matches_plain_and_salts_only_hot(spark, skewed):
     out2 = adaptive_salted_join(balanced, right, ["k"], min_share_ppm=500_000)
     assert "__salt" not in out2._jdf.queryExecution().analyzed().toString()
     assert out2.count() == balanced.join(right, "k").count()
+
+
+def test_group_skew_report_exact_order_statistics(spark):
+    """Hand-computed fixture: 10 groups with sizes 1..9 and one hot
+    group of 81 rows (half of all 162 rows).  p50 over 11 sizes is the
+    6th smallest (= 6), p99 the 11th (= 81), max_share_ppm = 81e6 div
+    162 = 500000 exactly — all exact integers."""
+    from sales_forecast_mlops_at_scale_spark.operators.scale import (
+        group_skew_report,
+    )
+
+    rows = []
+    for g in range(1, 10):  # groups 1..9, sizes 1..9 (45 rows)
+        rows += [(g,)] * g
+    rows += [(10,)] * 36  # pad: sizes {1..9, 36, 81}, total 162
+    rows += [(11,)] * 81  # the hot key: half of all rows
+    df = spark.createDataFrame(rows, "k int")
+    out = group_skew_report(df, ["k"]).collect()[0]
+    assert out.n_groups == 11
+    assert out.total_rows == 162
+    assert out.p50_size == 6  # ceil(11/2) = 6th smallest of 1..9,36,81
+    assert out.p99_size == 81  # ceil(0.99*11) = 11th
+    assert out.max_size == 81
+    assert out.max_share_ppm == 500_000  # exactly half
+
+
+def test_group_skew_report_uniform_groups(spark):
+    """Uniform groups: every quantile equals the common size and the
+    max share is 10^6 / n_groups (the healthy baseline the docstring
+    tells operators to expect)."""
+    from sales_forecast_mlops_at_scale_spark.operators.scale import (
+        group_skew_report,
+    )
+
+    df = spark.range(0, 400).select((F.col("id") % 8).alias("k"))
+    out = group_skew_report(df, ["k"]).collect()[0]
+    assert (out.n_groups, out.total_rows) == (8, 400)
+    assert out.p50_size == out.p99_size == out.max_size == 50
+    assert out.max_share_ppm == 125_000  # 1e6 / 8
