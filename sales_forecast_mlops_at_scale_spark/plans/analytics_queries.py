@@ -232,6 +232,226 @@ FROM events GROUP BY 1, 2
 """
 
 
+# -- streaming late-data policy, hash-checked ----------------------------------
+
+#: epochs for the watermarked-stream fixture: events arrive in three
+#: time-ordered thirds, except every 7th event is a STRAGGLER shipped
+#: one epoch late — some land inside the watermark (they update their
+#: still-open window), some beyond it (the engine drops them).
+_STREAM_EPOCHS = 3
+_STREAM_STRAGGLER_MOD = 7
+_STREAM_WATERMARK_DAYS = 2
+
+
+def _stream_window_root(sf_dir: str) -> str:
+    import os
+
+    from .fixture_roots import digest_root
+
+    return digest_root(
+        "sfspark_stream_window_log",
+        [os.path.join(sf_dir, "events.parquet")],
+        [_STREAM_EPOCHS, _STREAM_STRAGGLER_MOD, _STREAM_WATERMARK_DAYS],
+    )
+
+
+def _stream_epoch_col() -> F.Column:
+    """Epoch assignment shared (textually) with the oracle: base = the
+    event's time-ordered third of the date span, +1 for stragglers,
+    capped at the last epoch."""
+    base = F.expr(
+        f"(({_STREAM_EPOCHS} * datediff(to_date(ts), __d0)) div __nd)"
+    )
+    bump = (F.col("event_id") % _STREAM_STRAGGLER_MOD == 0).cast("int")
+    return F.least(F.lit(_STREAM_EPOCHS - 1), base + bump)
+
+
+def _ensure_stream_window_log(spark: SparkSession, sf_dir: str) -> str:
+    """Drive the REAL watermarked streaming rollup
+    (``streaming.ingest.run_windowed_rollup_stream``) over a
+    deterministic three-epoch file stream of the events fixture, at
+    most once per testdata generation.  The build refuses to complete
+    unless the late-data policy is NON-VACUOUS on this data: at least
+    one straggler must be genuinely dropped (window already closed) and
+    at least one kept (late but inside the watermark), and no window
+    boundary may tie a watermark exactly (ties would make the ≤/<
+    emission edge engine-dependent)."""
+    import datetime as _dt
+    import glob as _glob
+    import os
+    import shutil
+
+    from ..streaming.ingest import run_windowed_rollup_stream
+    from .fixture_roots import ensure_built
+
+    def build(staging: str) -> None:
+        ev = _events(spark, sf_dir)
+        d0, dmax = ev.agg(
+            F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+        ).first()
+        nd = (dmax - d0).days + 1
+        tagged = ev.withColumn("__d0", F.lit(d0)).withColumn(
+            "__nd", F.lit(nd)
+        ).withColumn("__epoch", _stream_epoch_col())
+        src = os.path.join(staging, "src")
+        os.makedirs(src)
+        out = os.path.join(staging, "log")
+        ckpt = os.path.join(staging, "ckpt")
+        # watermarks require TIMESTAMP (not NTZ); the session is pinned
+        # to UTC, so the cast preserves every wall-clock value
+        schema = (
+            ev.select(
+                F.col("ts").cast("timestamp").alias("ts"),
+                "event_type",
+                "value",
+            ).schema
+        )
+
+        def drain() -> None:
+            run_windowed_rollup_stream(
+                spark.readStream.schema(schema).parquet(src),
+                out_path=out,
+                checkpoint_path=ckpt,
+                watermark=f"{_STREAM_WATERMARK_DAYS} days",
+            )
+
+        wms: list = []  # watermark AFTER each epoch's drain
+        for e in range(_STREAM_EPOCHS):
+            part_dir = os.path.join(staging, f"_epoch{e}")
+            sliced = tagged.where(F.col("__epoch") == e).select(
+                F.col("ts").cast("timestamp").alias("ts"),
+                "event_type",
+                "value",
+            )
+            sliced.coalesce(1).write.parquet(part_dir)
+            parts = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
+            if len(parts) != 1:
+                raise RuntimeError(f"epoch {e} of the stream fixture is empty")
+            os.rename(parts[0], os.path.join(src, f"epoch{e}.parquet"))
+            shutil.rmtree(part_dir, ignore_errors=True)
+            drain()
+            # running watermark (1-row anchor per epoch, 3 total)
+            mx = spark.read.parquet(src).agg(F.max("ts")).first()[0]
+            wms.append(
+                mx - _dt.timedelta(days=_STREAM_WATERMARK_DAYS)
+            )
+        # non-vacuity + no-tie guards: stragglers are ~1/{mod} of the
+        # fixture (bounded, build-only collect of two columns)
+        stragglers = tagged.where(
+            (F.col("event_id") % _STREAM_STRAGGLER_MOD == 0)
+            & (
+                F.col("__epoch")
+                > F.expr(
+                    f"(({_STREAM_EPOCHS} * datediff(to_date(ts), __d0))"
+                    " div __nd)"
+                )
+            )
+        ).select(
+            (F.date_trunc("day", "ts") + F.expr("interval 1 day")).alias(
+                "we"
+            ),
+            F.col("__epoch").alias("ep"),
+        )
+        n_drop = n_keep = 0
+        for r in stragglers.collect():
+            if r.we <= wms[r.ep - 1]:
+                n_drop += 1
+            elif r.we <= wms[-1]:
+                n_keep += 1
+        if n_drop == 0 or n_keep == 0:
+            raise RuntimeError(
+                f"late-data fixture vacuous: dropped={n_drop} kept={n_keep}"
+            )
+        ends = {
+            r[0]
+            for r in tagged.select(
+                F.date_trunc("day", "ts") + F.expr("interval 1 day")
+            )
+            .distinct()
+            .collect()
+        }
+        if any(wm in ends for wm in wms):
+            raise RuntimeError(
+                "fixture degenerate: watermark ties a window end"
+            )
+        # a replay drain with no new data must be a byte-level no-op
+        before = sorted(
+            os.path.basename(p)
+            for p in _glob.glob(os.path.join(out, "**", "*"), recursive=True)
+        )
+        drain()
+        after = sorted(
+            os.path.basename(p)
+            for p in _glob.glob(os.path.join(out, "**", "*"), recursive=True)
+        )
+        if before != after:
+            raise RuntimeError("stream-window replay drain was not a no-op")
+        # the native streaming parquet sink writes a _spark_metadata log
+        # of ABSOLUTE paths, which the ensure_built staging→root rename
+        # would orphan; the exactly-once/no-op property was pinned above,
+        # so the committed artifact is a plain parquet directory (drop
+        # the sink metadata and the checkpoint with it — no drain ever
+        # runs against the renamed root)
+        shutil.rmtree(os.path.join(out, "_spark_metadata"), ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    return ensure_built(_stream_window_root(sf_dir), "_LOG_COMPLETE", build)
+
+
+def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark late-data policy itself, hash-checked: the parquet
+    log appended by the REAL checkpointed streaming rollup over a
+    three-epoch event stream with deterministic stragglers — windows
+    emitted exactly when the advancing watermark closed them, late rows
+    inside the watermark folded in, late rows beyond it dropped.  The
+    oracle replays the engine's documented policy in SQL (row survives
+    iff its window end is above the PREVIOUS epoch's watermark; the log
+    holds windows at or below the final watermark), so a semantic drift
+    in the streaming path — wrong filter timing, missed eviction, a
+    double-emit on replay — fails the hash, not a pytest assertion.
+    Steady-state plan: a scan of a few-rows-per-window log + one sort;
+    the stream itself keeps O(open windows × keys) state."""
+    import os
+
+    root = _ensure_stream_window_log(spark, sf_dir)
+    log = spark.read.parquet(os.path.join(root, "log"))
+    return log.select("day", "event_type", "n_events", "sum_value").orderBy(
+        "day", "event_type"
+    )
+
+
+_STREAM_LATE_SQL = f"""
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS d0,
+         date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1
+           AS nd
+  FROM events),
+tagged AS (
+  SELECT e.ts, e.event_type, e.value,
+         date_trunc('day', e.ts) + INTERVAL 1 DAY AS we,
+         least({_STREAM_EPOCHS - 1},
+               ({_STREAM_EPOCHS} * date_diff('day', b.d0, CAST(e.ts AS DATE)))
+                 // b.nd
+               + CASE WHEN e.event_id % {_STREAM_STRAGGLER_MOD} = 0
+                      THEN 1 ELSE 0 END) AS epoch
+  FROM events e, bounds b),
+wms AS (
+  SELECT epoch,
+         max(mx) OVER (ORDER BY epoch)
+           - INTERVAL {_STREAM_WATERMARK_DAYS} DAY AS wm
+  FROM (SELECT epoch, max(ts) AS mx FROM tagged GROUP BY epoch)),
+survived AS (
+  SELECT t.* FROM tagged t
+  LEFT JOIN wms p ON p.epoch = t.epoch - 1
+  WHERE p.wm IS NULL OR t.we > p.wm)
+SELECT CAST(date_trunc('day', s.ts) AS DATE) AS day, s.event_type,
+       count(*) AS n_events, round(sum(s.value), 4) AS sum_value
+FROM survived s, (SELECT max(wm) AS wmf FROM wms) f
+WHERE s.we <= f.wmf
+GROUP BY 1, 2
+"""
+
+
 # -- semi-structured: JSON property extraction + aggregate --------------------
 
 
@@ -1456,6 +1676,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_moving_avg": QueryDef(q_moving_avg, _MOVING_SQL),
     "q_rollup_pricing": QueryDef(q_rollup_pricing, _ROLLUP_SQL),
     "q_daily_rollup": QueryDef(q_daily_rollup, _DAILY_SQL),
+    "q_stream_late_data": QueryDef(q_stream_late_data, _STREAM_LATE_SQL),
     "q_json_props": QueryDef(q_json_props, _JSON_SQL),
     "q_set_ops": QueryDef(q_set_ops, _SET_SQL),
     "q_percentiles": QueryDef(q_percentiles, _PCT_SQL),

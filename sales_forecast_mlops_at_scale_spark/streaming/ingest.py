@@ -384,6 +384,56 @@ def session_rollup(
     )
 
 
+def run_windowed_rollup_stream(
+    source: DataFrame,
+    *,
+    out_path: str,
+    checkpoint_path: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: Sequence[str] = ("event_type",),
+    watermark: str = "2 days",
+    available_now: bool = True,
+) -> None:
+    """The watermarked daily rollup as a SERVICE: drain a checkpointed
+    event-time stream through :func:`windowed_daily_rollup` in APPEND
+    mode to a parquet log — each drain appends exactly the windows the
+    advancing watermark closed, late rows for already-closed windows
+    are dropped by the engine, and still-open windows stay in state.
+
+    This is the operator family the batch twin (``q_daily_rollup``)
+    cannot exercise: the late-data policy itself.  Semantics pinned by
+    the ``q_stream_late_data`` oracle: a row in micro-batch ``b``
+    survives iff its window end is above the watermark AFTER batch
+    ``b−1`` (Spark filters against the previous batch's watermark), and
+    the final log holds exactly the windows whose end is at or below
+    the final watermark, aggregated over surviving rows.  Exactly-once:
+    the append sink is checkpoint-coupled, so a replay drain with no
+    new data appends nothing (byte-level no-op, pinned in the fixture
+    build).
+
+    Scale: state is O(open windows × keys) — the watermark bounds it by
+    eviction; the appended log is a few rows per closed window."""
+    rolled = windowed_daily_rollup(
+        source,
+        ts_col=ts_col,
+        value_col=value_col,
+        keys=list(keys),
+        watermark=watermark,
+    )
+    writer = (
+        rolled.coalesce(1)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .format("parquet")
+        .option("path", out_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    query.awaitTermination()
+
+
 def interval_attribution_join(
     left: DataFrame,
     right: DataFrame,

@@ -2276,3 +2276,81 @@ def test_drift_monitor_stream_per_batch_rows_and_idempotent_replay(
     drain()  # restart with no new data
     after = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert before == after
+
+
+def test_windowed_rollup_stream_late_data_policy(spark, tmp_path):
+    """Hand-computed watermark semantics through the REAL service
+    (run_windowed_rollup_stream, append mode, three drains):
+
+    - epoch 0: rows Jan-1 10:00 (w→Jan-2) and Jan-3 09:00 (w→Jan-4);
+      nothing emits in the first batch (the watermark starts at 0 and
+      only takes effect from the next batch's filter/eviction flush).
+    - epoch 1: Jan-1 11:00 arrives for the ALREADY-CLOSED Jan-2 window
+      (end ≤ wm after epoch 0 = Jan-2 09:00) → dropped; Jan-2 12:00 is
+      late but its window end (Jan-3) is above that watermark → folded
+      in; Jan-5 08:00 advances the watermark to Jan-4 08:00, closing
+      the Jan-2 (count 1, NOT 2), Jan-3 and Jan-4 windows.
+    - epoch 2: Jan-6 01:00 leaves every remaining window open
+      (wm Jan-5 01:00) — the sink gains nothing, and a replay drain
+      with no new data appends nothing (exactly-once)."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sales_forecast_mlops_at_scale_spark.streaming.ingest import (
+        run_windowed_rollup_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ck = str(tmp_path / "log"), str(tmp_path / "ck")
+    epochs = [
+        [("2024-01-01 10:00:00", "a", 1.0), ("2024-01-03 09:00:00", "a", 2.0)],
+        [
+            ("2024-01-01 11:00:00", "a", 4.0),
+            ("2024-01-02 12:00:00", "a", 8.0),
+            ("2024-01-05 08:00:00", "a", 16.0),
+        ],
+        [("2024-01-06 01:00:00", "a", 32.0)],
+    ]
+
+    def drain():
+        s = spark.readStream.schema("ts string, k string, v double").json(
+            str(src)
+        )
+        run_windowed_rollup_stream(
+            s.select(F.col("ts").cast("timestamp").alias("ts"), "k", "v"),
+            out_path=out,
+            checkpoint_path=ck,
+            value_col="v",
+            keys=["k"],
+            watermark="1 day",
+        )
+
+    def sink():
+        try:
+            return sorted(
+                (str(r.day), r.k, r.n_events, r.sum_value)
+                for r in spark.read.parquet(out).collect()
+            )
+        except Exception:
+            return []
+
+    for i, rows in enumerate(epochs):
+        (src / f"e{i}.json").write_text(
+            "\n".join(
+                _json.dumps({"ts": ts, "k": k, "v": v}) for ts, k, v in rows
+            )
+            + "\n"
+        )
+        drain()
+    want = [
+        ("2024-01-01", "a", 1, 1.0),  # late 4.0 dropped: window was closed
+        ("2024-01-02", "a", 1, 8.0),  # late-but-within: folded in
+        ("2024-01-03", "a", 1, 2.0),
+    ]
+    assert sink() == want
+    before = sink()
+    drain()  # replay with no new data: appends nothing
+    assert sink() == before

@@ -17,7 +17,8 @@ TOP = [
     "q_erasure_audit", "q_index_drift", "q_adaptive_salted_join",
     "q_feature_matrix", "q_k_anonymity", "q_decayed_counts",
     "q_model_compare", "q_psi_drift", "q_conformal_intervals",
-    "q_mondrian_conformal",
+    "q_mondrian_conformal", "q_drift_log", "q_group_skew", "q_index_retrain",
+    "q_retrain_decision",
 ]
 NOTES = {
     "q_dedup_clusters": "MinHash-LSH pairs (persisted shingle sets, banded bucket join) feed min-label propagation; four steps + one pointer-doubling shortcut per burst ending in one lazy checkpoint whose materialization rides the convergence count; in-burst convergence detection finishes shallow graphs in ONE driver action; deep graphs escalate to large-star/small-star contraction (O(log^2 n) rounds, diameter-independent); edges pinned once.",
@@ -53,19 +54,23 @@ NOTES = {
     "q_cms_heavy": "Depth x width sketch as one grouped sum per (row,col) cell - map-side combinable grid, heavy-hitter probe reads the broadcast sketch; bounded state regardless of key cardinality.",
     "q_mondrian_conformal": "The weekday-conditional variant rides the SAME single-shuffle sorted-group-map pass; the per-class partitioning happens inside the kernel (numpy mask per weekday), so conditioning costs zero extra shuffles - 7 classes or 700 would plan identically.",
     "q_conformal_intervals": "Split-conformal calibration as the SAME single-shuffle sorted-group-map shape as the trainer: per group the kernel sorts a few-hundred-element residual vector executor-side; nothing but one summary row per group leaves the worker. The coverage audit on the held-out fold rides the same pass.",
-    "q_model_compare": "Champion/challenger CV bake-off as ONE sorted-group-map job: the series shuffles once (the reused REPARTITION_BY_COL exchange), both models fit inside the same Arrow batch visit over identical folds - the challenger costs one numpy mean per fold, not a second pass. Promotion compares the rounded RMSEs both engines share.",
-    "q_psi_drift": "Per feature: a 1-row min/max over the union + a <=10-row bin count, both map-side combinable - the shuffles carry bytes, not data. PSI terms are 1e-6 fixed-point quantized ln (the DSIR discipline); the KS path is exact-integer CDF numerators. Three features = three independent tiny plans unioned.",
+    "q_model_compare": "Three-family CV bake-off as ONE sorted-group-map job: the series shuffles once (the reused REPARTITION_BY_COL exchange); the lag_7 feature challenger is a calendar-RANGE Window riding that same exchange, and the grouped map sorts on an ALIAS of the Window's own day index, so Catalyst elides the second per-partition sort - the executed plan is 1 Exchange / 1 Sort / 1 Window / 1 MapInPandas. All three models fit inside the same Arrow batch visit over identical folds; promotion compares the rounded RMSEs both engines share.",
+    "q_psi_drift": "ALL features unpivoted (stack) into (feature, x) rows, so the whole audit is exactly TWO shared map-side-combinable passes over the union of both windows - one F-row min/max pass and one <=F*(B+2)-row bin-count pass - regardless of feature count (r8 planned ~8 scans per feature; r9 executes 4 parquet scans total = 2 windows x 2 passes, the floor for exact equi-width binning). Window totals and KS cumsums are window sums over the tiny densified bin frame, never a re-aggregation of the un-persisted subtree. PSI terms are 1e-6 fixed-point quantized ln; the KS path is exact-integer CDF numerators.",
     "q_index_drift": "Drift observability over the two-epoch materialized index: reads ONLY the assignments + seed_stats tiers - two tiny groupBy(bucket) hash aggregates (map-side combinable) joined and crossed with a broadcast 1-row totals frame; pure integer ppm arithmetic. The two-epoch index build (train on first half, ingest second half frozen) is digest-memoized OUTSIDE the plan, same convention as the other materialized indexes; the steady-state plan is what a warehouse drift monitor runs per maintenance tick. At 100 TB the scan is bytes per million vectors - vectors and codes never load.",
     "q_adaptive_salted_join": "Probe (TakeOrderedAndProject top-10 key counts + one scalar count) -> ppm threshold -> selective salt: only hot keys fan the build side out x8, cold keys ride salt 0, so the build-side blow-up is O(hot keys), not O(dim rows). Exchange keyed on (user_id, __salt) under a forced shuffle (plan-asserted in tests); result is hash-identical to the plain join (oracle) - the salt never changes semantics, only placement.",
     "q_feature_matrix": "ONE Window operator evaluates ALL five frames (two calendar lags, trailing-28d sum+count, unbounded history count) over ONE Exchange+Sort on the group keys - the same REPARTITION_BY_COL the grouped-map trainer reuses, so feature prep adds zero shuffles to the training pipeline. RANGE frames end at -1 (yesterday): point-in-time correctness is in the frame spec, not in a join.",
     "q_k_anonymity": "All four generalization levels of the QI lattice from ONE Expand + map-side-combined count shuffle (grouping sets); the second aggregate reduces class rows (<= distinct-QI cardinality, never data-scale) to 4 summary rows. Release-audit cost is one scan regardless of lattice width.",
     "q_decayed_counts": "Partial hash agg (map-side combine of the exact shifted-integer numerators) -> one exchange -> TakeOrderedAndProject(50); the anchor is a broadcast 1-row max over a ts-only column-pruned scan. The streaming twin (streaming/decay.py) folds the same integers incrementally - state O(keys x shift), proven bit-equal in tests.",
     "q_erasure_audit": "The governed-copy build (key-clustered write + snapshot-enable + surgical erasure + vacuum) happens ONCE per testdata digest OUTSIDE the query plan (same convention as the materialized ANN index); the recorded plan is the steady state a warehouse audit actually runs - a parquet scan of the erased table into one map-side-combinable hash aggregate. The erasure itself rewrote only the files the IN-list prune + semi-join located (footer-stats pruned on the doc_id clustering the build laid down).",
+    "q_drift_log": "The streaming drift monitor's parquet log read back: steady-state plan is a partition-pruned scan of a few-rows-per-trigger log (batch_id= partitions) + one sort. The log itself was appended by run_drift_monitor over a two-epoch file stream - checkpointed, exactly-once via dynamic partition overwrite (a replay drain is pinned byte-identical during the fixture build) - and the oracle re-derives every row from per-epoch batch PSI SQL, so the monitoring path is hash-checked end-to-end, not only pytest-checked.",
+    "q_group_skew": "Trainer-keyed group-size audit: one groupBy(keys).count (rides the series' partitioning), reduced to a DISTINCT-size histogram (bounded by the max group size, never the group count) before any single-partition window - the exact p50/p99 order statistics and the integer-ppm largest-group share never move data-scale rows. This is the observability for the one bound salting cannot move: a whole-group kernel's slowest task IS the largest group.",
+    "q_index_retrain": "q_index_drift's closure: same assignments+seed_stats-only scan shape, but over the index AFTER the real maintenance tick (maybe_retrain crossed the demo threshold, retrain_index rebuilt quantizers from the full corpus and swapped all five tiers through the crash-healing journal, digest-memoized OUTSIDE the plan). Post-retrain seed_stats IS the live distribution, so the oracle pins drift_ppm = 0 per bucket AND the exact retrained assignment derivation - a stale tier or mixed swap fails the hash.",
+    "q_retrain_decision": "The capstone composition: the unpivoted single-pass PSI audit and the three-family bake-off run as two sub-pipelines reduced to ONE decision row; thresholds compare the exact integer PSI numerator (sum of term_fp longs) and an integer flip ppm - no re-quantized doubles anywhere in the gate.",
 }
 
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")
 reg = all_queries()
-out = ["# Physical-plan audit (round 8)", "",
+out = ["# Physical-plan audit (round 9)", "",
        "Formatted `.explain` output for the most expensive bench queries at",
        "sf0.001, captured after execution (AQE-final plans). Regenerate with",
        "`python tools/dump_plans.py`.", ""]
@@ -80,6 +85,6 @@ for name in TOP:
     if len(lines) > 60:
         out.append(f"... ({len(lines) - 60} more lines)")
     out += ["```", ""]
-open("/root/repo/PLANS_r8.md", "w").write("\n".join(out))
-print("wrote PLANS_r8.md", sum(1 for _ in open('/root/repo/PLANS_r8.md')))
+open("/root/repo/PLANS_r9.md", "w").write("\n".join(out))
+print("wrote PLANS_r9.md", sum(1 for _ in open('/root/repo/PLANS_r9.md')))
 spark.stop()

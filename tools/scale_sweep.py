@@ -82,6 +82,10 @@ QUERIES = [
     "q_conformal_intervals",
     "q_retrain_decision",
     "q_mondrian_conformal",
+    "q_drift_log",
+    "q_group_skew",
+    "q_index_retrain",
+    "q_stream_late_data",
 ]
 
 
