@@ -97,37 +97,75 @@ def _root_lock(root: str):
         return _ROOT_LOCKS.setdefault(os.path.realpath(root), threading.Lock())
 
 
+#: a live-looking owner whose claim mtime is older than this is treated
+#: as a recycled pid (the real writer heartbeats the mtime every
+#: ``_CLAIM_HEARTBEAT_S``, so only a recycled pid — or a writer wedged
+#: this long between two heartbeats — ever ages that far)
+_CLAIM_PIDREUSE_AGE_S = 900.0
+
+#: how often the claim holder touches the claim's mtime
+_CLAIM_HEARTBEAT_S = 60.0
+
+
 def _acquire_claim(root: str, *, timeout_s: float = 600.0):
     """Take the single-writer claim: first the in-process per-root lock
-    (serializes threads), then an exclusive-create pid-tagged file
-    (serializes processes).  If a claim file exists and its owner is a
-    live OTHER process, wait (poll) — never adopt a live writer's claim
-    (the destroy-live-dir scenario the claim exists to prevent).  A
-    claim whose owner is dead — or our own pid, impossible while we hold
-    the thread lock — is an orphan: removed and re-raced (O_EXCL
-    arbitrates).  Returns a handle for :func:`_release_claim`."""
+    (serializes threads), then a pid-tagged claim FILE (serializes
+    processes).  Cross-process hardening (code-review r9 — the O_EXCL +
+    separate-write version had two real races):
+
+    - the claim is minted by ``os.link`` of a fully-written temp file,
+      so it is NEVER visible without its pid payload (a rival can't
+      misread a just-created claim as torn and delete it);
+    - orphans (dead owner, our own leaked pid, legacy torn payloads)
+      are adopted by ATOMIC RENAME to an adopter-unique name — exactly
+      one adopter wins; a loser's rename raises and it re-races
+      (unlink-then-recreate let two adopters both "win", with the
+      slower unlink deleting the faster one's live claim);
+    - a claim whose owner LOOKS alive is left alone below the pid-reuse
+      age bar; the holder heartbeats the claim's mtime from a daemon
+      thread, so only a recycled pid (or a writer wedged longer than
+      the bar between heartbeats) is ever overridden — without the bar
+      a crashed writer whose pid the OS recycled would wedge the root
+      forever.
+
+    Returns a handle for :func:`_release_claim`, which unlinks the
+    claim only if it is still OUR inode (a claim adopted out from under
+    a wedged writer must not take the adopter's live claim with it)."""
     import json
+    import threading
     import time
+    import uuid
 
     lock = _root_lock(root)
     if not lock.acquire(timeout=timeout_s):
         raise TimeoutError(f"decay writer lock busy in-process: {root}")
+    os.makedirs(root, exist_ok=True)
     path = os.path.join(root, _CLAIM)
+    tag = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    tmp = os.path.join(root, f"{_CLAIM}.tmp-{tag}")
     deadline = time.monotonic() + timeout_s
     try:
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(json.dumps({"pid": os.getpid()}))
         while True:
             try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.link(tmp, path)  # atomic mint, payload always present
             except FileExistsError:
+                owner = None
                 try:
                     with open(path, encoding="utf-8") as fh:
                         owner = json.loads(fh.read()).get("pid")
                 except (OSError, ValueError):
-                    owner = None  # torn claim write → treat as orphan
+                    owner = None  # legacy torn claim → adoptable
+                try:
+                    age = time.time() - os.path.getmtime(path)
+                except OSError:
+                    continue  # vanished under us: re-race the mint
                 if (
                     owner is not None
                     and int(owner) != os.getpid()
                     and _pid_alive(int(owner))
+                    and age < _CLAIM_PIDREUSE_AGE_S
                 ):
                     if time.monotonic() > deadline:
                         raise TimeoutError(
@@ -136,24 +174,51 @@ def _acquire_claim(root: str, *, timeout_s: float = 600.0):
                         )
                     time.sleep(0.05)
                     continue
+                adopted = os.path.join(root, f"{_CLAIM}.adopt-{tag}")
                 try:
-                    os.unlink(path)
-                except FileNotFoundError:
+                    os.rename(path, adopted)  # one winner; losers re-race
+                except OSError:
+                    continue
+                try:
+                    os.unlink(adopted)
+                except OSError:
                     pass
                 continue
-            with os.fdopen(fd, "w", encoding="utf-8") as fh:
-                fh.write(json.dumps({"pid": os.getpid()}))
-            return (path, lock)
+            break
+        ino = os.stat(tmp).st_ino
+        os.unlink(tmp)
+        stop = threading.Event()
+
+        def _beat() -> None:
+            while not stop.wait(_CLAIM_HEARTBEAT_S):
+                try:
+                    os.utime(path)
+                except OSError:
+                    return  # claim adopted out from under a wedged run
+
+        beat = threading.Thread(
+            target=_beat, name=f"decay-claim-heartbeat-{tag}", daemon=True
+        )
+        beat.start()
+        return (path, lock, ino, stop)
     except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         lock.release()
         raise
 
 
 def _release_claim(handle) -> None:
-    path, lock = handle
+    path, lock, ino, stop = handle
+    stop.set()
     try:
-        os.unlink(path)
-    except FileNotFoundError:
+        # unlink only OUR claim inode: if a rival adopted our (wedged)
+        # claim and minted its own, that file is theirs, not ours
+        if os.stat(path).st_ino == ino:
+            os.unlink(path)
+    except OSError:
         pass
     finally:
         lock.release()

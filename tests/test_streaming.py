@@ -2354,3 +2354,107 @@ def test_windowed_rollup_stream_late_data_policy(spark, tmp_path):
     before = sink()
     drain()  # replay with no new data: appends nothing
     assert sink() == before
+
+
+def test_decay_claim_adoption_and_liveness_rules(tmp_path, monkeypatch):
+    """Cross-process rules of the hardened writer claim (code-review
+    r9): a claim owned by a LIVE other pid under the pid-reuse bar
+    blocks (TimeoutError, claim intact); the same claim past the bar is
+    adopted; dead-owner and legacy torn claims are adopted immediately;
+    and the claim is minted payload-atomically (no empty-visible
+    window) by hardlink of a pre-written temp file."""
+    import json
+    import os
+    import subprocess
+
+    import pytest as _pytest
+
+    from sales_forecast_mlops_at_scale_spark.streaming import decay
+
+    root = str(tmp_path / "claims")
+    os.makedirs(root)
+    path = os.path.join(root, decay._CLAIM)
+
+    def put_claim(pid, age=0.0):
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(json.dumps({"pid": pid}))
+        if age:
+            old = os.path.getmtime(path) - age
+            os.utime(path, (old, old))
+
+    # (a) live other pid, fresh claim → block, never adopt
+    put_claim(1)
+    with _pytest.raises(TimeoutError, match="held by live pid 1"):
+        decay._acquire_claim(root, timeout_s=0.2)
+    assert os.path.exists(path)
+
+    # (b) live other pid past the pid-reuse bar → adopted (recycled pid)
+    put_claim(1, age=decay._CLAIM_PIDREUSE_AGE_S + 5)
+    h = decay._acquire_claim(root, timeout_s=0.2)
+    assert json.load(open(path))["pid"] == os.getpid()
+    decay._release_claim(h)
+    assert not os.path.exists(path)
+
+    # (c) dead owner → adopted immediately (a really-exited pid)
+    proc = subprocess.Popen(["true"])
+    proc.wait()
+    put_claim(proc.pid)
+    h = decay._acquire_claim(root, timeout_s=0.2)
+    decay._release_claim(h)
+
+    # (d) legacy torn claim (empty payload) → adopted, not crashed on
+    with open(path, "w", encoding="utf-8"):
+        pass
+    h = decay._acquire_claim(root, timeout_s=0.2)
+    decay._release_claim(h)
+    # no stray temp/adopt files leak
+    assert os.listdir(root) == []
+
+
+def test_decay_claim_release_spares_a_rivals_claim(tmp_path):
+    """If a rival adopted our (wedged) claim and minted its own, our
+    release must NOT unlink the rival's live claim — release is guarded
+    by the claim inode, not the path."""
+    import json
+    import os
+
+    from sales_forecast_mlops_at_scale_spark.streaming import decay
+
+    root = str(tmp_path / "inode")
+    os.makedirs(root)
+    path = os.path.join(root, decay._CLAIM)
+    h = decay._acquire_claim(root, timeout_s=0.2)
+    # simulate the adoption: rival renames our claim away and mints its own
+    os.rename(path, path + ".adopt-rival")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(json.dumps({"pid": 1}))
+    decay._release_claim(h)
+    assert os.path.exists(path)  # the rival's claim survived our release
+    assert json.load(open(path))["pid"] == 1
+    os.unlink(path)
+    os.unlink(path + ".adopt-rival")
+
+
+def test_decay_claim_heartbeat_touches_mtime(tmp_path, monkeypatch):
+    """The holder heartbeats the claim mtime, so a LONG fold is never
+    mistaken for a recycled pid by the age bar."""
+    import os
+    import time
+
+    from sales_forecast_mlops_at_scale_spark.streaming import decay
+
+    monkeypatch.setattr(decay, "_CLAIM_HEARTBEAT_S", 0.05)
+    root = str(tmp_path / "beat")
+    os.makedirs(root)
+    path = os.path.join(root, decay._CLAIM)
+    h = decay._acquire_claim(root, timeout_s=0.2)
+    try:
+        m0 = os.path.getmtime(path)
+        # age the file artificially; the heartbeat must re-touch it
+        os.utime(path, (m0 - 100, m0 - 100))
+        deadline = time.time() + 5
+        while os.path.getmtime(path) < m0 - 50 and time.time() < deadline:
+            time.sleep(0.05)
+        assert os.path.getmtime(path) >= m0 - 50
+    finally:
+        decay._release_claim(h)
