@@ -97,16 +97,31 @@ def dsir_weights(
     """
     t_hist = _bucket_counts(target, text_col, n_buckets)
     r_hist = _bucket_counts(raw, text_col, n_buckets)
-    t_tot = t_hist.agg(F.sum("c").cast("long").alias("st"))
-    r_tot = r_hist.agg(F.sum("c").cast("long").alias("sr"))
-
-    # LUT over buckets present in the RAW pool (a probed bucket always
-    # has raw support; target-only buckets are unreachable by probes).
+    # Corpus totals as UNBOUNDED-WINDOW sums over the ≤n_buckets-row
+    # histograms — never `hist.agg(...)` crossJoined back onto the same
+    # un-persisted frame, which makes Catalyst evaluate the whole
+    # tokenize+histogram subtree twice per corpus (the psi_report r8
+    # defect class; caught here by tools/scan_audit.py).  The full outer
+    # join + max-densify carries each side's total onto every row even
+    # when the bucket sets barely overlap; the LUT then keeps only
+    # raw-supported buckets (a probed bucket always has raw support;
+    # target-only buckets are unreachable by probes).
+    w_all = Window.partitionBy()
+    t2 = t_hist.select(
+        "b",
+        F.col("c").alias("ct"),
+        F.sum("c").over(w_all).cast("long").alias("st"),
+    )
+    r2 = r_hist.select(
+        "b",
+        F.col("c").alias("cr"),
+        F.sum("c").over(w_all).cast("long").alias("sr"),
+    )
     lut = (
-        r_hist.withColumnRenamed("c", "cr")
-        .join(t_hist.withColumnRenamed("c", "ct"), "b", "left")
-        .crossJoin(F.broadcast(t_tot))
-        .crossJoin(F.broadcast(r_tot))
+        r2.join(t2, "b", "full")
+        .withColumn("st", F.max("st").over(w_all))
+        .withColumn("sr", F.max("sr").over(w_all))
+        .where(F.col("cr").isNotNull())
     )
     # Mirrors the oracle token-for-token: two correctly-rounded divisions,
     # one division of the results, ln, then half-up fixed-point quantize.
@@ -190,32 +205,67 @@ def lm_quality_score(
     Output: ``doc_id, n_bigrams, avg_nll`` for every raw doc.
     """
     t_bg = _bigram_stream(target, text_col, n_buckets)
+    # ONE target pass: the context counts are the per-pb SUM of the
+    # bigram histogram (Σ_cb c(pb,cb) ≡ c(pb)), so deriving them from
+    # the ≤B²-row histogram instead of a second groupBy over t_bg keeps
+    # Catalyst from evaluating the whole target tokenize+pair subtree
+    # twice (the psi_report r8 defect class; tools/scan_audit.py).
     bg_hist = t_bg.groupBy("pb", "cb").agg(F.count(F.lit(1)).alias("cbg"))
-    ctx_hist = t_bg.groupBy("pb").agg(F.count(F.lit(1)).alias("cctx"))
+    # ≤B² aggregated rows feeding TWO consumers (cell LUT + pb-default
+    # LUT) — pinned in a plan-keyed slot so the target pass runs once,
+    # not once per consumer
+    from ...cache import persist_slot
 
-    probes = _bigram_stream(raw, text_col, n_buckets).groupBy("pb", "cb").agg(
-        F.count(F.lit(1)).alias("n")
+    with_ctx = persist_slot(
+        "importance.lm.bigram_hist",
+        bg_hist.withColumn(
+            "cctx", F.sum("cbg").over(Window.partitionBy("pb"))
+        ),
     )
-    # LUT restricted to bigram cells the raw pool actually uses: ≤ its
-    # distinct bigram count, independent of corpus size
-    lut = (
-        probes.select("pb", "cb")
-        .join(bg_hist, ["pb", "cb"], "left")
-        .join(ctx_hist, "pb", "left")
+
+    # Smoothing decomposes into three broadcast tiers instead of a
+    # probe-restricted LUT (which cost a SECOND full raw tokenize+pair
+    # pass just to enumerate the probed cells):
+    #   cell in target:            p = (cbg+1)/(cctx+B)   → bg LUT (≤B²)
+    #   pb in target, cb unseen:   p = 1/(cctx+B)         → pb LUT (≤B)
+    #   pb unseen:                 p = 1/B                → one constant
+    # — identical arithmetic to the joined formula, cell by cell.
+    def _nll(p: Column) -> Column:
+        return F.floor(-F.log(p) * F.lit(DSIR_FP) + F.lit(0.5)).cast("long")
+
+    bg_lut = with_ctx.select(
+        "pb",
+        "cb",
+        _nll(
+            (F.col("cbg") + F.lit(1.0))
+            / (F.col("cctx") + F.lit(float(n_buckets)))
+        ).alias("nll_fp"),
     )
-    p = (F.coalesce(F.col("cbg"), F.lit(0)) + F.lit(1.0)) / (
-        F.coalesce(F.col("cctx"), F.lit(0)) + F.lit(float(n_buckets))
+    pb_lut = (
+        with_ctx.groupBy("pb")
+        .agg(F.max("cctx").alias("cctx"))
+        .select(
+            "pb",
+            _nll(
+                F.lit(1.0) / (F.col("cctx") + F.lit(float(n_buckets)))
+            ).alias("nll0_fp"),
+        )
     )
-    nll_fp = F.floor(-F.log(p) * F.lit(DSIR_FP) + F.lit(0.5)).cast("long")
-    lut = lut.select("pb", "cb", nll_fp.alias("nll_fp"))
+    # the pb-unseen constant folds JVM-side (same ln as every other cell)
+    g_fp = _nll(F.lit(1.0) / F.lit(float(n_buckets)))
 
     doc_bg = _bigram_stream(raw, text_col, n_buckets)
     scored = (
-        doc_bg.join(F.broadcast(lut), ["pb", "cb"])
+        doc_bg.join(F.broadcast(bg_lut), ["pb", "cb"], "left")
+        .join(F.broadcast(pb_lut), "pb", "left")
+        .withColumn(
+            "__nll",
+            F.coalesce(F.col("nll_fp"), F.col("nll0_fp"), g_fp),
+        )
         .groupBy("doc")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("nll_fp").alias("s_fp"),
+            F.sum("__nll").alias("s_fp"),
         )
     )
     ids = raw.select(F.col("doc_id").alias("doc"))

@@ -40,13 +40,19 @@ def scd2_merge(
 
     ``current`` must carry exactly one OPEN row per key (valid_to NULL) —
     closed history rows pass through untouched.  Updates equal to the
-    current attributes are no-ops.  One broadcast-or-shuffle join on the
-    key; no windows, no history rescan.
+    current attributes are no-ops.
+
+    Plan shape: ONE broadcast-or-shuffle join on the key (closed rows
+    ride it unmatched — ``valid_to IS NULL`` is part of the join
+    condition, so history never joins), then each joined row EXPLODES
+    into its one-or-two output rows (kept as-is, or closed + new
+    version).  The earlier filter-three-ways-and-union formulation
+    re-evaluated the un-persisted join per branch — at dimension scale
+    that scanned ``current`` ~6× instead of once (caught by
+    tools/scan_audit.py, the psi_report r8 defect class).
     """
     key = list(key)
     attrs = list(attrs)
-    open_rows = current.filter(F.col(valid_to).isNull())
-    closed_rows = current.filter(F.col(valid_to).isNotNull())
 
     u = updates.select(
         *[F.col(c).alias(f"__u_{c}") for c in key],
@@ -56,35 +62,46 @@ def scd2_merge(
     import functools
     import operator
 
-    cond = [F.col(c) == F.col(f"__u_{c}") for c in key]
+    # only OPEN rows can match an update; closed history falls through
+    # the left join unmatched instead of being split off by a 2nd scan
+    cond = [F.col(c) == F.col(f"__u_{c}") for c in key] + [
+        F.col(valid_to).isNull()
+    ]
     # null-safe change detection: a NULL attr differing from a value IS a
     # change (plain != would yield NULL and silently drop the update)
     any_change = functools.reduce(
         operator.or_,
         [~F.col(f"__u_{a}").eqNullSafe(F.col(a)) for a in attrs],
     )
-    joined = open_rows.join(u, cond, "left")
+    joined = current.join(u, cond, "left")
 
-    kept_open = joined.filter(F.col("__u_eff").isNull() | ~any_change).select(
-        *current.columns
-    )
-    newly_closed = (
-        joined.filter(F.col("__u_eff").isNotNull() & any_change)
-        .withColumn(valid_to, F.col("__u_eff"))
-        .select(*current.columns)
-    )
-    new_versions = (
-        joined.filter(F.col("__u_eff").isNotNull() & any_change)
-        .select(
-            *[F.col(c) for c in key],
-            *[F.col(f"__u_{a}").alias(a) for a in attrs],
-            F.col("__u_eff").alias(valid_from),
-            F.lit(None).cast(joined.schema[valid_to].dataType).alias(valid_to),
+    cols = list(current.columns)
+    to_type = joined.schema[valid_to].dataType
+
+    def _struct(overrides: dict) -> F.Column:
+        return F.struct(
+            *[overrides.get(c, F.col(c)).alias(c) for c in cols]
         )
-        .select(*current.columns)
+
+    kept = _struct({})  # closed history + unchanged/no-update open rows
+    closed = _struct({valid_to: F.col("__u_eff")})
+    new_version = _struct(
+        {
+            **{a: F.col(f"__u_{a}") for a in attrs},
+            valid_from: F.col("__u_eff"),
+            valid_to: F.lit(None).cast(to_type),
+        }
     )
-    return closed_rows.unionByName(kept_open).unionByName(newly_closed).unionByName(
-        new_versions
+    change = F.col("__u_eff").isNotNull() & any_change
+    return (
+        joined.select(
+            F.explode(
+                F.when(change, F.array(closed, new_version)).otherwise(
+                    F.array(kept)
+                )
+            ).alias("__r")
+        )
+        .select("__r.*")
     )
 
 
