@@ -60,6 +60,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_rollup_pricing",
     "q_daily_rollup",
     "q_stream_late_data",
+    "q_stream_dedup",
     "q_sliding_rollup",
     "q_json_props",
     "q_funnel",

@@ -420,6 +420,224 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: watermark delay (days) for the streaming-dedup fixture
+_DEDUP_WM_DAYS = 2
+
+
+def _stream_dedup_root(sf_dir: str) -> str:
+    import os
+
+    from .fixture_roots import digest_root
+
+    return digest_root(
+        "sfspark_stream_dedup_log",
+        [os.path.join(sf_dir, "events.parquet")],
+        [_STREAM_EPOCHS, _DEDUP_WM_DAYS],
+    )
+
+
+def _ensure_stream_dedup_log(spark: SparkSession, sf_dir: str) -> str:
+    """Drive ``dropDuplicatesWithinWatermark`` (via
+    ``streaming.ingest.run_dedup_stream``) over a deterministic
+    three-epoch stream of each user's FIRST event per time-third —
+    exactly one row per (user, epoch), so within-batch tie order can
+    never pick a different winner.  Cross-epoch rows of one user are
+    the duplicates under test: dropped while the key's state lives
+    (first emission's ts + delay vs the previous epoch's watermark),
+    re-emitted after eviction.  Build guards: non-vacuous (≥1 duplicate
+    dropped AND ≥1 key re-emitted after expiry), no expiry/watermark
+    ties, replay drain a byte-level no-op."""
+    import datetime as _dt
+    import glob as _glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window as W
+
+    from ..streaming.ingest import run_dedup_stream
+    from .fixture_roots import ensure_built
+
+    def build(staging: str) -> None:
+        ev = _events(spark, sf_dir)
+        d0, dmax = ev.agg(
+            F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+        ).first()
+        nd = (dmax - d0).days + 1
+        epoch = F.least(
+            F.lit(_STREAM_EPOCHS - 1),
+            F.expr(
+                f"({_STREAM_EPOCHS} * datediff(to_date(ts),"
+                f" DATE '{d0}')) div {nd}"
+            ),
+        )
+        firsts = (
+            ev.withColumn("__epoch", epoch)
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    W.partitionBy("user_id", "__epoch").orderBy(
+                        "ts", "event_id"
+                    )
+                ),
+            )
+            .where(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                F.col("ts").cast("timestamp").alias("ts"),
+                "value",
+                "__epoch",
+            )
+        )
+        src = os.path.join(staging, "src")
+        os.makedirs(src)
+        out = os.path.join(staging, "log")
+        ckpt = os.path.join(staging, "ckpt")
+        schema = firsts.drop("__epoch").schema
+
+        def drain() -> None:
+            run_dedup_stream(
+                spark.readStream.schema(schema).parquet(src),
+                out_path=out,
+                checkpoint_path=ckpt,
+                keys=["user_id"],
+                watermark=f"{_DEDUP_WM_DAYS} days",
+            )
+
+        wms: list = []
+        for e in range(_STREAM_EPOCHS):
+            part_dir = os.path.join(staging, f"_epoch{e}")
+            firsts.where(F.col("__epoch") == e).drop("__epoch").coalesce(
+                1
+            ).write.parquet(part_dir)
+            parts = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
+            if len(parts) != 1:
+                raise RuntimeError(f"dedup epoch {e} fixture is empty")
+            os.rename(parts[0], os.path.join(src, f"epoch{e}.parquet"))
+            shutil.rmtree(part_dir, ignore_errors=True)
+            drain()
+            mx = spark.read.parquet(src).agg(F.max("ts")).first()[0]
+            wms.append(mx - _dt.timedelta(days=_DEDUP_WM_DAYS))
+        # guards over the tiny per-user pivot (≤1 row per user)
+        delta = _dt.timedelta(days=_DEDUP_WM_DAYS)
+        piv = (
+            firsts.groupBy("user_id")
+            .pivot("__epoch", list(range(_STREAM_EPOCHS)))
+            .agg(F.max("ts"))
+        ).collect()
+        n_drop = n_reemit = 0
+        edges: set = set()
+        for r in piv:
+            t0, t1, t2 = r["0"], r["1"], r["2"]
+            for t in (t0, t1):
+                if t is not None:
+                    edges.add(t + delta)
+            emit1 = t1 is not None and (t0 is None or t0 + delta < wms[0])
+            if t1 is not None and not emit1:
+                n_drop += 1
+            last = t1 if emit1 else t0
+            if t2 is not None and last is not None and last + delta < wms[1]:
+                n_reemit += 1
+        if n_drop == 0 or n_reemit == 0:
+            raise RuntimeError(
+                f"dedup fixture vacuous: dropped={n_drop} reemit={n_reemit}"
+            )
+        if any(wm in edges for wm in wms):
+            raise RuntimeError("dedup fixture degenerate: expiry ties a watermark")
+        before = sorted(
+            os.path.basename(p)
+            for p in _glob.glob(os.path.join(out, "**", "*"), recursive=True)
+        )
+        drain()
+        after = sorted(
+            os.path.basename(p)
+            for p in _glob.glob(os.path.join(out, "**", "*"), recursive=True)
+        )
+        if before != after:
+            raise RuntimeError("dedup replay drain was not a no-op")
+        shutil.rmtree(os.path.join(out, "_spark_metadata"), ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    return ensure_built(_stream_dedup_root(sf_dir), "_LOG_COMPLETE", build)
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` itself, hash-checked: the
+    parquet log of the real checkpointed dedup stream over three
+    deterministic epochs (one row per user per epoch).  The oracle
+    unrolls the engine's state machine in SQL — first survivor per key
+    emits and pins the expiry at its event time + delay, duplicates
+    drop WITHOUT extending it (probed empirically), eviction compares
+    the expiry against the PREVIOUS epoch's watermark, an evicted key
+    re-emits.  Wrong filter timing, an expiry refresh, a missed
+    eviction, or a replay double-emit all fail the hash.  Stream state
+    is O(live keys) bounded by the watermark horizon — the contract
+    that makes stream-side dedup viable at ingest scale."""
+    import os
+
+    root = _ensure_stream_dedup_log(spark, sf_dir)
+    log = spark.read.parquet(os.path.join(root, "log"))
+    return log.select("user_id", "ts", "value").orderBy("user_id", "ts")
+
+
+_STREAM_DEDUP_SQL = f"""
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS d0,
+         date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1
+           AS nd
+  FROM events),
+firsts AS (
+  SELECT user_id, ts, value, epoch FROM (
+    SELECT e.user_id, e.ts, e.value,
+           least({_STREAM_EPOCHS - 1},
+                 ({_STREAM_EPOCHS} * date_diff('day', b.d0,
+                                               CAST(e.ts AS DATE))) // b.nd)
+             AS epoch,
+           row_number() OVER (
+             PARTITION BY e.user_id,
+               least({_STREAM_EPOCHS - 1},
+                     ({_STREAM_EPOCHS} * date_diff('day', b.d0,
+                                                   CAST(e.ts AS DATE)))
+                       // b.nd)
+             ORDER BY e.ts, e.event_id) AS rn
+    FROM events e, bounds b)
+  WHERE rn = 1),
+wms AS (
+  SELECT epoch,
+         max(mx) OVER (ORDER BY epoch)
+           - INTERVAL {_DEDUP_WM_DAYS} DAY AS wm
+  FROM (SELECT epoch, max(ts) AS mx FROM firsts GROUP BY epoch)),
+piv AS (
+  SELECT user_id,
+         max(CASE WHEN epoch = 0 THEN ts END) AS t0,
+         max(CASE WHEN epoch = 1 THEN ts END) AS t1,
+         max(CASE WHEN epoch = 2 THEN ts END) AS t2,
+         max(CASE WHEN epoch = 0 THEN value END) AS v0,
+         max(CASE WHEN epoch = 1 THEN value END) AS v1,
+         max(CASE WHEN epoch = 2 THEN value END) AS v2
+  FROM firsts GROUP BY user_id),
+flags AS (
+  SELECT p.*,
+         (t1 IS NOT NULL AND (t0 IS NULL
+            OR t0 + INTERVAL {_DEDUP_WM_DAYS} DAY < w0.wm)) AS emit1
+  FROM piv p, (SELECT wm FROM wms WHERE epoch = 0) w0),
+flags2 AS (
+  SELECT f.*,
+         (t2 IS NOT NULL AND (
+            CASE WHEN emit1 THEN t1 + INTERVAL {_DEDUP_WM_DAYS} DAY < w1.wm
+                 WHEN t0 IS NOT NULL
+                   THEN t0 + INTERVAL {_DEDUP_WM_DAYS} DAY < w1.wm
+                 ELSE TRUE END)) AS emit2
+  FROM flags f, (SELECT wm FROM wms WHERE epoch = 1) w1)
+SELECT user_id, ts, value FROM (
+  SELECT user_id, t0 AS ts, v0 AS value FROM flags2 WHERE t0 IS NOT NULL
+  UNION ALL
+  SELECT user_id, t1, v1 FROM flags2 WHERE emit1
+  UNION ALL
+  SELECT user_id, t2, v2 FROM flags2 WHERE emit2)
+ORDER BY user_id, ts
+"""
+
+
 _STREAM_LATE_SQL = f"""
 WITH bounds AS (
   SELECT CAST(min(ts) AS DATE) AS d0,
@@ -1677,6 +1895,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_rollup_pricing": QueryDef(q_rollup_pricing, _ROLLUP_SQL),
     "q_daily_rollup": QueryDef(q_daily_rollup, _DAILY_SQL),
     "q_stream_late_data": QueryDef(q_stream_late_data, _STREAM_LATE_SQL),
+    "q_stream_dedup": QueryDef(q_stream_dedup, _STREAM_DEDUP_SQL),
     "q_json_props": QueryDef(q_json_props, _JSON_SQL),
     "q_set_ops": QueryDef(q_set_ops, _SET_SQL),
     "q_percentiles": QueryDef(q_percentiles, _PCT_SQL),

@@ -434,6 +434,43 @@ def run_windowed_rollup_stream(
     query.awaitTermination()
 
 
+def run_dedup_stream(
+    source: DataFrame,
+    *,
+    out_path: str,
+    checkpoint_path: str,
+    keys: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 day",
+    available_now: bool = True,
+) -> None:
+    """:func:`streaming_dedup` as a SERVICE: drain a checkpointed stream
+    through ``dropDuplicatesWithinWatermark`` in append mode to a
+    parquet log.  Engine semantics pinned by the ``q_stream_dedup``
+    oracle (and probed empirically): the FIRST surviving row per key is
+    emitted and sets the key's state expiry to ``event_time +
+    watermark``; later duplicates are dropped WITHOUT extending the
+    expiry; the state is evicted once the watermark (from the previous
+    batch — the same one-batch lag as every watermark consumer) passes
+    the expiry, after which the key re-emits.  State is O(live keys),
+    bounded by the watermark horizon — the scale contract that makes
+    stream-side dedup viable at 100 TB/day ingest."""
+    deduped = streaming_dedup(
+        source, keys=list(keys), ts_col=ts_col, watermark=watermark
+    )
+    writer = (
+        deduped.coalesce(1)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .format("parquet")
+        .option("path", out_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    query.awaitTermination()
+
+
 def interval_attribution_join(
     left: DataFrame,
     right: DataFrame,

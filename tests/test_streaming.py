@@ -2458,3 +2458,59 @@ def test_decay_claim_heartbeat_touches_mtime(tmp_path, monkeypatch):
         assert os.path.getmtime(path) >= m0 - 50
     finally:
         decay._release_claim(h)
+
+
+def test_dedup_stream_no_refresh_and_reemit_after_expiry(spark, tmp_path):
+    """Hand-computed dropDuplicatesWithinWatermark semantics through the
+    REAL service (run_dedup_stream, append mode, four drains), pinning
+    the rule the q_stream_dedup oracle unrolls: the first survivor sets
+    the key's expiry at its OWN event time + delay; a dropped duplicate
+    does NOT extend it; the key re-emits once the (previous batch's)
+    watermark passes the expiry."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from sales_forecast_mlops_at_scale_spark.streaming.ingest import (
+        run_dedup_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ck = str(tmp_path / "log"), str(tmp_path / "ck")
+    epochs = [
+        # A emits, expiry Jan-2 00:00; Z pushes wm to Jan-1 00:00
+        [("2024-01-01 00:00:00", "A"), ("2024-01-02 00:00:00", "Z")],
+        # duplicate A: state alive (wm Jan-1 < expiry Jan-2) -> dropped;
+        # under refresh semantics this would move the expiry to Jan-2 20:00
+        [("2024-01-01 20:00:00", "A")],
+        # wm advances to Jan-2 12:00 (> Jan-2 00:00, < Jan-2 20:00)
+        [("2024-01-03 12:00:00", "Y")],
+        # emitted ONLY because the dropped duplicate did not refresh
+        [("2024-01-03 13:00:00", "A")],
+    ]
+
+    def drain():
+        s = spark.readStream.schema("ts string, k string").json(str(src))
+        run_dedup_stream(
+            s.select(F.col("ts").cast("timestamp").alias("ts"), "k"),
+            out_path=out,
+            checkpoint_path=ck,
+            keys=["k"],
+            watermark="1 day",
+        )
+
+    for i, rows in enumerate(epochs):
+        (src / f"e{i}.json").write_text(
+            "\n".join(_json.dumps({"ts": ts, "k": k}) for ts, k in rows) + "\n"
+        )
+        drain()
+    got = sorted((str(r.ts), r.k) for r in spark.read.parquet(out).collect())
+    assert got == [
+        ("2024-01-01 00:00:00", "A"),
+        ("2024-01-02 00:00:00", "Z"),
+        ("2024-01-03 12:00:00", "Y"),
+        ("2024-01-03 13:00:00", "A"),  # re-emitted: no refresh, evicted
+    ]
+    drain()  # replay with no new data appends nothing
+    assert len(spark.read.parquet(out).collect()) == 4

@@ -86,6 +86,7 @@ QUERIES = [
     "q_group_skew",
     "q_index_retrain",
     "q_stream_late_data",
+    "q_stream_dedup",
 ]
 
 
