@@ -61,6 +61,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_daily_rollup",
     "q_stream_late_data",
     "q_stream_dedup",
+    "q_stream_sessions",
     "q_sliding_rollup",
     "q_json_props",
     "q_funnel",

@@ -420,6 +420,239 @@ def q_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: session gap (minutes) / watermark (days) for the session-stream fixture
+_SESSION_GAP_MIN = 30
+_SESSION_WM_DAYS = 2
+
+
+def _stream_session_root(sf_dir: str) -> str:
+    import os
+
+    from .fixture_roots import digest_root
+
+    return digest_root(
+        "sfspark_stream_session_log",
+        [os.path.join(sf_dir, "events.parquet")],
+        [_STREAM_EPOCHS, _SESSION_GAP_MIN, _SESSION_WM_DAYS, "band1"],
+    )
+
+
+def _session_band_rows(spark: SparkSession, sf_dir: str):
+    """The session-stream fixture rows: every event whose NEIGHBOR DAYS
+    land in the same time-third (≥ 1 day from both third edges) — so no
+    user's sessions can span an epoch boundary (bands sit ≥ 2 days
+    apart ≫ the 30-minute gap) and every row's session end clears the
+    previous epoch's watermark by construction.  Both properties are
+    ASSERTED at build time; they are what makes the engine's
+    merge-with-open-state rule coincide with plain per-user islands, so
+    the oracle stays a closed-form SQL (the general
+    merge-only-if-still-open rule is not SQL-expressible without
+    per-key recursion)."""
+    ev = _events(spark, sf_dir)
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    dmax = ev.agg(F.max(F.to_date("ts"))).first()[0]
+    nd = (dmax - d0).days + 1
+    e = f"({_STREAM_EPOCHS} * datediff(to_date(ts), DATE '{d0}'))"
+    em = f"({_STREAM_EPOCHS} * (datediff(to_date(ts), DATE '{d0}') - 1))"
+    ep = f"({_STREAM_EPOCHS} * (datediff(to_date(ts), DATE '{d0}') + 1))"
+    return (
+        ev.where(
+            F.expr(f"{e} div {nd} = {em} div {nd}")
+            & F.expr(f"{e} div {nd} = {ep} div {nd}")
+        ).select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "value",
+            F.expr(f"{e} div {nd}").cast("int").alias("__epoch"),
+        ),
+        nd,
+    )
+
+
+def _ensure_stream_session_log(spark: SparkSession, sf_dir: str) -> str:
+    """Drive the native ``session_window`` aggregate (via
+    ``streaming.ingest.run_session_stream``) over three epoch files of
+    the band-filtered events.  Build guards: every epoch nonempty, every
+    row's session end strictly clears the previous epoch's watermark
+    (no engine-side drops — q_stream_late_data covers the drop path),
+    at least one session still OPEN at stream end (withheld from the
+    log), no session-end/watermark ties, replay drain a byte-level
+    no-op."""
+    import datetime as _dt
+    import glob as _glob
+    import os
+    import shutil
+
+    from ..streaming.ingest import run_session_stream
+    from .fixture_roots import ensure_built
+
+    gap = _dt.timedelta(minutes=_SESSION_GAP_MIN)
+    delay = _dt.timedelta(days=_SESSION_WM_DAYS)
+
+    def build(staging: str) -> None:
+        rows, _nd = _session_band_rows(spark, sf_dir)
+        src = os.path.join(staging, "src")
+        os.makedirs(src)
+        out = os.path.join(staging, "log")
+        ckpt = os.path.join(staging, "ckpt")
+        schema = rows.drop("__epoch").schema
+
+        def drain() -> None:
+            run_session_stream(
+                spark.readStream.schema(schema).parquet(src),
+                out_path=out,
+                checkpoint_path=ckpt,
+                gap=f"{_SESSION_GAP_MIN} minutes",
+                watermark=f"{_SESSION_WM_DAYS} days",
+            )
+
+        wms: list = []
+        for e in range(_STREAM_EPOCHS):
+            part_dir = os.path.join(staging, f"_epoch{e}")
+            sliced = rows.where(F.col("__epoch") == e).drop("__epoch")
+            sliced.coalesce(1).write.parquet(part_dir)
+            parts = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
+            if len(parts) != 1:
+                raise RuntimeError(f"session epoch {e} fixture is empty")
+            if e > 0:
+                lo = sliced.agg(F.min("ts")).first()[0]
+                if lo is None or lo + gap <= wms[-1]:
+                    raise RuntimeError(
+                        "session fixture degenerate: a row's session end "
+                        "does not clear the previous watermark"
+                    )
+            os.rename(parts[0], os.path.join(src, f"epoch{e}.parquet"))
+            shutil.rmtree(part_dir, ignore_errors=True)
+            drain()
+            mx = spark.read.parquet(src).agg(F.max("ts")).first()[0]
+            wms.append(mx - delay)
+        # emitted vs total sessions: at least one session must be OPEN
+        # (withheld) at stream end, and no session end may tie the final
+        # watermark — computed from the log + the band rows
+        emitted = spark.read.parquet(out)
+        n_emitted = emitted.count()
+        if n_emitted == 0:
+            raise RuntimeError("session fixture vacuous: nothing emitted")
+        if emitted.where(F.col("session_end") == F.lit(wms[-1])).count():
+            raise RuntimeError("session fixture degenerate: end ties watermark")
+        # a session END tying the final watermark would make the ≤/<
+        # emission edge engine-dependent: forbid at the row level
+        if rows.where(
+            F.col("ts") + F.expr(f"interval {_SESSION_GAP_MIN} minutes")
+            == F.lit(wms[-1])
+        ).count():
+            raise RuntimeError("session fixture degenerate: end ties watermark")
+        from pyspark.sql import Window as W
+
+        lagged = rows.withColumn(
+            "__prev",
+            F.lag("ts").over(W.partitionBy("user_id").orderBy("ts", "value")),
+        )
+        n_sessions = (
+            lagged.withColumn(
+                "__new",
+                (
+                    F.col("__prev").isNull()
+                    | (
+                        F.col("ts").cast("long")
+                        - F.col("__prev").cast("long")
+                        > _SESSION_GAP_MIN * 60
+                    )
+                ).cast("int"),
+            )
+            .agg(F.sum("__new"))
+            .first()[0]
+        )
+        if n_sessions <= n_emitted:
+            raise RuntimeError(
+                "session fixture vacuous: no session left open at stream end"
+            )
+        before = sorted(
+            os.path.basename(p)
+            for p in _glob.glob(os.path.join(out, "**", "*"), recursive=True)
+        )
+        drain()
+        after = sorted(
+            os.path.basename(p)
+            for p in _glob.glob(os.path.join(out, "**", "*"), recursive=True)
+        )
+        if before != after:
+            raise RuntimeError("session replay drain was not a no-op")
+        shutil.rmtree(os.path.join(out, "_spark_metadata"), ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    return ensure_built(_stream_session_root(sf_dir), "_LOG_COMPLETE", build)
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native ``session_window`` streaming aggregate, hash-checked:
+    the append-mode log of the real checkpointed session stream over
+    three epoch files of the band-filtered events.  The oracle computes
+    per-user gaps-and-islands over the same rows (merge inclusive at
+    the gap, end = last event + gap) and keeps exactly the sessions the
+    final watermark closed — still-open sessions must be WITHHELD, so
+    an engine that emitted eagerly, merged with a closed session, or
+    double-emitted on replay fails the hash.  The band filter (rows ≥ 1
+    day from epoch edges) is what makes the engine's
+    merge-only-with-open-state rule coincide with plain islands — both
+    properties asserted at build time; the late-DROP path is covered
+    separately by q_stream_late_data."""
+    import os
+
+    root = _ensure_stream_session_log(spark, sf_dir)
+    log = spark.read.parquet(os.path.join(root, "log"))
+    return log.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        "sum_value",
+    ).orderBy("user_id", "session_start")
+
+
+_STREAM_SESSION_SQL = f"""
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS d0,
+         date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1
+           AS nd
+  FROM events),
+band AS (
+  SELECT e.user_id, e.ts, e.value,
+         ({_STREAM_EPOCHS} * date_diff('day', b.d0, CAST(e.ts AS DATE)))
+           // b.nd AS epoch
+  FROM events e, bounds b
+  WHERE ({_STREAM_EPOCHS} * date_diff('day', b.d0, CAST(e.ts AS DATE)))
+          // b.nd
+        = ({_STREAM_EPOCHS} * (date_diff('day', b.d0, CAST(e.ts AS DATE))
+                               - 1)) // b.nd
+    AND ({_STREAM_EPOCHS} * date_diff('day', b.d0, CAST(e.ts AS DATE)))
+          // b.nd
+        = ({_STREAM_EPOCHS} * (date_diff('day', b.d0, CAST(e.ts AS DATE))
+                               + 1)) // b.nd),
+wm_final AS (
+  SELECT max(ts) - INTERVAL {_SESSION_WM_DAYS} DAY AS wmf FROM band),
+flagged AS (
+  SELECT *, CASE WHEN ts - lag(ts) OVER w
+                      <= INTERVAL {_SESSION_GAP_MIN} MINUTE
+                 THEN 0 ELSE 1 END AS new_s
+  FROM band WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
+grouped AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, value
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged),
+sessions AS (
+  SELECT user_id, min(ts) AS session_start,
+         max(ts) + INTERVAL {_SESSION_GAP_MIN} MINUTE AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 4) AS sum_value
+  FROM grouped GROUP BY user_id, sid)
+SELECT s.user_id, s.session_start, s.session_end, s.n_events, s.sum_value
+FROM sessions s, wm_final f
+WHERE s.session_end <= f.wmf
+ORDER BY s.user_id, s.session_start
+"""
+
+
 #: watermark delay (days) for the streaming-dedup fixture
 _DEDUP_WM_DAYS = 2
 
@@ -1896,6 +2129,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_daily_rollup": QueryDef(q_daily_rollup, _DAILY_SQL),
     "q_stream_late_data": QueryDef(q_stream_late_data, _STREAM_LATE_SQL),
     "q_stream_dedup": QueryDef(q_stream_dedup, _STREAM_DEDUP_SQL),
+    "q_stream_sessions": QueryDef(q_stream_sessions, _STREAM_SESSION_SQL),
     "q_json_props": QueryDef(q_json_props, _JSON_SQL),
     "q_set_ops": QueryDef(q_set_ops, _SET_SQL),
     "q_percentiles": QueryDef(q_percentiles, _PCT_SQL),

@@ -471,6 +471,49 @@ def run_dedup_stream(
     query.awaitTermination()
 
 
+def run_session_stream(
+    source: DataFrame,
+    *,
+    out_path: str,
+    checkpoint_path: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: Sequence[str] = ("user_id",),
+    gap: str = "30 minutes",
+    watermark: str = "2 days",
+    available_now: bool = True,
+) -> None:
+    """:func:`session_rollup` as a SERVICE: drain a checkpointed stream
+    through the native ``session_window`` aggregate in append mode to a
+    parquet log — a session is emitted once the advancing watermark
+    passes its end (last event + gap); still-open sessions stay in
+    state.  Engine semantics (probed + pinned by the
+    ``q_stream_sessions`` oracle): a row merges only with a session
+    still OPEN in state, rows whose own session end trails the previous
+    batch's watermark are dropped, and the final log holds exactly the
+    sessions closed by the final watermark.  State is O(open sessions ×
+    keys), bounded by the watermark horizon."""
+    rolled = session_rollup(
+        source,
+        ts_col=ts_col,
+        value_col=value_col,
+        keys=list(keys),
+        gap=gap,
+        watermark=watermark,
+    )
+    writer = (
+        rolled.coalesce(1)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .format("parquet")
+        .option("path", out_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    query.awaitTermination()
+
+
 def interval_attribution_join(
     left: DataFrame,
     right: DataFrame,

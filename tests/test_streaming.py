@@ -2514,3 +2514,70 @@ def test_dedup_stream_no_refresh_and_reemit_after_expiry(spark, tmp_path):
     ]
     drain()  # replay with no new data appends nothing
     assert len(spark.read.parquet(out).collect()) == 4
+
+
+def test_session_stream_merges_open_withholds_open_and_replays_noop(
+    spark, tmp_path
+):
+    """Hand-computed session_window streaming semantics through the REAL
+    service (run_session_stream, gap 1h, watermark 1d): rows within the
+    gap merge while the session is OPEN in state; the session emits only
+    once the watermark passes its end (last event + gap); a still-open
+    session is withheld from the log; a replay drain appends nothing."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from sales_forecast_mlops_at_scale_spark.streaming.ingest import (
+        run_session_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ck = str(tmp_path / "log"), str(tmp_path / "ck")
+    epochs = [
+        # A: two rows 30 min apart -> ONE session [10:00, 11:30)
+        [("2024-01-01 10:00:00", 1, 1.0), ("2024-01-01 10:30:00", 1, 2.0)],
+        # cross-batch merge while OPEN (wm still -inf after batch 0's
+        # data? no: wm0 = Jan-1 10:30 - 1d): 11:15 extends A's session
+        # to end 12:15; Z pushes the watermark past it
+        [("2024-01-01 11:15:00", 1, 4.0), ("2024-01-02 13:00:00", 9, 0.0)],
+        # B opens a fresh session that stays OPEN at stream end
+        [("2024-01-02 14:00:00", 2, 8.0)],
+    ]
+
+    def drain():
+        s = spark.readStream.schema(
+            "ts string, user_id int, value double"
+        ).json(str(src))
+        run_session_stream(
+            s.select(
+                F.col("ts").cast("timestamp").alias("ts"),
+                "user_id",
+                "value",
+            ),
+            out_path=out,
+            checkpoint_path=ck,
+            gap="1 hour",
+            watermark="1 day",
+        )
+
+    for i, rows in enumerate(epochs):
+        (src / f"e{i}.json").write_text(
+            "\n".join(
+                _json.dumps({"ts": ts, "user_id": u, "value": v})
+                for ts, u, v in rows
+            )
+            + "\n"
+        )
+        drain()
+    got = sorted(
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    )
+    # A's session: all three rows merged (the 11:15 row arrived while
+    # the session was open in state), end = 11:15 + 1h; emitted once
+    # wm reached Jan-1 13:00.  Z's and B's sessions are still open.
+    assert got == [(1, "2024-01-01 10:00:00", "2024-01-01 12:15:00", 3, 7.0)]
+    drain()  # replay: byte-identical log
+    assert len(spark.read.parquet(out).collect()) == 1

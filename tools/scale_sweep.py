@@ -87,6 +87,7 @@ QUERIES = [
     "q_index_retrain",
     "q_stream_late_data",
     "q_stream_dedup",
+    "q_stream_sessions",
 ]
 
 
