@@ -18,7 +18,8 @@ TOP = [
     "q_feature_matrix", "q_k_anonymity", "q_decayed_counts",
     "q_model_compare", "q_psi_drift", "q_conformal_intervals",
     "q_mondrian_conformal", "q_drift_log", "q_group_skew", "q_index_retrain",
-    "q_retrain_decision",
+    "q_retrain_decision", "q_stream_late_data", "q_stream_dedup",
+    "q_stream_sessions", "q_scd2_merge",
 ]
 NOTES = {
     "q_dedup_clusters": "MinHash-LSH pairs (persisted shingle sets, banded bucket join) feed min-label propagation; four steps + one pointer-doubling shortcut per burst ending in one lazy checkpoint whose materialization rides the convergence count; in-burst convergence detection finishes shallow graphs in ONE driver action; deep graphs escalate to large-star/small-star contraction (O(log^2 n) rounds, diameter-independent); edges pinned once.",
@@ -35,8 +36,8 @@ NOTES = {
     "q_semantic_dedup": "One shuffle on the cluster key into a grouped GEMM; no vector arrays in any join; a max-aggregate over cluster counts short-circuits the residue-blocked branch when no cluster exceeds the cap (the skew path pays only when skew exists).",
     "q_kmv_overlap": "Per-side distinct-hash reduction, full-outer merge on 8-byte hashes, bottom-k via TakeOrderedAndProject.",
     "q_triangle_stats": "Degree-ordered orientation bounds the wedge join by oriented out-degree (O(sqrt m) even on power-law graphs); wedge closure is an equi-join on the canonical edge; per-vertex rollup is one explode+groupBy; the canonical pair set and degree frame are persisted (4 and 3 consumers - unpersisted they re-executed the MinHash pipeline per consumer).",
-    "q_dsir_select": "Two bounded bucket histograms (map-side combinable, <=1024 cells), broadcast log-ratio LUT, one doc-keyed shuffle, TakeOrderedAndProject for the selection.",
-    "q_lm_quality": "Bigram pairing is a per-row HOF zip (no shuffle); model histograms bounded at B^2 cells; NLL LUT restricted to probed cells and broadcast; one doc-keyed shuffle.",
+    "q_dsir_select": "Two bounded bucket histograms (map-side combinable, <=1024 cells); corpus totals are unbounded-window sums OVER those histograms (r9: the agg-then-crossJoin version re-evaluated each tokenize+histogram subtree twice - the psi_report defect class, caught by tools/scan_audit.py); broadcast log-ratio LUT, one doc-keyed shuffle, TakeOrderedAndProject. 3 scans total - the floor (target pass, raw histogram pass, raw probe pass).",
+    "q_lm_quality": "Bigram pairing is a per-row HOF zip (no shuffle); ONE target pass builds the bigram histogram (context counts derive from it, pinned once for its two consumers); smoothing decomposes into cell/context/global broadcast LUT tiers - identical arithmetic to the joined formula, and the probe-restriction pass (a second full raw tokenize) is gone. 3 scans total (r9, was 5).",
     "q_bloom_prefilter": "Build side reduces to <=m distinct bits (one row after collect_list), broadcast; probe pass is per-row HOF membership - zero probe-side shuffle.",
     "q_stratified_sample": "Per-stratum counts broadcast back as integer allocations; one window rank per stratum over the salted hash - a single shuffle keyed by the strata columns.",
     "q_pq_topk": "Lloyd-trained codebook pinned (tiny M*K rows; plan doubles per iteration without the pin), code table pinned as the stored index; ADC = codes x broadcast distance table, integer sums, TakeOrdered-style top-k.",
@@ -66,6 +67,10 @@ NOTES = {
     "q_group_skew": "Trainer-keyed group-size audit: one groupBy(keys).count (rides the series' partitioning), reduced to a DISTINCT-size histogram (bounded by the max group size, never the group count) before any single-partition window - the exact p50/p99 order statistics and the integer-ppm largest-group share never move data-scale rows. This is the observability for the one bound salting cannot move: a whole-group kernel's slowest task IS the largest group.",
     "q_index_retrain": "q_index_drift's closure: same assignments+seed_stats-only scan shape, but over the index AFTER the real maintenance tick (maybe_retrain crossed the demo threshold, retrain_index rebuilt quantizers from the full corpus and swapped all five tiers through the crash-healing journal, digest-memoized OUTSIDE the plan). Post-retrain seed_stats IS the live distribution, so the oracle pins drift_ppm = 0 per bucket AND the exact retrained assignment derivation - a stale tier or mixed swap fails the hash.",
     "q_retrain_decision": "The capstone composition: the unpivoted single-pass PSI audit and the three-family bake-off run as two sub-pipelines reduced to ONE decision row; thresholds compare the exact integer PSI numerator (sum of term_fp longs) and an integer flip ppm - no re-quantized doubles anywhere in the gate.",
+    "q_stream_late_data": "Steady state: a scan of the few-rows-per-window log + one sort. The log was appended by the REAL watermarked streaming rollup (append mode, checkpointed) over three deterministic epochs with stragglers; the oracle replays the engine's late-data policy in SQL (row survives iff its window end clears the PREVIOUS batch's watermark; the log holds exactly the windows the final watermark closed; replay drains append nothing - pinned byte-level during the build).",
+    "q_stream_dedup": "Steady state: a scan of the emitted-rows log + one sort. dropDuplicatesWithinWatermark driven over one-row-per-(key,epoch) file streams; the oracle unrolls the state machine (first survivor pins expiry at its ts + delay, duplicates do NOT extend it, eviction vs the previous batch's watermark, evicted keys re-emit). Stream state is O(live keys), watermark-bounded.",
+    "q_stream_sessions": "Steady state: a scan of the closed-sessions log + one sort. Native session_window aggregate in append mode over band-filtered epochs (rows >= 1 day from epoch edges, so merge-with-open-state coincides with closed-form islands - asserted at build); the oracle is per-user gaps-and-islands cut at the final watermark, so eager emission / closed-session merges / replay double-emits fail the hash. Stream state is O(open sessions), watermark-bounded.",
+    "q_scd2_merge": "ONE left join (closed history rides it unmatched - valid_to IS NULL is in the join condition), then each row EXPLODES into its one-or-two output rows (kept, or closed + new version). r9: the filter-three-ways-and-union version re-evaluated the un-persisted join per branch - 6 scans of the dimension; now 2 (the floor).",
 }
 
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")
