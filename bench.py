@@ -62,6 +62,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_stream_late_data",
     "q_stream_dedup",
     "q_stream_sessions",
+    "q_stream_attribution",
     "q_sliding_rollup",
     "q_json_props",
     "q_funnel",

@@ -653,6 +653,220 @@ ORDER BY s.user_id, s.session_start
 """
 
 
+#: attribution-stream fixture: impression/conversion event types, the
+#: join interval, and both sides' watermark delay (hours)
+_ATTR_DELAY_H = 1
+_ATTR_WM_H = 1
+
+
+def _stream_attr_root(sf_dir: str) -> str:
+    import os
+
+    from .fixture_roots import digest_root
+
+    return digest_root(
+        "sfspark_stream_attr_log",
+        [os.path.join(sf_dir, "events.parquet")],
+        [_STREAM_EPOCHS, _STREAM_STRAGGLER_MOD, _ATTR_DELAY_H, _ATTR_WM_H],
+    )
+
+
+def _attr_sides(spark: SparkSession, sf_dir: str):
+    """The two attribution streams: clicks as impressions, purchases as
+    conversions, each epoch-tagged by its time-third with every 7th
+    event shipped one epoch late (the straggler whose drop/eviction is
+    the behavior under test)."""
+    ev = _events(spark, sf_dir)
+    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
+    dmax = ev.agg(F.max(F.to_date("ts"))).first()[0]
+    nd = (dmax - d0).days + 1
+    base = F.expr(
+        f"({_STREAM_EPOCHS} * datediff(to_date(ts), DATE '{d0}')) div {nd}"
+    )
+    epoch = F.least(
+        F.lit(_STREAM_EPOCHS - 1),
+        base + (F.col("event_id") % _STREAM_STRAGGLER_MOD == 0).cast("int"),
+    )
+    tagged = ev.withColumn("__epoch", epoch)
+    imps = tagged.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").cast("timestamp").alias("imp_ts"), "__epoch"
+    )
+    convs = tagged.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("timestamp").alias("conv_ts"), "__epoch"
+    )
+    return imps, convs
+
+
+def _ensure_stream_attr_log(spark: SparkSession, sf_dir: str) -> str:
+    """Drive the stream-stream interval join
+    (``streaming.ingest.run_attribution_stream``) over two three-epoch
+    file streams.  Build guards: both sides' epoch-0 files nonempty,
+    the streaming log strictly SMALLER than the full batch join (the
+    stragglers' late-filter/eviction drops are real), no event time or
+    left-expiry tying a watermark, replay drain a byte-level no-op."""
+    import datetime as _dt
+    import glob as _glob
+    import os
+    import shutil
+
+    from ..streaming.ingest import run_attribution_stream
+    from .fixture_roots import ensure_built
+
+    delay = _dt.timedelta(hours=_ATTR_DELAY_H)
+    wm_delay = _dt.timedelta(hours=_ATTR_WM_H)
+
+    def build(staging: str) -> None:
+        imps, convs = _attr_sides(spark, sf_dir)
+        lsrc = os.path.join(staging, "left")
+        rsrc = os.path.join(staging, "right")
+        os.makedirs(lsrc)
+        os.makedirs(rsrc)
+        out = os.path.join(staging, "log")
+        ckpt = os.path.join(staging, "ckpt")
+        l_schema = imps.drop("__epoch").schema
+        r_schema = convs.drop("__epoch").schema
+
+        def drain() -> None:
+            run_attribution_stream(
+                spark.readStream.schema(l_schema).parquet(lsrc),
+                spark.readStream.schema(r_schema).parquet(rsrc),
+                out_path=out,
+                checkpoint_path=ckpt,
+                max_delay=f"{_ATTR_DELAY_H} hour",
+                left_watermark=f"{_ATTR_WM_H} hour",
+                right_watermark=f"{_ATTR_WM_H} hour",
+            )
+
+        wms: list = []
+        for e in range(_STREAM_EPOCHS):
+            for side, frame, src in (
+                ("left", imps, lsrc),
+                ("right", convs, rsrc),
+            ):
+                part_dir = os.path.join(staging, f"_{side}{e}")
+                frame.where(F.col("__epoch") == e).drop("__epoch").coalesce(
+                    1
+                ).write.parquet(part_dir)
+                parts = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
+                if len(parts) != 1:
+                    raise RuntimeError(f"attr {side} epoch {e} is empty")
+                os.rename(parts[0], os.path.join(src, f"epoch{e}.parquet"))
+                shutil.rmtree(part_dir, ignore_errors=True)
+            drain()
+            lmax = spark.read.parquet(lsrc).agg(F.max("imp_ts")).first()[0]
+            rmax = spark.read.parquet(rsrc).agg(F.max("conv_ts")).first()[0]
+            wms.append(min(lmax, rmax) - wm_delay)
+        # guards: streaming drops are REAL (log < batch join), no ties
+        from ..streaming.ingest import interval_attribution_join
+
+        batch = interval_attribution_join(
+            imps.drop("__epoch"),
+            convs.drop("__epoch"),
+            key="user_id",
+            left_ts="imp_ts",
+            right_ts="conv_ts",
+            max_delay=f"{_ATTR_DELAY_H} hour",
+        )
+        n_batch = batch.count()
+        n_stream = spark.read.parquet(out).count()
+        if n_stream == 0 or n_stream >= n_batch:
+            raise RuntimeError(
+                f"attr fixture vacuous: stream={n_stream} batch={n_batch}"
+            )
+        crit = {wm for wm in wms}
+        ties = imps.where(
+            F.col("imp_ts").isin(list(crit))
+            | (F.col("imp_ts") + F.expr(f"interval {_ATTR_DELAY_H} hours")).isin(
+                list(crit)
+            )
+        ).count() + convs.where(F.col("conv_ts").isin(list(crit))).count()
+        if ties:
+            raise RuntimeError("attr fixture degenerate: event/expiry ties a watermark")
+        before = sorted(
+            os.path.basename(p)
+            for p in _glob.glob(os.path.join(out, "**", "*"), recursive=True)
+        )
+        drain()
+        after = sorted(
+            os.path.basename(p)
+            for p in _glob.glob(os.path.join(out, "**", "*"), recursive=True)
+        )
+        if before != after:
+            raise RuntimeError("attr replay drain was not a no-op")
+        shutil.rmtree(os.path.join(out, "_spark_metadata"), ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    return ensure_built(_stream_attr_root(sf_dir), "_LOG_COMPLETE", build)
+
+
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream interval inner join, hash-checked: the append
+    log of the real two-source checkpointed attribution join (clicks ×
+    purchases within 1 hour per user) over three epoch files per side
+    with stragglers.  The oracle computes the BATCH interval join and
+    then applies the engine's streaming policy (probed empirically): a
+    row below the global watermark — min over both sides' max event
+    time − delay, one batch behind — is dropped at input even when a
+    buffered partner could match it; a buffered impression is evicted
+    once the watermark passes ``imp_ts + max_delay``; a buffered
+    conversion once it passes ``conv_ts``.  A pair therefore emits iff
+    both rows clear their arrival-epoch watermark and the earlier
+    side's state survives to the later side's epoch — a wrong filter
+    bound, premature eviction, or replay double-emit fails the hash.
+    Stream state is O(rows within the watermark horizon)."""
+    import os
+
+    root = _ensure_stream_attr_log(spark, sf_dir)
+    log = spark.read.parquet(os.path.join(root, "log"))
+    return log.select("user_id", "imp_ts", "conv_ts").orderBy(
+        "user_id", "imp_ts", "conv_ts"
+    )
+
+
+_STREAM_ATTR_SQL = f"""
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS d0,
+         date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1
+           AS nd
+  FROM events),
+tagged AS (
+  SELECT e.user_id, e.ts, e.event_type,
+         least({_STREAM_EPOCHS - 1},
+               ({_STREAM_EPOCHS} * date_diff('day', b.d0, CAST(e.ts AS DATE)))
+                 // b.nd
+               + CASE WHEN e.event_id % {_STREAM_STRAGGLER_MOD} = 0
+                      THEN 1 ELSE 0 END) AS epoch
+  FROM events e, bounds b
+  WHERE e.event_type IN ('click', 'purchase')),
+imps AS (SELECT user_id, ts AS imp_ts, epoch FROM tagged
+         WHERE event_type = 'click'),
+convs AS (SELECT user_id, ts AS conv_ts, epoch FROM tagged
+          WHERE event_type = 'purchase'),
+wmg AS (
+  SELECT g.epoch,
+         least((SELECT max(imp_ts) FROM imps WHERE epoch <= g.epoch),
+               (SELECT max(conv_ts) FROM convs WHERE epoch <= g.epoch))
+           - INTERVAL {_ATTR_WM_H} HOUR AS wm
+  FROM (SELECT unnest([0, 1, 2]) AS epoch) g),
+pairs AS (
+  SELECT i.user_id, i.imp_ts, c.conv_ts, i.epoch AS el, c.epoch AS er
+  FROM imps i JOIN convs c
+    ON c.user_id = i.user_id
+   AND c.conv_ts >= i.imp_ts
+   AND c.conv_ts <= i.imp_ts + INTERVAL {_ATTR_DELAY_H} HOUR)
+SELECT p.user_id, p.imp_ts, p.conv_ts
+FROM pairs p
+LEFT JOIN wmg wel ON wel.epoch = p.el - 1
+LEFT JOIN wmg wer ON wer.epoch = p.er - 1
+WHERE (wel.wm IS NULL OR p.imp_ts >= wel.wm)
+  AND (wer.wm IS NULL OR p.conv_ts >= wer.wm)
+  AND (p.el >= p.er OR wer.wm IS NULL
+       OR p.imp_ts + INTERVAL {_ATTR_DELAY_H} HOUR >= wer.wm)
+  AND (p.er >= p.el OR wel.wm IS NULL OR p.conv_ts >= wel.wm)
+ORDER BY p.user_id, p.imp_ts, p.conv_ts
+"""
+
+
 #: watermark delay (days) for the streaming-dedup fixture
 _DEDUP_WM_DAYS = 2
 
@@ -2130,6 +2344,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_stream_late_data": QueryDef(q_stream_late_data, _STREAM_LATE_SQL),
     "q_stream_dedup": QueryDef(q_stream_dedup, _STREAM_DEDUP_SQL),
     "q_stream_sessions": QueryDef(q_stream_sessions, _STREAM_SESSION_SQL),
+    "q_stream_attribution": QueryDef(q_stream_attribution, _STREAM_ATTR_SQL),
     "q_json_props": QueryDef(q_json_props, _JSON_SQL),
     "q_set_ops": QueryDef(q_set_ops, _SET_SQL),
     "q_percentiles": QueryDef(q_percentiles, _PCT_SQL),

@@ -514,6 +514,57 @@ def run_session_stream(
     query.awaitTermination()
 
 
+def run_attribution_stream(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    out_path: str,
+    checkpoint_path: str,
+    key: str = "user_id",
+    left_ts: str = "imp_ts",
+    right_ts: str = "conv_ts",
+    max_delay: str = "1 hour",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "1 hour",
+    available_now: bool = True,
+) -> None:
+    """:func:`interval_attribution_join` as a SERVICE: drain two
+    checkpointed event streams through the stream-stream interval inner
+    join in append mode to a parquet log.  Engine semantics pinned by
+    the ``q_stream_attribution`` oracle (probed empirically): a row
+    below the global watermark (min over both sides' ``max event time −
+    delay``, one batch behind) is dropped at input EVEN IF a buffered
+    partner could still match it; a buffered LEFT row is evicted once
+    the watermark passes ``left_ts + max_delay`` (no future right can
+    reach it), a buffered RIGHT row once the watermark passes its own
+    event time — so a pair emits iff both rows pass their arrival-time
+    late filter AND the earlier side's state survives to the later
+    side's batch.  State is O(rows within the watermark horizon), never
+    the full history — the property that makes stream-stream
+    attribution viable at ad-scale event rates."""
+    joined = interval_attribution_join(
+        left,
+        right,
+        key=key,
+        left_ts=left_ts,
+        right_ts=right_ts,
+        max_delay=max_delay,
+        left_watermark=left_watermark,
+        right_watermark=right_watermark,
+    )
+    writer = (
+        joined.coalesce(1)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .format("parquet")
+        .option("path", out_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    query.awaitTermination()
+
+
 def interval_attribution_join(
     left: DataFrame,
     right: DataFrame,

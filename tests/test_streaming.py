@@ -2581,3 +2581,74 @@ def test_session_stream_merges_open_withholds_open_and_replays_noop(
     assert got == [(1, "2024-01-01 10:00:00", "2024-01-01 12:15:00", 3, 7.0)]
     drain()  # replay: byte-identical log
     assert len(spark.read.parquet(out).collect()) == 1
+
+
+def test_attribution_stream_late_filter_and_eviction(spark, tmp_path):
+    """Hand-computed stream-stream interval-join policy through the REAL
+    service (run_attribution_stream, delay 1h, both watermarks 1h) —
+    the rules the q_stream_attribution oracle applies on top of the
+    batch join:
+
+    - same-batch pair (A imp 10:00 / conv 10:20) emits;
+    - a LATE right for an already-evicted left never emits (left A was
+      evicted once the watermark passed imp+1h);
+    - a left BELOW the watermark is dropped at input even though its
+      expiry window still overlaps fresh conversions (the engine
+      filters on the raw event time, not state usefulness);
+    - right-then-left emits while the buffered right is alive;
+    - a replay drain appends nothing."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from sales_forecast_mlops_at_scale_spark.streaming.ingest import (
+        run_attribution_stream,
+    )
+
+    lsrc, rsrc = tmp_path / "l", tmp_path / "r"
+    lsrc.mkdir(); rsrc.mkdir()
+    out, ck = str(tmp_path / "log"), str(tmp_path / "ck")
+    # wm after epoch 0 = Jan-1 23:00 (both sides max Jan-2 00:00 − 1h)
+    L = [
+        (0, "2024-01-01 10:00:00", 1),
+        (0, "2024-01-01 23:45:00", 9),   # wm driver + right-then... no: left X partner arrives e1
+        (0, "2024-01-02 00:00:00", 99),
+        (1, "2024-01-01 22:30:00", 2),   # below wm0 → dropped (expiry 23:30 > wm0 is irrelevant)
+        (1, "2024-01-01 23:30:00", 3),   # above wm0; matches buffered right (23:45)
+    ]
+    R = [
+        (0, "2024-01-01 10:20:00", 1),   # same-batch match
+        (0, "2024-01-01 23:45:00", 3),   # buffered; alive at e1 (wm0 23:00 ≤ 23:45)
+        (0, "2024-01-02 00:00:00", 98),
+        (1, "2024-01-01 10:40:00", 1),   # late right; left 1 evicted (expiry 11:00 < wm0)
+        (1, "2024-01-01 23:20:00", 2),   # fresh-enough, but its left was dropped
+    ]
+
+    def drain():
+        l = spark.readStream.schema("ts string, user_id int").json(str(lsrc))
+        r = spark.readStream.schema("ts string, user_id int").json(str(rsrc))
+        run_attribution_stream(
+            l.select(F.col("ts").cast("timestamp").alias("imp_ts"), "user_id"),
+            r.select(F.col("ts").cast("timestamp").alias("conv_ts"), "user_id"),
+            out_path=out, checkpoint_path=ck,
+            left_ts="imp_ts", right_ts="conv_ts",
+        )
+
+    for e in range(2):
+        (lsrc / f"e{e}.json").write_text("\n".join(
+            _json.dumps({"ts": ts, "user_id": u}) for ep, ts, u in L if ep == e
+        ) + "\n")
+        (rsrc / f"e{e}.json").write_text("\n".join(
+            _json.dumps({"ts": ts, "user_id": u}) for ep, ts, u in R if ep == e
+        ) + "\n")
+        drain()
+    got = sorted(
+        (r.user_id, str(r.imp_ts), str(r.conv_ts))
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:20:00"),
+        (3, "2024-01-01 23:30:00", "2024-01-01 23:45:00"),
+    ]
+    drain()
+    assert len(spark.read.parquet(out).collect()) == 2

@@ -88,6 +88,7 @@ QUERIES = [
     "q_stream_late_data",
     "q_stream_dedup",
     "q_stream_sessions",
+    "q_stream_attribution",
 ]
 
 
