@@ -19,7 +19,7 @@ TOP = [
     "q_model_compare", "q_psi_drift", "q_conformal_intervals",
     "q_mondrian_conformal", "q_drift_log", "q_group_skew", "q_index_retrain",
     "q_retrain_decision", "q_stream_late_data", "q_stream_dedup",
-    "q_stream_sessions", "q_scd2_merge",
+    "q_stream_sessions", "q_scd2_merge", "q_stream_attribution",
 ]
 NOTES = {
     "q_dedup_clusters": "MinHash-LSH pairs (persisted shingle sets, banded bucket join) feed min-label propagation; four steps + one pointer-doubling shortcut per burst ending in one lazy checkpoint whose materialization rides the convergence count; in-burst convergence detection finishes shallow graphs in ONE driver action; deep graphs escalate to large-star/small-star contraction (O(log^2 n) rounds, diameter-independent); edges pinned once.",
@@ -71,6 +71,7 @@ NOTES = {
     "q_stream_dedup": "Steady state: a scan of the emitted-rows log + one sort. dropDuplicatesWithinWatermark driven over one-row-per-(key,epoch) file streams; the oracle unrolls the state machine (first survivor pins expiry at its ts + delay, duplicates do NOT extend it, eviction vs the previous batch's watermark, evicted keys re-emit). Stream state is O(live keys), watermark-bounded.",
     "q_stream_sessions": "Steady state: a scan of the closed-sessions log + one sort. Native session_window aggregate in append mode over band-filtered epochs (rows >= 1 day from epoch edges, so merge-with-open-state coincides with closed-form islands - asserted at build); the oracle is per-user gaps-and-islands cut at the final watermark, so eager emission / closed-session merges / replay double-emits fail the hash. Stream state is O(open sessions), watermark-bounded.",
     "q_scd2_merge": "ONE left join (closed history rides it unmatched - valid_to IS NULL is in the join condition), then each row EXPLODES into its one-or-two output rows (kept, or closed + new version). r9: the filter-three-ways-and-union version re-evaluated the un-persisted join per branch - 6 scans of the dimension; now 2 (the floor).",
+    "q_stream_attribution": "Steady state: a scan of the emitted-pairs log + one sort. The log is the REAL two-source stream-stream interval inner join (clicks x purchases within 1h per user, append mode, checkpointed) over three epoch files per side with stragglers; the oracle applies the engine's probed policy on top of the batch join (global min-of-sides watermark late filter at input, left state evicted at imp_ts + max_delay, right at its own event time, one-batch watermark lag). Stream state is O(rows within the watermark horizon).",
 }
 
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")
