@@ -323,6 +323,8 @@ def _ensure_stream_window_log(spark: SparkSession, sf_dir: str) -> str:
                 "event_type",
                 "value",
             )
+            if sliced.limit(1).count() == 0:
+                raise RuntimeError(f"epoch {e} of the stream fixture is empty")
             sliced.coalesce(1).write.parquet(part_dir)
             parts = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
             if len(parts) != 1:
@@ -375,15 +377,18 @@ def _ensure_stream_window_log(spark: SparkSession, sf_dir: str) -> str:
                 "fixture degenerate: watermark ties a window end"
             )
         # a replay drain with no new data must be a byte-level no-op
-        before = sorted(
-            os.path.basename(p)
-            for p in _glob.glob(os.path.join(out, "**", "*"), recursive=True)
-        )
+        def _log_state() -> list:
+            return sorted(
+                (os.path.basename(p), os.path.getsize(p))
+                for p in _glob.glob(
+                    os.path.join(out, "**", "*"), recursive=True
+                )
+                if os.path.isfile(p)
+            )
+
+        before = _log_state()
         drain()
-        after = sorted(
-            os.path.basename(p)
-            for p in _glob.glob(os.path.join(out, "**", "*"), recursive=True)
-        )
+        after = _log_state()
         if before != after:
             raise RuntimeError("stream-window replay drain was not a no-op")
         # the native streaming parquet sink writes a _spark_metadata log
@@ -433,7 +438,7 @@ def _stream_session_root(sf_dir: str) -> str:
     return digest_root(
         "sfspark_stream_session_log",
         [os.path.join(sf_dir, "events.parquet")],
-        [_STREAM_EPOCHS, _SESSION_GAP_MIN, _SESSION_WM_DAYS, "band1"],
+        [_STREAM_EPOCHS, _SESSION_GAP_MIN, _SESSION_WM_DAYS, "band2-eid"],
     )
 
 
@@ -449,8 +454,7 @@ def _session_band_rows(spark: SparkSession, sf_dir: str):
     merge-only-if-still-open rule is not SQL-expressible without
     per-key recursion)."""
     ev = _events(spark, sf_dir)
-    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
-    dmax = ev.agg(F.max(F.to_date("ts"))).first()[0]
+    d0, dmax = ev.agg(F.min(F.to_date("ts")), F.max(F.to_date("ts"))).first()
     nd = (dmax - d0).days + 1
     e = f"({_STREAM_EPOCHS} * datediff(to_date(ts), DATE '{d0}'))"
     em = f"({_STREAM_EPOCHS} * (datediff(to_date(ts), DATE '{d0}') - 1))"
@@ -463,6 +467,11 @@ def _session_band_rows(spark: SparkSession, sf_dir: str):
             "user_id",
             F.col("ts").cast("timestamp").alias("ts"),
             "value",
+            # kept for DETERMINISTIC tie-break ordering in the build
+            # guard and the oracle's islands (duplicate (user, ts, value)
+            # rows would otherwise make lag()/cumsum order-unstable —
+            # code-review r9); the session aggregate itself ignores it
+            "event_id",
             F.expr(f"{e} div {nd}").cast("int").alias("__epoch"),
         ),
         nd,
@@ -510,6 +519,8 @@ def _ensure_stream_session_log(spark: SparkSession, sf_dir: str) -> str:
         for e in range(_STREAM_EPOCHS):
             part_dir = os.path.join(staging, f"_epoch{e}")
             sliced = rows.where(F.col("__epoch") == e).drop("__epoch")
+            if sliced.limit(1).count() == 0:
+                raise RuntimeError(f"session epoch {e} fixture is empty")
             sliced.coalesce(1).write.parquet(part_dir)
             parts = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
             if len(parts) != 1:
@@ -546,7 +557,9 @@ def _ensure_stream_session_log(spark: SparkSession, sf_dir: str) -> str:
 
         lagged = rows.withColumn(
             "__prev",
-            F.lag("ts").over(W.partitionBy("user_id").orderBy("ts", "value")),
+            F.lag("ts").over(
+                W.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
         )
         n_sessions = (
             lagged.withColumn(
@@ -567,15 +580,18 @@ def _ensure_stream_session_log(spark: SparkSession, sf_dir: str) -> str:
             raise RuntimeError(
                 "session fixture vacuous: no session left open at stream end"
             )
-        before = sorted(
-            os.path.basename(p)
-            for p in _glob.glob(os.path.join(out, "**", "*"), recursive=True)
-        )
+        def _log_state() -> list:
+            return sorted(
+                (os.path.basename(p), os.path.getsize(p))
+                for p in _glob.glob(
+                    os.path.join(out, "**", "*"), recursive=True
+                )
+                if os.path.isfile(p)
+            )
+
+        before = _log_state()
         drain()
-        after = sorted(
-            os.path.basename(p)
-            for p in _glob.glob(os.path.join(out, "**", "*"), recursive=True)
-        )
+        after = _log_state()
         if before != after:
             raise RuntimeError("session replay drain was not a no-op")
         shutil.rmtree(os.path.join(out, "_spark_metadata"), ignore_errors=True)
@@ -617,7 +633,7 @@ WITH bounds AS (
            AS nd
   FROM events),
 band AS (
-  SELECT e.user_id, e.ts, e.value,
+  SELECT e.user_id, e.ts, e.value, e.event_id,
          ({_STREAM_EPOCHS} * date_diff('day', b.d0, CAST(e.ts AS DATE)))
            // b.nd AS epoch
   FROM events e, bounds b
@@ -635,9 +651,9 @@ flagged AS (
   SELECT *, CASE WHEN ts - lag(ts) OVER w
                       <= INTERVAL {_SESSION_GAP_MIN} MINUTE
                  THEN 0 ELSE 1 END AS new_s
-  FROM band WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)),
+  FROM band WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 grouped AS (
-  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, value
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM flagged),
 sessions AS (
@@ -677,8 +693,7 @@ def _attr_sides(spark: SparkSession, sf_dir: str):
     event shipped one epoch late (the straggler whose drop/eviction is
     the behavior under test)."""
     ev = _events(spark, sf_dir)
-    d0 = ev.agg(F.min(F.to_date("ts"))).first()[0]
-    dmax = ev.agg(F.max(F.to_date("ts"))).first()[0]
+    d0, dmax = ev.agg(F.min(F.to_date("ts")), F.max(F.to_date("ts"))).first()
     nd = (dmax - d0).days + 1
     base = F.expr(
         f"({_STREAM_EPOCHS} * datediff(to_date(ts), DATE '{d0}')) div {nd}"
@@ -744,9 +759,10 @@ def _ensure_stream_attr_log(spark: SparkSession, sf_dir: str) -> str:
                 ("right", convs, rsrc),
             ):
                 part_dir = os.path.join(staging, f"_{side}{e}")
-                frame.where(F.col("__epoch") == e).drop("__epoch").coalesce(
-                    1
-                ).write.parquet(part_dir)
+                sliced = frame.where(F.col("__epoch") == e).drop("__epoch")
+                if sliced.limit(1).count() == 0:
+                    raise RuntimeError(f"attr {side} epoch {e} is empty")
+                sliced.coalesce(1).write.parquet(part_dir)
                 parts = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
                 if len(parts) != 1:
                     raise RuntimeError(f"attr {side} epoch {e} is empty")
@@ -782,15 +798,18 @@ def _ensure_stream_attr_log(spark: SparkSession, sf_dir: str) -> str:
         ).count() + convs.where(F.col("conv_ts").isin(list(crit))).count()
         if ties:
             raise RuntimeError("attr fixture degenerate: event/expiry ties a watermark")
-        before = sorted(
-            os.path.basename(p)
-            for p in _glob.glob(os.path.join(out, "**", "*"), recursive=True)
-        )
+        def _log_state() -> list:
+            return sorted(
+                (os.path.basename(p), os.path.getsize(p))
+                for p in _glob.glob(
+                    os.path.join(out, "**", "*"), recursive=True
+                )
+                if os.path.isfile(p)
+            )
+
+        before = _log_state()
         drain()
-        after = sorted(
-            os.path.basename(p)
-            for p in _glob.glob(os.path.join(out, "**", "*"), recursive=True)
-        )
+        after = _log_state()
         if before != after:
             raise RuntimeError("attr replay drain was not a no-op")
         shutil.rmtree(os.path.join(out, "_spark_metadata"), ignore_errors=True)
@@ -953,9 +972,10 @@ def _ensure_stream_dedup_log(spark: SparkSession, sf_dir: str) -> str:
         wms: list = []
         for e in range(_STREAM_EPOCHS):
             part_dir = os.path.join(staging, f"_epoch{e}")
-            firsts.where(F.col("__epoch") == e).drop("__epoch").coalesce(
-                1
-            ).write.parquet(part_dir)
+            sliced = firsts.where(F.col("__epoch") == e).drop("__epoch")
+            if sliced.limit(1).count() == 0:
+                raise RuntimeError(f"dedup epoch {e} fixture is empty")
+            sliced.coalesce(1).write.parquet(part_dir)
             parts = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
             if len(parts) != 1:
                 raise RuntimeError(f"dedup epoch {e} fixture is empty")
@@ -990,15 +1010,18 @@ def _ensure_stream_dedup_log(spark: SparkSession, sf_dir: str) -> str:
             )
         if any(wm in edges for wm in wms):
             raise RuntimeError("dedup fixture degenerate: expiry ties a watermark")
-        before = sorted(
-            os.path.basename(p)
-            for p in _glob.glob(os.path.join(out, "**", "*"), recursive=True)
-        )
+        def _log_state() -> list:
+            return sorted(
+                (os.path.basename(p), os.path.getsize(p))
+                for p in _glob.glob(
+                    os.path.join(out, "**", "*"), recursive=True
+                )
+                if os.path.isfile(p)
+            )
+
+        before = _log_state()
         drain()
-        after = sorted(
-            os.path.basename(p)
-            for p in _glob.glob(os.path.join(out, "**", "*"), recursive=True)
-        )
+        after = _log_state()
         if before != after:
             raise RuntimeError("dedup replay drain was not a no-op")
         shutil.rmtree(os.path.join(out, "_spark_metadata"), ignore_errors=True)
@@ -1025,6 +1048,11 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = spark.read.parquet(os.path.join(root, "log"))
     return log.select("user_id", "ts", "value").orderBy("user_id", "ts")
 
+
+# the pivot/unroll below and the wmg epoch list in _STREAM_ATTR_SQL
+# hardcode exactly three epochs; the fixture parameter must agree or the
+# oracle silently under-models later epochs (code-review r9)
+assert _STREAM_EPOCHS == 3, "unrolled stream oracles assume 3 epochs"
 
 _STREAM_DEDUP_SQL = f"""
 WITH bounds AS (

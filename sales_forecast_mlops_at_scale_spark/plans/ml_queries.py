@@ -928,10 +928,16 @@ def _ensure_drift_log(spark: SparkSession, sf_dir: str) -> str:
         # a replay drain with no new data must be a byte-level no-op
         # (exactly-once): pin it during the build so every fixture
         # consumer inherits the checked property
-        before = sorted(
-            os.path.basename(p)
-            for p in _glob.glob(os.path.join(staging, "log", "**", "*"), recursive=True)
-        )
+        def _log_state() -> list:
+            return sorted(
+                (os.path.basename(q), os.path.getsize(q))
+                for q in _glob.glob(
+                    os.path.join(staging, "log", "**", "*"), recursive=True
+                )
+                if os.path.isfile(q)
+            )
+
+        before = _log_state()
         run_drift_monitor(
             ref,
             source=spark.readStream.schema(schema).parquet(src),
@@ -940,10 +946,7 @@ def _ensure_drift_log(spark: SparkSession, sf_dir: str) -> str:
             checkpoint_path=os.path.join(staging, "ckpt"),
             bins=_DRIFT_BINS,
         )
-        after = sorted(
-            os.path.basename(p)
-            for p in _glob.glob(os.path.join(staging, "log", "**", "*"), recursive=True)
-        )
+        after = _log_state()
         if before != after:
             raise RuntimeError("drift-log replay drain was not a no-op")
 

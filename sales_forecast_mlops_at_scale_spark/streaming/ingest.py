@@ -384,6 +384,31 @@ def session_rollup(
     )
 
 
+def _drain_append_parquet(
+    df: DataFrame,
+    *,
+    out_path: str,
+    checkpoint_path: str,
+    available_now: bool = True,
+) -> None:
+    """Shared sink for the streaming SERVICE runners: one append-mode
+    parquet writer (coalesced to one file per batch — these are
+    few-rows-per-trigger logs), checkpoint-coupled, drained to
+    completion.  One definition so the sink contract can never drift
+    between the four services (code-review r9)."""
+    writer = (
+        df.coalesce(1)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_path)
+        .format("parquet")
+        .option("path", out_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    query.awaitTermination()
+
+
 def run_windowed_rollup_stream(
     source: DataFrame,
     *,
@@ -421,17 +446,12 @@ def run_windowed_rollup_stream(
         keys=list(keys),
         watermark=watermark,
     )
-    writer = (
-        rolled.coalesce(1)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_path)
-        .format("parquet")
-        .option("path", out_path)
+    _drain_append_parquet(
+        rolled,
+        out_path=out_path,
+        checkpoint_path=checkpoint_path,
+        available_now=available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    query = writer.start()
-    query.awaitTermination()
 
 
 def run_dedup_stream(
@@ -458,17 +478,12 @@ def run_dedup_stream(
     deduped = streaming_dedup(
         source, keys=list(keys), ts_col=ts_col, watermark=watermark
     )
-    writer = (
-        deduped.coalesce(1)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_path)
-        .format("parquet")
-        .option("path", out_path)
+    _drain_append_parquet(
+        deduped,
+        out_path=out_path,
+        checkpoint_path=checkpoint_path,
+        available_now=available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    query = writer.start()
-    query.awaitTermination()
 
 
 def run_session_stream(
@@ -501,17 +516,12 @@ def run_session_stream(
         gap=gap,
         watermark=watermark,
     )
-    writer = (
-        rolled.coalesce(1)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_path)
-        .format("parquet")
-        .option("path", out_path)
+    _drain_append_parquet(
+        rolled,
+        out_path=out_path,
+        checkpoint_path=checkpoint_path,
+        available_now=available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    query = writer.start()
-    query.awaitTermination()
 
 
 def run_attribution_stream(
@@ -552,17 +562,12 @@ def run_attribution_stream(
         left_watermark=left_watermark,
         right_watermark=right_watermark,
     )
-    writer = (
-        joined.coalesce(1)
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", checkpoint_path)
-        .format("parquet")
-        .option("path", out_path)
+    _drain_append_parquet(
+        joined,
+        out_path=out_path,
+        checkpoint_path=checkpoint_path,
+        available_now=available_now,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    query = writer.start()
-    query.awaitTermination()
 
 
 def interval_attribution_join(
