@@ -63,6 +63,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_stream_dedup",
     "q_stream_sessions",
     "q_stream_attribution",
+    "q_stream_latest",
+    "q_stream_ttl",
     "q_sliding_rollup",
     "q_json_props",
     "q_funnel",

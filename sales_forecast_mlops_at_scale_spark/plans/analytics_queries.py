@@ -1145,6 +1145,525 @@ GROUP BY 1, 2
 """
 
 
+#: LCG multiplier/increment/modulus for the latest-stream ordering column —
+#: a bijection on [0, 2^31) (odd multiplier), so the running-max order is
+#: UNCORRELATED with event time and later epochs routinely deliver
+#: stale-ordered batches (the state-survival path under test); exact
+#: bigint arithmetic on both engines
+_LATEST_LCG = "(event_id * 1103515245 + 12345) % 2147483648"
+
+
+def _stream_latest_root(sf_dir: str) -> str:
+    import os
+
+    from .fixture_roots import digest_root
+
+    return digest_root(
+        "sfspark_stream_latest_log",
+        [os.path.join(sf_dir, "events.parquet")],
+        [_STREAM_EPOCHS, _STREAM_STRAGGLER_MOD, "lcg-v1"],
+    )
+
+
+def _ensure_stream_latest_log(spark: SparkSession, sf_dir: str) -> str:
+    """Drive the custom ``applyInPandasWithState`` operator
+    (``streaming.stateful.streaming_latest_per_key`` via
+    ``streaming.ingest.run_latest_stream``) over a deterministic
+    three-epoch file stream.  The ordering column is an LCG permutation
+    of ``event_id`` (uncorrelated with time), so later epochs routinely
+    deliver only STALE-ordered rows for a key — the state-carry
+    behavior under test: such a batch must re-emit the stored newest
+    row, not the batch's own maximum.  Build guards: every epoch
+    nonempty, ≥1 stale re-emission and ≥1 genuine cross-epoch update
+    actually occur (non-vacuous both ways), replay drain a byte-level
+    no-op (update-mode exactly-once via the foreachBatch commit
+    manifest, not the native sink)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from ..streaming.ingest import run_latest_stream
+    from .fixture_roots import ensure_built
+
+    def build(staging: str) -> None:
+        ev = _events(spark, sf_dir)
+        d0, dmax = ev.agg(
+            F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+        ).first()
+        nd = (dmax - d0).days + 1
+        base = F.expr(
+            f"({_STREAM_EPOCHS} * datediff(to_date(ts), DATE '{d0}')) div {nd}"
+        )
+        epoch = F.least(
+            F.lit(_STREAM_EPOCHS - 1),
+            base
+            + (F.col("event_id") % _STREAM_STRAGGLER_MOD == 0).cast("int"),
+        ).cast("bigint")
+        rows = ev.select(
+            "user_id",
+            F.expr(_LATEST_LCG).cast("bigint").alias("ord"),
+            "value",
+            epoch.alias("epoch"),
+        )
+        src = os.path.join(staging, "src")
+        os.makedirs(src)
+        out = os.path.join(staging, "log")
+        ckpt = os.path.join(staging, "ckpt")
+        schema = rows.schema
+
+        def drain() -> None:
+            run_latest_stream(
+                spark.readStream.schema(schema).parquet(src),
+                out_path=out,
+                checkpoint_path=ckpt,
+                keys=["user_id"],
+                order_col="ord",
+                value_col="value",
+                tag_col="epoch",
+            )
+
+        for e in range(_STREAM_EPOCHS):
+            part_dir = os.path.join(staging, f"_epoch{e}")
+            sliced = rows.where(F.col("epoch") == e)
+            if sliced.limit(1).count() == 0:
+                raise RuntimeError(f"latest epoch {e} fixture is empty")
+            sliced.coalesce(1).write.parquet(part_dir)
+            parts = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
+            if len(parts) != 1:
+                raise RuntimeError(f"latest epoch {e} fixture is empty")
+            os.rename(parts[0], os.path.join(src, f"epoch{e}.parquet"))
+            shutil.rmtree(part_dir, ignore_errors=True)
+            drain()
+        # non-vacuity: over the tiny (user, epoch) max-ord frame, at
+        # least one later batch must be entirely stale (re-emit of the
+        # stored row) and at least one must genuinely advance the state
+        from pyspark.sql import Window as W
+
+        per = rows.groupBy("user_id", "epoch").agg(F.max("ord").alias("mx"))
+        prev = F.max("mx").over(
+            W.partitionBy("user_id")
+            .orderBy("epoch")
+            .rowsBetween(W.unboundedPreceding, -1)
+        )
+        flags = per.withColumn("prev", prev).where(F.col("prev").isNotNull())
+        n_stale = flags.where(F.col("mx") < F.col("prev")).count()
+        n_advance = flags.where(F.col("mx") > F.col("prev")).count()
+        if n_stale == 0 or n_advance == 0:
+            raise RuntimeError(
+                f"latest fixture vacuous: stale={n_stale} advance={n_advance}"
+            )
+
+        def _log_state() -> list:
+            return sorted(
+                (os.path.basename(p), os.path.getsize(p))
+                for p in _glob.glob(
+                    os.path.join(out, "**", "*"), recursive=True
+                )
+                if os.path.isfile(p)
+            )
+
+        before = _log_state()
+        drain()
+        after = _log_state()
+        if before != after:
+            raise RuntimeError("latest replay drain was not a no-op")
+        # the foreachBatch upsert's commit manifest is checkpoint-scoped
+        # metadata; the exactly-once property was pinned above, so the
+        # committed artifact is a plain parquet dir (same contract as
+        # dropping _spark_metadata in the native-sink fixtures)
+        shutil.rmtree(os.path.join(out, "_commits"), ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    return ensure_built(_stream_latest_root(sf_dir), "_LOG_COMPLETE", build)
+
+
+def q_stream_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful operator (ST5, ``applyInPandasWithState``)
+    hash-checked end-to-end: the upsert log of the real checkpointed
+    update-mode stream maintaining the running max-``ord`` row per user
+    across three epoch files, where ``ord`` is an LCG permutation of
+    ``event_id`` so stale-ordered late batches are plentiful.  The
+    oracle replays the state machine in one SQL window: every (user,
+    epoch-touched) pair logs the argmax-by-``ord`` row over ALL of the
+    user's rows in epochs ≤ that epoch — a state row lost between
+    batches, an emission of the batch-local (stale) maximum instead of
+    the stored one, or a replay double-append all fail the hash.
+    Steady-state plan: a scan of the tiny log + one sort; stream state
+    is one (ord, value) pair per key."""
+    import os
+
+    root = _ensure_stream_latest_log(spark, sf_dir)
+    log = spark.read.parquet(os.path.join(root, "log"))
+    return log.select("user_id", "epoch", "ord", "value").orderBy(
+        "user_id", "epoch"
+    )
+
+
+_STREAM_LATEST_SQL = f"""
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS d0,
+         date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1
+           AS nd
+  FROM events),
+tagged AS (
+  SELECT e.user_id,
+         {_LATEST_LCG} AS ord,
+         e.value,
+         least({_STREAM_EPOCHS - 1},
+               ({_STREAM_EPOCHS} * date_diff('day', b.d0, CAST(e.ts AS DATE)))
+                 // b.nd
+               + CASE WHEN e.event_id % {_STREAM_STRAGGLER_MOD} = 0
+                      THEN 1 ELSE 0 END) AS epoch
+  FROM events e, bounds b),
+touched AS (SELECT DISTINCT user_id, epoch FROM tagged)
+SELECT t.user_id, t.epoch, max(g.ord) AS ord,
+       arg_max(g.value, g.ord) AS value
+FROM touched t
+JOIN tagged g ON g.user_id = t.user_id AND g.epoch <= t.epoch
+GROUP BY t.user_id, t.epoch
+ORDER BY t.user_id, t.epoch
+"""
+
+
+#: ttl / watermark (days) for the TTL-rollup stream fixture
+_TTL_DAYS = 4
+_TTL_WM_DAYS = 2
+
+
+def _ttl_allowed_epochs_sql(u: str, base: str) -> str:
+    """Sparsity pattern shared (textually) between the fixture and the
+    oracle: which BASE epochs a user is active in — mixes single-epoch
+    users (clean closes), all-epoch users (cross-epoch folds) and
+    gap users (close-then-reopen)."""
+    return (
+        f"CASE {u} % 4 WHEN 0 THEN {base} IN (0, 2) "
+        f"WHEN 1 THEN TRUE WHEN 2 THEN {base} = 0 "
+        f"ELSE {base} = 1 END"
+    )
+
+
+def _stream_ttl_root(sf_dir: str) -> str:
+    import os
+
+    from .fixture_roots import digest_root
+
+    return digest_root(
+        "sfspark_stream_ttl_log",
+        [os.path.join(sf_dir, "events.parquet")],
+        [_STREAM_EPOCHS, _STREAM_STRAGGLER_MOD, _TTL_DAYS, _TTL_WM_DAYS],
+    )
+
+
+def _ensure_stream_ttl_log(spark: SparkSession, sf_dir: str) -> str:
+    """Drive the custom EventTimeTimeout operator
+    (``streaming.stateful.streaming_ttl_rollup`` via
+    ``streaming.ingest.run_ttl_rollup_stream``) over three epoch files
+    of a deliberately SPARSIFIED event stream (per-user epoch pattern:
+    some users single-epoch, some all-epoch, some with a gap) with
+    every 7th event shipped one epoch late.  The build replays the
+    probed state machine in Python over the bounded per-(user, epoch)
+    aggregate frame and REFUSES to complete unless: the log row count
+    equals the replay's, ≥1 closed segment folded rows from ≥2
+    delivery epochs, ≥1 user re-opened after a close, ≥1 straggler was
+    genuinely late-dropped, ≥1 segment is still open (withheld) at
+    stream end, and every timeout-vs-watermark and row-vs-watermark
+    comparison clears a 2 ms tie margin (the timeout API is
+    millisecond-granular).  Replay drain must be a byte-level no-op."""
+    import datetime as _dt
+    import glob as _glob
+    import os
+    import shutil
+
+    from ..streaming.ingest import run_ttl_rollup_stream
+    from .fixture_roots import ensure_built
+
+    ttl_ms = _TTL_DAYS * 86_400_000
+    delay_ms = _TTL_WM_DAYS * 86_400_000
+    epoch0 = _dt.datetime(1970, 1, 1)
+
+    def _ms(ts: _dt.datetime) -> int:
+        return (ts - epoch0) // _dt.timedelta(microseconds=1) // 1000
+
+    def build(staging: str) -> None:
+        ev = _events(spark, sf_dir)
+        d0, dmax = ev.agg(
+            F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+        ).first()
+        if d0.year <= 1970:
+            raise RuntimeError("ttl fixture assumes a post-1970 ts domain")
+        nd = (dmax - d0).days + 1
+        base = f"(({_STREAM_EPOCHS} * datediff(to_date(ts), DATE '{d0}')) div {nd})"
+        rows = (
+            ev.where(F.expr(_ttl_allowed_epochs_sql("user_id", base)))
+            .select(
+                "user_id",
+                F.col("ts").cast("timestamp").alias("ts"),
+                "value",
+                F.least(
+                    F.lit(_STREAM_EPOCHS - 1),
+                    F.expr(base)
+                    + (F.col("event_id") % _STREAM_STRAGGLER_MOD == 0).cast(
+                        "int"
+                    ),
+                ).alias("__epoch"),
+            )
+        )
+        src = os.path.join(staging, "src")
+        os.makedirs(src)
+        out = os.path.join(staging, "log")
+        ckpt = os.path.join(staging, "ckpt")
+        schema = rows.drop("__epoch").schema
+
+        def drain() -> None:
+            run_ttl_rollup_stream(
+                spark.readStream.schema(schema).parquet(src),
+                out_path=out,
+                checkpoint_path=ckpt,
+                keys=["user_id"],
+                ttl=f"{_TTL_DAYS} days",
+                watermark=f"{_TTL_WM_DAYS} days",
+            )
+
+        for e in range(_STREAM_EPOCHS):
+            part_dir = os.path.join(staging, f"_epoch{e}")
+            sliced = rows.where(F.col("__epoch") == e).drop("__epoch")
+            if sliced.limit(1).count() == 0:
+                raise RuntimeError(f"ttl epoch {e} fixture is empty")
+            sliced.coalesce(1).write.parquet(part_dir)
+            parts = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
+            if len(parts) != 1:
+                raise RuntimeError(f"ttl epoch {e} fixture is empty")
+            os.rename(parts[0], os.path.join(src, f"epoch{e}.parquet"))
+            shutil.rmtree(part_dir, ignore_errors=True)
+            drain()
+
+        # ---- Python replay of the probed state machine (guards) ----
+        # watermarks from RAW delivered rows (late rows can never raise
+        # the running max, so raw == engine view)
+        raw_max = {
+            r["__epoch"]: r["mx"]
+            for r in rows.groupBy("__epoch").agg(F.max("ts").alias("mx")).collect()
+        }
+        wms: list[int] = []
+        run = None
+        for e in range(_STREAM_EPOCHS):
+            m = _ms(raw_max[e]) - delay_ms
+            run = m if run is None else max(run, m)
+            wms.append(run)
+        # late margin + drop count over the bounded delivered frame
+        per_rows = rows.collect()  # bounded: sparsified events at fixture SF
+        n_dropped = 0
+        for r in per_rows:
+            e = r["__epoch"]
+            if e == 0:
+                continue
+            ts_ms = _ms(r["ts"])
+            if abs(ts_ms - wms[e - 1]) < 2:
+                raise RuntimeError("ttl fixture degenerate: row within 2ms of watermark")
+            if ts_ms < wms[e - 1]:
+                n_dropped += 1
+        if n_dropped == 0:
+            raise RuntimeError("ttl fixture vacuous: no straggler was late-dropped")
+        # per-(user, epoch) aggregates over SURVIVING rows
+        agg: dict = {}
+        for r in per_rows:
+            e = r["__epoch"]
+            if e > 0 and _ms(r["ts"]) < wms[e - 1]:
+                continue
+            k = (r["user_id"], e)
+            n, s, f, l = agg.get(k, (0, 0.0, None, None))
+            agg[k] = (
+                n + 1,
+                s + r["value"],
+                r["ts"] if f is None else min(f, r["ts"]),
+                r["ts"] if l is None else max(l, r["ts"]),
+            )
+        users = sorted({u for u, _ in agg})
+        emits = []
+        n_fold = n_reopen = n_open_end = 0
+        for u in users:
+            seg = None  # (n, s, first, last, epochs_spanned)
+            closed_before = False
+            for e in range(_STREAM_EPOCHS):
+                cur = agg.get((u, e))
+                if cur is not None:
+                    if seg is None:
+                        if closed_before:
+                            n_reopen += 1
+                        seg = (*cur, {e})
+                    else:
+                        seg = (
+                            seg[0] + cur[0],
+                            seg[1] + cur[1],
+                            min(seg[2], cur[2]),
+                            max(seg[3], cur[3]),
+                            seg[4] | {e},
+                        )
+                if seg is not None:
+                    timeout = _ms(seg[3]) + ttl_ms
+                    if abs(timeout - wms[e]) < 2:
+                        raise RuntimeError(
+                            "ttl fixture degenerate: timeout within 2ms of watermark"
+                        )
+                    if timeout < wms[e]:
+                        emits.append((u, seg[0]))
+                        if len(seg[4]) > 1:
+                            n_fold += 1
+                        seg = None
+                        closed_before = True
+            if seg is not None:
+                n_open_end += 1
+        if n_fold == 0 or n_reopen == 0 or n_open_end == 0:
+            raise RuntimeError(
+                f"ttl fixture vacuous: fold={n_fold} reopen={n_reopen} "
+                f"open_end={n_open_end}"
+            )
+        n_log = spark.read.parquet(out).count()
+        if n_log != len(emits):
+            raise RuntimeError(
+                f"ttl log has {n_log} rows, replay expected {len(emits)}"
+            )
+
+        def _log_state() -> list:
+            return sorted(
+                (os.path.basename(p), os.path.getsize(p))
+                for p in _glob.glob(
+                    os.path.join(out, "**", "*"), recursive=True
+                )
+                if os.path.isfile(p)
+            )
+
+        before = _log_state()
+        drain()
+        after = _log_state()
+        if before != after:
+            raise RuntimeError("ttl replay drain was not a no-op")
+        shutil.rmtree(os.path.join(out, "_spark_metadata"), ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    return ensure_built(_stream_ttl_root(sf_dir), "_LOG_COMPLETE", build)
+
+
+def q_stream_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom EventTimeTimeout eviction machine (ST5,
+    ``applyInPandasWithState``) hash-checked end-to-end: the append log
+    of the real checkpointed TTL-rollup stream — per-user activity
+    segments that CLOSE when the advancing watermark passes
+    ``last_ts + ttl`` — over three epoch files of a sparsified event
+    stream with stragglers.  The oracle unrolls the probed semantics in
+    SQL: late rows below the previous drain's watermark are dropped at
+    input, surviving rows fold into the open segment, and after each
+    drain every segment whose millisecond timeout trails the UPDATED
+    watermark closes (including fold-then-close within one drain);
+    still-open segments are withheld.  A wrong filter bound, a timeout
+    firing against the stale watermark, a lost fold, or a replay
+    double-emit all fail the hash.  Stream state is one 4-field struct
+    per live key, bounded by the ttl horizon."""
+    import os
+
+    root = _ensure_stream_ttl_log(spark, sf_dir)
+    log = spark.read.parquet(os.path.join(root, "log"))
+    return log.select(
+        "user_id",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        "first_ts",
+        "last_ts",
+    ).orderBy("user_id", "first_ts")
+
+
+_STREAM_TTL_SQL = f"""
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS d0,
+         date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1
+           AS nd
+  FROM events),
+tagged AS (
+  SELECT e.user_id, e.ts, e.value,
+         least({_STREAM_EPOCHS - 1},
+               ({_STREAM_EPOCHS} * date_diff('day', b.d0, CAST(e.ts AS DATE)))
+                 // b.nd
+               + CASE WHEN e.event_id % {_STREAM_STRAGGLER_MOD} = 0
+                      THEN 1 ELSE 0 END) AS epoch
+  FROM events e, bounds b
+  WHERE {_ttl_allowed_epochs_sql(
+      "e.user_id",
+      f"(({_STREAM_EPOCHS} * date_diff('day', b.d0, CAST(e.ts AS DATE))) // b.nd)",
+  )}),
+wms AS (
+  SELECT epoch,
+         max(mxms) OVER (ORDER BY epoch) - {_TTL_WM_DAYS} * 86400000 AS wm_ms
+  FROM (SELECT epoch, max(epoch_ms(ts)) AS mxms FROM tagged GROUP BY epoch)),
+surv AS (
+  SELECT t.* FROM tagged t
+  LEFT JOIN wms p ON p.epoch = t.epoch - 1
+  WHERE p.wm_ms IS NULL OR epoch_ms(t.ts) >= p.wm_ms),
+piv AS (
+  SELECT user_id,
+         count(*) FILTER (epoch = 0) AS n0, sum(value) FILTER (epoch = 0) AS s0,
+         min(ts) FILTER (epoch = 0) AS f0, max(ts) FILTER (epoch = 0) AS l0,
+         count(*) FILTER (epoch = 1) AS n1, sum(value) FILTER (epoch = 1) AS s1,
+         min(ts) FILTER (epoch = 1) AS f1, max(ts) FILTER (epoch = 1) AS l1,
+         count(*) FILTER (epoch = 2) AS n2, sum(value) FILTER (epoch = 2) AS s2,
+         min(ts) FILTER (epoch = 2) AS f2, max(ts) FILTER (epoch = 2) AS l2
+  FROM surv GROUP BY user_id),
+w AS (
+  SELECT (SELECT wm_ms FROM wms WHERE epoch = 0) AS wm0,
+         (SELECT wm_ms FROM wms WHERE epoch = 1) AS wm1,
+         (SELECT wm_ms FROM wms WHERE epoch = 2) AS wm2),
+-- drain 0: segment A = epoch-0 aggregate; closes iff timeout < wm0
+d0 AS (
+  SELECT p.*, w.*,
+         (n0 > 0 AND epoch_ms(l0) + {_TTL_DAYS} * 86400000 < w.wm0) AS c0
+  FROM piv p, w),
+-- drain 1: fold epoch-1 rows into the surviving segment (or open anew)
+d1 AS (
+  SELECT *,
+         CASE WHEN n1 > 0 THEN CASE WHEN a_open THEN n0 + n1 ELSE n1 END
+              WHEN a_open THEN n0 END AS bn,
+         CASE WHEN n1 > 0 THEN CASE WHEN a_open THEN s0 + s1 ELSE s1 END
+              WHEN a_open THEN s0 END AS bs,
+         CASE WHEN n1 > 0 THEN CASE WHEN a_open THEN least(f0, f1) ELSE f1 END
+              WHEN a_open THEN f0 END AS bf,
+         CASE WHEN n1 > 0 THEN CASE WHEN a_open THEN greatest(l0, l1) ELSE l1 END
+              WHEN a_open THEN l0 END AS bl
+  FROM (SELECT *, (n0 > 0 AND NOT c0) AS a_open FROM d0)),
+d1c AS (
+  SELECT *,
+         (bn IS NOT NULL
+          AND epoch_ms(bl) + {_TTL_DAYS} * 86400000 < wm1) AS c1
+  FROM d1),
+-- drain 2: fold epoch-2 rows into the surviving segment (or open anew)
+d2 AS (
+  SELECT *,
+         CASE WHEN n2 > 0 THEN CASE WHEN b_open THEN bn + n2 ELSE n2 END
+              WHEN b_open THEN bn END AS cn,
+         CASE WHEN n2 > 0 THEN CASE WHEN b_open THEN bs + s2 ELSE s2 END
+              WHEN b_open THEN bs END AS cs,
+         CASE WHEN n2 > 0 THEN CASE WHEN b_open THEN least(bf, f2) ELSE f2 END
+              WHEN b_open THEN bf END AS cf,
+         CASE WHEN n2 > 0 THEN CASE WHEN b_open THEN greatest(bl, l2) ELSE l2 END
+              WHEN b_open THEN bl END AS cl
+  FROM (SELECT *, (bn IS NOT NULL AND NOT c1) AS b_open FROM d1c)),
+d2c AS (
+  SELECT *,
+         (cn IS NOT NULL
+          AND epoch_ms(cl) + {_TTL_DAYS} * 86400000 < wm2) AS c2
+  FROM d2)
+SELECT user_id, n_events, round(sum_value, 4) AS sum_value,
+       first_ts, last_ts
+FROM (
+  SELECT user_id, n0 AS n_events, s0 AS sum_value, f0 AS first_ts,
+         l0 AS last_ts
+  FROM d2c WHERE c0
+  UNION ALL
+  SELECT user_id, bn, bs, bf, bl FROM d2c WHERE c1
+  UNION ALL
+  SELECT user_id, cn, cs, cf, cl FROM d2c WHERE c2)
+ORDER BY user_id, first_ts
+"""
+
+
 # -- semi-structured: JSON property extraction + aggregate --------------------
 
 
@@ -2373,6 +2892,8 @@ QUERIES: dict[str, QueryDef] = {
     "q_stream_dedup": QueryDef(q_stream_dedup, _STREAM_DEDUP_SQL),
     "q_stream_sessions": QueryDef(q_stream_sessions, _STREAM_SESSION_SQL),
     "q_stream_attribution": QueryDef(q_stream_attribution, _STREAM_ATTR_SQL),
+    "q_stream_latest": QueryDef(q_stream_latest, _STREAM_LATEST_SQL),
+    "q_stream_ttl": QueryDef(q_stream_ttl, _STREAM_TTL_SQL),
     "q_json_props": QueryDef(q_json_props, _JSON_SQL),
     "q_set_ops": QueryDef(q_set_ops, _SET_SQL),
     "q_percentiles": QueryDef(q_percentiles, _PCT_SQL),

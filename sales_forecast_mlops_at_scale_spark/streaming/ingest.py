@@ -570,6 +570,105 @@ def run_attribution_stream(
     )
 
 
+def run_ttl_rollup_stream(
+    source: DataFrame,
+    *,
+    out_path: str,
+    checkpoint_path: str,
+    keys: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    ttl: str = "4 days",
+    watermark: str = "2 days",
+    available_now: bool = True,
+) -> None:
+    """:func:`..streaming.stateful.streaming_ttl_rollup` as a SERVICE:
+    the custom EventTimeTimeout operator drained in append mode to a
+    parquet log — only CLOSED segments reach the sink (data batches
+    emit nothing), so the native file sink composes directly and a
+    replay drain with no new data appends nothing.  Semantics pinned by
+    the ``q_stream_ttl`` oracle; see the operator docstring for the
+    probed timeout/late-filter rules."""
+    from .stateful import streaming_ttl_rollup
+
+    rolled = streaming_ttl_rollup(
+        source,
+        keys=list(keys),
+        ts_col=ts_col,
+        value_col=value_col,
+        ttl=ttl,
+        watermark=watermark,
+    )
+    _drain_append_parquet(
+        rolled,
+        out_path=out_path,
+        checkpoint_path=checkpoint_path,
+        available_now=available_now,
+    )
+
+
+def run_latest_stream(
+    source: DataFrame,
+    *,
+    out_path: str,
+    checkpoint_path: str,
+    keys: Sequence[str] = ("user_id",),
+    order_col: str = "event_id",
+    value_col: str = "value",
+    tag_col: str = "epoch",
+    available_now: bool = True,
+) -> None:
+    """:func:`..streaming.stateful.streaming_latest_per_key` as a
+    SERVICE: the custom ``applyInPandasWithState`` operator (ST5 — the
+    arbitrary-stateful successor of the reference's groupwise-max
+    self-join, ``/root/reference/services/web-ui/app/db_utils.py:40-62``)
+    drained in UPDATE mode through an exactly-once ``foreachBatch``
+    upsert into a parquet log.
+
+    Update-mode output cannot use the native file sink, so each batch's
+    update rows go through :func:`idempotent_append_batch` keyed on
+    ``keys + (tag_col,)`` — the tag is a bigint carried IN the source
+    rows, constant per micro-batch (one epoch file per drain), so the
+    log's natural key is replay-stable: a redelivered batch re-derives
+    the identical rows and the anti-join (plus the per-batch commit
+    marker) drops them.  Engine semantics pinned by the
+    ``q_stream_latest`` oracle: every key touched by a batch emits
+    exactly one row holding the running cross-batch maximum — a batch
+    delivering only stale rows re-emits the STORED newest row under the
+    new batch's tag, proving state survival across triggers.
+
+    Scale: state is one (order, value) pair per key — RocksDB holds
+    billions; each batch shuffles only its own rows; the log gains at
+    most |keys touched| rows per trigger."""
+    from .stateful import streaming_latest_per_key
+
+    latest = streaming_latest_per_key(
+        source,
+        keys=list(keys),
+        order_col=order_col,
+        value_col=value_col,
+        tag_col=tag_col,
+    )
+    app_id = hashlib.md5(checkpoint_path.encode()).hexdigest()[:12]
+    writer = (
+        latest.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(
+            lambda batch_df, bid: idempotent_append_batch(
+                batch_df,
+                out_path,
+                [*keys, tag_col],
+                batch_id=bid,
+                app_id=app_id,
+            )
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    query.awaitTermination()
+
+
 def interval_attribution_join(
     left: DataFrame,
     right: DataFrame,

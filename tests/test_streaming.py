@@ -2356,6 +2356,168 @@ def test_windowed_rollup_stream_late_data_policy(spark, tmp_path):
     assert sink() == before
 
 
+def test_run_latest_stream_state_carry_and_exactly_once(spark, tmp_path):
+    """Hand-computed semantics through the REAL service
+    (run_latest_stream, update mode, foreachBatch upsert, three drains):
+
+    - epoch 0: u1 ord 50, u2 ord 70 → log rows (u1,0,50), (u2,0,70).
+    - epoch 1: u1 delivers ONLY a stale row (ord 30) → the stored
+      newest row re-emits under the new tag (u1,1,50) — state carried;
+      u3 first appears → (u3,1,90).
+    - epoch 2: u1 genuinely advances (ord 60) → (u1,2,60); u2 untouched
+      (no row — update mode only emits touched keys).
+    - replay drain with no new files appends nothing (exactly-once via
+      the commit manifest, not the native sink)."""
+    import json as _json
+
+    from sales_forecast_mlops_at_scale_spark.streaming.ingest import (
+        run_latest_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ck = str(tmp_path / "log"), str(tmp_path / "ck")
+    epochs = [
+        [(1, 50, 5.0, 0), (2, 70, 7.0, 0)],
+        [(1, 30, 3.0, 1), (3, 90, 9.0, 1)],
+        [(1, 60, 6.0, 2)],
+    ]
+
+    def drain():
+        s = spark.readStream.schema(
+            "user_id long, ord long, value double, epoch long"
+        ).json(str(src))
+        run_latest_stream(
+            s,
+            out_path=out,
+            checkpoint_path=ck,
+            keys=["user_id"],
+            order_col="ord",
+            value_col="value",
+            tag_col="epoch",
+        )
+
+    def sink():
+        try:
+            return sorted(
+                (r.user_id, r.epoch, r.ord, r.value)
+                for r in spark.read.parquet(out).collect()
+            )
+        except Exception:
+            return []
+
+    for i, rows in enumerate(epochs):
+        (src / f"e{i}.json").write_text(
+            "\n".join(
+                _json.dumps(
+                    {"user_id": u, "ord": o, "value": v, "epoch": e}
+                )
+                for u, o, v, e in rows
+            )
+            + "\n"
+        )
+        drain()
+    want = [
+        (1, 0, 50, 5.0),
+        (1, 1, 50, 5.0),  # stale batch re-emitted the STORED row
+        (1, 2, 60, 6.0),  # genuine advance
+        (2, 0, 70, 7.0),
+        (3, 1, 90, 9.0),
+    ]
+    assert sink() == want
+    before = sink()
+    drain()  # replay with no new data: appends nothing
+    assert sink() == before
+
+
+def test_run_ttl_rollup_stream_timeout_state_machine(spark, tmp_path):
+    """Hand-computed EventTimeTimeout semantics through the REAL service
+    (run_ttl_rollup_stream, append mode, ttl=1 day, watermark=1 hour,
+    three drains) — every probed rule exercised:
+
+    - epoch 0: u1 @Jan-1 10:00 (v=1), u4 @Jan-1 12:00 (v=2),
+      u6 @Jan-1 09:00 (v=100).  wm→Jan-1 11:00; no timeout below it →
+      log stays empty (open segments withheld).
+    - epoch 1: u2 @Jan-5 10:00 (v=4), u5 @Jan-2 00:00 (v=8, late but
+      ABOVE wm — survives), u6 @Jan-2 00:00 (v=200, FOLDS into the open
+      segment).  wm advances to Jan-5 09:00, and the same drain's extra
+      batch closes u1 (timeout Jan-2 10:00), u4 (Jan-2 12:00),
+      u5 (Jan-3 00:00 — folded AND closed in one drain) and u6
+      (n=2, sum=300 — the fold is visible in the closed record).
+    - epoch 2: u1 @Jan-9 10:00 (v=16) RE-OPENS a fresh segment;
+      u3 @Jan-2 00:00 (v=32) is BELOW wm Jan-5 09:00 → dropped before
+      the function (u3 never appears anywhere).  wm→Jan-9 09:00 closes
+      u2 (Jan-6 10:00); u1's new timeout Jan-10 10:00 stays open.
+    - replay drain with no new data appends nothing (exactly-once)."""
+    import json as _json
+
+    from sales_forecast_mlops_at_scale_spark.streaming.ingest import (
+        run_ttl_rollup_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ck = str(tmp_path / "log"), str(tmp_path / "ck")
+    epochs = [
+        [(1, "2024-01-01 10:00:00", 1.0), (4, "2024-01-01 12:00:00", 2.0),
+         (6, "2024-01-01 09:00:00", 100.0)],
+        [(2, "2024-01-05 10:00:00", 4.0), (5, "2024-01-02 00:00:00", 8.0),
+         (6, "2024-01-02 00:00:00", 200.0)],
+        [(1, "2024-01-09 10:00:00", 16.0), (3, "2024-01-02 00:00:00", 32.0)],
+    ]
+
+    def drain():
+        s = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).json(str(src))
+        run_ttl_rollup_stream(
+            s,
+            out_path=out,
+            checkpoint_path=ck,
+            keys=["user_id"],
+            ttl="1 day",
+            watermark="1 hour",
+        )
+
+    def sink():
+        try:
+            return sorted(
+                (r.user_id, r.n_events, r.sum_value,
+                 str(r.first_ts), str(r.last_ts))
+                for r in spark.read.parquet(out).collect()
+            )
+        except Exception:
+            return []
+
+    seen = []
+    for i, rows in enumerate(epochs):
+        (src / f"e{i}.json").write_text(
+            "\n".join(
+                _json.dumps({"user_id": u, "ts": ts, "value": v})
+                for u, ts, v in rows
+            )
+            + "\n"
+        )
+        drain()
+        seen.append(sink())
+    assert seen[0] == []  # nothing closed after epoch 0
+    assert seen[1] == [
+        (1, 1, 1.0, "2024-01-01 10:00:00", "2024-01-01 10:00:00"),
+        (4, 1, 2.0, "2024-01-01 12:00:00", "2024-01-01 12:00:00"),
+        (5, 1, 8.0, "2024-01-02 00:00:00", "2024-01-02 00:00:00"),
+        (6, 2, 300.0, "2024-01-01 09:00:00", "2024-01-02 00:00:00"),
+    ]
+    assert seen[2] == sorted(
+        seen[1] + [(2, 1, 4.0, "2024-01-05 10:00:00", "2024-01-05 10:00:00")]
+    )
+    before = sink()
+    drain()  # replay with no new data: appends nothing
+    assert sink() == before
+    # u3's late row was dropped, u1's re-opened segment withheld
+    assert not any(r[0] == 3 for r in sink())
+    assert sum(1 for r in sink() if r[0] == 1) == 1
+
+
 def test_decay_claim_adoption_and_liveness_rules(tmp_path, monkeypatch):
     """Cross-process rules of the hardened writer claim (code-review
     r9): a claim owned by a LIVE other pid under the pid-reuse bar
