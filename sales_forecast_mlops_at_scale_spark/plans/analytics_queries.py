@@ -886,6 +886,255 @@ ORDER BY p.user_id, p.imp_ts, p.conv_ts
 """
 
 
+#: interval window / watermark (hours) for the OUTER attribution fixture —
+#: wider than the inner fixture's 1 h so that policy-caused nulls (a left
+#: whose only raw partner was dropped or evicted) exist even at sf0.001
+_OUTER_DELAY_H = 8
+_OUTER_WM_H = 1
+
+
+# the left-outer twin: the inner policy's surviving pairs PLUS one
+# null-partner row per surviving-but-unmatched left whose eviction point
+# (imp_ts + max_delay) the FINAL watermark passed (probed: the null is
+# flushed in the drain whose updated watermark crossed it; lefts still
+# inside the horizon are withheld)
+_STREAM_OUTER_ATTR_SQL = f"""
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS d0,
+         date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1
+           AS nd
+  FROM events),
+tagged AS (
+  SELECT e.user_id, e.ts, e.event_type,
+         least({_STREAM_EPOCHS - 1},
+               ({_STREAM_EPOCHS} * date_diff('day', b.d0, CAST(e.ts AS DATE)))
+                 // b.nd
+               + CASE WHEN e.event_id % {_STREAM_STRAGGLER_MOD} = 0
+                      THEN 1 ELSE 0 END) AS epoch
+  FROM events e, bounds b
+  WHERE e.event_type IN ('click', 'purchase')),
+imps AS (SELECT user_id, ts AS imp_ts, epoch FROM tagged
+         WHERE event_type = 'click'),
+convs AS (SELECT user_id, ts AS conv_ts, epoch FROM tagged
+          WHERE event_type = 'purchase'),
+wmg AS (
+  SELECT g.epoch,
+         least((SELECT max(imp_ts) FROM imps WHERE epoch <= g.epoch),
+               (SELECT max(conv_ts) FROM convs WHERE epoch <= g.epoch))
+           - INTERVAL {_OUTER_WM_H} HOUR AS wm
+  FROM (SELECT unnest([0, 1, 2]) AS epoch) g),
+pairs AS (
+  SELECT i.user_id, i.imp_ts, c.conv_ts, i.epoch AS el, c.epoch AS er
+  FROM imps i JOIN convs c
+    ON c.user_id = i.user_id
+   AND c.conv_ts >= i.imp_ts
+   AND c.conv_ts <= i.imp_ts + INTERVAL {_OUTER_DELAY_H} HOUR),
+survived AS (
+  SELECT p.user_id, p.imp_ts, p.conv_ts
+  FROM pairs p
+  LEFT JOIN wmg wel ON wel.epoch = p.el - 1
+  LEFT JOIN wmg wer ON wer.epoch = p.er - 1
+  WHERE (wel.wm IS NULL OR p.imp_ts >= wel.wm)
+    AND (wer.wm IS NULL OR p.conv_ts >= wer.wm)
+    AND (p.el >= p.er OR wer.wm IS NULL
+         OR p.imp_ts + INTERVAL {_OUTER_DELAY_H} HOUR >= wer.wm)
+    AND (p.er >= p.el OR wel.wm IS NULL OR p.conv_ts >= wel.wm)),
+live_imps AS (
+  SELECT i.user_id, i.imp_ts FROM imps i
+  LEFT JOIN wmg w ON w.epoch = i.epoch - 1
+  WHERE w.wm IS NULL OR i.imp_ts >= w.wm)
+SELECT user_id, imp_ts, conv_ts FROM (
+  SELECT user_id, imp_ts, conv_ts FROM survived
+  UNION ALL
+  SELECT li.user_id, li.imp_ts, CAST(NULL AS TIMESTAMP) AS conv_ts
+  FROM live_imps li
+  WHERE li.imp_ts + INTERVAL {_OUTER_DELAY_H} HOUR
+          < (SELECT max(wm) FROM wmg)
+    AND NOT EXISTS (SELECT 1 FROM survived s
+                    WHERE s.user_id = li.user_id
+                      AND s.imp_ts = li.imp_ts))
+ORDER BY user_id, imp_ts, conv_ts
+"""
+
+
+def _stream_outer_attr_root(sf_dir: str) -> str:
+    import os
+
+    from .fixture_roots import digest_root
+
+    return digest_root(
+        "sfspark_stream_outer_attr_log",
+        [os.path.join(sf_dir, "events.parquet")],
+        [_STREAM_EPOCHS, _STREAM_STRAGGLER_MOD, _OUTER_DELAY_H, _OUTER_WM_H],
+    )
+
+
+def _ensure_stream_outer_attr_log(spark: SparkSession, sf_dir: str) -> str:
+    """Drive the stream-stream interval LEFT OUTER join
+    (``run_attribution_stream`` with ``how="left_outer"``) over the same
+    two three-epoch sides as the inner fixture.  Build guards: both
+    sides' epoch-0 files nonempty, no duplicate (user, ts) on either
+    side (a duplicate left would make the null-vs-match accounting
+    row-ambiguous), the log contains ≥1 matched pair, ≥1 null row, ≥1
+    null row whose user HAS a raw interval partner (the null is caused
+    by the STREAMING policy — a dropped/evicted partner — not by absent
+    data), ≥1 surviving-but-withheld left (eviction point above the
+    final watermark, so its outcome is still unknown at stream end), no
+    event/expiry ties a watermark, replay drain a byte-level no-op."""
+    import datetime as _dt
+    import glob as _glob
+    import os
+    import shutil
+
+    from ..streaming.ingest import run_attribution_stream
+    from .fixture_roots import ensure_built
+
+    delay = _dt.timedelta(hours=_OUTER_DELAY_H)
+    wm_delay = _dt.timedelta(hours=_OUTER_WM_H)
+
+    def build(staging: str) -> None:
+        imps, convs = _attr_sides(spark, sf_dir)
+        for side, frame, tscol in (("left", imps, "imp_ts"), ("right", convs, "conv_ts")):
+            dup = (
+                frame.groupBy("user_id", tscol).count().where(F.col("count") > 1)
+            )
+            if dup.limit(1).count() > 0:
+                raise RuntimeError(f"outer-attr fixture degenerate: duplicate {side} rows")
+        lsrc = os.path.join(staging, "left")
+        rsrc = os.path.join(staging, "right")
+        os.makedirs(lsrc)
+        os.makedirs(rsrc)
+        out = os.path.join(staging, "log")
+        ckpt = os.path.join(staging, "ckpt")
+        l_schema = imps.drop("__epoch").schema
+        r_schema = convs.drop("__epoch").schema
+
+        def drain() -> None:
+            run_attribution_stream(
+                spark.readStream.schema(l_schema).parquet(lsrc),
+                spark.readStream.schema(r_schema).parquet(rsrc),
+                out_path=out,
+                checkpoint_path=ckpt,
+                max_delay=f"{_OUTER_DELAY_H} hour",
+                left_watermark=f"{_OUTER_WM_H} hour",
+                right_watermark=f"{_OUTER_WM_H} hour",
+                how="left_outer",
+            )
+
+        wms: list = []
+        for e in range(_STREAM_EPOCHS):
+            for side, frame, src in (
+                ("left", imps, lsrc),
+                ("right", convs, rsrc),
+            ):
+                part_dir = os.path.join(staging, f"_{side}{e}")
+                sliced = frame.where(F.col("__epoch") == e).drop("__epoch")
+                if sliced.limit(1).count() == 0:
+                    raise RuntimeError(f"outer attr {side} epoch {e} is empty")
+                sliced.coalesce(1).write.parquet(part_dir)
+                parts = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
+                if len(parts) != 1:
+                    raise RuntimeError(f"outer attr {side} epoch {e} is empty")
+                os.rename(parts[0], os.path.join(src, f"epoch{e}.parquet"))
+                shutil.rmtree(part_dir, ignore_errors=True)
+            drain()
+            lmax = spark.read.parquet(lsrc).agg(F.max("imp_ts")).first()[0]
+            rmax = spark.read.parquet(rsrc).agg(F.max("conv_ts")).first()[0]
+            wms.append(min(lmax, rmax) - wm_delay)
+        # composition guards over the log + raw sides
+        log = spark.read.parquet(out)
+        n_pair = log.where(F.col("conv_ts").isNotNull()).count()
+        nulls = log.where(F.col("conv_ts").isNull()).select("user_id", "imp_ts")
+        n_null = nulls.count()
+        if n_pair == 0 or n_null == 0:
+            raise RuntimeError(
+                f"outer-attr fixture vacuous: pairs={n_pair} nulls={n_null}"
+            )
+        raw_pairs_cond = (
+            (F.col("c.user_id") == F.col("n.user_id"))
+            & (F.col("c.conv_ts") >= F.col("n.imp_ts"))
+            & (
+                F.col("c.conv_ts")
+                <= F.col("n.imp_ts") + F.expr(f"interval {_OUTER_DELAY_H} hours")
+            )
+        )
+        policy_nulls = nulls.alias("n").join(
+            convs.drop("__epoch").alias("c"), raw_pairs_cond, "left_semi"
+        )
+        if policy_nulls.limit(1).count() == 0:
+            raise RuntimeError(
+                "outer-attr fixture vacuous: every null row lacks a raw "
+                "partner (streaming policy never caused one)"
+            )
+        # ≥1 surviving left withheld: evicts only after the final watermark
+        matched_or_null = log.select("user_id", "imp_ts")
+        withheld = (
+            imps.drop("__epoch")
+            .join(matched_or_null, ["user_id", "imp_ts"], "left_anti")
+            .where(
+                F.col("imp_ts") + F.expr(f"interval {_OUTER_DELAY_H} hours")
+                > F.lit(wms[-1])
+            )
+        )
+        if withheld.limit(1).count() == 0:
+            raise RuntimeError("outer-attr fixture vacuous: no withheld left")
+        crit = {wm for wm in wms}
+        ties = imps.where(
+            F.col("imp_ts").isin(list(crit))
+            | (F.col("imp_ts") + F.expr(f"interval {_OUTER_DELAY_H} hours")).isin(
+                list(crit)
+            )
+        ).count() + convs.where(F.col("conv_ts").isin(list(crit))).count()
+        if ties:
+            raise RuntimeError(
+                "outer-attr fixture degenerate: event/expiry ties a watermark"
+            )
+
+        def _log_state() -> list:
+            return sorted(
+                (os.path.basename(p), os.path.getsize(p))
+                for p in _glob.glob(
+                    os.path.join(out, "**", "*"), recursive=True
+                )
+                if os.path.isfile(p)
+            )
+
+        before = _log_state()
+        drain()
+        after = _log_state()
+        if before != after:
+            raise RuntimeError("outer-attr replay drain was not a no-op")
+        shutil.rmtree(os.path.join(out, "_spark_metadata"), ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    return ensure_built(
+        _stream_outer_attr_root(sf_dir), "_LOG_COMPLETE", build
+    )
+
+
+def q_stream_outer_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream interval LEFT OUTER join's null-emission state
+    machine, hash-checked: the append log of the real two-source
+    checkpointed outer attribution join over three epoch files per side
+    with stragglers.  On top of the inner-join policy (shared with
+    ``q_stream_attribution``), the oracle adds the probed outer rule: a
+    left row that survived its input late filter and gained NO surviving
+    pair emits exactly one null-partner row once the global watermark
+    passes its eviction point ``imp_ts + max_delay`` — in the drain
+    whose UPDATED watermark crossed it; lefts still inside the horizon
+    at stream end are withheld.  A premature null (emitted while a
+    partner could still arrive), a missing null after eviction, a null
+    alongside a match, or a replay double-emit all fail the hash.
+    Stream state is O(rows within the watermark horizon)."""
+    import os
+
+    root = _ensure_stream_outer_attr_log(spark, sf_dir)
+    log = spark.read.parquet(os.path.join(root, "log"))
+    return log.select("user_id", "imp_ts", "conv_ts").orderBy(
+        "user_id", "imp_ts", "conv_ts"
+    )
+
+
 #: watermark delay (days) for the streaming-dedup fixture
 _DEDUP_WM_DAYS = 2
 
@@ -2894,6 +3143,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_stream_attribution": QueryDef(q_stream_attribution, _STREAM_ATTR_SQL),
     "q_stream_latest": QueryDef(q_stream_latest, _STREAM_LATEST_SQL),
     "q_stream_ttl": QueryDef(q_stream_ttl, _STREAM_TTL_SQL),
+    "q_stream_outer_attr": QueryDef(q_stream_outer_attr, _STREAM_OUTER_ATTR_SQL),
     "q_json_props": QueryDef(q_json_props, _JSON_SQL),
     "q_set_ops": QueryDef(q_set_ops, _SET_SQL),
     "q_percentiles": QueryDef(q_percentiles, _PCT_SQL),

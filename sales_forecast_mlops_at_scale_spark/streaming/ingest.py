@@ -536,22 +536,28 @@ def run_attribution_stream(
     max_delay: str = "1 hour",
     left_watermark: str = "1 hour",
     right_watermark: str = "1 hour",
+    how: str = "inner",
     available_now: bool = True,
 ) -> None:
     """:func:`interval_attribution_join` as a SERVICE: drain two
-    checkpointed event streams through the stream-stream interval inner
-    join in append mode to a parquet log.  Engine semantics pinned by
-    the ``q_stream_attribution`` oracle (probed empirically): a row
-    below the global watermark (min over both sides' ``max event time −
+    checkpointed event streams through the stream-stream interval join
+    in append mode to a parquet log.  Engine semantics pinned by the
+    ``q_stream_attribution`` oracle (probed empirically): a row below
+    the global watermark (min over both sides' ``max event time −
     delay``, one batch behind) is dropped at input EVEN IF a buffered
     partner could still match it; a buffered LEFT row is evicted once
     the watermark passes ``left_ts + max_delay`` (no future right can
     reach it), a buffered RIGHT row once the watermark passes its own
     event time — so a pair emits iff both rows pass their arrival-time
     late filter AND the earlier side's state survives to the later
-    side's batch.  State is O(rows within the watermark horizon), never
-    the full history — the property that makes stream-stream
-    attribution viable at ad-scale event rates."""
+    side's batch.  With ``how="left_outer"`` (pinned by
+    ``q_stream_outer_attr``): an unmatched left row additionally emits
+    ONE null-partner row, in the drain whose UPDATED watermark passes
+    its eviction point ``left_ts + max_delay`` — exactly when the
+    engine can prove no future partner exists; lefts still inside the
+    horizon at stream end are withheld.  State is O(rows within the
+    watermark horizon), never the full history — the property that
+    makes stream-stream attribution viable at ad-scale event rates."""
     joined = interval_attribution_join(
         left,
         right,
@@ -561,6 +567,7 @@ def run_attribution_stream(
         max_delay=max_delay,
         left_watermark=left_watermark,
         right_watermark=right_watermark,
+        how=how,
     )
     _drain_append_parquet(
         joined,
@@ -679,6 +686,7 @@ def interval_attribution_join(
     max_delay: str = "1 hour",
     left_watermark: str = "2 hours",
     right_watermark: str = "3 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join (ad-attribution shape): every right
     event joins left events with the same key where
@@ -688,7 +696,10 @@ def interval_attribution_join(
     predicate bounds the buffered state: Spark derives from it how long
     each side's rows must be retained, so state is
     O(key-rate × max_delay), never the full history.  Batch frames run
-    the identical join predicate — the oracle-able twin.
+    the identical join predicate — the oracle-able twin.  With
+    ``how="left_outer"`` an unmatched left emits a null-partner row
+    once its state evicts (watermark past ``left_ts + max_delay``) —
+    the streaming form of "impressions that never converted".
     """
     l, r = left, right
     if l.isStreaming:
@@ -700,7 +711,7 @@ def interval_attribution_join(
         & (r[right_ts] >= l[left_ts])
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {max_delay}"))
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         l[key].alias(key),
         l[left_ts].alias(left_ts),
         r[right_ts].alias(right_ts),

@@ -2430,6 +2430,87 @@ def test_run_latest_stream_state_carry_and_exactly_once(spark, tmp_path):
     assert sink() == before
 
 
+def test_outer_attribution_null_emission_timing(spark, tmp_path):
+    """Hand-computed LEFT OUTER stream-stream join semantics through
+    the REAL service (run_attribution_stream how=left_outer, 1 h window,
+    1 h watermarks, three drains):
+
+    - epoch 0: u1 imp Jan-1 10:00 + conv 10:30 → pair emits in the same
+      batch; u2 imp Jan-1 10:00 unmatched, withheld (wm Jan-1 09:00).
+    - epoch 1: u3 imp Jan-5 10:00 + dummy conv advance wm to
+      Jan-5 09:00 > u2's eviction point Jan-1 11:00 → u2's null row is
+      flushed IN THIS DRAIN (the updated watermark, not the stale one).
+    - epoch 2: wm → Jan-9 09:00.  u3 (eviction Jan-5 11:00) nulls;
+      u5 imp Jan-9 07:00 (eviction Jan-9 08:00 < wm — the boundary is
+      exactly imp+delay < wm) nulls; u6 imp Jan-9 08:30 (eviction
+      09:30 > wm) and u4 imp Jan-9 10:00 stay withheld.
+    - replay drain appends nothing."""
+    import json as _json
+
+    from sales_forecast_mlops_at_scale_spark.streaming.ingest import (
+        run_attribution_stream,
+    )
+
+    lsrc, rsrc = tmp_path / "left", tmp_path / "right"
+    lsrc.mkdir()
+    rsrc.mkdir()
+    out, ck = str(tmp_path / "log"), str(tmp_path / "ck")
+    l_epochs = [
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:00:00")],
+        [(3, "2024-01-05 10:00:00")],
+        [(4, "2024-01-09 10:00:00"), (5, "2024-01-09 07:00:00"),
+         (6, "2024-01-09 08:30:00")],
+    ]
+    r_epochs = [
+        [(1, "2024-01-01 10:30:00")],
+        [(9, "2024-01-05 10:00:00")],
+        [(9, "2024-01-09 10:00:00")],
+    ]
+
+    def drain():
+        l = spark.readStream.schema("user_id long, imp_ts timestamp").json(
+            str(lsrc)
+        )
+        r = spark.readStream.schema("user_id long, conv_ts timestamp").json(
+            str(rsrc)
+        )
+        run_attribution_stream(
+            l, r, out_path=out, checkpoint_path=ck,
+            max_delay="1 hour", left_watermark="1 hour",
+            right_watermark="1 hour", how="left_outer",
+        )
+
+    def sink():
+        try:
+            return sorted(
+                (r.user_id, str(r.imp_ts), str(r.conv_ts))
+                for r in spark.read.parquet(out).collect()
+            )
+        except Exception:
+            return []
+
+    seen = []
+    for i, (lrows, rrows) in enumerate(zip(l_epochs, r_epochs)):
+        (lsrc / f"e{i}.json").write_text(
+            "\n".join(_json.dumps({"user_id": u, "imp_ts": ts})
+                      for u, ts in lrows) + "\n")
+        (rsrc / f"e{i}.json").write_text(
+            "\n".join(_json.dumps({"user_id": u, "conv_ts": ts})
+                      for u, ts in rrows) + "\n")
+        drain()
+        seen.append(sink())
+    assert seen[0] == [(1, "2024-01-01 10:00:00", "2024-01-01 10:30:00")]
+    assert seen[1] == seen[0] + [(2, "2024-01-01 10:00:00", "None")]
+    assert seen[2] == sorted(
+        seen[1]
+        + [(3, "2024-01-05 10:00:00", "None"),
+           (5, "2024-01-09 07:00:00", "None")]
+    )
+    before = sink()
+    drain()
+    assert sink() == before
+
+
 def test_run_ttl_rollup_stream_timeout_state_machine(spark, tmp_path):
     """Hand-computed EventTimeTimeout semantics through the REAL service
     (run_ttl_rollup_stream, append mode, ttl=1 day, watermark=1 hour,
