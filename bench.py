@@ -66,6 +66,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_stream_latest",
     "q_stream_ttl",
     "q_stream_outer_attr",
+    "q_stream_chained",
     "q_sliding_rollup",
     "q_json_props",
     "q_funnel",

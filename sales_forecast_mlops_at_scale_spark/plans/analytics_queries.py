@@ -1574,6 +1574,243 @@ ORDER BY t.user_id, t.epoch
 """
 
 
+#: coarse-window size (days) for the chained-stateful stream fixture
+_CHAIN_PERIOD_DAYS = 3
+
+
+def _stream_chain_root(sf_dir: str) -> str:
+    import os
+
+    from .fixture_roots import digest_root
+
+    return digest_root(
+        "sfspark_stream_chain_log",
+        [os.path.join(sf_dir, "events.parquet")],
+        [
+            _STREAM_EPOCHS,
+            _STREAM_STRAGGLER_MOD,
+            _STREAM_WATERMARK_DAYS,
+            _CHAIN_PERIOD_DAYS,
+        ],
+    )
+
+
+def _ensure_stream_chain_log(spark: SparkSession, sf_dir: str) -> str:
+    """Drive TWO CHAINED stateful aggregates in one streaming query
+    (``streaming.ingest.run_chained_rollup_stream``: day windows feeding
+    3-day windows via ``window_time``) over the same three-epoch
+    straggler stream as the single-level fixture.  Build guards: every
+    epoch nonempty; ≥1 straggler genuinely dropped inside a CLOSED
+    period (the inner late filter is visible in the two-level output)
+    and ≥1 kept (late-but-within fold); ≥1 closed period has surviving
+    rows in its LAST day (the window whose day closes in the very drain
+    the period closes — the cascade-stress case); ≥1 period with data
+    withheld at stream end; no day or period end ties a watermark;
+    replay drain a byte-level no-op."""
+    import datetime as _dt
+    import glob as _glob
+    import os
+    import shutil
+
+    from ..streaming.ingest import run_chained_rollup_stream
+    from .fixture_roots import ensure_built
+
+    def build(staging: str) -> None:
+        ev = _events(spark, sf_dir)
+        d0, dmax = ev.agg(
+            F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+        ).first()
+        nd = (dmax - d0).days + 1
+        tagged = ev.withColumn("__d0", F.lit(d0)).withColumn(
+            "__nd", F.lit(nd)
+        ).withColumn("__epoch", _stream_epoch_col())
+        src = os.path.join(staging, "src")
+        os.makedirs(src)
+        out = os.path.join(staging, "log")
+        ckpt = os.path.join(staging, "ckpt")
+        schema = (
+            ev.select(
+                F.col("ts").cast("timestamp").alias("ts"),
+                "event_type",
+                "value",
+            ).schema
+        )
+
+        def drain() -> None:
+            run_chained_rollup_stream(
+                spark.readStream.schema(schema).parquet(src),
+                out_path=out,
+                checkpoint_path=ckpt,
+                watermark=f"{_STREAM_WATERMARK_DAYS} days",
+                period=f"{_CHAIN_PERIOD_DAYS} days",
+            )
+
+        wms: list = []
+        for e in range(_STREAM_EPOCHS):
+            part_dir = os.path.join(staging, f"_epoch{e}")
+            sliced = tagged.where(F.col("__epoch") == e).select(
+                F.col("ts").cast("timestamp").alias("ts"),
+                "event_type",
+                "value",
+            )
+            if sliced.limit(1).count() == 0:
+                raise RuntimeError(f"chain epoch {e} fixture is empty")
+            sliced.coalesce(1).write.parquet(part_dir)
+            parts = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
+            if len(parts) != 1:
+                raise RuntimeError(f"chain epoch {e} fixture is empty")
+            os.rename(parts[0], os.path.join(src, f"epoch{e}.parquet"))
+            shutil.rmtree(part_dir, ignore_errors=True)
+            drain()
+            mx = spark.read.parquet(src).agg(F.max("ts")).first()[0]
+            wms.append(
+                mx - _dt.timedelta(days=_STREAM_WATERMARK_DAYS)
+            )
+        wmf = wms[-1]
+        anchor = _dt.date(1970, 1, 1)
+
+        def period_end(d: _dt.date) -> _dt.datetime:
+            idx = (d - anchor).days // _CHAIN_PERIOD_DAYS
+            return _dt.datetime.combine(
+                anchor + _dt.timedelta(days=(idx + 1) * _CHAIN_PERIOD_DAYS),
+                _dt.time(),
+            )
+
+        # straggler drop/keep INSIDE closed periods (bounded collect)
+        stragglers = tagged.where(
+            (F.col("event_id") % _STREAM_STRAGGLER_MOD == 0)
+            & (
+                F.col("__epoch")
+                > F.expr(
+                    f"(({_STREAM_EPOCHS} * datediff(to_date(ts), __d0))"
+                    " div __nd)"
+                )
+            )
+        ).select(
+            (F.date_trunc("day", "ts") + F.expr("interval 1 day")).alias("we"),
+            F.to_date("ts").alias("d"),
+            F.col("__epoch").alias("ep"),
+        )
+        n_drop = n_keep = 0
+        for r in stragglers.collect():
+            if period_end(r.d) > wmf:
+                continue  # period not closed — invisible either way
+            if r.we <= wms[r.ep - 1]:
+                n_drop += 1
+            else:
+                n_keep += 1
+        if n_drop == 0 or n_keep == 0:
+            raise RuntimeError(
+                f"chain fixture vacuous: dropped={n_drop} kept={n_keep}"
+            )
+        # cascade stress + withheld + tie guards over the distinct-day frame
+        days = [r[0] for r in tagged.select(F.to_date("ts")).distinct().collect()]
+        n_lastday = sum(
+            1
+            for d in days
+            if period_end(d) <= wmf
+            and (d - anchor).days % _CHAIN_PERIOD_DAYS
+            == _CHAIN_PERIOD_DAYS - 1
+        )
+        n_withheld = sum(1 for d in days if period_end(d) > wmf)
+        if n_lastday == 0 or n_withheld == 0:
+            raise RuntimeError(
+                f"chain fixture vacuous: lastday={n_lastday} "
+                f"withheld={n_withheld}"
+            )
+        edges = {
+            _dt.datetime.combine(d, _dt.time()) + _dt.timedelta(days=1)
+            for d in days
+        } | {period_end(d) for d in days}
+        if any(wm in edges for wm in wms):
+            raise RuntimeError(
+                "chain fixture degenerate: a day/period end ties a watermark"
+            )
+
+        def _log_state() -> list:
+            return sorted(
+                (os.path.basename(p), os.path.getsize(p))
+                for p in _glob.glob(
+                    os.path.join(out, "**", "*"), recursive=True
+                )
+                if os.path.isfile(p)
+            )
+
+        before = _log_state()
+        drain()
+        after = _log_state()
+        if before != after:
+            raise RuntimeError("chain replay drain was not a no-op")
+        shutil.rmtree(os.path.join(out, "_spark_metadata"), ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    return ensure_built(_stream_chain_root(sf_dir), "_LOG_COMPLETE", build)
+
+
+def q_stream_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators (Spark 3.5+ multi-stateful append
+    support) hash-checked: the append log of one streaming query running
+    a watermarked DAY aggregate whose closed windows feed a 3-DAY
+    aggregate via ``window_time``.  The oracle composes the two pinned
+    rules (probed empirically: the cascade completes within a drain —
+    a day that closes in the same batch as its period still lands
+    inside it, thanks to watermark propagation): input rows survive the
+    single-level late filter, and the log holds every period whose end
+    the final watermark passed, aggregating ALL surviving rows of its
+    days — with ``n_days`` pinning the number of day-level rows that
+    entered each period (a day lost in the cascade, a double-emit, or
+    an outer-level late drop all fail the hash)."""
+    import os
+
+    root = _ensure_stream_chain_log(spark, sf_dir)
+    log = spark.read.parquet(os.path.join(root, "log"))
+    return log.select(
+        "period_start", "event_type", "n_events", "sum_value", "n_days"
+    ).orderBy("period_start", "event_type")
+
+
+_STREAM_CHAIN_SQL = f"""
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS d0,
+         date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1
+           AS nd
+  FROM events),
+tagged AS (
+  SELECT e.ts, e.event_type, e.value,
+         date_trunc('day', e.ts) + INTERVAL 1 DAY AS we,
+         least({_STREAM_EPOCHS - 1},
+               ({_STREAM_EPOCHS} * date_diff('day', b.d0, CAST(e.ts AS DATE)))
+                 // b.nd
+               + CASE WHEN e.event_id % {_STREAM_STRAGGLER_MOD} = 0
+                      THEN 1 ELSE 0 END) AS epoch
+  FROM events e, bounds b),
+wms AS (
+  SELECT epoch,
+         max(mx) OVER (ORDER BY epoch)
+           - INTERVAL {_STREAM_WATERMARK_DAYS} DAY AS wm
+  FROM (SELECT epoch, max(ts) AS mx FROM tagged GROUP BY epoch)),
+survived AS (
+  SELECT t.* FROM tagged t
+  LEFT JOIN wms p ON p.epoch = t.epoch - 1
+  WHERE p.wm IS NULL OR t.we > p.wm),
+periodized AS (
+  SELECT s.*,
+         DATE '1970-01-01'
+           + CAST((date_diff('day', DATE '1970-01-01', CAST(s.ts AS DATE))
+              // {_CHAIN_PERIOD_DAYS}) * {_CHAIN_PERIOD_DAYS} AS INTEGER)
+           AS p_start
+  FROM survived s)
+SELECT p.p_start AS period_start, p.event_type,
+       count(*) AS n_events, round(sum(p.value), 4) AS sum_value,
+       count(DISTINCT CAST(date_trunc('day', p.ts) AS DATE)) AS n_days
+FROM periodized p, (SELECT max(wm) AS wmf FROM wms) f
+WHERE CAST(p.p_start + CAST({_CHAIN_PERIOD_DAYS} AS INTEGER) AS TIMESTAMP)
+        <= f.wmf
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 #: ttl / watermark (days) for the TTL-rollup stream fixture
 _TTL_DAYS = 4
 _TTL_WM_DAYS = 2
@@ -3144,6 +3381,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_stream_latest": QueryDef(q_stream_latest, _STREAM_LATEST_SQL),
     "q_stream_ttl": QueryDef(q_stream_ttl, _STREAM_TTL_SQL),
     "q_stream_outer_attr": QueryDef(q_stream_outer_attr, _STREAM_OUTER_ATTR_SQL),
+    "q_stream_chained": QueryDef(q_stream_chained, _STREAM_CHAIN_SQL),
     "q_json_props": QueryDef(q_json_props, _JSON_SQL),
     "q_set_ops": QueryDef(q_set_ops, _SET_SQL),
     "q_percentiles": QueryDef(q_percentiles, _PCT_SQL),

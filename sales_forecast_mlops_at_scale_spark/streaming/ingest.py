@@ -577,6 +577,100 @@ def run_attribution_stream(
     )
 
 
+def chained_window_rollup(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: Sequence[str] = ("event_type",),
+    watermark: str = "2 days",
+    day: str = "1 day",
+    period: str = "3 days",
+) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark 3.5+
+    multiple-stateful-operator support): a fine-grained tumbling window
+    aggregate whose CLOSED windows feed a second, coarser tumbling
+    aggregate via ``window_time`` — the canonical two-level rollup
+    (day → period) that previously required two queries and an
+    intermediate topic/table.
+
+    Emission semantics (probed empirically; pinned by the
+    ``q_stream_chained`` oracle): the cascade completes WITHIN one
+    micro-batch drain — when the advancing watermark closes a day
+    window, its row flows into the period aggregate in the same batch
+    (watermark propagation keeps it from being late-filtered), and a
+    period window whose end the same watermark also passed closes with
+    ALL its days included.  The final log is therefore the pure
+    composition of the two pinned rules: input rows survive the
+    single-level late filter, and the log holds every period window
+    whose end the final watermark passed, aggregating all surviving
+    rows of its days.  Batch frames run the same two-level plan —
+    the oracle-able twin."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    daily = df.groupBy(
+        F.window(F.col(ts_col), day).alias("__w"), *keys
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(value_col).alias("sum_value"),
+    )
+    staged = daily.select(
+        F.window_time("__w").alias("__wts"),
+        *keys,
+        "n_events",
+        "sum_value",
+    )
+    return (
+        staged.groupBy(F.window("__wts", period).alias("__wp"), *keys)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 4).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select(
+            F.col("__wp.start").cast("date").alias("period_start"),
+            *keys,
+            "n_events",
+            "sum_value",
+            "n_days",
+        )
+    )
+
+
+def run_chained_rollup_stream(
+    source: DataFrame,
+    *,
+    out_path: str,
+    checkpoint_path: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: Sequence[str] = ("event_type",),
+    watermark: str = "2 days",
+    day: str = "1 day",
+    period: str = "3 days",
+    available_now: bool = True,
+) -> None:
+    """:func:`chained_window_rollup` as a SERVICE: two chained stateful
+    aggregates drained in append mode to a parquet log; see the
+    operator docstring for the probed cascade semantics."""
+    rolled = chained_window_rollup(
+        source,
+        ts_col=ts_col,
+        value_col=value_col,
+        keys=list(keys),
+        watermark=watermark,
+        day=day,
+        period=period,
+    )
+    _drain_append_parquet(
+        rolled,
+        out_path=out_path,
+        checkpoint_path=checkpoint_path,
+        available_now=available_now,
+    )
+
+
 def run_ttl_rollup_stream(
     source: DataFrame,
     *,

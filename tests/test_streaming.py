@@ -2430,6 +2430,78 @@ def test_run_latest_stream_state_carry_and_exactly_once(spark, tmp_path):
     assert sink() == before
 
 
+def test_chained_rollup_cascade_within_one_drain(spark, tmp_path):
+    """Hand-computed chained-stateful semantics through the REAL service
+    (run_chained_rollup_stream: day windows → 3-day windows in ONE
+    query, watermark 1 day, three drains):
+
+    - epoch 0: Jan-1 (v=1) and Jan-2 12:00 (v=2) → wm Jan-1 12:00;
+      nothing closes, log empty.
+    - epoch 1: Jan-4 (v=4) → wm Jan-3 10:00 closes days Jan-1/Jan-2 AND
+      the period Dec-31..Jan-3 in the SAME drain — the period row must
+      contain BOTH days (n=2, sum=3.0, n_days=2): the day that closed in
+      the very batch the period closed still cascaded in (watermark
+      propagation; a one-drain lag or an outer late-drop would show
+      n_days=1).
+    - epoch 2: Jan-8 (v=8) → wm Jan-7 10:00 closes period Jan-3..Jan-6
+      with day Jan-4; day Jan-8 and its period stay withheld.
+    - replay drain appends nothing."""
+    import json as _json
+
+    from sales_forecast_mlops_at_scale_spark.streaming.ingest import (
+        run_chained_rollup_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out, ck = str(tmp_path / "log"), str(tmp_path / "ck")
+    epochs = [
+        [("2024-01-01 10:00:00", "a", 1.0), ("2024-01-02 12:00:00", "a", 2.0)],
+        [("2024-01-04 10:00:00", "a", 4.0)],
+        [("2024-01-08 10:00:00", "a", 8.0)],
+    ]
+
+    def drain():
+        s = spark.readStream.schema("ts timestamp, k string, v double").json(
+            str(src)
+        )
+        run_chained_rollup_stream(
+            s,
+            out_path=out,
+            checkpoint_path=ck,
+            value_col="v",
+            keys=["k"],
+            watermark="1 day",
+            period="3 days",
+        )
+
+    def sink():
+        try:
+            return sorted(
+                (str(r.period_start), r.k, r.n_events, r.sum_value, r.n_days)
+                for r in spark.read.parquet(out).collect()
+            )
+        except Exception:
+            return []
+
+    seen = []
+    for i, rows in enumerate(epochs):
+        (src / f"e{i}.json").write_text(
+            "\n".join(
+                _json.dumps({"ts": ts, "k": k, "v": v}) for ts, k, v in rows
+            )
+            + "\n"
+        )
+        drain()
+        seen.append(sink())
+    assert seen[0] == []
+    assert seen[1] == [("2023-12-31", "a", 2, 3.0, 2)]  # both days cascaded
+    assert seen[2] == seen[1] + [("2024-01-03", "a", 1, 4.0, 1)]
+    before = sink()
+    drain()
+    assert sink() == before
+
+
 def test_outer_attribution_null_emission_timing(spark, tmp_path):
     """Hand-computed LEFT OUTER stream-stream join semantics through
     the REAL service (run_attribution_stream how=left_outer, 1 h window,
