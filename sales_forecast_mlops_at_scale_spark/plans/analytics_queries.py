@@ -255,6 +255,49 @@ def _stream_window_root(sf_dir: str) -> str:
     )
 
 
+def _epoch_part_file(frame, staging: str, src: str, name: str, label: str) -> None:
+    """Write ``frame`` as EXACTLY one parquet part file
+    ``src/{name}.parquet`` — the deterministic one-file-per-micro-batch
+    contract every stream fixture relies on.  Refuses an empty slice
+    (an empty epoch would silently skip a drain's state transition).
+    One definition instead of a per-fixture copy (code-review r9)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    if frame.limit(1).count() == 0:
+        raise RuntimeError(f"{label} fixture slice is empty")
+    part_dir = os.path.join(staging, f"_part_{name}_{label.replace(' ', '_')}")
+    frame.coalesce(1).write.parquet(part_dir)
+    parts = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
+    if len(parts) != 1:
+        raise RuntimeError(f"{label} fixture slice is empty")
+    os.rename(parts[0], os.path.join(src, f"{name}.parquet"))
+    shutil.rmtree(part_dir, ignore_errors=True)
+
+
+def _assert_replay_noop(out: str, drain, label: str) -> None:
+    """Pin the exactly-once contract: a replay drain with no new input
+    must leave the sink byte-identical.  Compares RELATIVE PATH + size
+    (not basename alone — a same-sized file surfacing in a different
+    subdirectory must fail; code-review r9)."""
+    import glob as _glob
+    import os
+
+    def state() -> list:
+        return sorted(
+            (os.path.relpath(p, out), os.path.getsize(p))
+            for p in _glob.glob(os.path.join(out, "**", "*"), recursive=True)
+            if os.path.isfile(p)
+        )
+
+    before = state()
+    drain()
+    after = state()
+    if before != after:
+        raise RuntimeError(f"{label} replay drain was not a no-op")
+
+
 def _stream_epoch_col() -> F.Column:
     """Epoch assignment shared (textually) with the oracle: base = the
     event's time-ordered third of the date span, +1 for stragglers,
@@ -317,20 +360,14 @@ def _ensure_stream_window_log(spark: SparkSession, sf_dir: str) -> str:
 
         wms: list = []  # watermark AFTER each epoch's drain
         for e in range(_STREAM_EPOCHS):
-            part_dir = os.path.join(staging, f"_epoch{e}")
             sliced = tagged.where(F.col("__epoch") == e).select(
                 F.col("ts").cast("timestamp").alias("ts"),
                 "event_type",
                 "value",
             )
-            if sliced.limit(1).count() == 0:
-                raise RuntimeError(f"epoch {e} of the stream fixture is empty")
-            sliced.coalesce(1).write.parquet(part_dir)
-            parts = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
-            if len(parts) != 1:
-                raise RuntimeError(f"epoch {e} of the stream fixture is empty")
-            os.rename(parts[0], os.path.join(src, f"epoch{e}.parquet"))
-            shutil.rmtree(part_dir, ignore_errors=True)
+            _epoch_part_file(
+                sliced, staging, src, f"epoch{e}", f"stream-window epoch {e}"
+            )
             drain()
             # running watermark (1-row anchor per epoch, 3 total)
             mx = spark.read.parquet(src).agg(F.max("ts")).first()[0]
@@ -377,20 +414,7 @@ def _ensure_stream_window_log(spark: SparkSession, sf_dir: str) -> str:
                 "fixture degenerate: watermark ties a window end"
             )
         # a replay drain with no new data must be a byte-level no-op
-        def _log_state() -> list:
-            return sorted(
-                (os.path.basename(p), os.path.getsize(p))
-                for p in _glob.glob(
-                    os.path.join(out, "**", "*"), recursive=True
-                )
-                if os.path.isfile(p)
-            )
-
-        before = _log_state()
-        drain()
-        after = _log_state()
-        if before != after:
-            raise RuntimeError("stream-window replay drain was not a no-op")
+        _assert_replay_noop(out, drain, "stream-window")
         # the native streaming parquet sink writes a _spark_metadata log
         # of ABSOLUTE paths, which the ensure_built staging→root rename
         # would orphan; the exactly-once/no-op property was pinned above,
@@ -517,14 +541,7 @@ def _ensure_stream_session_log(spark: SparkSession, sf_dir: str) -> str:
 
         wms: list = []
         for e in range(_STREAM_EPOCHS):
-            part_dir = os.path.join(staging, f"_epoch{e}")
             sliced = rows.where(F.col("__epoch") == e).drop("__epoch")
-            if sliced.limit(1).count() == 0:
-                raise RuntimeError(f"session epoch {e} fixture is empty")
-            sliced.coalesce(1).write.parquet(part_dir)
-            parts = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
-            if len(parts) != 1:
-                raise RuntimeError(f"session epoch {e} fixture is empty")
             if e > 0:
                 lo = sliced.agg(F.min("ts")).first()[0]
                 if lo is None or lo + gap <= wms[-1]:
@@ -532,8 +549,9 @@ def _ensure_stream_session_log(spark: SparkSession, sf_dir: str) -> str:
                         "session fixture degenerate: a row's session end "
                         "does not clear the previous watermark"
                     )
-            os.rename(parts[0], os.path.join(src, f"epoch{e}.parquet"))
-            shutil.rmtree(part_dir, ignore_errors=True)
+            _epoch_part_file(
+                sliced, staging, src, f"epoch{e}", f"session epoch {e}"
+            )
             drain()
             mx = spark.read.parquet(src).agg(F.max("ts")).first()[0]
             wms.append(mx - delay)
@@ -580,20 +598,7 @@ def _ensure_stream_session_log(spark: SparkSession, sf_dir: str) -> str:
             raise RuntimeError(
                 "session fixture vacuous: no session left open at stream end"
             )
-        def _log_state() -> list:
-            return sorted(
-                (os.path.basename(p), os.path.getsize(p))
-                for p in _glob.glob(
-                    os.path.join(out, "**", "*"), recursive=True
-                )
-                if os.path.isfile(p)
-            )
-
-        before = _log_state()
-        drain()
-        after = _log_state()
-        if before != after:
-            raise RuntimeError("session replay drain was not a no-op")
+        _assert_replay_noop(out, drain, "session")
         shutil.rmtree(os.path.join(out, "_spark_metadata"), ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -758,16 +763,10 @@ def _ensure_stream_attr_log(spark: SparkSession, sf_dir: str) -> str:
                 ("left", imps, lsrc),
                 ("right", convs, rsrc),
             ):
-                part_dir = os.path.join(staging, f"_{side}{e}")
                 sliced = frame.where(F.col("__epoch") == e).drop("__epoch")
-                if sliced.limit(1).count() == 0:
-                    raise RuntimeError(f"attr {side} epoch {e} is empty")
-                sliced.coalesce(1).write.parquet(part_dir)
-                parts = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
-                if len(parts) != 1:
-                    raise RuntimeError(f"attr {side} epoch {e} is empty")
-                os.rename(parts[0], os.path.join(src, f"epoch{e}.parquet"))
-                shutil.rmtree(part_dir, ignore_errors=True)
+                _epoch_part_file(
+                    sliced, staging, src, f"epoch{e}", f"attr {side} {e}"
+                )
             drain()
             lmax = spark.read.parquet(lsrc).agg(F.max("imp_ts")).first()[0]
             rmax = spark.read.parquet(rsrc).agg(F.max("conv_ts")).first()[0]
@@ -798,20 +797,7 @@ def _ensure_stream_attr_log(spark: SparkSession, sf_dir: str) -> str:
         ).count() + convs.where(F.col("conv_ts").isin(list(crit))).count()
         if ties:
             raise RuntimeError("attr fixture degenerate: event/expiry ties a watermark")
-        def _log_state() -> list:
-            return sorted(
-                (os.path.basename(p), os.path.getsize(p))
-                for p in _glob.glob(
-                    os.path.join(out, "**", "*"), recursive=True
-                )
-                if os.path.isfile(p)
-            )
-
-        before = _log_state()
-        drain()
-        after = _log_state()
-        if before != after:
-            raise RuntimeError("attr replay drain was not a no-op")
+        _assert_replay_noop(out, drain, "attr")
         shutil.rmtree(os.path.join(out, "_spark_metadata"), ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -1027,16 +1013,10 @@ def _ensure_stream_outer_attr_log(spark: SparkSession, sf_dir: str) -> str:
                 ("left", imps, lsrc),
                 ("right", convs, rsrc),
             ):
-                part_dir = os.path.join(staging, f"_{side}{e}")
                 sliced = frame.where(F.col("__epoch") == e).drop("__epoch")
-                if sliced.limit(1).count() == 0:
-                    raise RuntimeError(f"outer attr {side} epoch {e} is empty")
-                sliced.coalesce(1).write.parquet(part_dir)
-                parts = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
-                if len(parts) != 1:
-                    raise RuntimeError(f"outer attr {side} epoch {e} is empty")
-                os.rename(parts[0], os.path.join(src, f"epoch{e}.parquet"))
-                shutil.rmtree(part_dir, ignore_errors=True)
+                _epoch_part_file(
+                    sliced, staging, src, f"epoch{e}", f"outer-attr {side} {e}"
+                )
             drain()
             lmax = spark.read.parquet(lsrc).agg(F.max("imp_ts")).first()[0]
             rmax = spark.read.parquet(rsrc).agg(F.max("conv_ts")).first()[0]
@@ -1066,10 +1046,20 @@ def _ensure_stream_outer_attr_log(spark: SparkSession, sf_dir: str) -> str:
                 "outer-attr fixture vacuous: every null row lacks a raw "
                 "partner (streaming policy never caused one)"
             )
-        # ≥1 surviving left withheld: evicts only after the final watermark
+        # ≥1 surviving left withheld: evicts only after the final
+        # watermark.  Apply the INPUT late filter first (code-review):
+        # an input-late-dropped straggler must not satisfy this guard —
+        # only a left that actually entered state and is still inside
+        # the horizon exercises the oracle's withheld branch.
         matched_or_null = log.select("user_id", "imp_ts")
+        live_filter = F.col("__epoch") == 0
+        for e in range(1, _STREAM_EPOCHS):
+            live_filter = live_filter | (
+                (F.col("__epoch") == e) & (F.col("imp_ts") >= F.lit(wms[e - 1]))
+            )
         withheld = (
-            imps.drop("__epoch")
+            imps.where(live_filter)
+            .drop("__epoch")
             .join(matched_or_null, ["user_id", "imp_ts"], "left_anti")
             .where(
                 F.col("imp_ts") + F.expr(f"interval {_OUTER_DELAY_H} hours")
@@ -1090,20 +1080,7 @@ def _ensure_stream_outer_attr_log(spark: SparkSession, sf_dir: str) -> str:
                 "outer-attr fixture degenerate: event/expiry ties a watermark"
             )
 
-        def _log_state() -> list:
-            return sorted(
-                (os.path.basename(p), os.path.getsize(p))
-                for p in _glob.glob(
-                    os.path.join(out, "**", "*"), recursive=True
-                )
-                if os.path.isfile(p)
-            )
-
-        before = _log_state()
-        drain()
-        after = _log_state()
-        if before != after:
-            raise RuntimeError("outer-attr replay drain was not a no-op")
+        _assert_replay_noop(out, drain, "outer-attr")
         shutil.rmtree(os.path.join(out, "_spark_metadata"), ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -1220,16 +1197,8 @@ def _ensure_stream_dedup_log(spark: SparkSession, sf_dir: str) -> str:
 
         wms: list = []
         for e in range(_STREAM_EPOCHS):
-            part_dir = os.path.join(staging, f"_epoch{e}")
             sliced = firsts.where(F.col("__epoch") == e).drop("__epoch")
-            if sliced.limit(1).count() == 0:
-                raise RuntimeError(f"dedup epoch {e} fixture is empty")
-            sliced.coalesce(1).write.parquet(part_dir)
-            parts = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
-            if len(parts) != 1:
-                raise RuntimeError(f"dedup epoch {e} fixture is empty")
-            os.rename(parts[0], os.path.join(src, f"epoch{e}.parquet"))
-            shutil.rmtree(part_dir, ignore_errors=True)
+            _epoch_part_file(sliced, staging, src, f"epoch{e}", f"dedup epoch {e}")
             drain()
             mx = spark.read.parquet(src).agg(F.max("ts")).first()[0]
             wms.append(mx - _dt.timedelta(days=_DEDUP_WM_DAYS))
@@ -1259,20 +1228,7 @@ def _ensure_stream_dedup_log(spark: SparkSession, sf_dir: str) -> str:
             )
         if any(wm in edges for wm in wms):
             raise RuntimeError("dedup fixture degenerate: expiry ties a watermark")
-        def _log_state() -> list:
-            return sorted(
-                (os.path.basename(p), os.path.getsize(p))
-                for p in _glob.glob(
-                    os.path.join(out, "**", "*"), recursive=True
-                )
-                if os.path.isfile(p)
-            )
-
-        before = _log_state()
-        drain()
-        after = _log_state()
-        if before != after:
-            raise RuntimeError("dedup replay drain was not a no-op")
+        _assert_replay_noop(out, drain, "dedup")
         shutil.rmtree(os.path.join(out, "_spark_metadata"), ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -1410,7 +1366,9 @@ def _stream_latest_root(sf_dir: str) -> str:
     return digest_root(
         "sfspark_stream_latest_log",
         [os.path.join(sf_dir, "events.parquet")],
-        [_STREAM_EPOCHS, _STREAM_STRAGGLER_MOD, "lcg-v1"],
+        # digest the LCG expression itself, so editing it can never
+        # reuse a stale cached log (code-review)
+        [_STREAM_EPOCHS, _STREAM_STRAGGLER_MOD, _LATEST_LCG],
     )
 
 
@@ -1472,16 +1430,8 @@ def _ensure_stream_latest_log(spark: SparkSession, sf_dir: str) -> str:
             )
 
         for e in range(_STREAM_EPOCHS):
-            part_dir = os.path.join(staging, f"_epoch{e}")
             sliced = rows.where(F.col("epoch") == e)
-            if sliced.limit(1).count() == 0:
-                raise RuntimeError(f"latest epoch {e} fixture is empty")
-            sliced.coalesce(1).write.parquet(part_dir)
-            parts = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
-            if len(parts) != 1:
-                raise RuntimeError(f"latest epoch {e} fixture is empty")
-            os.rename(parts[0], os.path.join(src, f"epoch{e}.parquet"))
-            shutil.rmtree(part_dir, ignore_errors=True)
+            _epoch_part_file(sliced, staging, src, f"epoch{e}", f"latest epoch {e}")
             drain()
         # non-vacuity: over the tiny (user, epoch) max-ord frame, at
         # least one later batch must be entirely stale (re-emit of the
@@ -1502,20 +1452,7 @@ def _ensure_stream_latest_log(spark: SparkSession, sf_dir: str) -> str:
                 f"latest fixture vacuous: stale={n_stale} advance={n_advance}"
             )
 
-        def _log_state() -> list:
-            return sorted(
-                (os.path.basename(p), os.path.getsize(p))
-                for p in _glob.glob(
-                    os.path.join(out, "**", "*"), recursive=True
-                )
-                if os.path.isfile(p)
-            )
-
-        before = _log_state()
-        drain()
-        after = _log_state()
-        if before != after:
-            raise RuntimeError("latest replay drain was not a no-op")
+        _assert_replay_noop(out, drain, "latest")
         # the foreachBatch upsert's commit manifest is checkpoint-scoped
         # metadata; the exactly-once property was pinned above, so the
         # committed artifact is a plain parquet dir (same contract as
@@ -1647,20 +1584,12 @@ def _ensure_stream_chain_log(spark: SparkSession, sf_dir: str) -> str:
 
         wms: list = []
         for e in range(_STREAM_EPOCHS):
-            part_dir = os.path.join(staging, f"_epoch{e}")
             sliced = tagged.where(F.col("__epoch") == e).select(
                 F.col("ts").cast("timestamp").alias("ts"),
                 "event_type",
                 "value",
             )
-            if sliced.limit(1).count() == 0:
-                raise RuntimeError(f"chain epoch {e} fixture is empty")
-            sliced.coalesce(1).write.parquet(part_dir)
-            parts = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
-            if len(parts) != 1:
-                raise RuntimeError(f"chain epoch {e} fixture is empty")
-            os.rename(parts[0], os.path.join(src, f"epoch{e}.parquet"))
-            shutil.rmtree(part_dir, ignore_errors=True)
+            _epoch_part_file(sliced, staging, src, f"epoch{e}", f"chain epoch {e}")
             drain()
             mx = spark.read.parquet(src).agg(F.max("ts")).first()[0]
             wms.append(
@@ -1703,16 +1632,38 @@ def _ensure_stream_chain_log(spark: SparkSession, sf_dir: str) -> str:
             raise RuntimeError(
                 f"chain fixture vacuous: dropped={n_drop} kept={n_keep}"
             )
-        # cascade stress + withheld + tie guards over the distinct-day frame
-        days = [r[0] for r in tagged.select(F.to_date("ts")).distinct().collect()]
+        # cascade stress + withheld guards over SURVIVING days only
+        # (code-review: a last day holding nothing but late-dropped
+        # stragglers contributes no day-row, so it cannot witness the
+        # same-drain cascade); tie-guard edges stay on RAW days — the
+        # drop decision itself compares every raw row's window end
+        surv_filter = F.col("__epoch") == 0
+        for e in range(1, _STREAM_EPOCHS):
+            surv_filter = surv_filter | (
+                (F.col("__epoch") == e)
+                & (
+                    F.date_trunc("day", "ts") + F.expr("interval 1 day")
+                    > F.lit(wms[e - 1])
+                )
+            )
+        days = [
+            r[0] for r in tagged.select(F.to_date("ts")).distinct().collect()
+        ]
+        days_surv = [
+            r[0]
+            for r in tagged.where(surv_filter)
+            .select(F.to_date("ts"))
+            .distinct()
+            .collect()
+        ]
         n_lastday = sum(
             1
-            for d in days
+            for d in days_surv
             if period_end(d) <= wmf
             and (d - anchor).days % _CHAIN_PERIOD_DAYS
             == _CHAIN_PERIOD_DAYS - 1
         )
-        n_withheld = sum(1 for d in days if period_end(d) > wmf)
+        n_withheld = sum(1 for d in days_surv if period_end(d) > wmf)
         if n_lastday == 0 or n_withheld == 0:
             raise RuntimeError(
                 f"chain fixture vacuous: lastday={n_lastday} "
@@ -1727,20 +1678,7 @@ def _ensure_stream_chain_log(spark: SparkSession, sf_dir: str) -> str:
                 "chain fixture degenerate: a day/period end ties a watermark"
             )
 
-        def _log_state() -> list:
-            return sorted(
-                (os.path.basename(p), os.path.getsize(p))
-                for p in _glob.glob(
-                    os.path.join(out, "**", "*"), recursive=True
-                )
-                if os.path.isfile(p)
-            )
-
-        before = _log_state()
-        drain()
-        after = _log_state()
-        if before != after:
-            raise RuntimeError("chain replay drain was not a no-op")
+        _assert_replay_noop(out, drain, "chain")
         shutil.rmtree(os.path.join(out, "_spark_metadata"), ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -1911,16 +1849,8 @@ def _ensure_stream_ttl_log(spark: SparkSession, sf_dir: str) -> str:
             )
 
         for e in range(_STREAM_EPOCHS):
-            part_dir = os.path.join(staging, f"_epoch{e}")
             sliced = rows.where(F.col("__epoch") == e).drop("__epoch")
-            if sliced.limit(1).count() == 0:
-                raise RuntimeError(f"ttl epoch {e} fixture is empty")
-            sliced.coalesce(1).write.parquet(part_dir)
-            parts = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
-            if len(parts) != 1:
-                raise RuntimeError(f"ttl epoch {e} fixture is empty")
-            os.rename(parts[0], os.path.join(src, f"epoch{e}.parquet"))
-            shutil.rmtree(part_dir, ignore_errors=True)
+            _epoch_part_file(sliced, staging, src, f"epoch{e}", f"ttl epoch {e}")
             drain()
 
         # ---- Python replay of the probed state machine (guards) ----
@@ -2010,20 +1940,7 @@ def _ensure_stream_ttl_log(spark: SparkSession, sf_dir: str) -> str:
                 f"ttl log has {n_log} rows, replay expected {len(emits)}"
             )
 
-        def _log_state() -> list:
-            return sorted(
-                (os.path.basename(p), os.path.getsize(p))
-                for p in _glob.glob(
-                    os.path.join(out, "**", "*"), recursive=True
-                )
-                if os.path.isfile(p)
-            )
-
-        before = _log_state()
-        drain()
-        after = _log_state()
-        if before != after:
-            raise RuntimeError("ttl replay drain was not a no-op")
+        _assert_replay_noop(out, drain, "ttl")
         shutil.rmtree(os.path.join(out, "_spark_metadata"), ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 

@@ -78,6 +78,11 @@ def streaming_latest_per_key(
         out_schema += f", {tag_col} {order_t[tag_col]}"
     state_schema = f"{order_col} {order_t[order_col]}, {value_col} {order_t[value_col]}"
 
+    # cast the value to match its DECLARED state/output dtype: a Python
+    # float written into a bigint state field comes back as null
+    # (code-review — the general-API corruption path for integer values)
+    value_cast = float if order_t[value_col] in ("double", "float") else int
+
     def update_fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -87,14 +92,16 @@ def streaming_latest_per_key(
             if pdf.empty:
                 continue
             # column-wise extraction with explicit casts: a row slice
-            # (`pdf.loc[i]`) upcasts mixed dtypes to float64, and a float
-            # written into a bigint state field comes back as null
+            # (`pdf.loc[i]`) upcasts mixed dtypes to float64
             i = pdf[order_col].idxmax()
-            cand = (int(pdf[order_col][i]), float(pdf[value_col][i]))
+            cand = (int(pdf[order_col][i]), value_cast(pdf[value_col][i]))
             if best is None or cand[0] > best[0]:
                 best = cand
-            if tag_col is not None:
-                tag = max(int(pdf[tag_col].max()), tag if tag is not None else 0)
+            if tag_col is not None and tag is None:
+                # contract: the tag is CONSTANT within a micro-batch —
+                # take the first value verbatim (no max/floor that could
+                # mask a contract violation; code-review)
+                tag = int(pdf[tag_col].iloc[0])
         if best is None:
             return
         state.update(best)
