@@ -67,6 +67,9 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_stream_ttl",
     "q_stream_outer_attr",
     "q_stream_chained",
+    "q_ab_srm",
+    "q_ab_welch",
+    "q_ab_cuped",
     "q_sliding_rollup",
     "q_json_props",
     "q_funnel",

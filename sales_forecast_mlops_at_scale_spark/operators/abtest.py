@@ -1,0 +1,270 @@
+"""A/B experiment analysis: deterministic assignment, sample-ratio
+guard, Welch's t-test, CUPED variance reduction.
+
+Beyond-reference batch family (the reference stops at champion/
+challenger model comparison — ``services/training-service/app/
+train_utils.py:72-151`` picks by CV metric; it has no user-level
+experimentation surface).  Everything here is closed-form arithmetic
+over two map-side-combinable aggregation passes, so the whole analysis
+of a 100 TB event log is: one scan → per-user partial aggregates (one
+exchange on ``user_id``) → ONE wide conditional-aggregate moment row →
+closed-form statistics.  No UDFs, no iteration, no collects, and no
+per-arm self-join that would re-evaluate the user aggregation.
+
+Determinism contract (the property that lets a hash-based oracle gate
+these statistics): arm assignment is a salted md5 of the user id (the
+:mod:`.llm.curation` convention — stable across runs, partition
+layouts, and engines), and the per-user metric is quantized to INTEGER
+CENTS before any second-level statistic.  Sums and sums of
+squares/cross-products of bigints are exactly associative, so Spark's
+shuffle order cannot perturb them; every downstream statistic —
+including CUPED, which is evaluated in CLOSED FORM from the moments
+(mean_adj = ȳ − θ(x̄ − X̄), var_adj = var_y − 2θ·cov + θ²·var_x) rather
+than via per-user adjusted values — is then a fixed IEEE-754 expression
+tree over identical integers on both engines.  Means/variances are
+reported in cents / cents² (no trailing unit conversion to diverge on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: chi-square critical value at 95%, 1 df — the standard SRM bar
+SRM_CHI2_95 = 3.841
+
+
+def arm_of(id_col: Column, *, seed: str = "ab") -> Column:
+    """Deterministic 50/50 arm from a salted md5 of the id: the first 8
+    hex chars compared against the midpoint — the same engine-portable
+    hash-threshold trick as ``deterministic_sample``."""
+    bucket = F.substring(F.md5(F.concat(F.lit(seed), id_col.cast("string"))), 1, 8)
+    return F.when(bucket < F.lit("80000000"), F.lit("treatment")).otherwise(
+        F.lit("control")
+    )
+
+
+def experiment_frame(
+    events: DataFrame,
+    *,
+    id_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    metric_event: str = "purchase",
+    seed: str = "ab",
+) -> DataFrame:
+    """Per-user experiment rows: arm, pre-period covariate and
+    post-period metric in INTEGER CENTS.  The experiment window splits
+    the event span at its midpoint (first half = baseline, second half
+    = treatment period); a user with no metric events in a period
+    scores 0 — absence is a signal, not a NULL.  One scan; the split
+    date is a 1-row broadcast anchor (never a driver-side constant
+    baked at plan-build time)."""
+    bounds = events.agg(
+        F.min(F.to_date(ts_col)).alias("__d0"),
+        F.max(F.to_date(ts_col)).alias("__dmax"),
+    ).select(
+        F.expr(
+            "date_add(__d0, CAST(datediff(__dmax, __d0) / 2 AS INT))"
+        ).alias("__split")
+    )
+    tagged = events.crossJoin(F.broadcast(bounds))
+    is_metric = F.col("event_type") == metric_event
+    is_post = F.to_date(ts_col) >= F.col("__split")
+    per_user = tagged.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.when(is_metric & ~is_post, F.col(value_col)).otherwise(0.0))
+            * 100,
+            0,
+        )
+        .cast("bigint")
+        .alias("pre_cents"),
+        F.round(
+            F.sum(F.when(is_metric & is_post, F.col(value_col)).otherwise(0.0))
+            * 100,
+            0,
+        )
+        .cast("bigint")
+        .alias("post_cents"),
+    )
+    return per_user.withColumn("arm", arm_of(F.col(id_col), seed=seed))
+
+
+def srm_check(users: DataFrame) -> DataFrame:
+    """Sample-ratio-mismatch guard: arm counts + the exact chi-square
+    statistic for a 50/50 design — for two arms it reduces to
+    ``(n_c − n_t)² / N`` (integer numerator, one division).  An
+    experiment whose assignment plumbing is broken (skewed hashing,
+    filtered logging) fails this BEFORE anyone reads the metric."""
+    counts = users.groupBy().agg(
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0)).alias(
+            "n_control"
+        ),
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0)).alias(
+            "n_treatment"
+        ),
+    )
+    diff2 = (F.col("n_control") - F.col("n_treatment")) * (
+        F.col("n_control") - F.col("n_treatment")
+    )
+    n = F.col("n_control") + F.col("n_treatment")
+    return counts.select(
+        "n_control",
+        "n_treatment",
+        F.round(diff2.cast("double") / n.cast("double"), 6).alias("chi2"),
+        (diff2.cast("double") / n.cast("double") > SRM_CHI2_95).alias(
+            "srm_flag"
+        ),
+    )
+
+
+def arm_moments_wide(users: DataFrame) -> DataFrame:
+    """EXACT integer moments of (pre, post) cents for BOTH arms in ONE
+    conditional-aggregation pass over the user frame — a single row with
+    c*/t* columns.  Splitting a per-arm frame and re-joining it would
+    evaluate the whole un-persisted user aggregation once per arm (the
+    duplicated-subtree defect class tools/scan_audit.py exists to
+    catch); the wide shape keeps the plan at one pass regardless of how
+    many statistics read it.  Bigint-safe at the fixture scales (cents²
+    sums stay far below 2⁶³); all conversions to double happen on the
+    1-row frame, never per user."""
+
+    def _side(tag: str, prefix: str) -> list:
+        cond = F.col("arm") == tag
+        z = F.lit(0).cast("bigint")
+        px, py = F.col("pre_cents"), F.col("post_cents")
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"{prefix}n"),
+            F.sum(F.when(cond, px).otherwise(z)).alias(f"{prefix}sx"),
+            F.sum(F.when(cond, py).otherwise(z)).alias(f"{prefix}sy"),
+            F.sum(F.when(cond, px * px).otherwise(z)).alias(f"{prefix}sxx"),
+            F.sum(F.when(cond, px * py).otherwise(z)).alias(f"{prefix}sxy"),
+            F.sum(F.when(cond, py * py).otherwise(z)).alias(f"{prefix}syy"),
+        ]
+
+    return users.groupBy().agg(
+        *_side("control", "c"), *_side("treatment", "t")
+    )
+
+
+def _d(col: str) -> Column:
+    return F.col(col).cast("double")
+
+
+def welch_ttest(users: DataFrame) -> DataFrame:
+    """Welch's unequal-variance t-test of treatment vs control on the
+    per-user post metric (cents): one row with per-arm n/mean/variance,
+    the t statistic and the Welch–Satterthwaite degrees of freedom.
+    All second-level arithmetic runs on the 1-row moment frame."""
+    row = arm_moments_wide(users)
+    mc = _d("csy") / _d("cn")
+    mt = _d("tsy") / _d("tn")
+    vc = (_d("csyy") - _d("csy") * _d("csy") / _d("cn")) / (
+        _d("cn") - F.lit(1.0)
+    )
+    vt = (_d("tsyy") - _d("tsy") * _d("tsy") / _d("tn")) / (
+        _d("tn") - F.lit(1.0)
+    )
+    vc_n = vc / _d("cn")
+    vt_n = vt / _d("tn")
+    se2 = vc_n + vt_n
+    tstat = (mt - mc) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (vt_n * vt_n) / (_d("tn") - F.lit(1.0))
+        + (vc_n * vc_n) / (_d("cn") - F.lit(1.0))
+    )
+    return row.select(
+        F.col("cn").alias("n_control"),
+        F.col("tn").alias("n_treatment"),
+        F.round(mc, 6).alias("mean_control_cents"),
+        F.round(mt, 6).alias("mean_treatment_cents"),
+        F.round(vc, 6).alias("var_control_cents"),
+        F.round(vt, 6).alias("var_treatment_cents"),
+        F.round(tstat, 6).alias("t_stat"),
+        F.round(df, 6).alias("welch_df"),
+    )
+
+
+def cuped_adjust(users: DataFrame) -> DataFrame:
+    """CUPED variance reduction in CLOSED FORM from the arm moments
+    (no per-user adjusted values — the algebra collapses them away):
+
+    - θ = pooled cov(x, y) / var(x), arm-blind by construction so the
+      adjustment cannot leak the treatment effect;
+    - per arm: mean_adj = ȳ_a − θ(x̄_a − X̄),
+      var_adj = var_y(a) − 2θ·cov(a) + θ²·var_x(a);
+    - var_reduction = 1 − var_adj_pooled / var_y_pooled.
+
+    Everything derives from the ONE wide moment row (pooled = c + t
+    sums, exact integers); the two per-arm output rows come from an
+    ``explode`` of that row, never from a union that would re-evaluate
+    the user aggregation per arm.  Cross products that could overflow
+    bigint (n·Σxy at large metric scales) are evaluated in double AFTER
+    the exact integer aggregation, identically on both engines."""
+    row = arm_moments_wide(users)
+    g = row.select(
+        "*",
+        (F.col("cn") + F.col("tn")).alias("gn"),
+        (F.col("csx") + F.col("tsx")).alias("gsx"),
+        (F.col("csy") + F.col("tsy")).alias("gsy"),
+        (F.col("csxx") + F.col("tsxx")).alias("gsxx"),
+        (F.col("csxy") + F.col("tsxy")).alias("gsxy"),
+        (F.col("csyy") + F.col("tsyy")).alias("gsyy"),
+    ).select(
+        "*",
+        (
+            (_d("gsxy") - _d("gsx") * _d("gsy") / _d("gn"))
+            / (_d("gsxx") - _d("gsx") * _d("gsx") / _d("gn"))
+        ).alias("theta"),
+        (_d("gsx") / _d("gn")).alias("gmx"),
+    )
+    arms = g.select(
+        "*",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("control").alias("arm"),
+                    F.col("cn").alias("n"),
+                    F.col("csx").alias("sx"),
+                    F.col("csy").alias("sy"),
+                    F.col("csxx").alias("sxx"),
+                    F.col("csxy").alias("sxy"),
+                    F.col("csyy").alias("syy"),
+                ),
+                F.struct(
+                    F.lit("treatment").alias("arm"),
+                    F.col("tn").alias("n"),
+                    F.col("tsx").alias("sx"),
+                    F.col("tsy").alias("sy"),
+                    F.col("tsxx").alias("sxx"),
+                    F.col("tsxy").alias("sxy"),
+                    F.col("tsyy").alias("syy"),
+                ),
+            )
+        ).alias("a"),
+    ).select("*", "a.*")
+    mx = _d("sx") / _d("n")
+    my = _d("sy") / _d("n")
+    var_x = (_d("sxx") - _d("sx") * _d("sx") / _d("n")) / (_d("n") - F.lit(1.0))
+    cov = (_d("sxy") - _d("sx") * _d("sy") / _d("n")) / (_d("n") - F.lit(1.0))
+    var_y = (_d("syy") - _d("sy") * _d("sy") / _d("n")) / (_d("n") - F.lit(1.0))
+    theta = F.col("theta")
+    mean_adj = my - theta * (mx - F.col("gmx"))
+    var_adj = var_y - F.lit(2.0) * theta * cov + theta * theta * var_x
+    gvar_x = (_d("gsxx") - _d("gsx") * _d("gsx") / _d("gn")) / (
+        _d("gn") - F.lit(1.0)
+    )
+    gcov = (_d("gsxy") - _d("gsx") * _d("gsy") / _d("gn")) / (
+        _d("gn") - F.lit(1.0)
+    )
+    gvar_y = (_d("gsyy") - _d("gsy") * _d("gsy") / _d("gn")) / (
+        _d("gn") - F.lit(1.0)
+    )
+    gvar_adj = gvar_y - F.lit(2.0) * theta * gcov + theta * theta * gvar_x
+    return arms.select(
+        "arm",
+        "n",
+        F.round(mean_adj, 6).alias("mean_adj_cents"),
+        F.round(var_adj, 6).alias("var_adj_cents"),
+        F.round(F.lit(1.0) - gvar_adj / gvar_y, 6).alias("var_reduction"),
+    ).orderBy("arm")

@@ -2067,6 +2067,163 @@ ORDER BY user_id, first_ts
 """
 
 
+# -- A/B experiment analysis ---------------------------------------------------
+
+
+def q_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard for a deterministic 50/50 experiment
+    over the event log: md5-bucketed arms, exact integer chi-square
+    ((n_c − n_t)²/N), flag above the 95% bar.  One scan → one per-user
+    exchange → a 1-row statistic; the assignment hash is engine-portable
+    so the oracle recomputes it bit-identically."""
+    from ..operators.abtest import experiment_frame, srm_check
+
+    return srm_check(experiment_frame(_events(spark, sf_dir)))
+
+
+def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test of the md5-assigned treatment vs
+    control on per-user post-period purchase value (integer cents): one
+    row with per-arm n/mean/variance, the t statistic, and the
+    Welch–Satterthwaite degrees of freedom.  Per-user metrics are
+    quantized to integer cents so the moment sums are EXACT on both
+    engines; the t/df formulas are then a fixed IEEE double expression
+    over identical integers — hash-stable by construction."""
+    from ..operators.abtest import experiment_frame, welch_ttest
+
+    return welch_ttest(experiment_frame(_events(spark, sf_dir)))
+
+
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction evaluated in CLOSED FORM from per-arm
+    exact integer moments (θ = pooled cov/var over all users, arm-blind;
+    mean_adj = ȳ − θ(x̄ − X̄); var_adj = var_y − 2θcov + θ²var_x) — the
+    pre-period covariate shrinks the metric variance without touching
+    the treatment contrast.  No per-user adjusted values exist anywhere
+    in the plan: the algebra collapses them into the same single moment
+    pass the t-test uses."""
+    from ..operators.abtest import cuped_adjust, experiment_frame
+
+    return cuped_adjust(experiment_frame(_events(spark, sf_dir)))
+
+
+#: shared per-user experiment frame (integer cents, md5 arms) — the SQL
+#: twin of ``operators.abtest.experiment_frame``
+_AB_USERS_SQL = """
+bounds AS (
+  SELECT CAST(min(ts) AS DATE)
+         + CAST(date_diff('day', CAST(min(ts) AS DATE),
+                          CAST(max(ts) AS DATE)) // 2 AS INTEGER) AS split
+  FROM events),
+users AS (
+  SELECT e.user_id,
+         CAST(round(sum(CASE WHEN e.event_type = 'purchase'
+                              AND CAST(e.ts AS DATE) < b.split
+                             THEN e.value ELSE 0 END) * 100, 0) AS BIGINT)
+           AS pre_cents,
+         CAST(round(sum(CASE WHEN e.event_type = 'purchase'
+                              AND CAST(e.ts AS DATE) >= b.split
+                             THEN e.value ELSE 0 END) * 100, 0) AS BIGINT)
+           AS post_cents,
+         CASE WHEN substr(md5('ab' || CAST(e.user_id AS VARCHAR)), 1, 8)
+                   < '80000000'
+              THEN 'treatment' ELSE 'control' END AS arm
+  FROM events e, bounds b
+  GROUP BY e.user_id),
+m AS (
+  SELECT arm, count(*) AS n,
+         CAST(sum(pre_cents) AS BIGINT) AS sx,
+         CAST(sum(post_cents) AS BIGINT) AS sy,
+         CAST(sum(pre_cents * pre_cents) AS BIGINT) AS sxx,
+         CAST(sum(pre_cents * post_cents) AS BIGINT) AS sxy,
+         CAST(sum(post_cents * post_cents) AS BIGINT) AS syy
+  FROM users GROUP BY arm)
+"""
+
+_AB_SRM_SQL = f"""
+WITH {_AB_USERS_SQL},
+counts AS (
+  SELECT CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_control,
+         CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_treatment
+  FROM users)
+SELECT n_control, n_treatment,
+       round(CAST((n_control - n_treatment) * (n_control - n_treatment)
+                  AS DOUBLE)
+             / CAST(n_control + n_treatment AS DOUBLE), 6) AS chi2,
+       (CAST((n_control - n_treatment) * (n_control - n_treatment) AS DOUBLE)
+        / CAST(n_control + n_treatment AS DOUBLE)) > 3.841 AS srm_flag
+FROM counts
+"""
+
+_AB_WELCH_SQL = f"""
+WITH {_AB_USERS_SQL},
+c AS (SELECT CAST(n AS DOUBLE) AS cn, CAST(sy AS DOUBLE) AS cs,
+             CAST(syy AS DOUBLE) AS css, n AS n_control
+      FROM m WHERE arm = 'control'),
+t AS (SELECT CAST(n AS DOUBLE) AS tn, CAST(sy AS DOUBLE) AS ts,
+             CAST(syy AS DOUBLE) AS tss, n AS n_treatment
+      FROM m WHERE arm = 'treatment'),
+stats AS (
+  SELECT n_control, n_treatment,
+         cs / cn AS mc, ts / tn AS mt,
+         (css - cs * cs / cn) / (cn - 1.0) AS vc,
+         (tss - ts * ts / tn) / (tn - 1.0) AS vt,
+         cn, tn
+  FROM c, t),
+se AS (
+  SELECT *, (vc / cn) AS vc_n, (vt / tn) AS vt_n,
+         (vc / cn) + (vt / tn) AS se2
+  FROM stats)
+SELECT n_control, n_treatment,
+       round(mc, 6) AS mean_control_cents,
+       round(mt, 6) AS mean_treatment_cents,
+       round(vc, 6) AS var_control_cents,
+       round(vt, 6) AS var_treatment_cents,
+       round((mt - mc) / sqrt(se2), 6) AS t_stat,
+       round((se2 * se2) / ((vt_n * vt_n) / (tn - 1.0)
+                            + (vc_n * vc_n) / (cn - 1.0)), 6) AS welch_df
+FROM se
+"""
+
+_AB_CUPED_SQL = f"""
+WITH {_AB_USERS_SQL},
+g AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS gn,
+         CAST(sum(sx) AS DOUBLE) AS gsx, CAST(sum(sy) AS DOUBLE) AS gsy,
+         CAST(sum(sxx) AS DOUBLE) AS gsxx, CAST(sum(sxy) AS DOUBLE) AS gsxy,
+         CAST(sum(syy) AS DOUBLE) AS gsyy
+  FROM m),
+gth AS (
+  SELECT *,
+         (gsxy - gsx * gsy / gn) / (gsxx - gsx * gsx / gn) AS theta,
+         gsx / gn AS gmx,
+         (gsxx - gsx * gsx / gn) / (gn - 1.0) AS gvar_x,
+         (gsxy - gsx * gsy / gn) / (gn - 1.0) AS gcov,
+         (gsyy - gsy * gsy / gn) / (gn - 1.0) AS gvar_y
+  FROM g),
+j AS (
+  SELECT m.arm, m.n,
+         CAST(m.n AS DOUBLE) AS dn,
+         CAST(m.sx AS DOUBLE) AS dsx, CAST(m.sy AS DOUBLE) AS dsy,
+         CAST(m.sxx AS DOUBLE) AS dsxx, CAST(m.sxy AS DOUBLE) AS dsxy,
+         CAST(m.syy AS DOUBLE) AS dsyy,
+         gth.*
+  FROM m, gth)
+SELECT arm, n,
+       round((dsy / dn) - theta * ((dsx / dn) - gmx), 6) AS mean_adj_cents,
+       round(((dsyy - dsy * dsy / dn) / (dn - 1.0))
+             - 2.0 * theta * ((dsxy - dsx * dsy / dn) / (dn - 1.0))
+             + theta * theta * ((dsxx - dsx * dsx / dn) / (dn - 1.0)), 6)
+         AS var_adj_cents,
+       round(1.0 - (gvar_y - 2.0 * theta * gcov + theta * theta * gvar_x)
+                   / gvar_y, 6) AS var_reduction
+FROM j
+ORDER BY arm
+"""
+
+
 # -- semi-structured: JSON property extraction + aggregate --------------------
 
 
@@ -3299,6 +3456,9 @@ QUERIES: dict[str, QueryDef] = {
     "q_stream_ttl": QueryDef(q_stream_ttl, _STREAM_TTL_SQL),
     "q_stream_outer_attr": QueryDef(q_stream_outer_attr, _STREAM_OUTER_ATTR_SQL),
     "q_stream_chained": QueryDef(q_stream_chained, _STREAM_CHAIN_SQL),
+    "q_ab_srm": QueryDef(q_ab_srm, _AB_SRM_SQL),
+    "q_ab_welch": QueryDef(q_ab_welch, _AB_WELCH_SQL),
+    "q_ab_cuped": QueryDef(q_ab_cuped, _AB_CUPED_SQL),
     "q_json_props": QueryDef(q_json_props, _JSON_SQL),
     "q_set_ops": QueryDef(q_set_ops, _SET_SQL),
     "q_percentiles": QueryDef(q_percentiles, _PCT_SQL),

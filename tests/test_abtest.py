@@ -1,0 +1,123 @@
+"""A/B experiment analysis: hand-verifiable statistics.
+
+The registry differentials (q_ab_srm / q_ab_welch / q_ab_cuped) pin the
+full pipeline against DuckDB; these tests pin the ALGEBRA itself
+against independent numpy computations on a tiny constructed frame,
+plus the period-split/cents quantization of experiment_frame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sales_forecast_mlops_at_scale_spark.operators.abtest import (
+    cuped_adjust,
+    experiment_frame,
+    srm_check,
+    welch_ttest,
+)
+
+
+@pytest.fixture(scope="module")
+def users(spark):
+    rows = [
+        # (user, pre_cents, post_cents, arm)
+        (1, 100, 300, "control"),
+        (2, 200, 500, "control"),
+        (3, 0, 100, "control"),
+        (4, 150, 700, "treatment"),
+        (5, 50, 400, "treatment"),
+        (6, 300, 900, "treatment"),
+        (7, 120, 350, "treatment"),
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, pre_cents long, post_cents long, arm string"
+    )
+
+
+def test_srm_exact_chi_square(spark, users):
+    row = srm_check(users).first()
+    assert (row.n_control, row.n_treatment) == (3, 4)
+    assert row.chi2 == round((3 - 4) ** 2 / 7, 6)
+    assert row.srm_flag is False
+
+
+def test_welch_matches_numpy(spark, users):
+    c = np.array([300.0, 500.0, 100.0])
+    t = np.array([700.0, 400.0, 900.0, 350.0])
+    vc, vt = c.var(ddof=1), t.var(ddof=1)
+    se2 = vc / len(c) + vt / len(t)
+    tstat = (t.mean() - c.mean()) / np.sqrt(se2)
+    df = se2**2 / (
+        (vt / len(t)) ** 2 / (len(t) - 1) + (vc / len(c)) ** 2 / (len(c) - 1)
+    )
+    row = welch_ttest(users).first()
+    assert row.n_control == 3 and row.n_treatment == 4
+    assert row.mean_control_cents == round(c.mean(), 6)
+    assert row.mean_treatment_cents == round(t.mean(), 6)
+    assert row.var_control_cents == round(vc, 6)
+    assert row.var_treatment_cents == round(vt, 6)
+    assert row.t_stat == pytest.approx(tstat, abs=2e-6)
+    assert row.welch_df == pytest.approx(df, abs=2e-6)
+
+
+def test_cuped_matches_numpy_closed_form(spark, users):
+    x = np.array([100.0, 200.0, 0.0, 150.0, 50.0, 300.0, 120.0])
+    y = np.array([300.0, 500.0, 100.0, 700.0, 400.0, 900.0, 350.0])
+    arms = np.array(["c", "c", "c", "t", "t", "t", "t"])
+    theta = np.cov(x, y, ddof=1)[0, 1] / x.var(ddof=1)
+    adj = y - theta * (x - x.mean())
+    rows = {r.arm: r for r in cuped_adjust(users).collect()}
+    for arm, tag in (("control", "c"), ("treatment", "t")):
+        a = adj[arms == tag]
+        assert rows[arm].n == len(a)
+        assert rows[arm].mean_adj_cents == pytest.approx(a.mean(), abs=2e-6)
+        assert rows[arm].var_adj_cents == pytest.approx(
+            a.var(ddof=1), abs=2e-6
+        )
+    want_vr = 1.0 - adj.var(ddof=1) / y.var(ddof=1)
+    assert rows["control"].var_reduction == pytest.approx(want_vr, abs=2e-6)
+    # CUPED must not move the treatment CONTRAST (means shift equally up
+    # to the covariate imbalance term, which the closed form preserves)
+    raw_gap = y[arms == "t"].mean() - y[arms == "c"].mean()
+    adj_gap = adj[arms == "t"].mean() - adj[arms == "c"].mean()
+    got_gap = (
+        rows["treatment"].mean_adj_cents - rows["control"].mean_adj_cents
+    )
+    assert got_gap == pytest.approx(adj_gap, abs=4e-6)
+    # and the adjusted gap differs from raw only via theta * covariate gap
+    x_gap = x[arms == "t"].mean() - x[arms == "c"].mean()
+    assert adj_gap == pytest.approx(raw_gap - theta * x_gap, abs=1e-9)
+
+
+def test_experiment_frame_split_and_cents(spark):
+    rows = [
+        # pre-period purchases (days 1-5 of a 10-day span; split = day 6)
+        (1, "2024-01-02 10:00:00", "purchase", 1.204),
+        (1, "2024-01-03 10:00:00", "purchase", 2.301),
+        # post-period purchase + ignored click
+        (1, "2024-01-08 10:00:00", "purchase", 7.005),
+        (1, "2024-01-09 10:00:00", "click", 99.0),
+        # user with no purchases at all → (0, 0)
+        (2, "2024-01-01 10:00:00", "click", 5.0),
+        # span anchors
+        (3, "2024-01-01 00:30:00", "view", 0.0),
+        (3, "2024-01-10 23:30:00", "view", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string, value double"
+    ).selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "value"
+    )
+    got = {
+        r.user_id: (r.pre_cents, r.post_cents, r.arm)
+        for r in experiment_frame(ev).collect()
+    }
+    # span Jan-1..Jan-10 → datediff 9 → split = Jan-1 + 4 = Jan-5
+    # user 1: pre = 1.204 + 2.301 = 3.505 → 351 cents (round-half-up),
+    #         post = 7.005 → 701 cents (the quantization is of the SUM)
+    assert got[1][:2] == (351, 701)
+    assert got[2][:2] == (0, 0)
+    assert got[3][:2] == (0, 0)
+    assert all(v[2] in ("control", "treatment") for v in got.values())
