@@ -70,6 +70,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_ab_srm",
     "q_ab_welch",
     "q_ab_cuped",
+    "q_ab_quantiles",
     "q_sliding_rollup",
     "q_json_props",
     "q_funnel",

@@ -268,3 +268,51 @@ def cuped_adjust(users: DataFrame) -> DataFrame:
         F.round(var_adj, 6).alias("var_adj_cents"),
         F.round(F.lit(1.0) - gvar_adj / gvar_y, 6).alias("var_reduction"),
     ).orderBy("arm")
+
+
+def quantile_effects(
+    users: DataFrame, *, levels: tuple = (0.25, 0.5, 0.75, 0.9)
+) -> DataFrame:
+    """Quantile treatment effects: per level, the R-7 (linear
+    interpolation) quantile of the per-user post metric in each arm and
+    their difference — the distributional view Welch's mean test cannot
+    give (a treatment that moves only the tail is invisible to the
+    mean).  One conditional-aggregate pass (``percentile`` over each
+    arm's cents, NULLs excluded by the CASE); the per-level rows come
+    from exploding the single aggregate row.  Exactness: quantiles of
+    INTEGER cents interpolate with factors from p·(n−1) — the identical
+    IEEE expression both engines evaluate over identical sorted
+    integers."""
+    lvl_sql = ", ".join(f"{p}D" for p in levels)
+    agg = users.agg(
+        F.expr(
+            "percentile(CASE WHEN arm = 'control' THEN post_cents END, "
+            f"array({lvl_sql}))"
+        ).alias("qc"),
+        F.expr(
+            "percentile(CASE WHEN arm = 'treatment' THEN post_cents END, "
+            f"array({lvl_sql}))"
+        ).alias("qt"),
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("level"),
+                F.col("qc")[i].alias("q_control"),
+                F.col("qt")[i].alias("q_treatment"),
+            )
+            for i, p in enumerate(levels)
+        ]
+    )
+    return (
+        agg.select(F.explode(pairs).alias("r"))
+        .select(
+            F.col("r.level").alias("level"),
+            F.round("r.q_control", 6).alias("q_control_cents"),
+            F.round("r.q_treatment", 6).alias("q_treatment_cents"),
+            F.round(
+                F.col("r.q_treatment") - F.col("r.q_control"), 6
+            ).alias("qte_cents"),
+        )
+        .orderBy("level")
+    )

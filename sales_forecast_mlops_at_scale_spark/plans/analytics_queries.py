@@ -2107,6 +2107,18 @@ def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped_adjust(experiment_frame(_events(spark, sf_dir)))
 
 
+def q_ab_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects (p25/p50/p75/p90): the distributional
+    view Welch's mean test cannot give — a treatment moving only the
+    tail is invisible to the mean but not to the QTE column.  Exact R-7
+    quantiles of integer cents in one conditional-aggregate pass; the
+    interpolation factors p·(n−1) are the identical IEEE expression
+    both engines evaluate over identical sorted integers."""
+    from ..operators.abtest import experiment_frame, quantile_effects
+
+    return quantile_effects(experiment_frame(_events(spark, sf_dir)))
+
+
 #: shared per-user experiment frame (integer cents, md5 arms) — the SQL
 #: twin of ``operators.abtest.experiment_frame``
 _AB_USERS_SQL = """
@@ -2221,6 +2233,32 @@ SELECT arm, n,
                    / gvar_y, 6) AS var_reduction
 FROM j
 ORDER BY arm
+"""
+
+
+_AB_QUANTILES_SQL = f"""
+WITH {_AB_USERS_SQL},
+q AS (
+  SELECT
+    quantile_cont(CASE WHEN arm = 'control' THEN post_cents END, 0.25) AS c25,
+    quantile_cont(CASE WHEN arm = 'control' THEN post_cents END, 0.5)  AS c50,
+    quantile_cont(CASE WHEN arm = 'control' THEN post_cents END, 0.75) AS c75,
+    quantile_cont(CASE WHEN arm = 'control' THEN post_cents END, 0.9)  AS c90,
+    quantile_cont(CASE WHEN arm = 'treatment' THEN post_cents END, 0.25) AS t25,
+    quantile_cont(CASE WHEN arm = 'treatment' THEN post_cents END, 0.5)  AS t50,
+    quantile_cont(CASE WHEN arm = 'treatment' THEN post_cents END, 0.75) AS t75,
+    quantile_cont(CASE WHEN arm = 'treatment' THEN post_cents END, 0.9)  AS t90
+  FROM users)
+SELECT level,
+       round(qc, 6) AS q_control_cents,
+       round(qt, 6) AS q_treatment_cents,
+       round(qt - qc, 6) AS qte_cents
+FROM (
+  SELECT 0.25 AS level, c25 AS qc, t25 AS qt FROM q
+  UNION ALL SELECT 0.5, c50, t50 FROM q
+  UNION ALL SELECT 0.75, c75, t75 FROM q
+  UNION ALL SELECT 0.9, c90, t90 FROM q)
+ORDER BY level
 """
 
 
@@ -3459,6 +3497,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_ab_srm": QueryDef(q_ab_srm, _AB_SRM_SQL),
     "q_ab_welch": QueryDef(q_ab_welch, _AB_WELCH_SQL),
     "q_ab_cuped": QueryDef(q_ab_cuped, _AB_CUPED_SQL),
+    "q_ab_quantiles": QueryDef(q_ab_quantiles, _AB_QUANTILES_SQL),
     "q_json_props": QueryDef(q_json_props, _JSON_SQL),
     "q_set_ops": QueryDef(q_set_ops, _SET_SQL),
     "q_percentiles": QueryDef(q_percentiles, _PCT_SQL),

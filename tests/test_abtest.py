@@ -91,6 +91,23 @@ def test_cuped_matches_numpy_closed_form(spark, users):
     assert adj_gap == pytest.approx(raw_gap - theta * x_gap, abs=1e-9)
 
 
+def test_quantile_effects_match_numpy_linear(spark, users):
+    from sales_forecast_mlops_at_scale_spark.operators.abtest import (
+        quantile_effects,
+    )
+
+    c = np.array([300.0, 500.0, 100.0])
+    t = np.array([700.0, 400.0, 900.0, 350.0])
+    rows = {r.level: r for r in quantile_effects(users).collect()}
+    assert sorted(rows) == [0.25, 0.5, 0.75, 0.9]
+    for p, r in rows.items():
+        qc = np.percentile(c, p * 100, method="linear")
+        qt = np.percentile(t, p * 100, method="linear")
+        assert r.q_control_cents == pytest.approx(qc, abs=1e-6)
+        assert r.q_treatment_cents == pytest.approx(qt, abs=1e-6)
+        assert r.qte_cents == pytest.approx(qt - qc, abs=1e-6)
+
+
 def test_experiment_frame_split_and_cents(spark):
     rows = [
         # pre-period purchases (days 1-5 of a 10-day span; split = day 6)
