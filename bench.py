@@ -71,6 +71,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_ab_welch",
     "q_ab_cuped",
     "q_ab_quantiles",
+    "q_time_travel",
+    "q_schema_evolution",
     "q_sliding_rollup",
     "q_json_props",
     "q_funnel",

@@ -2067,6 +2067,180 @@ ORDER BY user_id, first_ts
 """
 
 
+# -- versioned reads: time travel + schema evolution ---------------------------
+
+
+def _versioned_table_root(sf_dir: str) -> str:
+    import os
+
+    from .fixture_roots import digest_root
+
+    return digest_root(
+        "sfspark_versioned_events",
+        [os.path.join(sf_dir, "events.parquet")],
+        ["v2-split-midpoint"],
+    )
+
+
+def _ensure_versioned_table(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a two-version snapshot table from the events fixture:
+    version 1 pins the PRE-midpoint rows, an append of the post-midpoint
+    rows then mints version 2 — the minimal history a time-travel read
+    can be differentially checked against.  The second append also
+    CHANGES THE SCHEMA (a new ``source`` column), so the same table
+    doubles as the schema-evolution fixture: v1 files lack the column,
+    v2's addition must surface as NULLs on old rows under mergeSchema.
+    Build guards: both versions nonempty, v2 strictly larger, the v1
+    manifest pins no v2 file."""
+    import os
+
+    from ..streaming.snapshots import (
+        enable_snapshots,
+        publish_snapshot,
+        read_manifest,
+    )
+    from .fixture_roots import ensure_built
+
+    def build(staging: str) -> None:
+        ev = _events(spark, sf_dir)
+        split = ev.agg(
+            F.expr(
+                "date_add(min(to_date(ts)), "
+                "CAST(datediff(max(to_date(ts)), min(to_date(ts))) / 2 "
+                "AS INT))"
+            )
+        ).first()[0]
+        base = ev.select(
+            "event_id",
+            "user_id",
+            F.to_date("ts").alias("d"),
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+        table = os.path.join(staging, "table")
+        pre = base.where(F.col("d") < F.lit(split))
+        post = base.where(F.col("d") >= F.lit(split)).withColumn(
+            "source", F.lit("late-feed")
+        )
+        if pre.limit(1).count() == 0 or post.limit(1).count() == 0:
+            raise RuntimeError("versioned fixture: a period is empty")
+        pre.coalesce(2).write.parquet(table)
+        v1 = enable_snapshots(table)
+        m1 = set(read_manifest(table, v1)["files"])
+        post.coalesce(2).write.mode("append").option(
+            "mergeSchema", "true"
+        ).parquet(table)
+        v2 = publish_snapshot(table, op="append")
+        m2 = set(read_manifest(table, v2)["files"])
+        if not (m1 < m2):
+            raise RuntimeError(
+                "versioned fixture: v1 manifest is not a strict subset of v2"
+            )
+
+    return ensure_built(_versioned_table_root(sf_dir), "_LOG_COMPLETE", build)
+
+
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel reads hash-checked: the same snapshot table served at
+    BOTH pinned versions (v1 = pre-midpoint state, v2 = after an
+    append), aggregated per (version, event_type) with exact integer
+    cents.  The oracle recomputes each version's state from the raw
+    events with the same midpoint rule — a manifest that leaks a new
+    file into the old version, loses one, or double-pins one fails the
+    hash, not just a pytest.  Reads are manifest-pinned file lists, so
+    a concurrent writer's transient listing state can never bleed in;
+    the version catalog is O(versions), never O(data)."""
+    import os
+
+    from ..streaming.snapshots import read_snapshot
+
+    root = _ensure_versioned_table(spark, sf_dir)
+    table = os.path.join(root, "table")
+    out = None
+    for v in (1, 2):
+        frame = (
+            read_snapshot(spark, table, version=v)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .select(
+                F.lit(v).alias("version"),
+                "event_type",
+                "n_events",
+                "sum_cents",
+            )
+        )
+        out = frame if out is None else out.unionByName(frame)
+    return out.orderBy("version", "event_type")
+
+
+_TIME_TRAVEL_SQL = """
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE)
+         + CAST(date_diff('day', CAST(min(ts) AS DATE),
+                          CAST(max(ts) AS DATE)) // 2 AS INTEGER) AS split
+  FROM events),
+base AS (
+  SELECT e.event_type, CAST(e.ts AS DATE) AS d,
+         CAST(round(e.value * 100, 0) AS BIGINT) AS cents
+  FROM events e),
+v1 AS (
+  SELECT 1 AS version, event_type, count(*) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM base, bounds WHERE d < split GROUP BY event_type),
+v2 AS (
+  SELECT 2 AS version, event_type, count(*) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM base GROUP BY event_type)
+SELECT * FROM v1 UNION ALL SELECT * FROM v2
+ORDER BY version, event_type
+"""
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read evolution hash-checked: the versioned table's v2
+    file set mixes old files (no ``source`` column) with new ones that
+    have it; a ``mergeSchema`` read must surface the union schema with
+    NULLs on pre-evolution rows.  The aggregate splits on exactly that
+    NULL-ness, so a reader that drops the new column, fails to
+    null-fill old rows, or loses files on either side of the evolution
+    fails the hash.  At warehouse scale this is the contract that lets
+    a 100 TB table gain a column without a rewrite."""
+    import os
+
+    root = _ensure_versioned_table(spark, sf_dir)
+    table = os.path.join(root, "table")
+    df = spark.read.option("mergeSchema", "true").parquet(table)
+    return (
+        df.groupBy(F.col("source").isNotNull().alias("has_source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_cents"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("has_source")
+    )
+
+
+_SCHEMA_EVOLUTION_SQL = """
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE)
+         + CAST(date_diff('day', CAST(min(ts) AS DATE),
+                          CAST(max(ts) AS DATE)) // 2 AS INTEGER) AS split
+  FROM events)
+SELECT CAST(e.ts AS DATE) >= b.split AS has_source,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       count(DISTINCT e.event_type) AS n_types
+FROM events e, bounds b
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 # -- A/B experiment analysis ---------------------------------------------------
 
 
@@ -3498,6 +3672,8 @@ QUERIES: dict[str, QueryDef] = {
     "q_ab_welch": QueryDef(q_ab_welch, _AB_WELCH_SQL),
     "q_ab_cuped": QueryDef(q_ab_cuped, _AB_CUPED_SQL),
     "q_ab_quantiles": QueryDef(q_ab_quantiles, _AB_QUANTILES_SQL),
+    "q_time_travel": QueryDef(q_time_travel, _TIME_TRAVEL_SQL),
+    "q_schema_evolution": QueryDef(q_schema_evolution, _SCHEMA_EVOLUTION_SQL),
     "q_json_props": QueryDef(q_json_props, _JSON_SQL),
     "q_set_ops": QueryDef(q_set_ops, _SET_SQL),
     "q_percentiles": QueryDef(q_percentiles, _PCT_SQL),
