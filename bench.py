@@ -73,6 +73,8 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_ab_quantiles",
     "q_time_travel",
     "q_schema_evolution",
+    "q_ingest_merge",
+    "q_partition_prune",
     "q_sliding_rollup",
     "q_json_props",
     "q_funnel",

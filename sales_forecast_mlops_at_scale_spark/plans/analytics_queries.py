@@ -2067,6 +2067,240 @@ ORDER BY user_id, first_ts
 """
 
 
+# -- exactly-once ingest MERGE + partitioned layout -----------------------------
+
+
+def _ingest_merge_root(sf_dir: str) -> str:
+    import os
+
+    from .fixture_roots import digest_root
+
+    return digest_root(
+        "sfspark_ingest_merge_table",
+        [os.path.join(sf_dir, "events.parquet")],
+        [_STREAM_EPOCHS, "redeliv-mod3-dup-mod5"],
+    )
+
+
+def _ingest_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical sales rows the ingest table must converge to: one
+    row per (store, productname, date) natural key with exact integer
+    cents, epoch-tagged by the date's time-third.  Shared (textually)
+    with the oracle."""
+    ev = _events(spark, sf_dir)
+    d0, dmax = ev.agg(F.min(F.to_date("ts")), F.max(F.to_date("ts"))).first()
+    nd = (dmax - d0).days + 1
+    return (
+        ev.groupBy(
+            F.col("user_id").cast("int").alias("store"),
+            F.col("event_type").alias("productname"),
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("date"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("int")
+            .alias("sales"),
+            F.count(F.lit(1)).cast("int").alias("customers"),
+        )
+        .withColumn(
+            "__epoch",
+            F.expr(
+                f"({_STREAM_EPOCHS} * datediff(to_date(date), DATE '{d0}'))"
+                f" div {nd}"
+            ).cast("int"),
+        )
+    )
+
+
+def _ensure_ingest_merge_table(spark: SparkSession, sf_dir: str) -> str:
+    """Drive the reference's CORE ingest path (``run_stream_ingest``:
+    declared-schema JSON parse → idempotent anti-join MERGE append with
+    per-batch commit markers into a DATE-PARTITIONED table — reference
+    ``services/airflow/dags/spark_streaming.py:45-76`` upgraded from
+    at-least-once to exactly-once) over three epoch files of JSON
+    lines, each poisoned with the two duplicate classes the MERGE must
+    survive: intra-batch exact duplicates (every store % 5 == 0 key
+    appears twice in its own file) and cross-epoch RE-DELIVERIES with a
+    CORRUPTED payload (every store % 3 == 0 key of epochs 0-1 is resent
+    in the next epoch with sales inflated by 1000 — first delivery must
+    win, so any inflated value surfacing in the table shifts the
+    aggregate and fails the hash).  Build guards: ≥1 of each duplicate
+    class, final row count equals the canonical key count, replay drain
+    a byte-level no-op."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from ..streaming.ingest import run_stream_ingest
+    from .fixture_roots import ensure_built
+
+    def build(staging: str) -> None:
+        canon = _ingest_canonical(spark, sf_dir).persist()
+        fields = [
+            "store",
+            F.dayofweek(F.to_date("date")).alias("dayofweek"),
+            "date",
+            "sales",
+            "customers",
+            F.lit(1).alias("open"),
+            F.lit(0).alias("promo"),
+            F.lit("0").alias("stateholiday"),
+            F.lit("0").alias("schoolholiday"),
+            "productname",
+        ]
+        src = os.path.join(staging, "src")
+        os.makedirs(src)
+        table = os.path.join(staging, "table")
+        ckpt = os.path.join(staging, "ckpt")
+
+        def drain() -> None:
+            run_stream_ingest(
+                spark,
+                source=spark.readStream.text(src),
+                target_path=table,
+                checkpoint_path=ckpt,
+            )
+
+        n_dup = n_redeliv = 0
+        for e in range(_STREAM_EPOCHS):
+            own = canon.where(F.col("__epoch") == e)
+            dups = own.where(F.col("store") % 5 == 0)
+            redeliv = (
+                canon.where(
+                    (F.col("__epoch") == e - 1) & (F.col("store") % 3 == 0)
+                ).withColumn("sales", F.col("sales") + 1000)
+                if e > 0
+                else own.limit(0)
+            )
+            n_dup += dups.count()
+            n_redeliv += redeliv.count()
+            batch = own.unionByName(dups).unionByName(redeliv)
+            lines = batch.select(
+                F.to_json(F.struct(*fields)).alias("value")
+            )
+            part_dir = os.path.join(staging, f"_txt{e}")
+            lines.coalesce(1).write.text(part_dir)
+            parts = _glob.glob(os.path.join(part_dir, "part-*"))
+            if len(parts) != 1:
+                raise RuntimeError(f"ingest epoch {e} fixture is empty")
+            os.rename(parts[0], os.path.join(src, f"epoch{e}.json"))
+            shutil.rmtree(part_dir, ignore_errors=True)
+            drain()
+        if n_dup == 0 or n_redeliv == 0:
+            raise RuntimeError(
+                f"ingest fixture vacuous: dups={n_dup} redeliv={n_redeliv}"
+            )
+        n_table = spark.read.parquet(table).count()
+        n_canon = canon.count()
+        canon.unpersist()
+        if n_table != n_canon:
+            raise RuntimeError(
+                f"ingest table has {n_table} rows, canonical={n_canon}"
+            )
+        _assert_replay_noop(table, drain, "ingest-merge")
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    return ensure_built(_ingest_merge_root(sf_dir), "_LOG_COMPLETE", build)
+
+
+#: oracle twin of ``_ingest_canonical`` — recomputes what the table must
+#: hold straight from the raw events (duplicates/re-deliveries never
+#: existed as far as the canonical state is concerned)
+_INGEST_CANON_SQL = """
+canon AS (
+  SELECT CAST(e.user_id AS INTEGER) AS store,
+         e.event_type AS productname,
+         CAST(e.ts AS DATE) AS d,
+         CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS INTEGER)
+           AS sales
+  FROM events e
+  GROUP BY 1, 2, 3)
+"""
+
+
+def q_ingest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once ingest MERGE itself, hash-checked (ST2 — the
+    reference's at-least-once Kafka→warehouse path upgraded): the
+    date-partitioned table produced by three checkpointed drains whose
+    files carry intra-batch exact duplicates AND cross-epoch
+    re-deliveries with corrupted payloads.  The oracle recomputes the
+    canonical per-key state from raw events — a duplicate surviving the
+    anti-join changes the count, a re-delivered inflated payload
+    overwriting its first delivery shifts the sum, a replay double
+    append breaks both; each fails the hash."""
+    import os
+
+    root = _ensure_ingest_merge_table(spark, sf_dir)
+    table = spark.read.parquet(os.path.join(root, "table"))
+    return (
+        table.groupBy("productname")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("sales").alias("sum_sales"),
+            F.countDistinct("store").alias("n_stores"),
+            F.countDistinct("date").alias("n_days"),
+        )
+        .orderBy("productname")
+    )
+
+
+_INGEST_MERGE_SQL = f"""
+WITH {_INGEST_CANON_SQL}
+SELECT productname, count(*) AS n_keys,
+       CAST(sum(sales) AS BIGINT) AS sum_sales,
+       count(DISTINCT store) AS n_stores,
+       count(DISTINCT d) AS n_days
+FROM canon GROUP BY productname ORDER BY productname
+"""
+
+
+def q_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned layout + partition pruning, hash-checked (S7/S8
+    — the reference kept unpartitioned Postgres heaps; SURVEY §4 calls
+    partition pruning 'absent'): a last-third date-range aggregate over
+    the ingest table whose time predicate lands on the PARTITION COLUMN,
+    so the scan reads only the matching ``date=`` directories (the
+    executed plan's PartitionFilters — pytest-asserted; at 100 TB the
+    difference between this and a full scan IS the query).  The oracle
+    recomputes the same range from raw events."""
+    import os
+
+    root = _ensure_ingest_merge_table(spark, sf_dir)
+    table = spark.read.parquet(os.path.join(root, "table"))
+    # 1-row anchor COLLECTED so the range lands as a literal partition
+    # filter — a broadcast-join bound would defeat static pruning (the
+    # scan must list only the matching date= directories)
+    lo = table.agg(
+        F.expr(
+            "date_add(min(date), CAST(2 * datediff(max(date), min(date)) / 3"
+            " AS INT))"
+        )
+    ).first()[0]
+    return (
+        table.where(F.col("date") >= F.lit(lo))
+        .groupBy("store")
+        .agg(
+            F.sum("sales").alias("sum_sales"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+        .orderBy("store")
+    )
+
+
+_PARTITION_PRUNE_SQL = f"""
+WITH {_INGEST_CANON_SQL},
+lo AS (
+  SELECT min(d) + CAST(2 * date_diff('day', min(d), max(d)) // 3 AS INTEGER)
+           AS lo
+  FROM canon)
+SELECT c.store, CAST(sum(c.sales) AS BIGINT) AS sum_sales,
+       count(*) AS n_keys
+FROM canon c, lo
+WHERE c.d >= lo.lo
+GROUP BY c.store ORDER BY c.store
+"""
+
+
 # -- versioned reads: time travel + schema evolution ---------------------------
 
 
@@ -3673,6 +3907,8 @@ QUERIES: dict[str, QueryDef] = {
     "q_ab_cuped": QueryDef(q_ab_cuped, _AB_CUPED_SQL),
     "q_ab_quantiles": QueryDef(q_ab_quantiles, _AB_QUANTILES_SQL),
     "q_time_travel": QueryDef(q_time_travel, _TIME_TRAVEL_SQL),
+    "q_ingest_merge": QueryDef(q_ingest_merge, _INGEST_MERGE_SQL),
+    "q_partition_prune": QueryDef(q_partition_prune, _PARTITION_PRUNE_SQL),
     "q_schema_evolution": QueryDef(q_schema_evolution, _SCHEMA_EVOLUTION_SQL),
     "q_json_props": QueryDef(q_json_props, _JSON_SQL),
     "q_set_ops": QueryDef(q_set_ops, _SET_SQL),

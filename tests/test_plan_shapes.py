@@ -505,3 +505,14 @@ def test_psi_drift_shuffles_carry_bins_not_data(spark):
     assert "partial_count" in plan or "partial_sum" in plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_partition_prune_reads_only_matching_date_dirs(spark):
+    # q_partition_prune's range predicate lands on the PARTITION column
+    # of the ingest-merge table: the scan's PartitionFilters must carry
+    # the date bound (static pruning — only matching date= directories
+    # are listed), and the data filter list must NOT need it
+    q = all_queries()["q_partition_prune"]
+    plan = _executed_plan(q.fn(spark, SMOKE_SF_DIR))
+    pf = plan.split("PartitionFilters: ", 1)[1].splitlines()[0]
+    assert "date" in pf and ">=" in pf, pf
