@@ -2967,3 +2967,71 @@ def test_attribution_stream_late_filter_and_eviction(spark, tmp_path):
     ]
     drain()
     assert len(spark.read.parquet(out).collect()) == 2
+
+
+def test_stateful_streams_identical_under_rocksdb_store(spark, tmp_path):
+    """The scale story of every stateful stream here says "RocksDB holds
+    billions of keys" — this pins that switching the state store
+    provider from the default HDFS-backed one to RocksDB changes
+    NOTHING about the semantics: the TTL-rollup state machine (custom
+    state + EventTimeTimeout, the most provider-sensitive path: state
+    encoding, timeout registry, eviction) produces byte-identical
+    results under both providers on the hand fixture."""
+    import json as _json
+
+    from sales_forecast_mlops_at_scale_spark.streaming.ingest import (
+        run_ttl_rollup_stream,
+    )
+
+    epochs = [
+        [(1, "2024-01-01 10:00:00", 1.0), (4, "2024-01-01 12:00:00", 2.0),
+         (6, "2024-01-01 09:00:00", 100.0)],
+        [(2, "2024-01-05 10:00:00", 4.0), (5, "2024-01-02 00:00:00", 8.0),
+         (6, "2024-01-02 00:00:00", 200.0)],
+        [(1, "2024-01-09 10:00:00", 16.0), (3, "2024-01-02 00:00:00", 32.0)],
+    ]
+
+    def run(tag: str, provider: str | None) -> list:
+        src = tmp_path / f"src_{tag}"
+        src.mkdir()
+        out, ck = str(tmp_path / f"log_{tag}"), str(tmp_path / f"ck_{tag}")
+        key = "spark.sql.streaming.stateStore.providerClass"
+        old = spark.conf.get(key, None)
+        if provider is not None:
+            spark.conf.set(key, provider)
+        try:
+            for i, rows in enumerate(epochs):
+                (src / f"e{i}.json").write_text(
+                    "\n".join(
+                        _json.dumps({"user_id": u, "ts": ts, "value": v})
+                        for u, ts, v in rows
+                    )
+                    + "\n"
+                )
+                s = spark.readStream.schema(
+                    "user_id long, ts timestamp, value double"
+                ).json(str(src))
+                run_ttl_rollup_stream(
+                    s, out_path=out, checkpoint_path=ck,
+                    keys=["user_id"], ttl="1 day", watermark="1 hour",
+                )
+        finally:
+            if provider is not None:
+                if old is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, old)
+        return sorted(
+            (r.user_id, r.n_events, r.sum_value, str(r.first_ts),
+             str(r.last_ts))
+            for r in spark.read.parquet(out).collect()
+        )
+
+    rocks = run(
+        "rocks",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    hdfs = run("hdfs", None)
+    assert rocks == hdfs
+    assert len(rocks) == 5  # the pinned closure set of the hand fixture
