@@ -75,6 +75,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_schema_evolution",
     "q_ingest_merge",
     "q_partition_prune",
+    "q_stream_enrich",
     "q_sliding_rollup",
     "q_json_props",
     "q_funnel",

@@ -2067,6 +2067,209 @@ ORDER BY user_id, first_ts
 """
 
 
+# -- stream-static join enrichment ----------------------------------------------
+
+
+def _stream_enrich_root(sf_dir: str) -> str:
+    import os
+
+    from .fixture_roots import digest_root
+
+    return digest_root(
+        "sfspark_stream_enrich_log",
+        [
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(sf_dir, "customer.parquet"),
+        ],
+        [_STREAM_EPOCHS, _STREAM_STRAGGLER_MOD, _STREAM_WATERMARK_DAYS, "mod2"],
+    )
+
+
+def _ensure_stream_enrich_log(spark: SparkSession, sf_dir: str) -> str:
+    """Drive the STREAM-STATIC join service
+    (``streaming.ingest.run_enriched_rollup_stream``: events stream ⋈
+    static customer dimension → watermarked daily rollup per market
+    segment) over the same three-epoch straggler stream as the window
+    fixture.  The dimension is deliberately SELECTIVE (even custkeys
+    only), so the join's drop path is non-vacuous at every SF.  Build
+    guards: every epoch nonempty, ≥1 stream row dropped by the JOIN
+    (no dimension match), ≥1 straggler dropped by the WATERMARK among
+    join-surviving rows and ≥1 kept (both policies visibly compose),
+    no window end ties a watermark, replay drain a byte-level no-op."""
+    import datetime as _dt
+    import glob as _glob
+    import os
+    import shutil
+
+    from ..catalog import load_table
+    from ..streaming.ingest import run_enriched_rollup_stream
+    from .fixture_roots import ensure_built
+
+    def build(staging: str) -> None:
+        ev = _events(spark, sf_dir)
+        d0, dmax = ev.agg(
+            F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+        ).first()
+        nd = (dmax - d0).days + 1
+        tagged = ev.withColumn("__d0", F.lit(d0)).withColumn(
+            "__nd", F.lit(nd)
+        ).withColumn("__epoch", _stream_epoch_col())
+        dim = (
+            load_table(spark, sf_dir, "customer")
+            .where(F.col("c_custkey") % 2 == 0)
+            .select(
+                F.col("c_custkey").alias("cust_id"),
+                F.col("c_mktsegment").alias("segment"),
+            )
+        )
+        src = os.path.join(staging, "src")
+        os.makedirs(src)
+        out = os.path.join(staging, "log")
+        ckpt = os.path.join(staging, "ckpt")
+        schema = ev.select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id",
+            "value",
+        ).schema
+
+        def drain() -> None:
+            s = spark.readStream.schema(schema).parquet(src)
+            run_enriched_rollup_stream(
+                s,
+                dim,
+                out_path=out,
+                checkpoint_path=ckpt,
+                join_key=F.col("user_id") == F.col("cust_id"),
+                watermark=f"{_STREAM_WATERMARK_DAYS} days",
+            )
+
+        wms: list = []
+        for e in range(_STREAM_EPOCHS):
+            sliced = tagged.where(F.col("__epoch") == e).select(
+                F.col("ts").cast("timestamp").alias("ts"),
+                "user_id",
+                "value",
+            )
+            _epoch_part_file(
+                sliced, staging, src, f"epoch{e}", f"enrich epoch {e}"
+            )
+            drain()
+            mx = spark.read.parquet(src).agg(F.max("ts")).first()[0]
+            wms.append(mx - _dt.timedelta(days=_STREAM_WATERMARK_DAYS))
+        # guards: the JOIN drop and the WATERMARK drop/keep must all be
+        # genuinely exercised (bounded collects on the straggler frame)
+        n_unmatched = (
+            tagged.join(dim, F.col("user_id") == F.col("cust_id"), "left_anti")
+            .limit(1)
+            .count()
+        )
+        if n_unmatched == 0:
+            raise RuntimeError("enrich fixture vacuous: every row matched the dim")
+        stragglers = (
+            tagged.join(dim, F.col("user_id") == F.col("cust_id"), "left_semi")
+            .where(
+                (F.col("event_id") % _STREAM_STRAGGLER_MOD == 0)
+                & (
+                    F.col("__epoch")
+                    > F.expr(
+                        f"(({_STREAM_EPOCHS} * datediff(to_date(ts), __d0))"
+                        " div __nd)"
+                    )
+                )
+            )
+            .select(
+                (F.date_trunc("day", "ts") + F.expr("interval 1 day")).alias(
+                    "we"
+                ),
+                F.col("__epoch").alias("ep"),
+            )
+        )
+        n_drop = n_keep = 0
+        for r in stragglers.collect():
+            if r.we <= wms[r.ep - 1]:
+                n_drop += 1
+            elif r.we <= wms[-1]:
+                n_keep += 1
+        if n_drop == 0 or n_keep == 0:
+            raise RuntimeError(
+                f"enrich fixture vacuous: dropped={n_drop} kept={n_keep}"
+            )
+        ends = {
+            r[0]
+            for r in tagged.select(
+                F.date_trunc("day", "ts") + F.expr("interval 1 day")
+            )
+            .distinct()
+            .collect()
+        }
+        if any(wm in ends for wm in wms):
+            raise RuntimeError("enrich fixture degenerate: watermark ties a window end")
+        _assert_replay_noop(out, drain, "enrich")
+        shutil.rmtree(os.path.join(out, "_spark_metadata"), ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    return ensure_built(_stream_enrich_root(sf_dir), "_LOG_COMPLETE", build)
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAM-STATIC join, hash-checked end-to-end: each micro-batch
+    of the event stream inner-joins a static (selective) customer
+    dimension before the watermarked daily rollup, so two drop policies
+    compose — rows without a dimension match never reach state, and late
+    stragglers among the matched rows obey the pinned one-batch-lag
+    watermark filter.  The oracle applies both in SQL (join to the even
+    custkeys, then the late rule, then the final-watermark emission
+    cut), grouped by market segment — a join that leaks unmatched rows
+    into state, misses a batch's dimension refresh, or breaks the late
+    policy under the extra join fails the hash.  Stream state stays
+    O(open windows × segments)."""
+    import os
+
+    root = _ensure_stream_enrich_log(spark, sf_dir)
+    log = spark.read.parquet(os.path.join(root, "log"))
+    return log.select("day", "segment", "n_events", "sum_value").orderBy(
+        "day", "segment"
+    )
+
+
+_STREAM_ENRICH_SQL = f"""
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS d0,
+         date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1
+           AS nd
+  FROM events),
+tagged AS (
+  SELECT e.ts, e.user_id, e.value,
+         date_trunc('day', e.ts) + INTERVAL 1 DAY AS we,
+         least({_STREAM_EPOCHS - 1},
+               ({_STREAM_EPOCHS} * date_diff('day', b.d0, CAST(e.ts AS DATE)))
+                 // b.nd
+               + CASE WHEN e.event_id % {_STREAM_STRAGGLER_MOD} = 0
+                      THEN 1 ELSE 0 END) AS epoch
+  FROM events e, bounds b),
+wms AS (
+  SELECT epoch,
+         max(mx) OVER (ORDER BY epoch)
+           - INTERVAL {_STREAM_WATERMARK_DAYS} DAY AS wm
+  FROM (SELECT epoch, max(ts) AS mx FROM tagged GROUP BY epoch)),
+enriched AS (
+  SELECT t.*, c.c_mktsegment AS segment
+  FROM tagged t
+  JOIN customer c
+    ON c.c_custkey = t.user_id AND c.c_custkey % 2 = 0),
+survived AS (
+  SELECT t.* FROM enriched t
+  LEFT JOIN wms p ON p.epoch = t.epoch - 1
+  WHERE p.wm IS NULL OR t.we > p.wm)
+SELECT CAST(date_trunc('day', s.ts) AS DATE) AS day, s.segment,
+       count(*) AS n_events, round(sum(s.value), 4) AS sum_value
+FROM survived s, (SELECT max(wm) AS wmf FROM wms) f
+WHERE s.we <= f.wmf
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # -- exactly-once ingest MERGE + partitioned layout -----------------------------
 
 
@@ -3908,6 +4111,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_ab_quantiles": QueryDef(q_ab_quantiles, _AB_QUANTILES_SQL),
     "q_time_travel": QueryDef(q_time_travel, _TIME_TRAVEL_SQL),
     "q_ingest_merge": QueryDef(q_ingest_merge, _INGEST_MERGE_SQL),
+    "q_stream_enrich": QueryDef(q_stream_enrich, _STREAM_ENRICH_SQL),
     "q_partition_prune": QueryDef(q_partition_prune, _PARTITION_PRUNE_SQL),
     "q_schema_evolution": QueryDef(q_schema_evolution, _SCHEMA_EVOLUTION_SQL),
     "q_json_props": QueryDef(q_json_props, _JSON_SQL),

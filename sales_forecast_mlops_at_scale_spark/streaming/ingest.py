@@ -671,6 +671,47 @@ def run_chained_rollup_stream(
     )
 
 
+def run_enriched_rollup_stream(
+    source: DataFrame,
+    dim: DataFrame,
+    *,
+    out_path: str,
+    checkpoint_path: str,
+    join_key,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: Sequence[str] = ("segment",),
+    watermark: str = "2 days",
+    available_now: bool = True,
+) -> None:
+    """STREAM-STATIC join + watermarked rollup as a SERVICE: each
+    micro-batch inner-joins the event stream against a static dimension
+    frame (re-read per batch — the always-fresh lookup semantics Spark
+    gives stream-static joins), then folds into the same watermarked
+    daily aggregate as :func:`run_windowed_rollup_stream`.  Rows with no
+    dimension match are dropped by the join BEFORE they can touch state
+    — the enrichment filter composes with the late-data policy, and the
+    ``q_stream_enrich`` oracle pins both at once.  ``join_key`` is a
+    join condition column (stream col == dim col).
+
+    Scale: the dim side broadcasts per batch when small (Spark plans the
+    batch join normally); state is O(open windows × enriched keys)."""
+    enriched = source.join(dim, join_key, "inner")
+    rolled = windowed_daily_rollup(
+        enriched,
+        ts_col=ts_col,
+        value_col=value_col,
+        keys=list(keys),
+        watermark=watermark,
+    )
+    _drain_append_parquet(
+        rolled,
+        out_path=out_path,
+        checkpoint_path=checkpoint_path,
+        available_now=available_now,
+    )
+
+
 def run_ttl_rollup_stream(
     source: DataFrame,
     *,
