@@ -20,6 +20,10 @@ TOP = [
     "q_mondrian_conformal", "q_drift_log", "q_group_skew", "q_index_retrain",
     "q_retrain_decision", "q_stream_late_data", "q_stream_dedup",
     "q_stream_sessions", "q_scd2_merge", "q_stream_attribution",
+    "q_stream_outer_attr", "q_stream_chained", "q_stream_latest",
+    "q_stream_ttl", "q_stream_enrich", "q_ab_welch", "q_ab_cuped",
+    "q_ab_quantiles", "q_ingest_merge", "q_partition_prune",
+    "q_time_travel", "q_schema_evolution",
 ]
 NOTES = {
     "q_dedup_clusters": "MinHash-LSH pairs (persisted shingle sets, banded bucket join) feed min-label propagation; four steps + one pointer-doubling shortcut per burst ending in one lazy checkpoint whose materialization rides the convergence count; in-burst convergence detection finishes shallow graphs in ONE driver action; deep graphs escalate to large-star/small-star contraction (O(log^2 n) rounds, diameter-independent); edges pinned once.",
@@ -72,7 +76,19 @@ NOTES = {
     "q_stream_sessions": "Steady state: a scan of the closed-sessions log + one sort. Native session_window aggregate in append mode over band-filtered epochs (rows >= 1 day from epoch edges, so merge-with-open-state coincides with closed-form islands - asserted at build); the oracle is per-user gaps-and-islands cut at the final watermark, so eager emission / closed-session merges / replay double-emits fail the hash. Stream state is O(open sessions), watermark-bounded.",
     "q_scd2_merge": "ONE left join (closed history rides it unmatched - valid_to IS NULL is in the join condition), then each row EXPLODES into its one-or-two output rows (kept, or closed + new version). r9: the filter-three-ways-and-union version re-evaluated the un-persisted join per branch - 6 scans of the dimension; now 2 (the floor).",
     "q_stream_attribution": "Steady state: a scan of the emitted-pairs log + one sort. The log is the REAL two-source stream-stream interval inner join (clicks x purchases within 1h per user, append mode, checkpointed) over three epoch files per side with stragglers; the oracle applies the engine's probed policy on top of the batch join (global min-of-sides watermark late filter at input, left state evicted at imp_ts + max_delay, right at its own event time, one-batch watermark lag). Stream state is O(rows within the watermark horizon).",
-}
+
+    "q_stream_outer_attr": "Steady state: a scan of the outer-join log + one sort. The log is the LEFT OUTER twin: unmatched lefts emit one null-partner row in the drain whose UPDATED watermark passes imp_ts + max_delay (boundary probed exactly); 8h window so policy-caused nulls exist at every SF; lefts inside the horizon withheld.",
+    "q_stream_chained": "Steady state: a scan of the period log + one sort. The log is TWO CHAINED stateful aggregates in ONE query (day windows feeding 3-day windows via window_time); the cascade completes within a drain (watermark propagation), so the plan the oracle models is the pure composition of the pinned single-level rules; n_days pins the day-rows each period absorbed.",
+    "q_stream_latest": "Steady state: a scan of the upsert log + one sort. Update-mode applyInPandasWithState (running max per key over an LCG-permuted order column) drained through an exactly-once foreachBatch anti-join upsert keyed on (user, epoch-tag); stream state is one (ord, value) pair per key.",
+    "q_stream_ttl": "Steady state: a scan of the closed-segments log + one sort. Custom EventTimeTimeout state machine (fold/timeout/reopen, probed empirically); stream state is one 4-field struct per LIVE key, bounded by the ttl horizon; RocksDB parity pytest-pinned.",
+    "q_stream_enrich": "Steady state: a scan of the segment log + one sort. Stream-static join (per-batch dimension lookup, broadcastable dim) composing with the watermarked rollup; state O(open windows x segments).",
+    "q_ab_welch": "One events scan + a 1-row split anchor -> per-user partial aggregates (one user_id exchange) -> ONE wide conditional-aggregate moment row -> closed-form t/df. No per-arm self-join of the un-persisted user frame (the duplicated-subtree class).",
+    "q_ab_cuped": "Same single moment pass as the t-test; CUPED evaluated in CLOSED FORM from the moments (theta = pooled cov/var), the two output rows exploded from the 1-row frame - no per-user adjusted values anywhere in the plan.",
+    "q_ab_quantiles": "One conditional-aggregate pass (percentile over each arm's integer cents); per-level rows exploded from the single aggregate row.",
+    "q_ingest_merge": "Steady state: one scan of the date-partitioned ingest table + per-product hash aggregate. The table is the REAL run_stream_ingest output (anti-join MERGE + commit markers) over drains poisoned with intra-batch duplicates and corrupted cross-epoch re-deliveries.",
+    "q_partition_prune": "The range bound is a collected 1-row anchor, so the date predicate lands in the scan's PartitionFilters (pytest-asserted) - only matching date= directories are listed; at 100 TB this IS the query.",
+    "q_time_travel": "Two manifest-pinned file-list scans (one per version) + per-type hash aggregates; the version catalog is O(versions), never O(data).",
+    "q_schema_evolution": "One mergeSchema scan of the mixed-schema file set; the aggregate splits on NULL-ness of the evolved column (old files null-fill).",}
 
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")
 reg = all_queries()

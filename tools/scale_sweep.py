@@ -89,6 +89,19 @@ QUERIES = [
     "q_stream_dedup",
     "q_stream_sessions",
     "q_stream_attribution",
+    "q_stream_outer_attr",
+    "q_stream_chained",
+    "q_stream_latest",
+    "q_stream_ttl",
+    "q_stream_enrich",
+    "q_ab_srm",
+    "q_ab_welch",
+    "q_ab_cuped",
+    "q_ab_quantiles",
+    "q_ingest_merge",
+    "q_partition_prune",
+    "q_time_travel",
+    "q_schema_evolution",
 ]
 
 
