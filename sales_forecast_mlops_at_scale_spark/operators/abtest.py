@@ -36,12 +36,16 @@ SRM_CHI2_95 = 3.841
 
 def arm_of(id_col: Column, *, seed: str = "ab") -> Column:
     """Deterministic 50/50 arm from a salted md5 of the id: the first 8
-    hex chars compared against the midpoint — the same engine-portable
-    hash-threshold trick as ``deterministic_sample``."""
+    hex chars compared against the SHARED midpoint threshold
+    (``sample_threshold_hex`` — one definition for every hash-bucketing
+    site in the engine, so the convention can never de-synchronize;
+    code-review)."""
+    from .llm.curation import sample_threshold_hex
+
     bucket = F.substring(F.md5(F.concat(F.lit(seed), id_col.cast("string"))), 1, 8)
-    return F.when(bucket < F.lit("80000000"), F.lit("treatment")).otherwise(
-        F.lit("control")
-    )
+    return F.when(
+        bucket < F.lit(sample_threshold_hex(0.5)), F.lit("treatment")
+    ).otherwise(F.lit("control"))
 
 
 def experiment_frame(
@@ -71,21 +75,19 @@ def experiment_frame(
     tagged = events.crossJoin(F.broadcast(bounds))
     is_metric = F.col("event_type") == metric_event
     is_post = F.to_date(ts_col) >= F.col("__split")
+    # quantize PER EVENT, then sum bigints: the sums are exactly
+    # associative, so no accumulation order (Spark partial-combine vs
+    # DuckDB sequential) can flip a cent at a rounding boundary —
+    # rounding a float SUM would be order-dependent (code-review)
+    cents = F.round(F.col(value_col) * 100, 0).cast("bigint")
+    z = F.lit(0).cast("bigint")
     per_user = tagged.groupBy(id_col).agg(
-        F.round(
-            F.sum(F.when(is_metric & ~is_post, F.col(value_col)).otherwise(0.0))
-            * 100,
-            0,
-        )
-        .cast("bigint")
-        .alias("pre_cents"),
-        F.round(
-            F.sum(F.when(is_metric & is_post, F.col(value_col)).otherwise(0.0))
-            * 100,
-            0,
-        )
-        .cast("bigint")
-        .alias("post_cents"),
+        F.sum(F.when(is_metric & ~is_post, cents).otherwise(z)).alias(
+            "pre_cents"
+        ),
+        F.sum(F.when(is_metric & is_post, cents).otherwise(z)).alias(
+            "post_cents"
+        ),
     )
     return per_user.withColumn("arm", arm_of(F.col(id_col), seed=seed))
 

@@ -298,6 +298,52 @@ def _assert_replay_noop(out: str, drain, label: str) -> None:
         raise RuntimeError(f"{label} replay drain was not a no-op")
 
 
+def _drive_epochs(
+    spark: SparkSession,
+    frame_of,
+    staging: str,
+    src: str,
+    drain,
+    label: str,
+    *,
+    wm_col: str | None = None,
+    wm_delta=None,
+) -> list:
+    """The shared epoch-drain loop of the single-source stream fixtures:
+    slice epoch ``e`` → exactly-one-part file → drain; with ``wm_col``
+    set, track the running watermark (max over ALL delivered files −
+    ``wm_delta``) after each drain and return the per-epoch list.  One
+    definition instead of a per-fixture copy (code-review r9, second
+    pass)."""
+    import os
+
+    wms: list = []
+    for e in range(_STREAM_EPOCHS):
+        _epoch_part_file(
+            frame_of(e), staging, src, f"epoch{e}", f"{label} epoch {e}"
+        )
+        drain()
+        if wm_col is not None:
+            mx = spark.read.parquet(src).agg(F.max(wm_col)).first()[0]
+            wms.append(mx - wm_delta)
+    return wms
+
+
+def _classify_stragglers(rows, wms) -> tuple:
+    """(n_dropped, n_kept) under the pinned late rule: a straggler row
+    (window end ``we``, delivery epoch ``ep``) is DROPPED iff its window
+    end trails the previous drain's watermark, KEPT iff late-but-within
+    the final one — the shared non-vacuity arithmetic of the
+    window-family fixtures."""
+    n_drop = n_keep = 0
+    for r in rows:
+        if r.we <= wms[r.ep - 1]:
+            n_drop += 1
+        elif r.we <= wms[-1]:
+            n_keep += 1
+    return n_drop, n_keep
+
+
 def _stream_epoch_col() -> F.Column:
     """Epoch assignment shared (textually) with the oracle: base = the
     event's time-ordered third of the date span, +1 for stragglers,
@@ -358,22 +404,20 @@ def _ensure_stream_window_log(spark: SparkSession, sf_dir: str) -> str:
                 watermark=f"{_STREAM_WATERMARK_DAYS} days",
             )
 
-        wms: list = []  # watermark AFTER each epoch's drain
-        for e in range(_STREAM_EPOCHS):
-            sliced = tagged.where(F.col("__epoch") == e).select(
+        wms = _drive_epochs(
+            spark,
+            lambda e: tagged.where(F.col("__epoch") == e).select(
                 F.col("ts").cast("timestamp").alias("ts"),
                 "event_type",
                 "value",
-            )
-            _epoch_part_file(
-                sliced, staging, src, f"epoch{e}", f"stream-window epoch {e}"
-            )
-            drain()
-            # running watermark (1-row anchor per epoch, 3 total)
-            mx = spark.read.parquet(src).agg(F.max("ts")).first()[0]
-            wms.append(
-                mx - _dt.timedelta(days=_STREAM_WATERMARK_DAYS)
-            )
+            ),
+            staging,
+            src,
+            drain,
+            "stream-window",
+            wm_col="ts",
+            wm_delta=_dt.timedelta(days=_STREAM_WATERMARK_DAYS),
+        )
         # non-vacuity + no-tie guards: stragglers are ~1/{mod} of the
         # fixture (bounded, build-only collect of two columns)
         stragglers = tagged.where(
@@ -391,12 +435,7 @@ def _ensure_stream_window_log(spark: SparkSession, sf_dir: str) -> str:
             ),
             F.col("__epoch").alias("ep"),
         )
-        n_drop = n_keep = 0
-        for r in stragglers.collect():
-            if r.we <= wms[r.ep - 1]:
-                n_drop += 1
-            elif r.we <= wms[-1]:
-                n_keep += 1
+        n_drop, n_keep = _classify_stragglers(stragglers.collect(), wms)
         if n_drop == 0 or n_keep == 0:
             raise RuntimeError(
                 f"late-data fixture vacuous: dropped={n_drop} kept={n_keep}"
@@ -1195,13 +1234,16 @@ def _ensure_stream_dedup_log(spark: SparkSession, sf_dir: str) -> str:
                 watermark=f"{_DEDUP_WM_DAYS} days",
             )
 
-        wms: list = []
-        for e in range(_STREAM_EPOCHS):
-            sliced = firsts.where(F.col("__epoch") == e).drop("__epoch")
-            _epoch_part_file(sliced, staging, src, f"epoch{e}", f"dedup epoch {e}")
-            drain()
-            mx = spark.read.parquet(src).agg(F.max("ts")).first()[0]
-            wms.append(mx - _dt.timedelta(days=_DEDUP_WM_DAYS))
+        wms = _drive_epochs(
+            spark,
+            lambda e: firsts.where(F.col("__epoch") == e).drop("__epoch"),
+            staging,
+            src,
+            drain,
+            "dedup",
+            wm_col="ts",
+            wm_delta=_dt.timedelta(days=_DEDUP_WM_DAYS),
+        )
         # guards over the tiny per-user pivot (≤1 row per user)
         delta = _dt.timedelta(days=_DEDUP_WM_DAYS)
         piv = (
@@ -1582,19 +1624,20 @@ def _ensure_stream_chain_log(spark: SparkSession, sf_dir: str) -> str:
                 period=f"{_CHAIN_PERIOD_DAYS} days",
             )
 
-        wms: list = []
-        for e in range(_STREAM_EPOCHS):
-            sliced = tagged.where(F.col("__epoch") == e).select(
+        wms = _drive_epochs(
+            spark,
+            lambda e: tagged.where(F.col("__epoch") == e).select(
                 F.col("ts").cast("timestamp").alias("ts"),
                 "event_type",
                 "value",
-            )
-            _epoch_part_file(sliced, staging, src, f"epoch{e}", f"chain epoch {e}")
-            drain()
-            mx = spark.read.parquet(src).agg(F.max("ts")).first()[0]
-            wms.append(
-                mx - _dt.timedelta(days=_STREAM_WATERMARK_DAYS)
-            )
+            ),
+            staging,
+            src,
+            drain,
+            "chain",
+            wm_col="ts",
+            wm_delta=_dt.timedelta(days=_STREAM_WATERMARK_DAYS),
+        )
         wmf = wms[-1]
         anchor = _dt.date(1970, 1, 1)
 
@@ -1848,10 +1891,14 @@ def _ensure_stream_ttl_log(spark: SparkSession, sf_dir: str) -> str:
                 watermark=f"{_TTL_WM_DAYS} days",
             )
 
-        for e in range(_STREAM_EPOCHS):
-            sliced = rows.where(F.col("__epoch") == e).drop("__epoch")
-            _epoch_part_file(sliced, staging, src, f"epoch{e}", f"ttl epoch {e}")
-            drain()
+        _drive_epochs(
+            spark,
+            lambda e: rows.where(F.col("__epoch") == e).drop("__epoch"),
+            staging,
+            src,
+            drain,
+            "ttl",
+        )
 
         # ---- Python replay of the probed state machine (guards) ----
         # watermarks from RAW delivered rows (late rows can never raise
@@ -2143,19 +2190,20 @@ def _ensure_stream_enrich_log(spark: SparkSession, sf_dir: str) -> str:
                 watermark=f"{_STREAM_WATERMARK_DAYS} days",
             )
 
-        wms: list = []
-        for e in range(_STREAM_EPOCHS):
-            sliced = tagged.where(F.col("__epoch") == e).select(
+        wms = _drive_epochs(
+            spark,
+            lambda e: tagged.where(F.col("__epoch") == e).select(
                 F.col("ts").cast("timestamp").alias("ts"),
                 "user_id",
                 "value",
-            )
-            _epoch_part_file(
-                sliced, staging, src, f"epoch{e}", f"enrich epoch {e}"
-            )
-            drain()
-            mx = spark.read.parquet(src).agg(F.max("ts")).first()[0]
-            wms.append(mx - _dt.timedelta(days=_STREAM_WATERMARK_DAYS))
+            ),
+            staging,
+            src,
+            drain,
+            "enrich",
+            wm_col="ts",
+            wm_delta=_dt.timedelta(days=_STREAM_WATERMARK_DAYS),
+        )
         # guards: the JOIN drop and the WATERMARK drop/keep must all be
         # genuinely exercised (bounded collects on the straggler frame)
         n_unmatched = (
@@ -2165,6 +2213,22 @@ def _ensure_stream_enrich_log(spark: SparkSession, sf_dir: str) -> str:
         )
         if n_unmatched == 0:
             raise RuntimeError("enrich fixture vacuous: every row matched the dim")
+        # the WATERMARK-SETTING event of ≥1 epoch must itself be
+        # dim-unmatched — the configuration where a post-join watermark
+        # (seeing only matched rows) would genuinely lag the correct
+        # pre-join one, keeping the watermark-placement contract
+        # observable in this fixture (code-review)
+        wm_setters = (
+            tagged.groupBy("__epoch")
+            .agg(F.max_by("user_id", "ts").alias("u"))
+            .join(dim, F.col("u") == F.col("cust_id"), "left_anti")
+        )
+        if wm_setters.limit(1).count() == 0:
+            raise RuntimeError(
+                "enrich fixture vacuous: every epoch's watermark-setting "
+                "event matched the dim (post-join watermark would be "
+                "indistinguishable)"
+            )
         stragglers = (
             tagged.join(dim, F.col("user_id") == F.col("cust_id"), "left_semi")
             .where(
@@ -2184,12 +2248,7 @@ def _ensure_stream_enrich_log(spark: SparkSession, sf_dir: str) -> str:
                 F.col("__epoch").alias("ep"),
             )
         )
-        n_drop = n_keep = 0
-        for r in stragglers.collect():
-            if r.we <= wms[r.ep - 1]:
-                n_drop += 1
-            elif r.we <= wms[-1]:
-                n_keep += 1
+        n_drop, n_keep = _classify_stragglers(stragglers.collect(), wms)
         if n_drop == 0 or n_keep == 0:
             raise RuntimeError(
                 f"enrich fixture vacuous: dropped={n_drop} kept={n_keep}"
@@ -2730,9 +2789,18 @@ def q_ab_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_effects(experiment_frame(_events(spark, sf_dir)))
 
 
+def _ab_arm_threshold() -> str:
+    from ..operators.llm.curation import sample_threshold_hex
+
+    return sample_threshold_hex(0.5)
+
+
+#: 50/50 arm boundary — the ONE shared hash-bucketing threshold
+_AB_ARM_THRESHOLD = _ab_arm_threshold()
+
 #: shared per-user experiment frame (integer cents, md5 arms) — the SQL
 #: twin of ``operators.abtest.experiment_frame``
-_AB_USERS_SQL = """
+_AB_USERS_SQL = f"""
 bounds AS (
   SELECT CAST(min(ts) AS DATE)
          + CAST(date_diff('day', CAST(min(ts) AS DATE),
@@ -2740,16 +2808,16 @@ bounds AS (
   FROM events),
 users AS (
   SELECT e.user_id,
-         CAST(round(sum(CASE WHEN e.event_type = 'purchase'
-                              AND CAST(e.ts AS DATE) < b.split
-                             THEN e.value ELSE 0 END) * 100, 0) AS BIGINT)
-           AS pre_cents,
-         CAST(round(sum(CASE WHEN e.event_type = 'purchase'
-                              AND CAST(e.ts AS DATE) >= b.split
-                             THEN e.value ELSE 0 END) * 100, 0) AS BIGINT)
-           AS post_cents,
+         CAST(sum(CASE WHEN e.event_type = 'purchase'
+                        AND CAST(e.ts AS DATE) < b.split
+                       THEN CAST(round(e.value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS pre_cents,
+         CAST(sum(CASE WHEN e.event_type = 'purchase'
+                        AND CAST(e.ts AS DATE) >= b.split
+                       THEN CAST(round(e.value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS post_cents,
          CASE WHEN substr(md5('ab' || CAST(e.user_id AS VARCHAR)), 1, 8)
-                   < '80000000'
+                   < '{_AB_ARM_THRESHOLD}'
               THEN 'treatment' ELSE 'control' END AS arm
   FROM events e, bounds b
   GROUP BY e.user_id),

@@ -330,7 +330,7 @@ def windowed_daily_rollup(
     watermark are dropped instead of corrupting closed windows.  Works on
     batch frames too (window() is trigger-agnostic)."""
     df = events
-    if df.isStreaming:
+    if df.isStreaming and watermark is not None:
         df = df.withWatermark(ts_col, watermark)
     return df.groupBy(
         F.window(F.col(ts_col), "1 day").alias("day_window"), *keys
@@ -695,14 +695,23 @@ def run_enriched_rollup_stream(
     join condition column (stream col == dim col).
 
     Scale: the dim side broadcasts per batch when small (Spark plans the
-    batch join normally); state is O(open windows × enriched keys)."""
-    enriched = source.join(dim, join_key, "inner")
+    batch join normally); state is O(open windows × enriched keys).
+
+    The watermark is declared on the SOURCE, below the join — so ALL
+    stream rows advance it, exactly the model the oracle computes.
+    Declared above the join it would see only dimension-matched rows,
+    and a max-timestamp event the selective dim drops would silently
+    lag the engine's watermark behind the oracle's (code-review)."""
+    src = source
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    enriched = src.join(dim, join_key, "inner")
     rolled = windowed_daily_rollup(
         enriched,
         ts_col=ts_col,
         value_col=value_col,
         keys=list(keys),
-        watermark=watermark,
+        watermark=None if source.isStreaming else watermark,
     )
     _drain_append_parquet(
         rolled,

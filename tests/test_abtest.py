@@ -132,9 +132,10 @@ def test_experiment_frame_split_and_cents(spark):
         for r in experiment_frame(ev).collect()
     }
     # span Jan-1..Jan-10 → datediff 9 → split = Jan-1 + 4 = Jan-5
-    # user 1: pre = 1.204 + 2.301 = 3.505 → 351 cents (round-half-up),
-    #         post = 7.005 → 701 cents (the quantization is of the SUM)
-    assert got[1][:2] == (351, 701)
+    # user 1: pre = round(120.4) + round(230.1) = 120 + 230 = 350 cents
+    #         (quantization is PER EVENT, then exact bigint sums — the
+    #         order-independence contract), post = round(700.5) = 701
+    assert got[1][:2] == (350, 701)
     assert got[2][:2] == (0, 0)
     assert got[3][:2] == (0, 0)
     assert all(v[2] in ("control", "treatment") for v in got.values())
