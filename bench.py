@@ -71,6 +71,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_ab_welch",
     "q_ab_cuped",
     "q_ab_quantiles",
+    "q_ab_segments",
     "q_time_travel",
     "q_schema_evolution",
     "q_ingest_merge",

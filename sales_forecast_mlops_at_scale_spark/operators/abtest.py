@@ -318,3 +318,52 @@ def quantile_effects(
         )
         .orderBy("level")
     )
+
+
+def segment_effects(users: DataFrame, dim: DataFrame, *, min_arm_n: int = 2) -> DataFrame:
+    """Heterogeneous treatment effects: the Welch contrast evaluated
+    PER SEGMENT of a joined dimension — the "which users did the
+    treatment actually move" view an aggregate t-test averages away.
+    One inner join (users lacking a dimension row drop, deterministic)
+    and one conditional-aggregate pass per segment; segments where
+    either arm has fewer than ``min_arm_n`` users are withheld (a
+    1-user arm has no sample variance, and inf/NaN artifacts are not
+    hash-stable).  Same exact-integer-moments contract as the rest of
+    the module."""
+
+    def _side(tag: str, prefix: str) -> list:
+        cond = F.col("arm") == tag
+        z = F.lit(0).cast("bigint")
+        py = F.col("post_cents")
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"{prefix}n"),
+            F.sum(F.when(cond, py).otherwise(z)).alias(f"{prefix}sy"),
+            F.sum(F.when(cond, py * py).otherwise(z)).alias(f"{prefix}syy"),
+        ]
+
+    m = (
+        users.join(dim, "user_id", "inner")
+        .groupBy("segment")
+        .agg(*_side("control", "c"), *_side("treatment", "t"))
+        .where(
+            (F.col("cn") >= min_arm_n) & (F.col("tn") >= min_arm_n)
+        )
+    )
+    mc = _d("csy") / _d("cn")
+    mt = _d("tsy") / _d("tn")
+    vc = (_d("csyy") - _d("csy") * _d("csy") / _d("cn")) / (
+        _d("cn") - F.lit(1.0)
+    )
+    vt = (_d("tsyy") - _d("tsy") * _d("tsy") / _d("tn")) / (
+        _d("tn") - F.lit(1.0)
+    )
+    se2 = (vc / _d("cn")) + (vt / _d("tn"))
+    return m.select(
+        "segment",
+        F.col("cn").alias("n_control"),
+        F.col("tn").alias("n_treatment"),
+        F.round(mc, 6).alias("mean_control_cents"),
+        F.round(mt, 6).alias("mean_treatment_cents"),
+        F.round(mt - mc, 6).alias("lift_cents"),
+        F.round((mt - mc) / F.sqrt(se2), 6).alias("t_stat"),
+    ).orderBy("segment")

@@ -2789,6 +2789,23 @@ def q_ab_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_effects(experiment_frame(_events(spark, sf_dir)))
 
 
+def q_ab_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous treatment effects: the Welch contrast evaluated
+    PER MARKET SEGMENT (customer dimension joined on user id) — the
+    "which users did the treatment actually move" view an aggregate
+    t-test averages away.  Segments where either arm has fewer than two
+    users are withheld (no sample variance; inf/NaN are not
+    hash-stable).  Same exact-integer-moments contract as the rest of
+    the A/B family; one join + one conditional-aggregate pass."""
+    from ..operators.abtest import experiment_frame, segment_effects
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return segment_effects(experiment_frame(_events(spark, sf_dir)), dim)
+
+
 def _ab_arm_threshold() -> str:
     from ..operators.llm.curation import sample_threshold_hex
 
@@ -2938,6 +2955,49 @@ FROM (
   UNION ALL SELECT 0.75, c75, t75 FROM q
   UNION ALL SELECT 0.9, c90, t90 FROM q)
 ORDER BY level
+"""
+
+
+_AB_SEGMENTS_SQL = f"""
+WITH {_AB_USERS_SQL},
+seg AS (
+  SELECT u.*, c.c_mktsegment AS segment
+  FROM users u JOIN customer c ON c.c_custkey = u.user_id),
+sm AS (
+  SELECT segment,
+         CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cn,
+         CAST(sum(CASE WHEN arm = 'control' THEN post_cents ELSE 0 END)
+              AS BIGINT) AS csy,
+         CAST(sum(CASE WHEN arm = 'control'
+                       THEN post_cents * post_cents ELSE 0 END) AS BIGINT)
+           AS csyy,
+         CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT)
+           AS tn,
+         CAST(sum(CASE WHEN arm = 'treatment' THEN post_cents ELSE 0 END)
+              AS BIGINT) AS tsy,
+         CAST(sum(CASE WHEN arm = 'treatment'
+                       THEN post_cents * post_cents ELSE 0 END) AS BIGINT)
+           AS tsyy
+  FROM seg GROUP BY segment
+  HAVING cn >= 2 AND tn >= 2),
+st AS (
+  SELECT segment, cn, tn,
+         CAST(csy AS DOUBLE) / CAST(cn AS DOUBLE) AS mc,
+         CAST(tsy AS DOUBLE) / CAST(tn AS DOUBLE) AS mt,
+         (CAST(csyy AS DOUBLE) - CAST(csy AS DOUBLE) * CAST(csy AS DOUBLE)
+            / CAST(cn AS DOUBLE)) / (CAST(cn AS DOUBLE) - 1.0) AS vc,
+         (CAST(tsyy AS DOUBLE) - CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE)
+            / CAST(tn AS DOUBLE)) / (CAST(tn AS DOUBLE) - 1.0) AS vt
+  FROM sm)
+SELECT segment, cn AS n_control, tn AS n_treatment,
+       round(mc, 6) AS mean_control_cents,
+       round(mt, 6) AS mean_treatment_cents,
+       round(mt - mc, 6) AS lift_cents,
+       round((mt - mc)
+             / sqrt((vc / CAST(cn AS DOUBLE)) + (vt / CAST(tn AS DOUBLE))),
+             6) AS t_stat
+FROM st ORDER BY segment
 """
 
 
@@ -4177,6 +4237,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_ab_welch": QueryDef(q_ab_welch, _AB_WELCH_SQL),
     "q_ab_cuped": QueryDef(q_ab_cuped, _AB_CUPED_SQL),
     "q_ab_quantiles": QueryDef(q_ab_quantiles, _AB_QUANTILES_SQL),
+    "q_ab_segments": QueryDef(q_ab_segments, _AB_SEGMENTS_SQL),
     "q_time_travel": QueryDef(q_time_travel, _TIME_TRAVEL_SQL),
     "q_ingest_merge": QueryDef(q_ingest_merge, _INGEST_MERGE_SQL),
     "q_stream_enrich": QueryDef(q_stream_enrich, _STREAM_ENRICH_SQL),

@@ -108,6 +108,30 @@ def test_quantile_effects_match_numpy_linear(spark, users):
         assert r.qte_cents == pytest.approx(qt - qc, abs=1e-6)
 
 
+def test_segment_effects_per_segment_welch_and_small_arm_filter(spark, users):
+    from sales_forecast_mlops_at_scale_spark.operators.abtest import (
+        segment_effects,
+    )
+
+    # users 1-3 control, 4-7 treatment; segment A gets 2+2 (kept),
+    # segment B gets 1 control + 2 treatment (withheld: arm < 2)
+    dim = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (4, "A"), (5, "A"), (3, "B"), (6, "B"), (7, "B")],
+        "user_id long, segment string",
+    )
+    rows = segment_effects(users, dim).collect()
+    assert [r.segment for r in rows] == ["A"]
+    r = rows[0]
+    c = np.array([300.0, 500.0])
+    t = np.array([700.0, 400.0])
+    assert (r.n_control, r.n_treatment) == (2, 2)
+    assert r.mean_control_cents == c.mean()
+    assert r.mean_treatment_cents == t.mean()
+    assert r.lift_cents == t.mean() - c.mean()
+    se2 = c.var(ddof=1) / 2 + t.var(ddof=1) / 2
+    assert r.t_stat == pytest.approx((t.mean() - c.mean()) / np.sqrt(se2), abs=2e-6)
+
+
 def test_experiment_frame_split_and_cents(spark):
     rows = [
         # pre-period purchases (days 1-5 of a 10-day span; split = day 6)

@@ -98,6 +98,7 @@ QUERIES = [
     "q_ab_welch",
     "q_ab_cuped",
     "q_ab_quantiles",
+    "q_ab_segments",
     "q_ingest_merge",
     "q_partition_prune",
     "q_time_travel",
