@@ -9,6 +9,16 @@ $SPARK_GRAFT_BENCH_REPS times (default 3); per-query time is the MIN of
 the repeats (JVM JIT / GC noise lands in the max, not the min) and
 "spread" records max - min so round-over-round comparisons can tell a
 real regression from a noisy run.
+
+Every record also carries a MACHINE-SPEED CANARY (``canary_wall``): a
+fixed, registry-independent pure-Spark workload (20M-row hash project →
+9973-group aggregate → sort) timed at session start, min of 3.  Two
+records taken on differently-loaded machines can then be compared
+canary-normalized — the r9 record was taken on a ~1.6×-slower session
+than r8's and the artifacts alone could not prove the regression was
+environmental (VERDICT r9 #1).  Compare query walls as
+``t_query / canary_wall`` across rounds; the canary itself uses only
+``spark.range`` + built-ins, so it can never drift with registry code.
 """
 
 from __future__ import annotations
@@ -72,6 +82,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_ab_cuped",
     "q_ab_quantiles",
     "q_ab_segments",
+    "q_ab_report",
     "q_time_travel",
     "q_schema_evolution",
     "q_ingest_merge",
@@ -204,6 +215,31 @@ BENCH_QUERIES: tuple[str, ...] = (
 )
 
 
+def canary_wall(spark) -> float:
+    """Fixed machine-speed probe: 20M rows × (xxhash64 project → 9973-key
+    shuffle agg → sort), min of 3 runs.  Pure ``spark.range`` +
+    JVM built-ins — independent of the registry, the testdata, and any
+    repo code path, so its wall moves ONLY with machine speed."""
+    from pyspark.sql import functions as F
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .select(
+                (F.xxhash64("id") % 9973).alias("k"),
+                (F.col("id") % 1_000_003).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .orderBy("k")
+            .count()
+        )
+        return time.perf_counter() - t0
+
+    return round(min(one() for _ in range(3)), 3)
+
+
 def main() -> None:
     spark = get_spark("engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -217,6 +253,10 @@ def main() -> None:
     registry[names[0]].fn(spark, SF_DIR).count()
     clear_slots()
     spark.catalog.clearCache()
+
+    # machine-speed canary AFTER the JVM warm-up (so it measures the
+    # machine, not classloading) and BEFORE the query loop
+    canary = canary_wall(spark)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     # noisy queries get extra reps (up to max_reps) until the CONVERGED
@@ -279,6 +319,7 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": reps,
+        "canary_wall": canary,
         "first": firsts,
         "spread": spreads,
         "queries": timings,
@@ -296,6 +337,7 @@ def main() -> None:
         "unit": "sec",
         "sf": payload["sf"],
         "n_queries": len(timings),
+        "canary_wall": canary,
         "slowest": slowest,
     }))
     # full, untruncated artifact for the per-round commit

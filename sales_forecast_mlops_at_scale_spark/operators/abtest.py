@@ -127,9 +127,16 @@ def arm_moments_wide(users: DataFrame) -> DataFrame:
     evaluate the whole un-persisted user aggregation once per arm (the
     duplicated-subtree defect class tools/scan_audit.py exists to
     catch); the wide shape keeps the plan at one pass regardless of how
-    many statistics read it.  Bigint-safe at the fixture scales (cents²
-    sums stay far below 2⁶³); all conversions to double happen on the
-    1-row frame, never per user."""
+    many statistics read it.  All conversions to double happen on the
+    1-row frame, never per user.
+
+    Overflow safety is ENFORCED, not asserted in prose: Spark's
+    non-ANSI bigint arithmetic wraps silently where DuckDB raises, so a
+    silent wrap would be a silent engine divergence.  The same pass
+    also aggregates ``max(|pre|, |post|)``; a JVM-side ``assert_true``
+    on the 1-row frame fails the job loudly unless
+    ``N · max_abs² ≤ 2⁶²`` (2× headroom under the bigint ceiling — a
+    conservative bound on every Σx², Σy², Σxy)."""
 
     def _side(tag: str, prefix: str) -> list:
         cond = F.col("arm") == tag
@@ -144,8 +151,37 @@ def arm_moments_wide(users: DataFrame) -> DataFrame:
             F.sum(F.when(cond, py * py).otherwise(z)).alias(f"{prefix}syy"),
         ]
 
-    return users.groupBy().agg(
-        *_side("control", "c"), *_side("treatment", "t")
+    row = users.groupBy().agg(
+        *_side("control", "c"),
+        *_side("treatment", "t"),
+        F.max(
+            F.greatest(F.abs(F.col("pre_cents")), F.abs(F.col("post_cents")))
+        ).alias("__max_abs"),
+    )
+    return _bigint_moment_guard(row, "cn", "tn").drop("__max_abs")
+
+
+def _bigint_moment_guard(row: DataFrame, *n_cols: str) -> DataFrame:
+    """Filter-embedded runtime guard on an aggregated moment frame (one
+    row, or one per segment): raises inside the job if the squared-cents
+    sums could have wrapped bigint.  A ``where`` (not a projected-then-
+    dropped column, which column pruning would elide) keeps the assert
+    in the executed plan; ``coalesce(assert_true(..), true)`` turns the
+    passing NULL into a row-keeping predicate."""
+    n_total = sum((F.col(c).cast("double") for c in n_cols), F.lit(0.0))
+    bound_ok = (
+        n_total * F.col("__max_abs").cast("double") * F.col("__max_abs").cast("double")
+        <= F.lit(float(2**62))
+    ) | F.col("__max_abs").isNull()
+    return row.where(
+        F.coalesce(
+            F.assert_true(
+                bound_ok,
+                F.lit("abtest moment sums risk bigint overflow: "
+                      "N*max_cents^2 > 2^62"),
+            ),
+            F.lit(True),
+        )
     )
 
 
@@ -157,7 +193,15 @@ def welch_ttest(users: DataFrame) -> DataFrame:
     """Welch's unequal-variance t-test of treatment vs control on the
     per-user post metric (cents): one row with per-arm n/mean/variance,
     the t statistic and the Welch–Satterthwaite degrees of freedom.
-    All second-level arithmetic runs on the 1-row moment frame."""
+    All second-level arithmetic runs on the 1-row moment frame.
+
+    Degenerate inputs are WITHHELD as NULL rather than emitted as
+    inf/NaN (whose SQL semantics differ per engine, so they are not
+    hash-stable): means need a populated arm, variances need n ≥ 2, and
+    t/df additionally need ``se2 > 0`` — an experiment where every user
+    in both arms scored identically has no variance to test against.
+    The guards are the same predicates the oracle twin evaluates, over
+    the same exact integers, so both engines withhold identically."""
     row = arm_moments_wide(users)
     mc = _d("csy") / _d("cn")
     mt = _d("tsy") / _d("tn")
@@ -175,15 +219,17 @@ def welch_ttest(users: DataFrame) -> DataFrame:
         (vt_n * vt_n) / (_d("tn") - F.lit(1.0))
         + (vc_n * vc_n) / (_d("cn") - F.lit(1.0))
     )
+    two = (F.col("cn") >= 2) & (F.col("tn") >= 2)
+    ok = two & (se2 > F.lit(0.0))
     return row.select(
         F.col("cn").alias("n_control"),
         F.col("tn").alias("n_treatment"),
-        F.round(mc, 6).alias("mean_control_cents"),
-        F.round(mt, 6).alias("mean_treatment_cents"),
-        F.round(vc, 6).alias("var_control_cents"),
-        F.round(vt, 6).alias("var_treatment_cents"),
-        F.round(tstat, 6).alias("t_stat"),
-        F.round(df, 6).alias("welch_df"),
+        F.when(F.col("cn") > 0, F.round(mc, 6)).alias("mean_control_cents"),
+        F.when(F.col("tn") > 0, F.round(mt, 6)).alias("mean_treatment_cents"),
+        F.when(F.col("cn") >= 2, F.round(vc, 6)).alias("var_control_cents"),
+        F.when(F.col("tn") >= 2, F.round(vt, 6)).alias("var_treatment_cents"),
+        F.when(ok, F.round(tstat, 6)).alias("t_stat"),
+        F.when(ok, F.round(df, 6)).alias("welch_df"),
     )
 
 
@@ -202,8 +248,16 @@ def cuped_adjust(users: DataFrame) -> DataFrame:
     ``explode`` of that row, never from a union that would re-evaluate
     the user aggregation per arm.  Cross products that could overflow
     bigint (n·Σxy at large metric scales) are evaluated in double AFTER
-    the exact integer aggregation, identically on both engines."""
+    the exact integer aggregation, identically on both engines.
+
+    Degenerate guards (mirrored predicate-for-predicate in the oracle
+    twin): a CONSTANT pre-period covariate (var(x) = 0) makes θ's
+    denominator zero — CUPED then has nothing to adjust with, so θ
+    falls back to 0 (plain means) instead of emitting an engine-varying
+    inf/NaN; ``var_adj`` needs an arm with n ≥ 2 and ``var_reduction``
+    a pooled var_y > 0, else NULL."""
     row = arm_moments_wide(users)
+    gvarx_num = lambda: _d("gsxx") - _d("gsx") * _d("gsx") / _d("gn")  # noqa: E731
     g = row.select(
         "*",
         (F.col("cn") + F.col("tn")).alias("gn"),
@@ -214,10 +268,12 @@ def cuped_adjust(users: DataFrame) -> DataFrame:
         (F.col("csyy") + F.col("tsyy")).alias("gsyy"),
     ).select(
         "*",
-        (
-            (_d("gsxy") - _d("gsx") * _d("gsy") / _d("gn"))
-            / (_d("gsxx") - _d("gsx") * _d("gsx") / _d("gn"))
-        ).alias("theta"),
+        F.when(
+            gvarx_num() > F.lit(0.0),
+            (_d("gsxy") - _d("gsx") * _d("gsy") / _d("gn")) / gvarx_num(),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("theta"),
         (_d("gsx") / _d("gn")).alias("gmx"),
     )
     arms = g.select(
@@ -266,10 +322,139 @@ def cuped_adjust(users: DataFrame) -> DataFrame:
     return arms.select(
         "arm",
         "n",
-        F.round(mean_adj, 6).alias("mean_adj_cents"),
-        F.round(var_adj, 6).alias("var_adj_cents"),
-        F.round(F.lit(1.0) - gvar_adj / gvar_y, 6).alias("var_reduction"),
+        F.when(F.col("n") > 0, F.round(mean_adj, 6)).alias("mean_adj_cents"),
+        F.when(F.col("n") >= 2, F.round(var_adj, 6)).alias("var_adj_cents"),
+        F.when(
+            (F.col("gn") >= 2) & (gvar_y > F.lit(0.0)),
+            F.round(F.lit(1.0) - gvar_adj / gvar_y, 6),
+        ).alias("var_reduction"),
     ).orderBy("arm")
+
+
+def ab_report(users: DataFrame) -> DataFrame:
+    """The WHOLE experiment readout — SRM guard, Welch's t-test, CUPED —
+    derived from ONE moment pass over the user frame (VERDICT r9 #3:
+    an analyst consuming the family as separate queries paid the
+    user-level exchange once per statistic; this computes the wide
+    moment row once and every statistic is closed-form arithmetic over
+    that single row).
+
+    Output is tidy long form ``(stat, metric, value double)`` — 16 rows
+    from one 1-row frame via ``explode`` — so one hash pins every
+    statistic at once.  Counts and flags are cast to double (exact for
+    any count below 2⁵³); all formulas and degenerate-withhold guards
+    are the IDENTICAL expressions the per-statistic operators use, so
+    the report can never disagree with them."""
+    row = arm_moments_wide(users)
+    g = row.select(
+        "*",
+        (F.col("cn") + F.col("tn")).alias("gn"),
+        (F.col("csx") + F.col("tsx")).alias("gsx"),
+        (F.col("csy") + F.col("tsy")).alias("gsy"),
+        (F.col("csxx") + F.col("tsxx")).alias("gsxx"),
+        (F.col("csxy") + F.col("tsxy")).alias("gsxy"),
+        (F.col("csyy") + F.col("tsyy")).alias("gsyy"),
+    )
+
+    # -- SRM (same expression as srm_check, counts from the moment row)
+    diff2 = (F.col("cn") - F.col("tn")) * (F.col("cn") - F.col("tn"))
+    n_all = F.col("cn") + F.col("tn")
+    chi2 = diff2.cast("double") / n_all.cast("double")
+
+    # -- Welch (same expressions + guards as welch_ttest)
+    mc = _d("csy") / _d("cn")
+    mt = _d("tsy") / _d("tn")
+    vc = (_d("csyy") - _d("csy") * _d("csy") / _d("cn")) / (
+        _d("cn") - F.lit(1.0)
+    )
+    vt = (_d("tsyy") - _d("tsy") * _d("tsy") / _d("tn")) / (
+        _d("tn") - F.lit(1.0)
+    )
+    vc_n = vc / _d("cn")
+    vt_n = vt / _d("tn")
+    se2 = vc_n + vt_n
+    tstat = (mt - mc) / F.sqrt(se2)
+    wdf = (se2 * se2) / (
+        (vt_n * vt_n) / (_d("tn") - F.lit(1.0))
+        + (vc_n * vc_n) / (_d("cn") - F.lit(1.0))
+    )
+    ok = (F.col("cn") >= 2) & (F.col("tn") >= 2) & (se2 > F.lit(0.0))
+
+    # -- CUPED (same closed-form moments + θ guard as cuped_adjust)
+    gvarx_num = _d("gsxx") - _d("gsx") * _d("gsx") / _d("gn")
+    theta = F.when(
+        gvarx_num > F.lit(0.0),
+        (_d("gsxy") - _d("gsx") * _d("gsy") / _d("gn")) / gvarx_num,
+    ).otherwise(F.lit(0.0))
+    gmx = _d("gsx") / _d("gn")
+
+    def _arm(p: str) -> dict:
+        amx = _d(f"{p}sx") / _d(f"{p}n")
+        amy = _d(f"{p}sy") / _d(f"{p}n")
+        d1 = _d(f"{p}n") - F.lit(1.0)
+        avx = (_d(f"{p}sxx") - _d(f"{p}sx") * _d(f"{p}sx") / _d(f"{p}n")) / d1
+        acov = (_d(f"{p}sxy") - _d(f"{p}sx") * _d(f"{p}sy") / _d(f"{p}n")) / d1
+        avy = (_d(f"{p}syy") - _d(f"{p}sy") * _d(f"{p}sy") / _d(f"{p}n")) / d1
+        return {
+            "mean_adj": F.when(
+                F.col(f"{p}n") > 0, amy - theta * (amx - gmx)
+            ),
+            "var_adj": F.when(
+                F.col(f"{p}n") >= 2,
+                avy - F.lit(2.0) * theta * acov + theta * theta * avx,
+            ),
+        }
+
+    c_adj, t_adj = _arm("c"), _arm("t")
+    gvar_x = (_d("gsxx") - _d("gsx") * _d("gsx") / _d("gn")) / (
+        _d("gn") - F.lit(1.0)
+    )
+    gcov = (_d("gsxy") - _d("gsx") * _d("gsy") / _d("gn")) / (
+        _d("gn") - F.lit(1.0)
+    )
+    gvar_y = (_d("gsyy") - _d("gsy") * _d("gsy") / _d("gn")) / (
+        _d("gn") - F.lit(1.0)
+    )
+    var_red = F.when(
+        (F.col("gn") >= 2) & (gvar_y > F.lit(0.0)),
+        F.lit(1.0)
+        - (gvar_y - F.lit(2.0) * theta * gcov + theta * theta * gvar_x)
+        / gvar_y,
+    )
+
+    triples = [
+        ("srm", "n_control", F.col("cn").cast("double")),
+        ("srm", "n_treatment", F.col("tn").cast("double")),
+        ("srm", "chi2", F.round(chi2, 6)),
+        ("srm", "srm_flag", (chi2 > F.lit(SRM_CHI2_95)).cast("double")),
+        ("welch", "mean_control_cents", F.when(F.col("cn") > 0, F.round(mc, 6))),
+        ("welch", "mean_treatment_cents", F.when(F.col("tn") > 0, F.round(mt, 6))),
+        ("welch", "var_control_cents", F.when(F.col("cn") >= 2, F.round(vc, 6))),
+        ("welch", "var_treatment_cents", F.when(F.col("tn") >= 2, F.round(vt, 6))),
+        ("welch", "t_stat", F.when(ok, F.round(tstat, 6))),
+        ("welch", "welch_df", F.when(ok, F.round(wdf, 6))),
+        ("cuped", "theta", F.round(theta, 6)),
+        ("cuped", "mean_adj_control", F.round(c_adj["mean_adj"], 6)),
+        ("cuped", "var_adj_control", F.round(c_adj["var_adj"], 6)),
+        ("cuped", "mean_adj_treatment", F.round(t_adj["mean_adj"], 6)),
+        ("cuped", "var_adj_treatment", F.round(t_adj["var_adj"], 6)),
+        ("cuped", "var_reduction", F.round(var_red, 6)),
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("stat"),
+                F.lit(m).alias("metric"),
+                v.cast("double").alias("value"),
+            )
+            for s, m, v in triples
+        ]
+    )
+    return (
+        g.select(F.explode(rows).alias("r"))
+        .select("r.stat", "r.metric", "r.value")
+        .orderBy("stat", "metric")
+    )
 
 
 def quantile_effects(
@@ -326,10 +511,14 @@ def segment_effects(users: DataFrame, dim: DataFrame, *, min_arm_n: int = 2) -> 
     treatment actually move" view an aggregate t-test averages away.
     One inner join (users lacking a dimension row drop, deterministic)
     and one conditional-aggregate pass per segment; segments where
-    either arm has fewer than ``min_arm_n`` users are withheld (a
-    1-user arm has no sample variance, and inf/NaN artifacts are not
-    hash-stable).  Same exact-integer-moments contract as the rest of
-    the module."""
+    either arm has fewer than ``min_arm_n`` users OR where both arms
+    have zero sample variance (se2 = 0 — every user scored identically,
+    so the t denominator vanishes) are withheld: a 1-user arm has no
+    sample variance, and inf/NaN artifacts are not hash-stable.  The
+    se2 predicate is the identical IEEE expression the oracle twin
+    filters on, over identical integers.  Same exact-integer-moments
+    contract (and the same ``assert_true`` bigint-overflow guard) as
+    the rest of the module."""
 
     def _side(tag: str, prefix: str) -> list:
         cond = F.col("arm") == tag
@@ -341,14 +530,6 @@ def segment_effects(users: DataFrame, dim: DataFrame, *, min_arm_n: int = 2) -> 
             F.sum(F.when(cond, py * py).otherwise(z)).alias(f"{prefix}syy"),
         ]
 
-    m = (
-        users.join(dim, "user_id", "inner")
-        .groupBy("segment")
-        .agg(*_side("control", "c"), *_side("treatment", "t"))
-        .where(
-            (F.col("cn") >= min_arm_n) & (F.col("tn") >= min_arm_n)
-        )
-    )
     mc = _d("csy") / _d("cn")
     mt = _d("tsy") / _d("tn")
     vc = (_d("csyy") - _d("csy") * _d("csy") / _d("cn")) / (
@@ -358,6 +539,21 @@ def segment_effects(users: DataFrame, dim: DataFrame, *, min_arm_n: int = 2) -> 
         _d("tn") - F.lit(1.0)
     )
     se2 = (vc / _d("cn")) + (vt / _d("tn"))
+    m = _bigint_moment_guard(
+        users.join(dim, "user_id", "inner")
+        .groupBy("segment")
+        .agg(
+            *_side("control", "c"),
+            *_side("treatment", "t"),
+            F.max(F.abs(F.col("post_cents"))).alias("__max_abs"),
+        ),
+        "cn",
+        "tn",
+    ).where(
+        (F.col("cn") >= min_arm_n)
+        & (F.col("tn") >= min_arm_n)
+        & (se2 > F.lit(0.0))
+    )
     return m.select(
         "segment",
         F.col("cn").alias("n_control"),

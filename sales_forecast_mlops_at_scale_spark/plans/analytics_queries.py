@@ -271,7 +271,14 @@ def _epoch_part_file(frame, staging: str, src: str, name: str, label: str) -> No
     frame.coalesce(1).write.parquet(part_dir)
     parts = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
     if len(parts) != 1:
-        raise RuntimeError(f"{label} fixture slice is empty")
+        # distinct diagnostics: zero parts = empty write; >1 parts =
+        # the coalesce(1) single-file contract broke (ADVICE r9)
+        raise RuntimeError(
+            f"{label} fixture slice wrote no part file"
+            if not parts
+            else f"{label} fixture expected exactly one part file, "
+            f"found {len(parts)}"
+        )
     os.rename(parts[0], os.path.join(src, f"{name}.parquet"))
     shutil.rmtree(part_dir, ignore_errors=True)
 
@@ -2444,7 +2451,12 @@ def _ensure_ingest_merge_table(spark: SparkSession, sf_dir: str) -> str:
             lines.coalesce(1).write.text(part_dir)
             parts = _glob.glob(os.path.join(part_dir, "part-*"))
             if len(parts) != 1:
-                raise RuntimeError(f"ingest epoch {e} fixture is empty")
+                raise RuntimeError(
+                    f"ingest epoch {e} fixture wrote no part file"
+                    if not parts
+                    else f"ingest epoch {e} expected exactly one part "
+                    f"file, found {len(parts)}"
+                )
             os.rename(parts[0], os.path.join(src, f"epoch{e}.json"))
             shutil.rmtree(part_dir, ignore_errors=True)
             drain()
@@ -2806,6 +2818,21 @@ def q_ab_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_effects(experiment_frame(_events(spark, sf_dir)), dim)
 
 
+def q_ab_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-pass experiment readout (VERDICT r9 #3): SRM + Welch +
+    CUPED derived from a SINGLE per-user moment pass — the way an
+    analyst actually consumes the A/B family.  Running the statistics
+    as separate queries re-pays the user-level exchange per statistic;
+    this plan is one events scan → one user exchange → ONE wide moment
+    row → 16 closed-form (stat, metric, value) rows via explode.  Every
+    formula and degenerate-withhold guard is the identical expression
+    the per-statistic operators use, so the report can never disagree
+    with q_ab_srm/q_ab_welch/q_ab_cuped."""
+    from ..operators.abtest import ab_report, experiment_frame
+
+    return ab_report(experiment_frame(_events(spark, sf_dir)))
+
+
 def _ab_arm_threshold() -> str:
     from ..operators.llm.curation import sample_threshold_hex
 
@@ -2885,13 +2912,16 @@ se AS (
          (vc / cn) + (vt / tn) AS se2
   FROM stats)
 SELECT n_control, n_treatment,
-       round(mc, 6) AS mean_control_cents,
-       round(mt, 6) AS mean_treatment_cents,
-       round(vc, 6) AS var_control_cents,
-       round(vt, 6) AS var_treatment_cents,
-       round((mt - mc) / sqrt(se2), 6) AS t_stat,
-       round((se2 * se2) / ((vt_n * vt_n) / (tn - 1.0)
-                            + (vc_n * vc_n) / (cn - 1.0)), 6) AS welch_df
+       CASE WHEN n_control > 0 THEN round(mc, 6) END AS mean_control_cents,
+       CASE WHEN n_treatment > 0 THEN round(mt, 6) END AS mean_treatment_cents,
+       CASE WHEN n_control >= 2 THEN round(vc, 6) END AS var_control_cents,
+       CASE WHEN n_treatment >= 2 THEN round(vt, 6) END AS var_treatment_cents,
+       CASE WHEN n_control >= 2 AND n_treatment >= 2 AND se2 > 0
+            THEN round((mt - mc) / sqrt(se2), 6) END AS t_stat,
+       CASE WHEN n_control >= 2 AND n_treatment >= 2 AND se2 > 0
+            THEN round((se2 * se2) / ((vt_n * vt_n) / (tn - 1.0)
+                                      + (vc_n * vc_n) / (cn - 1.0)), 6)
+            END AS welch_df
 FROM se
 """
 
@@ -2905,7 +2935,9 @@ g AS (
   FROM m),
 gth AS (
   SELECT *,
-         (gsxy - gsx * gsy / gn) / (gsxx - gsx * gsx / gn) AS theta,
+         CASE WHEN (gsxx - gsx * gsx / gn) > 0.0
+              THEN (gsxy - gsx * gsy / gn) / (gsxx - gsx * gsx / gn)
+              ELSE 0.0 END AS theta,
          gsx / gn AS gmx,
          (gsxx - gsx * gsx / gn) / (gn - 1.0) AS gvar_x,
          (gsxy - gsx * gsy / gn) / (gn - 1.0) AS gcov,
@@ -2920,13 +2952,19 @@ j AS (
          gth.*
   FROM m, gth)
 SELECT arm, n,
-       round((dsy / dn) - theta * ((dsx / dn) - gmx), 6) AS mean_adj_cents,
-       round(((dsyy - dsy * dsy / dn) / (dn - 1.0))
-             - 2.0 * theta * ((dsxy - dsx * dsy / dn) / (dn - 1.0))
-             + theta * theta * ((dsxx - dsx * dsx / dn) / (dn - 1.0)), 6)
-         AS var_adj_cents,
-       round(1.0 - (gvar_y - 2.0 * theta * gcov + theta * theta * gvar_x)
-                   / gvar_y, 6) AS var_reduction
+       CASE WHEN n > 0
+            THEN round((dsy / dn) - theta * ((dsx / dn) - gmx), 6)
+            END AS mean_adj_cents,
+       CASE WHEN n >= 2
+            THEN round(((dsyy - dsy * dsy / dn) / (dn - 1.0))
+                       - 2.0 * theta * ((dsxy - dsx * dsy / dn) / (dn - 1.0))
+                       + theta * theta
+                         * ((dsxx - dsx * dsx / dn) / (dn - 1.0)), 6)
+            END AS var_adj_cents,
+       CASE WHEN gn >= 2 AND gvar_y > 0.0
+            THEN round(1.0 - (gvar_y - 2.0 * theta * gcov
+                              + theta * theta * gvar_x) / gvar_y, 6)
+            END AS var_reduction
 FROM j
 ORDER BY arm
 """
@@ -2997,7 +3035,120 @@ SELECT segment, cn AS n_control, tn AS n_treatment,
        round((mt - mc)
              / sqrt((vc / CAST(cn AS DOUBLE)) + (vt / CAST(tn AS DOUBLE))),
              6) AS t_stat
-FROM st ORDER BY segment
+FROM st
+WHERE (vc / CAST(cn AS DOUBLE)) + (vt / CAST(tn AS DOUBLE)) > 0.0
+ORDER BY segment
+"""
+
+
+#: composite twin of ``operators.abtest.ab_report`` — the same moment
+#: algebra as the per-statistic twins, evaluated from ONE wide row and
+#: emitted long-form; every value expression mirrors the Spark IEEE tree
+_AB_REPORT_SQL = f"""
+WITH {_AB_USERS_SQL},
+wide AS (
+  SELECT
+    CAST(sum(CASE WHEN arm = 'control' THEN n ELSE 0 END) AS BIGINT) AS cn,
+    CAST(sum(CASE WHEN arm = 'control' THEN sx ELSE 0 END) AS BIGINT) AS csx,
+    CAST(sum(CASE WHEN arm = 'control' THEN sy ELSE 0 END) AS BIGINT) AS csy,
+    CAST(sum(CASE WHEN arm = 'control' THEN sxx ELSE 0 END) AS BIGINT) AS csxx,
+    CAST(sum(CASE WHEN arm = 'control' THEN sxy ELSE 0 END) AS BIGINT) AS csxy,
+    CAST(sum(CASE WHEN arm = 'control' THEN syy ELSE 0 END) AS BIGINT) AS csyy,
+    CAST(sum(CASE WHEN arm = 'treatment' THEN n ELSE 0 END) AS BIGINT) AS tn,
+    CAST(sum(CASE WHEN arm = 'treatment' THEN sx ELSE 0 END) AS BIGINT) AS tsx,
+    CAST(sum(CASE WHEN arm = 'treatment' THEN sy ELSE 0 END) AS BIGINT) AS tsy,
+    CAST(sum(CASE WHEN arm = 'treatment' THEN sxx ELSE 0 END) AS BIGINT) AS tsxx,
+    CAST(sum(CASE WHEN arm = 'treatment' THEN sxy ELSE 0 END) AS BIGINT) AS tsxy,
+    CAST(sum(CASE WHEN arm = 'treatment' THEN syy ELSE 0 END) AS BIGINT) AS tsyy
+  FROM m),
+dbl AS (
+  SELECT *,
+         cn + tn AS gn_i,
+         CAST(cn AS DOUBLE) AS dcn, CAST(csx AS DOUBLE) AS dcsx,
+         CAST(csy AS DOUBLE) AS dcsy, CAST(csxx AS DOUBLE) AS dcsxx,
+         CAST(csxy AS DOUBLE) AS dcsxy, CAST(csyy AS DOUBLE) AS dcsyy,
+         CAST(tn AS DOUBLE) AS dtn, CAST(tsx AS DOUBLE) AS dtsx,
+         CAST(tsy AS DOUBLE) AS dtsy, CAST(tsxx AS DOUBLE) AS dtsxx,
+         CAST(tsxy AS DOUBLE) AS dtsxy, CAST(tsyy AS DOUBLE) AS dtsyy,
+         CAST(cn + tn AS DOUBLE) AS dgn,
+         CAST(csx + tsx AS DOUBLE) AS dgsx,
+         CAST(csy + tsy AS DOUBLE) AS dgsy,
+         CAST(csxx + tsxx AS DOUBLE) AS dgsxx,
+         CAST(csxy + tsxy AS DOUBLE) AS dgsxy,
+         CAST(csyy + tsyy AS DOUBLE) AS dgsyy
+  FROM wide),
+calc AS (
+  SELECT *,
+         CAST((cn - tn) * (cn - tn) AS DOUBLE) / CAST(cn + tn AS DOUBLE)
+           AS chi2,
+         dcsy / dcn AS mc, dtsy / dtn AS mt,
+         (dcsyy - dcsy * dcsy / dcn) / (dcn - 1.0) AS vc,
+         (dtsyy - dtsy * dtsy / dtn) / (dtn - 1.0) AS vt,
+         CASE WHEN (dgsxx - dgsx * dgsx / dgn) > 0.0
+              THEN (dgsxy - dgsx * dgsy / dgn) / (dgsxx - dgsx * dgsx / dgn)
+              ELSE 0.0 END AS theta,
+         dgsx / dgn AS gmx,
+         (dgsxx - dgsx * dgsx / dgn) / (dgn - 1.0) AS gvar_x,
+         (dgsxy - dgsx * dgsy / dgn) / (dgn - 1.0) AS gcov,
+         (dgsyy - dgsy * dgsy / dgn) / (dgn - 1.0) AS gvar_y
+  FROM dbl),
+calc2 AS (
+  SELECT *, (vc / dcn) + (vt / dtn) AS se2 FROM calc)
+SELECT stat, metric, value FROM (
+  SELECT 'srm' AS stat, 'n_control' AS metric, CAST(cn AS DOUBLE) AS value
+  FROM calc2
+  UNION ALL SELECT 'srm', 'n_treatment', CAST(tn AS DOUBLE) FROM calc2
+  UNION ALL SELECT 'srm', 'chi2', round(chi2, 6) FROM calc2
+  UNION ALL SELECT 'srm', 'srm_flag',
+    CASE WHEN chi2 > 3.841 THEN 1.0 ELSE 0.0 END FROM calc2
+  UNION ALL SELECT 'welch', 'mean_control_cents',
+    CASE WHEN cn > 0 THEN round(mc, 6) END FROM calc2
+  UNION ALL SELECT 'welch', 'mean_treatment_cents',
+    CASE WHEN tn > 0 THEN round(mt, 6) END FROM calc2
+  UNION ALL SELECT 'welch', 'var_control_cents',
+    CASE WHEN cn >= 2 THEN round(vc, 6) END FROM calc2
+  UNION ALL SELECT 'welch', 'var_treatment_cents',
+    CASE WHEN tn >= 2 THEN round(vt, 6) END FROM calc2
+  UNION ALL SELECT 'welch', 't_stat',
+    CASE WHEN cn >= 2 AND tn >= 2 AND se2 > 0.0
+         THEN round((mt - mc) / sqrt(se2), 6) END FROM calc2
+  UNION ALL SELECT 'welch', 'welch_df',
+    CASE WHEN cn >= 2 AND tn >= 2 AND se2 > 0.0
+         THEN round((se2 * se2)
+                    / (((vt / dtn) * (vt / dtn)) / (dtn - 1.0)
+                       + ((vc / dcn) * (vc / dcn)) / (dcn - 1.0)), 6)
+         END FROM calc2
+  UNION ALL SELECT 'cuped', 'theta', round(theta, 6) FROM calc2
+  UNION ALL SELECT 'cuped', 'mean_adj_control',
+    CASE WHEN cn > 0
+         THEN round((dcsy / dcn) - theta * ((dcsx / dcn) - gmx), 6)
+         END FROM calc2
+  UNION ALL SELECT 'cuped', 'var_adj_control',
+    CASE WHEN cn >= 2
+         THEN round(((dcsyy - dcsy * dcsy / dcn) / (dcn - 1.0))
+                    - 2.0 * theta
+                      * ((dcsxy - dcsx * dcsy / dcn) / (dcn - 1.0))
+                    + theta * theta
+                      * ((dcsxx - dcsx * dcsx / dcn) / (dcn - 1.0)), 6)
+         END FROM calc2
+  UNION ALL SELECT 'cuped', 'mean_adj_treatment',
+    CASE WHEN tn > 0
+         THEN round((dtsy / dtn) - theta * ((dtsx / dtn) - gmx), 6)
+         END FROM calc2
+  UNION ALL SELECT 'cuped', 'var_adj_treatment',
+    CASE WHEN tn >= 2
+         THEN round(((dtsyy - dtsy * dtsy / dtn) / (dtn - 1.0))
+                    - 2.0 * theta
+                      * ((dtsxy - dtsx * dtsy / dtn) / (dtn - 1.0))
+                    + theta * theta
+                      * ((dtsxx - dtsx * dtsx / dtn) / (dtn - 1.0)), 6)
+         END FROM calc2
+  UNION ALL SELECT 'cuped', 'var_reduction',
+    CASE WHEN gn_i >= 2 AND gvar_y > 0.0
+         THEN round(1.0 - (gvar_y - 2.0 * theta * gcov
+                           + theta * theta * gvar_x) / gvar_y, 6)
+         END FROM calc2
+) ORDER BY stat, metric
 """
 
 
@@ -4238,6 +4389,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_ab_cuped": QueryDef(q_ab_cuped, _AB_CUPED_SQL),
     "q_ab_quantiles": QueryDef(q_ab_quantiles, _AB_QUANTILES_SQL),
     "q_ab_segments": QueryDef(q_ab_segments, _AB_SEGMENTS_SQL),
+    "q_ab_report": QueryDef(q_ab_report, _AB_REPORT_SQL),
     "q_time_travel": QueryDef(q_time_travel, _TIME_TRAVEL_SQL),
     "q_ingest_merge": QueryDef(q_ingest_merge, _INGEST_MERGE_SQL),
     "q_stream_enrich": QueryDef(q_stream_enrich, _STREAM_ENRICH_SQL),

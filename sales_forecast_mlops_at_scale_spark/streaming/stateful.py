@@ -104,9 +104,18 @@ def streaming_latest_per_key(
                 tag = int(pdf[tag_col].iloc[0])
         if best is None:
             return
+        if tag_col is not None and tag is None:
+            # the key surfaced with only empty batch frames: no data row
+            # carried a tag, so emitting would attach a NULL tag and
+            # corrupt the (keys, tag) replay-stable upsert identity the
+            # exactly-once sink anti-joins on — skip; state holds the
+            # prior best unchanged (ADVICE r9)
+            return
         state.update(best)
         row = (*key, *best) if tag_col is None else (*key, *best, tag)
-        cols = [*keys, order_col, value_col] + ([tag_col] if tag_col else [])
+        cols = [*keys, order_col, value_col] + (
+            [tag_col] if tag_col is not None else []
+        )
         yield pd.DataFrame([row], columns=cols)
 
     return events.groupBy(*keys).applyInPandasWithState(

@@ -163,3 +163,92 @@ def test_experiment_frame_split_and_cents(spark):
     assert got[2][:2] == (0, 0)
     assert got[3][:2] == (0, 0)
     assert all(v[2] in ("control", "treatment") for v in got.values())
+
+
+def test_ab_report_matches_individual_stats(spark, users):
+    from sales_forecast_mlops_at_scale_spark.operators.abtest import ab_report
+
+    rep = {
+        (r.stat, r.metric): r.value for r in ab_report(users).collect()
+    }
+    assert len(rep) == 16
+    srm = srm_check(users).first()
+    assert rep[("srm", "n_control")] == float(srm.n_control)
+    assert rep[("srm", "n_treatment")] == float(srm.n_treatment)
+    assert rep[("srm", "chi2")] == srm.chi2
+    assert rep[("srm", "srm_flag")] == float(srm.srm_flag)
+    w = welch_ttest(users).first()
+    assert rep[("welch", "mean_control_cents")] == w.mean_control_cents
+    assert rep[("welch", "mean_treatment_cents")] == w.mean_treatment_cents
+    assert rep[("welch", "var_control_cents")] == w.var_control_cents
+    assert rep[("welch", "var_treatment_cents")] == w.var_treatment_cents
+    assert rep[("welch", "t_stat")] == w.t_stat
+    assert rep[("welch", "welch_df")] == w.welch_df
+    cu = {r.arm: r for r in cuped_adjust(users).collect()}
+    assert rep[("cuped", "mean_adj_control")] == cu["control"].mean_adj_cents
+    assert rep[("cuped", "var_adj_control")] == cu["control"].var_adj_cents
+    assert (
+        rep[("cuped", "mean_adj_treatment")] == cu["treatment"].mean_adj_cents
+    )
+    assert rep[("cuped", "var_adj_treatment")] == cu["treatment"].var_adj_cents
+    assert rep[("cuped", "var_reduction")] == cu["control"].var_reduction
+
+
+def test_zero_variance_guards_withhold_not_nan(spark):
+    from sales_forecast_mlops_at_scale_spark.operators.abtest import (
+        segment_effects,
+    )
+
+    # both arms constant post metric → se2 = 0: t/df must be WITHHELD
+    # (NULL), never an engine-specific inf/NaN (ADVICE r9)
+    flat = spark.createDataFrame(
+        [
+            (1, 10, 500, "control"),
+            (2, 20, 500, "control"),
+            (3, 30, 500, "treatment"),
+            (4, 40, 500, "treatment"),
+        ],
+        "user_id long, pre_cents long, post_cents long, arm string",
+    )
+    w = welch_ttest(flat).first()
+    assert w.var_control_cents == 0.0 and w.var_treatment_cents == 0.0
+    assert w.t_stat is None and w.welch_df is None
+    assert w.mean_control_cents == 500.0
+
+    # the zero-variance segment is withheld; the varying one survives
+    users2 = spark.createDataFrame(
+        [
+            (1, 10, 500, "control"),
+            (2, 20, 500, "control"),
+            (3, 30, 500, "treatment"),
+            (4, 40, 500, "treatment"),
+            (5, 10, 100, "control"),
+            (6, 20, 300, "control"),
+            (7, 30, 600, "treatment"),
+            (8, 40, 900, "treatment"),
+        ],
+        "user_id long, pre_cents long, post_cents long, arm string",
+    )
+    dim = spark.createDataFrame(
+        [(i, "FLAT" if i <= 4 else "VARY") for i in range(1, 9)],
+        "user_id long, segment string",
+    )
+    segs = segment_effects(users2, dim).collect()
+    assert [r.segment for r in segs] == ["VARY"]
+
+    # constant pre-period covariate → var(x) = 0 → theta falls back to
+    # 0 (plain means), not inf/NaN
+    const_x = spark.createDataFrame(
+        [
+            (1, 7, 100, "control"),
+            (2, 7, 300, "control"),
+            (3, 7, 600, "treatment"),
+            (4, 7, 900, "treatment"),
+        ],
+        "user_id long, pre_cents long, post_cents long, arm string",
+    )
+    rows = {r.arm: r for r in cuped_adjust(const_x).collect()}
+    # theta = 0 → adjusted means are the raw means, var_reduction = 0
+    assert rows["control"].mean_adj_cents == 200.0
+    assert rows["treatment"].mean_adj_cents == 750.0
+    assert rows["control"].var_reduction == 0.0
