@@ -305,6 +305,30 @@ def _assert_replay_noop(out: str, drain, label: str) -> None:
         raise RuntimeError(f"{label} replay drain was not a no-op")
 
 
+#: TEST HOOKS (VERDICT r9 #5 — multi-micro-batch drain equivalence).
+#: ``_EPOCH_SPLIT = (ts_col, k)`` makes ``_drive_epochs`` write each
+#: epoch slice as ``k`` TIME-ORDERED part files instead of one;
+#: ``_STREAM_READER_OPTIONS`` (e.g. ``{"maxFilesPerTrigger": "1"}``)
+#: is applied by ``_stream_source`` so one availableNow drain then
+#: spans k micro-batches; ``_DRAIN_PER_FILE`` instead drains after
+#: every file (the same micro-batch sequence delivered as k separate
+#: drains).  All default to off — the committed fixtures are
+#: one-file-per-drain; the hooks exist so pytest can pin that the logs
+#: are batch-split-invariant (the property 100 TB backfills hit).
+_EPOCH_SPLIT: tuple | None = None
+_STREAM_READER_OPTIONS: dict = {}
+_DRAIN_PER_FILE = False
+
+
+def _stream_source(spark: SparkSession, schema, src: str):
+    """File-stream source with the test-hook reader options applied —
+    the one constructor the split-drain equivalence tests redirect."""
+    reader = spark.readStream.schema(schema)
+    for k, v in _STREAM_READER_OPTIONS.items():
+        reader = reader.option(k, v)
+    return reader.parquet(src)
+
+
 def _drive_epochs(
     spark: SparkSession,
     frame_of,
@@ -321,15 +345,48 @@ def _drive_epochs(
     set, track the running watermark (max over ALL delivered files −
     ``wm_delta``) after each drain and return the per-epoch list.  One
     definition instead of a per-fixture copy (code-review r9, second
-    pass)."""
+    pass).
+
+    Under ``_EPOCH_SPLIT = (col, k)`` each epoch is written as ``k``
+    part files ordered by ``col`` (sub-file ``j`` holds strictly
+    earlier-or-equal times than ``j+1``, so event time never runs
+    backwards across micro-batch boundaries — stragglers sort FIRST and
+    face the same previous-epoch watermark as the single-file build).
+    The files' write order fixes their mtime order, which is how the
+    file source sequences them into micro-batches."""
     import os
 
     wms: list = []
     for e in range(_STREAM_EPOCHS):
-        _epoch_part_file(
-            frame_of(e), staging, src, f"epoch{e}", f"{label} epoch {e}"
-        )
-        drain()
+        frame = frame_of(e)
+        if _EPOCH_SPLIT is None:
+            _epoch_part_file(
+                frame, staging, src, f"epoch{e}", f"{label} epoch {e}"
+            )
+            drain()
+        else:
+            from pyspark.sql import Window as _W
+
+            col, k = _EPOCH_SPLIT
+            rest = [c for c in frame.columns if c != col]
+            tiled = frame.withColumn(
+                "__tile",
+                F.ntile(k).over(
+                    _W.orderBy(F.col(col), *[F.col(c) for c in rest])
+                ),
+            )
+            for j in range(1, k + 1):
+                _epoch_part_file(
+                    tiled.where(F.col("__tile") == j).drop("__tile"),
+                    staging,
+                    src,
+                    f"epoch{e}_s{j}",
+                    f"{label} epoch {e} slice {j}",
+                )
+                if _DRAIN_PER_FILE:
+                    drain()
+            if not _DRAIN_PER_FILE:
+                drain()
         if wm_col is not None:
             mx = spark.read.parquet(src).agg(F.max(wm_col)).first()[0]
             wms.append(mx - wm_delta)
@@ -405,7 +462,7 @@ def _ensure_stream_window_log(spark: SparkSession, sf_dir: str) -> str:
 
         def drain() -> None:
             run_windowed_rollup_stream(
-                spark.readStream.schema(schema).parquet(src),
+                _stream_source(spark, schema, src),
                 out_path=out,
                 checkpoint_path=ckpt,
                 watermark=f"{_STREAM_WATERMARK_DAYS} days",
@@ -578,7 +635,7 @@ def _ensure_stream_session_log(spark: SparkSession, sf_dir: str) -> str:
 
         def drain() -> None:
             run_session_stream(
-                spark.readStream.schema(schema).parquet(src),
+                _stream_source(spark, schema, src),
                 out_path=out,
                 checkpoint_path=ckpt,
                 gap=f"{_SESSION_GAP_MIN} minutes",
@@ -1234,7 +1291,7 @@ def _ensure_stream_dedup_log(spark: SparkSession, sf_dir: str) -> str:
 
         def drain() -> None:
             run_dedup_stream(
-                spark.readStream.schema(schema).parquet(src),
+                _stream_source(spark, schema, src),
                 out_path=out,
                 checkpoint_path=ckpt,
                 keys=["user_id"],
@@ -1469,7 +1526,7 @@ def _ensure_stream_latest_log(spark: SparkSession, sf_dir: str) -> str:
 
         def drain() -> None:
             run_latest_stream(
-                spark.readStream.schema(schema).parquet(src),
+                _stream_source(spark, schema, src),
                 out_path=out,
                 checkpoint_path=ckpt,
                 keys=["user_id"],
@@ -1624,7 +1681,7 @@ def _ensure_stream_chain_log(spark: SparkSession, sf_dir: str) -> str:
 
         def drain() -> None:
             run_chained_rollup_stream(
-                spark.readStream.schema(schema).parquet(src),
+                _stream_source(spark, schema, src),
                 out_path=out,
                 checkpoint_path=ckpt,
                 watermark=f"{_STREAM_WATERMARK_DAYS} days",
@@ -1890,7 +1947,7 @@ def _ensure_stream_ttl_log(spark: SparkSession, sf_dir: str) -> str:
 
         def drain() -> None:
             run_ttl_rollup_stream(
-                spark.readStream.schema(schema).parquet(src),
+                _stream_source(spark, schema, src),
                 out_path=out,
                 checkpoint_path=ckpt,
                 keys=["user_id"],

@@ -1,0 +1,182 @@
+"""Deterministic sf1 testdata: inflate the sf0.1 fixtures 10× with key
+remapping, builder-side, no driver dependency (VERDICT r9 #6).
+
+The SCALING sweep previously topped out at sf0.1 (~600 k lineitem), so
+the "at-worst-linear" claim rested on one measured decade.  This builds
+a second decade under /tmp (digest-keyed on the sf0.1 source files via
+``fixture_roots.ensure_built``, so regenerated testdata mints a new
+root) by replicating the four fact tables REPS× with disjoint key
+spaces:
+
+- ``events``: event_id / user_id shifted per replica (10× users, same
+  date span — the axis the per-user A/B and decay operators shard on);
+- ``documents``: doc_id shifted; replica r > 0 suffixes every token
+  with ``_r{r}``, so each replica is an ISOMORPHIC copy of the corpus
+  over a disjoint vocabulary — the original near-dup/cluster structure
+  repeats exactly 10× (duplicate pairs scale linearly), while no
+  cross-replica shingle can collide into a pathological 10-clone
+  near-dup clique that would make candidate generation look
+  super-linear for data-shape (not engine) reasons;
+- ``embeddings``: vec_id shifted; replica r rotates every vector by r
+  positions — one orthogonal transform per replica, so within-replica
+  cosines (and thus the ANN structure) are EXACTLY preserved and
+  cross-replica vectors are decorrelated but deterministic;
+- ``lineitem``: l_orderkey / l_partkey / l_suppkey shifted — 10× the
+  (l_suppkey, l_returnflag) training groups, the 1,115 → 1M-groups
+  axis of the grouped trainer.
+
+Dimension tables and ``orders`` are copied verbatim (the sf1 sweep
+queries read only the inflated facts; the copies keep the directory a
+complete, loadable sf dir).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+REPS = 10
+_VERSION = "v1"
+COPY_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+)
+
+
+def _reps(spark: SparkSession):
+    return F.broadcast(
+        spark.range(REPS).select(F.col("id").cast("int").alias("__rep"))
+    )
+
+
+def _shift(col: str, space: int):
+    return (F.col(col) + F.col("__rep").cast("long") * F.lit(space)).alias(col)
+
+
+def _id_space(df, col: str) -> int:
+    """Smallest power of 10 above the base table's max id — replica key
+    ranges are disjoint and human-readable (replica = leading digit)."""
+    mx = df.agg(F.max(col)).first()[0]
+    space = 1
+    while space <= mx:
+        space *= 10
+    return space
+
+
+def ensure_sf1(spark: SparkSession, base: str = "/root/testdata/sf0.1") -> str:
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from sales_forecast_mlops_at_scale_spark.plans.fixture_roots import (
+        digest_root,
+        ensure_built,
+    )
+
+    root = digest_root("sfspark_sf1_testdata", [base], [_VERSION, REPS])
+
+    def build(staging: str) -> None:
+        os.makedirs(staging, exist_ok=True)
+        for t in COPY_TABLES:
+            shutil.copy(
+                os.path.join(base, f"{t}.parquet"),
+                os.path.join(staging, f"{t}.parquet"),
+            )
+        reps = _reps(spark)
+
+        # events — ts stays raw nanos-as-long bigint; the catalog's
+        # load_table converts on read exactly as for the driver fixtures
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(os.path.join(base, "events.parquet"))
+        ev_out = ev.crossJoin(reps).select(
+            _shift("event_id", _id_space(ev, "event_id")),
+            "ts",
+            _shift("user_id", _id_space(ev, "user_id")),
+            "event_type",
+            "value",
+            "props",
+        )
+        ev_out.repartition(16).write.parquet(
+            os.path.join(staging, "events.parquet")
+        )
+
+        # documents — disjoint vocabulary per replica (see module doc)
+        docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
+        suffixed = F.array_join(
+            F.transform(
+                F.split(F.col("text"), r"\s+"),
+                lambda t: F.concat(
+                    t, F.lit("_r"), F.col("__rep").cast("string")
+                ),
+            ),
+            " ",
+        )
+        text2 = F.when(F.col("__rep") == 0, F.col("text")).otherwise(suffixed)
+        docs_out = docs.crossJoin(reps).select(
+            _shift("doc_id", _id_space(docs, "doc_id")),
+            text2.alias("text"),
+            "lang",
+            "source",
+            F.length(text2).cast("long").alias("n_chars"),
+        )
+        docs_out.repartition(16).write.parquet(
+            os.path.join(staging, "documents.parquet")
+        )
+
+        # embeddings — per-replica rotation (orthogonal ⇒ within-replica
+        # cosines exactly preserved); replica 0 is the original corpus,
+        # so the fixed q-vector set (vec_id < 8) is unchanged
+        emb = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
+        dim = len(emb.select("embedding").first()[0])
+        rotated = F.expr(
+            f"concat(slice(embedding, __rep + 1, {dim} - __rep), "
+            "slice(embedding, 1, __rep))"
+        )
+        emb_out = emb.crossJoin(reps).select(
+            _shift("vec_id", _id_space(emb, "vec_id")),
+            rotated.alias("embedding"),
+            "label",
+        )
+        emb_out.repartition(16).write.parquet(
+            os.path.join(staging, "embeddings.parquet")
+        )
+
+        # lineitem — 10× (l_suppkey, l_returnflag) training groups
+        li = spark.read.parquet(os.path.join(base, "lineitem.parquet"))
+        ok_s = _id_space(li, "l_orderkey")
+        pk_s = _id_space(li, "l_partkey")
+        sk_s = _id_space(li, "l_suppkey")
+        others = [
+            c
+            for c in li.columns
+            if c not in ("l_orderkey", "l_partkey", "l_suppkey")
+        ]
+        li_out = li.crossJoin(reps).select(
+            _shift("l_orderkey", ok_s),
+            _shift("l_partkey", pk_s),
+            _shift("l_suppkey", sk_s),
+            *others,
+        )
+        li_out.repartition(32).write.parquet(
+            os.path.join(staging, "lineitem.parquet")
+        )
+
+    return ensure_built(root, "_SF1_COMPLETE", build)
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from sales_forecast_mlops_at_scale_spark.session import get_spark
+
+    spark = get_spark("make-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(ensure_sf1(spark))
+    spark.stop()

@@ -99,11 +99,49 @@ QUERIES = [
     "q_ab_cuped",
     "q_ab_quantiles",
     "q_ab_segments",
+    "q_ab_report",
     "q_ingest_merge",
     "q_partition_prune",
     "q_time_travel",
     "q_schema_evolution",
 ]
+
+#: the heavy families also measured at a SELF-GENERATED sf1 point
+#: (tools/make_sf1.py: facts inflated 10× with disjoint key spaces —
+#: VERDICT r9 #6).  Two measured decades, not one, back the
+#: "at-worst-linear" claim; the sf1 column only makes sense for queries
+#: whose inputs the inflation actually grows (documents / embeddings /
+#: events / lineitem).
+SF1_QUERIES = frozenset({
+    "q_dedup_exact",
+    "q_minhash_dedup",
+    "q_dedup_clusters",
+    "q_simhash_pairs",
+    "q_ngram_jaccard",
+    "q_winnow_fingerprint",
+    "q_dedup_summary",
+    "q_bpe_encode",
+    "q_dsir_select",
+    "q_lm_quality",
+    "q_triangle_stats",
+    "q_cms_heavy",
+    "q_embed_topk",
+    "q_embed_ivf_topk",
+    "q_pq_topk",
+    "q_ivfpq_topk",
+    "q_ivfpq_search",
+    "q_ann_recall_all",
+    "q_semantic_dedup",
+    "q_train_metrics",
+    "q_forecast_7d",
+    "q_feature_matrix",
+    "q_psi_drift",
+    "q_decayed_counts",
+    "q_anomaly_mad",
+    "q_ab_report",
+    "q_k_anonymity",
+    "q_split_leakage",
+})
 
 
 def governance_sweep(spark) -> list[str]:
@@ -251,42 +289,60 @@ def main() -> None:
     clear_slots()
     spark.catalog.clearCache()
 
+    from make_sf1 import ensure_sf1
+
+    sf1_dir = ensure_sf1(spark)
+
+    def timed_cell(name: str, sf: str) -> float:
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            reg[name].fn(spark, sf).count()
+            runs.append(time.perf_counter() - t0)
+            # clear BETWEEN reps too: rep 2 must not serve from rep
+            # 1's persist slots, or "min of 2" silently reports the
+            # warm index-reuse path instead of the cold state the
+            # header claims
+            clear_slots()
+            spark.catalog.clearCache()
+        return min(runs)
+
     rows = []
     for name in QUERIES:
-        cells = []
-        for sf in SFS:
-            runs = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                reg[name].fn(spark, sf).count()
-                runs.append(time.perf_counter() - t0)
-                # clear BETWEEN reps too: rep 2 must not serve from rep
-                # 1's persist slots, or "min of 2" silently reports the
-                # warm index-reuse path instead of the cold state the
-                # header claims
-                clear_slots()
-                spark.catalog.clearCache()
-            cells.append(min(runs))
-        rows.append((name, cells))
-        print(f"{name:24s} " + "  ".join(f"{c:6.2f}" for c in cells), flush=True)
+        cells = [timed_cell(name, sf) for sf in SFS]
+        sf1 = timed_cell(name, sf1_dir) if name in SF1_QUERIES else None
+        rows.append((name, cells, sf1))
+        tail = f"  sf1={sf1:6.2f}" if sf1 is not None else ""
+        print(
+            f"{name:24s} " + "  ".join(f"{c:6.2f}" for c in cells) + tail,
+            flush=True,
+        )
 
     lines = [
-        "# Scaling sweep (round 8)",
+        "# Scaling sweep (round 10)",
         "",
         "Wall-clock (s, min of 2, per-query cold cache state) for the headline",
-        "operator families across a 100× data range on local[32].  The final",
-        "column is the 10×-data cost ratio wall(sf0.1)/wall(sf0.01): ≈1 ⇒ fixed",
-        "overhead still dominates, ≤10 ⇒ at-worst-linear scaling.  Regenerate:",
-        "`PYTHONPATH=/root/repo python tools/scale_sweep.py`.",
+        "operator families across a 1000× data range on local[32].  The ratio",
+        "columns are 10×-data cost ratios — wall(sf0.1)/wall(sf0.01) and, for",
+        "the heavy families, wall(sf1)/wall(sf0.1) over the SELF-GENERATED sf1",
+        "decade (tools/make_sf1.py: facts inflated 10× with disjoint key",
+        "spaces).  ≈1 ⇒ fixed overhead still dominates, ≤10 ⇒ at-worst-linear",
+        "scaling; two measured decades back the claim where one could hide a",
+        "knee.  Regenerate: `PYTHONPATH=/root/repo python tools/scale_sweep.py`.",
         "",
-        "| query | sf0.001 | sf0.01 | sf0.1 | 10× ratio |",
-        "|---|---|---|---|---|",
+        "| query | sf0.001 | sf0.01 | sf0.1 | 10× ratio | sf1 | sf1/sf0.1 |",
+        "|---|---|---|---|---|---|---|",
     ]
-    for name, cells in rows:
+    for name, cells, sf1 in rows:
         ratio = cells[2] / cells[1] if cells[1] else float("nan")
+        if sf1 is not None:
+            r1 = sf1 / cells[2] if cells[2] else float("nan")
+            tail = f" {sf1:.2f} | {r1:.2f} |"
+        else:
+            tail = " — | — |"
         lines.append(
             f"| {name} | {cells[0]:.2f} | {cells[1]:.2f} | {cells[2]:.2f} |"
-            f" {ratio:.2f} |"
+            f" {ratio:.2f} |" + tail
         )
     lines += [
         "",
