@@ -12,7 +12,8 @@ real regression from a noisy run.
 
 Every record also carries a MACHINE-SPEED CANARY (``canary_wall``): a
 fixed, registry-independent pure-Spark workload (20M-row hash project →
-9973-group aggregate → sort) timed at session start, min of 3.  Two
+9973-group shuffle aggregate → checksum reduce) timed at session start,
+min of 3.  Two
 records taken on differently-loaded machines can then be compared
 canary-normalized — the r9 record was taken on a ~1.6×-slower session
 than r8's and the artifacts alone could not prove the regression was
@@ -216,25 +217,34 @@ BENCH_QUERIES: tuple[str, ...] = (
 
 
 def canary_wall(spark) -> float:
-    """Fixed machine-speed probe: 20M rows × (xxhash64 project → 9973-key
-    shuffle agg → sort), min of 3 runs.  Pure ``spark.range`` +
-    JVM built-ins — independent of the registry, the testdata, and any
-    repo code path, so its wall moves ONLY with machine speed."""
+    """Fixed machine-speed probe: 20M rows × (xxhash64 project →
+    9973-key shuffle agg → checksum reduce), min of 3 runs.  Pure
+    ``spark.range`` + JVM built-ins — independent of the registry, the
+    testdata, and any repo code path, so its wall moves ONLY with
+    machine speed.  The final checksum CONSUMES the per-group sum and
+    count, so column pruning cannot elide the aggregation work (an
+    earlier ``.count()`` draft let Catalyst reduce the whole workload
+    to a row count — code-review r10); the 9973-group assertion is a
+    self-check that the workload shape executed as documented."""
     from pyspark.sql import functions as F
 
     def one() -> float:
         t0 = time.perf_counter()
-        (
+        row = (
             spark.range(0, 20_000_000, 1, 32)
             .select(
-                (F.xxhash64("id") % 9973).alias("k"),
+                F.pmod(F.xxhash64("id"), F.lit(9973)).alias("k"),
                 (F.col("id") % 1_000_003).alias("v"),
             )
             .groupBy("k")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-            .orderBy("k")
-            .count()
+            .agg(
+                F.sum(F.col("s") % F.col("n")).alias("chk"),
+                F.count(F.lit(1)).alias("groups"),
+            )
+            .first()
         )
+        assert row.groups == 9973, f"canary shape drifted: {row.groups}"
         return time.perf_counter() - t0
 
     return round(min(one() for _ in range(3)), 3)

@@ -130,13 +130,17 @@ def arm_moments_wide(users: DataFrame) -> DataFrame:
     many statistics read it.  All conversions to double happen on the
     1-row frame, never per user.
 
-    Overflow safety is ENFORCED, not asserted in prose: Spark's
-    non-ANSI bigint arithmetic wraps silently where DuckDB raises, so a
-    silent wrap would be a silent engine divergence.  The same pass
-    also aggregates ``max(|pre|, |post|)``; a JVM-side ``assert_true``
-    on the 1-row frame fails the job loudly unless
-    ``N · max_abs² ≤ 2⁶²`` (2× headroom under the bigint ceiling — a
-    conservative bound on every Σx², Σy², Σxy)."""
+    Overflow safety (ADVICE r9, adjudicated by probe): this engine runs
+    Spark 4 with ANSI mode ON (the default; no conf disables it), so a
+    bigint Σx²/Σxy/Σy² that exceeds 2⁶³−1 raises
+    ``SparkArithmeticException ARITHMETIC_OVERFLOW`` inside the sum —
+    the same loud failure DuckDB's ``OutOfRangeException`` gives the
+    oracle twin (both probed on 9e18 + 9e18).  Neither engine can wrap
+    silently, and no additional conservative guard is layered on top:
+    an earlier draft asserted ``N·max² ≤ 2⁶²``, which REJECTED inputs
+    both engines handle exactly — a self-inflicted divergence band
+    (code-review r10).  Deployments that turn ANSI off forfeit this
+    contract; ``tests/test_abtest.py`` pins the raise."""
 
     def _side(tag: str, prefix: str) -> list:
         cond = F.col("arm") == tag
@@ -151,37 +155,8 @@ def arm_moments_wide(users: DataFrame) -> DataFrame:
             F.sum(F.when(cond, py * py).otherwise(z)).alias(f"{prefix}syy"),
         ]
 
-    row = users.groupBy().agg(
-        *_side("control", "c"),
-        *_side("treatment", "t"),
-        F.max(
-            F.greatest(F.abs(F.col("pre_cents")), F.abs(F.col("post_cents")))
-        ).alias("__max_abs"),
-    )
-    return _bigint_moment_guard(row, "cn", "tn").drop("__max_abs")
-
-
-def _bigint_moment_guard(row: DataFrame, *n_cols: str) -> DataFrame:
-    """Filter-embedded runtime guard on an aggregated moment frame (one
-    row, or one per segment): raises inside the job if the squared-cents
-    sums could have wrapped bigint.  A ``where`` (not a projected-then-
-    dropped column, which column pruning would elide) keeps the assert
-    in the executed plan; ``coalesce(assert_true(..), true)`` turns the
-    passing NULL into a row-keeping predicate."""
-    n_total = sum((F.col(c).cast("double") for c in n_cols), F.lit(0.0))
-    bound_ok = (
-        n_total * F.col("__max_abs").cast("double") * F.col("__max_abs").cast("double")
-        <= F.lit(float(2**62))
-    ) | F.col("__max_abs").isNull()
-    return row.where(
-        F.coalesce(
-            F.assert_true(
-                bound_ok,
-                F.lit("abtest moment sums risk bigint overflow: "
-                      "N*max_cents^2 > 2^62"),
-            ),
-            F.lit(True),
-        )
+    return users.groupBy().agg(
+        *_side("control", "c"), *_side("treatment", "t")
     )
 
 
@@ -426,7 +401,16 @@ def ab_report(users: DataFrame) -> DataFrame:
         ("srm", "n_control", F.col("cn").cast("double")),
         ("srm", "n_treatment", F.col("tn").cast("double")),
         ("srm", "chi2", F.round(chi2, 6)),
-        ("srm", "srm_flag", (chi2 > F.lit(SRM_CHI2_95)).cast("double")),
+        # NULL chi2 (empty frame) must stay NULL on BOTH engines — a
+        # bare boolean cast gives NULL here but DuckDB's CASE/ELSE twin
+        # would give 0.0 (code-review r10)
+        (
+            "srm",
+            "srm_flag",
+            F.when(chi2 > F.lit(SRM_CHI2_95), F.lit(1.0)).when(
+                chi2.isNotNull(), F.lit(0.0)
+            ),
+        ),
         ("welch", "mean_control_cents", F.when(F.col("cn") > 0, F.round(mc, 6))),
         ("welch", "mean_treatment_cents", F.when(F.col("tn") > 0, F.round(mt, 6))),
         ("welch", "var_control_cents", F.when(F.col("cn") >= 2, F.round(vc, 6))),
@@ -517,8 +501,8 @@ def segment_effects(users: DataFrame, dim: DataFrame, *, min_arm_n: int = 2) -> 
     sample variance, and inf/NaN artifacts are not hash-stable.  The
     se2 predicate is the identical IEEE expression the oracle twin
     filters on, over identical integers.  Same exact-integer-moments
-    contract (and the same ``assert_true`` bigint-overflow guard) as
-    the rest of the module."""
+    contract (and the same ANSI-mode overflow-raises contract — see
+    :func:`arm_moments_wide`) as the rest of the module."""
 
     def _side(tag: str, prefix: str) -> list:
         cond = F.col("arm") == tag
@@ -539,20 +523,15 @@ def segment_effects(users: DataFrame, dim: DataFrame, *, min_arm_n: int = 2) -> 
         _d("tn") - F.lit(1.0)
     )
     se2 = (vc / _d("cn")) + (vt / _d("tn"))
-    m = _bigint_moment_guard(
+    m = (
         users.join(dim, "user_id", "inner")
         .groupBy("segment")
-        .agg(
-            *_side("control", "c"),
-            *_side("treatment", "t"),
-            F.max(F.abs(F.col("post_cents"))).alias("__max_abs"),
-        ),
-        "cn",
-        "tn",
-    ).where(
-        (F.col("cn") >= min_arm_n)
-        & (F.col("tn") >= min_arm_n)
-        & (se2 > F.lit(0.0))
+        .agg(*_side("control", "c"), *_side("treatment", "t"))
+        .where(
+            (F.col("cn") >= min_arm_n)
+            & (F.col("tn") >= min_arm_n)
+            & (se2 > F.lit(0.0))
+        )
     )
     return m.select(
         "segment",

@@ -320,13 +320,19 @@ _STREAM_READER_OPTIONS: dict = {}
 _DRAIN_PER_FILE = False
 
 
-def _stream_source(spark: SparkSession, schema, src: str):
+def _stream_source(spark: SparkSession, schema, src: str, *, fmt: str = "parquet"):
     """File-stream source with the test-hook reader options applied —
-    the one constructor the split-drain equivalence tests redirect."""
-    reader = spark.readStream.schema(schema)
+    the ONE constructor every fixture drain uses, so the split-drain
+    equivalence hooks can never be silently bypassed by a builder
+    (code-review r10: four builders used raw ``spark.readStream`` and
+    would have no-op'd the hook).  ``schema=None`` for schemaless
+    formats (text)."""
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
     for k, v in _STREAM_READER_OPTIONS.items():
         reader = reader.option(k, v)
-    return reader.parquet(src)
+    return getattr(reader, fmt)(src)
 
 
 def _drive_epochs(
@@ -851,8 +857,8 @@ def _ensure_stream_attr_log(spark: SparkSession, sf_dir: str) -> str:
 
         def drain() -> None:
             run_attribution_stream(
-                spark.readStream.schema(l_schema).parquet(lsrc),
-                spark.readStream.schema(r_schema).parquet(rsrc),
+                _stream_source(spark, l_schema, lsrc),
+                _stream_source(spark, r_schema, rsrc),
                 out_path=out,
                 checkpoint_path=ckpt,
                 max_delay=f"{_ATTR_DELAY_H} hour",
@@ -1100,8 +1106,8 @@ def _ensure_stream_outer_attr_log(spark: SparkSession, sf_dir: str) -> str:
 
         def drain() -> None:
             run_attribution_stream(
-                spark.readStream.schema(l_schema).parquet(lsrc),
-                spark.readStream.schema(r_schema).parquet(rsrc),
+                _stream_source(spark, l_schema, lsrc),
+                _stream_source(spark, r_schema, rsrc),
                 out_path=out,
                 checkpoint_path=ckpt,
                 max_delay=f"{_OUTER_DELAY_H} hour",
@@ -2244,7 +2250,7 @@ def _ensure_stream_enrich_log(spark: SparkSession, sf_dir: str) -> str:
         ).schema
 
         def drain() -> None:
-            s = spark.readStream.schema(schema).parquet(src)
+            s = _stream_source(spark, schema, src)
             run_enriched_rollup_stream(
                 s,
                 dim,
@@ -2482,7 +2488,7 @@ def _ensure_ingest_merge_table(spark: SparkSession, sf_dir: str) -> str:
         def drain() -> None:
             run_stream_ingest(
                 spark,
-                source=spark.readStream.text(src),
+                source=_stream_source(spark, None, src, fmt="text"),
                 target_path=table,
                 checkpoint_path=ckpt,
             )
@@ -3157,7 +3163,8 @@ SELECT stat, metric, value FROM (
   UNION ALL SELECT 'srm', 'n_treatment', CAST(tn AS DOUBLE) FROM calc2
   UNION ALL SELECT 'srm', 'chi2', round(chi2, 6) FROM calc2
   UNION ALL SELECT 'srm', 'srm_flag',
-    CASE WHEN chi2 > 3.841 THEN 1.0 ELSE 0.0 END FROM calc2
+    CASE WHEN chi2 > 3.841 THEN 1.0
+         WHEN chi2 IS NOT NULL THEN 0.0 END FROM calc2
   UNION ALL SELECT 'welch', 'mean_control_cents',
     CASE WHEN cn > 0 THEN round(mc, 6) END FROM calc2
   UNION ALL SELECT 'welch', 'mean_treatment_cents',

@@ -252,3 +252,22 @@ def test_zero_variance_guards_withhold_not_nan(spark):
     assert rows["control"].mean_adj_cents == 200.0
     assert rows["treatment"].mean_adj_cents == 750.0
     assert rows["control"].var_reduction == 0.0
+
+
+def test_bigint_overflow_raises_loudly(spark):
+    """The overflow contract (ADVICE r9, adjudicated by probe): this
+    engine runs ANSI mode, so a moment sum that exceeds bigint raises
+    SparkArithmeticException inside the aggregation — the same loud
+    failure DuckDB gives the oracle twin — rather than wrapping
+    silently.  No extra conservative guard is layered on top (an
+    earlier draft rejected inputs both engines handle — code-review
+    r10); this test pins the raise so an ANSI-off regression cannot
+    reintroduce silent wraps."""
+    big = 2**62
+    frame = spark.createDataFrame(
+        [(1, 0, big, "control"), (2, 0, big, "control"),
+         (3, 0, big, "treatment"), (4, 0, big, "treatment")],
+        "user_id long, pre_cents long, post_cents long, arm string",
+    )
+    with pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        welch_ttest(frame).collect()

@@ -3168,3 +3168,55 @@ def test_stream_differential_batch_split_invariant(
     )
     split = canon(reg[qname].fn(spark, sf_dir))
     assert split == base
+
+
+@pytest.mark.parametrize(
+    "qname,expect_equal",
+    [("q_stream_chained", True), ("q_stream_dedup", False)],
+)
+def test_stream_drain_granularity(
+    spark, tmp_path, monkeypatch, qname, expect_equal
+):
+    """Pin the PROBED drain-granularity semantics: delivering the same
+    six time-ordered files as six SEPARATE availableNow drains (one
+    file each, via ``_DRAIN_PER_FILE``) — instead of three two-file
+    drains — leaves the chained windowed aggregate IDENTICAL but makes
+    the dedup machine DIVERGE from the committed log: availableNow runs
+    one extra no-data batch per DRAIN, so dropDuplicatesWithinWatermark
+    state eviction points are drain-granular (a key whose expiry falls
+    between two intra-epoch watermarks is evicted — and its next row
+    re-emitted — only under the finer drain sequence).  Watermark-close
+    semantics (the chained case) depend only on the watermark VALUES,
+    which are the same either way.  If the dedup case ever starts
+    matching, Spark changed eviction granularity — update the
+    batch-split invariance docstring accordingly."""
+    import os as _os
+
+    import sales_forecast_mlops_at_scale_spark.plans.analytics_queries as aq
+    import sales_forecast_mlops_at_scale_spark.plans.fixture_roots as fr
+    from sales_forecast_mlops_at_scale_spark.plans import all_queries
+
+    reg = all_queries()
+    sf_dir = "/root/testdata/sf0.001"
+
+    def canon(df) -> list:
+        cols = sorted(df.columns)
+        return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+    base = canon(reg[qname].fn(spark, sf_dir))
+    orig_digest_root = fr.digest_root
+
+    def redirected(namespace: str, src_paths, params):
+        p = orig_digest_root(namespace, src_paths, params)
+        return str(
+            tmp_path
+            / "perfile"
+            / _os.path.basename(_os.path.dirname(p))
+            / _os.path.basename(p)
+        )
+
+    monkeypatch.setattr(fr, "digest_root", redirected)
+    monkeypatch.setattr(aq, "_EPOCH_SPLIT", ("ts", 2))
+    monkeypatch.setattr(aq, "_DRAIN_PER_FILE", True)
+    per_file = canon(reg[qname].fn(spark, sf_dir))
+    assert (per_file == base) is expect_equal

@@ -60,14 +60,20 @@ def _shift(col: str, space: int):
     return (F.col(col) + F.col("__rep").cast("long") * F.lit(space)).alias(col)
 
 
-def _id_space(df, col: str) -> int:
-    """Smallest power of 10 above the base table's max id — replica key
-    ranges are disjoint and human-readable (replica = leading digit)."""
-    mx = df.agg(F.max(col)).first()[0]
-    space = 1
-    while space <= mx:
-        space *= 10
-    return space
+def _id_spaces(df, *cols: str) -> list[int]:
+    """Smallest power of 10 above each column's max id — replica key
+    ranges are disjoint and human-readable (replica = leading digit).
+    ONE aggregate pass per table regardless of how many id columns are
+    remapped (code-review r10: the per-column version scanned lineitem
+    three times just for maxes)."""
+    row = df.agg(*[F.max(c).alias(c) for c in cols]).first()
+    spaces = []
+    for c in cols:
+        space = 1
+        while space <= row[c]:
+            space *= 10
+        spaces.append(space)
+    return spaces
 
 
 def ensure_sf1(spark: SparkSession, base: str = "/root/testdata/sf0.1") -> str:
@@ -94,10 +100,11 @@ def ensure_sf1(spark: SparkSession, base: str = "/root/testdata/sf0.1") -> str:
         # load_table converts on read exactly as for the driver fixtures
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = spark.read.parquet(os.path.join(base, "events.parquet"))
+        eid_s, uid_s = _id_spaces(ev, "event_id", "user_id")
         ev_out = ev.crossJoin(reps).select(
-            _shift("event_id", _id_space(ev, "event_id")),
+            _shift("event_id", eid_s),
             "ts",
-            _shift("user_id", _id_space(ev, "user_id")),
+            _shift("user_id", uid_s),
             "event_type",
             "value",
             "props",
@@ -118,8 +125,9 @@ def ensure_sf1(spark: SparkSession, base: str = "/root/testdata/sf0.1") -> str:
             " ",
         )
         text2 = F.when(F.col("__rep") == 0, F.col("text")).otherwise(suffixed)
+        (did_s,) = _id_spaces(docs, "doc_id")
         docs_out = docs.crossJoin(reps).select(
-            _shift("doc_id", _id_space(docs, "doc_id")),
+            _shift("doc_id", did_s),
             text2.alias("text"),
             "lang",
             "source",
@@ -138,8 +146,9 @@ def ensure_sf1(spark: SparkSession, base: str = "/root/testdata/sf0.1") -> str:
             f"concat(slice(embedding, __rep + 1, {dim} - __rep), "
             "slice(embedding, 1, __rep))"
         )
+        (vid_s,) = _id_spaces(emb, "vec_id")
         emb_out = emb.crossJoin(reps).select(
-            _shift("vec_id", _id_space(emb, "vec_id")),
+            _shift("vec_id", vid_s),
             rotated.alias("embedding"),
             "label",
         )
@@ -149,9 +158,9 @@ def ensure_sf1(spark: SparkSession, base: str = "/root/testdata/sf0.1") -> str:
 
         # lineitem — 10× (l_suppkey, l_returnflag) training groups
         li = spark.read.parquet(os.path.join(base, "lineitem.parquet"))
-        ok_s = _id_space(li, "l_orderkey")
-        pk_s = _id_space(li, "l_partkey")
-        sk_s = _id_space(li, "l_suppkey")
+        ok_s, pk_s, sk_s = _id_spaces(
+            li, "l_orderkey", "l_partkey", "l_suppkey"
+        )
         others = [
             c
             for c in li.columns

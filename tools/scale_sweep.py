@@ -139,8 +139,10 @@ SF1_QUERIES = frozenset({
     "q_decayed_counts",
     "q_anomaly_mad",
     "q_ab_report",
-    "q_k_anonymity",
     "q_split_leakage",
+    # NOT q_k_anonymity: its only input (customer) is copied verbatim by
+    # make_sf1, so an "sf1" cell would re-measure identical data — a
+    # vacuous decade (code-review r10)
 })
 
 
