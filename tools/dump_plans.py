@@ -83,7 +83,7 @@ NOTES = {
     "q_stream_latest": "Steady state: a scan of the upsert log + one sort. Update-mode applyInPandasWithState (running max per key over an LCG-permuted order column) drained through an exactly-once foreachBatch anti-join upsert keyed on (user, epoch-tag); stream state is one (ord, value) pair per key.",
     "q_stream_ttl": "Steady state: a scan of the closed-segments log + one sort. Custom EventTimeTimeout state machine (fold/timeout/reopen, probed empirically); stream state is one 4-field struct per LIVE key, bounded by the ttl horizon; RocksDB parity pytest-pinned.",
     "q_stream_enrich": "Steady state: a scan of the segment log + one sort. Stream-static join (per-batch dimension lookup, broadcastable dim) composing with the watermarked rollup; state O(open windows x segments).",
-    "q_ab_welch": "One events scan + a 1-row split anchor -> per-user partial aggregates (one user_id exchange) -> ONE wide conditional-aggregate moment row (now carrying max|cents| + an assert_true bigint-overflow guard as a 1-row filter) -> closed-form t/df with zero-variance withhold guards. No per-arm self-join of the un-persisted user frame (the duplicated-subtree class).",
+    "q_ab_welch": "One events scan + a 1-row split anchor -> per-user partial aggregates (one user_id exchange) -> ONE wide conditional-aggregate moment row -> closed-form t/df with zero-variance withhold guards (NULL, mirrored in the oracle twin). Overflow safety is ANSI mode's native ARITHMETIC_OVERFLOW raise - the same loud failure as DuckDB; an interim assert_true guard was removed because its conservative bound rejected inputs both engines handle (code-review r10). No per-arm self-join of the un-persisted user frame (the duplicated-subtree class).",
     "q_ab_segments": "Users joined to the broadcastable customer dim once, ONE conditional-aggregate pass per segment; segments with a thin arm (n < 2) or zero pooled variance (se2 = 0) withheld by the same exact predicates the oracle filters on; the overflow assert rides the segment moment rows.",
     "q_ab_report": "The one-pass readout (VERDICT r9 #3): one events scan + 1-row split anchor -> one user_id exchange -> ONE wide moment row -> 16 (stat, metric, value) rows via explode. SRM + Welch + CUPED share the single moment pass an analyst previously paid per statistic.",
     "q_ab_cuped": "Same single moment pass as the t-test; CUPED evaluated in CLOSED FORM from the moments (theta = pooled cov/var), the two output rows exploded from the 1-row frame - no per-user adjusted values anywhere in the plan.",
