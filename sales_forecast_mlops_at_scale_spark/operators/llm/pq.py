@@ -820,7 +820,17 @@ def _ivfpq_topk_build(
         "ivfpq.idx", num_centroids, m, n_codewords,
         refine_iters, dim, id_col, vec_col, ndigits,
     )
-    c = _prepared(corpus, id_col, vec_col)
+    # the prepared (normalized) corpus feeds the centroid pick, the
+    # residual pass, every Lloyd leg of the codebook trainer, and the
+    # optional re-rank — pin it once (the q_ann_recall_all fix applied
+    # at the source; r9's audit saw 9 embeddings scans here).  In-session
+    # training reads its corpus repeatedly by nature; the serving shape
+    # (ivfpq_search over materialized tiers) never pays this.
+    c = persist_slot(
+        "pq.ivfpq.prepared",
+        _prepared(corpus, id_col, vec_col),
+        key=derived_key(idx_key, "prepared") if idx_key else None,
+    )
     centroids = ivfpq_centroids(c, num_centroids=num_centroids)
     resid = persist_slot(
         "pq.ivfpq.resid",
