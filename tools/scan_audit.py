@@ -48,7 +48,8 @@ ALLOW = {
     # (q_ann_recall_all was 12 here through r9; the shared
     # prepared-corpus/query persist cut it to 2 — VERDICT r9 #7 — so it
     # now rides the default BAR)
-    "q_ivfpq_topk": (10, "in-session IVF+PQ training fused with search (sampled Lloyd + per-subspace codebook legs); q_ivfpq_search (materialized tiers) is the serving shape at <=2 per tier"),
+    # q_ivfpq_topk rode a 10-scan allowance through r10's first audit;
+    # pinning the prepared corpus cut it to 3, under the default BAR
     "q_ann_recall": (6, "brute-force truth + the IVF candidate pipeline"),
     "q_hybrid_rrf": (6, "BM25 lexical pipeline + vector rank pipeline fused"),
     "q_retrain_decision": (5, "composition: the 4-scan PSI audit (2 windows x 2 passes, the equi-width floor) + the single-scan 3-way bake-off"),
