@@ -50,9 +50,20 @@ _RRF_NUM = 1_000_000_000
 
 
 def _staged_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("doc"),
-        tokens(normalized_text(F.col(text_col))).alias("__toks"),
+    """Tokenized corpus ``(doc, __toks)``, persist-slot-pinned: the BM25
+    leg consumes it from several branches (doc lengths, matched pairs →
+    tf → df), each of which would re-run the tokenize+scan on the
+    un-persisted frame — the r10 audit measured 6 documents scans in
+    q_hybrid_rrf.  At warehouse scale this cache is the materialized
+    token-index table a search tier stages once per corpus version."""
+    from ...cache import persist_slot
+
+    return persist_slot(
+        "retrieval.tokens",
+        docs.select(
+            F.col(id_col).alias("doc"),
+            tokens(normalized_text(F.col(text_col))).alias("__toks"),
+        ),
     )
 
 

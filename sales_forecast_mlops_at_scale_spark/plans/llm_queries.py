@@ -522,7 +522,17 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact brute-force top-k, per query vector.  The eval
     harness every production ANN deployment runs before trusting an
     index — here it is itself a deterministic, oracled query (both tiers
-    are deterministic, so the recall numbers are too)."""
+    are deterministic, so the recall numbers are too).  Shares the
+    normalized-corpus/query pin with q_ann_recall_all (one
+    materialization serves both tiers' semantically-equal subtrees)."""
+    from ..cache import persist_slot
+    from ..operators.llm.embedsim import _prepared
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    persist_slot(
+        "annrecall.prepared_corpus", _prepared(emb, "vec_id", "embedding")
+    )
+    persist_slot("annrecall.queries", emb.filter(F.col("vec_id") < 8))
     exact = q_embed_topk(spark, sf_dir).select("q_id", "nn_id")
     approx = q_embed_srp_topk(spark, sf_dir).select(
         "q_id", "nn_id", F.lit(1).alias("hit")

@@ -50,8 +50,9 @@ ALLOW = {
     # now rides the default BAR)
     # q_ivfpq_topk rode a 10-scan allowance through r10's first audit;
     # pinning the prepared corpus cut it to 3, under the default BAR
-    "q_ann_recall": (6, "brute-force truth + the IVF candidate pipeline"),
-    "q_hybrid_rrf": (6, "BM25 lexical pipeline + vector rank pipeline fused"),
+    # q_ann_recall (was 6) and q_hybrid_rrf (was 6) now ride the default
+    # BAR: the shared prepared-corpus pin and the token-index pin cut them
+    # to 2 and 3 scans respectively (r10 second pass)
     "q_retrain_decision": (5, "composition: the 4-scan PSI audit (2 windows x 2 passes, the equi-width floor) + the single-scan 3-way bake-off"),
 }
 
