@@ -141,6 +141,14 @@ def arm_moments_wide(users: DataFrame) -> DataFrame:
     both engines handle exactly — a self-inflicted divergence band
     (code-review r10).  Deployments that turn ANSI off forfeit this
     contract; ``tests/test_abtest.py`` pins the raise."""
+    return users.groupBy().agg(*_moment_aggs())
+
+
+def _moment_aggs() -> list:
+    """The twelve conditional moment aggregates (c*/t* n, Σx, Σy, Σx²,
+    Σxy, Σy²) — one list so :func:`arm_moments_wide` and the combined
+    moments+quantiles pass of :func:`ab_report_full` aggregate with the
+    IDENTICAL expressions."""
 
     def _side(tag: str, prefix: str) -> list:
         cond = F.col("arm") == tag
@@ -155,9 +163,7 @@ def arm_moments_wide(users: DataFrame) -> DataFrame:
             F.sum(F.when(cond, py * py).otherwise(z)).alias(f"{prefix}syy"),
         ]
 
-    return users.groupBy().agg(
-        *_side("control", "c"), *_side("treatment", "t")
-    )
+    return _side("control", "c") + _side("treatment", "t")
 
 
 def _d(col: str) -> Column:
@@ -306,22 +312,10 @@ def cuped_adjust(users: DataFrame) -> DataFrame:
     ).orderBy("arm")
 
 
-def ab_report(users: DataFrame) -> DataFrame:
-    """The WHOLE experiment readout — SRM guard, Welch's t-test, CUPED —
-    derived from ONE moment pass over the user frame (VERDICT r9 #3:
-    an analyst consuming the family as separate queries paid the
-    user-level exchange once per statistic; this computes the wide
-    moment row once and every statistic is closed-form arithmetic over
-    that single row).
-
-    Output is tidy long form ``(stat, metric, value double)`` — 16 rows
-    from one 1-row frame via ``explode`` — so one hash pins every
-    statistic at once.  Counts and flags are cast to double (exact for
-    any count below 2⁵³); all formulas and degenerate-withhold guards
-    are the IDENTICAL expressions the per-statistic operators use, so
-    the report can never disagree with them."""
-    row = arm_moments_wide(users)
-    g = row.select(
+def _with_group_moments(row: DataFrame) -> DataFrame:
+    """Append pooled (control + treatment) moment columns to the wide
+    moment row — exact bigint sums, shared by every report shape."""
+    return row.select(
         "*",
         (F.col("cn") + F.col("tn")).alias("gn"),
         (F.col("csx") + F.col("tsx")).alias("gsx"),
@@ -331,6 +325,13 @@ def ab_report(users: DataFrame) -> DataFrame:
         (F.col("csyy") + F.col("tsyy")).alias("gsyy"),
     )
 
+
+def _core_triples() -> list:
+    """The 16 (stat, metric, value-Column) closed forms — SRM, Welch,
+    CUPED — over a frame produced by :func:`_with_group_moments`.
+    Factored out so :func:`ab_report` and :func:`ab_report_full` share
+    one expression tree (they can never disagree with each other or
+    with the per-statistic operators)."""
     # -- SRM (same expression as srm_check, counts from the moment row)
     diff2 = (F.col("cn") - F.col("tn")) * (F.col("cn") - F.col("tn"))
     n_all = F.col("cn") + F.col("tn")
@@ -424,6 +425,13 @@ def ab_report(users: DataFrame) -> DataFrame:
         ("cuped", "var_adj_treatment", F.round(t_adj["var_adj"], 6)),
         ("cuped", "var_reduction", F.round(var_red, 6)),
     ]
+    return triples
+
+
+def _explode_triples(g: DataFrame, triples: list) -> DataFrame:
+    """(stat, metric, Column) list → long-form rows via ONE explode of
+    the 1-row frame ``g`` (never a per-statistic union that would
+    re-evaluate the aggregation)."""
     rows = F.array(
         *[
             F.struct(
@@ -434,11 +442,117 @@ def ab_report(users: DataFrame) -> DataFrame:
             for s, m, v in triples
         ]
     )
-    return (
-        g.select(F.explode(rows).alias("r"))
-        .select("r.stat", "r.metric", "r.value")
-        .orderBy("stat", "metric")
+    return g.select(F.explode(rows).alias("r")).select(
+        "r.stat", "r.metric", "r.value"
     )
+
+
+def ab_report(users: DataFrame) -> DataFrame:
+    """The WHOLE experiment readout — SRM guard, Welch's t-test, CUPED —
+    derived from ONE moment pass over the user frame (VERDICT r9 #3:
+    an analyst consuming the family as separate queries paid the
+    user-level exchange once per statistic; this computes the wide
+    moment row once and every statistic is closed-form arithmetic over
+    that single row).
+
+    Output is tidy long form ``(stat, metric, value double)`` — 16 rows
+    from one 1-row frame via ``explode`` — so one hash pins every
+    statistic at once.  Counts and flags are cast to double (exact for
+    any count below 2⁵³); all formulas and degenerate-withhold guards
+    are the IDENTICAL expressions the per-statistic operators use, so
+    the report can never disagree with them."""
+    g = _with_group_moments(arm_moments_wide(users))
+    return _explode_triples(g, _core_triples()).orderBy("stat", "metric")
+
+
+def ab_report_full(
+    users: DataFrame,
+    dim: DataFrame,
+    *,
+    levels: tuple = (0.25, 0.5, 0.75, 0.9),
+    min_arm_n: int = 2,
+) -> DataFrame:
+    """The COMPLETE experiment readout (VERDICT r10 #1): SRM + Welch +
+    CUPED + quantile treatment effects + per-segment heterogeneous
+    effects, in long form ``(stat, metric, value double)`` — everything
+    an analyst pulls, one hash over the whole family.
+
+    Plan shape (the whole point): the per-user frame is persisted ONCE
+    (:func:`..cache.persist_slot` — plan-keyed, so repeat calls in a
+    session reuse it), then
+
+    - pass 1 — ONE conditional aggregation computes the wide moment row
+      AND both arms' quantile arrays in the SAME ``groupBy().agg`` (the
+      order statistics ride the exchange the moments already pay);
+      every SRM/Welch/CUPED/quantile row explodes out of that 1-row
+      frame;
+    - pass 2 — the one genuinely new exchange: :func:`segment_effects`
+      joins the persisted user frame to the segment dimension and
+      aggregates per segment (a different grouping key cannot share
+      pass 1's reduction).
+
+    So the events source is scanned once (at the user frame's
+    materialization), and the user frame is read twice — exactly the
+    "one extra exchange over the same materialized frame" contract.
+    Quantile rows are keyed ``p{level}/{field}``, segment rows
+    ``{segment}/{field}``; values are the IDENTICAL expressions
+    :func:`quantile_effects` / :func:`segment_effects` emit (pinned
+    row-for-row by tests), so the full report can never disagree with
+    the per-statistic operators."""
+    from ..cache import persist_slot
+
+    u = persist_slot("abtest.users", users)
+
+    lvl_sql = ", ".join(f"{p}D" for p in levels)
+    wide = u.groupBy().agg(
+        *_moment_aggs(),
+        F.expr(
+            "percentile(CASE WHEN arm = 'control' THEN post_cents END, "
+            f"array({lvl_sql}))"
+        ).alias("qc"),
+        F.expr(
+            "percentile(CASE WHEN arm = 'treatment' THEN post_cents END, "
+            f"array({lvl_sql}))"
+        ).alias("qt"),
+    )
+    g = _with_group_moments(wide)
+
+    triples = list(_core_triples())
+    for i, p in enumerate(levels):
+        lbl = f"p{int(round(p * 100))}"
+        qc, qt = F.col("qc")[i], F.col("qt")[i]
+        triples += [
+            ("quantile", f"{lbl}/q_control_cents", F.round(qc, 6)),
+            ("quantile", f"{lbl}/q_treatment_cents", F.round(qt, 6)),
+            ("quantile", f"{lbl}/qte_cents", F.round(qt - qc, 6)),
+        ]
+    report = _explode_triples(g, triples)
+
+    seg = segment_effects(u, dim, min_arm_n=min_arm_n)
+    seg_fields = [
+        "n_control",
+        "n_treatment",
+        "mean_control_cents",
+        "mean_treatment_cents",
+        "lift_cents",
+        "t_stat",
+    ]
+    seg_rows = F.array(
+        *[
+            F.struct(
+                F.lit("segment").alias("stat"),
+                F.concat(F.col("segment"), F.lit("/"), F.lit(f)).alias(
+                    "metric"
+                ),
+                F.col(f).cast("double").alias("value"),
+            )
+            for f in seg_fields
+        ]
+    )
+    seg_long = seg.select(F.explode(seg_rows).alias("r")).select(
+        "r.stat", "r.metric", "r.value"
+    )
+    return report.unionByName(seg_long).orderBy("stat", "metric")
 
 
 def quantile_effects(

@@ -2896,6 +2896,26 @@ def q_ab_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_report(experiment_frame(_events(spark, sf_dir)))
 
 
+def q_ab_report_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE one-pass experiment readout (VERDICT r10 #1): SRM +
+    Welch + CUPED + quantile treatment effects + per-segment effects in
+    one long-form frame — the whole readout an analyst pulls, one hash
+    over the entire A/B family.  Plan: the per-user frame is persisted
+    once (events scanned ONCE); a single conditional aggregation
+    computes the moment row AND both arms' quantile arrays together
+    (order statistics ride the moments' exchange), and per-segment
+    effects pay the one genuinely new exchange (different grouping
+    key).  Every value is the identical expression the per-statistic
+    queries emit, pinned row-for-row by tests."""
+    from ..operators.abtest import ab_report_full, experiment_frame
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return ab_report_full(experiment_frame(_events(spark, sf_dir)), dim)
+
+
 def _ab_arm_threshold() -> str:
     from ..operators.llm.curation import sample_threshold_hex
 
@@ -3033,8 +3053,9 @@ ORDER BY arm
 """
 
 
-_AB_QUANTILES_SQL = f"""
-WITH {_AB_USERS_SQL},
+#: R-7 quantile CTE over the per-user frame — shared by the standalone
+#: quantile twin and the full-report twin (one expression tree)
+_AB_Q_CTE = """
 q AS (
   SELECT
     quantile_cont(CASE WHEN arm = 'control' THEN post_cents END, 0.25) AS c25,
@@ -3046,6 +3067,11 @@ q AS (
     quantile_cont(CASE WHEN arm = 'treatment' THEN post_cents END, 0.75) AS t75,
     quantile_cont(CASE WHEN arm = 'treatment' THEN post_cents END, 0.9)  AS t90
   FROM users)
+"""
+
+_AB_QUANTILES_SQL = f"""
+WITH {_AB_USERS_SQL},
+{_AB_Q_CTE}
 SELECT level,
        round(qc, 6) AS q_control_cents,
        round(qt, 6) AS q_treatment_cents,
@@ -3059,8 +3085,10 @@ ORDER BY level
 """
 
 
-_AB_SEGMENTS_SQL = f"""
-WITH {_AB_USERS_SQL},
+#: per-segment Welch-moment CTEs — shared by the standalone segments
+#: twin and the full-report twin; ``se2`` is materialized in ``st`` so
+#: both filter on the identical expression
+_AB_SEG_CTES = """
 seg AS (
   SELECT u.*, c.c_mktsegment AS segment
   FROM users u JOIN customer c ON c.c_custkey = u.user_id),
@@ -3090,24 +3118,32 @@ st AS (
             / CAST(cn AS DOUBLE)) / (CAST(cn AS DOUBLE) - 1.0) AS vc,
          (CAST(tsyy AS DOUBLE) - CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE)
             / CAST(tn AS DOUBLE)) / (CAST(tn AS DOUBLE) - 1.0) AS vt
-  FROM sm)
+  FROM sm),
+st2 AS (
+  SELECT *, (vc / CAST(cn AS DOUBLE)) + (vt / CAST(tn AS DOUBLE)) AS se2
+  FROM st)
+"""
+
+_AB_SEGMENTS_SQL = f"""
+WITH {_AB_USERS_SQL},
+{_AB_SEG_CTES}
 SELECT segment, cn AS n_control, tn AS n_treatment,
        round(mc, 6) AS mean_control_cents,
        round(mt, 6) AS mean_treatment_cents,
        round(mt - mc, 6) AS lift_cents,
-       round((mt - mc)
-             / sqrt((vc / CAST(cn AS DOUBLE)) + (vt / CAST(tn AS DOUBLE))),
-             6) AS t_stat
-FROM st
-WHERE (vc / CAST(cn AS DOUBLE)) + (vt / CAST(tn AS DOUBLE)) > 0.0
+       round((mt - mc) / sqrt(se2), 6) AS t_stat
+FROM st2
+WHERE se2 > 0.0
 ORDER BY segment
 """
 
 
 #: composite twin of ``operators.abtest.ab_report`` — the same moment
 #: algebra as the per-statistic twins, evaluated from ONE wide row and
-#: emitted long-form; every value expression mirrors the Spark IEEE tree
-_AB_REPORT_SQL = f"""
+#: emitted long-form; every value expression mirrors the Spark IEEE
+#: tree.  Split into CTE + core-union fragments shared verbatim by the
+#: full-report twin (``_AB_REPORT_FULL_SQL``).
+_AB_REPORT_CTES = f"""
 WITH {_AB_USERS_SQL},
 wide AS (
   SELECT
@@ -3157,7 +3193,10 @@ calc AS (
   FROM dbl),
 calc2 AS (
   SELECT *, (vc / dcn) + (vt / dtn) AS se2 FROM calc)
-SELECT stat, metric, value FROM (
+"""
+
+#: the 16 SRM/Welch/CUPED long-form rows over ``calc2``
+_AB_REPORT_CORE_UNION = """
   SELECT 'srm' AS stat, 'n_control' AS metric, CAST(cn AS DOUBLE) AS value
   FROM calc2
   UNION ALL SELECT 'srm', 'n_treatment', CAST(tn AS DOUBLE) FROM calc2
@@ -3212,6 +3251,49 @@ SELECT stat, metric, value FROM (
          THEN round(1.0 - (gvar_y - 2.0 * theta * gcov
                            + theta * theta * gvar_x) / gvar_y, 6)
          END FROM calc2
+"""
+
+_AB_REPORT_SQL = f"""
+{_AB_REPORT_CTES}
+SELECT stat, metric, value FROM (
+{_AB_REPORT_CORE_UNION}
+) ORDER BY stat, metric
+"""
+
+#: twin of ``operators.abtest.ab_report_full`` — the 16 core rows plus
+#: quantile rows (``p{{level}}/{{field}}``, from the shared R-7 CTE) and
+#: per-segment rows (``{{segment}}/{{field}}``, from the shared segment
+#: CTEs); every fragment is the verbatim text the standalone twins run
+_AB_REPORT_FULL_SQL = f"""
+{_AB_REPORT_CTES},
+{_AB_Q_CTE},
+{_AB_SEG_CTES}
+SELECT stat, metric, value FROM (
+{_AB_REPORT_CORE_UNION}
+  UNION ALL SELECT 'quantile', 'p25/q_control_cents', round(c25, 6) FROM q
+  UNION ALL SELECT 'quantile', 'p25/q_treatment_cents', round(t25, 6) FROM q
+  UNION ALL SELECT 'quantile', 'p25/qte_cents', round(t25 - c25, 6) FROM q
+  UNION ALL SELECT 'quantile', 'p50/q_control_cents', round(c50, 6) FROM q
+  UNION ALL SELECT 'quantile', 'p50/q_treatment_cents', round(t50, 6) FROM q
+  UNION ALL SELECT 'quantile', 'p50/qte_cents', round(t50 - c50, 6) FROM q
+  UNION ALL SELECT 'quantile', 'p75/q_control_cents', round(c75, 6) FROM q
+  UNION ALL SELECT 'quantile', 'p75/q_treatment_cents', round(t75, 6) FROM q
+  UNION ALL SELECT 'quantile', 'p75/qte_cents', round(t75 - c75, 6) FROM q
+  UNION ALL SELECT 'quantile', 'p90/q_control_cents', round(c90, 6) FROM q
+  UNION ALL SELECT 'quantile', 'p90/q_treatment_cents', round(t90, 6) FROM q
+  UNION ALL SELECT 'quantile', 'p90/qte_cents', round(t90 - c90, 6) FROM q
+  UNION ALL SELECT 'segment', segment || '/n_control',
+    CAST(cn AS DOUBLE) FROM st2 WHERE se2 > 0.0
+  UNION ALL SELECT 'segment', segment || '/n_treatment',
+    CAST(tn AS DOUBLE) FROM st2 WHERE se2 > 0.0
+  UNION ALL SELECT 'segment', segment || '/mean_control_cents',
+    round(mc, 6) FROM st2 WHERE se2 > 0.0
+  UNION ALL SELECT 'segment', segment || '/mean_treatment_cents',
+    round(mt, 6) FROM st2 WHERE se2 > 0.0
+  UNION ALL SELECT 'segment', segment || '/lift_cents',
+    round(mt - mc, 6) FROM st2 WHERE se2 > 0.0
+  UNION ALL SELECT 'segment', segment || '/t_stat',
+    round((mt - mc) / sqrt(se2), 6) FROM st2 WHERE se2 > 0.0
 ) ORDER BY stat, metric
 """
 
@@ -4454,6 +4536,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_ab_quantiles": QueryDef(q_ab_quantiles, _AB_QUANTILES_SQL),
     "q_ab_segments": QueryDef(q_ab_segments, _AB_SEGMENTS_SQL),
     "q_ab_report": QueryDef(q_ab_report, _AB_REPORT_SQL),
+    "q_ab_report_full": QueryDef(q_ab_report_full, _AB_REPORT_FULL_SQL),
     "q_time_travel": QueryDef(q_time_travel, _TIME_TRAVEL_SQL),
     "q_ingest_merge": QueryDef(q_ingest_merge, _INGEST_MERGE_SQL),
     "q_stream_enrich": QueryDef(q_stream_enrich, _STREAM_ENRICH_SQL),

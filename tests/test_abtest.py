@@ -194,6 +194,60 @@ def test_ab_report_matches_individual_stats(spark, users):
     assert rep[("cuped", "var_reduction")] == cu["control"].var_reduction
 
 
+def test_ab_report_full_matches_family_row_for_row(spark, users):
+    """ab_report_full (VERDICT r10 #1) must agree EXACTLY with every
+    per-statistic operator it folds in: the 16 core rows with
+    ab_report, quantile rows with quantile_effects, segment rows with
+    segment_effects — same inputs, same values, keyed long-form."""
+    from sales_forecast_mlops_at_scale_spark.operators.abtest import (
+        ab_report,
+        ab_report_full,
+        quantile_effects,
+        segment_effects,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (4, "A"), (5, "A"), (3, "B"), (6, "B"), (7, "B")],
+        "user_id long, segment string",
+    )
+    full = {
+        (r.stat, r.metric): r.value
+        for r in ab_report_full(users, dim).collect()
+    }
+    core = {
+        (r.stat, r.metric): r.value for r in ab_report(users).collect()
+    }
+    assert {k: full[k] for k in core} == core
+
+    qrows = quantile_effects(users).collect()
+    assert len(qrows) == 4
+    for r in qrows:
+        lbl = f"p{int(round(r.level * 100))}"
+        assert full[("quantile", f"{lbl}/q_control_cents")] == r.q_control_cents
+        assert (
+            full[("quantile", f"{lbl}/q_treatment_cents")] == r.q_treatment_cents
+        )
+        assert full[("quantile", f"{lbl}/qte_cents")] == r.qte_cents
+
+    srows = segment_effects(users, dim).collect()
+    assert [r.segment for r in srows] == ["A"]  # B withheld (arm < 2)
+    for r in srows:
+        s = r.segment
+        assert full[("segment", f"{s}/n_control")] == float(r.n_control)
+        assert full[("segment", f"{s}/n_treatment")] == float(r.n_treatment)
+        assert (
+            full[("segment", f"{s}/mean_control_cents")] == r.mean_control_cents
+        )
+        assert (
+            full[("segment", f"{s}/mean_treatment_cents")]
+            == r.mean_treatment_cents
+        )
+        assert full[("segment", f"{s}/lift_cents")] == r.lift_cents
+        assert full[("segment", f"{s}/t_stat")] == r.t_stat
+    # exact cardinality: 16 core + 12 quantile + 6 per surviving segment
+    assert len(full) == 16 + 12 + 6 * len(srows)
+
+
 def test_zero_variance_guards_withhold_not_nan(spark):
     from sales_forecast_mlops_at_scale_spark.operators.abtest import (
         segment_effects,
