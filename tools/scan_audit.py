@@ -36,24 +36,24 @@ from sales_forecast_mlops_at_scale_spark.cache import clear_slots
 from sales_forecast_mlops_at_scale_spark.plans import all_queries
 from sales_forecast_mlops_at_scale_spark.session import get_spark
 
-ROUND = 10
+from roundinfo import ROUND  # noqa: E402 — shared per-round stamp source
+
 SF = "/root/testdata/sf0.001"
 BAR = 4  # scans of one source above this need a documented reason
 
 #: query → (max allowed scans of any ONE source, reason).  Every entry
 #: is a REVIEWED exception, not a mute button.
 ALLOW = {
-    # every entry is a REVIEWED exception at its MEASURED multiplicity —
-    # not a mute button; a regression past it flags
-    # (q_ann_recall_all was 12 here through r9; the shared
-    # prepared-corpus/query persist cut it to 2 — VERDICT r9 #7 — so it
-    # now rides the default BAR)
-    # q_ivfpq_topk rode a 10-scan allowance through r10's first audit;
-    # pinning the prepared corpus cut it to 3, under the default BAR
-    # q_ann_recall (was 6) and q_hybrid_rrf (was 6) now ride the default
-    # BAR: the shared prepared-corpus pin and the token-index pin cut them
-    # to 2 and 3 scans respectively (r10 second pass)
-    "q_retrain_decision": (5, "composition: the 4-scan PSI audit (2 windows x 2 passes, the equi-width floor) + the single-scan 3-way bake-off"),
+    # EMPTY as of r11 — every query rides the default BAR.  History of
+    # retired entries (each cut by a plan fix, never by raising the bar):
+    # - q_ann_recall_all 12 → 2 (r10: shared prepared-corpus/query
+    #   persist, VERDICT r9 #7); q_ivfpq_topk 10 → 3, q_ann_recall
+    #   6 → 2, q_hybrid_rrf 6 → 3 (r10 second pass: corpus + token-index
+    #   pins)
+    # - q_retrain_decision 5 → 3 (r11: psi_report_split rides the window
+    #   indicator on ONE lineitem scan, so the PSI audit pays exactly the
+    #   2-pass equi-width floor instead of 2 passes x 2 window branches;
+    #   + the single-scan 3-way bake-off — VERDICT r10 #4)
 }
 
 
