@@ -84,6 +84,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_ab_quantiles",
     "q_ab_segments",
     "q_ab_report",
+    "q_ab_report_full",
     "q_time_travel",
     "q_schema_evolution",
     "q_ingest_merge",
@@ -244,10 +245,32 @@ def canary_wall(spark) -> float:
             )
             .first()
         )
-        assert row.groups == 9973, f"canary shape drifted: {row.groups}"
+        # explicit raise, not assert: the shape self-check must survive
+        # `python -O` (ADVICE r10)
+        if row.groups != 9973:
+            raise RuntimeError(f"canary shape drifted: {row.groups} groups")
         return time.perf_counter() - t0
 
     return round(min(one() for _ in range(3)), 3)
+
+
+def overhead_floor(spark) -> float:
+    """Fixed per-query OVERHEAD probe: the median of 5 × a 1-row
+    ``spark.range(1).count()`` round-trip — the smallest possible job
+    (one task, no shuffle, no data), so its wall is pure scheduling /
+    Py4J / result-fetch overhead.  Carried alongside ``canary_wall``
+    because the two move independently (VERDICT r10 #3: three machines
+    spread 1.9× on canary compute-rate but only 1.16× on total wall —
+    the suite at sf0.1 is overhead-dominated, so a purely multiplicative
+    ``t/canary`` normalization OVER-corrects).  Cross-machine
+    comparisons should use the affine model
+    ``(t − overhead_floor) / canary_wall`` (tools/bench_diff.py)."""
+    walls = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        walls.append(time.perf_counter() - t0)
+    return round(sorted(walls)[2], 4)
 
 
 def main() -> None:
@@ -265,8 +288,10 @@ def main() -> None:
     spark.catalog.clearCache()
 
     # machine-speed canary AFTER the JVM warm-up (so it measures the
-    # machine, not classloading) and BEFORE the query loop
+    # machine, not classloading) and BEFORE the query loop; the overhead
+    # floor rides next to it (affine calibration, VERDICT r10 #3)
     canary = canary_wall(spark)
+    overhead = overhead_floor(spark)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     # noisy queries get extra reps (up to max_reps) until the CONVERGED
@@ -317,6 +342,12 @@ def main() -> None:
         # which one a comparison uses
         firsts[name] = round(runs[0], 3)
 
+    # re-probe both calibration numbers AFTER the query loop: load that
+    # arrived mid-bench shows up as start/end disagreement, bounding how
+    # much trust a normalized comparison deserves (ADVICE r10)
+    canary_end = canary_wall(spark)
+    overhead_end = overhead_floor(spark)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # KEY ORDER MATTERS: the driver stores only the TAIL of this line
     # when it exceeds its record size, so the headline signal — the
@@ -330,6 +361,9 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": reps,
         "canary_wall": canary,
+        "canary_wall_end": canary_end,
+        "overhead_floor": overhead,
+        "overhead_floor_end": overhead_end,
         "first": firsts,
         "spread": spreads,
         "queries": timings,
@@ -348,6 +382,9 @@ def main() -> None:
         "sf": payload["sf"],
         "n_queries": len(timings),
         "canary_wall": canary,
+        "canary_wall_end": canary_end,
+        "overhead_floor": overhead,
+        "overhead_floor_end": overhead_end,
         "slowest": slowest,
     }))
     # full, untruncated artifact for the per-round commit

@@ -55,16 +55,27 @@ def _staged_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tf → df), each of which would re-run the tokenize+scan on the
     un-persisted frame — the r10 audit measured 6 documents scans in
     q_hybrid_rrf.  At warehouse scale this cache is the materialized
-    token-index table a search tier stages once per corpus version."""
-    from ...cache import persist_slot
+    token-index table a search tier stages once per corpus version.
 
-    return persist_slot(
-        "retrieval.tokens",
-        docs.select(
-            F.col(id_col).alias("doc"),
-            tokens(normalized_text(F.col(text_col))).alias("__toks"),
-        ),
+    The slot NAME is derived from the corpus plan key (ADVICE r10): a
+    single global slot would thrash when one session tokenizes two
+    different corpora (each pin evicting the other); per-corpus slots
+    let both stay staged.  Retention is bounded by the number of
+    DISTINCT live corpora in a session (registry/bench: 1) and every
+    slot drops at ``clear_slots()``.  Unkeyable plans (opaque leaves)
+    keep the shared-name slot, whose existing same-plan reuse/evict
+    semantics apply."""
+    from ...cache import _plan_key, persist_slot
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        tokens(normalized_text(F.col(text_col))).alias("__toks"),
     )
+    key = _plan_key(toks)
+    slot = "retrieval.tokens"
+    if key is not None:
+        slot = f"retrieval.tokens:{key[0] & 0xFFFFFFFF:08x}"
+    return persist_slot(slot, toks, key=key)
 
 
 def _bm25_scored(

@@ -93,13 +93,9 @@ NOTES = {
     "q_time_travel": "Two manifest-pinned file-list scans (one per version) + per-type hash aggregates; the version catalog is O(versions), never O(data).",
     "q_schema_evolution": "One mergeSchema scan of the mixed-schema file set; the aggregate splits on NULL-ness of the evolved column (old files null-fill).",}
 
-import subprocess
+from roundinfo import ROUND, head_commit  # noqa: E402 — shared stamp source
 
-ROUND = 10
-HEAD = subprocess.run(
-    ["git", "-C", "/root/repo", "rev-parse", "HEAD"],
-    capture_output=True, text=True,
-).stdout.strip() or "unknown"
+HEAD = head_commit()
 
 spark = get_spark("plans"); spark.sparkContext.setLogLevel("ERROR")
 reg = all_queries()

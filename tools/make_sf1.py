@@ -142,6 +142,15 @@ def ensure_sf1(spark: SparkSession, base: str = "/root/testdata/sf0.1") -> str:
         # so the fixed q-vector set (vec_id < 8) is unchanged
         emb = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
         dim = len(emb.select("embedding").first()[0])
+        # the rotation slices assume at least REPS positions to rotate
+        # through; a shorter fixture would yield invalid slice lengths
+        # and a confusing downstream error instead of this precondition
+        # (ADVICE r10)
+        if dim < REPS:
+            raise ValueError(
+                f"embedding dim {dim} < REPS {REPS}: the per-replica "
+                "rotation needs dim >= REPS to stay orthogonal"
+            )
         rotated = F.expr(
             f"concat(slice(embedding, __rep + 1, {dim} - __rep), "
             "slice(embedding, 1, __rep))"
