@@ -5,7 +5,7 @@ from sales_forecast_mlops_at_scale_spark.plans import all_queries
 
 TOP = [
     "q_dedup_clusters", "q_embed_ivf_topk", "q_forecast_7d", "q_train_metrics", "q_train_incremental",
-    "q_ab_segments", "q_ab_report",
+    "q_ab_segments", "q_ab_report", "q_ab_report_full",
     "q_gated_forecast", "q_minhash_incremental", "q_simhash_pairs",
     "q_minhash_dedup", "q_ngram_jaccard", "q_winnow_fingerprint",
     "q_semantic_dedup", "q_kmv_overlap", "q_cms_heavy",
@@ -61,7 +61,7 @@ NOTES = {
     "q_mondrian_conformal": "The weekday-conditional variant rides the SAME single-shuffle sorted-group-map pass; the per-class partitioning happens inside the kernel (numpy mask per weekday), so conditioning costs zero extra shuffles - 7 classes or 700 would plan identically.",
     "q_conformal_intervals": "Split-conformal calibration as the SAME single-shuffle sorted-group-map shape as the trainer: per group the kernel sorts a few-hundred-element residual vector executor-side; nothing but one summary row per group leaves the worker. The coverage audit on the held-out fold rides the same pass.",
     "q_model_compare": "Three-family CV bake-off as ONE sorted-group-map job: the series shuffles once (the reused REPARTITION_BY_COL exchange); the lag_7 feature challenger is a calendar-RANGE Window riding that same exchange, and the grouped map sorts on an ALIAS of the Window's own day index, so Catalyst elides the second per-partition sort - the executed plan is 1 Exchange / 1 Sort / 1 Window / 1 MapInPandas. All three models fit inside the same Arrow batch visit over identical folds; promotion compares the rounded RMSEs both engines share.",
-    "q_psi_drift": "ALL features unpivoted (stack) into (feature, x) rows, so the whole audit is exactly TWO shared map-side-combinable passes over the union of both windows - one F-row min/max pass and one <=F*(B+2)-row bin-count pass - regardless of feature count (r8 planned ~8 scans per feature; r9 executes 4 parquet scans total = 2 windows x 2 passes, the floor for exact equi-width binning). Window totals and KS cumsums are window sums over the tiny densified bin frame, never a re-aggregation of the un-persisted subtree. PSI terms are 1e-6 fixed-point quantized ln; the KS path is exact-integer CDF numerators.",
+    "q_psi_drift": "ALL features unpivoted (stack) into (feature, x) rows AND the window indicator riding the scan as a computed column (psi_report_split, r11: ref/cur are complementary slices of one table, so w = CASE WHEN pred THEN 0 ELSE 1 replaces the two-branch union) - the whole audit is exactly TWO map-side-combinable passes over ONE lineitem scan each (r8 planned ~8 scans per feature; r9 executed 4 = 2 windows x 2 passes; r11 executes 2, the floor for exact equi-width binning). Window totals and KS cumsums are window sums over the tiny densified bin frame, never a re-aggregation of the un-persisted subtree. PSI terms are 1e-6 fixed-point quantized ln; the KS path is exact-integer CDF numerators.",
     "q_index_drift": "Drift observability over the two-epoch materialized index: reads ONLY the assignments + seed_stats tiers - two tiny groupBy(bucket) hash aggregates (map-side combinable) joined and crossed with a broadcast 1-row totals frame; pure integer ppm arithmetic. The two-epoch index build (train on first half, ingest second half frozen) is digest-memoized OUTSIDE the plan, same convention as the other materialized indexes; the steady-state plan is what a warehouse drift monitor runs per maintenance tick. At 100 TB the scan is bytes per million vectors - vectors and codes never load.",
     "q_adaptive_salted_join": "Probe (TakeOrderedAndProject top-10 key counts + one scalar count) -> ppm threshold -> selective salt: only hot keys fan the build side out x8, cold keys ride salt 0, so the build-side blow-up is O(hot keys), not O(dim rows). Exchange keyed on (user_id, __salt) under a forced shuffle (plan-asserted in tests); result is hash-identical to the plain join (oracle) - the salt never changes semantics, only placement.",
     "q_feature_matrix": "ONE Window operator evaluates ALL five frames (two calendar lags, trailing-28d sum+count, unbounded history count) over ONE Exchange+Sort on the group keys - the same REPARTITION_BY_COL the grouped-map trainer reuses, so feature prep adds zero shuffles to the training pipeline. RANGE frames end at -1 (yesterday): point-in-time correctness is in the frame spec, not in a join.",
@@ -71,7 +71,7 @@ NOTES = {
     "q_drift_log": "The streaming drift monitor's parquet log read back: steady-state plan is a partition-pruned scan of a few-rows-per-trigger log (batch_id= partitions) + one sort. The log itself was appended by run_drift_monitor over a two-epoch file stream - checkpointed, exactly-once via dynamic partition overwrite (a replay drain is pinned byte-identical during the fixture build) - and the oracle re-derives every row from per-epoch batch PSI SQL, so the monitoring path is hash-checked end-to-end, not only pytest-checked.",
     "q_group_skew": "Trainer-keyed group-size audit: one groupBy(keys).count (rides the series' partitioning), reduced to a DISTINCT-size histogram (bounded by the max group size, never the group count) before any single-partition window - the exact p50/p99 order statistics and the integer-ppm largest-group share never move data-scale rows. This is the observability for the one bound salting cannot move: a whole-group kernel's slowest task IS the largest group.",
     "q_index_retrain": "q_index_drift's closure: same assignments+seed_stats-only scan shape, but over the index AFTER the real maintenance tick (maybe_retrain crossed the demo threshold, retrain_index rebuilt quantizers from the full corpus and swapped all five tiers through the crash-healing journal, digest-memoized OUTSIDE the plan). Post-retrain seed_stats IS the live distribution, so the oracle pins drift_ppm = 0 per bucket AND the exact retrained assignment derivation - a stale tier or mixed swap fails the hash.",
-    "q_retrain_decision": "The capstone composition: the unpivoted single-pass PSI audit and the three-family bake-off run as two sub-pipelines reduced to ONE decision row; thresholds compare the exact integer PSI numerator (sum of term_fp longs) and an integer flip ppm - no re-quantized doubles anywhere in the gate.",
+    "q_retrain_decision": "The capstone composition: the split-indicator PSI audit (2 lineitem scans, r11) and the three-family bake-off (1 scan) reduced to ONE decision row - 3 scans total, under the default audit bar with the r10 ALLOW entry retired; thresholds compare the exact integer PSI numerator (sum of term_fp longs) and an integer flip ppm - no re-quantized doubles anywhere in the gate.",
     "q_stream_late_data": "Steady state: a scan of the few-rows-per-window log + one sort. The log was appended by the REAL watermarked streaming rollup (append mode, checkpointed) over three deterministic epochs with stragglers; the oracle replays the engine's late-data policy in SQL (row survives iff its window end clears the PREVIOUS batch's watermark; the log holds exactly the windows the final watermark closed; replay drains append nothing - pinned byte-level during the build).",
     "q_stream_dedup": "Steady state: a scan of the emitted-rows log + one sort. dropDuplicatesWithinWatermark driven over one-row-per-(key,epoch) file streams; the oracle unrolls the state machine (first survivor pins expiry at its ts + delay, duplicates do NOT extend it, eviction vs the previous batch's watermark, evicted keys re-emit). Stream state is O(live keys), watermark-bounded.",
     "q_stream_sessions": "Steady state: a scan of the closed-sessions log + one sort. Native session_window aggregate in append mode over band-filtered epochs (rows >= 1 day from epoch edges, so merge-with-open-state coincides with closed-form islands - asserted at build); the oracle is per-user gaps-and-islands cut at the final watermark, so eager emission / closed-session merges / replay double-emits fail the hash. Stream state is O(open sessions), watermark-bounded.",
@@ -86,6 +86,7 @@ NOTES = {
     "q_ab_welch": "One events scan + a 1-row split anchor -> per-user partial aggregates (one user_id exchange) -> ONE wide conditional-aggregate moment row -> closed-form t/df with zero-variance withhold guards (NULL, mirrored in the oracle twin). Overflow safety is ANSI mode's native ARITHMETIC_OVERFLOW raise - the same loud failure as DuckDB; an interim assert_true guard was removed because its conservative bound rejected inputs both engines handle (code-review r10). No per-arm self-join of the un-persisted user frame (the duplicated-subtree class).",
     "q_ab_segments": "Users joined to the broadcastable customer dim once, ONE conditional-aggregate pass per segment; segments with a thin arm (n < 2) or zero pooled variance (se2 = 0) withheld by the same exact predicates the oracle filters on; the overflow assert rides the segment moment rows.",
     "q_ab_report": "The one-pass readout (VERDICT r9 #3): one events scan + 1-row split anchor -> one user_id exchange -> ONE wide moment row -> 16 (stat, metric, value) rows via explode. SRM + Welch + CUPED share the single moment pass an analyst previously paid per statistic.",
+    "q_ab_report_full": "The COMPLETE readout (VERDICT r10 #1): the per-user frame is persisted once (events scanned once at materialization + the 1-row split anchor); ONE conditional aggregation computes the moment row AND both arms' R-7 quantile arrays together (order statistics ride the moments' exchange), and per-segment Welch effects pay the one genuinely new exchange (customer dim broadcast). 16 core + 12 quantile + 6-per-segment long-form rows; every value expression identical to the per-statistic operators (pytest-pinned row-for-row).",
     "q_ab_cuped": "Same single moment pass as the t-test; CUPED evaluated in CLOSED FORM from the moments (theta = pooled cov/var), the two output rows exploded from the 1-row frame - no per-user adjusted values anywhere in the plan.",
     "q_ab_quantiles": "One conditional-aggregate pass (percentile over each arm's integer cents); per-level rows exploded from the single aggregate row.",
     "q_ingest_merge": "Steady state: one scan of the date-partitioned ingest table + per-product hash aggregate. The table is the REAL run_stream_ingest output (anti-join MERGE + commit markers) over drains poisoned with intra-batch duplicates and corrupted cross-epoch re-deliveries.",

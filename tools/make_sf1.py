@@ -114,28 +114,7 @@ def ensure_sf1(spark: SparkSession, base: str = "/root/testdata/sf0.1") -> str:
         )
 
         # documents — disjoint vocabulary per replica (see module doc)
-        docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
-        suffixed = F.array_join(
-            F.transform(
-                F.split(F.col("text"), r"\s+"),
-                lambda t: F.concat(
-                    t, F.lit("_r"), F.col("__rep").cast("string")
-                ),
-            ),
-            " ",
-        )
-        text2 = F.when(F.col("__rep") == 0, F.col("text")).otherwise(suffixed)
-        (did_s,) = _id_spaces(docs, "doc_id")
-        docs_out = docs.crossJoin(reps).select(
-            _shift("doc_id", did_s),
-            text2.alias("text"),
-            "lang",
-            "source",
-            F.length(text2).cast("long").alias("n_chars"),
-        )
-        docs_out.repartition(16).write.parquet(
-            os.path.join(staging, "documents.parquet")
-        )
+        _inflate_documents(spark, base, staging, reps)
 
         # embeddings — per-replica rotation (orthogonal ⇒ within-replica
         # cosines exactly preserved); replica 0 is the original corpus,
@@ -166,26 +145,93 @@ def ensure_sf1(spark: SparkSession, base: str = "/root/testdata/sf0.1") -> str:
         )
 
         # lineitem — 10× (l_suppkey, l_returnflag) training groups
-        li = spark.read.parquet(os.path.join(base, "lineitem.parquet"))
-        ok_s, pk_s, sk_s = _id_spaces(
-            li, "l_orderkey", "l_partkey", "l_suppkey"
-        )
-        others = [
-            c
-            for c in li.columns
-            if c not in ("l_orderkey", "l_partkey", "l_suppkey")
-        ]
-        li_out = li.crossJoin(reps).select(
-            _shift("l_orderkey", ok_s),
-            _shift("l_partkey", pk_s),
-            _shift("l_suppkey", sk_s),
-            *others,
-        )
-        li_out.repartition(32).write.parquet(
-            os.path.join(staging, "lineitem.parquet")
-        )
+        _inflate_lineitem(spark, base, staging, reps)
 
     return ensure_built(root, "_SF1_COMPLETE", build)
+
+
+def _inflate_documents(spark, src_dir: str, dst_dir: str, reps) -> None:
+    """Replicate documents with a per-replica token suffix (disjoint
+    vocabulary families — see module doc).  Applying it to an ALREADY
+    inflated corpus composes cleanly: outer replica r re-suffixes every
+    token, so the 10 inner vocabularies split into 100 disjoint ones and
+    the near-dup structure stays exactly isomorphic per copy."""
+    docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
+    suffixed = F.array_join(
+        F.transform(
+            F.split(F.col("text"), r"\s+"),
+            lambda t: F.concat(t, F.lit("_r"), F.col("__rep").cast("string")),
+        ),
+        " ",
+    )
+    text2 = F.when(F.col("__rep") == 0, F.col("text")).otherwise(suffixed)
+    (did_s,) = _id_spaces(docs, "doc_id")
+    docs_out = docs.crossJoin(reps).select(
+        _shift("doc_id", did_s),
+        text2.alias("text"),
+        "lang",
+        "source",
+        F.length(text2).cast("long").alias("n_chars"),
+    )
+    docs_out.repartition(16).write.parquet(
+        os.path.join(dst_dir, "documents.parquet")
+    )
+
+
+def _inflate_lineitem(spark, src_dir: str, dst_dir: str, reps) -> None:
+    li = spark.read.parquet(os.path.join(src_dir, "lineitem.parquet"))
+    ok_s, pk_s, sk_s = _id_spaces(li, "l_orderkey", "l_partkey", "l_suppkey")
+    others = [
+        c
+        for c in li.columns
+        if c not in ("l_orderkey", "l_partkey", "l_suppkey")
+    ]
+    li_out = li.crossJoin(reps).select(
+        _shift("l_orderkey", ok_s),
+        _shift("l_partkey", pk_s),
+        _shift("l_suppkey", sk_s),
+        *others,
+    )
+    li_out.repartition(32).write.parquet(
+        os.path.join(dst_dir, "lineitem.parquet")
+    )
+
+
+def ensure_sf10(spark: SparkSession, base: str = "/root/testdata/sf0.1") -> str:
+    """THIRD self-generated decade (VERDICT r10 #2), targeted: inflate
+    the sf1 decade another 10× for ONLY the fact tables the three
+    rising-ratio queries read — lineitem (q_train_metrics /
+    q_forecast_7d, the grouped-map trainer axis: ~111 k training
+    groups) and documents (q_split_leakage's pair search, 100 disjoint
+    isomorphic corpora).  Everything else is copied verbatim from sf1
+    so the directory stays a complete, loadable sf dir.  ~1.2 GB under
+    /tmp, digest-keyed like sf1."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from sales_forecast_mlops_at_scale_spark.plans.fixture_roots import (
+        digest_root,
+        ensure_built,
+    )
+
+    sf1 = ensure_sf1(spark, base)
+    root = digest_root("sfspark_sf10_testdata", [sf1], [_VERSION, REPS])
+
+    def build(staging: str) -> None:
+        os.makedirs(staging, exist_ok=True)
+        for t in COPY_TABLES + ("events", "embeddings"):
+            src = os.path.join(sf1, f"{t}.parquet")
+            dst = os.path.join(staging, f"{t}.parquet")
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy(src, dst)
+        reps = _reps(spark)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _inflate_documents(spark, sf1, staging, reps)
+        _inflate_lineitem(spark, sf1, staging, reps)
+
+    return ensure_built(root, "_SF10_COMPLETE", build)
 
 
 if __name__ == "__main__":
