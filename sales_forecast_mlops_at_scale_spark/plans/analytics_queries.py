@@ -1623,6 +1623,174 @@ ORDER BY t.user_id, t.epoch
 """
 
 
+def _stream_tws_root(sf_dir: str) -> str:
+    import os
+
+    from .fixture_roots import digest_root
+
+    return digest_root(
+        "sfspark_stream_tws_log",
+        [os.path.join(sf_dir, "events.parquet")],
+        [_STREAM_EPOCHS, _STREAM_STRAGGLER_MOD, "tws-totals-v1"],
+    )
+
+
+def _ensure_stream_tws_log(spark: SparkSession, sf_dir: str) -> str:
+    """Drive the Spark-4 ``transformWithStateInPandas`` machine
+    (``streaming.tws.streaming_running_totals`` via
+    ``streaming.ingest.run_tws_totals_stream``: typed ValueState in the
+    RocksDB store — TWS refuses any other provider) over the same
+    deterministic three-epoch straggler stream as the classic-API
+    fixtures.  Values are integer cents (bigint), so the running sums
+    are exact and engine-order-independent.  Build guards: every epoch
+    nonempty; ≥1 key re-touched in a later epoch (the cumulative n must
+    exceed the batch-local count — state survival across triggers is
+    non-vacuous); replay drain a byte-level no-op (update-mode
+    exactly-once via the foreachBatch commit manifest)."""
+    import os
+    import shutil
+
+    from ..streaming.ingest import run_tws_totals_stream
+    from ..streaming.tws import ROCKSDB_PROVIDER, tws_available
+    from .fixture_roots import ensure_built
+
+    def build(staging: str) -> None:
+        if not tws_available():
+            raise RuntimeError(
+                "q_stream_tws needs the protobuf runtime (TWS python "
+                "protocol); protobuf_compat found none on this host"
+            )
+        ev = _events(spark, sf_dir)
+        d0, dmax = ev.agg(
+            F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+        ).first()
+        nd = (dmax - d0).days + 1
+        base = F.expr(
+            f"({_STREAM_EPOCHS} * datediff(to_date(ts), DATE '{d0}')) div {nd}"
+        )
+        epoch = F.least(
+            F.lit(_STREAM_EPOCHS - 1),
+            base
+            + (F.col("event_id") % _STREAM_STRAGGLER_MOD == 0).cast("int"),
+        ).cast("bigint")
+        rows = ev.select(
+            "user_id",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("value"),
+            epoch.alias("epoch"),
+        )
+        src = os.path.join(staging, "src")
+        os.makedirs(src)
+        out = os.path.join(staging, "log")
+        ckpt = os.path.join(staging, "ckpt")
+        schema = rows.schema
+
+        def drain() -> None:
+            run_tws_totals_stream(
+                _stream_source(spark, schema, src),
+                out_path=out,
+                checkpoint_path=ckpt,
+                key_col="user_id",
+                tag_col="epoch",
+            )
+
+        prov_key = "spark.sql.streaming.stateStore.providerClass"
+        prov_old = spark.conf.get(prov_key, None)
+        spark.conf.set(prov_key, ROCKSDB_PROVIDER)
+        try:
+            for e in range(_STREAM_EPOCHS):
+                sliced = rows.where(F.col("epoch") == e)
+                _epoch_part_file(
+                    sliced, staging, src, f"epoch{e}", f"tws epoch {e}"
+                )
+                drain()
+            # non-vacuity: at least one key touched by a LATER epoch too,
+            # so its second emission proves the (n, total) state survived
+            # the trigger boundary rather than restarting at zero
+            from pyspark.sql import Window as W
+
+            per = rows.groupBy("user_id", "epoch").count()
+            prev = F.sum("count").over(
+                W.partitionBy("user_id")
+                .orderBy("epoch")
+                .rowsBetween(W.unboundedPreceding, -1)
+            )
+            n_carry = (
+                per.withColumn("prev", prev)
+                .where(F.col("prev").isNotNull())
+                .count()
+            )
+            if n_carry == 0:
+                raise RuntimeError("tws fixture vacuous: no re-touched key")
+
+            _assert_replay_noop(out, drain, "tws")
+        finally:
+            if prov_old is None:
+                spark.conf.unset(prov_key)
+            else:
+                spark.conf.set(prov_key, prov_old)
+        shutil.rmtree(os.path.join(out, "_commits"), ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    return ensure_built(_stream_tws_root(sf_dir), "_LOG_COMPLETE", build)
+
+
+def q_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ELEVENTH stateful-streaming differential — and the first on
+    the Spark-4 ``transformWithStateInPandas`` API (ST5's modern form;
+    de-gated r11 by ``protobuf_compat``): the upsert log of the real
+    checkpointed update-mode TWS stream maintaining per-user running
+    (count, cents-sum) totals across three epoch files in RocksDB
+    ValueState.  The oracle replays the machine in SQL: every (user,
+    epoch-touched) pair logs the cumulative count/sum over ALL of the
+    user's rows in epochs ≤ that epoch — state lost between triggers,
+    a batch-local restart, or a replay double-append all fail the hash.
+    The reader reduces to the final row per (user, epoch) by max-``n``,
+    which makes the result invariant to how a drain's input was split
+    into micro-batches (pinned in tests/test_streaming.py).
+    Steady-state plan: a scan of the tiny log + one sort; stream state
+    is one (n, total) pair per key."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    root = _ensure_stream_tws_log(spark, sf_dir)
+    log = spark.read.parquet(os.path.join(root, "log"))
+    rk = F.row_number().over(
+        W.partitionBy("user_id", "epoch").orderBy(F.col("n").desc())
+    )
+    return (
+        log.withColumn("__rk", rk)
+        .where(F.col("__rk") == 1)
+        .select("user_id", "epoch", "n", "total")
+        .orderBy("user_id", "epoch")
+    )
+
+
+_STREAM_TWS_SQL = f"""
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS d0,
+         date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1
+           AS nd
+  FROM events),
+tagged AS (
+  SELECT e.user_id,
+         CAST(round(e.value * 100, 0) AS BIGINT) AS cents,
+         least({_STREAM_EPOCHS - 1},
+               ({_STREAM_EPOCHS} * date_diff('day', b.d0, CAST(e.ts AS DATE)))
+                 // b.nd
+               + CASE WHEN e.event_id % {_STREAM_STRAGGLER_MOD} = 0
+                      THEN 1 ELSE 0 END) AS epoch
+  FROM events e, bounds b),
+touched AS (SELECT DISTINCT user_id, epoch FROM tagged)
+SELECT t.user_id, t.epoch, count(*) AS n,
+       CAST(sum(g.cents) AS DOUBLE) AS total
+FROM touched t
+JOIN tagged g ON g.user_id = t.user_id AND g.epoch <= t.epoch
+GROUP BY t.user_id, t.epoch
+ORDER BY t.user_id, t.epoch
+"""
+
+
 #: coarse-window size (days) for the chained-stateful stream fixture
 _CHAIN_PERIOD_DAYS = 3
 
@@ -4527,6 +4695,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_stream_sessions": QueryDef(q_stream_sessions, _STREAM_SESSION_SQL),
     "q_stream_attribution": QueryDef(q_stream_attribution, _STREAM_ATTR_SQL),
     "q_stream_latest": QueryDef(q_stream_latest, _STREAM_LATEST_SQL),
+    "q_stream_tws": QueryDef(q_stream_tws, _STREAM_TWS_SQL),
     "q_stream_ttl": QueryDef(q_stream_ttl, _STREAM_TTL_SQL),
     "q_stream_outer_attr": QueryDef(q_stream_outer_attr, _STREAM_OUTER_ATTR_SQL),
     "q_stream_chained": QueryDef(q_stream_chained, _STREAM_CHAIN_SQL),

@@ -1,0 +1,97 @@
+"""Opportunistic ``google.protobuf`` runtime discovery.
+
+Spark 4's ``transformWithStateInPandas`` Python workers speak a
+protobuf protocol to the JVM state server (the generated gencode ships
+with pyspark at ``pyspark/sql/streaming/proto/StateMessage_pb2.py``),
+but the protobuf RUNTIME package is a separate install that this
+container's site-packages lacks and pip cannot add.
+
+What the container DOES ship is the public Google Cloud SDK, whose App
+Engine platform bundle carries a complete pure-Python protobuf runtime
+(``google/protobuf`` under ``platform/google_appengine``).  That
+runtime (6.32.0-dev here) is one minor version older than pyspark's
+gencode (6.33.0), which protobuf's gencode-vs-runtime validator
+rejects by default; protobuf provides the documented escape hatch
+``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK=true`` for exactly this
+skew (``google/protobuf/runtime_version.py``), and one minor version
+of drift on these stable state messages is wire-compatible.
+
+:func:`ensure_protobuf_runtime` is called by ``session.get_spark``
+BEFORE the JVM launches, because the fix must land in ``os.environ``
+(not just ``sys.path``): local-mode Python workers are forked by the
+JVM with the environment the JVM inherited from this process, so both
+``PYTHONPATH`` and the version-check override propagate to the worker
+that actually imports the gencode.  When ``google.protobuf`` is
+already importable (a normally-provisioned cluster) this is a no-op
+import probe and nothing is mutated.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+#: Known public locations of a bundled pure-Python protobuf runtime.
+#: Only consulted when ``import google.protobuf`` fails outright.
+_CANDIDATE_DIRS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+_VERSION_FLAG = "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK"
+
+_resolved: bool | None = None
+_shim_dir: str | None = None
+
+
+def shim_dir_used() -> str | None:
+    """The bundle directory the shim wired in, or None when protobuf
+    was natively importable (or absent).  Callers use this to check a
+    PRE-EXISTING JVM actually inherited the shim env — a SparkSession
+    launched before :func:`ensure_protobuf_runtime` ran forks workers
+    without it, and those workers crash at gencode import."""
+    ensure_protobuf_runtime()
+    return _shim_dir
+
+
+def ensure_protobuf_runtime() -> bool:
+    """Make ``google.protobuf`` importable in this process AND in the
+    Python workers a subsequently-launched SparkSession will fork.
+
+    Returns True when a runtime is available (native install or a
+    discovered bundle), False when none exists — callers gate
+    TWS-dependent features on this, exactly as they previously gated on
+    a bare import probe.  Idempotent and cached."""
+    global _resolved, _shim_dir
+    if _resolved is not None:
+        return _resolved
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        _resolved = True
+        return True
+    except ImportError:
+        pass
+    for cand in _CANDIDATE_DIRS:
+        if not os.path.isfile(
+            os.path.join(cand, "google", "protobuf", "descriptor.py")
+        ):
+            continue
+        # Env first: the validator reads it at gencode import time, and
+        # forked workers see only what the JVM inherited from us.
+        os.environ.setdefault(_VERSION_FLAG, "true")
+        os.environ["PYTHONPATH"] = (
+            cand + os.pathsep + os.environ.get("PYTHONPATH", "")
+        )
+        if cand not in sys.path:
+            sys.path.insert(0, cand)
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+
+            _resolved = True
+            _shim_dir = cand
+            return True
+        except Exception:  # noqa: BLE001 — a broken bundle must not wedge startup
+            sys.path.remove(cand)
+            continue
+    _resolved = False
+    return False

@@ -62,6 +62,14 @@ def get_spark(
     ``shuffle_partitions`` defaults to the local core count; on a real
     cluster set it ≈ 2-3× total executor cores (AQE coalesces the excess).
     """
+    # Before the JVM launches: forked Python workers inherit the JVM's
+    # env, so a discovered protobuf runtime (TWS state protocol) must
+    # land in os.environ now or never.  No-op when protobuf is a normal
+    # install or absent entirely (see protobuf_compat).
+    from .protobuf_compat import ensure_protobuf_runtime
+
+    ensure_protobuf_runtime()
+
     master = master or os.environ.get("SPARK_MASTER", f"local[{DEFAULT_PARALLELISM}]")
     builder = (
         SparkSession.builder.appName(app_name)

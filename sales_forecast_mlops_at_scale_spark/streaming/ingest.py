@@ -820,6 +820,61 @@ def run_latest_stream(
     query.awaitTermination()
 
 
+def run_tws_totals_stream(
+    source: DataFrame,
+    *,
+    out_path: str,
+    checkpoint_path: str,
+    key_col: str = "user_id",
+    tag_col: str = "epoch",
+    available_now: bool = True,
+) -> None:
+    """:func:`..streaming.tws.streaming_running_totals` as a SERVICE:
+    the Spark-4 ``transformWithStateInPandas`` machine (typed ValueState
+    in the RocksDB state store — the modern arbitrary-stateful API)
+    drained in UPDATE mode through an exactly-once ``foreachBatch``
+    upsert into a parquet log, mirroring :func:`run_latest_stream` for
+    the classic API.
+
+    The natural key is ``(key, tag, n)`` — tag is the bigint epoch
+    carried IN the source rows (constant per micro-batch), and the
+    running count ``n`` is strictly increasing per key across batches,
+    so sub-batch emissions under a split drain coexist in the log while
+    a REPLAYED batch re-derives byte-identical rows that the anti-join
+    (plus the commit marker) drops.  Readers reduce to the final row
+    per (key, tag) by max-``n`` — which makes the log's reduced form
+    invariant to how a drain's input was split into micro-batches (the
+    ``q_stream_tws`` batch-split pin).
+
+    The caller must have set the RocksDB state store provider; TWS
+    refuses the default HDFS-backed provider by design.
+
+    Scale: state is one (n, total) pair per key in RocksDB; each batch
+    shuffles only its own rows; the log gains at most |keys touched|
+    rows per trigger."""
+    from .tws import streaming_running_totals
+
+    totals = streaming_running_totals(source, key_col=key_col, tag_col=tag_col)
+    app_id = hashlib.md5(checkpoint_path.encode()).hexdigest()[:12]
+    writer = (
+        totals.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(
+            lambda batch_df, bid: idempotent_append_batch(
+                batch_df,
+                out_path,
+                [key_col, tag_col, "n"],
+                batch_id=bid,
+                app_id=app_id,
+            )
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    query.awaitTermination()
+
+
 def interval_attribution_join(
     left: DataFrame,
     right: DataFrame,

@@ -3051,6 +3051,11 @@ _ROCKS_PARITY_QUERIES = (
     "q_stream_latest",
     "q_stream_enrich",
     "q_ingest_merge",
+    # the TWS machine builds under RocksDB unconditionally (the API
+    # refuses other providers), so for it this parametrization pins
+    # REBUILD DETERMINISM against the committed fixture rather than
+    # cross-provider parity
+    "q_stream_tws",
 )
 
 
@@ -3111,9 +3116,19 @@ def test_stream_differential_rocksdb_parity(spark, tmp_path, monkeypatch, qname)
     assert rocks == base
 
 
-@pytest.mark.parametrize("qname", ["q_stream_dedup", "q_stream_chained"])
+@pytest.mark.parametrize(
+    "qname,split_col",
+    [
+        ("q_stream_dedup", "ts"),
+        ("q_stream_chained", "ts"),
+        # the TWS machine has no event-time axis at all (pure running
+        # totals), so its split orders by key — invariance here rests on
+        # the max-n reduction in q_stream_tws, not on time ordering
+        ("q_stream_tws", "user_id"),
+    ],
+)
 def test_stream_differential_batch_split_invariant(
-    spark, tmp_path, monkeypatch, qname
+    spark, tmp_path, monkeypatch, qname, split_col
 ):
     """Multi-micro-batch drain equivalence (VERDICT r9 #5): rebuild the
     dedup and chained stream fixtures with every epoch delivered as TWO
@@ -3162,7 +3177,7 @@ def test_stream_differential_batch_split_invariant(
         )
 
     monkeypatch.setattr(fr, "digest_root", redirected)
-    monkeypatch.setattr(aq, "_EPOCH_SPLIT", ("ts", 2))
+    monkeypatch.setattr(aq, "_EPOCH_SPLIT", (split_col, 2))
     monkeypatch.setattr(
         aq, "_STREAM_READER_OPTIONS", {"maxFilesPerTrigger": "1"}
     )
@@ -3171,11 +3186,17 @@ def test_stream_differential_batch_split_invariant(
 
 
 @pytest.mark.parametrize(
-    "qname,expect_equal",
-    [("q_stream_chained", True), ("q_stream_dedup", False)],
+    "qname,expect_equal,split_col",
+    [
+        ("q_stream_chained", True, "ts"),
+        ("q_stream_dedup", False, "ts"),
+        # TWS running totals have no watermark, so extra no-data batches
+        # per drain are inert — drain granularity CANNOT diverge
+        ("q_stream_tws", True, "user_id"),
+    ],
 )
 def test_stream_drain_granularity(
-    spark, tmp_path, monkeypatch, qname, expect_equal
+    spark, tmp_path, monkeypatch, qname, expect_equal, split_col
 ):
     """Pin the PROBED drain-granularity semantics: delivering the same
     six time-ordered files as six SEPARATE availableNow drains (one
@@ -3216,7 +3237,7 @@ def test_stream_drain_granularity(
         )
 
     monkeypatch.setattr(fr, "digest_root", redirected)
-    monkeypatch.setattr(aq, "_EPOCH_SPLIT", ("ts", 2))
+    monkeypatch.setattr(aq, "_EPOCH_SPLIT", (split_col, 2))
     monkeypatch.setattr(aq, "_DRAIN_PER_FILE", True)
     per_file = canon(reg[qname].fn(spark, sf_dir))
     assert (per_file == base) is expect_equal
