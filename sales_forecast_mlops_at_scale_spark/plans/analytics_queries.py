@@ -2352,6 +2352,167 @@ ORDER BY user_id, first_ts
 """
 
 
+def _stream_tws_ttl_root(sf_dir: str) -> str:
+    import os
+
+    from .fixture_roots import digest_root
+
+    return digest_root(
+        "sfspark_stream_tws_ttl_log",
+        [os.path.join(sf_dir, "events.parquet")],
+        [
+            _STREAM_EPOCHS,
+            _STREAM_STRAGGLER_MOD,
+            _TTL_DAYS,
+            _TTL_WM_DAYS,
+            "tws-ttl-v1",
+        ],
+    )
+
+
+def _ensure_stream_tws_ttl_log(spark: SparkSession, sf_dir: str) -> str:
+    """Drive the MODERN-API TTL machine
+    (``streaming.tws.streaming_ttl_rollup_tws``: TWS EventTime timers +
+    typed RocksDB ValueState via ``streaming.ingest.run_tws_ttl_stream``)
+    over the IDENTICAL sparsified three-epoch source as the classic
+    fixture (``_ensure_stream_ttl_log``), then REFUSE to complete unless
+    the twin log matches the classic machine's committed log
+    row-for-row — the cross-API differential: two independent stateful
+    runtimes (GroupState + setTimeoutTimestamp vs ValueState +
+    registerTimer/deleteTimer) must realize the same probed
+    late-filter / fold / timer-vs-updated-watermark semantics on the
+    same stream.  The classic log's own build already enforces the
+    non-vacuity battery (fold across epochs, reopen after close,
+    genuine late drop, withheld-open segment, 2 ms tie margins), so
+    equality inherits it.  Replay drain must be a byte-level no-op."""
+    import os
+    import shutil
+
+    from ..streaming.ingest import run_tws_ttl_stream
+    from ..streaming.tws import ROCKSDB_PROVIDER, tws_available
+    from .fixture_roots import ensure_built
+
+    def build(staging: str) -> None:
+        if not tws_available():
+            raise RuntimeError(
+                "q_stream_tws_ttl needs the protobuf runtime (TWS python "
+                "protocol); protobuf_compat found none on this host"
+            )
+        classic_root = _ensure_stream_ttl_log(spark, sf_dir)
+        ev = _events(spark, sf_dir)
+        d0, dmax = ev.agg(
+            F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+        ).first()
+        nd = (dmax - d0).days + 1
+        base = f"(({_STREAM_EPOCHS} * datediff(to_date(ts), DATE '{d0}')) div {nd})"
+        rows = (
+            ev.where(F.expr(_ttl_allowed_epochs_sql("user_id", base)))
+            .select(
+                "user_id",
+                F.col("ts").cast("timestamp").alias("ts"),
+                "value",
+                F.least(
+                    F.lit(_STREAM_EPOCHS - 1),
+                    F.expr(base)
+                    + (F.col("event_id") % _STREAM_STRAGGLER_MOD == 0).cast(
+                        "int"
+                    ),
+                ).alias("__epoch"),
+            )
+        )
+        src = os.path.join(staging, "src")
+        os.makedirs(src)
+        out = os.path.join(staging, "log")
+        ckpt = os.path.join(staging, "ckpt")
+        schema = rows.drop("__epoch").schema
+
+        def drain() -> None:
+            run_tws_ttl_stream(
+                _stream_source(spark, schema, src),
+                out_path=out,
+                checkpoint_path=ckpt,
+                keys=["user_id"],
+                ttl=f"{_TTL_DAYS} days",
+                watermark=f"{_TTL_WM_DAYS} days",
+            )
+
+        prov_key = "spark.sql.streaming.stateStore.providerClass"
+        prov_old = spark.conf.get(prov_key, None)
+        spark.conf.set(prov_key, ROCKSDB_PROVIDER)
+        try:
+            _drive_epochs(
+                spark,
+                lambda e: rows.where(F.col("__epoch") == e).drop("__epoch"),
+                staging,
+                src,
+                drain,
+                "tws-ttl",
+            )
+
+            # cross-API guard: twin row-set == classic row-set (exact on
+            # n/timestamps; sums rounded at 4dp, the registry projection)
+            def canon(path: str) -> list:
+                df = spark.read.parquet(path).select(
+                    "user_id",
+                    "n_events",
+                    F.round("sum_value", 4).alias("sum_value"),
+                    "first_ts",
+                    "last_ts",
+                )
+                return sorted(
+                    tuple(str(v) for v in r) for r in df.collect()
+                )
+
+            twin = canon(out)
+            classic = canon(os.path.join(classic_root, "log"))
+            if twin != classic:
+                raise RuntimeError(
+                    "TWS ttl log diverged from the classic machine: "
+                    f"twin={len(twin)} rows classic={len(classic)} rows; "
+                    f"first twin-only={next(iter(set(map(tuple, twin)) - set(map(tuple, classic))), None)} "
+                    f"first classic-only={next(iter(set(map(tuple, classic)) - set(map(tuple, twin))), None)}"
+                )
+
+            _assert_replay_noop(out, drain, "tws-ttl")
+        finally:
+            if prov_old is None:
+                spark.conf.unset(prov_key)
+            else:
+                spark.conf.set(prov_key, prov_old)
+        shutil.rmtree(os.path.join(out, "_spark_metadata"), ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    return ensure_built(_stream_tws_ttl_root(sf_dir), "_LOG_COMPLETE", build)
+
+
+def q_stream_tws_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TWELFTH stateful differential: the TTL activity-segment
+    machine re-realized on Spark 4's ``transformWithStateInPandas``
+    (EventTime TIMERS + typed RocksDB ValueState — ``registerTimer`` /
+    ``deleteTimer`` / ``handleExpiredTimer``, the full modern arbitrary-
+    stateful surface beyond ``q_stream_tws``'s timerless totals).  The
+    probed rules match the classic API exactly (late filter against the
+    previous drain's watermark, timers fire in the drain's extra batch
+    against the UPDATED watermark, fold-then-close in one drain), so
+    this row shares ``q_stream_ttl``'s DuckDB oracle VERBATIM, and the
+    fixture build additionally pins the two machines' logs row-for-row
+    — a cross-API differential on top of the cross-engine one.
+    Steady-state plan: a scan of the tiny closed-segment log + one
+    sort; stream state is one 4-field struct per live key, bounded by
+    the ttl horizon."""
+    import os
+
+    root = _ensure_stream_tws_ttl_log(spark, sf_dir)
+    log = spark.read.parquet(os.path.join(root, "log"))
+    return log.select(
+        "user_id",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+        "first_ts",
+        "last_ts",
+    ).orderBy("user_id", "first_ts")
+
+
 # -- stream-static join enrichment ----------------------------------------------
 
 
@@ -4696,6 +4857,9 @@ QUERIES: dict[str, QueryDef] = {
     "q_stream_attribution": QueryDef(q_stream_attribution, _STREAM_ATTR_SQL),
     "q_stream_latest": QueryDef(q_stream_latest, _STREAM_LATEST_SQL),
     "q_stream_tws": QueryDef(q_stream_tws, _STREAM_TWS_SQL),
+    # the modern-API TTL twin shares the classic machine's oracle
+    # VERBATIM — identical probed semantics, independent runtime
+    "q_stream_tws_ttl": QueryDef(q_stream_tws_ttl, _STREAM_TTL_SQL),
     "q_stream_ttl": QueryDef(q_stream_ttl, _STREAM_TTL_SQL),
     "q_stream_outer_attr": QueryDef(q_stream_outer_attr, _STREAM_OUTER_ATTR_SQL),
     "q_stream_chained": QueryDef(q_stream_chained, _STREAM_CHAIN_SQL),

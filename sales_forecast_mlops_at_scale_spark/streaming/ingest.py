@@ -875,6 +875,45 @@ def run_tws_totals_stream(
     query.awaitTermination()
 
 
+def run_tws_ttl_stream(
+    source: DataFrame,
+    *,
+    out_path: str,
+    checkpoint_path: str,
+    keys: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    ttl: str = "4 days",
+    watermark: str = "2 days",
+    available_now: bool = True,
+) -> None:
+    """:func:`..streaming.tws.streaming_ttl_rollup_tws` as a SERVICE:
+    the modern-API (TWS EventTime timers + typed ValueState) twin of
+    :func:`run_ttl_rollup_stream`, drained in append mode to a parquet
+    log — only CLOSED segments reach the sink, so the native file sink
+    composes and a replay drain appends nothing.  The caller must have
+    set the RocksDB state store provider (TWS requirement).  Semantics
+    pinned by the ``q_stream_tws_ttl`` oracle (shared verbatim with
+    ``q_stream_ttl``) plus a row-for-row cross-API equality guard in
+    the fixture build."""
+    from .tws import streaming_ttl_rollup_tws
+
+    rolled = streaming_ttl_rollup_tws(
+        source,
+        keys=list(keys),
+        ts_col=ts_col,
+        value_col=value_col,
+        ttl=ttl,
+        watermark=watermark,
+    )
+    _drain_append_parquet(
+        rolled,
+        out_path=out_path,
+        checkpoint_path=checkpoint_path,
+        available_now=available_now,
+    )
+
+
 def interval_attribution_join(
     left: DataFrame,
     right: DataFrame,

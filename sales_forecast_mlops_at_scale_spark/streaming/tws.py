@@ -178,3 +178,142 @@ def streaming_running_totals(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def make_ttl_segments_processor(
+    keys: Sequence[str], *, ttl_ms: int, ts_col: str, value_col: str
+):
+    """Build the StatefulProcessor class + output schema for per-key
+    TTL activity segments — the TWS twin of
+    :func:`..streaming.stateful.streaming_ttl_rollup` (classic
+    ``applyInPandasWithState`` + EventTimeTimeout).
+
+    Mechanics under the modern API: one typed ValueState holds the open
+    segment (n, sum, first_us, last_us); every data batch folds its
+    rows, DELETES the previous event-time timer (``registerTimer`` adds
+    — it does not replace like ``setTimeoutTimestamp``) and registers a
+    fresh one at ``last_ts + ttl``; ``handleExpiredTimer`` emits the
+    closed segment and clears the state.  Probed r11 (same harness as
+    the classic probes): input rows below the PREVIOUS drain's
+    watermark are dropped before the processor runs, data batches see
+    the previous watermark, and expired timers fire in the drain's
+    extra no-data batch against the UPDATED watermark — including a
+    fold-then-close within one drain.  Identical rules to the classic
+    machine, so ``q_stream_tws_ttl`` shares ``q_stream_ttl``'s oracle
+    verbatim and the fixture build pins the two logs row-for-row.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+    from pyspark.sql.types import TimestampType
+
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", DoubleType()),
+            StructField("first_us", LongType()),
+            StructField("last_us", LongType()),
+        ]
+    )
+    out_schema = StructType(
+        [StructField(k, LongType()) for k in keys]
+        + [
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+            StructField("first_ts", TimestampType()),
+            StructField("last_ts", TimestampType()),
+        ]
+    )
+
+    class TtlSegments(StatefulProcessor):
+        """Activity segments closing on watermark-observed inactivity;
+        Append-mode output: data batches emit nothing, only closures
+        reach the sink."""
+
+        def init(self, handle: "StatefulProcessorHandle") -> None:
+            self._handle = handle
+            self._seg = handle.getValueState("seg", state_schema)
+
+        def handleInputRows(
+            self,
+            key: tuple,
+            rows: Iterator[pd.DataFrame],
+            timerValues: "TimerValues",
+        ) -> Iterator[pd.DataFrame]:
+            if self._seg.exists():
+                n, s, first_us, last_us = self._seg.get()
+                # replace-semantics by hand: drop the stale timer before
+                # arming the new one (the classic API's setTimeoutTimestamp
+                # did this implicitly)
+                self._handle.deleteTimer(last_us // 1000 + ttl_ms)
+            else:
+                n, s, first_us, last_us = 0, 0.0, None, None
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                ts_us = pd.to_datetime(pdf[ts_col]).astype("int64") // 1000
+                n += int(len(pdf))
+                s += float(pdf[value_col].sum())
+                lo, hi = int(ts_us.min()), int(ts_us.max())
+                first_us = lo if first_us is None else min(first_us, lo)
+                last_us = hi if last_us is None else max(last_us, hi)
+            if first_us is None:
+                return iter(())  # nothing survived the engine's late filter
+            self._seg.update((int(n), float(s), int(first_us), int(last_us)))
+            # ms-granular timer, floored exactly like the classic machine
+            self._handle.registerTimer(last_us // 1000 + ttl_ms)
+            return iter(())  # append mode: data batches emit nothing
+
+        def handleExpiredTimer(
+            self,
+            key: tuple,
+            timerValues: "TimerValues",
+            expiredTimerInfo,
+        ) -> Iterator[pd.DataFrame]:
+            n, s, first_us, last_us = self._seg.get()
+            self._seg.clear()
+            yield pd.DataFrame(
+                [
+                    (
+                        *key,
+                        int(n),
+                        float(s),
+                        pd.Timestamp(int(first_us), unit="us"),
+                        pd.Timestamp(int(last_us), unit="us"),
+                    )
+                ],
+                columns=[*keys, "n_events", "sum_value", "first_ts", "last_ts"],
+            )
+
+        def close(self) -> None:
+            pass
+
+    return TtlSegments, out_schema
+
+
+def streaming_ttl_rollup_tws(
+    events: DataFrame,
+    *,
+    keys: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    value_col: str = "value",
+    ttl: str = "4 days",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Per-key TTL activity segments via ``transformWithStateInPandas``
+    in EventTime mode — semantics identical to the classic
+    :func:`..streaming.stateful.streaming_ttl_rollup` (see the
+    processor docstring for the probed rules).  Append output: only
+    closed segments are emitted, so the native file sink composes.
+
+    The session must use the RocksDB state store provider."""
+    from .stateful import interval_ms
+
+    processor_cls, out_schema = make_ttl_segments_processor(
+        list(keys), ttl_ms=interval_ms(ttl), ts_col=ts_col, value_col=value_col
+    )
+    src = events.withWatermark(ts_col, watermark)
+    return src.groupBy(*keys).transformWithStateInPandas(
+        processor_cls(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

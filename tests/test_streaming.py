@@ -514,6 +514,37 @@ def test_tws_running_totals(spark, tmp_path):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
 
 
+def test_tws_ttl_matches_classic_machine(spark):
+    """Cross-API differential, surfaced as a pytest pin: the modern-API
+    TTL machine (TWS EventTime timers + ValueState, ``q_stream_tws_ttl``)
+    and the classic one (applyInPandasWithState + EventTimeTimeout,
+    ``q_stream_ttl``) must produce row-identical logs over the identical
+    sparsified three-epoch stream — two independent stateful runtimes
+    realizing the same probed late-filter / fold / timer semantics.
+    The fixture build enforces this too (a diverging twin refuses to
+    build); this test re-asserts it on the COMMITTED logs so a stale or
+    hand-edited fixture can't hide a divergence."""
+    from sales_forecast_mlops_at_scale_spark.plans import all_queries
+    from sales_forecast_mlops_at_scale_spark.streaming.tws import (
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("protobuf not installed; TWS python protocol unavailable")
+
+    reg = all_queries()
+    sf_dir = "/root/testdata/sf0.001"
+
+    def canon(df) -> list:
+        cols = sorted(df.columns)
+        return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+    twin = canon(reg["q_stream_tws_ttl"].fn(spark, sf_dir))
+    classic = canon(reg["q_stream_ttl"].fn(spark, sf_dir))
+    assert twin, "tws ttl log is empty"
+    assert twin == classic
+
+
 def test_stream_static_enrichment_join(spark, tmp_path):
     """Stream-static join: each micro-batch broadcast-joins the static
     dimension (no state, no watermark needed) — the standard enrichment
@@ -3051,11 +3082,12 @@ _ROCKS_PARITY_QUERIES = (
     "q_stream_latest",
     "q_stream_enrich",
     "q_ingest_merge",
-    # the TWS machine builds under RocksDB unconditionally (the API
-    # refuses other providers), so for it this parametrization pins
+    # the TWS machines build under RocksDB unconditionally (the API
+    # refuses other providers), so for them this parametrization pins
     # REBUILD DETERMINISM against the committed fixture rather than
     # cross-provider parity
     "q_stream_tws",
+    "q_stream_tws_ttl",
 )
 
 
