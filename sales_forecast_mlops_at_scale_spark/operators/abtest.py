@@ -166,6 +166,25 @@ def _moment_aggs() -> list:
     return _side("control", "c") + _side("treatment", "t")
 
 
+def _quantile_aggs(levels: tuple) -> list:
+    """The two per-arm ``percentile`` aggregates over integer cents —
+    one definition so :func:`quantile_effects` and the combined pass of
+    :func:`ab_report_full` evaluate the IDENTICAL expressions (the same
+    can-never-disagree rationale as :func:`_moment_aggs`;
+    code-review r11)."""
+    lvl_sql = ", ".join(f"{p}D" for p in levels)
+    return [
+        F.expr(
+            "percentile(CASE WHEN arm = 'control' THEN post_cents END, "
+            f"array({lvl_sql}))"
+        ).alias("qc"),
+        F.expr(
+            "percentile(CASE WHEN arm = 'treatment' THEN post_cents END, "
+            f"array({lvl_sql}))"
+        ).alias("qt"),
+    ]
+
+
 def _d(col: str) -> Column:
     return F.col(col).cast("double")
 
@@ -503,18 +522,7 @@ def ab_report_full(
 
     u = persist_slot("abtest.users", users)
 
-    lvl_sql = ", ".join(f"{p}D" for p in levels)
-    wide = u.groupBy().agg(
-        *_moment_aggs(),
-        F.expr(
-            "percentile(CASE WHEN arm = 'control' THEN post_cents END, "
-            f"array({lvl_sql}))"
-        ).alias("qc"),
-        F.expr(
-            "percentile(CASE WHEN arm = 'treatment' THEN post_cents END, "
-            f"array({lvl_sql}))"
-        ).alias("qt"),
-    )
+    wide = u.groupBy().agg(*_moment_aggs(), *_quantile_aggs(levels))
     g = _with_group_moments(wide)
 
     triples = list(_core_triples())
@@ -568,17 +576,7 @@ def quantile_effects(
     INTEGER cents interpolate with factors from p·(n−1) — the identical
     IEEE expression both engines evaluate over identical sorted
     integers."""
-    lvl_sql = ", ".join(f"{p}D" for p in levels)
-    agg = users.agg(
-        F.expr(
-            "percentile(CASE WHEN arm = 'control' THEN post_cents END, "
-            f"array({lvl_sql}))"
-        ).alias("qc"),
-        F.expr(
-            "percentile(CASE WHEN arm = 'treatment' THEN post_cents END, "
-            f"array({lvl_sql}))"
-        ).alias("qt"),
-    )
+    agg = users.agg(*_quantile_aggs(levels))
     pairs = F.array(
         *[
             F.struct(

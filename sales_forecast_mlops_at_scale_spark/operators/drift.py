@@ -176,12 +176,19 @@ def psi_report_split(
     unpivoted fact frame would be the non-scale-honest alternative at
     100 TB).  VERDICT r10 #4: this retires q_retrain_decision's 5-scan
     allowance (PSI 4 → 2 scans; same bins, same exact integer counts,
-    same hashes)."""
+    same hashes).
+
+    NULL predicate rows (``ref_pred`` evaluates NULL — nullable split
+    column) belong to NEITHER window, exactly as the two-frame path's
+    ``where(pred)`` / ``where(~pred)`` pair excludes them from both
+    branches — so the indicator is three-valued and NULLs are filtered,
+    not defaulted into the current window (code-review r11)."""
     b = int(bins)
+    w = F.when(ref_pred, 0).when(~ref_pred, 1)  # NULL pred → NULL w
     both = source.select(
         F.expr(_stack_expr(cols)),
-        F.when(ref_pred, 0).otherwise(1).alias("w"),
-    )
+        w.alias("w"),
+    ).where(F.col("w").isNotNull())
     return _psi_from_binned(
         _binned_counts_core(both, source.sparkSession, list(cols), b), b
     )

@@ -1697,12 +1697,18 @@ def _ensure_stream_tws_log(spark: SparkSession, sf_dir: str) -> str:
         prov_old = spark.conf.get(prov_key, None)
         spark.conf.set(prov_key, ROCKSDB_PROVIDER)
         try:
-            for e in range(_STREAM_EPOCHS):
-                sliced = rows.where(F.col("epoch") == e)
-                _epoch_part_file(
-                    sliced, staging, src, f"epoch{e}", f"tws epoch {e}"
-                )
-                drain()
+            # through _drive_epochs, NEVER a hand-rolled loop: the
+            # _EPOCH_SPLIT/_DRAIN_PER_FILE test hooks must reach this
+            # builder or the split-invariance pins are vacuous
+            # (code-review r11 — the exact r10 defect class again)
+            _drive_epochs(
+                spark,
+                lambda e: rows.where(F.col("epoch") == e),
+                staging,
+                src,
+                drain,
+                "tws",
+            )
             # non-vacuity: at least one key touched by a LATER epoch too,
             # so its second emission proves the (n, total) state survived
             # the trigger boundary rather than restarting at zero

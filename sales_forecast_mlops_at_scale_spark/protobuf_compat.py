@@ -16,6 +16,17 @@ rejects by default; protobuf provides the documented escape hatch
 skew (``google/protobuf/runtime_version.py``), and one minor version
 of drift on these stable state messages is wire-compatible.
 
+Isolation (code-review r11): the bundle also carries ancient
+``google.auth`` / ``google.oauth2`` / ``google.appengine`` trees —
+putting the whole bundle on ``sys.path`` would shadow any properly
+installed ``google.*`` package for this process and every forked
+worker.  So the shim exposes ONLY protobuf, through a private link
+directory (``$TMPDIR/sfspark_pb_shim/google/protobuf`` → the bundle's
+``google/protobuf``; ``google`` stays a PEP-420 namespace dir with
+nothing else in it), and mutates ``os.environ`` ONLY after the import
+probe through that directory succeeds — a broken bundle leaves the
+process exactly as it found it.
+
 :func:`ensure_protobuf_runtime` is called by ``session.get_spark``
 BEFORE the JVM launches, because the fix must land in ``os.environ``
 (not just ``sys.path``): local-mode Python workers are forked by the
@@ -30,6 +41,7 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
 
 #: Known public locations of a bundled pure-Python protobuf runtime.
 #: Only consulted when ``import google.protobuf`` fails outright.
@@ -44,13 +56,36 @@ _shim_dir: str | None = None
 
 
 def shim_dir_used() -> str | None:
-    """The bundle directory the shim wired in, or None when protobuf
-    was natively importable (or absent).  Callers use this to check a
+    """The link directory the shim wired in, or None when protobuf was
+    natively importable (or absent).  Callers use this to check a
     PRE-EXISTING JVM actually inherited the shim env — a SparkSession
     launched before :func:`ensure_protobuf_runtime` ran forks workers
     without it, and those workers crash at gencode import."""
     ensure_protobuf_runtime()
     return _shim_dir
+
+
+def _link_dir_for(bundle: str) -> str | None:
+    """Build (idempotently) the protobuf-only exposure directory for a
+    bundle; returns its path or None when it cannot be constructed."""
+    target = os.path.join(bundle, "google", "protobuf")
+    root = os.path.join(tempfile.gettempdir(), "sfspark_pb_shim")
+    link = os.path.join(root, "google", "protobuf")
+    try:
+        os.makedirs(os.path.join(root, "google"), exist_ok=True)
+        if os.path.islink(link):
+            if os.readlink(link) != target:
+                os.remove(link)
+        if not os.path.exists(link):
+            try:
+                os.symlink(target, link)
+            except FileExistsError:
+                pass  # concurrent builder won the race — fine
+        return root if os.path.isfile(
+            os.path.join(link, "descriptor.py")
+        ) else None
+    except OSError:
+        return None
 
 
 def ensure_protobuf_runtime() -> bool:
@@ -76,22 +111,27 @@ def ensure_protobuf_runtime() -> bool:
             os.path.join(cand, "google", "protobuf", "descriptor.py")
         ):
             continue
-        # Env first: the validator reads it at gencode import time, and
-        # forked workers see only what the JVM inherited from us.
-        os.environ.setdefault(_VERSION_FLAG, "true")
-        os.environ["PYTHONPATH"] = (
-            cand + os.pathsep + os.environ.get("PYTHONPATH", "")
-        )
-        if cand not in sys.path:
-            sys.path.insert(0, cand)
+        root = _link_dir_for(cand)
+        if root is None:
+            continue
+        inserted = root not in sys.path
+        if inserted:
+            sys.path.insert(0, root)
         try:
             from google.protobuf import descriptor  # noqa: F401
-
-            _resolved = True
-            _shim_dir = cand
-            return True
         except Exception:  # noqa: BLE001 — a broken bundle must not wedge startup
-            sys.path.remove(cand)
+            if inserted:
+                sys.path.remove(root)
             continue
+        # mutate the environment ONLY on success: the validator reads
+        # the flag at gencode import time, and forked workers see only
+        # what the JVM inherited from us
+        os.environ.setdefault(_VERSION_FLAG, "true")
+        os.environ["PYTHONPATH"] = (
+            root + os.pathsep + os.environ.get("PYTHONPATH", "")
+        )
+        _resolved = True
+        _shim_dir = root
+        return True
     _resolved = False
     return False

@@ -452,6 +452,20 @@ def test_psi_report_split_equals_two_frame_path(spark):
     assert got["a"].psi > 0  # a third of cur went missing → drift
     # feature b untouched → bit-identical to the null-free run
     assert got["b"].psi == {r.feature: r for r in one.collect()}["b"].psi
+    # NULL PREDICATE rows belong to NEITHER window — exactly like the
+    # two-frame where(pred)/where(~pred) pair (code-review r11: the
+    # first split draft defaulted them into the current window)
+    src_np = src.withColumn(
+        "grp", F.when(F.col("grp") == 2, None).otherwise(F.col("grp"))
+    )
+    pred_n = F.col("grp") < 1  # NULL for the former grp-2 rows
+    two_n = psi_report(
+        src_np.where(pred_n), src_np.where(~pred_n), ["a", "b"], bins=7
+    )
+    one_n = psi_report_split(src_np, pred_n, ["a", "b"], bins=7)
+    assert sorted(map(tuple, two_n.collect())) == sorted(
+        map(tuple, one_n.collect())
+    )
 
 
 def test_decayed_serving_equals_batch_on_fixture(spark):

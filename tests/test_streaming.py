@@ -3111,7 +3111,11 @@ def test_stream_differential_rocksdb_parity(spark, tmp_path, monkeypatch, qname)
     from sales_forecast_mlops_at_scale_spark.plans import all_queries
     from sales_forecast_mlops_at_scale_spark.streaming.tws import (
         ROCKSDB_PROVIDER,
+        tws_available,
     )
+
+    if qname.startswith("q_stream_tws") and not tws_available():
+        pytest.skip("protobuf not installed; TWS python protocol unavailable")
 
     reg = all_queries()
     sf_dir = "/root/testdata/sf0.001"
@@ -3186,6 +3190,12 @@ def test_stream_differential_batch_split_invariant(
     import sales_forecast_mlops_at_scale_spark.plans.analytics_queries as aq
     import sales_forecast_mlops_at_scale_spark.plans.fixture_roots as fr
     from sales_forecast_mlops_at_scale_spark.plans import all_queries
+    from sales_forecast_mlops_at_scale_spark.streaming.tws import (
+        tws_available,
+    )
+
+    if qname.startswith("q_stream_tws") and not tws_available():
+        pytest.skip("protobuf not installed; TWS python protocol unavailable")
 
     reg = all_queries()
     sf_dir = "/root/testdata/sf0.001"
@@ -3248,6 +3258,12 @@ def test_stream_drain_granularity(
     import sales_forecast_mlops_at_scale_spark.plans.analytics_queries as aq
     import sales_forecast_mlops_at_scale_spark.plans.fixture_roots as fr
     from sales_forecast_mlops_at_scale_spark.plans import all_queries
+    from sales_forecast_mlops_at_scale_spark.streaming.tws import (
+        tws_available,
+    )
+
+    if qname.startswith("q_stream_tws") and not tws_available():
+        pytest.skip("protobuf not installed; TWS python protocol unavailable")
 
     reg = all_queries()
     sf_dir = "/root/testdata/sf0.001"

@@ -90,6 +90,21 @@ def main() -> None:
     old, new = _load(args.old), _load(args.new)
     oc, oo = _calib(old, args.old)
     nc, no_ = _calib(new, args.new)
+    # the affine correction is only meaningful when BOTH records carry
+    # the probe: subtracting one side's floor and not the other's biases
+    # every ratio in the overhead-dominated regime (a 0.3 s wall with a
+    # 0.2 s floor on the new side alone reads as a phantom 3x
+    # improvement) — degrade to pure multiplicative together
+    # (code-review r11)
+    if (old.get("overhead_floor") is None) != (
+        new.get("overhead_floor") is None
+    ):
+        print(
+            "WARN one record lacks overhead_floor — zeroing BOTH floors "
+            "(pure multiplicative comparison)",
+            file=sys.stderr,
+        )
+        oo = no_ = 0.0
 
     common = sorted(set(old["queries"]) & set(new["queries"]))
     only_old = sorted(set(old["queries"]) - set(new["queries"]))

@@ -79,7 +79,9 @@ def _id_spaces(df, *cols: str) -> list[int]:
 def ensure_sf1(spark: SparkSession, base: str = "/root/testdata/sf0.1") -> str:
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     from sales_forecast_mlops_at_scale_spark.plans.fixture_roots import (
         digest_root,
         ensure_built,
@@ -208,7 +210,9 @@ def ensure_sf10(spark: SparkSession, base: str = "/root/testdata/sf0.1") -> str:
     /tmp, digest-keyed like sf1."""
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     from sales_forecast_mlops_at_scale_spark.plans.fixture_roots import (
         digest_root,
         ensure_built,
@@ -237,7 +241,9 @@ def ensure_sf10(spark: SparkSession, base: str = "/root/testdata/sf0.1") -> str:
 if __name__ == "__main__":
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     from sales_forecast_mlops_at_scale_spark.session import get_spark
 
     spark = get_spark("make-sf1")

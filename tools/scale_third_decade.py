@@ -22,10 +22,13 @@ Prints a markdown table ready for SCALING.md.  Run:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from make_sf1 import ensure_sf1, ensure_sf10  # noqa: E402
 

@@ -20,6 +20,7 @@ silently start lagging).
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import sys
@@ -38,6 +39,32 @@ def main() -> int:
     with open(path, encoding="utf-8") as fh:
         text = fh.read()
     n = len(all_queries())
+
+    # the "N/N green" sentence is a MEASURED claim — validate it against
+    # the round's committed oracle artifact instead of restamping it
+    # from the registry size (code-review r11: a tool meant to prevent
+    # stale claims must not manufacture unverified ones).  Run
+    # check_oracle BEFORE this stamp.
+    art = os.path.join(REPO_ROOT, f"ORACLE_LOCAL_r{ROUND}.json")
+    try:
+        with open(art, encoding="utf-8") as fh:
+            rec = json.load(fh)
+    except FileNotFoundError:
+        print(
+            f"MISSING {art}: run check_oracle (ORACLE_JSON_OUT={art}) "
+            "before stamping the README's green claim"
+        )
+        return 1
+    statuses = {v.get("status") for v in rec["queries"].values()}
+    if rec.get("failures") or statuses - {"ok"}:
+        print(f"{art} is not all-green ({statuses}) — fix before stamping")
+        return 1
+    if len(rec["queries"]) != n:
+        print(
+            f"{art} covers {len(rec['queries'])} queries but the live "
+            f"registry has {n} — rerun check_oracle first"
+        )
+        return 1
 
     new = text
     for fam in KNOWN:
