@@ -76,6 +76,7 @@ BENCH_QUERIES: tuple[str, ...] = (
     "q_stream_attribution",
     "q_stream_latest",
     "q_stream_tws",
+    "q_stream_tws_init",
     "q_stream_tws_ttl",
     "q_stream_ttl",
     "q_stream_outer_attr",

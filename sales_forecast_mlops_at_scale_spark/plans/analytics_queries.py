@@ -2358,6 +2358,235 @@ ORDER BY user_id, first_ts
 """
 
 
+#: history slice for the TWS bootstrap fixture: every 5th event is the
+#: "batch era" the initial state aggregates; the rest stream.  Three
+#: user classes override the row rule so every bootstrap behavior is
+#: populated at ANY scale factor (at sf0.001 the 15 users each have
+#: rows everywhere, so a pure row rule makes every user "boot" and the
+#: silent/fresh/late guards vacuous): user_id % 11 == 3 → history-only
+#: (seeded, never streams), == 4 → stream-only (no seed), == 5 → their
+#: base-epoch-0 rows are history and the rest stream (first stream
+#: touch in a LATER drain — the checkpoint-durability witness).
+_TWS_HIST_MOD = 5
+
+
+def _stream_tws_init_root(sf_dir: str) -> str:
+    import os
+
+    from .fixture_roots import digest_root
+
+    return digest_root(
+        "sfspark_stream_tws_init_log",
+        [os.path.join(sf_dir, "events.parquet")],
+        [_STREAM_EPOCHS, _STREAM_STRAGGLER_MOD, _TWS_HIST_MOD, "tws-init-v2"],
+    )
+
+
+def _ensure_stream_tws_init_log(spark: SparkSession, sf_dir: str) -> str:
+    """Drive the TWS running-totals machine BOOTSTRAPPED from a batch
+    aggregate (``handleInitialState`` — the migration path: seed
+    streaming state from history instead of reprocessing it).  Every
+    ``_TWS_HIST_MOD``-th event is the "batch era": its per-user
+    (count, cents-sum) aggregate seeds the state; the remaining rows
+    stream through the standard three-epoch straggler drains.  Probed
+    r11 and guarded here: the seed is applied exactly once per key in
+    the FIRST drain (a later drain folding onto it must not re-apply —
+    the cross-drain guard requires a seeded key whose first stream row
+    arrives in a later epoch), seeded keys with no stream rows emit
+    NOTHING, and a replay drain is a byte-level no-op."""
+    import os
+    import shutil
+
+    from ..streaming.ingest import run_tws_totals_stream
+    from ..streaming.tws import ROCKSDB_PROVIDER, tws_available
+    from .fixture_roots import ensure_built
+
+    def build(staging: str) -> None:
+        if not tws_available():
+            raise RuntimeError(
+                "q_stream_tws_init needs the protobuf runtime (TWS python "
+                "protocol); protobuf_compat found none on this host"
+            )
+        ev = _events(spark, sf_dir)
+        d0, dmax = ev.agg(
+            F.min(F.to_date("ts")), F.max(F.to_date("ts"))
+        ).first()
+        nd = (dmax - d0).days + 1
+        base = f"(({_STREAM_EPOCHS} * datediff(to_date(ts), DATE '{d0}')) div {nd})"
+        cents = F.round(F.col("value") * 100, 0).cast("bigint")
+        m = F.col("user_id") % 11
+        hist_pred = (
+            F.when(m == 3, F.lit(True))
+            .when(m == 4, F.lit(False))
+            .when(m == 5, F.expr(base) == 0)
+            .otherwise(F.col("event_id") % _TWS_HIST_MOD == 0)
+        )
+        hist = (
+            ev.where(hist_pred)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents).cast("double").alias("total"),
+            )
+        )
+        epoch = F.least(
+            F.lit(_STREAM_EPOCHS - 1),
+            F.expr(base)
+            + (F.col("event_id") % _STREAM_STRAGGLER_MOD == 0).cast("int"),
+        ).cast("bigint")
+        rows = ev.where(~hist_pred).select(
+            "user_id",
+            cents.cast("bigint").alias("value"),
+            epoch.alias("epoch"),
+        )
+        src = os.path.join(staging, "src")
+        os.makedirs(src)
+        out = os.path.join(staging, "log")
+        ckpt = os.path.join(staging, "ckpt")
+        schema = rows.schema
+
+        def drain() -> None:
+            run_tws_totals_stream(
+                _stream_source(spark, schema, src),
+                out_path=out,
+                checkpoint_path=ckpt,
+                key_col="user_id",
+                tag_col="epoch",
+                initial_state=hist,
+            )
+
+        prov_key = "spark.sql.streaming.stateStore.providerClass"
+        prov_old = spark.conf.get(prov_key, None)
+        spark.conf.set(prov_key, ROCKSDB_PROVIDER)
+        try:
+            _drive_epochs(
+                spark,
+                lambda e: rows.where(F.col("epoch") == e),
+                staging,
+                src,
+                drain,
+                "tws-init",
+            )
+            # non-vacuity over the tiny per-user frames: the bootstrap
+            # must be visible (seeded key WITH stream rows), silent
+            # (seeded key with NO stream rows absent from the log), and
+            # checkpoint-durable (a seeded key first touched in a LATER
+            # drain — its emission proves the drain-0 seed survived
+            # resume without re-application)
+            hist_users = {r[0] for r in hist.select("user_id").collect()}
+            first_touch = {
+                r[0]: r[1]
+                for r in rows.groupBy("user_id")
+                .agg(F.min("epoch"))
+                .collect()
+            }
+            n_boot = sum(1 for u in first_touch if u in hist_users)
+            n_silent = len(hist_users - set(first_touch))
+            n_late_boot = sum(
+                1 for u, e in first_touch.items() if u in hist_users and e > 0
+            )
+            n_fresh = sum(1 for u in first_touch if u not in hist_users)
+            if min(n_boot, n_silent, n_late_boot, n_fresh) == 0:
+                raise RuntimeError(
+                    "tws-init fixture vacuous: "
+                    f"boot={n_boot} silent={n_silent} "
+                    f"late_boot={n_late_boot} fresh={n_fresh}"
+                )
+            log_users = {
+                r[0]
+                for r in spark.read.parquet(out)
+                .select("user_id")
+                .distinct()
+                .collect()
+            }
+            if log_users != set(first_touch):
+                raise RuntimeError(
+                    "tws-init log users diverge from stream-touched users "
+                    "(a silent seed emitted, or a touched key is missing)"
+                )
+            _assert_replay_noop(out, drain, "tws-init")
+        finally:
+            if prov_old is None:
+                spark.conf.unset(prov_key)
+            else:
+                spark.conf.set(prov_key, prov_old)
+        shutil.rmtree(os.path.join(out, "_commits"), ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    return ensure_built(_stream_tws_init_root(sf_dir), "_LOG_COMPLETE", build)
+
+
+def q_stream_tws_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRTEENTH stateful differential — TWS ``handleInitialState``,
+    the batch-BOOTSTRAP path: streaming per-user running totals whose
+    state was seeded from a historical batch aggregate (every 5th event
+    is the "batch era"; the rest stream through three epoch drains).
+    This is how a warehouse cuts over to streaming without reprocessing
+    history.  The oracle replays it in SQL: every (user, epoch-touched)
+    pair logs history totals + cumulative stream totals through that
+    epoch — a re-applied seed (double counting on resume), a dropped
+    seed (first emission missing history), or a silent-seed emission
+    all fail the hash.  Reader reduces by max-``n`` per (user, epoch),
+    same contract as ``q_stream_tws``.  Steady-state plan: a scan of
+    the tiny log + one window + one sort."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    root = _ensure_stream_tws_init_log(spark, sf_dir)
+    log = spark.read.parquet(os.path.join(root, "log"))
+    rk = F.row_number().over(
+        W.partitionBy("user_id", "epoch").orderBy(F.col("n").desc())
+    )
+    return (
+        log.withColumn("__rk", rk)
+        .where(F.col("__rk") == 1)
+        .select("user_id", "epoch", "n", "total")
+        .orderBy("user_id", "epoch")
+    )
+
+
+_STREAM_TWS_INIT_SQL = f"""
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS d0,
+         date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) + 1
+           AS nd
+  FROM events),
+flagged AS (
+  SELECT e.user_id,
+         CAST(round(e.value * 100, 0) AS BIGINT) AS cents,
+         ({_STREAM_EPOCHS} * date_diff('day', b.d0, CAST(e.ts AS DATE)))
+           // b.nd AS base,
+         CASE WHEN e.event_id % {_STREAM_STRAGGLER_MOD} = 0
+              THEN 1 ELSE 0 END AS bump,
+         CASE e.user_id % 11
+           WHEN 3 THEN TRUE
+           WHEN 4 THEN FALSE
+           WHEN 5 THEN (({_STREAM_EPOCHS}
+                         * date_diff('day', b.d0, CAST(e.ts AS DATE)))
+                          // b.nd) = 0
+           ELSE e.event_id % {_TWS_HIST_MOD} = 0
+         END AS is_hist
+  FROM events e, bounds b),
+hist AS (
+  SELECT user_id, count(*) AS hn, sum(cents) AS hs
+  FROM flagged WHERE is_hist GROUP BY user_id),
+tagged AS (
+  SELECT user_id, cents,
+         least({_STREAM_EPOCHS - 1}, base + bump) AS epoch
+  FROM flagged WHERE NOT is_hist),
+touched AS (SELECT DISTINCT user_id, epoch FROM tagged)
+SELECT t.user_id, t.epoch,
+       count(*) + COALESCE(h.hn, 0) AS n,
+       CAST(sum(g.cents) + COALESCE(h.hs, 0) AS DOUBLE) AS total
+FROM touched t
+JOIN tagged g ON g.user_id = t.user_id AND g.epoch <= t.epoch
+LEFT JOIN hist h ON h.user_id = t.user_id
+GROUP BY t.user_id, t.epoch, h.hn, h.hs
+ORDER BY t.user_id, t.epoch
+"""
+
+
 def _stream_tws_ttl_root(sf_dir: str) -> str:
     import os
 
@@ -4863,6 +5092,7 @@ QUERIES: dict[str, QueryDef] = {
     "q_stream_attribution": QueryDef(q_stream_attribution, _STREAM_ATTR_SQL),
     "q_stream_latest": QueryDef(q_stream_latest, _STREAM_LATEST_SQL),
     "q_stream_tws": QueryDef(q_stream_tws, _STREAM_TWS_SQL),
+    "q_stream_tws_init": QueryDef(q_stream_tws_init, _STREAM_TWS_INIT_SQL),
     # the modern-API TTL twin shares the classic machine's oracle
     # VERBATIM — identical probed semantics, independent runtime
     "q_stream_tws_ttl": QueryDef(q_stream_tws_ttl, _STREAM_TTL_SQL),

@@ -827,6 +827,7 @@ def run_tws_totals_stream(
     checkpoint_path: str,
     key_col: str = "user_id",
     tag_col: str = "epoch",
+    initial_state: DataFrame | None = None,
     available_now: bool = True,
 ) -> None:
     """:func:`..streaming.tws.streaming_running_totals` as a SERVICE:
@@ -851,10 +852,17 @@ def run_tws_totals_stream(
 
     Scale: state is one (n, total) pair per key in RocksDB; each batch
     shuffles only its own rows; the log gains at most |keys touched|
-    rows per trigger."""
+    rows per trigger.
+
+    ``initial_state``: optional ``(key, n, total)`` batch seed frame —
+    the bootstrap-from-history path (``q_stream_tws_init``); applied by
+    the engine exactly once per key at the first micro-batch of a fresh
+    checkpoint, never on resume (probed r11)."""
     from .tws import streaming_running_totals
 
-    totals = streaming_running_totals(source, key_col=key_col, tag_col=tag_col)
+    totals = streaming_running_totals(
+        source, key_col=key_col, tag_col=tag_col, initial_state=initial_state
+    )
     app_id = hashlib.md5(checkpoint_path.encode()).hexdigest()[:12]
     writer = (
         totals.writeStream.outputMode("update")

@@ -101,6 +101,17 @@ def make_running_totals_processor(
     replay-stable natural key — the same convention as the
     ``applyInPandasWithState`` machines (``stateful.py``).
 
+    The processor also implements ``handleInitialState`` (the batch
+    BOOTSTRAP path): when the query is started with
+    ``initialState=batch.groupBy(key)`` where the batch frame carries
+    one ``(key, n, total)`` row per key, the engine invokes it once per
+    seeded key in the FIRST micro-batch of a fresh checkpoint — probed
+    r11: the seed is NOT re-applied on checkpoint resume, survives
+    across drains, and seeded keys that never see a stream row emit
+    nothing.  This is how a warehouse migrates to streaming totals
+    without reprocessing history: seed from the historical batch
+    aggregate, stream from the cutover point.
+
     Returned lazily (class constructed inside) so importing this module
     never requires the streaming runtime; only instantiating for a real
     query does.
@@ -128,6 +139,19 @@ def make_running_totals_processor(
                 self._state = handle.getValueState("totals", state_schema)
             else:
                 self._state = handle.getValueState("totals", state_schema, ttl_ms)
+
+        def handleInitialState(
+            self, key: tuple, initialState, timerValues: "TimerValues"
+        ) -> None:
+            # one (n, total) seed row per key from the historical batch
+            # aggregate; silent — seeded keys emit only when (if) a
+            # stream row arrives
+            self._state.update(
+                (
+                    int(initialState["n"].iloc[0]),
+                    float(initialState["total"].iloc[0]),
+                )
+            )
 
         def handleInputRows(
             self,
@@ -162,8 +186,13 @@ def streaming_running_totals(
     key_col: str = "user_id",
     ttl_ms: int | None = None,
     tag_col: str | None = None,
+    initial_state: DataFrame | None = None,
 ) -> DataFrame:
     """Running (count, sum(value)) per key via transformWithStateInPandas.
+
+    ``initial_state``: optional batch frame of ``(key, n, total)`` seed
+    rows (one per key) — the bootstrap-from-history path; see
+    :func:`make_running_totals_processor`.
 
     The session must use the RocksDB state store provider
     (``spark.sql.streaming.stateStore.providerClass = ROCKSDB_PROVIDER``)
@@ -172,11 +201,15 @@ def streaming_running_totals(
     processor_cls, out_schema = make_running_totals_processor(
         key_col, ttl_ms=ttl_ms, tag_col=tag_col
     )
+    kwargs = {}
+    if initial_state is not None:
+        kwargs["initialState"] = initial_state.groupBy(key_col)
     return events.groupBy(key_col).transformWithStateInPandas(
         processor_cls(),
         outputStructType=out_schema,
         outputMode="Update",
         timeMode="None",
+        **kwargs,
     )
 
 

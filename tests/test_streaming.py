@@ -3088,6 +3088,7 @@ _ROCKS_PARITY_QUERIES = (
     # cross-provider parity
     "q_stream_tws",
     "q_stream_tws_ttl",
+    "q_stream_tws_init",
 )
 
 

@@ -22,7 +22,7 @@ TOP = [
     "q_retrain_decision", "q_stream_late_data", "q_stream_dedup",
     "q_stream_sessions", "q_scd2_merge", "q_stream_attribution",
     "q_stream_outer_attr", "q_stream_chained", "q_stream_latest",
-    "q_stream_tws", "q_stream_tws_ttl",
+    "q_stream_tws", "q_stream_tws_init", "q_stream_tws_ttl",
     "q_stream_ttl", "q_stream_enrich", "q_ab_welch", "q_ab_cuped",
     "q_ab_quantiles", "q_ingest_merge", "q_partition_prune",
     "q_time_travel", "q_schema_evolution",
@@ -82,6 +82,7 @@ NOTES = {
     "q_stream_outer_attr": "Steady state: a scan of the outer-join log + one sort. The log is the LEFT OUTER twin: unmatched lefts emit one null-partner row in the drain whose UPDATED watermark passes imp_ts + max_delay (boundary probed exactly); 8h window so policy-caused nulls exist at every SF; lefts inside the horizon withheld.",
     "q_stream_chained": "Steady state: a scan of the period log + one sort. The log is TWO CHAINED stateful aggregates in ONE query (day windows feeding 3-day windows via window_time); the cascade completes within a drain (watermark propagation), so the plan the oracle models is the pure composition of the pinned single-level rules; n_days pins the day-rows each period absorbed.",
     "q_stream_latest": "Steady state: a scan of the upsert log + one sort. Update-mode applyInPandasWithState (running max per key over an LCG-permuted order column) drained through an exactly-once foreachBatch anti-join upsert keyed on (user, epoch-tag); stream state is one (ord, value) pair per key.",
+    "q_stream_tws_init": "Steady state: a scan of the upsert log + one max-n window reduction + one sort. The THIRTEENTH stateful differential — TWS handleInitialState, the batch-BOOTSTRAP path (probed r11: the seed applies exactly once per key in the first drain, survives checkpoint resume un-re-applied, and seeded keys with no stream rows emit nothing). The oracle replays history-aggregate + cumulative stream totals per touched epoch; user-class split guarantees boot/silent/late-boot/fresh witnesses at every SF.",
     "q_stream_tws_ttl": "Steady state: a scan of the tiny closed-segment log + one sort. The TWELFTH stateful differential: the TTL activity-segment machine on TWS EventTime TIMERS + typed RocksDB ValueState (registerTimer/deleteTimer/handleExpiredTimer). Probed rules match the classic API exactly, so it shares q_stream_ttl's oracle VERBATIM and the fixture build pins the two machines' logs row-for-row — a cross-API differential on top of the cross-engine one.",
     "q_stream_tws": "Steady state: a scan of the upsert log + one max-n window reduction + one sort. The ELEVENTH stateful differential and the first on Spark 4's transformWithStateInPandas (typed RocksDB ValueState; de-gated r11 by protobuf_compat): per-key running (count, cents-sum) totals in update mode, exact-integer sums, natural key (user, epoch, n) so the log's reduced form is pinned invariant to BOTH micro-batch splits and drain granularity; the oracle replays cumulative totals per touched epoch in SQL.",
     "q_stream_ttl": "Steady state: a scan of the closed-segments log + one sort. Custom EventTimeTimeout state machine (fold/timeout/reopen, probed empirically); stream state is one 4-field struct per LIVE key, bounded by the ttl horizon; RocksDB parity pytest-pinned.",
