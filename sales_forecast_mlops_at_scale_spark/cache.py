@@ -341,6 +341,24 @@ def value_memo(key: tuple[int, str] | None, builder, *, session):
     return _memo(key, lambda: (session, builder()), session=session)
 
 
+def query_memo(tag: str, base: DataFrame, builder, *params) -> DataFrame:
+    """Memoize a query's CONSTRUCTED plan keyed on ``base``'s plan key
+    plus ``params`` (optimization r12; the :func:`plan_memo` serving
+    pattern at query granularity).  Repeat invocations in one session
+    skip the py4j expression construction — a hit returns the plan,
+    never results, so every evaluation still computes from the parquet
+    inputs; changed input files change the digest and miss.  A ``None``
+    param is an UNKEYABLE ingredient (e.g. a second frame whose plan
+    key could not be derived) — refuse to key rather than alias two
+    different inputs under one memo entry."""
+    key = (
+        None
+        if any(p is None for p in params)
+        else derived_key(_plan_key(base), tag, *params)
+    )
+    return plan_memo(key, builder, session=base.sparkSession)
+
+
 def track_keyless(df: DataFrame) -> DataFrame:
     """Persist ``df`` WITHOUT plan-keyed reuse but WITH registry-owned
     lifetime: the frame is recorded so :func:`clear_slots` releases it.

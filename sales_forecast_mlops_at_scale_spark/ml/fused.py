@@ -282,6 +282,9 @@ def gated_forecast_groups(
             y_col=y_col,
             max_rmse=max_rmse,
         )
+        # guide §4.1: prune to the kernel's columns — the raw date column
+        # is unused on the fast path (see ml/train.train_groups)
+        timed = timed.select(*keys, y_col, "__dow", "__ord")
         return sorted_group_map(
             timed,
             keys,

@@ -197,6 +197,9 @@ def forecast_groups(
         kernel = make_predict_batch_kernel(
             keys, horizon_start, horizon_days, y_col=y_col
         )
+        # guide §4.1: prune to the kernel's columns — the raw date column
+        # is unused on the fast path (see ml/train.train_groups)
+        timed = timed.select(*keys, y_col, "__dow", "__ord")
         return sorted_group_map(
             timed,
             keys,

@@ -346,6 +346,11 @@ def train_groups(
         from ..operators.groupmap import sorted_group_map
 
         kernel = make_train_batch_kernel(keys, n_splits=n_splits, y_col=y_col)
+        # guide §4.1: mapInPandas is opaque to column pruning, so select
+        # exactly what the kernel reads — the raw date column otherwise
+        # rides the shuffle+sort+Arrow boundary unused (date32 → pandas
+        # materializes an object array of datetime.date per task)
+        timed = timed.select(*keys, y_col, "__dow", "__ord")
         return sorted_group_map(
             timed,
             keys,

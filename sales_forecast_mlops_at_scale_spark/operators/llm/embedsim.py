@@ -308,7 +308,8 @@ def srp_topk(
     A vector's ``nbits``-bit signature is split into ``nbits/band_bits``
     bands; query and corpus rows that agree on ANY full band become
     candidate pairs (OR-amplification), and only candidates are exactly
-    rescored.  Band width tunes selectivity: a band collides with
+    rescored (plan-memoized; see the end of the function).  Band width
+    tunes selectivity: a band collides with
     probability (1 - θ/π)^band_bits, so 4-bit bands keep recall on
     moderately-similar pairs (cos 0.5 → ~20%/band) while 8-bit bands
     suit high-threshold near-dup mining (cos 0.95 → ~77%/band, near
@@ -324,42 +325,73 @@ def srp_topk(
     candidates only.  Queries with no collision in any band return no
     rows (the approximate contract).
     """
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])  # 1-row scalar read
-    signs = srp_signs(nbits, dim)
-    band_udf = _srp_band_udf(signs, band_bits)
+    from ...cache import _plan_key, derived_key, persist_slot, query_memo
 
-    def with_bands(df: DataFrame, id_alias: str, keep_vec: bool) -> DataFrame:
-        p = _prepared(df, id_col, vec_col)
-        packed = p.select(
-            F.col("vid").alias(id_alias),
-            *( ["v", "nrm"] if keep_vec else [] ),
-            F.posexplode(band_udf(F.col("v"))).alias("band", "val"),
+    corpus_key = _plan_key(corpus)
+    queries_key = _plan_key(queries)
+
+    def build() -> DataFrame:
+        d = dim
+        if d is None:
+            d = len(corpus.select(vec_col).first()[0])  # 1-row scalar read
+        signs = srp_signs(nbits, d)
+        band_udf = _srp_band_udf(signs, band_bits)
+
+        # each prepared (normalized) side feeds TWO consumers — the
+        # banded signature explode and the exact rescore — so both are
+        # persist-slot-pinned (optimization r12, guide §2.4): the r11
+        # scan audit showed 4 embeddings scans; pinning makes it one
+        # materialization per side.  Same lifetime contract as the
+        # ivf/annrecall prepared pins.
+        cp = persist_slot(
+            "embedsim.srp.prepared_corpus",
+            _prepared(corpus, id_col, vec_col),
+            key=derived_key(corpus_key, "srp.prep", id_col, vec_col),
         )
-        return packed
+        qp = persist_slot(
+            "embedsim.srp.prepared_queries",
+            _prepared(queries, id_col, vec_col),
+            key=derived_key(queries_key, "srp.prep.q", id_col, vec_col),
+        )
 
-    c_sig = with_bands(corpus, "vid", False)
-    q_sig = with_bands(queries, "qid", False)
-    cand = (
-        q_sig.join(c_sig, ["band", "val"])
-        .filter(F.col("qid") != F.col("vid"))
-        .select("qid", "vid")
-        .distinct()
+        def with_bands(p: DataFrame, id_alias: str) -> DataFrame:
+            return p.select(
+                F.col("vid").alias(id_alias),
+                F.posexplode(band_udf(F.col("v"))).alias("band", "val"),
+            )
+
+        c_sig = with_bands(cp, "vid")
+        q_sig = with_bands(qp, "qid")
+        cand = (
+            q_sig.join(c_sig, ["band", "val"])
+            .filter(F.col("qid") != F.col("vid"))
+            .select("qid", "vid")
+            .distinct()
+        )
+        c = cp
+        q = qp.select(
+            F.col("vid").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+        )
+        score = F.round(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), ndigits
+        )
+        scored = (
+            cand.join(c, "vid")
+            .join(F.broadcast(q), "qid")
+            .select(F.col("qid").alias("q_id"), F.col("vid").alias("nn_id"), score.alias("score"))
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("nn_id").asc())
+        return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+    # whole-plan memo (optimization r12; the ivf/ivfpq serving pattern):
+    # keyed on BOTH frames' plan keys + every parameter; a dim=None
+    # scalar pre-read only runs on a miss, and unkeyable inputs always
+    # build
+    return query_memo(
+        "embedsim.srp_topk", corpus, build,
+        queries_key, k, nbits, band_bits, dim, id_col, vec_col,
+        ndigits,
     )
-    c = _prepared(corpus, id_col, vec_col)
-    q = _prepared(queries, id_col, vec_col).select(
-        F.col("vid").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
-    )
-    score = F.round(
-        _dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), ndigits
-    )
-    scored = (
-        cand.join(c, "vid")
-        .join(F.broadcast(q), "qid")
-        .select(F.col("qid").alias("q_id"), F.col("vid").alias("nn_id"), score.alias("score"))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("nn_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def semantic_dedup(
@@ -409,6 +441,37 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
+    from ...cache import query_memo
+
+    # whole-plan memo (optimization r12): the branch decision below runs
+    # one cluster-count rollup per BUILD; a memo hit reuses the already-
+    # constructed plan (the branch is a pure function of the pinned
+    # corpus + params, so the decision cannot go stale within a key)
+    return query_memo(
+        "embedsim.semantic_dedup",
+        corpus,
+        lambda: _semantic_dedup_build(
+            corpus, threshold=threshold, num_centroids=num_centroids,
+            id_col=id_col, vec_col=vec_col, ndigits=ndigits,
+            max_cluster_rows=max_cluster_rows, np=np, pd=pd,
+        ),
+        threshold, num_centroids, id_col, vec_col, ndigits,
+        max_cluster_rows,
+    )
+
+
+def _semantic_dedup_build(
+    corpus: DataFrame,
+    *,
+    threshold: float,
+    num_centroids: int,
+    id_col: str,
+    vec_col: str,
+    ndigits: int,
+    max_cluster_rows: int,
+    np,
+    pd,
+) -> DataFrame:
     c = _prepared(corpus, id_col, vec_col)
     centroids = hash_pick_centroids(c, num_centroids)
     assigned = persist_slot(

@@ -614,8 +614,15 @@ def media_neardup_pairs(
     chunk buckets (exact for ``max_hamming ≤ 3``), equi-join on
     (modality, chunk index, chunk value), ``bit_count`` verify — so the
     candidate generation is #assets × 4 bucket rows, never all-pairs."""
+    from ...cache import persist_slot
     from .simhash import CHUNKS, _chunk
 
+    # the hash frame feeds BOTH sides of the pigeonhole self-join; under
+    # a broadcast join (the local-mode plan) exchange reuse cannot kick
+    # in, so an unpersisted frame re-runs the decode+dHash mapInPandas
+    # pass once per side.  Same fix/lifetime contract as
+    # ``simhash_pairs``'s signature persist.
+    hashes = persist_slot("media.phash", hashes)
     chunked = hashes.select(
         "asset_id",
         "modality",

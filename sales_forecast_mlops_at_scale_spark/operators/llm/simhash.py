@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ...cache import persist_slot
+from ...cache import _plan_key, derived_key, persist_slot, plan_memo
 
 from .textstats import normalized_text, tokens
 
@@ -57,27 +57,31 @@ def simhash_signatures(
         )
     )
     # vote for bit i: +1 if bit set else -1, summed over tokens (with
-    # multiplicity = term frequency weighting)
+    # multiplicity = term frequency weighting).  Each aggregate is ONE
+    # parsed SQL string instead of ~6 nested Column calls — the py4j
+    # round-trip economy of minhash_signatures / pq._subspaces; the
+    # parsed tree is identical (parens force the Column form's
+    # ((x & 1) * 2) - 1 association), so signatures cannot move.
     votes = tok.groupBy("doc").agg(
         *[
-            F.sum(
-                F.shiftright(F.col("hhi" if i >= 32 else "hlo"), i % 32)
-                .bitwiseAND(F.lit(1))
-                * 2
-                - 1
-            ).alias(f"v{i}")
+            F.expr(
+                "sum((shiftright({src}, {s}) & 1) * 2 - 1) AS v{i}".format(
+                    src="hhi" if i >= 32 else "hlo", s=i % 32, i=i
+                )
+            )
             for i in range(64)
         ]
     )
 
     def half(lo_bit: int) -> F.Column:
-        acc = F.lit(0).cast("long")
-        for k in range(32):
-            acc = acc + F.when(
-                F.col(f"v{lo_bit + k}") > 0,
-                F.shiftleft(F.lit(1).cast("long"), k),
-            ).otherwise(0)
-        return acc
+        # the 32-term left-associated chain as one parsed expression —
+        # token-identical to the Column-loop form it replaces
+        terms = " + ".join(
+            "CASE WHEN v{v} > 0 THEN shiftleft(CAST(1 AS BIGINT), {k}) "
+            "ELSE 0 END".format(v=lo_bit + k, k=k)
+            for k in range(32)
+        )
+        return F.expr(f"CAST(0 AS BIGINT) + {terms}")
 
     return votes.select(
         "doc", half(32).alias("sim_hi"), half(0).alias("sim_lo")
@@ -111,39 +115,57 @@ def simhash_pairs(
     ``spark.catalog.clearCache()`` when done or materialize signatures
     as a table.
     """
-    sigs = persist_slot("simhash.sigs", simhash_signatures(df, text_col, id_col))
-    chunked = sigs.select(
-        "doc",
-        "sim_hi",
-        "sim_lo",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        _chunk(F.col("sim_hi"), F.col("sim_lo"), j).alias("cv"),
-                    )
-                    for j in range(CHUNKS)
-                ]
+    # whole-plan memo + derived slot key (the minhash_lsh_pairs pattern):
+    # repeat invocations skip the py4j expression construction and the
+    # signature plan's canonicalized() walk; a hit never carries results
+    base = _plan_key(df)
+    key = derived_key(base, "simhash.pairs", text_col, id_col, max_hamming)
+
+    def build() -> DataFrame:
+        sigs = persist_slot(
+            "simhash.sigs",
+            simhash_signatures(df, text_col, id_col),
+            key=derived_key(base, "simhash.sigs", text_col, id_col),
+        )
+        chunked = sigs.select(
+            "doc",
+            "sim_hi",
+            "sim_lo",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            _chunk(
+                                F.col("sim_hi"), F.col("sim_lo"), j
+                            ).alias("cv"),
+                        )
+                        for j in range(CHUNKS)
+                    ]
+                )
+            ).alias("c"),
+        ).select(
+            "doc", "sim_hi", "sim_lo",
+            F.col("c.j").alias("j"), F.col("c.cv").alias("cv"),
+        )
+        a, b = chunked.alias("a"), chunked.alias("b")
+        hamming = F.bit_count(
+            F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi"))
+        ) + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
+        return (
+            a.join(
+                b,
+                (F.col("a.j") == F.col("b.j"))
+                & (F.col("a.cv") == F.col("b.cv"))
+                & (F.col("a.doc") < F.col("b.doc")),
             )
-        ).alias("c"),
-    ).select("doc", "sim_hi", "sim_lo", F.col("c.j").alias("j"), F.col("c.cv").alias("cv"))
-    a, b = chunked.alias("a"), chunked.alias("b")
-    hamming = F.bit_count(
-        F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi"))
-    ) + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
-    return (
-        a.join(
-            b,
-            (F.col("a.j") == F.col("b.j"))
-            & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col("a.doc") < F.col("b.doc")),
+            .select(
+                F.col("a.doc").alias("id_a"),
+                F.col("b.doc").alias("id_b"),
+                hamming.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
         )
-        .select(
-            F.col("a.doc").alias("id_a"),
-            F.col("b.doc").alias("id_b"),
-            hamming.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+
+    return plan_memo(key, build, session=df.sparkSession)

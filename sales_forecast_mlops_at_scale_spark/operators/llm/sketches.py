@@ -185,6 +185,8 @@ def binned_quantiles(
     estimates toward the given bounds, exactly like any fixed-range
     histogram.
     """
+    from ...cache import persist_slot
+
     if bounds is not None and not bounds[0] < bounds[1]:
         raise ValueError(
             f"bounds must satisfy lo < hi, got {bounds!r}"
@@ -213,6 +215,13 @@ def binned_quantiles(
                 "n",
             )
         )
+    # the tiny per-group bounds frame feeds TWO broadcast joins (the
+    # binning pass and the quantile read-off); unpersisted, Catalyst
+    # evaluates the full scan+min/max aggregation once per consumer —
+    # the r11 plan dump shows 3 source scans where the documented floor
+    # is 2.  Persisting the ≤#groups-row frame makes both consumers read
+    # one materialization (guide §2.4: shared subtree, one evaluation).
+    stats = persist_slot("sketches.binned_quantiles.stats", stats)
     src = df.where(v.isNotNull()).select(*gcols, v.alias("v"))
     joined = (
         src.join(F.broadcast(stats), gcols)

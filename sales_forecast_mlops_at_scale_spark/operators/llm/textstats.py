@@ -284,31 +284,59 @@ def tfidf_top_terms(
     Scale shape: explode → two groupBys (term-per-doc, then df) → join →
     per-doc top-k.  The rank filter compiles to WindowGroupLimit, so
     each mapper keeps a k-heap per doc and only k·docs rows shuffle.
-    ``N`` (corpus size) is a parquet-footer-grade driver scalar.
+    ``N`` (corpus size) is a parquet-footer-grade driver scalar
+    (value-memoized on the corpus plan key — repeat invocations skip
+    the count job; a rewritten corpus misses and re-counts).
+
+    The ``tf`` frame feeds TWO consumers (the ``df``-per-term aggregate
+    and the scored join), so it is persist-slot-pinned — unpersisted,
+    the tokenize+explode+groupBy subtree executes once per side
+    (optimization r12, guide §2.4: the r11 plan showed two identical
+    HashAggregate(count) subtrees over separate documents scans).  The
+    whole constructed plan rides :func:`...cache.query_memo`.
     """
     from pyspark.sql import Window
 
-    n_docs = df.count()
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(tokens(normalized_text(F.col(text_col)))).alias("term"),
+    from ...cache import (
+        _plan_key, derived_key, persist_slot, query_memo, value_memo,
     )
-    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(dfreq, "term").select(
-        "doc",
-        "term",
-        "tf",
-        "df",
-        F.round(
-            F.col("tf") * (F.lit(n_docs + 1) / (F.col("df") + F.lit(1))), 6
-        ).alias("score"),
-    )
-    w = Window.partitionBy("doc").orderBy(F.col("score").desc(), F.col("term").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("doc").alias(id_col), "term", "tf", "df", "score", "rank"
+
+    base_key = _plan_key(df)
+
+    def build() -> DataFrame:
+        n_docs = value_memo(
+            derived_key(base_key, "tfidf.n_docs"),
+            df.count,
+            session=df.sparkSession,
         )
-    )
+        toks = df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(normalized_text(F.col(text_col)))).alias("term"),
+        )
+        tf = persist_slot(
+            "textstats.tfidf.tf",
+            toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf")),
+            key=derived_key(base_key, "tfidf.tf", text_col, id_col),
+        )
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        scored = tf.join(dfreq, "term").select(
+            "doc",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * (F.lit(n_docs + 1) / (F.col("df") + F.lit(1))), 6
+            ).alias("score"),
+        )
+        w = Window.partitionBy("doc").orderBy(
+            F.col("score").desc(), F.col("term").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.col("doc").alias(id_col), "term", "tf", "df", "score", "rank"
+            )
+        )
+
+    return query_memo("textstats.tfidf_top_terms", df, build, text_col, id_col, k)

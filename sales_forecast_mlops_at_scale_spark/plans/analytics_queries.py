@@ -28,6 +28,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events")
 
 
+def _query_memo(tag: str, base: DataFrame, builder, *params) -> DataFrame:
+    """See :func:`..cache.query_memo` (promoted there so every plans
+    module shares one implementation)."""
+    from ..cache import query_memo
+
+    return query_memo(tag, base, builder, *params)
+
+
 # -- as-of join: each click ↦ user's most recent prior-or-equal purchase ------
 
 
@@ -3400,7 +3408,10 @@ def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     over identical integers — hash-stable by construction."""
     from ..operators.abtest import experiment_frame, welch_ttest
 
-    return welch_ttest(experiment_frame(_events(spark, sf_dir)))
+    ev = _events(spark, sf_dir)
+    return _query_memo(
+        "q_ab_welch", ev, lambda: welch_ttest(experiment_frame(ev))
+    )
 
 
 def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3413,7 +3424,10 @@ def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass the t-test uses."""
     from ..operators.abtest import cuped_adjust, experiment_frame
 
-    return cuped_adjust(experiment_frame(_events(spark, sf_dir)))
+    ev = _events(spark, sf_dir)
+    return _query_memo(
+        "q_ab_cuped", ev, lambda: cuped_adjust(experiment_frame(ev))
+    )
 
 
 def q_ab_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3425,7 +3439,10 @@ def q_ab_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines evaluate over identical sorted integers."""
     from ..operators.abtest import experiment_frame, quantile_effects
 
-    return quantile_effects(experiment_frame(_events(spark, sf_dir)))
+    ev = _events(spark, sf_dir)
+    return _query_memo(
+        "q_ab_quantiles", ev, lambda: quantile_effects(experiment_frame(ev))
+    )
 
 
 def q_ab_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3436,13 +3453,20 @@ def q_ab_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     users are withheld (no sample variance; inf/NaN are not
     hash-stable).  Same exact-integer-moments contract as the rest of
     the A/B family; one join + one conditional-aggregate pass."""
+    from ..cache import _plan_key
     from ..operators.abtest import experiment_frame, segment_effects
 
     dim = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("segment"),
     )
-    return segment_effects(experiment_frame(_events(spark, sf_dir)), dim)
+    ev = _events(spark, sf_dir)
+    return _query_memo(
+        "q_ab_segments",
+        ev,
+        lambda: segment_effects(experiment_frame(ev), dim),
+        _plan_key(dim),
+    )
 
 
 def q_ab_report(spark: SparkSession, sf_dir: str) -> DataFrame:

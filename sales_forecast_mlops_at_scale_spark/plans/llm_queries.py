@@ -524,30 +524,35 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     index — here it is itself a deterministic, oracled query (both tiers
     are deterministic, so the recall numbers are too).  Shares the
     normalized-corpus/query pin with q_ann_recall_all (one
-    materialization serves both tiers' semantically-equal subtrees)."""
-    from ..cache import persist_slot
+    materialization serves both tiers' semantically-equal subtrees).
+    Whole-query plan memo (optimization r12; see cache.query_memo)."""
+    from ..cache import persist_slot, query_memo
     from ..operators.llm.embedsim import _prepared
 
     emb = load_table(spark, sf_dir, "embeddings")
-    persist_slot(
-        "annrecall.prepared_corpus", _prepared(emb, "vec_id", "embedding")
-    )
-    persist_slot("annrecall.queries", emb.filter(F.col("vec_id") < 8))
-    exact = q_embed_topk(spark, sf_dir).select("q_id", "nn_id")
-    approx = q_embed_srp_topk(spark, sf_dir).select(
-        "q_id", "nn_id", F.lit(1).alias("hit")
-    )
-    return (
-        exact.join(approx, ["q_id", "nn_id"], "left")
-        .groupBy("q_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("k"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_hits"),
+
+    def build() -> DataFrame:
+        persist_slot(
+            "annrecall.prepared_corpus", _prepared(emb, "vec_id", "embedding")
         )
-        .withColumn(
-            "recall", F.round(F.col("n_hits") / F.col("k"), 6)
+        persist_slot("annrecall.queries", emb.filter(F.col("vec_id") < 8))
+        exact = q_embed_topk(spark, sf_dir).select("q_id", "nn_id")
+        approx = q_embed_srp_topk(spark, sf_dir).select(
+            "q_id", "nn_id", F.lit(1).alias("hit")
         )
-    )
+        return (
+            exact.join(approx, ["q_id", "nn_id"], "left")
+            .groupBy("q_id")
+            .agg(
+                F.count(F.lit(1)).cast("int").alias("k"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_hits"),
+            )
+            .withColumn(
+                "recall", F.round(F.col("n_hits") / F.col("k"), 6)
+            )
+        )
+
+    return query_memo("q_ann_recall", emb, build)
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1642,9 +1647,15 @@ def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate cliques from hub-and-spoke template families.  Oracle-valid
     for the LSH pair set per the q_minhash_dedup recall note."""
     from ..operators.graph import triangle_stats
+    from ..operators.llm.minhash import lsh_pairs_key
 
     docs = load_table(spark, sf_dir, "documents")
-    return triangle_stats(minhash_lsh_pairs(docs, threshold=0.5))
+    # the exported pair key spares triangle_stats a _plan_key walk of
+    # the deep LSH plan (optimization r12; see triangle_stats docstring)
+    return triangle_stats(
+        minhash_lsh_pairs(docs, threshold=0.5),
+        key=lsh_pairs_key(docs, threshold=0.5),
+    )
 
 
 #: Triangle twin: same exact-Jaccard pairs CTE as _CLUSTER_SQL, then the
@@ -2066,30 +2077,38 @@ def q_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_codebook,
     )
 
+    from ..cache import query_memo
+
     emb = load_table(spark, sf_dir, "embeddings")
     m, dim = 32, 64
-    cb = pq_codebook(emb, m=m, dim=dim)
-    sub = _subspaces(_unit(_prepared(emb, "vec_id", "embedding")), m=m)
-    per_sv = (
-        sub.join(F.broadcast(cb), "m")
-        .groupBy("vid", "m")
-        .agg(F.min(_sqdist_fp(F.col("sv"), F.col("cv"), dim // m)).alias("d_fp"))
-    )
-    return (
-        per_sv.groupBy("m")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_vectors"),
-            F.sum("d_fp").cast("long").alias("sum_sqerr_fp"),
+
+    def build() -> DataFrame:
+        cb = pq_codebook(emb, m=m, dim=dim)
+        sub = _subspaces(_unit(_prepared(emb, "vec_id", "embedding")), m=m)
+        per_sv = (
+            sub.join(F.broadcast(cb), "m")
+            .groupBy("vid", "m")
+            .agg(F.min(_sqdist_fp(F.col("sv"), F.col("cv"), dim // m)).alias("d_fp"))
         )
-        .select(
-            F.col("m").cast("long").alias("subspace"),
-            "n_vectors",
-            "sum_sqerr_fp",
-            F.round(
-                F.col("sum_sqerr_fp") / (F.col("n_vectors") * 1000000.0), 6
-            ).alias("mse"),
+        return (
+            per_sv.groupBy("m")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_vectors"),
+                F.sum("d_fp").cast("long").alias("sum_sqerr_fp"),
+            )
+            .select(
+                F.col("m").cast("long").alias("subspace"),
+                "n_vectors",
+                "sum_sqerr_fp",
+                F.round(
+                    F.col("sum_sqerr_fp") / (F.col("n_vectors") * 1000000.0), 6
+                ).alias("mse"),
+            )
         )
-    )
+
+    # whole-query plan memo (optimization r12): the codebook + 32-way
+    # subspace expressions were ~1.6 s of py4j construction per call
+    return query_memo("q_pq_distortion", emb, build, m, dim)
 
 
 #: Distortion twin: the shared index CTEs, then each subvector's
@@ -2933,44 +2952,52 @@ def q_ann_recall_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     substitution rewrite each tier's semantically-equal subtree to the
     single materialization (VERDICT r9 #7); at cluster scale the same
     two frames are the materialized eval tables an offline recall audit
-    would stage first."""
-    from ..cache import persist_slot
+    would stage first.  Whole-query plan memo (optimization r12): the
+    five-tier union was ~1.9 s of pure plan construction per invocation
+    (profiled warm_build_s on the r12 baseline) — the pq/ivfpq tiers
+    already memoized their own sub-plans; this extends the same pattern
+    to the composed eval so a serving session builds it once."""
+    from ..cache import persist_slot, query_memo
     from ..operators.llm.embedsim import _prepared
 
     emb = load_table(spark, sf_dir, "embeddings")
-    persist_slot(
-        "annrecall.prepared_corpus", _prepared(emb, "vec_id", "embedding")
-    )
-    persist_slot("annrecall.queries", emb.filter(F.col("vec_id") < 8))
-    exact = q_embed_topk(spark, sf_dir).select("q_id", "nn_id")
-    methods = {
-        "srp": q_embed_srp_topk,
-        "ivf": q_embed_ivf_topk,
-        "pq": q_pq_topk,
-        "ivfpq": q_ivfpq_topk,
-    }
-    out = None
-    for name, fn in sorted(methods.items()):
-        approx = fn(spark, sf_dir).select(
-            "q_id", "nn_id", F.lit(1).alias("hit")
+
+    def build() -> DataFrame:
+        persist_slot(
+            "annrecall.prepared_corpus", _prepared(emb, "vec_id", "embedding")
         )
-        scored = (
-            exact.join(approx, ["q_id", "nn_id"], "left")
-            .groupBy("q_id")
-            .agg(
-                F.count(F.lit(1)).cast("int").alias("k"),
-                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_hits"),
+        persist_slot("annrecall.queries", emb.filter(F.col("vec_id") < 8))
+        exact = q_embed_topk(spark, sf_dir).select("q_id", "nn_id")
+        methods = {
+            "srp": q_embed_srp_topk,
+            "ivf": q_embed_ivf_topk,
+            "pq": q_pq_topk,
+            "ivfpq": q_ivfpq_topk,
+        }
+        out = None
+        for name, fn in sorted(methods.items()):
+            approx = fn(spark, sf_dir).select(
+                "q_id", "nn_id", F.lit(1).alias("hit")
             )
-            .select(
-                F.lit(name).alias("method"),
-                "q_id",
-                "k",
-                "n_hits",
-                F.round(F.col("n_hits") / F.col("k"), 6).alias("recall"),
+            scored = (
+                exact.join(approx, ["q_id", "nn_id"], "left")
+                .groupBy("q_id")
+                .agg(
+                    F.count(F.lit(1)).cast("int").alias("k"),
+                    F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("int").alias("n_hits"),
+                )
+                .select(
+                    F.lit(name).alias("method"),
+                    "q_id",
+                    "k",
+                    "n_hits",
+                    F.round(F.col("n_hits") / F.col("k"), 6).alias("recall"),
+                )
             )
-        )
-        out = scored if out is None else out.unionByName(scored)
-    return out
+            out = scored if out is None else out.unionByName(scored)
+        return out
+
+    return query_memo("q_ann_recall_all", emb, build)
 
 
 def _ann_recall_all_sql() -> str:
