@@ -69,10 +69,17 @@ def _link_dir_for(bundle: str) -> str | None:
     """Build (idempotently) the protobuf-only exposure directory for a
     bundle; returns its path or None when it cannot be constructed."""
     target = os.path.join(bundle, "google", "protobuf")
-    root = os.path.join(tempfile.gettempdir(), "sfspark_pb_shim")
+    # Per-user root + ownership check: a fixed shared-/tmp name could be
+    # pre-planted by another local user, and whatever sits there would be
+    # imported as google.protobuf by every forked worker (ADVICE r11).
+    root = os.path.join(
+        tempfile.gettempdir(), f"sfspark_pb_shim_{os.getuid()}"
+    )
     link = os.path.join(root, "google", "protobuf")
     try:
         os.makedirs(os.path.join(root, "google"), exist_ok=True)
+        if os.lstat(root).st_uid != os.getuid():
+            return None  # not ours — refuse to export it to workers
         if os.path.islink(link):
             if os.readlink(link) != target:
                 os.remove(link)

@@ -162,6 +162,8 @@ def make_running_totals_processor(
             n, total = self._state.get() if self._state.exists() else (0, 0.0)
             tag = None
             for pdf in rows:
+                if pdf.empty:  # int(max()) of an empty chunk is int(NaN)
+                    continue
                 n += len(pdf)
                 total += float(pdf["value"].sum())
                 if tag_col is not None:
@@ -301,6 +303,8 @@ def make_ttl_segments_processor(
             timerValues: "TimerValues",
             expiredTimerInfo,
         ) -> Iterator[pd.DataFrame]:
+            if not self._seg.exists():
+                return  # stale timer for an already-cleared key: ignore
             n, s, first_us, last_us = self._seg.get()
             self._seg.clear()
             yield pd.DataFrame(
