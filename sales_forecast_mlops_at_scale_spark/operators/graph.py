@@ -53,15 +53,32 @@ def pagerank(
     dst: str = "dst",
     w: str = "w",
     persist: bool = True,
+    broadcast_edges: bool = False,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` exact integer PageRank steps over
-    weighted ``edges``; rank is the 1e12-scaled integer (sum ≈ scale)."""
+    weighted ``edges``; rank is the 1e12-scaled integer (sum ≈ scale).
+
+    ``broadcast_edges`` pins the CONSTANT weighted-edge table as the
+    broadcast build side of every iteration's join (guide §3.1 — pick
+    the strategy deliberately): Spark then reuses ONE broadcast exchange
+    across all iterations and the evolving rank frame is streamed, never
+    collected/re-broadcast per step.  Only for graphs whose edge
+    aggregate is bounded (e.g. a key-domain-bounded graph such as
+    nation×nation); the default keeps the scale-safe shuffle join."""
     # whole-plan memo (optimization r12): the 10-iteration unrolled loop
     # is ~20 joins of py4j construction plus a node-count action per
     # invocation — repeat calls over unchanged edges reuse the built
     # frame (the pq/ivfpq serving pattern; unkeyable edges always build)
     memo_key = derived_key(
-        _plan_key(edges), "pagerank", iterations, scale, src, dst, w, persist
+        _plan_key(edges),
+        "pagerank",
+        iterations,
+        scale,
+        src,
+        dst,
+        w,
+        persist,
+        broadcast_edges,
     )
 
     def build() -> DataFrame:
@@ -97,21 +114,27 @@ def pagerank(
         init = scale // n
         base = (15 * init) // 100
         ranks = nodes.withColumn("rank", F.lit(init).cast("long"))
+        ew_side = F.broadcast(ew) if broadcast_edges else ew
+        # zero-contribution scaffold: unioned into the SAME groupBy
+        # shuffle, it replaces the former per-iteration `nodes LEFT JOIN
+        # contrib` + coalesce(m, 0) — one broadcast join fewer per step,
+        # identical integer arithmetic (sum(m ∪ {0}) == coalesce(m, 0))
+        zeros = nodes.select("node", F.lit(0).cast("long").alias("c"))
         for _ in range(iterations):
             contrib = (
-                ew.join(ranks, ew["src"] == ranks["node"])
+                ew_side.join(ranks, ew["src"] == ranks["node"])
                 .select(
                     F.col("dst").alias("node"),
                     F.expr("rank * w DIV wout").alias("c"),
                 )
+                .unionByName(zeros)
                 .groupBy("node")
                 .agg(F.sum("c").alias("m"))
             )
-            ranks = nodes.join(contrib, "node", "left").select(
+            ranks = contrib.select(
                 "node",
                 (
-                    F.lit(base)
-                    + F.expr("85 * coalesce(m, 0L) DIV 100").cast("long")
+                    F.lit(base) + F.expr("85 * m DIV 100").cast("long")
                 ).alias("rank"),
             )
         return ranks

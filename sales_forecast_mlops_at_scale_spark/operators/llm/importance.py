@@ -95,8 +95,38 @@ def dsir_weights(
     doc-id tiebreak.  Documents with zero tokens score 0 and rank last
     among equals.
     """
+    # ONE tokenize of the raw pool (optimization r12; guide §2.3/§2.4):
+    # the bucket histogram and the per-doc probes both consume the raw
+    # token stream, which Catalyst does not common-subexpression — the
+    # md5 bucketing of every token used to run twice.  Aggregating to
+    # per-(doc, bucket) counts first lets the histogram (sum over docs)
+    # and the score (Σ cnt·lr_fp, an exact integer either way) derive
+    # from the same single pass; the (doc, b) groupBy is map-side
+    # combinable and strictly smaller than the token stream it replaces.
+    from ...cache import _plan_key, derived_key, persist_slot
+
+    probes = raw.select(
+        F.col(id_col).alias("doc"),
+        F.explode_outer(tokens(normalized_text(F.col(text_col)))).alias("__t"),
+    ).select("doc", _bucket(F.col("__t"), n_buckets).alias("b"))
+    db = probes.groupBy("doc", "b").agg(F.count(F.col("b")).alias("cnt"))
+    # persisted: the LUT (via the broadcast build) and the scoring pass
+    # are two consumers; without the pin the tokenize would still run
+    # twice, once inside the broadcast subtree
+    db = persist_slot(
+        "dsir.doc_buckets",
+        db,
+        key=derived_key(
+            _plan_key(raw), "dsir.db", n_buckets, id_col, text_col
+        ),
+    )
+
     t_hist = _bucket_counts(target, text_col, n_buckets)
-    r_hist = _bucket_counts(raw, text_col, n_buckets)
+    r_hist = (
+        db.where(F.col("b").isNotNull())
+        .groupBy("b")
+        .agg(F.sum("cnt").alias("c"))
+    )
     # Corpus totals as UNBOUNDED-WINDOW sums over the ≤n_buckets-row
     # histograms — never `hist.agg(...)` crossJoined back onto the same
     # un-persisted frame, which makes Catalyst evaluate the whole
@@ -132,16 +162,18 @@ def dsir_weights(
     lr_fp = F.floor(F.log(p_t / p_r) * F.lit(DSIR_FP) + F.lit(0.5)).cast("long")
     lut = lut.select("b", lr_fp.alias("lr_fp"))
 
-    probes = raw.select(
-        F.col(id_col).alias("doc"),
-        F.explode_outer(tokens(normalized_text(F.col(text_col)))).alias("__t"),
-    ).select("doc", _bucket(F.col("__t"), n_buckets).alias("b"))
+    # score from the (doc, b, cnt) aggregate: Σ cnt·lr_fp is the same
+    # exact integer as the former per-token Σ lr_fp; the zero-token doc
+    # row (b NULL from explode_outer) has cnt = 0 and joins nothing, so
+    # n_toks = Σ cnt and the coalesce handle it exactly as before
     scored = (
-        probes.join(F.broadcast(lut), "b", "left")
+        db.join(F.broadcast(lut), "b", "left")
         .groupBy("doc")
         .agg(
-            F.count(F.col("b")).alias("n_toks"),
-            F.coalesce(F.sum("lr_fp"), F.lit(0)).alias("s_fp"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("n_toks"),
+            F.coalesce(
+                F.sum(F.col("lr_fp") * F.col("cnt")), F.lit(0)
+            ).alias("s_fp"),
         )
     )
     top = scored.orderBy(F.col("s_fp").desc(), F.col("doc").asc()).limit(k)

@@ -137,22 +137,25 @@ def contamination_check(
     bench_grams = (
         shingle_index(benchmark, text_col, id_col, n=n).select("s").distinct()
     )
-    per_doc = cand.groupBy("doc").agg(F.count(F.lit(1)).alias("n_ngrams"))
-    hits = (
-        cand.join(bench_grams, "s")
-        .groupBy("doc")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    # One pass over the candidate n-gram explode (optimization r12;
+    # guide §2.4): the former per_doc/hits split consumed the expensive
+    # `cand` subtree twice and joined two aggregates back together.  A
+    # LEFT join against the DISTINCT benchmark grams (no row fan-out)
+    # lets one groupBy produce both counts — count(hit) over a left
+    # join ≡ the inner-join count, with 0 (not NULL) for clean docs.
+    marked = cand.join(
+        bench_grams.withColumn("hit", F.lit(1)), "s", "left"
     )
-    return (
-        per_doc.join(hits, "doc", "left")
-        .select(
-            F.col("doc").alias("doc_id"),
-            "n_ngrams",
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-            F.round(
-                F.coalesce("n_contaminated", F.lit(0)) / F.col("n_ngrams"), ndigits
-            ).alias("contamination"),
-        )
+    return marked.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.count("hit").alias("n_contaminated"),
+    ).select(
+        F.col("doc").alias("doc_id"),
+        "n_ngrams",
+        "n_contaminated",
+        F.round(
+            F.col("n_contaminated") / F.col("n_ngrams"), ndigits
+        ).alias("contamination"),
     )
 
 

