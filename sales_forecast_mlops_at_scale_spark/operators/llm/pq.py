@@ -680,7 +680,12 @@ def ivfpq_search(
     w_probe = Window.partitionBy("qid").orderBy(
         F.col("csim").desc(), F.col("cid").asc()
     )
-    probes = (
+    # the probes join already carries cv/cnrm, so the query residual
+    # u(q) − u(centroid) is computed in the SAME projection instead of
+    # re-joining _unit_centroids on bucket (optimization r12; one
+    # broadcast join fewer per search, elementwise arithmetic identical:
+    # v/nrm − cv/cnrm in both forms)
+    qresid = (
         q.join(F.broadcast(centroids))
         .withColumn("csim", qsim)
         .withColumn("__rn", F.row_number().over(w_probe))
@@ -688,11 +693,12 @@ def ivfpq_search(
         .select(
             "qid",
             F.col("cid").alias("bucket"),
-            F.transform("v", lambda x: x / F.col("nrm")).alias("uv"),
+            F.zip_with(
+                F.transform("v", lambda x: x / F.col("nrm")),
+                F.transform("cv", lambda x: x / F.col("cnrm")),
+                lambda a, b: a - b,
+            ).alias("v"),
         )
-    )
-    qresid = probes.join(F.broadcast(_unit_centroids(centroids)), "bucket").select(
-        "qid", "bucket", F.zip_with("uv", "ucv", lambda a, b: a - b).alias("v")
     )
     dtable = _subspaces(qresid, m=m).join(F.broadcast(codebook), "m").select(
         "qid",

@@ -86,3 +86,17 @@ def test_triangle_stats_orientation_invariance(spark):
     got = {r.vertex: r.triangles for r in triangle_stats(pairs).collect()}
     got_nonzero = {v: n for v, n in got.items() if n}
     assert got_nonzero == expect
+
+
+def test_pagerank_broadcast_edges_mode_identical(spark):
+    """The r12 broadcast_edges mode (constant edge table as the reused
+    broadcast build side + union-zero densify) must be rank-for-rank
+    identical to the default shuffle-join path — same exact integer
+    recurrence, different physical plan."""
+    edges = [(0, 1, 3), (1, 2, 2), (2, 3, 5), (3, 0, 1), (1, 0, 7), (4, 0, 2)]
+    base = _ranks(spark, edges, iterations=7)
+    bcast = _ranks(spark, edges, iterations=7, broadcast_edges=True)
+    assert base == bcast
+    # node 4 has no in-edges: the union-zero path must still emit it
+    # with exactly the damped base mass
+    assert 4 in bcast

@@ -1373,3 +1373,32 @@ def test_index_retrain_closure_zeroes_drift_and_preserves_corpus(spark):
     assert all(r.n_seed == r.n_current for r in post)
     # retrain re-encodes, never drops: same corpus on both sides
     assert sum(r.n_current for r in pre) == sum(r.n_current for r in post)
+
+
+def test_contamination_check_exact_counts(spark):
+    """Exact pin of the r12 one-pass contamination rewrite: a fully
+    contaminated doc, a partial overlap, and a clean doc (the left-join
+    zero path) get the same counts the two-pass formulation produced."""
+    from sales_forecast_mlops_at_scale_spark.operators.llm import (
+        contamination_check,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),       # both 3-grams contaminated
+            (2, "alpha beta gamma zeta"),         # 1 of 2 contaminated
+            (3, "one two three four"),            # clean: zero hits
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r for r in contamination_check(cand, bench, n=3).collect()
+    }
+    assert rows[1].n_ngrams == 2 and rows[1].n_contaminated == 2
+    assert rows[1].contamination == 1.0
+    assert rows[2].n_ngrams == 2 and rows[2].n_contaminated == 1
+    assert rows[3].n_ngrams == 2 and rows[3].n_contaminated == 0
+    assert rows[3].contamination == 0.0
