@@ -115,26 +115,27 @@ def pagerank(
         base = (15 * init) // 100
         ranks = nodes.withColumn("rank", F.lit(init).cast("long"))
         ew_side = F.broadcast(ew) if broadcast_edges else ew
-        # zero-contribution scaffold: unioned into the SAME groupBy
-        # shuffle, it replaces the former per-iteration `nodes LEFT JOIN
-        # contrib` + coalesce(m, 0) — one broadcast join fewer per step,
-        # identical integer arithmetic (sum(m ∪ {0}) == coalesce(m, 0))
-        zeros = nodes.select("node", F.lit(0).cast("long").alias("c"))
+        # densify with `nodes LEFT JOIN contrib` + coalesce(m, 0), NOT a
+        # union-of-zero-rows into the groupBy: the contrib groupBy is
+        # unique on node, so when downstream consumers never read `rank`
+        # (e.g. a bare count over the joined readout) Catalyst's
+        # non-duplicating-outer-join elimination prunes the ENTIRE
+        # iteration pipeline — a union-based densify pins the row count
+        # to the contribution join and forfeits that pruning.  (An r12
+        # union-zero variant was measured and reverted for exactly this:
+        # identical integer arithmetic, but it disabled left-join
+        # elimination and made rank-pruned readouts pay all iterations.)
         for _ in range(iterations):
             contrib = (
                 ew_side.join(ranks, ew["src"] == ranks["node"])
-                .select(
-                    F.col("dst").alias("node"),
-                    F.expr("rank * w DIV wout").alias("c"),
-                )
-                .unionByName(zeros)
-                .groupBy("node")
-                .agg(F.sum("c").alias("m"))
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.expr("rank * w DIV wout")).alias("m"))
             )
-            ranks = contrib.select(
+            ranks = nodes.join(contrib, "node", "left").select(
                 "node",
                 (
-                    F.lit(base) + F.expr("85 * m DIV 100").cast("long")
+                    F.lit(base)
+                    + F.expr("85 * coalesce(m, 0L) DIV 100").cast("long")
                 ).alias("rank"),
             )
         return ranks

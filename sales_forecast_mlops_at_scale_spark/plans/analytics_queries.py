@@ -4784,11 +4784,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    # nation×nation graph: ≤ 625 aggregated edges at ANY data scale, so
-    # the constant edge table is safely the broadcast build side — one
-    # reused broadcast instead of re-broadcasting the evolving ranks
-    # chain every iteration (operators/graph.py, optimization r12)
-    ranks = pagerank(edges, iterations=10, broadcast_edges=True)
+    # default join mode: head-to-head count/noop timing showed the
+    # broadcast_edges variant no faster on this ≤625-edge graph (the
+    # per-iteration cost is the AQE stage barrier, not the join build),
+    # so the query keeps the generic scale-safe shuffle join
+    ranks = pagerank(edges, iterations=10)
     na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return ranks.join(
         F.broadcast(na), ranks["node"] == na["n_nationkey"]
