@@ -3055,14 +3055,22 @@ GROUP BY 1, 2
 def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-aware negative mining: 4 deterministic negatives per
     vector from other clusters' md5-ranked pools
-    (operators/llm/embedsim.contrastive_negatives)."""
+    (operators/llm/embedsim.contrastive_negatives).  Plan construction
+    (~0.3 s of py4j expression building per call) is query-memoized
+    (r13) like the rest of the embedding family."""
+    from ..cache import query_memo
     from ..operators.llm.embedsim import contrastive_negatives
 
-    return contrastive_negatives(
-        load_table(spark, sf_dir, "embeddings"),
-        k_neg=4,
-        pool_per_cluster=4,
-        num_centroids=16,
+    emb = load_table(spark, sf_dir, "embeddings")
+    return query_memo(
+        "q_contrastive_negatives",
+        emb,
+        lambda: contrastive_negatives(
+            emb,
+            k_neg=4,
+            pool_per_cluster=4,
+            num_centroids=16,
+        ),
     )
 
 

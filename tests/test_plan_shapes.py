@@ -137,9 +137,22 @@ def test_semantic_dedup_ships_no_vectors_through_joins(spark):
 def test_ml_series_single_exchange(spark):
     # the repartition-on-group-keys trick: daily agg + grouped-map train
     # share ONE hash exchange (HashPartitioning(s,f) satisfies both
-    # clustered distributions)
-    q = all_queries()["q_train_metrics"]
-    plan = _executed_plan(q.fn(spark, SMOKE_SF_DIR))
+    # clustered distributions).  Asserted on the training DATAFLOW itself
+    # (the frame q_train_metrics builds and slot-pins since r13): the
+    # registry query's executed plan now reads the pinned output through
+    # an InMemoryTableScan, which hides the exchange from toString.
+    from sales_forecast_mlops_at_scale_spark.ml import train_groups
+    from sales_forecast_mlops_at_scale_spark.plans.ml_queries import (
+        KEYS,
+        demand_series,
+    )
+
+    df = train_groups(
+        demand_series(spark, SMOKE_SF_DIR), KEYS,
+        model_spec="seasonal_naive", date_col="ds", y_col="y",
+        pre_partitioned=True,
+    )
+    plan = _executed_plan(df)
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
@@ -489,9 +502,23 @@ def test_decayed_counts_is_take_ordered_with_broadcast_anchor(spark):
 def test_feature_matrix_single_window_single_exchange(spark):
     """All five RANGE frames evaluate in ONE Window operator over the
     trainer's single REPARTITION exchange — adding features must not add
-    shuffles or sorts."""
-    q = all_queries()["q_feature_matrix"]
-    plan = _executed_plan(q.fn(spark, SMOKE_SF_DIR))
+    shuffles or sorts.  Asserted on the feature DATAFLOW itself (the
+    frame q_feature_matrix builds and slot-pins since r13): the registry
+    query's plan text now renders the pinned subtree through an
+    InMemoryRelation, which double-counts / hides nodes."""
+    from sales_forecast_mlops_at_scale_spark.ml.features import (
+        feature_matrix,
+    )
+    from sales_forecast_mlops_at_scale_spark.plans.ml_queries import (
+        KEYS,
+        demand_series,
+    )
+
+    df = feature_matrix(
+        demand_series(spark, SMOKE_SF_DIR), KEYS,
+        date_col="ds", y_col="y", lags=(7, 14), ma_window=28,
+    )
+    plan = _executed_plan(df)
     assert plan.count("Window [") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
