@@ -390,6 +390,25 @@ def main() -> None:
         "overhead_floor_end": overhead_end,
         "slowest": slowest,
     }))
+    # ... and the FULL per-query min dict again, split across small
+    # (<1 KB) numbered lines AFTER the compact headline so the driver's
+    # bounded tail window keeps them whole (additions-only, r13: PERF_r12
+    # had per_query {} because only the giant payload line carried the
+    # full dict and the tail window truncated it from the front; these
+    # parts restore driver-side per-query and scaling comparison).  Each
+    # line is independently parseable: {"queries_part": i, "of": n,
+    # "q": {name: min_sec, ...}}.
+    part: dict[str, float] = {}
+    parts: list[dict[str, float]] = []
+    for name, sec in timings.items():
+        part[name] = sec
+        if len(json.dumps({"queries_part": 0, "of": 0, "q": part})) > 850:
+            parts.append(part)
+            part = {}
+    if part:
+        parts.append(part)
+    for i, p in enumerate(parts, 1):
+        print(json.dumps({"queries_part": i, "of": len(parts), "q": p}))
     # full, untruncated artifact for the per-round commit
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
     if out_path:

@@ -284,21 +284,30 @@ def _memo(key: tuple[int, str] | None, build_entry, *, session):
     owner."""
     if key is None:
         return build_entry()[1]
-    hit = _MEMO.get(key)
-    if hit is not None:
-        owner, value = hit
-        try:
-            alive = owner.sparkContext._jsc is not None
-        except Exception:  # noqa: BLE001 — stopped session
-            alive = False
-        if alive and (session is None or owner is session):
-            _MEMO.move_to_end(key)
-            return value
+    # _LIVE_LOCK guards the lookup/insert/evict sequence for the same
+    # reason it guards the slots: foreachBatch bodies run on separate
+    # driver threads (streaming/dedup_ingest.py routes through plan_memo),
+    # and an unguarded read-modify-write on the OrderedDict can corrupt
+    # the LRU order or double-build (ADVICE r12).  build_entry() itself
+    # runs OUTSIDE the lock — it may take seconds of py4j work and must
+    # not serialize unrelated slot traffic.
+    with _LIVE_LOCK:
+        hit = _MEMO.get(key)
+        if hit is not None:
+            owner, value = hit
+            try:
+                alive = owner.sparkContext._jsc is not None
+            except Exception:  # noqa: BLE001 — stopped session
+                alive = False
+            if alive and (session is None or owner is session):
+                _MEMO.move_to_end(key)
+                return value
     owner, value = build_entry()
-    _MEMO[key] = (owner, value)
-    _MEMO.move_to_end(key)
-    while len(_MEMO) > _MEMO_CAP:
-        _MEMO.popitem(last=False)
+    with _LIVE_LOCK:
+        _MEMO[key] = (owner, value)
+        _MEMO.move_to_end(key)
+        while len(_MEMO) > _MEMO_CAP:
+            _MEMO.popitem(last=False)
     return value
 
 
@@ -392,4 +401,5 @@ def clear_slots() -> None:
     _KEYLESS.clear()
     # memoized plans reference the just-unpersisted frames; they'd still
     # recompute correctly, but dropping them keeps lifetimes aligned
-    _MEMO.clear()
+    with _LIVE_LOCK:
+        _MEMO.clear()

@@ -386,10 +386,15 @@ def srp_topk(
     # whole-plan memo (optimization r12; the ivf/ivfpq serving pattern):
     # keyed on BOTH frames' plan keys + every parameter; a dim=None
     # scalar pre-read only runs on a miss, and unkeyable inputs always
-    # build
+    # build.  dim=None is mapped to the sentinel "auto" BEFORE keying
+    # (ADVICE r12): query_memo treats a literal None param as "unkeyable
+    # ingredient" and would silently disable the memo, yet the inferred
+    # dim is a pure function of the corpus already pinned by the plan
+    # key, so "auto" aliases nothing.
     return query_memo(
         "embedsim.srp_topk", corpus, build,
-        queries_key, k, nbits, band_bits, dim, id_col, vec_col,
+        queries_key, k, nbits, band_bits,
+        "auto" if dim is None else dim, id_col, vec_col,
         ndigits,
     )
 

@@ -40,6 +40,7 @@ import probe and nothing is mutated.
 from __future__ import annotations
 
 import os
+import stat
 import sys
 import tempfile
 
@@ -77,9 +78,20 @@ def _link_dir_for(bundle: str) -> str | None:
     )
     link = os.path.join(root, "google", "protobuf")
     try:
+        # Validate the ROOT before makedirs (ADVICE r12): the old
+        # check-after-makedirs order let a pre-planted symlink at the
+        # root be FOLLOWED by makedirs — creating a 'google' directory
+        # at an attacker-chosen target before lstat rejected it.  Create
+        # the root with mkdir(0o700); on FileExistsError verify it is a
+        # real directory owned by us before touching anything inside.
+        try:
+            os.mkdir(root, 0o700)
+        except FileExistsError:
+            pass
+        st = os.lstat(root)
+        if not stat.S_ISDIR(st.st_mode) or st.st_uid != os.getuid():
+            return None  # symlink or not ours — refuse to build/export
         os.makedirs(os.path.join(root, "google"), exist_ok=True)
-        if os.lstat(root).st_uid != os.getuid():
-            return None  # not ours — refuse to export it to workers
         if os.path.islink(link):
             if os.readlink(link) != target:
                 os.remove(link)

@@ -90,13 +90,14 @@ def test_triangle_stats_orientation_invariance(spark):
 
 def test_pagerank_broadcast_edges_mode_identical(spark):
     """The r12 broadcast_edges mode (constant edge table as the reused
-    broadcast build side + union-zero densify) must be rank-for-rank
-    identical to the default shuffle-join path — same exact integer
-    recurrence, different physical plan."""
+    broadcast build side) must be rank-for-rank identical to the default
+    path — same exact integer recurrence, same left-join densify, only
+    the join strategy differs (the union-zero densify variant was
+    measured and reverted in r12)."""
     edges = [(0, 1, 3), (1, 2, 2), (2, 3, 5), (3, 0, 1), (1, 0, 7), (4, 0, 2)]
     base = _ranks(spark, edges, iterations=7)
     bcast = _ranks(spark, edges, iterations=7, broadcast_edges=True)
     assert base == bcast
-    # node 4 has no in-edges: the union-zero path must still emit it
-    # with exactly the damped base mass
+    # node 4 has no in-edges: the densify must still emit it with
+    # exactly the damped base mass
     assert 4 in bcast

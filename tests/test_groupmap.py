@@ -232,3 +232,56 @@ def test_group_starts_preserves_int64_precision():
     assert group_starts(pdf, ["k"]).tolist() == [0, 1, 3]
     pdf = pd.DataFrame({"k": ["a", "a", None, None, "b"]})
     assert group_starts(pdf, ["k"]).tolist() == [0, 2, 4]
+
+
+def test_gate_rate_scaffold_invariant_on_degenerate_series(spark):
+    """Pin the q_gate_rate derivation (VERDICT r12 #2): the readout
+    reports ``n_forecast_rows = 7 × n_passed`` from the CV-metrics frame
+    alone, trading a measured count for the invariant "the fused gated
+    forecast emits exactly horizon_days rows per surviving group, zero
+    per reject".  This test runs the ACTUAL gated forecast next to the
+    derived count on a fixture of degenerate series — a 1-row series
+    (no CV folds → NULL rmse → gate must reject), a 2-row minimal
+    series, an erratic series engineered to fail the rmse bar, and a
+    flat passer — so any future kernel path that emits fewer (or more)
+    rows for a surviving group breaks HERE instead of silently shipping
+    a wrong readout."""
+    anchor = dt.date(2026, 1, 1)
+    rows = []
+    # flat passer: 28 days of constant demand → rmse 0 → passes
+    rows += [(1, "A", dt.date(2025, 11, 1) + dt.timedelta(days=i), 10) for i in range(28)]
+    # erratic failer: alternating extremes → seasonal-naive rmse >> bar
+    rows += [
+        (2, "A", dt.date(2025, 11, 1) + dt.timedelta(days=i), 1 if i % 2 else 900)
+        for i in range(28)
+    ]
+    # degenerate: single observation → no fold with train_end >= 1 → NULL
+    rows += [(3, "B", dt.date(2025, 12, 1), 5)]
+    # minimal two-point series: one fold trains on 1 row
+    rows += [(4, "B", dt.date(2025, 12, 1), 5), (4, "B", dt.date(2025, 12, 2), 7)]
+    series = spark.createDataFrame(
+        rows, "l_suppkey int, l_returnflag string, ds date, y int"
+    )
+    tm = train_groups(
+        series, KEYS, model_spec="seasonal_naive", date_col="ds", y_col="y"
+    ).collect()
+    derived = {}
+    for r in tm:
+        passed = r.rmse is not None and r.rmse <= GATE_RMSE
+        derived[r.l_returnflag] = derived.get(r.l_returnflag, 0) + (7 if passed else 0)
+    gated = gated_forecast_groups(
+        series, KEYS, horizon_start=anchor, horizon_days=7,
+        model_spec="seasonal_naive", date_col="ds", y_col="y",
+        max_rmse=GATE_RMSE,
+    ).collect()
+    actual = {}
+    for r in gated:
+        actual[r.l_returnflag] = actual.get(r.l_returnflag, 0) + 1
+    # the degenerate suppkey-3 group must have been rejected (NULL rmse)
+    rmse_by_key = {(r.l_suppkey, r.l_returnflag): r.rmse for r in tm}
+    assert rmse_by_key[(3, "B")] is None
+    # scaffold invariant: actual materialized rows == 7 × survivors,
+    # including returnflags where nothing survived (absent == 0)
+    for rf in derived:
+        assert actual.get(rf, 0) == derived[rf], (rf, actual, derived)
+    assert set(actual) <= set(derived)
