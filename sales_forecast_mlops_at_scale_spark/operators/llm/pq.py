@@ -412,6 +412,105 @@ def pq_adc_topk(
     )
 
 
+def _packed_codes(codes: DataFrame, m: int, group_cols: list[str]) -> DataFrame:
+    """One row per vector: the M per-subspace code rows packed into an
+    array of ``code·m + subspace`` int64 lookup keys (optimization r13).
+
+    The ADC scorer previously joined the code rows against the broadcast
+    distance table on ``(…, m, code)`` — an M-way fan-out of the scored
+    row count (every (query, candidate) pair became M joined rows) that
+    then had to be re-summed by a ``groupBy(qid, vid)`` whose exchange
+    carried the full fan-out (codes are laid out by (vid, bucket, m), so
+    map-side partial aggregation cannot combine one pair's M rows
+    locally).  Packing the codes once per index turns the scorer into a
+    fan-out-free join + an inline integer fold over the M keys (guide
+    §2.3 "shuffle fewer bytes" / §2.4 "remove shuffles outright"): the
+    scored-row count drops M× and the corpus-sized re-aggregation
+    exchange disappears.  ``array_sort`` on ``struct(m, code)`` orders by
+    subspace; int64 sums are order-independent, so the fold is exactly
+    the old ``sum(d_fp)``."""
+    return codes.groupBy(*group_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "code"))),
+            lambda s: s["code"].cast("long") * F.lit(m) + s["m"],
+        ).alias("__ck")
+    )
+
+
+def _packed_lut(dtable: DataFrame, m: int, group_cols: list[str]) -> DataFrame:
+    """Distance-table rows packed into one ``map<code·m + subspace →
+    d_fp>`` per group (the query, or (query, bucket)) — the broadcast
+    side of the packed ADC scorer.  Exactly M·K entries per group by
+    construction (the table is the full subspaces × codewords cross
+    product), so every packed code key hits.  Dynamic-width fallback:
+    :func:`_lut_direct` builds the same map without the explode / join /
+    re-aggregation when the subvector width is statically known."""
+    return dtable.groupBy(*group_cols).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("code").cast("long") * F.lit(m) + F.col("m")).alias(
+                        "k"
+                    ),
+                    F.col("d_fp").alias("v"),
+                )
+            )
+        ).alias("__lut")
+    )
+
+
+def _lut_direct(
+    qframe: DataFrame, codebook: DataFrame, m: int, d_sub: int,
+    group_cols: list[str],
+) -> DataFrame:
+    """The per-query ADC lookup map computed INLINE against the packed
+    broadcast codebook — the static-width twin of :func:`_packed_lut`.
+
+    ``qframe`` carries one row per query (or (query, probed bucket))
+    with the full residual/unit vector ``v``; the codebook's M·K rows
+    are collected into ONE array-of-structs row and cross-broadcast, so
+    each query row computes its whole distance table in a single codegen
+    projection: ``map<cid·m + subspace → d_fp>``.  The old shape
+    (explode to M subvector rows → join the codebook → re-aggregate
+    M·K rows per query back into one group) paid a query-side exchange
+    and an M·K-way join fan-out per evaluation for the same arithmetic
+    (guide §2.4).  Each entry's ``d_fp`` is ``_sqdist_fp`` over
+    ``slice(v, m·d_sub + 1, d_sub)`` — the exact expression
+    :func:`_subspaces` produces, so the fixed-point distances are
+    bit-identical to the exploded form."""
+    cbp = codebook.agg(F.collect_list(F.struct("m", "cid", "cv")).alias("__cb"))
+    return qframe.crossJoin(F.broadcast(cbp)).select(
+        *group_cols,
+        F.map_from_entries(
+            F.transform(
+                "__cb",
+                lambda e: F.struct(
+                    (e["cid"].cast("long") * F.lit(m) + e["m"]).alias("k"),
+                    _sqdist_fp(
+                        F.slice(
+                            "v", e["m"] * F.lit(d_sub) + F.lit(1), d_sub
+                        ),
+                        e["cv"],
+                        d_sub,
+                    ).alias("v"),
+                ),
+            )
+        ).alias("__lut"),
+    )
+
+
+#: Inline ADC sum over packed codes: Σ_m lut[ck[m]] as an exact int64
+#: fold — identical to sum(d_fp) over the old M joined rows (int64
+#: addition is associative/commutative and every key hits by
+#: construction; a miss would raise under ANSI rather than corrupt).
+def _adc_sum():
+    return F.aggregate(
+        "__ck",
+        F.lit(0).cast("long"),
+        lambda acc, kk: acc + F.element_at("__lut", kk),
+    )
+
+
 def _exact_rerank(
     scored: DataFrame,
     q: DataFrame,
@@ -476,35 +575,48 @@ def _pq_adc_topk_build(
     codebook = pq_codebook(
         corpus, m=m, k=n_codewords, dim=dim, id_col=id_col, vec_col=vec_col
     )
-    # the code table IS the stored index (a production deployment
+    # the PACKED code table IS the stored index (a production deployment
     # materializes it as the compressed corpus representation); pinning
     # it makes repeated searches touch only integer code rows, which is
     # PQ's whole point — without it every query re-runs the M·K-way
-    # encode join over the float vectors
+    # encode join over the float vectors.  Packed one-row-per-vector
+    # (optimization r13, see _packed_codes): the ADC scan is a fan-out-
+    # free broadcast join + inline fold instead of an M-way joined
+    # explosion re-summed through a corpus-sized exchange.
     codes = persist_slot(
         "pq.codes",
-        pq_encode(corpus, codebook, m=m, dim=dim, id_col=id_col, vec_col=vec_col),
+        _packed_codes(
+            pq_encode(
+                corpus, codebook, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+            ),
+            m,
+            ["vid"],
+        ),
         key=derived_key(
-            _plan_key(corpus), "pq.codes", m, n_codewords, dim, id_col, vec_col
+            _plan_key(corpus), "pq.codes.packed", m, n_codewords, dim,
+            id_col, vec_col,
         ),
     )
-    q_sub = _subspaces(
-        _unit(_prepared(queries, id_col, vec_col)).select(
-            F.col("vid").alias("qid"), "v"
-        ),
-        m=m,
+    q_unit = _unit(_prepared(queries, id_col, vec_col)).select(
+        F.col("vid").alias("qid"), "v"
     )
-    dtable = q_sub.join(F.broadcast(codebook), "m").select(
-        "qid",
-        "m",
-        F.col("cid").alias("code"),
-        _sqdist_fp(F.col("sv"), F.col("cv"), dim // m if dim else None).alias("d_fp"),
-    )
+    if dim:
+        lut = _lut_direct(q_unit, codebook, m, dim // m, ["qid"])
+    else:
+        dtable = _subspaces(q_unit, m=m).join(F.broadcast(codebook), "m").select(
+            "qid",
+            "m",
+            F.col("cid").alias("code"),
+            _sqdist_fp(F.col("sv"), F.col("cv"), None).alias("d_fp"),
+        )
+        lut = _packed_lut(dtable, m, ["qid"])
+    # flat PQ scans every candidate per query by design: Q LUT maps ×
+    # the packed corpus, one output row per (query, candidate) — the
+    # old form produced M rows per pair and re-aggregated them
     scored = (
-        codes.join(F.broadcast(dtable), ["m", "code"])
+        codes.crossJoin(F.broadcast(lut))
         .filter(F.col("qid") != F.col("vid"))
-        .groupBy("qid", "vid")
-        .agg(F.sum("d_fp").alias("s_fp"))
+        .select("qid", "vid", _adc_sum().alias("s_fp"))
     )
     if rerank:
         q = _prepared(queries, id_col, vec_col).select(
@@ -647,11 +759,23 @@ def ivfpq_search(
     ndigits: int = 6,
     vectors: DataFrame | None = None,
     rerank: int = 0,
+    codes_packed: bool = False,
 ) -> DataFrame:
     """ADC search against an IVF-PQ index given as frames (slot-pinned
     by :func:`ivfpq_topk`, or parquet tables read back by
     :func:`streaming.vector_ingest.search_materialized` — one dataflow,
     two storage backings).  ``q`` is a prepared ``(qid, v, nrm)`` frame.
+
+    ``codes`` is the ``(vid, bucket, m, code)`` table, or — with
+    ``codes_packed=True`` — the :func:`_packed_codes` form ``(vid,
+    bucket, __ck)`` (one row per vector, M packed lookup keys), which a
+    long-lived serving tier pins once so repeat searches skip even the
+    packing pass.  Unpacked codes are packed per evaluation AFTER a
+    broadcast semi-join against the probed buckets, so the packing
+    exchange carries only probed-bucket rows — strictly fewer bytes
+    than the old scorer's fan-out exchange (which carried
+    Q·|probed codes|·M rows; the packing carries |probed codes| rows
+    with no Q multiplier).
 
     Each query probes its ``nprobe`` nearest buckets; candidates are the
     probed buckets' code rows; ranking is the exact integer ADC sum.
@@ -700,18 +824,45 @@ def ivfpq_search(
             ).alias("v"),
         )
     )
-    dtable = _subspaces(qresid, m=m).join(F.broadcast(codebook), "m").select(
-        "qid",
-        "bucket",
-        "m",
-        F.col("cid").alias("code"),
-        _sqdist_fp(F.col("sv"), F.col("cv"), d_sub).alias("d_fp"),
-    )
+    if d_sub is not None:
+        # static width: the whole per-(query, bucket) distance table in
+        # one codegen projection against the packed broadcast codebook
+        lut = _lut_direct(qresid, codebook, m, d_sub, ["qid", "bucket"])
+    else:
+        dtable = (
+            _subspaces(qresid, m=m)
+            .join(F.broadcast(codebook), "m")
+            .select(
+                "qid",
+                "bucket",
+                "m",
+                F.col("cid").alias("code"),
+                _sqdist_fp(F.col("sv"), F.col("cv"), d_sub).alias("d_fp"),
+            )
+        )
+        lut = _packed_lut(dtable, m, ["qid", "bucket"])
+    if codes_packed:
+        packed = codes
+    else:
+        # probed-bucket semi-join BEFORE the packing groupBy: only
+        # probed buckets' code rows enter the packing exchange (the
+        # O(probed) contract the per-micro-batch ingest dedup depends
+        # on; with nprobe ≪ √N coarse cells this is a small corpus
+        # fraction at any scale)
+        probed = qresid.select("bucket").distinct()
+        packed = _packed_codes(
+            codes.join(F.broadcast(probed), "bucket", "left_semi"),
+            m,
+            ["vid", "bucket"],
+        )
+    # fan-out-free ADC (optimization r13, see _packed_codes): one output
+    # row per (query, probed candidate) with the integer ADC sum folded
+    # inline — no M-way join explosion, no corpus-sized re-aggregation
+    # exchange
     scored = (
-        codes.join(F.broadcast(dtable), ["bucket", "m", "code"])
+        packed.join(F.broadcast(lut), "bucket")
         .filter(F.col("qid") != F.col("vid"))
-        .groupBy("qid", "vid")
-        .agg(F.sum("d_fp").alias("s_fp"))
+        .select("qid", "vid", _adc_sum().alias("s_fp"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("s_fp").asc(), F.col("vid").asc())
     if rerank:
@@ -858,10 +1009,15 @@ def _ivfpq_topk_build(
             cb,
             key=derived_key(idx_key, "cb.seed") if idx_key else None,
         )
+    # the stored index is the PACKED code table (optimization r13, see
+    # _packed_codes): one row per vector, pinned once per corpus — every
+    # search is then a fan-out-free broadcast join + inline ADC fold
     codes = persist_slot(
         "pq.ivfpq.codes",
-        ivfpq_encode(resid, cb, m=m, d_sub=d_sub),
-        key=derived_key(idx_key, "codes") if idx_key else None,
+        _packed_codes(
+            ivfpq_encode(resid, cb, m=m, d_sub=d_sub), m, ["vid", "bucket"]
+        ),
+        key=derived_key(idx_key, "codes.packed") if idx_key else None,
     )
     q = _prepared(queries, id_col, vec_col).select(
         F.col("vid").alias("qid"), "v", "nrm"
@@ -869,5 +1025,5 @@ def _ivfpq_topk_build(
     return ivfpq_search(
         q, centroids, cb, codes,
         k=k, nprobe=nprobe, m=m, d_sub=d_sub, ndigits=ndigits,
-        vectors=c if rerank else None, rerank=rerank,
+        vectors=c if rerank else None, rerank=rerank, codes_packed=True,
     )

@@ -381,12 +381,23 @@ def search_materialized(
         codes = codes_src.select(
             F.col(id_col).alias("vid"), "bucket", "m", "code"
         )
+        codes_packed = False
         if pin_codes:
+            # the serving tier keeps the PACKED index resident
+            # (optimization r13, see pq._packed_codes): one row per
+            # vector, searches are fan-out-free joins with no per-query
+            # packing pass; the O(batch) ingest-dedup path keeps the raw
+            # table and packs only probed buckets per evaluation
+            from ..operators.llm.pq import _packed_codes
+
             codes = persist_slot(
                 "vecingest.codes",
-                codes,
-                key=derived_key(ckey, "codes.pin", id_col) if ckey else None,
+                _packed_codes(codes, m, ["vid", "bucket"]),
+                key=derived_key(ckey, "codes.pin.packed", id_col, m)
+                if ckey
+                else None,
             )
+            codes_packed = True
         q = _prepared(queries, id_col, vec_col).select(
             F.col("vid").alias("qid"), "v", "nrm"
         )
@@ -405,6 +416,7 @@ def search_materialized(
             ndigits=ndigits,
             vectors=vectors,
             rerank=rerank,
+            codes_packed=codes_packed,
         )
 
     return plan_memo(memo_key, build, session=spark)
