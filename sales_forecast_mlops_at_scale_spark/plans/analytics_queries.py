@@ -1639,7 +1639,7 @@ def _stream_tws_root(sf_dir: str) -> str:
     return digest_root(
         "sfspark_stream_tws_log",
         [os.path.join(sf_dir, "events.parquet")],
-        [_STREAM_EPOCHS, _STREAM_STRAGGLER_MOD, "tws-totals-v1"],
+        [_STREAM_EPOCHS, _STREAM_STRAGGLER_MOD, "tws-totals-v2"],
     )
 
 
@@ -2386,7 +2386,7 @@ def _stream_tws_init_root(sf_dir: str) -> str:
     return digest_root(
         "sfspark_stream_tws_init_log",
         [os.path.join(sf_dir, "events.parquet")],
-        [_STREAM_EPOCHS, _STREAM_STRAGGLER_MOD, _TWS_HIST_MOD, "tws-init-v2"],
+        [_STREAM_EPOCHS, _STREAM_STRAGGLER_MOD, _TWS_HIST_MOD, "tws-init-v3"],
     )
 
 

@@ -391,13 +391,32 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # joins, so at 100 TB it reuses the same shuffle.
 
 
-def _part_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _part_supp(
+    spark: SparkSession, sf_dir: str, part_keys: DataFrame | None = None
+) -> DataFrame:
     # supplycost stays a RAW double: min() over identical IEEE doubles is
     # engine-independent, while round(x, 4) at a .00005 boundary is NOT
     # (Spark's BigDecimal HALF_UP vs DuckDB's scaled std::round disagree
     # on boundary representations — measured 1e-4 drifts that a ×quantity
     # term amplifies).  Consumers round only final aggregates.
+    #
+    # ``part_keys`` (a 1-column ``p_partkey`` frame, optimization r13):
+    # callers that INNER-join the relation against a filtered part set
+    # afterwards pass the same keys here so the semi-join lands BELOW the
+    # groupBy — the derivation exchange then carries only matching rows
+    # (guide §2.3; measured at sf0.1 the unfiltered exchange was ~591k
+    # rows — the partial aggregate barely combines because (partkey,
+    # suppkey) pairs are near-unique — vs ~75k for q9's widget filter).
+    # Result-identical: every row of a (partkey, suppkey) group shares
+    # the partkey, so pre-filtering keeps exactly the groups the
+    # downstream inner join would keep, with identical min() inputs.
     li = load_table(spark, sf_dir, "lineitem")
+    if part_keys is not None:
+        li = li.join(
+            F.broadcast(part_keys),
+            li["l_partkey"] == part_keys["p_partkey"],
+            "left_semi",
+        )
     return li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
     )
@@ -418,14 +437,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     The correlated MIN subquery is decorrelated into a per-part aggregate
     joined back on (part, cost) — the canonical Spark rewrite; all
     dimension sides broadcast, the only fact shuffle is the _part_supp
-    groupBy."""
-    ps = _part_supp(spark, sf_dir)
+    groupBy — pre-filtered to the STANDARD/size-15 part keys, so the
+    derivation exchange carries only matching rows (see _part_supp)."""
     supp = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     )
+    ps = _part_supp(spark, sf_dir, part_keys=part.select("p_partkey"))
     eu_supp = (
         supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), F.col("n_regionkey") == reg.r_regionkey)
@@ -503,13 +523,16 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The ps join keys on (partkey, suppkey) — the same keys as the
     _part_supp groupBy, so the two stages share one hash partitioning
-    (no second fact shuffle); part/supplier/nation broadcast."""
+    (no second fact shuffle); part/supplier/nation broadcast.  The ps
+    derivation is pre-filtered to the widget part keys (see _part_supp:
+    the downstream inner join keeps only those groups anyway, so the
+    derivation exchange shrinks ~8× at sf0.1 with identical output)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     supp = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
-    ps = _part_supp(spark, sf_dir).select(
+    ps = _part_supp(spark, sf_dir, part_keys=part.select("p_partkey")).select(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
         "supplycost",

@@ -139,9 +139,19 @@ def idempotent_append_batch(
     partition_by: Sequence[str] | None = None,
     batch_id: int | None = None,
     app_id: str = "default",
+    coalesce_to: int | None = None,
 ) -> None:
     """foreachBatch body: append only rows whose natural key is absent
     from the target (left-anti join) — MERGE-insert semantics on parquet.
+
+    ``coalesce_to``: target file count for the APPEND (guide §6 — small
+    files hurt twice, listing/planning on the driver and per-file open
+    cost on every later read).  Callers whose per-trigger output is
+    bounded (an update-mode totals log gains at most |keys touched| rows
+    per batch) pass 1 and each drain appends one file instead of one
+    per shuffle partition; unbounded appends leave it None and keep the
+    batch's own partitioning.  Layout-only: the appended ROWS are
+    identical either way.
 
     With ``partition_by`` set (a prefix of the natural key, e.g. the date
     column), the target is laid out as partitioned parquet and the
@@ -200,6 +210,8 @@ def idempotent_append_batch(
         fresh = batch_df
     else:
         fresh = batch_df.join(existing, on=list(natural_key), how="left_anti")
+    if coalesce_to is not None:
+        fresh = fresh.coalesce(coalesce_to)
     writer = fresh.write.mode("append")
     if partition_by:
         writer = writer.partitionBy(*list(partition_by))
@@ -874,6 +886,11 @@ def run_tws_totals_stream(
                 [key_col, tag_col, "n"],
                 batch_id=bid,
                 app_id=app_id,
+                # the totals log gains at most |keys touched| rows per
+                # trigger — one file per drain, not one per shuffle
+                # partition (guide §6; measured: the 96-tiny-file log
+                # cost every reader ~0.3 s of listing/open overhead)
+                coalesce_to=1,
             )
         )
     )
